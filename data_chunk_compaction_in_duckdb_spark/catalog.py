@@ -1,0 +1,62 @@
+"""Fixture-table catalog.
+
+The reference loads benchmark parquet into temp tables and queries them
+(`vector_compaction.cpp:63-67`, `benchmark/tpch/sf1/load.sql`).  Here the
+same tables come from the driver-generated parquet under a scale-factor
+directory and are registered as temp views so both the DataFrame and SQL
+entry points (SURVEY.md §3) see one catalog.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # Dynamic conf so the table also loads under sessions not built by
+        # session.get_spark (e.g. the driver's bare smoke-check session).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts arrives as int64 nanoseconds (spark.sql.legacy.parquet.nanosAsLong);
+        # normalize to microsecond TIMESTAMP_NTZ to match DuckDB's naive
+        # timestamps (SURVEY.md §1.2: other resolutions normalized on ingest).
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast(
+                    "timestamp_ntz"
+                ),
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view; returns the DataFrames."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,20 @@
+"""Named query registry backing ``__spark_entry__.py``.
+
+Importing this package registers every query module.  Each named query is
+the Spark-native expression of one operator/function family from
+SURVEY.md §2, paired (where SQL-expressible) with an ANSI-SQL oracle that
+DuckDB runs on the same parquet tables — mirroring the reference's
+golden-answer test method (sqllogictest + TPC-H answer files,
+reference test/sql/ and extension/tpch/dbgen/answers/).
+"""
+
+from data_chunk_compaction_in_duckdb_spark.queries.registry import (  # noqa: F401
+    REGISTRY,
+    NamedQuery,
+    all_oracles,
+    all_queries,
+    query,
+)
+
+# Import for registration side effects — order defines display order.
+from data_chunk_compaction_in_duckdb_spark.queries import relational  # noqa: E402,F401
