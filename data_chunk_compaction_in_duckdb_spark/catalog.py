@@ -41,11 +41,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # normalize to microsecond TIMESTAMP_NTZ to match DuckDB's naive
         # timestamps (SURVEY.md §1.2: other resolutions normalized on ingest).
         if dict(df.dtypes).get("ts") == "bigint":
+            # Integer div, not float /: DuckDB truncates ns→µs, and float
+            # division rounds the microsecond up for some values.
             df = df.withColumn(
                 "ts",
-                F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast(
-                    "timestamp_ntz"
-                ),
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
             )
     return df
 

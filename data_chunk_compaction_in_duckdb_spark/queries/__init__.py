@@ -18,3 +18,7 @@ from data_chunk_compaction_in_duckdb_spark.queries.registry import (  # noqa: F4
 
 # Import for registration side effects — order defines display order.
 from data_chunk_compaction_in_duckdb_spark.queries import relational  # noqa: E402,F401
+from data_chunk_compaction_in_duckdb_spark.queries import windows  # noqa: E402,F401
+from data_chunk_compaction_in_duckdb_spark.queries import nested  # noqa: E402,F401
+from data_chunk_compaction_in_duckdb_spark.queries import functions_scalar  # noqa: E402,F401
+from data_chunk_compaction_in_duckdb_spark.queries import functions_agg  # noqa: E402,F401
