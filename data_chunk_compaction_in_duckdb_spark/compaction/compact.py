@@ -1,0 +1,84 @@
+"""DataFrame compaction operators.
+
+compact()        ≈ CompactingPhysicalOperator (reference
+                 physical_operator.cpp:250-311): coalesce undersized data
+                 units toward a target size before the next operator.
+pipeline_break() ≈ PhysicalPipelineBreaker (physical_pipeline_breaker.cpp:
+                 38-118): explicit materialization barrier.
+
+The reference distinguishes *logical* compaction (dictionary-slice
+concatenation, no copy — join_hashtable.cpp:513-565) from *full*
+compaction (copying cache, physical_operator.cpp:275-300).  The Spark
+analogs preserve that split:
+
+- ``coalesce(n)``    — no shuffle, merges partitions by concatenating
+                       their task inputs → logical compaction
+- ``repartition(n)`` — full shuffle, rebalances skew → full compaction
+
+compact() picks the cheaper one that reaches the target, exactly like the
+reference emits the cache only when it crosses the threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from data_chunk_compaction_in_duckdb_spark.compaction.profiler import (
+    partition_histogram,
+)
+
+# Default target mirrors AQE's advisory partition size at ~64MB of wide
+# rows; for row-count mode the reference's full vector (2048) scales to a
+# partition-level default of 1M rows.
+DEFAULT_TARGET_ROWS = 1_000_000
+
+
+def compact(
+    df: DataFrame,
+    target_rows: int = DEFAULT_TARGET_ROWS,
+    skew_tolerance: float = 4.0,
+    stats_sample: bool = True,
+) -> DataFrame:
+    """Coalesce a fragmented DataFrame toward ``target_rows`` per
+    partition.
+
+    Computes the partition histogram (one narrow JVM-side aggregation),
+    then:
+
+    - already compact (mean ≥ half target, no heavy skew) → returned as-is
+      (the reference's pass-through when the chunk is ≥ threshold,
+      physical_operator.cpp:262-266);
+    - fragmented but balanced → ``coalesce`` to ``ceil(rows/target)``
+      partitions (logical compaction: no shuffle);
+    - skewed (max > skew_tolerance × mean) → ``repartition`` (full
+      compaction: one shuffle, restores balance for downstream ops).
+
+    At 100 TB the histogram job is the same scan AQE already does for its
+    runtime statistics; call compact() after selective filters/joins
+    where AQE's stage boundary isn't available (mid-stage narrow chains).
+    """
+    hist = partition_histogram(df)
+    if hist.n_rows == 0 or hist.n_partitions <= 1:
+        return df
+    needed = max(1, -(-hist.n_rows // target_rows))  # ceil
+    if needed >= hist.n_partitions:
+        return df  # nothing to merge
+    skewed = hist.max_rows > skew_tolerance * max(hist.mean_rows, 1.0)
+    if skewed:
+        return df.repartition(needed)
+    return df.coalesce(needed)
+
+
+def pipeline_break(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialization barrier: persist and (optionally) force evaluation.
+
+    The reference inserts PhysicalPipelineBreaker under long join chains
+    so each hash table stays cache-resident while it is probed
+    (split_long_pipeline.cpp:7-33).  In Spark the analog is persisting the
+    intermediate so divergent/downstream stages reuse one materialization
+    instead of recomputing the subtree.
+    """
+    out = df.persist()
+    if eager:
+        out.count()
+    return out

@@ -6,162 +6,195 @@ hamming, damerau_levenshtein, jaro_winkler_similarity, gamma, lgamma,
 gcd, lcm).  Semantics verified cell-by-cell against DuckDB 1.0 in
 tests/test_functions.py.
 
+Every UDF is built by a factory so the compute function is a *closure* —
+cloudpickle then serializes it by value and executors never need this
+package on their PYTHONPATH (critical when the driver session was not
+launched from the repo root; a bare `SparkSession` ships no pyFiles).
+
 Arrow-batched (pandas_udf), so the per-row Python cost is amortized per
-batch — these are still the slow path; keep them off the 100 TB hot path
-and prefer the built-in `levenshtein`, `soundex`, etc. where possible.
+batch — still the slow path; keep these off the 100 TB hot path and
+prefer built-ins (levenshtein, soundex, …) where Spark has them.
 """
 
 from __future__ import annotations
-
-import math
 
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _jaccard(s1: str, s2: str) -> float:
-    """Character-set Jaccard similarity (DuckDB semantics: jaccard('duck',
-    'luck') = 0.6)."""
-    a, b = set(s1), set(s2)
-    if not a and not b:
-        return 1.0
-    return len(a & b) / len(a | b)
+def _pair_udf(fn, ret):
+    """Wrap a pure (str, str) -> scalar closure as a null-safe pandas UDF."""
 
-
-def _hamming(s1: str, s2: str) -> int:
-    """Positional mismatch count; same-length inputs required (DuckDB
-    errors on length mismatch — we return -1 as the vectorized-safe
-    sentinel)."""
-    if len(s1) != len(s2):
-        return -1
-    return sum(c1 != c2 for c1, c2 in zip(s1, s2))
-
-
-def _damerau_levenshtein(s1: str, s2: str) -> int:
-    """Unrestricted Damerau-Levenshtein edit distance (insert/delete/
-    substitute/transpose)."""
-    # Classic DP over (len1+2) x (len2+2) with last-occurrence tracking.
-    da: dict[str, int] = {}
-    maxdist = len(s1) + len(s2)
-    d = [[0] * (len(s2) + 2) for _ in range(len(s1) + 2)]
-    d[0][0] = maxdist
-    for i in range(len(s1) + 1):
-        d[i + 1][0] = maxdist
-        d[i + 1][1] = i
-    for j in range(len(s2) + 1):
-        d[0][j + 1] = maxdist
-        d[1][j + 1] = j
-    for i in range(1, len(s1) + 1):
-        db = 0
-        for j in range(1, len(s2) + 1):
-            k = da.get(s2[j - 1], 0)
-            length = db
-            if s1[i - 1] == s2[j - 1]:
-                cost = 0
-                db = j
-            else:
-                cost = 1
-            d[i + 1][j + 1] = min(
-                d[i][j] + cost,  # substitution
-                d[i + 1][j] + 1,  # insertion
-                d[i][j + 1] + 1,  # deletion
-                d[k][length] + (i - k - 1) + 1 + (j - length - 1),  # transposition
-            )
-        da[s1[i - 1]] = i
-    return d[len(s1) + 1][len(s2) + 1]
-
-
-def _jaro(s1: str, s2: str) -> float:
-    if s1 == s2:
-        return 1.0
-    l1, l2 = len(s1), len(s2)
-    if l1 == 0 or l2 == 0:
-        return 0.0
-    window = max(l1, l2) // 2 - 1
-    m1_flags = [False] * l1
-    m2_flags = [False] * l2
-    matches = 0
-    for i, c in enumerate(s1):
-        lo, hi = max(0, i - window), min(l2, i + window + 1)
-        for j in range(lo, hi):
-            if not m2_flags[j] and s2[j] == c:
-                m1_flags[i] = m2_flags[j] = True
-                matches += 1
-                break
-    if matches == 0:
-        return 0.0
-    t = 0
-    k = 0
-    for i in range(l1):
-        if m1_flags[i]:
-            while not m2_flags[k]:
-                k += 1
-            if s1[i] != s2[k]:
-                t += 1
-            k += 1
-    t //= 2
-    return (matches / l1 + matches / l2 + (matches - t) / matches) / 3
-
-
-def _jaro_winkler(s1: str, s2: str, p: float = 0.1, threshold: float = 0.7) -> float:
-    j = _jaro(s1, s2)
-    if j <= threshold:
-        return j
-    prefix = 0
-    for c1, c2 in zip(s1[:4], s2[:4]):
-        if c1 != c2:
-            break
-        prefix += 1
-    return j + prefix * p * (1 - j)
-
-
-def _pair_str_udf(fn, ret):
     @F.pandas_udf(ret)
     def udf(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series(
-            [
-                None if (x is None or y is None) else fn(x, y)
-                for x, y in zip(a, b)
-            ]
+            [None if (x is None or y is None) else fn(x, y) for x, y in zip(a, b)]
         )
 
     return udf
 
 
-jaccard = _pair_str_udf(_jaccard, T.DoubleType())
-hamming = _pair_str_udf(_hamming, T.LongType())
-damerau_levenshtein = _pair_str_udf(_damerau_levenshtein, T.LongType())
-jaro_winkler = _pair_str_udf(_jaro_winkler, T.DoubleType())
+def _make_jaccard():
+    def jac(s1: str, s2: str) -> float:
+        # Character-set Jaccard (DuckDB: jaccard('duck','luck') = 0.6).
+        a, b = set(s1), set(s2)
+        if not a and not b:
+            return 1.0
+        return len(a & b) / len(a | b)
+
+    return _pair_udf(jac, T.DoubleType())
 
 
-@F.pandas_udf(T.DoubleType())
-def gamma_udf(x: pd.Series) -> pd.Series:
-    return x.map(lambda v: None if v is None else math.gamma(v))
+def _make_hamming():
+    def ham(s1: str, s2: str) -> int:
+        # Positional mismatch count; DuckDB errors on length mismatch —
+        # return -1 as the vectorized-safe sentinel instead.
+        if len(s1) != len(s2):
+            return -1
+        return sum(c1 != c2 for c1, c2 in zip(s1, s2))
+
+    return _pair_udf(ham, T.LongType())
 
 
-@F.pandas_udf(T.DoubleType())
-def lgamma_udf(x: pd.Series) -> pd.Series:
-    return x.map(lambda v: None if v is None else math.lgamma(v))
+def _make_damerau_levenshtein():
+    def dl(s1: str, s2: str) -> int:
+        # Unrestricted Damerau-Levenshtein (insert/delete/substitute/
+        # transpose) via the classic DP with last-occurrence tracking.
+        da: dict[str, int] = {}
+        maxdist = len(s1) + len(s2)
+        d = [[0] * (len(s2) + 2) for _ in range(len(s1) + 2)]
+        d[0][0] = maxdist
+        for i in range(len(s1) + 1):
+            d[i + 1][0] = maxdist
+            d[i + 1][1] = i
+        for j in range(len(s2) + 1):
+            d[0][j + 1] = maxdist
+            d[1][j + 1] = j
+        for i in range(1, len(s1) + 1):
+            db = 0
+            for j in range(1, len(s2) + 1):
+                k = da.get(s2[j - 1], 0)
+                length = db
+                if s1[i - 1] == s2[j - 1]:
+                    cost = 0
+                    db = j
+                else:
+                    cost = 1
+                d[i + 1][j + 1] = min(
+                    d[i][j] + cost,
+                    d[i + 1][j] + 1,
+                    d[i][j + 1] + 1,
+                    d[k][length] + (i - k - 1) + 1 + (j - length - 1),
+                )
+            da[s1[i - 1]] = i
+        return d[len(s1) + 1][len(s2) + 1]
+
+    return _pair_udf(dl, T.LongType())
 
 
-@F.pandas_udf(T.LongType())
-def gcd_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            None if (x is None or y is None) else math.gcd(int(x), int(y))
-            for x, y in zip(a, b)
-        ],
-        dtype="Int64",
-    )
+def _make_jaro_winkler():
+    def jaro(s1: str, s2: str) -> float:
+        if s1 == s2:
+            return 1.0
+        l1, l2 = len(s1), len(s2)
+        if l1 == 0 or l2 == 0:
+            return 0.0
+        window = max(l1, l2) // 2 - 1
+        m1 = [False] * l1
+        m2 = [False] * l2
+        matches = 0
+        for i, c in enumerate(s1):
+            for j in range(max(0, i - window), min(l2, i + window + 1)):
+                if not m2[j] and s2[j] == c:
+                    m1[i] = m2[j] = True
+                    matches += 1
+                    break
+        if matches == 0:
+            return 0.0
+        t = 0
+        k = 0
+        for i in range(l1):
+            if m1[i]:
+                while not m2[k]:
+                    k += 1
+                if s1[i] != s2[k]:
+                    t += 1
+                k += 1
+        t //= 2
+        return (matches / l1 + matches / l2 + (matches - t) / matches) / 3
+
+    def jw(s1: str, s2: str, p: float = 0.1, threshold: float = 0.7) -> float:
+        j = jaro(s1, s2)
+        if j <= threshold:
+            return j
+        prefix = 0
+        for c1, c2 in zip(s1[:4], s2[:4]):
+            if c1 != c2:
+                break
+            prefix += 1
+        return j + prefix * p * (1 - j)
+
+    return _pair_udf(jw, T.DoubleType())
 
 
-@F.pandas_udf(T.LongType())
-def lcm_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            None if (x is None or y is None) else math.lcm(int(x), int(y))
-            for x, y in zip(a, b)
-        ],
-        dtype="Int64",
-    )
+def _make_gamma():
+    @F.pandas_udf(T.DoubleType())
+    def udf(x: pd.Series) -> pd.Series:
+        import math
+
+        return x.map(lambda v: None if v is None else math.gamma(v))
+
+    return udf
+
+
+def _make_lgamma():
+    @F.pandas_udf(T.DoubleType())
+    def udf(x: pd.Series) -> pd.Series:
+        import math
+
+        return x.map(lambda v: None if v is None else math.lgamma(v))
+
+    return udf
+
+
+def _make_gcd():
+    @F.pandas_udf(T.LongType())
+    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        import math
+
+        return pd.Series(
+            [
+                None if (x is None or y is None) else math.gcd(int(x), int(y))
+                for x, y in zip(a, b)
+            ],
+            dtype="Int64",
+        )
+
+    return udf
+
+
+def _make_lcm():
+    @F.pandas_udf(T.LongType())
+    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        import math
+
+        return pd.Series(
+            [
+                None if (x is None or y is None) else math.lcm(int(x), int(y))
+                for x, y in zip(a, b)
+            ],
+            dtype="Int64",
+        )
+
+    return udf
+
+
+jaccard = _make_jaccard()
+hamming = _make_hamming()
+damerau_levenshtein = _make_damerau_levenshtein()
+jaro_winkler = _make_jaro_winkler()
+gamma_udf = _make_gamma()
+lgamma_udf = _make_lgamma()
+gcd_udf = _make_gcd()
+lcm_udf = _make_lcm()

@@ -22,3 +22,7 @@ from data_chunk_compaction_in_duckdb_spark.queries import windows  # noqa: E402,
 from data_chunk_compaction_in_duckdb_spark.queries import nested  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import functions_scalar  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import functions_agg  # noqa: E402,F401
+from data_chunk_compaction_in_duckdb_spark.queries import advanced_joins  # noqa: E402,F401
+from data_chunk_compaction_in_duckdb_spark.queries import subqueries  # noqa: E402,F401
+from data_chunk_compaction_in_duckdb_spark.queries import recursion  # noqa: E402,F401
+from data_chunk_compaction_in_duckdb_spark.queries import compaction_q  # noqa: E402,F401
