@@ -1,0 +1,43 @@
+"""LLM-data-pipeline operators (BASELINE.json north star: beyond the
+reference's own surface, the operations a large-scale training-data
+pipeline needs).
+
+- dedup.py       exact, MinHash+LSH, SimHash, n-gram Jaccard,
+                 embedding-cosine near-dup
+- similarity.py  brute-force cosine top-k + LSH-bucketed ANN
+- text.py        language-ID, quality scoring, token counting,
+                 fingerprinting
+- multimodal.py  opaque-binary columns with typed metadata; decode /
+                 feature-extract plumbing (stubbed codecs)
+
+Everything is built from DataFrame built-ins where possible (JVM-side,
+shuffle-parallel); hashing uses the engine-portable md5 scheme
+(functions/portable_hash.py) so results are oracle-checkable in DuckDB.
+"""
+
+from data_chunk_compaction_in_duckdb_spark.pipeline.dedup import (  # noqa: F401
+    char_shingles_expr,
+    dedup_exact,
+    keep_representatives,
+    embedding_neardup_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (  # noqa: F401
+    cosine_similarity,
+    lsh_ann_topk,
+    topk_similar,
+)
+from data_chunk_compaction_in_duckdb_spark.pipeline.text import (  # noqa: F401
+    language_id,
+    quality_features,
+    text_fingerprint,
+    token_counts,
+)
+from data_chunk_compaction_in_duckdb_spark.pipeline.multimodal import (  # noqa: F401
+    decode_features,
+    frame_sample,
+    with_binary_payload,
+)

@@ -1,0 +1,248 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, all shuffle-parallel (no driver-side pair loops):
+
+- exact:            hash-groupBy on normalized text
+- MinHash + LSH:    shingle → per-permutation min-hash → banded bucket
+                    join → candidate pairs (est. Jaccard from signature
+                    agreement).  Hashing is the portable md5 scheme so
+                    DuckDB oracles can replay it bit-for-bit.
+- SimHash:          per-token 32-bit hash, sign-summed per bit →
+                    fingerprint; near-dups = small hamming distance.
+- n-gram Jaccard:   exact set Jaccard on character shingles for candidate
+                    pairs (the verification stage after LSH).
+- embedding cosine: near-dup pairs above a cosine threshold.
+
+Scale notes: minhash is explode(shingles) + groupBy(doc) — one shuffle
+sized by total shingle count; LSH banding is explode(bands) + self-join
+on (band, hash) — the join key distributes uniformly because it is a
+hash.  The all-pairs operators (ngram_jaccard_pairs on explicit
+candidates, embedding_neardup_pairs) take candidate sets, never cross
+products, except embedding_neardup_pairs' documented brute-force mode for
+small inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: smallest id survives per normalized text.  One
+    hash-groupBy; at 100 TB group on a 128-bit digest of the text instead
+    of the text itself to shrink shuffle rows."""
+    return (
+        df.withColumn("_key", F.md5(normalize_text(text_col)))
+        .groupBy("_key")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("n_copies"),
+        )
+        .drop("_key")
+    )
+
+
+def char_shingles_expr(text_sql: str, n: int = 5) -> Column:
+    """Distinct character n-grams over the column named by `text_sql`
+    (SQL fragment — substring with a variable start index is only
+    available through SQL lambdas).  Strings shorter than n contribute
+    one truncated shingle."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({text_sql}) - {n - 1}, 1)), "
+        f"i -> substring({text_sql}, i, {n})))"
+    )
+
+
+def char_shingles_sql(text_sql: str, n: int = 5) -> str:
+    """DuckDB SQL mirroring char_shingles_expr."""
+    return (
+        f"list_distinct(list_transform(generate_series(1, GREATEST(length({text_sql}) - {n - 1}, 1)), "
+        f"i -> substr({text_sql}, i, {n})))"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """MinHash signatures: sig_i = MIN over shingles of md5(i || ':' ||
+    shingle).  Lexicographic min over md5 strings is a valid min-hash
+    permutation proxy and is engine-portable.  Plan: explode shingles
+    (narrow) → single groupBy(id) computing all num_hashes mins map-side
+    (partial aggregation) → one shuffle row per document."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(char_shingles_expr(text_col, shingle_size)).alias("_sh"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: hash each band (rows_per_band consecutive signature
+    components) and self-join on (band index, band hash).  Returns
+    distinct (id_a < id_b) candidate pairs with the estimated Jaccard
+    (fraction of agreeing signature components)."""
+    rows_per_band = num_hashes // bands
+    band_rows = []
+    for b in range(bands):
+        cols = [f"sig_{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_rows.append(
+            sig_df.select(
+                F.col(id_col),
+                F.lit(b).alias("_band"),
+                F.md5(F.concat_ws("|", *cols)).alias("_bh"),
+            )
+        )
+    all_bands = band_rows[0]
+    for br in band_rows[1:]:
+        all_bands = all_bands.unionByName(br)
+    a, b_ = all_bands.alias("a"), all_bands.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bh") == F.col("b._bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sig_a = sig_df.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"sig_{i}").alias(f"_sa{i}") for i in range(num_hashes)],
+    )
+    sig_b = sig_df.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"sig_{i}").alias(f"_sb{i}") for i in range(num_hashes)],
+    )
+    est = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+    agree = sum(
+        F.when(F.col(f"_sa{i}") == F.col(f"_sb{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return est.select(
+        "id_a",
+        "id_b",
+        (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
+    )
+
+
+def ngram_jaccard_pairs(
+    candidates: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate (id_a, id_b) pairs — the
+    verification stage after LSH.  Shingle sets are joined in (two
+    broadcast-able joins), Jaccard computed with array built-ins."""
+    sh = docs.select(
+        F.col(id_col), char_shingles_expr(text_col, n).alias("_sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size(F.array_union("_sha", "_shb"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        (inter.cast("double") / union).alias("jaccard"),
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash fingerprint: tokenize, 32-bit-hash each distinct token
+    (portable md5 scheme), sum ±1 per bit position, fingerprint bit b = 1
+    iff the sum is positive.  Near-dups have small
+    bit_count(fp_a ^ fp_b).  One explode + one groupBy."""
+    from data_chunk_compaction_in_duckdb_spark.functions.portable_hash import (
+        hash32_expr,
+    )
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(normalize_text(text_col), " "))
+        ).alias("_tok"),
+    ).withColumn("_h", hash32_expr("_tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    sums = toks.groupBy(id_col).agg(*bit_sums)
+    fp = sums.select(
+        F.col(id_col),
+        sum(
+            (F.when(F.col(f"_b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+             * F.lit(1 << b).cast("long"))
+            for b in range(bits)
+        ).alias("simhash"),
+    )
+    return fp
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold.  Brute-force
+    all-pairs — callers MUST pre-bucket at scale (see
+    similarity.lsh_ann_topk for the bucketed path); kept exact here
+    because it is the verification oracle for the bucketed variant."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
+        cosine_similarity,
+    )
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def keep_representatives(
+    df: DataFrame, dup_pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Drop every row that appears as the larger id of a duplicate pair —
+    the smallest id of each duplicate group survives (single-link over
+    direct pairs; run connected components via operators.recursive_cte
+    for full transitive closure)."""
+    losers = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_similarity: pure-built-in column expression (zip_with +
+  aggregate) — JVM-side, no Python, double precision.
+- topk_similar: brute-force top-k of every query vector against the
+  corpus.  The query side is broadcast (queries << corpus), so the plan
+  is a broadcast nested-loop + per-query window top-k: one corpus scan,
+  no shuffle of the corpus — the exact baseline an ANN index must beat.
+- lsh_ann_topk: random-hyperplane LSH bucketing as the scale path:
+  vectors hash to sign-pattern buckets; candidates = bucket collisions
+  (multi-probe over `n_tables` independent tables); exact cosine re-ranks
+  candidates only.  Hyperplanes are derived deterministically from the
+  portable 32-bit hash, so results are reproducible across runs/engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, computed in
+    double.  zip_with + aggregate stay inside codegen; no UDF."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (na * nb)
+
+
+def topk_similar(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Exact brute-force top-k: for each query vector, the k most cosine-
+    similar corpus vectors (excluding itself when ids collide).
+    Deterministic tiebreak (similarity desc, corpus id asc)."""
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _hyperplane(dim: int, table: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane components in
+    [-1, 1), derived from md5 — reproducible everywhere."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"{table}:{plane}:{i}".encode()).hexdigest()[:8]
+        out.append((int(h, 16) / 2**31) - 1.0)
+    return out
+
+
+def add_lsh_buckets(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Append `n_tables` sign-pattern bucket columns (_lsh_t{t}).  Bucket
+    computation is a fixed linear algebra expression over array literals —
+    JVM-side, one pass, no shuffle."""
+    out = df
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(v) for v in _hyperplane(dim, t, p)])
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), plane, lambda x, y: x.cast("double") * y
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        out = out.withColumn(f"_lsh_t{t}", sum(bits).cast("int"))
+    return out
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    query_id_col: str | None = None,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket with the query in
+    any table; exact cosine re-ranks candidates.  Corpus-side cost is one
+    bucket computation + an equi-join per table on the bucket id — the
+    100 TB path (the brute-force NL join never materializes).
+
+    With ``multiprobe`` the *query* side also probes every bucket at
+    hamming distance 1 (n_planes extra probes per query — queries are the
+    small side, so this multiplies the broadcast, never the corpus),
+    sharply raising recall on near-orthogonal embeddings where exact
+    buckets starve.  Tests assert recall ≥ 0.5 vs brute-force at the
+    defaults on random 64-dim vectors."""
+    qid = query_id_col or id_col
+    cb = add_lsh_buckets(
+        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv")),
+        "_cv",
+        dim,
+        n_planes,
+        n_tables,
+    )
+    qb = add_lsh_buckets(
+        queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("_qv")),
+        "_qv",
+        dim,
+        n_planes,
+        n_tables,
+    )
+    cands = None
+    for t in range(n_tables):
+        c = cb.select("match_id", "_cv", F.col(f"_lsh_t{t}").alias("_bk"))
+        bucket = F.col(f"_lsh_t{t}")
+        if multiprobe:
+            probes = F.array(
+                bucket, *[bucket.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+            )
+        else:
+            probes = F.array(bucket)
+        q = qb.select(
+            "query_id", "_qv", F.explode(probes).alias("_bk")
+        )
+        pairs = c.join(F.broadcast(q), "_bk").drop("_bk")
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.filter(F.col("query_id") != F.col("match_id")).dropDuplicates(
+        ["query_id", "match_id"]
+    )
+    scored = cands.select(
+        "query_id",
+        "match_id",
+        cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1,0 +1,118 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, document fingerprinting.
+
+Everything except language_id is pure built-in expressions (oracle-
+checkable); language_id is a closure-serialized pandas UDF implementing
+a stopword/character n-gram heuristic.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Tiny per-language marker sets for the heuristic language ID — function
+# words chosen for distinctiveness, not coverage.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "with", "for", "that"),
+    "de": ("der", "die", "das", "und", "ist", "mit", "für", "nicht"),
+    "es": ("el", "la", "los", "las", "es", "con", "para", "que"),
+    "fr": ("le", "la", "les", "est", "avec", "pour", "que", "des"),
+    "zh": (),  # handled by the CJK character-ratio rule
+}
+
+STOPWORDS = _LANG_MARKERS["en"]
+
+
+def token_counts(col: Column | str) -> dict[str, Column]:
+    """Whitespace tokens and BPE-ish subword tokens (letter runs, digit
+    runs, single punctuation — the common pre-tokenizer regex)."""
+    c = F.col(col) if isinstance(col, str) else col
+    ws = F.size(F.split(F.trim(c), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+    return {"ws_tokens": ws, "bpe_tokens": bpe}
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring features: length, punctuation/digit/space ratios,
+    stopword ratio, mean word length — the standard cheap filters applied
+    before expensive model-based scoring."""
+    c = F.col(col) if isinstance(col, str) else col
+    length = F.length(c)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_digit = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    words = F.split(F.trim(F.lower(c)), r"\s+")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    return {
+        "n_chars": length,
+        "punct_ratio": F.round(n_punct / F.greatest(length, F.lit(1)), 6),
+        "digit_ratio": F.round(n_digit / F.greatest(length, F.lit(1)), 6),
+        "stopword_ratio": F.round(
+            n_stop / F.greatest(n_words, F.lit(1)).cast("double"), 6
+        ),
+        "mean_word_len": F.round(
+            (F.length(F.regexp_replace(c, r"\s+", "")))
+            / F.greatest(n_words, F.lit(1)).cast("double"),
+            6,
+        ),
+    }
+
+
+def text_fingerprint(col: Column | str, hex_chars: int = 16) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercased, whitespace-collapsed, punctuation-stripped), truncated.
+    Engine-portable; two documents with the same fingerprint are
+    duplicates up to normalization."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(
+        F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))), r"[^\w ]", ""
+    )
+    return F.substring(F.md5(normalized), 1, hex_chars)
+
+
+def _make_language_id():
+    markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+
+    @F.pandas_udf(T.StringType())
+    def udf(texts: pd.Series) -> pd.Series:
+        def lid(t: str | None) -> str | None:
+            if t is None:
+                return None
+            # CJK character-ratio rule first.
+            cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
+            if len(t) > 0 and cjk / len(t) > 0.2:
+                return "zh"
+            words = t.lower().split()
+            if not words:
+                return "und"
+            best, best_score = "und", 0.0
+            for lang, stops in markers.items():
+                if not stops:
+                    continue
+                score = sum(1 for w in words if w in stops) / len(words)
+                if score > best_score:
+                    best, best_score = lang, score
+            return best if best_score > 0.02 else "und"
+
+        return texts.map(lid)
+
+    return udf
+
+
+language_id = _make_language_id()
+
+
+def profile_documents(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Convenience: all text-analysis columns in one pass."""
+    toks = token_counts(text_col)
+    qual = quality_features(text_col)
+    return docs.select(
+        F.col(id_col),
+        *[v.alias(k) for k, v in toks.items()],
+        *[v.alias(k) for k, v in qual.items()],
+        text_fingerprint(text_col).alias("fingerprint"),
+        language_id(F.col(text_col)).alias("lang_pred"),
+    )

@@ -26,3 +26,4 @@ from data_chunk_compaction_in_duckdb_spark.queries import advanced_joins  # noqa
 from data_chunk_compaction_in_duckdb_spark.queries import subqueries  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import recursion  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import compaction_q  # noqa: E402,F401
+from data_chunk_compaction_in_duckdb_spark.queries import llm_q  # noqa: E402,F401

@@ -1,0 +1,360 @@
+"""LLM-data-pipeline queries over documents/embeddings (BASELINE.json:
+dedup, similarity search, text analysis, multimodal) — each oracle-checked
+in DuckDB via the engine-portable md5 hashing scheme where the operator is
+SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+from data_chunk_compaction_in_duckdb_spark.queries.registry import query
+
+_NUM_HASHES = 8
+_BANDS = 4
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_survivors",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    """,
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text, smallest id survives."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, "doc_id", "text")
+
+
+def _minhash_oracle() -> str:
+    sigs = ",\n            ".join(
+        f"MIN(md5('{i}:' || s)) AS sig_{i}" for i in range(_NUM_HASHES)
+    )
+    rpb = _NUM_HASHES // _BANDS
+    bands = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sig".format(
+            b=b,
+            concat=" || '|' || ".join(
+                f"sig_{i}" for i in range(b * rpb, (b + 1) * rpb)
+            ),
+        )
+        for b in range(_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(_NUM_HASHES)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 200),
+    sh AS (SELECT doc_id,
+                  UNNEST(list_distinct(list_transform(
+                    generate_series(1, GREATEST(length(t) - 4, 1)),
+                    i -> substr(t, i, 5)))) AS s
+           FROM d),
+    sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+    bands AS ({bands}),
+    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+    SELECT p.id_a, p.id_b,
+           ROUND(({agree}) / {float(_NUM_HASHES)}, 6) AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON p.id_a = sa.doc_id
+    JOIN sig sb ON p.id_b = sb.doc_id
+    """
+
+
+@query("dedup_minhash_lsh_pairs", oracle=_minhash_oracle())
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 perms) + LSH(4 bands × 2 rows) candidate pairs with
+    estimated Jaccard — the DuckDB oracle replays the identical md5
+    permutations, so the hash check covers the whole shingle → signature
+    → band → pair pipeline."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = docs.select("doc_id", F.lower("text").alias("t"))
+    sigs = minhash_signatures(
+        docs, "doc_id", "t", num_hashes=_NUM_HASHES, shingle_size=5
+    )
+    pairs = lsh_candidate_pairs(sigs, "doc_id", num_hashes=_NUM_HASHES, bands=_BANDS)
+    return pairs.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0),
+    sh AS (SELECT doc_id, source,
+                  list_distinct(list_transform(
+                    generate_series(1, GREATEST(length(text) - 2, 1)),
+                    i -> substr(text, i, 3))) AS sh
+           FROM d)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over blocked candidates (same source) — the
+    verification stage of the dedup pipeline."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    cands = a.join(
+        b, (F.col("_sa") == F.col("_sb")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    out = ngram_jaccard_pairs(cands, docs, "doc_id", "text", n=3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_oracle() -> str:
+    from data_chunk_compaction_in_duckdb_spark.functions.portable_hash import (
+        hash32_sql,
+    )
+
+    h = hash32_sql("s")
+    sums = ",\n             ".join(
+        f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id,
+                      lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+               FROM documents WHERE doc_id < 250),
+    toks AS (SELECT doc_id, UNNEST(list_distinct(string_split(t, ' '))) AS s FROM d),
+    hashed AS (SELECT doc_id, {h} AS h FROM toks),
+    sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, {fp} AS simhash FROM sums
+    """
+
+
+@query("dedup_simhash_fingerprints", oracle=_simhash_oracle())
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (16-bit here for oracle compactness; the
+    operator defaults to 32) — near-dups are pairs with small hamming
+    distance between fingerprints."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import simhash
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    return simhash(docs, "doc_id", "text", bits=_SIMHASH_BITS)
+
+
+@query(
+    "dedup_embedding_cosine_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id % 5 = 0)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.25
+    """,
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold calibrated to the
+    synthetic data's cosine range; production near-dup uses ≥0.95)."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        embedding_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    out = embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.25)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+    scored AS (SELECT query_id, e.vec_id AS match_id,
+                      list_cosine_similarity(qv, e.v) AS c
+               FROM q JOIN e ON e.vec_id <> q.query_id)
+    SELECT query_id, match_id, ROUND(c, 4) AS cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY c DESC, match_id) AS rn
+          FROM scored) t
+    WHERE rn <= 5
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query vector (queries broadcast, one
+    corpus scan) — the exactness baseline for the LSH ANN path."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import topk_similar
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    out = topk_similar(emb, queries, "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id", "match_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+@query("sim_ann_lsh_topk")  # approximate by design → rows-only driver check
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k — the 100 TB scale path (bucket
+    equi-join instead of the full NL join).  Recall vs brute force is
+    asserted in tests/test_pipeline.py."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import lsh_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    out = lsh_ann_topk(
+        emb, queries, "vec_id", "embedding", dim=64, k=5, n_planes=6, n_tables=3
+    )
+    return out.select(
+        "query_id", "match_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_tokens_quality_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+           length(text) AS n_chars,
+           ROUND(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                 / GREATEST(length(text), 1), 6) AS punct_ratio,
+           ROUND(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                 / GREATEST(length(text), 1), 6) AS digit_ratio,
+           ROUND(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     w -> list_contains(['the','and','of','to','is','with','for','that'], w))) AS DOUBLE)
+                 / GREATEST(len(string_split_regex(lower(trim(text)), '\\s+')), 1), 6) AS stopword_ratio,
+           ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                 / GREATEST(len(string_split_regex(lower(trim(text)), '\\s+')), 1), 6) AS mean_word_len,
+           substr(md5(regexp_replace(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                      '[^\\w ]', '', 'g')), 1, 16) AS fingerprint
+    FROM documents
+    """,
+)
+def text_tokens_quality_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts (whitespace + BPE-ish), quality features, md5
+    fingerprint — the cheap pre-filter stage of a training-data pipeline,
+    all JVM-side expressions."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.text import (
+        quality_features,
+        text_fingerprint,
+        token_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = token_counts("text")
+    qual = quality_features("text")
+    return docs.select(
+        "doc_id",
+        toks["ws_tokens"].alias("ws_tokens"),
+        toks["bpe_tokens"].alias("bpe_tokens"),
+        qual["n_chars"].alias("n_chars"),
+        qual["punct_ratio"].alias("punct_ratio"),
+        qual["digit_ratio"].alias("digit_ratio"),
+        qual["stopword_ratio"].alias("stopword_ratio"),
+        qual["mean_word_len"].alias("mean_word_len"),
+        text_fingerprint("text").alias("fingerprint"),
+    )
+
+
+@query("text_language_id")  # heuristic UDF → rows-only driver check
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword hit-rate + CJK char ratio) — the
+    synthetic corpus carries a ground-truth lang column; accuracy is
+    asserted in tests/test_pipeline.py, structure here."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", language_id(F.col("text")).alias("lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_decode_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+                WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(16 + octet_length(encode(text)) % 613 AS INT) AS width,
+           CAST(16 + octet_length(encode(text)) % 401 AS INT) AS height,
+           CAST(1 + octet_length(encode(text)) % 3 AS INT) AS channels,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: documents → (binary, meta) relation →
+    Arrow-batched mapInPandas feature extraction (stub kernel; real codec
+    is a NotImplementedError hook).  The oracle re-derives the
+    deterministic fake features from byte lengths — proving the whole
+    binary→Arrow→pandas→features path end-to-end."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        decode_features,
+        with_binary_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(with_binary_payload(docs))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT media_id, n_frames,
+           UNNEST(generate_series(0, GREATEST(n_frames - 1, 0), 4)) AS frame_idx
+    FROM (SELECT doc_id AS media_id,
+                 CAST(FLOOR(octet_length(encode(text)) / 100.0) AS INT) AS n_frames
+          FROM documents WHERE doc_id % 3 = 2) t
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over the binary payload (every 4th
+    100-byte frame) — explode stays JVM-side."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        frame_sample,
+        with_binary_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = frame_sample(with_binary_payload(docs), frame_bytes=100, every_n=4)
+    return out.select("media_id", "n_frames", "frame_idx")
