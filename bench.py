@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Headline benchmark harness.
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], 1 warm-up + 3 timed
+runs each (the reference's warm-up convention, imdb_main.cpp:70-76 /
+vector_compaction.cpp:96), forcing full execution through the noop sink.
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: median_sec, ...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "microbench_chained_joins",
+    "agg_distinct_multi",
+    "win_running_totals",
+    "topk_per_group",
+    "join_asof_backward",
+    "events_sessionization",
+    "compaction_filter_join_agg",
+    "dedup_minhash_lsh_pairs",
+    "sim_topk_bruteforce",
+    "text_tokens_quality_fingerprint",
+]
+
+REPS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    sf = float(m.group(1)) if m else None
+
+    from data_chunk_compaction_in_duckdb_spark.queries import REGISTRY
+    from data_chunk_compaction_in_duckdb_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    try:
+        results: dict[str, float] = {}
+        for name in HEADLINE:
+            builder = REGISTRY[name].builder
+
+            def run() -> float:
+                t0 = time.monotonic()
+                df = builder(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                return time.monotonic() - t0
+
+            run()  # warm-up (JIT, broadcast warm, page cache)
+            results[name] = round(statistics.median(run() for _ in range(REPS)), 4)
+        total = round(sum(results.values()), 4)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total_wall_sec",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": results,
+                    "sf": sf,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

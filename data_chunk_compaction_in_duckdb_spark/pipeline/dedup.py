@@ -74,17 +74,25 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_size: int = 5,
 ) -> DataFrame:
-    """MinHash signatures: sig_i = MIN over shingles of md5(i || ':' ||
-    shingle).  Lexicographic min over md5 strings is a valid min-hash
-    permutation proxy and is engine-portable.  Plan: explode shingles
+    """MinHash signatures: permutation i is the 8-hex-char slice
+    ``substr(md5(g || ':' || shingle), off, 8)`` (g = i//4, off = 8*(i%4)+1)
+    — four independent 32-bit permutations per md5 call, lexicographic min
+    = numeric min on hex, engine-portable.  Plan: explode shingles
     (narrow) → single groupBy(id) computing all num_hashes mins map-side
     (partial aggregation) → one shuffle row per document."""
     sh = df.select(
         F.col(id_col),
         F.explode(char_shingles_expr(text_col, shingle_size)).alias("_sh"),
     )
+    n_groups = (num_hashes + 3) // 4
+    for g in range(n_groups):
+        sh = sh.withColumn(
+            f"_m{g}", F.md5(F.concat(F.lit(f"{g}:"), F.col("_sh")))
+        )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh")))).alias(f"sig_{i}")
+        F.min(F.substring(F.col(f"_m{i // 4}"), 8 * (i % 4) + 1, 8)).alias(
+            f"sig_{i}"
+        )
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)

@@ -56,16 +56,41 @@ def topk_similar(
     similar corpus vectors (excluding itself when ids collide).
     Deterministic tiebreak (similarity desc, corpus id asc)."""
     qid = query_id_col or id_col
+
+    def _norm(col: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    # Precompute norms once per side — naive per-pair cosine recomputes
+    # both norms for every (query, candidate) pair, tripling the flops.
     q = queries.select(
-        F.col(qid).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
-    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv"))
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_qv"), F.col("_cv"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
         .select(
             "query_id",
             "match_id",
-            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cosine"),
+            (dot / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

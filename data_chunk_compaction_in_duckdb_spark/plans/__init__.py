@@ -1,0 +1,11 @@
+"""Plan inspection (SURVEY.md §4): the engine's window into Catalyst —
+shuffle counting, pushdown checks, codegen coverage — used by the perf
+tests to assert the physical plans we designed for actually happen."""
+
+from data_chunk_compaction_in_duckdb_spark.plans.inspect import (  # noqa: F401
+    count_exchanges,
+    explain_str,
+    has_filter_pushdown,
+    join_strategies,
+    wholestage_codegen_ids,
+)

@@ -1,0 +1,57 @@
+"""Physical-plan inspection helpers.
+
+The reference exposes its execution shape through EXPLAIN ANALYZE +
+profilers (imdb_main.cpp:70-76 harvests chunk factors from it); Spark's
+equivalent is the executed-plan string.  These helpers parse it so tests
+can assert the *plan*, not just the result: filters pushed to the scan,
+dimensions broadcast, no stray shuffles, wide whole-stage-codegen spans.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan (each is a full
+    network + disk round of the data — the scale-limiting operator)."""
+    plan = explain_str(df, "simple")
+    return len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan))
+
+
+def join_strategies(df: DataFrame) -> list[str]:
+    """Join operators in plan order (BroadcastHashJoin / SortMergeJoin /
+    ShuffledHashJoin / BroadcastNestedLoopJoin / CartesianProduct)."""
+    plan = explain_str(df, "simple")
+    return re.findall(
+        r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+        r"BroadcastNestedLoopJoin|CartesianProduct)\b",
+        plan,
+    )
+
+
+def has_filter_pushdown(df: DataFrame, column: str) -> bool:
+    """True if `column` appears in the scan's PushedFilters — the
+    reference's table_filters / zone-map pruning analog
+    (logical_get.cpp:31)."""
+    plan = explain_str(df, "formatted")
+    for m in re.finditer(r"PushedFilters: \[(.*?)\]", plan):
+        if column in m.group(1):
+            return True
+    return False
+
+
+def wholestage_codegen_ids(df: DataFrame) -> list[int]:
+    """WholeStageCodegen span ids — wider/fewer spans mean more of the
+    query runs as fused JVM loops (the analog of the reference's
+    vectorized operator chains staying in-register)."""
+    plan = explain_str(df, "simple")
+    return [int(x) for x in re.findall(r"WholeStageCodegen \((\d+)\)", plan)]

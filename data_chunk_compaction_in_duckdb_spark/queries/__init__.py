@@ -27,3 +27,4 @@ from data_chunk_compaction_in_duckdb_spark.queries import subqueries  # noqa: E4
 from data_chunk_compaction_in_duckdb_spark.queries import recursion  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import compaction_q  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import llm_q  # noqa: E402,F401
+from data_chunk_compaction_in_duckdb_spark.queries import events_q  # noqa: E402,F401

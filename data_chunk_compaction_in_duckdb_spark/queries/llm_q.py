@@ -38,7 +38,8 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle() -> str:
     sigs = ",\n            ".join(
-        f"MIN(md5('{i}:' || s)) AS sig_{i}" for i in range(_NUM_HASHES)
+        f"MIN(substr(md5('{i // 4}:' || s), {8 * (i % 4) + 1}, 8)) AS sig_{i}"
+        for i in range(_NUM_HASHES)
     )
     rpb = _NUM_HASHES // _BANDS
     bands = "\n      UNION ALL ".join(

@@ -1,0 +1,12 @@
+"""Sources & sinks (SURVEY.md §2.1): parquet/CSV/JSON/values/range
+readers and COPY TO-style writers mirroring the reference's table
+functions (src/function/table/*, extension/parquet, csv_scanner/)."""
+
+from data_chunk_compaction_in_duckdb_spark.sources.readers import (  # noqa: F401
+    copy_to_file,
+    from_values,
+    range_source,
+    read_csv,
+    read_json,
+    read_parquet,
+)

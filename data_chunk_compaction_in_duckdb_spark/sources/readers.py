@@ -1,0 +1,93 @@
+"""Reader/writer surface.
+
+| Reference                                         | Here            |
+|---------------------------------------------------|-----------------|
+| read_parquet() w/ glob + pushdown (extension/parquet) | read_parquet |
+| read_csv + sniffer (csv_scanner/, 689 LoC)        | read_csv (infer) |
+| read_json (extension/json)                        | read_json       |
+| VALUES / chunk scan (physical_expression_scan.cpp)| from_values     |
+| range/generate_series (function/table/range.cpp)  | range_source    |
+| COPY ... TO (physical_copy_to_file.cpp)           | copy_to_file    |
+
+All are thin, deliberate wrappers: the point is a stable engine-level
+API whose defaults are scale-safe (schema inference only on explicit
+opt-in — a 100 TB CSV sniff is a full extra pass).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, path: str | Sequence[str]) -> DataFrame:
+    """Parquet scan with projection/filter pushdown (automatic in Spark;
+    the reference implements the same in parquet_reader.cpp).  Accepts
+    globs and path lists like the reference's multi-file read."""
+    paths = [path] if isinstance(path, str) else list(path)
+    return spark.read.parquet(*paths)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    infer_schema: bool = False,
+    schema: str | None = None,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV reader.  infer_schema mirrors the reference's auto-sniffer
+    (csv_reader_options.cpp) — explicit opt-in because inference costs an
+    extra full scan at scale; prefer passing `schema`."""
+    reader = spark.read.option("header", header).option("sep", delimiter)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def from_values(
+    spark: SparkSession, rows: Sequence[tuple], schema: str
+) -> DataFrame:
+    """VALUES-list scan (physical_expression_scan.cpp:63)."""
+    return spark.createDataFrame(list(rows), schema)
+
+
+def range_source(
+    spark: SparkSession, start: int, end: int, step: int = 1, partitions: int | None = None
+) -> DataFrame:
+    """Lazy integer series (reference range table function — the data
+    generator in vector_compaction.cpp:103 uses it)."""
+    return spark.range(start, end, step, numPartitions=partitions)
+
+
+def copy_to_file(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    compact_target_rows: int | None = None,
+) -> None:
+    """COPY ... TO sink (physical_copy_to_file.cpp).  When
+    ``compact_target_rows`` is set the output is compacted first — the
+    small-files problem is the storage-side face of chunk fragmentation."""
+    if compact_target_rows is not None:
+        from data_chunk_compaction_in_duckdb_spark.compaction import compact
+
+        df = compact(df, target_rows=compact_target_rows)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    getattr(writer, fmt)(path)

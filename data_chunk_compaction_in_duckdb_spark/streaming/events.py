@@ -1,0 +1,77 @@
+"""Streaming queries over the events table.
+
+Local smoke path: parquet file stream → watermarked tumbling-window
+aggregation → memory sink, driven synchronously with
+processAllAvailable() (the guide's pattern for deterministic tests).
+On a cluster the same query graph reads Kafka and writes a sink with
+checkpointing; nothing in the transformation changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns (nanosAsLong read path)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The streaming file source requires a directory: scan sf_dir with a
+    # glob pinned to the events file.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts per event type — the streaming
+    twin of the batch events_tumbling_window query (same results once the
+    watermark closes every window)."""
+    ev = _event_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str = "stream_out", mode: str = "append"
+) -> None:
+    """Drive a streaming DataFrame to completion into a memory sink —
+    synchronous, for tests/smoke.  Caller reads spark.table(name)."""
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

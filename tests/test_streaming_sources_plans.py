@@ -1,0 +1,111 @@
+"""Tests: events queries vs oracle, Structured Streaming parity with the
+batch twin, sources round-trips, plan-inspection assertions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle_compare import assert_query_matches_oracle
+
+
+def _event_names():
+    from data_chunk_compaction_in_duckdb_spark.queries import REGISTRY, events_q
+
+    return [
+        n for n, q in REGISTRY.items() if q.builder.__module__ == events_q.__name__
+    ]
+
+
+@pytest.mark.parametrize("name", _event_names())
+def test_events_query_matches_oracle(spark, duck, sf_dir, name):
+    assert_query_matches_oracle(spark, duck, sf_dir, name)
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    """Streaming (memory sink, processAllAvailable) must equal the batch
+    twin — the semantics guarantee Structured Streaming is built on."""
+    from data_chunk_compaction_in_duckdb_spark.queries import REGISTRY
+    from data_chunk_compaction_in_duckdb_spark.streaming import (
+        run_stream_to_memory,
+        streaming_tumbling_counts,
+    )
+
+    sdf = streaming_tumbling_counts(spark, sf_dir)
+    run_stream_to_memory(sdf, name="t_stream_out", mode="complete")
+    got = {
+        (r.win_start, r.event_type): (r.n, r.total)
+        for r in spark.table("t_stream_out").collect()
+    }
+    batch = REGISTRY["events_tumbling_window"].builder(spark, sf_dir)
+    exp = {
+        (r.win_start, r.event_type): (r.n, r.total) for r in batch.collect()
+    }
+    assert got == exp
+
+
+def test_sources_roundtrip(spark, tmp_path):
+    from data_chunk_compaction_in_duckdb_spark.sources import (
+        copy_to_file,
+        from_values,
+        range_source,
+        read_csv,
+        read_json,
+        read_parquet,
+    )
+
+    df = from_values(spark, [(1, "a"), (2, "b")], "id INT, v STRING")
+    p = str(tmp_path / "t.parquet")
+    copy_to_file(df, p, fmt="parquet", compact_target_rows=10)
+    assert sorted(r.id for r in read_parquet(spark, p).collect()) == [1, 2]
+
+    c = str(tmp_path / "t.csv")
+    copy_to_file(df, c, fmt="csv")
+    back = read_csv(spark, c, schema="id INT, v STRING", header=False)
+    assert back.count() == 2
+
+    j = str(tmp_path / "t.json")
+    copy_to_file(df, j, fmt="json")
+    assert read_json(spark, j, schema="id INT, v STRING").count() == 2
+
+    assert range_source(spark, 0, 100, 7).count() == 15
+
+
+def test_plan_q6_pushdown_no_shuffle_before_agg(spark, sf_dir):
+    """TPC-H Q6 shape: every predicate must reach the parquet scan and the
+    plan must contain exactly one exchange (the final 1-row aggregate)."""
+    from data_chunk_compaction_in_duckdb_spark.plans import (
+        count_exchanges,
+        has_filter_pushdown,
+    )
+    from data_chunk_compaction_in_duckdb_spark.queries import REGISTRY
+
+    df = REGISTRY["tpch_q6_forecast_revenue"].builder(spark, sf_dir)
+    assert has_filter_pushdown(df, "l_discount")
+    assert has_filter_pushdown(df, "l_shipdate")
+    assert count_exchanges(df) <= 1
+
+
+def test_plan_q3_broadcasts_dimensions(spark, sf_dir):
+    from data_chunk_compaction_in_duckdb_spark.plans import join_strategies
+    from data_chunk_compaction_in_duckdb_spark.queries import REGISTRY
+
+    df = REGISTRY["tpch_q3_shipping_priority"].builder(spark, sf_dir)
+    strats = join_strategies(df)
+    assert strats and all(s == "BroadcastHashJoin" for s in strats), strats
+
+
+def test_plan_scan_projection_prunes_columns(spark, sf_dir):
+    from data_chunk_compaction_in_duckdb_spark.plans import explain_str
+    from data_chunk_compaction_in_duckdb_spark.queries import REGISTRY
+
+    df = REGISTRY["scan_projection_filter"].builder(spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    # ReadSchema must not include unused wide columns.
+    import re
+
+    m = re.search(r"ReadSchema: struct<(.*?)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert "l_comment" not in cols and "l_partkey" not in cols
+    assert {"l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"} <= cols
