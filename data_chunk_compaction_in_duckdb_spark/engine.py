@@ -1,0 +1,85 @@
+"""User-facing facade — the analog of the reference's embedded API
+(``DuckDB db; Connection con; con.Query(sql)``, SURVEY.md §3 entry
+points 1-3).
+
+A user of the reference switches like this::
+
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(sf_dir="/root/testdata/sf0.1")
+    eng.sql("SELECT l_returnflag, count(*) FROM lineitem GROUP BY 1").show()
+    eng.sql("SELECT * FROM orders WHERE o_totalprice > :p", p=400000)  # prepared
+    eng.table("lineitem").filter(...)                                  # DataFrame API
+    eng.explain(df)                                                    # EXPLAIN
+    eng.compact(df)                                                    # compaction layer
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_chunk_compaction_in_duckdb_spark import catalog as _catalog
+from data_chunk_compaction_in_duckdb_spark.session import get_spark
+
+
+class Engine:
+    """One engine instance ≈ one reference Connection: a SparkSession with
+    the fixture catalog registered as temp views."""
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        sf_dir: str = _catalog.DEFAULT_SF_DIR,
+        register: bool = True,
+    ) -> None:
+        self.spark = spark or get_spark()
+        self.sf_dir = sf_dir
+        self.tables: dict[str, DataFrame] = {}
+        if register:
+            self.tables = _catalog.register_views(self.spark, sf_dir)
+
+    # -- entry point 1: SQL string (Connection::Query)
+    def sql(self, query: str, **params: Any) -> DataFrame:
+        """Run SQL against the registered catalog.  Named ``:param``
+        placeholders make this the prepared-statement path (reference
+        entry point 2, client_context.cpp:534-560): parameters are bound
+        by Spark's parameterized SQL, not string interpolation."""
+        if params:
+            return self.spark.sql(query, args=params)
+        return self.spark.sql(query)
+
+    # -- entry point 3: programmatic DataFrame (embedded C++ driver)
+    def table(self, name: str) -> DataFrame:
+        if name not in self.tables:
+            self.tables[name] = _catalog.load_table(self.spark, self.sf_dir, name)
+        return self.tables[name]
+
+    def explain(self, df: DataFrame, mode: str = "formatted") -> str:
+        """EXPLAIN (the reference's EXPLAIN ANALYZE harvest point,
+        imdb_main.cpp:70-76)."""
+        from data_chunk_compaction_in_duckdb_spark.plans import explain_str
+
+        return explain_str(df, mode)
+
+    # -- compaction layer (the research delta)
+    def compact(self, df: DataFrame, **kwargs: Any) -> DataFrame:
+        from data_chunk_compaction_in_duckdb_spark.compaction import compact
+
+        return compact(df, **kwargs)
+
+    def pipeline_break(self, df: DataFrame) -> DataFrame:
+        from data_chunk_compaction_in_duckdb_spark.compaction import pipeline_break
+
+        return pipeline_break(df)
+
+    def profile(self, df: DataFrame):
+        from data_chunk_compaction_in_duckdb_spark.compaction import (
+            partition_histogram,
+        )
+
+        return partition_histogram(df)
+
+    def close(self) -> None:
+        self.spark.stop()

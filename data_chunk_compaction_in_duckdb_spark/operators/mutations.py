@@ -1,0 +1,51 @@
+"""Mutation rewrites (SURVEY.md §2.1: INSERT/DELETE/UPDATE,
+physical_insert.cpp:550, physical_delete.cpp:102, physical_update.cpp:187).
+
+Vanilla Spark DataFrames are immutable, so row-level mutations become
+transformations producing the post-mutation relation — the same rewrite
+the reference's MVCC layer applies logically (delete = anti-filter,
+update = projection, upsert = anti-join + union).  Re-register the temp
+view (or overwrite the table) with the result to "commit".
+
+At 100 TB these rewrites are exactly what Delta/Iceberg MERGE compiles
+to; using them directly keeps the engine dependency-free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def delete_where(df: DataFrame, cond: Column) -> DataFrame:
+    """DELETE FROM df WHERE cond."""
+    return df.filter(~cond | cond.isNull())
+
+
+def delete_where_in(df: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """DELETE FROM df WHERE key_col IN (SELECT ... ) — anti-join form."""
+    return df.join(keys, key_col, "left_anti")
+
+
+def update_where(
+    df: DataFrame, cond: Column, assignments: Mapping[str, Column]
+) -> DataFrame:
+    """UPDATE df SET col = expr, ... WHERE cond."""
+    out = df
+    for col, expr in assignments.items():
+        out = out.withColumn(col, F.when(cond, expr).otherwise(F.col(col)))
+    return out
+
+
+def insert_into(df: DataFrame, rows: DataFrame) -> DataFrame:
+    """INSERT INTO df SELECT * FROM rows (append)."""
+    return df.unionByName(rows)
+
+
+def upsert(df: DataFrame, updates: DataFrame, key_col: str) -> DataFrame:
+    """INSERT ... ON CONFLICT (key) DO UPDATE (reference physical_insert
+    on-conflict path): new rows win on key collision."""
+    survivors = df.join(updates.select(key_col), key_col, "left_anti")
+    return survivors.unionByName(updates)

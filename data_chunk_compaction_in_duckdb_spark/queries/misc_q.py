@@ -1,0 +1,205 @@
+"""Coverage tail — SURVEY.md §2.1 mutations, §2.8 collation/enum/union
+types, §2.4 histogram, approximate aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+from data_chunk_compaction_in_duckdb_spark.operators.mutations import (
+    delete_where_in,
+    update_where,
+    upsert,
+)
+from data_chunk_compaction_in_duckdb_spark.queries.registry import query
+
+
+@query(
+    "mutation_delete_rewrite",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 50)
+    GROUP BY o_orderstatus
+    """,
+)
+def mutation_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE (physical_delete.cpp:102) as anti-join: remove orders that
+    have any max-quantity lineitem, return the surviving relation's
+    profile."""
+    orders = load_table(spark, sf_dir, "orders")
+    doomed = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 50)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    remaining = delete_where_in(orders, doomed, "o_orderkey")
+    return remaining.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
+
+@query(
+    "mutation_update_rewrite",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 1.1
+                      ELSE o_totalprice END, 2) AS o_totalprice,
+           CASE WHEN o_orderstatus = 'P' THEN '1-URGENT'
+                ELSE o_orderpriority END AS o_orderpriority
+    FROM orders WHERE o_orderkey <= 400
+    """,
+)
+def mutation_update_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE (physical_update.cpp:187) as conditional projection: bump
+    pending orders' price 10% and escalate their priority."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    updated = update_where(
+        orders,
+        F.col("o_orderstatus") == "P",
+        {
+            "o_totalprice": F.col("o_totalprice") * 1.1,
+            "o_orderpriority": F.lit("1-URGENT"),
+        },
+    )
+    return updated.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+
+
+@query(
+    "mutation_upsert_rewrite",
+    oracle="""
+    WITH updates AS (
+      SELECT r_regionkey, 'REGION_X' AS r_name
+      FROM region WHERE r_regionkey IN (1, 3)
+      UNION ALL SELECT 99, 'REGION_NEW'
+    )
+    SELECT r_regionkey, r_name FROM updates
+    UNION ALL
+    SELECT r_regionkey, r_name FROM region
+    WHERE r_regionkey NOT IN (SELECT r_regionkey FROM updates)
+    """,
+)
+def mutation_upsert_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT ... ON CONFLICT DO UPDATE (physical_insert.cpp upsert path):
+    two updated keys + one new key against the region dimension."""
+    region = load_table(spark, sf_dir, "region")
+    updates = spark.createDataFrame(
+        [(1, "REGION_X"), (3, "REGION_X"), (99, "REGION_NEW")],
+        "r_regionkey INT, r_name STRING",
+    )
+    return upsert(region, updates, "r_regionkey")
+
+
+@query(
+    "fn_collation_nocase",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) = lower(upper(p_name)) AS nocase_eq,
+           CASE WHEN lower(p_brand) = 'brand#1' THEN 1 ELSE 0 END AS is_brand1,
+           strip_accents('Crème Brûlée à côté') AS stripped
+    FROM part WHERE p_partkey <= 40
+    """,
+)
+def fn_collation_nocase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOCASE/NOACCENT collation (reference extension/icu,
+    strip_accents.cpp) via lower()/translate() normalization — Spark
+    pre-4.0 collation is binary, so collation is normalize-then-compare."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 40)
+    accented = "àáâãäåèéêëìíîïòóôõöùúûüýÿçñ"
+    plain = "aaaaaaeeeeiiiiooooouuuuyycn"
+    return part.select(
+        "p_partkey",
+        (F.lower("p_name") == F.lower(F.upper("p_name"))).alias("nocase_eq"),
+        F.when(F.lower("p_brand") == "brand#1", 1).otherwise(0).alias("is_brand1"),
+        F.translate(F.lit("Crème Brûlée à côté"), accented, plain).alias("stripped"),
+    )
+
+
+@query(
+    "type_enum_codes",
+    oracle="""
+    SELECT p_partkey, p_type,
+           CAST(list_position(['ECONOMY','LARGE','MEDIUM','PROMO','SMALL','STANDARD'],
+                              p_type) AS INT) AS enum_code,
+           'ECONOMY' AS enum_first, 'STANDARD' AS enum_last
+    FROM part WHERE p_partkey <= 60
+    """,
+)
+def type_enum_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENUM type (types.hpp ENUM; enum_first/enum_last functions) as a
+    string domain + dictionary code via array_position."""
+    domain = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 60)
+    return part.select(
+        "p_partkey",
+        "p_type",
+        F.array_position(
+            F.array(*[F.lit(d) for d in domain]), F.col("p_type")
+        ).cast("int").alias("enum_code"),
+        F.lit(domain[0]).alias("enum_first"),
+        F.lit(domain[-1]).alias("enum_last"),
+    )
+
+
+@query(
+    "type_union_tagged",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'price' ELSE 'status' END AS tag,
+           CASE WHEN o_orderkey % 2 = 0 THEN ROUND(o_totalprice, 2) END AS price_val,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status_val
+    FROM orders WHERE o_orderkey <= 200
+    """,
+)
+def type_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION type (types.hpp:227) as its tagged-struct encoding: a tag
+    column + one nullable field per member (SURVEY.md §1.2 mapping)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    even = F.col("o_orderkey") % 2 == 0
+    u = F.struct(
+        F.when(even, "price").otherwise("status").alias("tag"),
+        F.when(even, F.round("o_totalprice", 2)).alias("price_val"),
+        F.when(~even, F.col("o_orderstatus")).alias("status_val"),
+    )
+    return orders.select("o_orderkey", u.alias("u")).select(
+        "o_orderkey",
+        F.col("u.tag").alias("tag"),
+        F.col("u.price_val").alias("price_val"),
+        F.col("u.status_val").alias("status_val"),
+    )
+
+
+@query(
+    "agg_histogram_buckets",
+    oracle="""
+    SELECT CAST(FLOOR(l_quantity / 10) AS BIGINT) AS bucket, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def agg_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram() (function_list.cpp:176) in row form — bucketed value
+    counts (the map form is the same rows pivoted client-side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_quantity") / 10).cast("bigint").alias("bucket")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query("agg_approx_quantile")  # sketch values differ by engine → rows-only
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_quantile / reservoir_quantile (function_list.cpp:67,280) via
+    percentile_approx — sketch-based, so engine-exact parity is not
+    defined; pytest asserts closeness to the exact percentile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_med"),
+        F.percentile("l_extendedprice", 0.5).alias("exact_med"),
+    )

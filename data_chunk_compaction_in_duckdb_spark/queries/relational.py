@@ -20,6 +20,57 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# Exact-integer revenue arithmetic.  l_extendedprice has 2 decimals and
+# l_discount/l_tax 2, so price*(1-disc) has exactly 4 — its float sum lands
+# on a .xx50 rounding boundary in ~1% of groups, where Spark's and DuckDB's
+# different summation orders flip the cent.  Worse, even on identical
+# doubles ROUND differs: DuckDB rounds the binary value, Spark rounds the
+# shortest decimal string (285207.03499999997 → .03 vs "285207.035" → .04).
+# Therefore: sum exact integer (cents × percent) units, round to cents with
+# INTEGER arithmetic ((units + 50) div 100), and make one final exact-input
+# division — no ROUND on floats anywhere.  _REV_SQL/_rev() and
+# _CHARGE_SQL/_charge() are the same formula for the oracle and the Spark
+# plan.
+_REV_UNITS_SQL = (
+    "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))"
+)
+_REV_SQL = f"CAST(({_REV_UNITS_SQL} + 50) // 100 AS BIGINT) / 100.0"
+_CHARGE_UNITS_SQL = (
+    "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+    " * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)))"
+)
+_CHARGE_SQL = f"CAST(({_CHARGE_UNITS_SQL} + 5000) // 10000 AS BIGINT) / 100.0"
+
+
+def _cents(col: str) -> "F.Column":
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _units_to_dollars(total_units: "F.Column", unit_per_cent: int) -> "F.Column":
+    """Half-up integer rounding to cents, then one exact division to
+    dollars.  (x - x % d) / d is an exact long division (x < 2^53)."""
+    half = unit_per_cent // 2
+    t = total_units + F.lit(half).cast("long")
+    cents = ((t - t % unit_per_cent) / unit_per_cent).cast("long")
+    return cents / F.lit(100.0)
+
+
+def _rev() -> "F.Column":
+    units = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    return _units_to_dollars(F.sum(units), 100)
+
+
+def _charge() -> "F.Column":
+    units = (
+        _cents("l_extendedprice")
+        * (F.lit(100) - _cents("l_discount"))
+        * (F.lit(100) + _cents("l_tax"))
+    )
+    return _units_to_dollars(F.sum(units), 10000)
+
+
 # ---------------------------------------------------------------------------
 # Scans / projection / filter  (§2.1, §2.2)
 # ---------------------------------------------------------------------------
@@ -80,16 +131,16 @@ def filter_selective_compaction_point(spark: SparkSession, sf_dir: str) -> DataF
 
 @query(
     "tpch_q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                       AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                                  AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 6)                                       AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6)                                  AS avg_price,
-           ROUND(AVG(l_discount), 6)                                       AS avg_disc,
-           COUNT(*)                                                        AS count_order
+           ROUND(SUM(l_quantity), 2)      AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           {_REV_SQL} AS sum_disc_price,
+           {_CHARGE_SQL} AS sum_charge,
+           ROUND(AVG(l_quantity), 6)      AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6)      AS avg_disc,
+           COUNT(*)                       AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
     GROUP BY l_returnflag, l_linestatus
@@ -99,15 +150,14 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HASH_GROUP_BY with 8 aggregates (physical_hash_aggregate.cpp:876;
     TPC-H Q1 shape, benchmark/tpch/sf1/q01.benchmark)."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= "2001-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            _rev().alias("sum_disc_price"),
+            _charge().alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -118,9 +168,9 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q3_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {_REV_SQL} AS revenue,
            o_orderdate
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -147,11 +197,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_rev().alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -160,9 +206,9 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q5_local_supplier_volume",
-    oracle="""
+    oracle=f"""
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {_REV_SQL} AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -198,18 +244,17 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_rev().alias("revenue"))
     )
 
 
 @query(
     "tpch_q6_forecast_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * CAST(ROUND(l_discount * 100) AS BIGINT)) + 50) // 100
+                AS BIGINT) / 100.0
+           AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -229,9 +274,9 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.05)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        )
+        _units_to_dollars(
+            F.sum(_cents("l_extendedprice") * _cents("l_discount")), 100
+        ).alias("revenue")
     )
 
 

@@ -45,10 +45,15 @@ def _cells_equal(a, b) -> bool:
     if a is None or b is None:
         return a is None and b is None
     if isinstance(a, float) or isinstance(b, float):
+        # The driver value-hashes exactly, so floats must match exactly —
+        # queries are responsible for making both engines produce
+        # bit-identical doubles (integer arithmetic for money sums,
+        # rounding elsewhere).  NaN counts as equal to NaN.
         try:
-            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+            fa, fb = float(a), float(b)
         except (TypeError, ValueError):
             return False
+        return fa == fb or (math.isnan(fa) and math.isnan(fb))
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
     return a == b
