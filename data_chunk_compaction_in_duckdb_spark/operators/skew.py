@@ -1,0 +1,62 @@
+"""Skew-aware join: salting for hot keys.
+
+At 100 TB a single hot join key (null-heavy foreign keys, power-law user
+ids) turns one shuffle partition into the straggler that defines job
+latency.  AQE's skew-join handles sort-merge cases
+(spark.sql.adaptive.skewJoin.enabled, on in session.py); salted_join is
+the explicit fallback for shuffled-hash joins and for pinning behavior in
+tests:
+
+left side:  key → (key, salt = pmod(hash(row), n_salts))
+right side: each row replicated n_salts times (explode), so every
+            (key, salt) bucket finds its match.
+
+Replication multiplies the right side by n_salts — use for dimension-ish
+right sides or after pre-filtering hot keys only (``hot_keys`` arg salts
+just those, the standard two-path plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+    hot_keys: list | None = None,
+) -> DataFrame:
+    """Equi-join on ``on`` with the left side's hot keys spread over
+    ``n_salts`` shuffle buckets.
+
+    With ``hot_keys`` given, only those keys are salted (two-path plan:
+    salted join for hot keys ∪ plain join for the rest); otherwise every
+    key is salted and the whole right side replicates n_salts times.
+    """
+    if hot_keys is not None:
+        hot = F.col(on).isin(*hot_keys)
+        plain = left.filter(~hot | F.col(on).isNull()).join(
+            right, on, how
+        )
+        salted = salted_join(
+            left.filter(hot), right.join(
+                F.broadcast(
+                    left.filter(hot).select(on).distinct()
+                ), on, "left_semi"
+            ),
+            on, n_salts, how,
+        )
+        return plain.unionByName(salted)
+
+    lsalt = left.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    )
+    rsalt = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = lsalt.join(rsalt, [on, "_salt"], how)
+    return out.drop("_salt")

@@ -30,3 +30,4 @@ from data_chunk_compaction_in_duckdb_spark.queries import llm_q  # noqa: E402,F4
 from data_chunk_compaction_in_duckdb_spark.queries import events_q  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import tpch_more  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import misc_q  # noqa: E402,F401
+from data_chunk_compaction_in_duckdb_spark.queries import edge_q  # noqa: E402,F401
