@@ -103,11 +103,21 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = 8,
     bands: int = 4,
+    cache_signatures: bool = True,
 ) -> DataFrame:
     """LSH banding: hash each band (rows_per_band consecutive signature
     components) and self-join on (band index, band hash).  Returns
     distinct (id_a < id_b) candidate pairs with the estimated Jaccard
-    (fraction of agreeing signature components)."""
+    (fraction of agreeing signature components).
+
+    The signature relation is referenced bands+2 times (each band arm +
+    both sides of the estimation join); without caching, Spark recomputes
+    the explode+groupBy subtree for each — 10 exchanges instead of 4.
+    Signatures are one short row per document (≪ corpus), so persisting
+    them is the right call at any scale; disable via cache_signatures
+    for one-shot pipelines."""
+    if cache_signatures:
+        sig_df = sig_df.persist()
     rows_per_band = num_hashes // bands
     band_rows = []
     for b in range(bands):

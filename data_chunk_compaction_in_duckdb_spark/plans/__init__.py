@@ -3,9 +3,9 @@ shuffle counting, pushdown checks, codegen coverage — used by the perf
 tests to assert the physical plans we designed for actually happen."""
 
 from data_chunk_compaction_in_duckdb_spark.plans.inspect import (  # noqa: F401
+    count_codegen_subtrees,
     count_exchanges,
     explain_str,
     has_filter_pushdown,
     join_strategies,
-    wholestage_codegen_ids,
 )

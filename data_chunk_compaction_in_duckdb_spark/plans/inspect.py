@@ -49,9 +49,12 @@ def has_filter_pushdown(df: DataFrame, column: str) -> bool:
     return False
 
 
-def wholestage_codegen_ids(df: DataFrame) -> list[int]:
-    """WholeStageCodegen span ids — wider/fewer spans mean more of the
-    query runs as fused JVM loops (the analog of the reference's
-    vectorized operator chains staying in-register)."""
-    plan = explain_str(df, "simple")
-    return [int(x) for x in re.findall(r"WholeStageCodegen \((\d+)\)", plan)]
+def count_codegen_subtrees(df: DataFrame) -> int:
+    """Number of WholeStageCodegen subtrees — fewer/wider spans mean more
+    of the query runs as fused JVM loops (the analog of the reference's
+    vectorized operator chains staying in-register).  Uses explain's
+    codegen mode.  Caveat: under AQE the unexecuted plan often reports 0
+    — treat a positive count as meaningful, 0 as unknown."""
+    plan = explain_str(df, "codegen")
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
+    return int(m.group(1)) if m else 0

@@ -80,7 +80,9 @@ def _charge() -> "F.Column":
     "scan_projection_filter",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice * (1 - l_discount), 2) AS disc_price
+           CAST((CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) + 50) // 100
+                AS BIGINT) / 100.0 AS disc_price
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '2000-01-01'
       AND l_shipdate <  TIMESTAMP '2000-02-01'
@@ -99,9 +101,12 @@ def scan_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
-                "disc_price"
-            ),
+            # Per-row integer cent arithmetic — see _rev() note: rounding
+            # floats with exactly-4-decimal values is engine-divergent.
+            _units_to_dollars(
+                _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")),
+                100,
+            ).alias("disc_price"),
         )
     )
 

@@ -48,15 +48,18 @@ def _vol_units() -> "F.Column":
     oracle="""
     WITH unit AS (
       SELECT l_partkey, l_suppkey,
-             MIN(l_extendedprice / l_quantity) AS unit_price
+             MIN(CAST((2 * CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 10000
+                       + CAST(ROUND(l_quantity * 100) AS BIGINT))
+                      // (2 * CAST(ROUND(l_quantity * 100) AS BIGINT))
+                      AS BIGINT)) AS unit_price_u
       FROM lineitem GROUP BY l_partkey, l_suppkey
     )
     SELECT p_partkey, p_brand, s_name,
-           ROUND(unit_price, 4) AS best_unit_price
+           unit_price_u / 10000.0 AS best_unit_price
     FROM (
-      SELECT l_partkey, l_suppkey, unit_price,
+      SELECT l_partkey, l_suppkey, unit_price_u,
              ROW_NUMBER() OVER (PARTITION BY l_partkey
-                                ORDER BY unit_price, l_suppkey) AS rn
+                                ORDER BY unit_price_u, l_suppkey) AS rn
       FROM unit
     ) u
     JOIN part ON p_partkey = u.l_partkey
@@ -66,14 +69,19 @@ def _vol_units() -> "F.Column":
 )
 def tpch_q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 shape: min-per-group + dimension joins (the fixture schema's
-    lineitem stands in for partsupp)."""
+    lineitem stands in for partsupp).  Unit price is computed as half-up
+    integer 1e-4 units — price/quantity has up to 5 exact decimals
+    (price/8), the engine-divergent ROUND trap."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     supp = _t(spark, sf_dir, "supplier")
+    num = 2 * _cents("l_extendedprice") * 10000 + _cents("l_quantity")
+    den = 2 * _cents("l_quantity")
+    unit_u = ((num - num % den) / den).cast("long")
     unit = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+        F.min(unit_u).alias("unit_price_u")
     )
-    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    w = Window.partitionBy("l_partkey").orderBy("unit_price_u", "l_suppkey")
     best = unit.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return (
         best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
@@ -82,7 +90,7 @@ def tpch_q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "p_brand",
             "s_name",
-            F.round("unit_price", 4).alias("best_unit_price"),
+            (F.col("unit_price_u") / 10000.0).alias("best_unit_price"),
         )
     )
 

@@ -1,0 +1,48 @@
+"""Plan-shape regression budgets for the headline queries.
+
+The reference's perf work is about keeping operators' data units full;
+the Spark equivalent at plan level is: minimal exchanges and broadcast
+dimension joins.  These budgets pin today's good plans so a future change
+that silently adds a shuffle fails loudly.  (Codegen coverage is not
+asserted: AQE hides WholeStageCodegen annotation on unexecuted plans.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+# name -> max exchanges
+BUDGETS = {
+    "tpch_q1_pricing_summary": 1,
+    "tpch_q3_shipping_priority": 1,
+    "tpch_q5_local_supplier_volume": 1,
+    "tpch_q6_forecast_revenue": 1,
+    "microbench_chained_joins": 1,
+    "agg_distinct_multi": 2,  # Expand + distinct re-agg is inherent
+    "win_running_totals": 1,
+    "topk_per_group": 1,
+    "join_asof_backward": 1,
+    "events_sessionization": 1,
+    "compaction_filter_join_agg": 1,  # compact() may repartition post-filter
+    "sim_topk_bruteforce": 1,
+    "text_tokens_quality_fingerprint": 0,
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_headline_plan_exchange_budget(spark, sf_dir, name):
+    from data_chunk_compaction_in_duckdb_spark.plans import count_exchanges
+    from data_chunk_compaction_in_duckdb_spark.queries import REGISTRY
+
+    df = REGISTRY[name].builder(spark, sf_dir)
+    ex = count_exchanges(df)
+    assert ex <= BUDGETS[name], f"{name}: {ex} exchanges (budget {BUDGETS[name]})"
+
+
+def test_q5_dimensions_all_broadcast(spark, sf_dir):
+    from data_chunk_compaction_in_duckdb_spark.plans import join_strategies
+    from data_chunk_compaction_in_duckdb_spark.queries import REGISTRY
+
+    df = REGISTRY["tpch_q5_local_supplier_volume"].builder(spark, sf_dir)
+    strats = join_strategies(df)
+    assert len(strats) == 5 and set(strats) == {"BroadcastHashJoin"}, strats
