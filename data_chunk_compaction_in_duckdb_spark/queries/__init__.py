@@ -31,3 +31,4 @@ from data_chunk_compaction_in_duckdb_spark.queries import events_q  # noqa: E402
 from data_chunk_compaction_in_duckdb_spark.queries import tpch_more  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import misc_q  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import edge_q  # noqa: E402,F401
+from data_chunk_compaction_in_duckdb_spark.queries import functions_more  # noqa: E402,F401

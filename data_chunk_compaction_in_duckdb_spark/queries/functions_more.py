@@ -1,0 +1,142 @@
+"""Scalar-function coverage tail — format/printf, timestamp parsing,
+interval arithmetic, extended list functions (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+from data_chunk_compaction_in_duckdb_spark.queries.registry import query
+
+
+@query(
+    "fn_format_printf",
+    oracle="""
+    SELECT s_suppkey,
+           printf('%d:%s', s_suppkey, s_name) AS tagged,
+           printf('%05d', CAST(s_suppkey AS INT)) AS padded,
+           printf('%.3f', s_acctbal) AS fixed3,
+           concat(s_name, '/', CAST(s_nationkey AS VARCHAR)) AS joined
+    FROM supplier
+    """,
+)
+def fn_format_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf/format (src/function/scalar/string printf family) =
+    format_string (both use C-style %-formatting)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.select(
+        "s_suppkey",
+        F.format_string("%d:%s", "s_suppkey", "s_name").alias("tagged"),
+        F.format_string("%05d", F.col("s_suppkey").cast("int")).alias("padded"),
+        F.format_string("%.3f", "s_acctbal").alias("fixed3"),
+        F.concat(
+            "s_name", F.lit("/"), F.col("s_nationkey").cast("string")
+        ).alias("joined"),
+    )
+
+
+@query(
+    "fn_timestamp_parse",
+    oracle="""
+    SELECT event_id,
+           strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS reparsed,
+           CAST(strptime('2024-' || lpad(CAST(1 + event_id % 12 AS VARCHAR), 2, '0')
+                         || '-15', '%Y-%m-%d') AS TIMESTAMP) AS built,
+           CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_ts
+    FROM events WHERE event_id <= 150
+    """,
+)
+def fn_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strptime/to_timestamp round-trip (strftime_format.cpp) — format
+    strings translated %Y-%m-%d ↔ yyyy-MM-dd."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 150)
+    return ev.select(
+        "event_id",
+        F.to_timestamp(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss"
+        ).cast("timestamp_ntz").alias("reparsed"),
+        F.to_timestamp(
+            F.concat(
+                F.lit("2024-"),
+                F.lpad((1 + F.col("event_id") % 12).cast("string"), 2, "0"),
+                F.lit("-15"),
+            ),
+            "yyyy-MM-dd",
+        ).cast("timestamp_ntz").alias("built"),
+        F.col("ts").cast("date").cast("timestamp_ntz").alias("day_ts"),
+    )
+
+
+@query(
+    "fn_interval_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3m,
+           CAST(o_orderdate - INTERVAL 45 DAY AS TIMESTAMP) AS minus_45d,
+           CAST(o_orderdate + INTERVAL 1 YEAR + INTERVAL 2 HOUR AS TIMESTAMP) AS plus_1y2h,
+           datediff('month', o_orderdate, TIMESTAMP '2002-01-01') AS months_to_2002,
+           age(TIMESTAMP '2002-01-01', o_orderdate) > INTERVAL 2 YEAR AS older_than_2y
+    FROM orders WHERE o_orderkey <= 200
+    """,
+)
+def fn_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL arithmetic + date_diff months + age comparison
+    (core_functions/scalar/date)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    od = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.add_months(od, 3).cast("timestamp_ntz").alias("plus_3m"),
+        F.date_sub(od.cast("date"), 45).cast("timestamp_ntz").alias("minus_45d"),
+        (F.add_months(od, 12).cast("timestamp_ntz") + F.expr("INTERVAL 2 HOURS")).alias(
+            "plus_1y2h"
+        ),
+        # months_between(floor) == DuckDB datediff('month'): month-boundary count
+        (
+            (F.lit(2002) * 12 + 1) - (F.year(od) * 12 + F.month(od))
+        ).cast("bigint").alias("months_to_2002"),
+        (od < F.lit("2000-01-01").cast("timestamp_ntz")).alias("older_than_2y"),
+    )
+
+
+@query(
+    "fn_list_extended",
+    oracle="""
+    SELECT o_custkey,
+           prices[2:3] AS sliced,
+           len(flatten([prices, prices])) AS flat_len,
+           list_contains(prices, prices[1]) AS has_first,
+           list_position(prices, prices[1]) AS pos_first,
+           list_reverse(list_sort(prices)) AS sorted_desc,
+           list_transform(generate_series(1, 3), x -> x * 10) AS seq_x10
+    FROM (
+      SELECT o_custkey,
+             list_sort(list(ROUND(o_totalprice, 2)), 'DESC') AS prices
+      FROM orders WHERE o_custkey <= 60 GROUP BY o_custkey
+      HAVING COUNT(*) >= 3
+    ) t
+    """,
+)
+def fn_list_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended list surface: slice, flatten, contains, position,
+    reverse-sort, sequence (core_functions/scalar/list)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 60)
+    prices = F.reverse(F.array_sort(F.collect_list(F.round("o_totalprice", 2))))
+    g = (
+        orders.groupBy("o_custkey")
+        .agg(prices.alias("prices"), F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 3)
+    )
+    return g.select(
+        "o_custkey",
+        F.slice("prices", 2, 2).alias("sliced"),
+        F.size(F.flatten(F.array("prices", "prices"))).alias("flat_len"),
+        F.array_contains("prices", F.element_at("prices", 1)).alias("has_first"),
+        F.array_position("prices", F.element_at("prices", 1)).alias("pos_first"),
+        F.reverse(F.array_sort("prices")).alias("sorted_desc"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(3)), lambda x: x * 10
+        ).alias("seq_x10"),
+    )

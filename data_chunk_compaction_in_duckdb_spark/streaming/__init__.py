@@ -10,5 +10,6 @@ batch and streaming append mode once the watermark passes).
 
 from data_chunk_compaction_in_duckdb_spark.streaming.events import (  # noqa: F401
     run_stream_to_memory,
+    streaming_sessionize,
     streaming_tumbling_counts,
 )

@@ -60,6 +60,57 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _make_sessionizer(gap_minutes: int):
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessionize(key, pdfs, state):
+        # Closure-serialized (no module imports on executors).
+        import pandas as pd
+
+        (user_id,) = key
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(int(t.value) // 1000 for t in pdf["ts"])
+        ts_us.sort()
+        for t in ts_us:
+            if last_ts is None or (t - last_ts) > gap_us:
+                n_sessions += 1
+            last_ts = t
+            n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    return sessionize
+
+
+def streaming_sessionize(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user session counting with an inactivity gap, state = (last event
+    time, session count, event count) carried across micro-batches.
+    The batch twin is queries/events_q.events_sessionization — with the
+    whole fixture in one micro-batch the outputs agree, which the test
+    asserts."""
+    ev = _event_stream(spark, sf_dir)
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _make_sessionizer(gap_minutes),
+        outputStructType="user_id LONG, n_sessions INT, n_events INT",
+        stateStructType="last_ts LONG, n_sessions INT, n_events INT",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str = "stream_out", mode: str = "append"
 ) -> None:

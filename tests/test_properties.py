@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) — the light-weight analog of the
+reference's randomized/fuzzer suites (test/fuzzer/, extension/sqlsmith):
+custom operators are checked against independent reference
+implementations on randomized inputs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# One shared strategy: small keyed, timestamped event sets.
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),          # key
+        st.integers(0, 1000),       # ts
+        st.integers(-100, 100),     # value
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+_slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(left=_events, right=_events)
+@_slow
+def test_asof_join_matches_reference_semantics(spark, left, right):
+    """For each left row, the matched right ts must be the largest right
+    ts <= left ts within the key group (ties on the value column may
+    resolve to any tied row, so only the matched ts is compared)."""
+    from data_chunk_compaction_in_duckdb_spark.operators import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t, _) in enumerate(left)], "k INT, ts INT, rid INT"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, v) for (k, t, v) in right], "k INT, ts INT, val INT"
+    )
+    got_ts = {
+        r.rid: r.ts_right
+        for r in asof_join(ldf, rdf, ["k"], "ts", "ts", ["val"]).collect()
+    }
+
+    by_key: dict[int, list[int]] = {}
+    for k, t, _ in right:
+        by_key.setdefault(k, []).append(t)
+    exp_ts = {}
+    for i, (k, t, _) in enumerate(left):
+        cands = [rt for rt in by_key.get(k, []) if rt <= t]
+        exp_ts[i] = max(cands) if cands else None
+    assert got_ts == exp_ts
+
+
+@given(
+    probe=st.lists(st.one_of(st.none(), st.integers(0, 8)), max_size=25),
+    build=st.lists(st.one_of(st.none(), st.integers(0, 8)), max_size=25),
+)
+@_slow
+def test_mark_join_three_valued_semantics(spark, probe, build):
+    """mark_join must implement ANSI `probe IN (SELECT build)` exactly."""
+    from data_chunk_compaction_in_duckdb_spark.operators import mark_join
+
+    ldf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(probe)], "rid INT, p INT"
+    )
+    rdf = spark.createDataFrame([(b,) for b in build], "b INT")
+    got = {r.rid: r.mark for r in mark_join(ldf, rdf, "p", "b").collect()}
+
+    bset = {b for b in build if b is not None}
+    has_null = any(b is None for b in build)
+    for i, p in enumerate(probe):
+        if not build:
+            exp = False
+        elif p is None:
+            exp = None
+        elif p in bset:
+            exp = True
+        elif has_null:
+            exp = None
+        else:
+            exp = False
+        assert got[i] == exp, (i, p, build, got[i], exp)
+
+
+@given(
+    rows=st.lists(st.integers(0, 100), min_size=0, max_size=60),
+    parts=st.integers(1, 12),
+    target=st.integers(1, 50),
+)
+@_slow
+def test_compact_preserves_multiset(spark, rows, parts, target):
+    from data_chunk_compaction_in_duckdb_spark.compaction import compact
+
+    df = spark.createDataFrame([(v,) for v in rows], "v INT").repartition(parts)
+    out = compact(df, target_rows=target)
+    assert sorted(r.v for r in out.collect()) == sorted(rows)
+    assert out.rdd.getNumPartitions() <= max(parts, 1)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=50
+    ),
+    q=st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9]),
+)
+@_slow
+def test_quantile_disc_returns_data_element_at_rank(spark, vals, q):
+    import math
+
+    from data_chunk_compaction_in_duckdb_spark.functions import quantile_disc
+
+    df = spark.createDataFrame([(1, v) for v in vals], "g INT, v DOUBLE")
+    out = quantile_disc(df, "v", ["g"], q).collect()
+    assert len(out) == 1
+    expected = sorted(vals)[max(1, math.ceil(q * len(vals))) - 1]
+    assert out[0].quantile_disc == expected

@@ -44,6 +44,29 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir):
     assert got == exp
 
 
+def test_streaming_stateful_sessionize_matches_batch(spark, sf_dir):
+    """applyInPandasWithState sessionization == batch sessionization when
+    the whole fixture arrives as one micro-batch."""
+    from data_chunk_compaction_in_duckdb_spark.queries import REGISTRY
+    from data_chunk_compaction_in_duckdb_spark.streaming import (
+        run_stream_to_memory,
+        streaming_sessionize,
+    )
+
+    sdf = streaming_sessionize(spark, sf_dir)
+    run_stream_to_memory(sdf, name="t_sessions_out", mode="update")
+    got = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in spark.table("t_sessions_out").collect()
+    }
+    batch = REGISTRY["events_sessionization"].builder(spark, sf_dir)
+    exp = {}
+    for r in batch.collect():
+        total_events = round(r.avg_events_per_session * r.n_sessions)
+        exp[r.user_id] = (r.n_sessions, int(total_events))
+    assert got == exp
+
+
 def test_sources_roundtrip(spark, tmp_path):
     from data_chunk_compaction_in_duckdb_spark.sources import (
         copy_to_file,
