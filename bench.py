@@ -27,6 +27,7 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "microbench_chained_joins",
+    "job_like_deep_join",
     "agg_distinct_multi",
     "win_running_totals",
     "topk_per_group",

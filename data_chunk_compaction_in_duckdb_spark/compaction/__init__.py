@@ -32,3 +32,6 @@ from data_chunk_compaction_in_duckdb_spark.compaction.tuner import (  # noqa: F4
     CompactTuner,
     UCB1Bandit,
 )
+from data_chunk_compaction_in_duckdb_spark.compaction.integration import (  # noqa: F401
+    run_stage_tuned,
+)

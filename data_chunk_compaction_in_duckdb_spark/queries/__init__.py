@@ -32,3 +32,4 @@ from data_chunk_compaction_in_duckdb_spark.queries import tpch_more  # noqa: E40
 from data_chunk_compaction_in_duckdb_spark.queries import misc_q  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import edge_q  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import functions_more  # noqa: E402,F401
+from data_chunk_compaction_in_duckdb_spark.queries import job_like  # noqa: E402,F401
