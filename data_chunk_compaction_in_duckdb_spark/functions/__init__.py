@@ -19,6 +19,7 @@ from data_chunk_compaction_in_duckdb_spark.functions.scalar import (  # noqa: F4
     lgamma_udf,
 )
 from data_chunk_compaction_in_duckdb_spark.functions.aggregates import (  # noqa: F401
+    bitstring_agg,
     entropy_agg,
     mad_agg,
     mode_deterministic,

@@ -78,3 +78,24 @@ def quantile_disc(
         .filter(F.col("_rn") == F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("_n"))))
         .select(*gc, F.col(col).alias("quantile_disc"))
     )
+
+
+def bitstring_agg(
+    df: DataFrame, col: str, group_cols: Sequence[str], lo: int, hi: int
+) -> DataFrame:
+    """Reference bitstring_agg(x, min, max) (function_list.cpp registry;
+    BIT type rendered as a '0'/'1' string): a string of length
+    ``hi-lo+1`` whose i-th character (from the left, position ``lo+i``)
+    is '1' iff that value occurs in the group.  Built entirely JVM-side:
+    collect_set (map-side combinable) then one sequence/transform pass —
+    no UDF, bounded by the domain width, independent of group size."""
+    gc = list(group_cols)
+    vals = df.groupBy(*gc).agg(F.collect_set(F.col(col)).alias("_vals"))
+    bits = F.array_join(
+        F.transform(
+            F.sequence(F.lit(lo), F.lit(hi)),
+            lambda b: F.when(F.array_contains("_vals", b), "1").otherwise("0"),
+        ),
+        "",
+    )
+    return vals.select(*gc, bits.alias("bitstring"))

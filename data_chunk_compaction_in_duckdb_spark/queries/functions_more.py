@@ -140,3 +140,24 @@ def fn_list_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), F.lit(3)), lambda x: x * 10
         ).alias("seq_x10"),
     )
+
+
+@query(
+    "agg_bitstring",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bitstring_agg(CAST(FLOOR(l_quantity) AS BIGINT), 1, 50)
+                AS VARCHAR) AS bitstring
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bitstring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bitstring_agg (function_list.cpp registry; BIT rendered as text) —
+    presence bitmap of floored quantities over the domain [1, 50]."""
+    from data_chunk_compaction_in_duckdb_spark.functions import bitstring_agg
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_q", F.floor("l_quantity").cast("long")
+    )
+    return bitstring_agg(li, "_q", ["l_returnflag"], 1, 50)
