@@ -1,0 +1,199 @@
+"""TPC-DS-shaped query corpus (reference benchmark/tpcds/sf1/, 99
+queries, run by run_bench.py:97-98) — the DS-distinctive operator
+patterns absent from the TPC-H set, adapted to the fixture tables:
+
+- q88 shape: many independent scalar aggregates cross-joined into one
+  wide row (reporting dashboards).
+- q47 shape: window functions OVER an aggregate (period-over-period
+  ratios with lag).
+- q34 shape: HAVING COUNT BETWEEN band, joined back to the dimension.
+- q35 shape: EXISTS AND (EXISTS OR EXISTS) multi-channel customer
+  qualification.
+- q93 shape: conditional +/- adjustment aggregation (returns offsetting
+  sales).
+
+Money/value sums use the exact integer-cents scheme from relational.py
+so hashes match DuckDB bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+from data_chunk_compaction_in_duckdb_spark.queries.registry import query
+from data_chunk_compaction_in_duckdb_spark.queries.relational import _cents
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "tpcds_q88_multi_count",
+    oracle="""
+    SELECT a.h1, b.h2, c.h3, d.h4
+    FROM (SELECT COUNT(*) AS h1 FROM events
+          WHERE hour(ts) BETWEEN 0 AND 5 AND event_type = 'click') a,
+         (SELECT COUNT(*) AS h2 FROM events
+          WHERE hour(ts) BETWEEN 6 AND 11 AND event_type = 'click') b,
+         (SELECT COUNT(*) AS h3 FROM events
+          WHERE hour(ts) BETWEEN 12 AND 17 AND event_type = 'click') c,
+         (SELECT COUNT(*) AS h4 FROM events
+          WHERE hour(ts) BETWEEN 18 AND 23 AND event_type = 'click') d
+    """,
+)
+def tpcds_q88_multi_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q88 shape: independent scalar counts combined by cross join into
+    one row.  Spark evaluates the four single-row aggregates in parallel
+    stages; the cross joins are trivially broadcast (1×1 rows) — at any
+    scale this is 4 scans (or 1 with conditional aggregation; kept as 4
+    to mirror the reference plan's operator structure)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    hour = F.hour("ts")
+    parts = [
+        ev.filter(hour.between(lo, hi)).agg(F.count("*").alias(name))
+        for name, lo, hi in [("h1", 0, 5), ("h2", 6, 11), ("h3", 12, 17), ("h4", 18, 23)]
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.crossJoin(F.broadcast(p))
+    return out
+
+
+@query(
+    "tpcds_q47_period_ratio",
+    oracle="""
+    SELECT event_type, d, v_c / 100.0 AS v,
+           CAST(v_c AS DOUBLE) / prev_c AS ratio
+    FROM (
+      SELECT event_type, d, v_c,
+             LAG(v_c) OVER (PARTITION BY event_type ORDER BY d) AS prev_c
+      FROM (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS v_c
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+      ) daily
+    ) seq
+    WHERE prev_c IS NOT NULL AND prev_c > 0
+    """,
+)
+def tpcds_q47_period_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q47 shape: window over aggregate — day-over-day value ratio per
+    event type.  One shuffle for the group-by; the lag window reuses the
+    same hash partitioning on event_type (no second exchange)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(_cents("value")).alias("v_c"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    return (
+        daily.withColumn("prev_c", F.lag("v_c").over(w))
+        .filter(F.col("prev_c").isNotNull() & (F.col("prev_c") > 0))
+        .select(
+            "event_type",
+            "d",
+            (F.col("v_c") / 100.0).alias("v"),
+            (F.col("v_c").cast("double") / F.col("prev_c")).alias("ratio"),
+        )
+    )
+
+
+@query(
+    "tpcds_q34_count_band",
+    oracle="""
+    SELECT c_name, cnt
+    FROM (
+      SELECT o_custkey, COUNT(*) AS cnt
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_custkey
+      HAVING COUNT(*) BETWEEN 2 AND 10
+    ) q
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def tpcds_q34_count_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q34 shape: grouped count constrained to a band, then joined back
+    to the dimension for display columns."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    band = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt").between(2, 10))
+    )
+    return band.join(F.broadcast(cust), band.o_custkey == cust.c_custkey).select(
+        "c_name", "cnt"
+    )
+
+
+@query(
+    "tpcds_q35_multi_channel_exists",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n_cust,
+           SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 AS sum_bal
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND (EXISTS (SELECT 1 FROM events
+                   WHERE user_id = c_custkey AND event_type = 'purchase')
+           OR EXISTS (SELECT 1 FROM events
+                      WHERE user_id = c_custkey AND event_type = 'signup'))
+    GROUP BY c_nationkey
+    """,
+)
+def tpcds_q35_multi_channel_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q35 shape: customers qualified through one mandatory channel AND a
+    disjunction of two others.  The OR of EXISTS becomes one semi-join
+    against the union of the two event filters — same cardinality, one
+    probe instead of two."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    ev = _t(spark, sf_dir, "events")
+    either = ev.filter(
+        F.col("event_type").isin("purchase", "signup")
+    ).select("user_id")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .join(either, cust.c_custkey == either.user_id, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            (F.sum(_cents("c_acctbal")) / 100.0).alias("sum_bal"),
+        )
+    )
+
+
+@query(
+    "tpcds_q93_conditional_adjust",
+    oracle="""
+    SELECT l_suppkey,
+           SUM(CASE WHEN l_returnflag = 'R'
+                    THEN -CAST(ROUND(l_quantity * 100) AS BIGINT)
+                    ELSE  CAST(ROUND(l_quantity * 100) AS BIGINT) END) / 100.0
+             AS net_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) >= 5
+    """,
+)
+def tpcds_q93_conditional_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q93 shape: returns offset sales via a signed conditional sum —
+    integer units keep the +/- arithmetic exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    signed = F.when(
+        F.col("l_returnflag") == "R", -_cents("l_quantity")
+    ).otherwise(_cents("l_quantity"))
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            (F.sum(signed) / 100.0).alias("net_qty"),
+            F.count("*").alias("n_lines"),
+        )
+        .filter(F.col("n_lines") >= 5)
+    )
