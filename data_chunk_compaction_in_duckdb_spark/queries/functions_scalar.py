@@ -107,7 +107,7 @@ def fn_string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_quantity - 25) AS a,
-           ceil(l_discount * 100) AS ce, floor(l_tax * 100) AS fl,
+           CAST(ceil(l_discount * 100) AS BIGINT) AS ce, CAST(floor(l_tax * 100) AS BIGINT) AS fl,
            ROUND(sqrt(l_quantity), 6) AS sq,
            ROUND(cbrt(l_quantity), 6) AS cb,
            ROUND(exp(l_discount), 6) AS ex,
@@ -116,7 +116,7 @@ def fn_string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(log2(l_quantity), 6) AS lg2,
            ROUND(pow(l_quantity, 1.5), 4) AS pw,
            CAST(l_partkey % 7 AS BIGINT) AS md,
-           sign(l_quantity - 25.0) AS sg,
+           CAST(sign(l_quantity - 25.0) AS DOUBLE) AS sg,
            ROUND(sin(l_discount), 6) AS sn,
            ROUND(atan2(l_discount, l_tax + 0.01), 6) AS at2,
            ROUND(degrees(l_discount), 6) AS dg,

@@ -203,3 +203,41 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_med"),
         F.percentile("l_extendedprice", 0.5).alias("exact_med"),
     )
+
+
+@query(
+    "scan_summarize",
+    oracle="""
+    SELECT 'l_quantity' AS column_name,
+           CAST(MIN(l_quantity) AS VARCHAR) AS min,
+           CAST(MAX(l_quantity) AS VARCHAR) AS max,
+           COUNT(l_quantity) AS count,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           COUNT(DISTINCT l_quantity) AS n_distinct
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag',
+           CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR),
+           COUNT(l_returnflag),
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate',
+           CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR),
+           COUNT(l_shipdate),
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT l_shipdate)
+    FROM lineitem
+    """,
+)
+def scan_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUMMARIZE table function (reference summary table function,
+    src/function/table/summary.cpp): per-column stats in ONE aggregate
+    pass + stack reshape — no per-column rescan."""
+    from data_chunk_compaction_in_duckdb_spark.sources import summarize
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_returnflag", "l_shipdate"
+    )
+    return summarize(li)

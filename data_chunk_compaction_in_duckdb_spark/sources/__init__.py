@@ -10,3 +10,8 @@ from data_chunk_compaction_in_duckdb_spark.sources.readers import (  # noqa: F40
     read_json,
     read_parquet,
 )
+from data_chunk_compaction_in_duckdb_spark.sources.summary import (  # noqa: F401
+    export_database,
+    import_database,
+    summarize,
+)

@@ -132,3 +132,45 @@ def test_plan_scan_projection_prunes_columns(spark, sf_dir):
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert "l_comment" not in cols and "l_partkey" not in cols
     assert {"l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"} <= cols
+
+
+def test_summarize_one_pass(spark, sf_dir):
+    """summarize(): one row per column, stats computed in native type,
+    and the whole thing is a single aggregate job (one exchange)."""
+    from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+    from data_chunk_compaction_in_duckdb_spark.plans import count_exchanges
+    from data_chunk_compaction_in_duckdb_spark.sources import summarize
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_returnflag")
+    out = summarize(li)
+    rows = {r.column_name: r for r in out.collect()}
+    assert set(rows) == {"l_quantity", "l_returnflag"}
+    q = rows["l_quantity"]
+    # native numeric ordering: min is 1.0, not lexicographic "1.0" < "10.0"
+    assert float(q.min) == 1.0 and float(q.max) == 50.0
+    assert q.n_nulls == 0 and q["count"] > 0 and q.n_distinct == 50
+    # the scale path: HLL distinct keeps the whole summary one exchange
+    approx = summarize(li, approx=True)
+    assert count_exchanges(approx) <= 1
+    arows = {r.column_name: r for r in approx.collect()}
+    assert abs(arows["l_quantity"].n_distinct - 50) <= 5
+
+
+def test_export_import_database(spark, sf_dir, tmp_path):
+    from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+    from data_chunk_compaction_in_duckdb_spark.sources import (
+        export_database,
+        import_database,
+    )
+
+    out = str(tmp_path / "exported")
+    tables = {
+        "nation": load_table(spark, sf_dir, "nation"),
+        "region": load_table(spark, sf_dir, "region"),
+    }
+    export_database(spark, tables, out)
+    back = import_database(spark, out)
+    assert set(back) == {"nation", "region"}
+    assert back["nation"].count() == tables["nation"].count()
+    ddl = open(f"{out}/schema.sql").read()
+    assert "CREATE TABLE nation" in ddl and "n_nationkey int" in ddl
