@@ -41,3 +41,7 @@ from data_chunk_compaction_in_duckdb_spark.pipeline.multimodal import (  # noqa:
     frame_sample,
     with_binary_payload,
 )
+from data_chunk_compaction_in_duckdb_spark.pipeline.components import (  # noqa: F401
+    connected_components,
+    dedup_survivors_transitive,
+)

@@ -359,3 +359,55 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = frame_sample(with_binary_payload(docs), frame_bytes=100, every_n=4)
     return out.select("media_id", "n_frames", "frame_idx")
+
+
+@query(
+    "dedup_components_transitive",
+    oracle="""
+    WITH RECURSIVE d AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0),
+    sh AS (SELECT doc_id, source,
+                  list_distinct(list_transform(
+                    generate_series(1, GREATEST(length(text) - 2, 1)),
+                    i -> substr(text, i, 3))) AS sh
+           FROM d),
+    edges AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+      SELECT s, s AS r FROM sym
+      UNION
+      SELECT sym.s, reach.r
+      FROM sym JOIN reach ON sym.d = reach.s
+    )
+    SELECT s AS id, MIN(r) AS component
+    FROM reach GROUP BY s
+    """,
+)
+def dedup_components_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters: exact 3-gram Jaccard >= 0.5 edges
+    (same-source blocking), then connected components by min-label
+    propagation.  The oracle recomputes the closure with a recursive-CTE
+    reach set — fine at test scale, quadratic in cluster size; the
+    Spark path is rounds-of-joins bounded by graph diameter."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    cands = a.join(
+        b, (F.col("_sa") == F.col("_sb")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    edges = ngram_jaccard_pairs(cands, docs, "doc_id", "text", n=3).filter(
+        F.col("jaccard") >= 0.5
+    )
+    return connected_components(edges)

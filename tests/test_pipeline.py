@@ -153,3 +153,40 @@ def test_keep_representatives_drops_losers(spark):
     )
     out = keep_representatives(df, pairs, "doc_id")
     assert sorted(r.doc_id for r in out.collect()) == [0, 1, 2, 5]
+
+
+def test_connected_components_chain_and_survivors(spark):
+    """a-b, b-c, and isolated d-e: closure must collapse {1,2,3} and
+    {7,8} with min-id labels; survivors keep exactly one doc per
+    cluster plus untouched rows."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        connected_components,
+        dedup_survivors_transitive,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a BIGINT, id_b BIGINT"
+    )
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in (1, 2, 3, 5, 7, 8)], "doc_id BIGINT, text STRING"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_survivors_transitive(docs, edges, "doc_id").collect()
+    )
+    assert kept == [1, 5, 7]
+
+
+def test_connected_components_converges_on_cycle(spark):
+    """A cycle (diameter > 1 with no tree structure) still converges to
+    the single min label."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import connected_components
+
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 10)], "id_a BIGINT, id_b BIGINT"
+    )
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comp == {10: 10, 11: 10, 12: 10}
