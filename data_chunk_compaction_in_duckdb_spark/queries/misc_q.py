@@ -241,3 +241,30 @@ def scan_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity", "l_returnflag", "l_shipdate"
     )
     return summarize(li)
+
+
+@query(
+    "type_time_micros",
+    oracle="""
+    SELECT event_id,
+           CAST(datediff('microsecond', date_trunc('day', ts), ts) AS BIGINT)
+             AS t_us,
+           strftime(ts, '%H:%M:%S') AS t_text
+    FROM events
+    WHERE event_id < 50
+    """,
+)
+def type_time_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME type mapping (SURVEY.md §1.2: no native Spark TIME →
+    micros-since-midnight BIGINT + text form).  Exact integer
+    arithmetic on the timestamp's µs value."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 50)
+    secs = (
+        F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+    ).cast("long")
+    micros_of_day = secs * 1_000_000 + F.date_format("ts", "SSSSSS").cast("long")
+    return ev.select(
+        "event_id",
+        micros_of_day.alias("t_us"),
+        F.date_format("ts", "HH:mm:ss").alias("t_text"),
+    )
