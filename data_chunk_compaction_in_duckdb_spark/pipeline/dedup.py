@@ -171,23 +171,38 @@ def ngram_jaccard_pairs(
     id_col: str,
     text_col: str,
     n: int = 3,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate (id_a, id_b) pairs — the
     verification stage after LSH.  Shingle sets are joined in (two
-    broadcast-able joins), Jaccard computed with array built-ins."""
+    broadcast-able joins), Jaccard computed with array built-ins.
+
+    With ``min_jaccard`` set, pairs are also filtered to that threshold
+    — and, before the expensive intersection, pruned by the exact upper
+    bound jaccard ≤ min(|A|,|B|)/max(|A|,|B|) using only the (already
+    materialized) set sizes.  At a 0.5 threshold this typically discards
+    most of a blocked candidate set for the cost of two ints."""
     sh = docs.select(
         F.col(id_col), char_shingles_expr(text_col, n).alias("_sh")
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"))
     joined = candidates.join(a, "id_a").join(b, "id_b")
+    if min_jaccard is not None:
+        la, lb = F.size("_sha"), F.size("_shb")
+        joined = joined.filter(
+            F.least(la, lb).cast("double") / F.greatest(la, lb) >= min_jaccard
+        )
     inter = F.size(F.array_intersect("_sha", "_shb"))
     union = F.size(F.array_union("_sha", "_shb"))
-    return joined.select(
+    out = joined.select(
         "id_a",
         "id_b",
         (inter.cast("double") / union).alias("jaccard"),
     )
+    if min_jaccard is not None:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
 
 
 def simhash(

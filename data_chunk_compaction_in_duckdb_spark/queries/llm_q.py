@@ -6,7 +6,7 @@ SQL-expressible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_chunk_compaction_in_duckdb_spark.catalog import load_table
@@ -407,7 +407,111 @@ def dedup_components_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = a.join(
         b, (F.col("_sa") == F.col("_sb")) & (F.col("id_a") < F.col("id_b"))
     ).select("id_a", "id_b")
-    edges = ngram_jaccard_pairs(cands, docs, "doc_id", "text", n=3).filter(
-        F.col("jaccard") >= 0.5
+    edges = ngram_jaccard_pairs(
+        cands, docs, "doc_id", "text", n=3, min_jaccard=0.5
     )
     return connected_components(edges)
+
+
+@query(
+    "pipeline_curate_corpus",
+    oracle="""
+    WITH RECURSIVE filt AS (
+      SELECT doc_id, source, text,
+             substr(md5(regexp_replace(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                        '[^\\w ]', '', 'g')), 1, 16) AS fp
+      FROM documents
+      WHERE lang = 'en' AND length(text) >= 30
+    ),
+    exact AS (
+      SELECT doc_id, source, text FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM filt) t
+      WHERE rn = 1
+    ),
+    sh AS (SELECT doc_id, source,
+                  list_distinct(list_transform(
+                    generate_series(1, GREATEST(length(text) - 2, 1)),
+                    i -> substr(text, i, 3))) AS sh
+           FROM exact),
+    edges AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+      SELECT s, s AS r FROM sym
+      UNION
+      SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.s
+    ),
+    comp AS (SELECT s AS id, MIN(r) AS component FROM reach GROUP BY s),
+    final AS (
+      SELECT e.* FROM exact e
+      LEFT JOIN (SELECT id FROM comp WHERE id <> component) l ON e.doc_id = l.id
+      WHERE l.id IS NULL
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+             AS total_ws_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM final GROUP BY source
+    """,
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data curation pipeline, end-to-end in one plan:
+    language + length gate → exact dedup (normalized-text fingerprint,
+    min-id survivor) → near-dedup transitive closure (3-gram Jaccard ≥
+    0.5, same-source blocking, connected components) → per-source corpus
+    stats.  Every stage is the scale path: fingerprint dedup is one
+    hash-partitioned window, candidate generation is blocked to the
+    source partition, closure rounds are bounded by cluster diameter."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from data_chunk_compaction_in_duckdb_spark.pipeline.text import (
+        text_fingerprint,
+        token_counts,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("lang") == "en") & (F.length("text") >= 30))
+        .select("doc_id", "source", "text")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    exact = (
+        docs.withColumn("fp", text_fingerprint("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "text")
+        .persist()  # referenced 4× (both pair sides, shingles, final)
+    )
+    a = exact.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    b = exact.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    cands = a.join(
+        b, (F.col("_sa") == F.col("_sb")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    edges = ngram_jaccard_pairs(
+        cands, exact, "doc_id", "text", n=3, min_jaccard=0.5
+    )
+    comp = connected_components(edges)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    final = exact.join(losers, "doc_id", "left_anti")
+    toks = token_counts("text")
+    return final.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks["ws_tokens"]).alias("total_ws_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
