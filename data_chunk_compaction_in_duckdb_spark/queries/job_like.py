@@ -82,3 +82,79 @@ def job_like_deep_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_custs"),
         )
     )
+
+
+@query(
+    "job_like_late_filter_chain",
+    oracle=f"""
+    SELECT r_name, o_orderpriority,
+           COUNT(*) AS n, {_REV_SQL} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE l_extendedprice * (1 - l_discount) > 9.5 * l_quantity * 100
+    GROUP BY r_name, o_orderpriority
+    """,
+)
+def job_like_late_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain join with a cross-column predicate that cannot be pushed
+    into any single scan — the intermediate stays full-width until the
+    filter, the worst chunk-fragmentation case the reference's
+    compaction targets (CompactingPhysicalOperator,
+    physical_operator.hpp:221-245).  In Spark the analog is AQE
+    coalescing the post-filter partitions before the final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            > 9.5 * F.col("l_quantity") * 100
+        )
+        .groupBy("r_name", "o_orderpriority")
+        .agg(F.count("*").alias("n"), _rev().alias("revenue"))
+    )
+
+
+@query(
+    "job_like_funnel_self_join",
+    oracle="""
+    SELECT s.user_id, COUNT(*) AS n_conversions,
+           CAST(MIN(datediff('second', s.ts, p.ts)) AS BIGINT) AS fastest_sec
+    FROM events s
+    JOIN events p ON s.user_id = p.user_id
+                 AND s.event_type = 'signup' AND p.event_type = 'purchase'
+                 AND p.ts > s.ts
+    GROUP BY s.user_id
+    """,
+)
+def job_like_funnel_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-table two-role join (the JOB pattern of one table under
+    several aliases) as a signup→purchase funnel: equi-join on user plus
+    a range predicate on time.  One shuffle on user_id serves the join
+    and the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id"), F.col("ts").alias("s_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        s.join(p, (s.user_id == p.p_user) & (p.p_ts > s.s_ts))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.min(
+                (F.unix_timestamp("p_ts") - F.unix_timestamp("s_ts")).cast("long")
+            ).alias("fastest_sec"),
+        )
+    )

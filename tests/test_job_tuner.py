@@ -45,3 +45,20 @@ def test_run_stage_tuned_learns(spark, sf_dir):
     bandit = tuner._bandit("recurring_etl")
     assert sum(s.pulls for s in bandit._states.values()) == 6
     assert tuner.best("recurring_etl") in (1_000, 10_000, 100_000)
+
+
+def test_job_late_filter_chain_matches_oracle(spark, duck, sf_dir):
+    assert_query_matches_oracle(spark, duck, sf_dir, "job_like_late_filter_chain")
+
+
+def test_job_funnel_self_join_matches_oracle(spark, duck, sf_dir):
+    assert_query_matches_oracle(spark, duck, sf_dir, "job_like_funnel_self_join")
+
+
+def test_funnel_single_shuffle(spark, sf_dir):
+    """Join and aggregate must share the user_id hash partitioning."""
+    from data_chunk_compaction_in_duckdb_spark.plans import count_exchanges
+    from data_chunk_compaction_in_duckdb_spark.queries import REGISTRY
+
+    df = REGISTRY["job_like_funnel_self_join"].builder(spark, sf_dir)
+    assert count_exchanges(df) <= 2
