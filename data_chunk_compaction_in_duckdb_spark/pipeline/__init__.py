@@ -27,6 +27,7 @@ from data_chunk_compaction_in_duckdb_spark.pipeline.dedup import (  # noqa: F401
 )
 from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (  # noqa: F401
     cosine_similarity,
+    ivf_ann_topk,
     lsh_ann_topk,
     topk_similar,
 )

@@ -211,3 +211,88 @@ def lsh_ann_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def _centroid(dim: int, idx: int) -> list[float]:
+    """Deterministic pseudo-random centroid direction (md5-derived,
+    reproducible everywhere — same scheme as _hyperplane)."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"ivf:{idx}:{i}".encode()).hexdigest()[:8]
+        out.append((int(h, 16) / 2**31) - 1.0)
+    return out
+
+
+def _nearest_clusters(vec_col: str, dim: int, n_clusters: int) -> Column:
+    """Array of cluster ids ordered by descending dot(v, centroid) —
+    one fixed linear-algebra expression, JVM-side, no shuffle."""
+    scored = []
+    for cidx in range(n_clusters):
+        cen = F.array(*[F.lit(v) for v in _centroid(dim, cidx)])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), cen, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored.append(F.struct(dot.alias("dot"), F.lit(cidx).alias("idx")))
+    ranked = F.sort_array(F.array(*scored), asc=False)
+    return F.transform(ranked, lambda s: s.idx)
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    query_id_col: str | None = None,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN (the other scale path next to lsh_ann_topk):
+    partition the corpus into ``n_clusters`` Voronoi cells of fixed
+    deterministic centroid directions; each query probes only its
+    ``n_probe`` nearest cells; exact cosine re-ranks the candidates.
+
+    Corpus-side cost: ONE pass to assign cells (no shuffle — the cell id
+    is a narrow column), then an equi-join on cell id with the broadcast
+    query probes.  At 100 TB the cell assignment is the partition prune:
+    a corpus bucketed/partitioned by `_cell` on disk turns every query
+    into an n_probe/n_clusters fraction scan.  Deterministic centroids
+    trade recall for reproducibility (a trained k-means would drift
+    between runs); recall vs brute force is pinned by test."""
+    qid = query_id_col or id_col
+    cb = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("_cv"),
+        _nearest_clusters(vec_col, dim, n_clusters)[0].alias("_cell"),
+    )
+    qb = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            F.slice(_nearest_clusters(vec_col, dim, n_clusters), 1, n_probe)
+        ).alias("_cell"),
+    )
+    cands = (
+        cb.join(F.broadcast(qb), "_cell")
+        .drop("_cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .dropDuplicates(["query_id", "match_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "match_id",
+        cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

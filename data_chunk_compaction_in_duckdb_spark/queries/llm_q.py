@@ -515,3 +515,20 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@query("sim_ann_ivf_topk")  # approximate by design → rows-only driver check
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k — the partition-prune scale path
+    (each query scans n_probe/n_clusters of the corpus).  Recall vs
+    brute force is asserted in tests/test_pipeline.py."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    out = ivf_ann_topk(
+        emb, queries, "vec_id", "embedding", dim=64, k=5, n_clusters=16, n_probe=6
+    )
+    return out.select(
+        "query_id", "match_id", F.round("cosine", 4).alias("cosine")
+    )

@@ -190,3 +190,22 @@ def test_connected_components_converges_on_cycle(spark):
     )
     comp = {r.id: r.component for r in connected_components(edges).collect()}
     assert comp == {10: 10, 11: 10, 12: 10}
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        ivf_ann_topk,
+        topk_similar,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = topk_similar(emb, queries, "vec_id", "embedding", k=5)
+    approx = ivf_ann_topk(
+        emb, queries, "vec_id", "embedding", dim=64, k=5, n_clusters=16, n_probe=6
+    )
+    e = {(r.query_id, r.match_id) for r in exact.collect()}
+    a = {(r.query_id, r.match_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
