@@ -155,3 +155,37 @@ def microbench_chained_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS TIMESTAMP) AS c_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS a_day
+      FROM events
+    )
+    SELECT c_day, CAST(datediff('day', c_day, a_day) AS BIGINT) AS offset_days,
+           COUNT(*) AS n_users
+    FROM activity JOIN cohort USING (user_id)
+    GROUP BY c_day, datediff('day', c_day, a_day)
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each later active day.  Both aggregates and the join hash on
+    user_id — one partitioning serves the cohort min, the activity
+    distinct, and the join; only the final small matrix regroups."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("c_day"))
+    activity = ev.distinct().withColumnRenamed("day", "a_day")
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy("c_day", F.datediff("a_day", "c_day").cast("long").alias("offset_days"))
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -119,3 +119,42 @@ def test_quantile_disc_returns_data_element_at_rank(spark, vals, q):
     assert len(out) == 1
     expected = sorted(vals)[max(1, math.ceil(q * len(vals))) - 1]
     assert out[0].quantile_disc == expected
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_slow
+def test_connected_components_matches_union_find(spark, edges):
+    from data_chunk_compaction_in_duckdb_spark.pipeline import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    verts = {v for e in edges for v in e}
+    expected = {}
+    roots = {v: find(v) for v in verts}
+    mins = {}
+    for v in verts:
+        r = roots[v]
+        mins[r] = min(mins.get(r, v), v)
+    expected = {v: mins[roots[v]] for v in verts}
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a BIGINT, id_b BIGINT"
+    )
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert got == expected
