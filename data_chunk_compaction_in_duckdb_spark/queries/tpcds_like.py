@@ -11,6 +11,9 @@ patterns absent from the TPC-H set, adapted to the fixture tables:
   qualification.
 - q93 shape: conditional +/- adjustment aggregation (returns offsetting
   sales).
+- q67 shape: window rank OVER a ROLLUP's output (grouped and total rows
+  rank in separate frames).
+- q51 shape: two per-key cumulative series aligned by FULL OUTER join.
 
 Money/value sums use the exact integer-cents scheme from relational.py
 so hashes match DuckDB bit-for-bit.
@@ -196,4 +199,116 @@ def tpcds_q93_conditional_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
         .filter(F.col("n_lines") >= 5)
+    )
+
+
+@query(
+    "tpcds_q67_rank_over_rollup",
+    oracle="""
+    SELECT * FROM (
+      SELECT p_brand, o_orderpriority,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_c,
+             CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+             RANK() OVER (
+               PARTITION BY p_brand, GROUPING(o_orderpriority)
+               ORDER BY SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) DESC,
+                        o_orderpriority NULLS FIRST
+             ) AS rk
+      FROM lineitem
+      JOIN part   ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE p_size <= 8
+      GROUP BY ROLLUP (p_brand, o_orderpriority)
+    ) t
+    WHERE rk <= 3 AND p_brand IS NOT NULL
+    """,
+)
+def tpcds_q67_rank_over_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q67 shape: window rank computed OVER the output of a ROLLUP —
+    the grouped and total rows rank in separate frames (partition
+    includes GROUPING()).  Exercises the aggregate→window pipeline with
+    null-extended grouping keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 8)
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    qty_c = F.sum(_cents("l_quantity"))
+    rolled = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .rollup("p_brand", "o_orderpriority")
+        .agg(
+            qty_c.alias("qty_c"),
+            F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+        )
+    )
+    w = W.partitionBy("p_brand", "g_pri").orderBy(
+        F.col("qty_c").desc(), F.col("o_orderpriority").asc_nulls_first()
+    )
+    return (
+        rolled.withColumn("rk", F.rank().over(w))
+        .filter((F.col("rk") <= 3) & F.col("p_brand").isNotNull())
+    )
+
+
+@query(
+    "tpcds_q51_cumulative_full_outer",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey AS k, CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
+             SUM(COUNT(*)) OVER (PARTITION BY o_custkey
+                                 ORDER BY date_trunc('day', o_orderdate)) AS cum_orders
+      FROM orders WHERE o_custkey < 60 GROUP BY o_custkey, date_trunc('day', o_orderdate)
+    ),
+    e AS (
+      SELECT user_id AS k, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+             SUM(COUNT(*)) OVER (PARTITION BY user_id
+                                 ORDER BY date_trunc('day', ts)) AS cum_events
+      FROM events WHERE user_id < 60 GROUP BY user_id, date_trunc('day', ts)
+    )
+    SELECT COALESCE(c.k, e.k) AS k, COALESCE(c.d, e.d) AS d,
+           c.cum_orders AS cum_orders, e.cum_events AS cum_events
+    FROM c FULL OUTER JOIN e ON c.k = e.k AND c.d = e.d
+    """,
+)
+def tpcds_q51_cumulative_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q51 shape: two per-key cumulative (running-total) series aligned
+    by FULL OUTER join — window-over-aggregate on both sides, then the
+    outer join preserves days present in only one series."""
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 60)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    c = (
+        orders.groupBy(
+            F.col("o_custkey").alias("ck"),
+            F.date_trunc("day", "o_orderdate").alias("cd"),
+        )
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "cum_orders",
+            F.sum("n").over(W.partitionBy("ck").orderBy("cd")),
+        )
+        .drop("n")
+    )
+    e = (
+        ev.groupBy(
+            F.col("user_id").alias("ek"), F.date_trunc("day", "ts").alias("ed")
+        )
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "cum_events",
+            F.sum("n").over(W.partitionBy("ek").orderBy("ed")),
+        )
+        .drop("n")
+    )
+    return c.join(
+        e, (c.ck == e.ek) & (c.cd == e.ed), "full_outer"
+    ).select(
+        F.coalesce("ck", "ek").alias("k"),
+        F.coalesce("cd", "ed").alias("d"),
+        "cum_orders",
+        "cum_events",
     )
