@@ -46,3 +46,7 @@ from data_chunk_compaction_in_duckdb_spark.pipeline.components import (  # noqa:
     connected_components,
     dedup_survivors_transitive,
 )
+from data_chunk_compaction_in_duckdb_spark.pipeline.mixing import (  # noqa: F401
+    mix_weighted_sources,
+    select_within_token_budget,
+)

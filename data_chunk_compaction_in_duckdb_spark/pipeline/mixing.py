@@ -1,0 +1,66 @@
+"""Corpus mixing & budgeted selection — the data-weighting stage of a
+training-data pipeline (domain reweighting, token budgets).  Both ops
+are pure narrow/window transformations: mixing is a per-row hash
+threshold (no shuffle at all), budgeting is one window per source.
+
+Determinism: sampling decisions derive from the portable md5 32-bit
+hash (functions/portable_hash.py), so the same row set is selected on
+every engine and every run — reproducible corpus builds, and the DuckDB
+oracle replays the identical selection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_chunk_compaction_in_duckdb_spark.functions.portable_hash import (
+    hash32_expr,
+)
+
+_DENOM = 10_000
+
+
+def mix_weighted_sources(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    key: str = "mix",
+) -> DataFrame:
+    """Keep each row with probability ``rates[source]`` (0..1), decided
+    by a deterministic per-id hash — stratified domain reweighting.
+    Rows of unlisted sources keep ``default_rate``.  Scale: a narrow
+    filter, no shuffle, no state; rates are a broadcast literal map."""
+    pairs: list[Column] = []
+    for s, r in rates.items():
+        pairs += [F.lit(s), F.lit(int(round(r * _DENOM)))]
+    rate_map = F.create_map(*pairs)
+    thresh = F.coalesce(
+        rate_map[F.col(source_col)],
+        F.lit(int(round(default_rate * _DENOM))),
+    )
+    h = hash32_expr(f"CAST({id_col} AS STRING)", key=key)
+    return df.filter(h % _DENOM < thresh)
+
+
+def select_within_token_budget(
+    df: DataFrame,
+    source_col: str,
+    tokens_col: str,
+    order_by: list[Column],
+    budget_per_source: int,
+) -> DataFrame:
+    """Per-source greedy selection under a token budget: rows are taken
+    in ``order_by`` order (best first) while the running token total
+    stays within ``budget_per_source``.  One window per source — the
+    canonical 'fill each domain's budget with its best documents' step."""
+    w = Window.partitionBy(source_col).orderBy(*order_by)
+    return (
+        df.withColumn("_cum", F.sum(tokens_col).over(w))
+        .filter(F.col("_cum") <= budget_per_source)
+        .drop("_cum")
+    )

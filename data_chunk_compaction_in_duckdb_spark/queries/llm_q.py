@@ -532,3 +532,80 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "match_id", F.round("cosine", 4).alias("cosine")
     )
+
+
+def _mix_hash_oracle() -> str:
+    from data_chunk_compaction_in_duckdb_spark.functions.portable_hash import (
+        hash32_sql,
+    )
+
+    return hash32_sql("CAST(doc_id AS VARCHAR)", key="mix")
+
+
+@query(
+    "mix_weighted_sources",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM documents
+    WHERE ({_mix_hash_oracle()}) % 10000 <
+          CASE WHEN source LIKE 'source_1%' THEN 8000
+               WHEN source LIKE 'source_2%' THEN 2500
+               ELSE 500 END
+    GROUP BY source
+    """,
+)
+def mix_weighted_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain reweighting: per-source keep rates decided by the portable
+    per-id hash — deterministic, shuffle-free, oracle-replayed.  The
+    summary per source shows the realized mixture."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import mix_weighted_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    sources = [r.source for r in docs.select("source").distinct().collect()]
+    rates = {
+        s: 0.8 if s.startswith("source_1") else (0.25 if s.startswith("source_2") else 0.05)
+        for s in sources
+    }
+    kept = mix_weighted_sources(docs, "doc_id", "source", rates)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
+@query(
+    "select_token_budget",
+    oracle="""
+    SELECT doc_id, source, ws_tokens
+    FROM (
+      SELECT doc_id, source, ws_tokens,
+             SUM(ws_tokens) OVER (PARTITION BY source
+                                  ORDER BY ws_tokens DESC, doc_id) AS cum
+      FROM (
+        SELECT doc_id, source,
+               len(string_split_regex(trim(text), '\\s+')) AS ws_tokens
+        FROM documents
+      ) t
+    ) s
+    WHERE cum <= 500
+    """,
+)
+def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: fill each source's 500-token budget with
+    its longest documents first (running window sum, one shuffle)."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        select_within_token_budget,
+    )
+    from data_chunk_compaction_in_duckdb_spark.pipeline.text import token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", token_counts("text")["ws_tokens"].alias("ws_tokens")
+    )
+    return select_within_token_budget(
+        toks,
+        "source",
+        "ws_tokens",
+        [F.col("ws_tokens").desc(), F.col("doc_id")],
+        budget_per_source=500,
+    )

@@ -209,3 +209,30 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     a = {(r.query_id, r.match_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_mixing_queries_match_oracle(spark, duck, sf_dir):
+    assert_query_matches_oracle(spark, duck, sf_dir, "mix_weighted_sources")
+    assert_query_matches_oracle(spark, duck, sf_dir, "select_token_budget")
+
+
+def test_mix_rates_and_budget_semantics(spark):
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        mix_weighted_sources,
+        select_within_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", 100) for i in range(1000)],
+        "doc_id BIGINT, source STRING, toks INT",
+    )
+    kept = mix_weighted_sources(df, "doc_id", "source", {"a": 1.0, "b": 0.0})
+    srcs = {r.source for r in kept.select("source").distinct().collect()}
+    assert srcs == {"a"}  # rate 1.0 keeps all, rate 0.0 keeps none
+    assert kept.count() == 500
+
+    sel = select_within_token_budget(
+        df, "source", "toks", [F.col("doc_id")], budget_per_source=350
+    )
+    per = {r.source: r.n for r in sel.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {"a": 3, "b": 3}  # 3×100 ≤ 350 < 4×100
