@@ -38,6 +38,7 @@ from data_chunk_compaction_in_duckdb_spark.pipeline.text import (  # noqa: F401
     token_counts,
 )
 from data_chunk_compaction_in_duckdb_spark.pipeline.multimodal import (  # noqa: F401
+    audio_chunk,
     decode_features,
     frame_sample,
     with_binary_payload,

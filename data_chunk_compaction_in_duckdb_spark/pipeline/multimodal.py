@@ -132,3 +132,44 @@ def frame_sample(
             ).alias("frame_bytes"),
         )
     )
+
+
+def audio_chunk(
+    media: DataFrame,
+    chunk_bytes: int = 64,
+    hop_bytes: int = 32,
+) -> DataFrame:
+    """Audio-style overlapped windowing: the payload is treated as a PCM
+    stream cut into ``chunk_bytes`` windows advancing by ``hop_bytes``
+    (hop < chunk ⇒ overlap, the standard feature-extraction framing).
+    JVM-side sequence/explode + binary substring; chunk count is derived
+    from metadata so the payload bytes never copy for skipped media."""
+    n_hops = (
+        F.floor(
+            (F.col("meta.n_bytes") - F.lit(chunk_bytes)) / F.lit(hop_bytes)
+        ).cast("int")
+        + 1
+    )
+    return (
+        media.filter(
+            (F.col("meta.mime") == "audio/wav")
+            & (F.col("meta.n_bytes") >= chunk_bytes)
+        )
+        .select(
+            "media_id",
+            n_hops.alias("n_chunks"),
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(n_hops - 1, F.lit(0)))
+            ).alias("chunk_idx"),
+            F.col("content"),
+        )
+        .select(
+            "media_id",
+            "n_chunks",
+            "chunk_idx",
+            (F.col("chunk_idx") * hop_bytes).alias("start_byte"),
+            F.substring(
+                F.col("content"), F.col("chunk_idx") * hop_bytes + 1, chunk_bytes
+            ).alias("chunk"),
+        )
+    )

@@ -609,3 +609,43 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("ws_tokens").desc(), F.col("doc_id")],
         budget_per_source=500,
     )
+
+
+@query(
+    "multimodal_audio_chunks",
+    oracle="""
+    SELECT media_id, n_chunks, chunk_idx,
+           chunk_idx * 32 AS start_byte,
+           md5(substring(hex(content), chunk_idx * 64 + 1, 128)) AS chunk_md5
+    FROM (
+      SELECT media_id, content, n_chunks,
+             UNNEST(generate_series(0, GREATEST(n_chunks - 1, 0))) AS chunk_idx
+      FROM (
+        SELECT doc_id AS media_id, encode(text) AS content,
+               CAST(FLOOR((octet_length(encode(text)) - 64) / 32.0) AS INT) + 1
+                 AS n_chunks
+        FROM documents
+        WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 64
+      ) t
+    ) u
+    """,
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style overlapped chunking (64-byte windows, 32-byte hop)
+    over the binary payload; the md5 of each window's hex rendering
+    proves the byte slicing is identical to the oracle's (DuckDB cannot
+    slice BLOBs, so both sides hash the hex string)."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        audio_chunk,
+        with_binary_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = audio_chunk(with_binary_payload(docs), chunk_bytes=64, hop_bytes=32)
+    return out.select(
+        "media_id",
+        "n_chunks",
+        "chunk_idx",
+        "start_byte",
+        F.md5(F.hex("chunk")).alias("chunk_md5"),
+    )
