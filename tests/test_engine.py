@@ -37,3 +37,30 @@ def test_engine_compaction_hooks(spark, sf_dir):
     assert hist.n_partitions == 16
     out = eng.compact(li, target_rows=10_000)
     assert out.rdd.getNumPartitions() <= 16
+
+
+def test_engine_create_function_and_table_function(spark, sf_dir):
+    """Connection::CreateScalarFunction analog: register vectorized and
+    row UDFs, call from SQL; expose a DataFrame as a named relation."""
+    import pandas as pd
+
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+
+    def double_it(s: pd.Series) -> pd.Series:
+        return s * 2
+
+    eng.create_function("double_it", double_it, "double")
+    out = eng.sql(
+        "SELECT l_quantity, double_it(l_quantity) AS d FROM lineitem LIMIT 20"
+    ).collect()
+    assert all(abs(r.d - 2 * r.l_quantity) < 1e-9 for r in out)
+
+    eng.create_function("shout", lambda s: (s or "") + "!", "string", vectorized=False)
+    r = eng.sql("SELECT shout(n_name) AS x FROM nation LIMIT 1").collect()[0]
+    assert r.x.endswith("!")
+
+    top = eng.table("nation").limit(3)
+    eng.create_table_function("nation_top3", top)
+    assert eng.sql("SELECT COUNT(*) AS n FROM nation_top3").collect()[0].n == 3
