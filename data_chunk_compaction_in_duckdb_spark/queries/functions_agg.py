@@ -50,13 +50,20 @@ def agg_stats_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
            regr_count(l_extendedprice, l_quantity) AS n,
            ROUND(regr_avgx(l_extendedprice, l_quantity), 6) AS ax,
-           ROUND(regr_avgy(l_extendedprice, l_quantity), 4) AS ay
+           ROUND(regr_avgy(l_extendedprice, l_quantity), 4) AS ay,
+           ROUND(regr_sxx(l_extendedprice, l_quantity) / 1000.0, 4) AS sxx_k,
+           ROUND(regr_syy(l_extendedprice, l_quantity) / 1e9, 4) AS syy_g,
+           ROUND(regr_sxy(l_extendedprice, l_quantity) / 1e6, 4) AS sxy_m
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """corr/covar/regr_* (aggregate/regression, function_list.cpp:269-277)."""
+    """corr/covar/regr_* — all 9 regression aggregates
+    (aggregate/regression, function_list.cpp:269-277).  The raw sxx/syy/
+    sxy sums are display-scaled before rounding: summation-order noise on
+    the ~1e14 raw values exceeds 1e-4, so rounding the scaled value is
+    the engine-stable comparison."""
     li = load_table(spark, sf_dir, "lineitem")
     y, x = F.col("l_extendedprice"), F.col("l_quantity")
     return li.groupBy("l_returnflag").agg(
@@ -69,6 +76,9 @@ def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regr_count(y, x).alias("n"),
         F.round(F.regr_avgx(y, x), 6).alias("ax"),
         F.round(F.regr_avgy(y, x), 4).alias("ay"),
+        F.round(F.regr_sxx(y, x) / 1000.0, 4).alias("sxx_k"),
+        F.round(F.regr_syy(y, x) / 1e9, 4).alias("syy_g"),
+        F.round(F.regr_sxy(y, x) / 1e6, 4).alias("sxy_m"),
     )
 
 
