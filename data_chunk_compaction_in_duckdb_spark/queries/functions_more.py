@@ -161,3 +161,36 @@ def agg_bitstring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_q", F.floor("l_quantity").cast("long")
     )
     return bitstring_agg(li, "_q", ["l_returnflag"], 1, 50)
+
+
+@query(
+    "fn_datetime_parts_extended",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(decade(o_orderdate) AS BIGINT) AS dec,
+           CAST(century(o_orderdate) AS BIGINT) AS cent,
+           CAST(millennium(o_orderdate) AS BIGINT) AS mill,
+           CAST(epoch(o_orderdate) AS BIGINT) AS ep,
+           CAST(isoyear(o_orderdate) AS BIGINT) AS iso_y,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
+def fn_datetime_parts_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named date parts beyond year/month/day (date_part registry,
+    core_functions/scalar/date): decade/century/millennium computed as
+    expressions (Spark has no built-ins), epoch via TZ-free ntz timestampdiff,
+    ISO year/quarter/day-of-year native."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    y = F.year("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.floor(y / 10).cast("long").alias("dec"),
+        F.ceil(y / 100.0).cast("long").alias("cent"),
+        F.ceil(y / 1000.0).cast("long").alias("mill"),
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)").cast("long").alias("ep"),
+        F.expr("extract(yearofweek FROM o_orderdate)").cast("long").alias("iso_y"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+    )
