@@ -43,9 +43,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get("ts") == "bigint":
             # Integer div, not float /: DuckDB truncates ns→µs, and float
             # division rounds the microsecond up for some values.
+            # Build the NTZ value arithmetically (epoch + exact-decimal
+            # interval): timestamp_micros().cast(ntz) would render the
+            # instant in the SESSION timezone — correct only under UTC,
+            # shifted wall-clock under any other driver TZ.
             df = df.withColumn(
                 "ts",
-                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+                F.expr(
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval("
+                    "0, 0, 0, CAST(ts div 1000 AS DECIMAL(26,6)) / 1000000)"
+                ),
             )
     return df
 

@@ -174,3 +174,33 @@ def test_export_import_database(spark, sf_dir, tmp_path):
     assert back["nation"].count() == tables["nation"].count()
     ddl = open(f"{out}/schema.sql").read()
     assert "CREATE TABLE nation" in ddl and "n_nationkey int" in ddl
+
+
+def test_events_ts_is_session_tz_independent(spark, sf_dir, duck):
+    """The ns→µs NTZ conversion must yield the same wall-clock under any
+    session timezone (the driver's session TZ is unknown).  A cast-based
+    conversion renders the instant in session TZ — this pins the
+    arithmetic construction."""
+    from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+
+    expected = {
+        r[0]: r[1]
+        for r in duck.execute(
+            "SELECT event_id, CAST(ts AS TIMESTAMP) FROM events"
+            " WHERE event_id < 20 ORDER BY event_id"
+        ).fetchall()
+    }
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = {
+                r.event_id: r.ts
+                for r in load_table(spark, sf_dir, "events")
+                .filter(F.col("event_id") < 20)
+                .select("event_id", "ts")
+                .collect()
+            }
+            assert got == expected, f"wall-clock shifted under session TZ {tz}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
