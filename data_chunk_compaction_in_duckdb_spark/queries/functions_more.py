@@ -194,3 +194,45 @@ def fn_datetime_parts_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").cast("long").alias("q"),
         F.dayofyear("o_orderdate").cast("long").alias("doy"),
     )
+
+
+@query(
+    "fn_bit_ops",
+    oracle="""
+    SELECT p_partkey,
+           p_partkey & 2730 AS b_and,
+           p_partkey | 5 AS b_or,
+           xor(p_partkey, 170) AS b_xor,
+           p_partkey << 2 AS shl,
+           p_partkey >> 1 AS shr,
+           (p_partkey >> 4) & 1 AS bit4,
+           decode(unhex(hex(encode(p_name)))) AS hex_rt,
+           decode(from_base64(to_base64(encode(p_name)))) AS b64_rt,
+           ends_with(p_type, 'STEEL') AS is_steel,
+           unicode(p_name) AS first_cp
+    FROM part WHERE p_partkey <= 200
+    """,
+)
+def fn_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise-operator family (src/function/scalar/operators, get_bit via
+    shift-and-mask) plus blob round-trips hex/unhex, base64/from_base64
+    (core_functions/scalar/blob) and suffix/unicode
+    (src/function/scalar/string)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return part.select(
+        "p_partkey",
+        F.expr("p_partkey & 2730").alias("b_and"),
+        F.expr("p_partkey | 5").alias("b_or"),
+        F.expr("p_partkey ^ 170").alias("b_xor"),
+        F.shiftleft(F.col("p_partkey"), 2).alias("shl"),
+        F.shiftright(F.col("p_partkey"), 1).alias("shr"),
+        F.expr("getbit(p_partkey, 4)").cast("int").alias("bit4"),
+        F.expr("decode(unhex(hex(encode(p_name, 'UTF-8'))), 'UTF-8')").alias(
+            "hex_rt"
+        ),
+        F.expr(
+            "decode(unbase64(base64(encode(p_name, 'UTF-8'))), 'UTF-8')"
+        ).alias("b64_rt"),
+        F.expr("endswith(p_type, 'STEEL')").alias("is_steel"),
+        F.ascii("p_name").alias("first_cp"),
+    )
