@@ -158,3 +158,47 @@ def job_like_funnel_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fastest_sec"),
         )
     )
+
+
+@query(
+    "job_like_min_agg_star",
+    oracle="""
+    SELECT MIN(p_name) AS min_part, MIN(s_name) AS min_supp,
+           CAST(MIN(o_orderdate) AS DATE) AS min_date,
+           COUNT(*) AS n
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_type LIKE '%BRASS' AND o_orderpriority LIKE '1-%'
+      AND n_name LIKE 'U%' AND s_name NOT LIKE '%9%'
+    """,
+)
+def job_like_min_agg_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOB result shape: every IMDB/JOB query ends in MIN() over a
+    LIKE-filtered dimension star (benchmark/imdb_plan_cost/queries/*.sql).
+    The filtered dimensions shrink below the broadcast threshold, so the
+    plan is fact-scan + three broadcast hash joins + a single-row partial
+    aggregate — no fact-side shuffle at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type").like("%BRASS"))
+    s = load_table(spark, sf_dir, "supplier").filter(
+        ~F.col("s_name").like("%9%")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").like("1-%")
+    )
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").like("U%"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .agg(
+            F.min("p_name").alias("min_part"),
+            F.min("s_name").alias("min_supp"),
+            F.min(F.col("o_orderdate").cast("date")).alias("min_date"),
+            F.count("*").alias("n"),
+        )
+    )

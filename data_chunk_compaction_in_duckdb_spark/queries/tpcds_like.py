@@ -312,3 +312,59 @@ def tpcds_q51_cumulative_full_outer(spark: SparkSession, sf_dir: str) -> DataFra
         "cum_orders",
         "cum_events",
     )
+
+
+@query(
+    "tpcds_q1_returns_above_avg",
+    oracle="""
+    WITH ctr AS (
+      SELECT o_custkey AS cust, c_nationkey AS nat,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS total_c
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R'
+      GROUP BY o_custkey, c_nationkey
+    )
+    SELECT c_name, c1.total_c / 100.0 AS returned
+    FROM ctr c1 JOIN customer ON c1.cust = c_custkey
+    WHERE c1.total_c * 10
+          * (SELECT COUNT(*) FROM ctr c2 WHERE c2.nat = c1.nat)
+          > 12 * (SELECT SUM(total_c) FROM ctr c2 WHERE c2.nat = c1.nat)
+    ORDER BY c_name LIMIT 100
+    """,
+)
+def tpcds_q1_returns_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q1 shape: CTE of per-customer return totals, kept if above 1.2x the
+    per-nation average (correlated aggregate subquery), joined back to the
+    dimension for names.  Spark evaluates the correlated average as a
+    window sum/count over the nation partition — one shuffle of the small
+    CTE result instead of DuckDB's delim-join re-aggregation.  The
+    above-average test is cross-multiplied into pure integer arithmetic
+    (total*10*cnt > 12*sum) so both engines agree on boundary rows."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    ctr = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(F.sum(_cents("l_extendedprice")).alias("total_c"))
+    )
+    w = Window.partitionBy("c_nationkey")
+    qualified = (
+        ctr.withColumn("nat_sum", F.sum("total_c").over(w))
+        .withColumn("nat_cnt", F.count("*").over(w))
+        .filter(
+            F.col("total_c") * 10 * F.col("nat_cnt") > 12 * F.col("nat_sum")
+        )
+    )
+    return (
+        qualified.join(
+            c.select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_name", (F.col("total_c") / 100.0).alias("returned"))
+        .orderBy("c_name")
+        .limit(100)
+    )
