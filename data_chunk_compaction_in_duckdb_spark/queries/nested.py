@@ -191,3 +191,57 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.map_keys(m), ",").alias("m_keys"),
         )
     )
+
+
+@query(
+    "fn_map_extended",
+    oracle="""
+    SELECT n_nationkey,
+           array_to_string(map_values(
+             map_concat(map {'nation': n_name}, map {'region': r_name})), '|')
+             AS vals,
+           cardinality(
+             map_concat(map {'nation': n_name}, map {'region': r_name}))
+             AS sz,
+           array_to_string(list_transform(
+             map_entries(map_concat(map {'nation': n_name},
+                                    map {'region': r_name})),
+             e -> e.key || '=' || e.value), ',') AS ent,
+           element_at(map_from_entries(
+             map_entries(map {'nation': n_name, 'region': r_name})),
+             'region')[1] AS rt
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def fn_map_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function tail: map_concat, map_values, map_entries,
+    map_from_entries round-trip (core_functions/scalar/map) — entry
+    structs rendered as k=v strings so both engines compare as text."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    merged = F.map_concat(
+        F.create_map(F.lit("nation"), F.col("n_name")),
+        F.create_map(F.lit("region"), F.col("r_name")),
+    )
+    both = F.create_map(
+        F.lit("nation"), F.col("n_name"), F.lit("region"), F.col("r_name")
+    )
+    return (
+        nation.join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        ).select(
+            "n_nationkey",
+            F.array_join(F.map_values(merged), "|").alias("vals"),
+            F.size(merged).alias("sz"),
+            F.array_join(
+                F.transform(
+                    F.map_entries(merged),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                ),
+                ",",
+            ).alias("ent"),
+            F.element_at(
+                F.map_from_entries(F.map_entries(both)), "region"
+            ).alias("rt"),
+        )
+    )
