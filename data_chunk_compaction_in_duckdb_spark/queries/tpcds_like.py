@@ -368,3 +368,77 @@ def tpcds_q1_returns_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_name")
         .limit(100)
     )
+
+
+@query(
+    "tpcds_q11_yoy_growth",
+    oracle="""
+    WITH yt AS (
+      SELECT o_custkey AS cust, year(o_orderdate) AS yr,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'u' ELSE 's' END AS chan,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS tot_c
+      FROM orders
+      WHERE year(o_orderdate) IN (1995, 1996)
+      GROUP BY 1, 2, 3
+    )
+    SELECT u1.cust AS c_custkey,
+           u1.tot_c / 100.0 AS urgent_y1, u2.tot_c / 100.0 AS urgent_y2,
+           s1.tot_c / 100.0 AS std_y1,    s2.tot_c / 100.0 AS std_y2
+    FROM yt u1
+    JOIN yt u2 ON u1.cust = u2.cust
+    JOIN yt s1 ON u1.cust = s1.cust
+    JOIN yt s2 ON u1.cust = s2.cust
+    WHERE u1.yr = 1995 AND u1.chan = 'u'
+      AND u2.yr = 1996 AND u2.chan = 'u'
+      AND s1.yr = 1995 AND s1.chan = 's'
+      AND s2.yr = 1996 AND s2.chan = 's'
+      AND u1.tot_c > 0 AND s1.tot_c > 0
+      AND u2.tot_c * s1.tot_c > s2.tot_c * u1.tot_c
+    """,
+)
+def tpcds_q11_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11/q4 shape: customers whose year-over-year growth in one channel
+    beats the other channel.  The reference plans this as a 4-way
+    self-join of the per-customer-year CTE (one hash join per channel-year
+    role); here the four series are conditional sums in ONE groupBy — a
+    single shuffle of orders replaces four joins, the rewrite that matters
+    when the CTE is 100 TB-derived.  Growth ratios compare by integer
+    cross-multiplication (u2*s1 > s2*u1), never division, so boundary
+    rows agree with the oracle exactly."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    y = F.year("o_orderdate")
+
+    def chan_year(pred, yr):
+        return F.sum(
+            F.when(pred & (y == yr), _cents("o_totalprice")).otherwise(F.lit(0))
+        )
+
+    g = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        chan_year(urgent, 1995).alias("u1"),
+        chan_year(urgent, 1996).alias("u2"),
+        chan_year(~urgent, 1995).alias("s1"),
+        chan_year(~urgent, 1996).alias("s2"),
+        F.max(F.when(urgent & (y == 1995), 1).otherwise(0)).alias("has_u1"),
+        F.max(F.when(urgent & (y == 1996), 1).otherwise(0)).alias("has_u2"),
+        F.max(F.when(~urgent & (y == 1995), 1).otherwise(0)).alias("has_s1"),
+        F.max(F.when(~urgent & (y == 1996), 1).otherwise(0)).alias("has_s2"),
+    )
+    return (
+        g.filter(
+            (F.col("has_u1") == 1) & (F.col("has_u2") == 1)
+            & (F.col("has_s1") == 1) & (F.col("has_s2") == 1)
+            & (F.col("u1") > 0) & (F.col("s1") > 0)
+            & (F.col("u2") * F.col("s1") > F.col("s2") * F.col("u1"))
+        )
+        .select(
+            "c_custkey",
+            (F.col("u1") / 100.0).alias("urgent_y1"),
+            (F.col("u2") / 100.0).alias("urgent_y2"),
+            (F.col("s1") / 100.0).alias("std_y1"),
+            (F.col("s2") / 100.0).alias("std_y2"),
+        )
+    )
