@@ -1,0 +1,45 @@
+"""sqllogictest-subset files executed through spark.sql on the fixture
+views — the Spark-native mirror of the reference's primary test corpus
+(test/sql/*.test via sqllogic_parser.cpp, SURVEY.md §5)."""
+
+import glob
+import os
+
+import pytest
+
+from data_chunk_compaction_in_duckdb_spark.catalog import register_views
+from data_chunk_compaction_in_duckdb_spark.testing import parse_file, run_file
+
+HERE = os.path.dirname(__file__)
+TEST_FILES = sorted(glob.glob(os.path.join(HERE, "sqllogic", "*.test")))
+
+
+def test_corpus_present():
+    assert len(TEST_FILES) >= 4
+
+
+@pytest.mark.parametrize(
+    "path", TEST_FILES, ids=[os.path.basename(p) for p in TEST_FILES]
+)
+def test_sqllogic_file(spark, path):
+    register_views(spark, "/root/testdata/sf0.001")
+    n = run_file(spark, path)
+    assert n == len(parse_file(path))
+
+
+def test_parser_rejects_malformed(tmp_path):
+    bad = tmp_path / "bad.test"
+    bad.write_text("query I\nSELECT 1\n")  # no ---- separator
+    from data_chunk_compaction_in_duckdb_spark.testing import SqlLogicError
+
+    with pytest.raises(SqlLogicError):
+        parse_file(str(bad))
+
+
+def test_runner_detects_wrong_rows(spark, tmp_path):
+    f = tmp_path / "wrong.test"
+    f.write_text("query I\nSELECT 2\n----\n3\n")
+    from data_chunk_compaction_in_duckdb_spark.testing import SqlLogicError
+
+    with pytest.raises(SqlLogicError, match="1 rows vs 1 expected"):
+        run_file(spark, str(f))
