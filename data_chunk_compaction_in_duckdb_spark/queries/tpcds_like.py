@@ -442,3 +442,81 @@ def tpcds_q11_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s2") / 100.0).alias("std_y2"),
         )
     )
+
+
+@query(
+    "tpcds_q97_channel_overlap",
+    oracle="""
+    WITH urgent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ),
+    slow AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+    )
+    SELECT SUM(CASE WHEN u.o_custkey IS NOT NULL AND s.o_custkey IS NOT NULL
+                    THEN 1 ELSE 0 END) AS both_channels,
+           SUM(CASE WHEN u.o_custkey IS NOT NULL AND s.o_custkey IS NULL
+                    THEN 1 ELSE 0 END) AS urgent_only,
+           SUM(CASE WHEN u.o_custkey IS NULL AND s.o_custkey IS NOT NULL
+                    THEN 1 ELSE 0 END) AS slow_only
+    FROM urgent u FULL OUTER JOIN slow s ON u.o_custkey = s.o_custkey
+    """,
+)
+def tpcds_q97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q97 shape: FULL OUTER join of two distinct-customer channel sets,
+    counted into both/left-only/right-only buckets.  Both DISTINCT inputs
+    and the join share one hash partitioning on o_custkey, so AQE plans a
+    single exchange per side and the counts reduce map-side."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(F.col("o_custkey").alias("u_cust"))
+        .distinct()
+    )
+    slow = (
+        o.filter(F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW"))
+        .select(F.col("o_custkey").alias("s_cust"))
+        .distinct()
+    )
+    j = urgent.join(slow, urgent.u_cust == slow.s_cust, "full_outer")
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return j.agg(
+        F.sum(
+            flag(F.col("u_cust").isNotNull() & F.col("s_cust").isNotNull())
+        ).alias("both_channels"),
+        F.sum(
+            flag(F.col("u_cust").isNotNull() & F.col("s_cust").isNull())
+        ).alias("urgent_only"),
+        F.sum(
+            flag(F.col("u_cust").isNull() & F.col("s_cust").isNotNull())
+        ).alias("slow_only"),
+    )
+
+
+@query(
+    "tpcds_q38_intersect_channels",
+    oracle="""
+    SELECT COUNT(*) AS n_loyal FROM (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '3-MEDIUM'
+    ) t
+    """,
+)
+def tpcds_q38_intersect_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q38 shape: customers present in all three channels via chained
+    INTERSECT (planned as semi joins over distinct sets, the reference's
+    plan_set_operation.cpp:25-39 strategy), then counted."""
+    o = _t(spark, sf_dir, "orders")
+
+    def chan(p):
+        return o.filter(F.col("o_orderpriority") == p).select("o_custkey")
+
+    loyal = chan("1-URGENT").intersect(chan("2-HIGH")).intersect(
+        chan("3-MEDIUM")
+    )
+    return loyal.agg(F.count("*").alias("n_loyal"))
