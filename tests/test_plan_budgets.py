@@ -26,6 +26,11 @@ BUDGETS = {
     "compaction_filter_join_agg": 1,  # compact() may repartition post-filter
     "sim_topk_bruteforce": 1,
     "text_tokens_quality_fingerprint": 0,
+    "job_like_min_agg_star": 1,
+    "tpcds_q1_returns_above_avg": 2,  # agg shuffle + window on nation
+    "tpcds_q11_yoy_growth": 1,  # the 4-self-join rewrite's whole point
+    "tpcds_q38_intersect_channels": 2,  # INTERSECT chain reuses partitioning
+    "tpcds_q97_channel_overlap": 3,  # 2 distinct sides + final gather
 }
 
 
