@@ -17,6 +17,7 @@ from data_chunk_compaction_in_duckdb_spark.functions.scalar import (  # noqa: F4
     jaro_winkler,
     lcm_udf,
     lgamma_udf,
+    nextafter_udf,
 )
 from data_chunk_compaction_in_duckdb_spark.functions.aggregates import (  # noqa: F401
     bitstring_agg,

@@ -158,6 +158,16 @@ def _make_lgamma():
     return udf
 
 
+def _make_nextafter():
+    @F.pandas_udf(T.DoubleType())
+    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(np.nextafter(a.astype(float), b.astype(float)))
+
+    return udf
+
+
 def _make_gcd():
     @F.pandas_udf(T.LongType())
     def udf(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -197,4 +207,5 @@ jaro_winkler = _make_jaro_winkler()
 gamma_udf = _make_gamma()
 lgamma_udf = _make_lgamma()
 gcd_udf = _make_gcd()
+nextafter_udf = _make_nextafter()
 lcm_udf = _make_lcm()

@@ -236,3 +236,45 @@ def fn_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("endswith(p_type, 'STEEL')").alias("is_steel"),
         F.ascii("p_name").alias("first_cp"),
     )
+
+
+@query(
+    "fn_math_edge",
+    oracle="""
+    SELECT s_suppkey,
+           even(s_acctbal / 100) AS ev,
+           signbit(s_acctbal - 3000) AS sb,
+           ROUND(cot(1.0 + s_suppkey % 7), 10) AS ct,
+           isinf(CAST('Infinity' AS DOUBLE) * sign(1 + s_suppkey % 3))
+             AS is_inf,
+           isfinite(s_acctbal) AS is_fin,
+           nextafter(CAST(s_suppkey AS DOUBLE), 1e18) AS na
+    FROM supplier
+    """,
+)
+def fn_math_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-edge family (core_functions/scalar/math): even (round away
+    from zero to the next even integer — 2*ceil/floor(x/2) expression),
+    signbit (x<0: the fixture has no negative zero), cot, isinf/isfinite
+    via infinity literals, nextafter (numpy pandas UDF — bit-level float
+    stepping has no JVM builtin)."""
+    from data_chunk_compaction_in_duckdb_spark.functions import nextafter_udf
+
+    s = load_table(spark, sf_dir, "supplier")
+    x = F.col("s_acctbal") / 100
+    inf = F.lit(float("inf"))
+    return s.select(
+        "s_suppkey",
+        F.when(x >= 0, 2 * F.ceil(x / 2)).otherwise(2 * F.floor(x / 2))
+        .cast("double")
+        .alias("ev"),
+        (F.col("s_acctbal") - 3000 < 0).alias("sb"),
+        F.round(F.cot(1.0 + F.col("s_suppkey") % 7), 10).alias("ct"),
+        (
+            (inf * F.signum(1 + F.col("s_suppkey") % 3)) == inf
+        ).alias("is_inf"),
+        (~F.isnan("s_acctbal") & (F.abs("s_acctbal") != inf)).alias("is_fin"),
+        nextafter_udf(
+            F.col("s_suppkey").cast("double"), F.lit(1e18)
+        ).alias("na"),
+    )
