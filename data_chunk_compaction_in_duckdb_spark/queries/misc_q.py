@@ -268,3 +268,28 @@ def type_time_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
         micros_of_day.alias("t_us"),
         F.date_format("ts", "HH:mm:ss").alias("t_text"),
     )
+
+
+@query(
+    "scan_range_series",
+    oracle="""
+    SELECT CAST(range AS BIGINT) AS x,
+           CAST(range * range AS BIGINT) AS x_sq,
+           CAST(SUM(range) OVER (ORDER BY range) AS BIGINT) AS run
+    FROM range(0, 1000, 7)
+    """,
+)
+def scan_range_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range/generate_series table function (src/function/table/range.cpp,
+    the generator vector_compaction.cpp:103 builds tables from) =
+    spark.range — a parallel lazy source, no data file."""
+    from data_chunk_compaction_in_duckdb_spark.sources import range_source
+
+    from pyspark.sql import Window
+
+    r = range_source(spark, 0, 1000, 7).withColumnRenamed("id", "x")
+    return r.select(
+        "x",
+        (F.col("x") * F.col("x")).alias("x_sq"),
+        F.sum("x").over(Window.orderBy("x")).alias("run"),
+    )
