@@ -91,3 +91,42 @@ def copy_to_file(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     getattr(writer, fmt)(path)
+
+
+def attach_database(
+    spark: SparkSession, sf_dir: str, alias: str
+) -> dict[str, DataFrame]:
+    """ATTACH 'file' AS alias (reference schema DDL,
+    src/execution/operator/schema/) — register a second scale-factor
+    directory's tables under an alias prefix.
+
+    Spark temp views live in one flat namespace, so DuckDB's
+    `alias.table` becomes `{alias}_{table}` (the closest temp-view
+    analog; a warehouse-backed `CREATE DATABASE` would force a data
+    copy, which ATTACH never does).  Returns the attached DataFrames.
+    Tables that don't exist in `sf_dir` are skipped, mirroring ATTACH
+    of a partial database.
+    """
+    import os as _os
+
+    from data_chunk_compaction_in_duckdb_spark.catalog import TABLES, load_table
+
+    out: dict[str, DataFrame] = {}
+    for t in TABLES:
+        if not _os.path.exists(_os.path.join(sf_dir, f"{t}.parquet")):
+            continue
+        df = load_table(spark, sf_dir, t)
+        df.createOrReplaceTempView(f"{alias}_{t}")
+        out[f"{alias}_{t}"] = df
+    return out
+
+
+def detach_database(spark: SparkSession, alias: str) -> int:
+    """DETACH alias — drop every temp view registered under the prefix."""
+    from data_chunk_compaction_in_duckdb_spark.catalog import TABLES
+
+    n = 0
+    for t in TABLES:
+        if spark.catalog.dropTempView(f"{alias}_{t}"):
+            n += 1
+    return n

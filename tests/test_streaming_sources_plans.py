@@ -204,3 +204,28 @@ def test_events_ts_is_session_tz_independent(spark, sf_dir, duck):
             assert got == expected, f"wall-clock shifted under session TZ {tz}"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_attach_detach_database(spark, sf_dir):
+    """ATTACH a second SF directory under an alias prefix and join across
+    the two catalogs; DETACH removes exactly the attached views."""
+    from data_chunk_compaction_in_duckdb_spark.catalog import register_views
+    from data_chunk_compaction_in_duckdb_spark.sources import (
+        attach_database,
+        detach_database,
+    )
+
+    register_views(spark, sf_dir)
+    attached = attach_database(spark, "/root/testdata/sf0.001", "tiny")
+    assert "tiny_nation" in attached and "tiny_lineitem" in attached
+    cross = spark.sql(
+        """
+        SELECT n.n_name, t.n_name AS tiny_name
+        FROM nation n JOIN tiny_nation t ON n.n_nationkey = t.n_nationkey
+        """
+    )
+    assert cross.count() == 25
+    assert cross.filter("n_name <> tiny_name").count() == 0
+    n = detach_database(spark, "tiny")
+    assert n == len(attached)
+    assert not spark.catalog.tableExists("tiny_nation")
