@@ -329,3 +329,36 @@ def agg_first_last_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderkey", order_key).alias("last_key"),
         F.min("o_orderkey").alias("any_min"),
     )
+
+
+@query(
+    "agg_histogram_map",
+    oracle="""
+    SELECT l_returnflag,
+           array_to_string(list_sort(list_transform(
+             map_entries(histogram(l_linestatus)),
+             e -> e.key || ':' || e.value)), ',') AS hist
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_histogram_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram() as the reference returns it — a value→count MAP
+    (core_functions/aggregate/holistic) — rendered as sorted k:v text so
+    both engines compare exactly.  Spark shape: two-level aggregation
+    (value counts, then per-group map assembly); both levels share the
+    l_returnflag hash partitioning, and the first level's partial
+    aggregation does the heavy counting map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("_c")
+    )
+    return counts.groupBy("l_returnflag").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(
+                    F.concat_ws(":", "l_linestatus", "_c")
+                )
+            ),
+            ",",
+        ).alias("hist")
+    )
