@@ -344,10 +344,10 @@ def agg_first_last_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_histogram_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """histogram() as the reference returns it — a value→count MAP
     (core_functions/aggregate/holistic) — rendered as sorted k:v text so
-    both engines compare exactly.  Spark shape: two-level aggregation
-    (value counts, then per-group map assembly); both levels share the
-    l_returnflag hash partitioning, and the first level's partial
-    aggregation does the heavy counting map-side."""
+    both engines compare exactly.  Spark shape: two-level aggregation —
+    the first groupBy does the heavy counting with map-side partial
+    aggregation, so the second shuffle (map assembly) only moves the
+    distinct (group, value) pairs, which stay tiny at any data scale."""
     li = load_table(spark, sf_dir, "lineitem")
     counts = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("_c")
