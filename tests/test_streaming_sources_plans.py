@@ -229,3 +229,25 @@ def test_attach_detach_database(spark, sf_dir):
     n = detach_database(spark, "tiny")
     assert n == len(attached)
     assert not spark.catalog.tableExists("tiny_nation")
+
+
+def test_like_prefix_pushes_startswith(spark, sf_dir):
+    """LIKE 'A%' must reach the parquet scan as StringStartsWith — the
+    Catalyst analog of the reference's LIKE->prefix rewrite
+    (rule/like_optimizations.cpp) feeding table_filters."""
+    from data_chunk_compaction_in_duckdb_spark.plans.inspect import explain_str
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .filter(F.col("n_name").like("A%"))
+        .select("n_name")
+    )
+    plan = explain_str(df, "formatted")
+    assert "StringStartsWith(n_name,A)" in plan
+    df2 = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_type").like("%BRASS"))
+        .select("p_partkey")
+    )
+    plan2 = explain_str(df2, "formatted")
+    assert "StringEndsWith(p_type,BRASS)" in plan2
