@@ -9,3 +9,8 @@ from data_chunk_compaction_in_duckdb_spark.plans.inspect import (  # noqa: F401
     has_filter_pushdown,
     join_strategies,
 )
+from data_chunk_compaction_in_duckdb_spark.plans.metrics import (  # noqa: F401
+    OpMetric,
+    explain_analyze,
+    join_row_factors,
+)

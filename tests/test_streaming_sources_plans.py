@@ -251,3 +251,36 @@ def test_like_prefix_pushes_startswith(spark, sf_dir):
     )
     plan2 = explain_str(df2, "formatted")
     assert "StringEndsWith(p_type,BRASS)" in plan2
+
+
+def test_explain_analyze_metrics(spark, sf_dir):
+    """Executed-plan metrics (EXPLAIN ANALYZE analog): operator tree with
+    numOutputRows, and per-join row factors (HashJoinProfiler's chunk
+    factor at row granularity)."""
+    from data_chunk_compaction_in_duckdb_spark.plans import (
+        explain_analyze,
+        join_row_factors,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_quantity") > 40)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    ops = explain_analyze(df)
+    names = [m.name for m in ops]
+    assert any(n.startswith("AdaptiveSparkPlan") for n in names)
+    assert any("Join" in n for n in names)
+    scans = [m for m in ops if m.name.startswith("Scan") and m.rows]
+    assert len(scans) == 2 and all(m.rows > 0 for m in scans)
+
+    factors = join_row_factors(df, execute=True)
+    assert len(factors) == 1
+    f = factors[0]
+    assert f["output_rows"] > 0 and f["input_rows"] > 0
+    # join of filtered lineitem to orders keeps every probe row here, but
+    # the factor must be computed and finite
+    assert 0 < f["row_factor"] < 2
