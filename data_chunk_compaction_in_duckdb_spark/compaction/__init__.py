@@ -25,6 +25,7 @@ from data_chunk_compaction_in_duckdb_spark.compaction.compact import (  # noqa: 
 )
 from data_chunk_compaction_in_duckdb_spark.compaction.profiler import (  # noqa: F401
     chunk_factor,
+    fragmentation_report,
     partition_histogram,
     partition_row_counts,
 )

@@ -74,3 +74,43 @@ def chunk_factor(input_df: DataFrame, output_df: DataFrame) -> float:
     compacted; <1 means it fragmented."""
     out_parts = max(1, output_df.rdd.getNumPartitions())
     return input_df.rdd.getNumPartitions() / out_parts
+
+
+def fragmentation_report(df: DataFrame, execute: bool = True) -> list[dict]:
+    """Where would the reference compact this plan?
+
+    The paper's decision rule: operators whose output is much smaller
+    than their input (selective filters/joins) fragment the stream and
+    should be followed by compaction (physical_operator.cpp:130-144
+    gates; threshold default 128/2048 ≈ 0.0625).  This combines the
+    executed plan's per-join row factors with that rule: each join whose
+    row factor falls below `compact()`'s worthwhile range gets a
+    recommendation.  At cluster scale the same signal drives AQE's
+    partition coalescing; this report makes the decision observable and
+    feeds `CompactTuner` stages.
+
+    The degenerate case never reaches the report: a branch AQE proves
+    empty at runtime is replaced by EmptyRelation and the join vanishes
+    from the executed plan — the extreme end of compaction, performed by
+    the optimizer itself.
+    """
+    from data_chunk_compaction_in_duckdb_spark.plans.metrics import (
+        join_row_factors,
+    )
+
+    report = []
+    for f in join_row_factors(df, execute=execute):
+        factor = f["row_factor"]
+        if factor is None:
+            continue
+        report.append(
+            {
+                **f,
+                "fragmenting": factor < 0.5,
+                "recommendation": (
+                    "compact (coalesce) downstream" if factor < 0.5
+                    else "leave as-is"
+                ),
+            }
+        )
+    return report

@@ -102,3 +102,27 @@ def test_compact_tuner_per_stage():
         tuner.observe("stage_b", 1.0 if b == 20 else 0.1)
     assert tuner.best("stage_a") == 10
     assert tuner.best("stage_b") == 20
+
+
+def test_fragmentation_report_flags_selective_join(spark, sf_dir):
+    """A highly selective join must be flagged as fragmenting (the
+    reference would compact after it); a keep-everything join must not."""
+    from data_chunk_compaction_in_duckdb_spark.compaction import (
+        fragmentation_report,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    selective = li.join(
+        o.filter(F.col("o_totalprice") > 450000),
+        li.l_orderkey == o.o_orderkey,
+    )
+    rep = fragmentation_report(selective.select("l_quantity"))
+    assert len(rep) == 1
+    assert rep[0]["fragmenting"] is True
+    assert "compact" in rep[0]["recommendation"]
+
+    keep_all = li.join(o, li.l_orderkey == o.o_orderkey)
+    rep2 = fragmentation_report(keep_all.select("l_quantity"))
+    assert len(rep2) == 1 and rep2[0]["fragmenting"] is False
