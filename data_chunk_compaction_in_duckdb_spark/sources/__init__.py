@@ -11,6 +11,7 @@ from data_chunk_compaction_in_duckdb_spark.sources.readers import (  # noqa: F40
     read_csv,
     read_json,
     read_parquet,
+    write_bucketed,
 )
 from data_chunk_compaction_in_duckdb_spark.sources.summary import (  # noqa: F401
     export_database,

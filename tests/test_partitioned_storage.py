@@ -47,3 +47,39 @@ def test_compacted_write_produces_few_files(spark, sf_dir, tmp_path):
         spark.read.parquet(compact_out).count()
         == spark.read.parquet(raw_out).count()
     )
+
+
+def test_bucketed_join_has_no_join_side_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed by the join key must sort-merge-join with no
+    exchange on either side — the durable co-located-join layout (the
+    reference's runtime radix co-partitioning, made storage-level)."""
+    from data_chunk_compaction_in_duckdb_spark.plans import (
+        count_exchanges,
+        join_strategies,
+    )
+    from data_chunk_compaction_in_duckdb_spark.sources import write_bucketed
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_bucketed(li, "bkt_li", str(tmp_path / "li"), "l_orderkey", 8)
+    write_bucketed(o, "bkt_o", str(tmp_path / "o"), "o_orderkey", 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (
+            spark.table("bkt_li")
+            .join(
+                spark.table("bkt_o"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        assert join_strategies(j) == ["SortMergeJoin"]
+        # only the group-by shuffles; the join reads buckets in place
+        assert count_exchanges(j) == 1
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_li")
+        spark.sql("DROP TABLE IF EXISTS bkt_o")
