@@ -239,3 +239,30 @@ def win_agg_whole_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").over(w).alias("n_lines"),
     )
+
+
+@query(
+    "win_qualify_rewrite",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+    FROM orders
+    QUALIFY rnk <= 2
+    """,
+)
+def win_qualify_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY clause (DuckDB window-filter sugar; binder rewrites it to
+    a filter over the windowed subquery) — Spark has no QUALIFY, so the
+    engine-side form IS the rewrite: window then filter.  Same single
+    shuffle on the partition key either way."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", F.rank().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= 2)
+    )
