@@ -122,5 +122,20 @@ class Engine:
         df.createOrReplaceTempView(name)
         self.tables[name] = df
 
+    def create_macro(
+        self, name: str, params: str, body: str, returns: str = "DOUBLE"
+    ) -> None:
+        """CREATE MACRO name(args) AS body (DuckDB SQL macros) — Spark's
+        SQL-defined temporary function.  Unlike ``create_function`` this
+        stays entirely JVM-side: the body is a SQL expression inlined by
+        the analyzer, so macros are codegen-compatible and free at any
+        scale.  ``params`` is typed ("x DOUBLE, y DOUBLE") because Spark
+        SQL functions declare parameter types; DuckDB macros are untyped.
+        """
+        self.spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
+            f"RETURNS {returns} RETURN {body}"
+        )
+
     def close(self) -> None:
         self.spark.stop()

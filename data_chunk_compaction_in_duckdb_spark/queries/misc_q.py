@@ -293,3 +293,23 @@ def scan_range_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x") * F.col("x")).alias("x_sq"),
         F.sum("x").over(Window.orderBy("x")).alias("run"),
     )
+
+
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_c
+FROM orders GROUP BY ALL ORDER BY ALL
+""".strip()
+
+
+@query("agg_group_by_all", oracle=_GROUP_BY_ALL_SQL)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (DuckDB binder sugar both engines now
+    share) — the IDENTICAL SQL text runs on Spark and the oracle,
+    exercising the spark.sql entry point end-to-end (SURVEY.md §3 entry
+    point 1)."""
+    from data_chunk_compaction_in_duckdb_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUP_BY_ALL_SQL)

@@ -64,3 +64,40 @@ def test_engine_create_function_and_table_function(spark, sf_dir):
     top = eng.table("nation").limit(3)
     eng.create_table_function("nation_top3", top)
     assert eng.sql("SELECT COUNT(*) AS n FROM nation_top3").collect()[0].n == 3
+
+
+def test_engine_create_macro_matches_duckdb(spark, sf_dir, duck):
+    """SQL macros: the same expression body registered as a DuckDB MACRO
+    and a Spark SQL temporary function must agree row-for-row, and the
+    macro must stay JVM-side (no BatchEvalPython in the plan)."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.create_macro(
+        "discounted", "price DOUBLE, disc DOUBLE", "ROUND(price * (1 - disc), 2)"
+    )
+    got = {
+        (r[0], r[1])
+        for r in eng.sql(
+            "SELECT l_orderkey, discounted(l_extendedprice, l_discount) "
+            "FROM lineitem WHERE l_orderkey < 100"
+        ).collect()
+    }
+    duck.execute(
+        "CREATE OR REPLACE MACRO discounted(price, disc) AS ROUND(price * (1 - disc), 2)"
+    )
+    exp = set(
+        map(
+            tuple,
+            duck.execute(
+                "SELECT l_orderkey, discounted(l_extendedprice, l_discount) "
+                "FROM lineitem WHERE l_orderkey < 100"
+            ).fetchall(),
+        )
+    )
+    assert got == exp and len(got) > 0
+    plan = eng.explain(
+        eng.sql("SELECT discounted(l_extendedprice, l_discount) FROM lineitem"),
+        "simple",
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
