@@ -313,3 +313,25 @@ def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+@query(
+    "select_exclude_replace",
+    oracle="""
+    SELECT * EXCLUDE (o_orderpriority)
+           REPLACE (CAST(ROUND(o_totalprice) AS BIGINT) AS o_totalprice,
+                    upper(o_orderstatus) AS o_orderstatus)
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def select_exclude_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * EXCLUDE/REPLACE star modifiers (DuckDB binder sugar over
+    the projection) — the Spark form is the rewrite itself: drop +
+    withColumns on the DataFrame, producing the same projection list."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.drop("o_orderpriority").withColumns(
+        {
+            "o_totalprice": F.round("o_totalprice").cast("long"),
+            "o_orderstatus": F.upper("o_orderstatus"),
+        }
+    )
