@@ -22,19 +22,24 @@ from data_chunk_compaction_in_duckdb_spark.queries.registry import query
            ROUND(stddev_samp(l_quantity), 6) AS sd_samp,
            ROUND(stddev_pop(l_quantity), 6) AS sd_pop,
            ROUND(var_samp(l_quantity), 6) AS v_samp,
-           ROUND(var_pop(l_quantity), 6) AS v_pop
+           ROUND(var_pop(l_quantity), 6) AS v_pop,
+           ROUND(sem(l_quantity), 6) AS sem_
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def agg_stats_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """stddev/variance family (aggregate/algebraic)."""
+    """stddev/variance family (aggregate/algebraic) + sem (standard error
+    of the mean — DuckDB computes it as stddev_POP/sqrt(n))."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_samp"),
         F.round(F.stddev_pop("l_quantity"), 6).alias("sd_pop"),
         F.round(F.var_samp("l_quantity"), 6).alias("v_samp"),
         F.round(F.var_pop("l_quantity"), 6).alias("v_pop"),
+        F.round(
+            F.stddev_pop("l_quantity") / F.sqrt(F.count("l_quantity")), 6
+        ).alias("sem_"),
     )
 
 
