@@ -137,5 +137,30 @@ class Engine:
             f"RETURNS {returns} RETURN {body}"
         )
 
+    # DuckDB pragma -> dynamic Spark conf.  The reference's benchmark
+    # drivers configure the engine this way (SET threads / memory_limit /
+    # allocator pragmas, vector_compaction.cpp:50-57); only runtime-
+    # settable Spark confs are mapped — memory sizing is submit-time on a
+    # cluster, so memory_limit intentionally has no entry.
+    _PRAGMAS = {
+        # SET threads: the reference's per-query parallelism knob; the
+        # runtime-settable Spark equivalent is the shuffle fan-out.
+        "threads": "spark.sql.shuffle.partitions",
+        # PRAGMA enable_optimizer gates DuckDB's logical optimizer; the
+        # Spark optimizer that can be toggled at runtime is AQE.
+        "enable_optimizer": "spark.sql.adaptive.enabled",
+    }
+
+    def pragma(self, name: str, value: Any) -> None:
+        """SET pragma (PragmaStatement surface): translate the reference's
+        engine pragmas to their dynamic Spark confs; reject unknown or
+        non-runtime-settable pragmas loudly rather than ignoring them."""
+        key = self._PRAGMAS.get(name)
+        if key is None:
+            raise ValueError(
+                f"pragma {name!r} has no runtime-settable Spark mapping"
+            )
+        self.spark.conf.set(key, str(value))
+
     def close(self) -> None:
         self.spark.stop()

@@ -101,3 +101,21 @@ def test_engine_create_macro_matches_duckdb(spark, sf_dir, duck):
         "simple",
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_engine_pragma_mapping(spark, sf_dir):
+    """SET threads -> shuffle partitions (the reference benchmark's
+    engine pragmas, vector_compaction.cpp:50-57); unknown pragmas raise."""
+    import pytest as _pytest
+
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        eng.pragma("threads", 4)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+        with _pytest.raises(ValueError, match="no runtime-settable"):
+            eng.pragma("memory_limit", "1GB")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
