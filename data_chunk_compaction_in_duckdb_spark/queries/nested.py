@@ -99,14 +99,15 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            len(prices) AS n_orders,
-           list_aggregate(list_transform(prices,
-                          x -> CAST(ROUND(x * 0.9 * 100) AS BIGINT)), 'sum')
+           CAST(list_aggregate(list_transform(prices,
+                          x -> (x * 9 + 5) // 10), 'sum') AS BIGINT)
              AS discounted_cents,
-           ROUND(prices[1], 2) AS top_price,
-           len(list_filter(prices, x -> x > 100000)) AS n_big
+           prices[1] / 100.0 AS top_price,
+           len(list_filter(prices, x -> x > 10000000)) AS n_big
     FROM (
       SELECT o_custkey,
-             list_sort(list(o_totalprice), 'DESC') AS prices
+             list_sort(list(CAST(ROUND(o_totalprice * 100) AS BIGINT)),
+                       'DESC') AS prices
       FROM orders
       WHERE o_custkey <= 200
       GROUP BY o_custkey
@@ -116,9 +117,21 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 def list_ops_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIST lambdas — list_transform/list_filter/list_aggregate
     (core_functions/scalar/list; SURVEY §2.8) = transform/filter/aggregate
-    over collect_list."""
+    over collect_list.
+
+    Float exactness: prices become exact integer cents BEFORE collect_list,
+    the 0.9 discount is integer half-up ((c*9 + 5) div 10), and the only
+    float op is one exact long/100.0 division — bit-identical in both
+    engines (ROUND-on-double diverges: DuckDB rounds the binary value,
+    Spark the shortest decimal string)."""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
-    prices = F.reverse(F.array_sort(F.collect_list("o_totalprice")))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    prices = F.reverse(F.array_sort(F.collect_list(cents)))
+
+    def _disc(x: "F.Column") -> "F.Column":
+        t = x * 9 + 5
+        return ((t - t % 10) / 10).cast("long")
+
     return (
         orders.groupBy("o_custkey")
         .agg(prices.alias("prices"))
@@ -126,14 +139,12 @@ def list_ops_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             F.size("prices").alias("n_orders"),
             F.aggregate(
-                F.transform(
-                    "prices", lambda x: F.round(x * 0.9 * 100).cast("long")
-                ),
+                F.transform("prices", _disc),
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
             ).alias("discounted_cents"),
-            F.round(F.element_at("prices", 1), 2).alias("top_price"),
-            F.size(F.filter("prices", lambda x: x > 100000)).alias("n_big"),
+            (F.element_at("prices", 1) / F.lit(100.0)).alias("top_price"),
+            F.size(F.filter("prices", lambda x: x > 10000000)).alias("n_big"),
         )
     )
 

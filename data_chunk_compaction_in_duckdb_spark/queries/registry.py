@@ -37,9 +37,87 @@ def query(name: str, oracle: str | None = None) -> Callable[[Builder], Builder]:
     return deco
 
 
+# The driver's correctness gate checks a bounded prefix of the registry
+# (50 entries in round 1), so ordering IS coverage.  Queries that already
+# have a green hash_match row in a committed CORRECTNESS_r*.json are sorted
+# last; never-verified queries come first, highest-risk modules leading.
+# Each round this rotates automatically as new CORRECTNESS files land.
+_MODULE_PRIORITY = [
+    "llm_q",          # LLM-pipeline ops: dedup, ANN, text, multimodal, mixing
+    "advanced_joins",  # asof / IE / range joins
+    "subqueries",      # mark/single joins, decorrelation
+    "recursion",       # recursive CTE
+    "tpch_more",       # TPC-H q7-q14 tail
+    "tpch_tail",       # TPC-H q15-q22
+    "tpcds_like",      # TPC-DS shapes
+    "job_like",        # JOB shapes
+    "events_q",
+    "compaction_q",
+    "functions_agg",
+    "functions_scalar",
+    "functions_more",
+    "misc_q",
+    "edge_q",
+    "nested",
+    "windows",
+    "relational",
+]
+
+
+def _verification_state() -> tuple[set[str], set[str]]:
+    """(green, red): names with/without a hash_match pass across all
+    committed CORRECTNESS_r*.json rounds.  A later green clears red."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    green: set[str] = set()
+    red: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match"):
+                green.add(name)
+            else:
+                red.add(name)
+    return green, red - green
+
+
+def _ordered_names() -> list[str]:
+    green, red = _verification_state()
+    reg_index = {name: i for i, name in enumerate(REGISTRY)}
+
+    def mod_rank(name: str) -> int:
+        mod = REGISTRY[name].builder.__module__.rsplit(".", 1)[-1]
+        try:
+            return _MODULE_PRIORITY.index(mod)
+        except ValueError:
+            return len(_MODULE_PRIORITY)
+
+    def key(name: str) -> tuple:
+        # red (known-divergent, now fixed) first, then never-checked, then green
+        tier = 0 if name in red else (2 if name in green else 1)
+        return (tier, mod_rank(name), reg_index[name])
+
+    return sorted(REGISTRY, key=key)
+
+
 def all_queries() -> dict[str, Builder]:
-    return {name: q.builder for name, q in REGISTRY.items()}
+    return {name: REGISTRY[name].builder for name in _ordered_names()}
 
 
 def all_oracles() -> dict[str, str]:
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
+    }
