@@ -36,12 +36,18 @@ def asof_join(
     ``right_ts >= left_ts``) within the same ``on`` equi-key group.
 
     Implementation (single shuffle, no per-group pandas): tag both sides,
-    union by key + timestamp, and carry ``last(value, ignorenulls=True)``
-    over a key-partitioned window ordered by (ts, side) — right rows sort
+    union by key + timestamp, pack ALL right payload columns into ONE
+    struct, and carry ``last(struct, ignorenulls=True)`` over a
+    key-partitioned window ordered by (ts, side) — right rows sort
     before left rows at equal timestamps, so ties match, exactly DuckDB's
     ``ASOF JOIN ... ON l.ts >= r.ts`` semantics (physical_asof_join.cpp
     sorts each key partition the same way).  Unmatched left rows keep
     NULLs (ASOF LEFT JOIN); filter on the carried ts for inner semantics.
+
+    The single-struct carry matters for correctness: carrying each value
+    column independently would fill a NULL field of the matched row from
+    an OLDER right row, mixing fields across rows — the reference attaches
+    the one matched row with its NULLs intact.
 
     Scale: the only shuffle is the window partition on ``on`` — identical
     cost to a window aggregate; no driver state, no cross join.
@@ -56,21 +62,26 @@ def asof_join(
     left_rest = [c for c in left.columns if c not in on]
     ldt, rdt = dict(left.dtypes), dict(right.dtypes)
 
+    struct_ddl = ",".join(
+        [f"`{o}`:{rdt[c]}" for c, o in val_out.items()]
+        + [f"`{ts_out}`:{rdt[right_ts]}"]
+    )
     l_side = left.select(
         *on,
         F.col(left_ts).alias("_ats"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left_rest],
-        *[F.lit(None).cast(rdt[c]).alias(o) for c, o in val_out.items()],
-        F.lit(None).cast(rdt[right_ts]).alias(ts_out),
+        F.lit(None).cast(f"struct<{struct_ddl}>").alias("_rp"),
     )
     r_side = right.select(
         *on,
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(ldt[c]).alias(c) for c in left_rest],
-        *[F.col(c).alias(o) for c, o in val_out.items()],
-        F.col(right_ts).alias(ts_out),
+        F.struct(
+            *[F.col(c).alias(o) for c, o in val_out.items()],
+            F.col(right_ts).alias(ts_out),
+        ).alias("_rp"),
     )
     u = l_side.unionByName(r_side)
 
@@ -80,10 +91,11 @@ def asof_join(
         .orderBy(ats, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for o in [*val_out.values(), ts_out]:
-        u = u.withColumn(o, F.last(o, ignorenulls=True).over(w))
+    u = u.withColumn("_rp", F.last("_rp", ignorenulls=True).over(w))
     return u.filter(F.col("_side") == 1).select(
-        *left.columns, *val_out.values(), ts_out
+        *left.columns,
+        *[F.col(f"_rp.`{o}`").alias(o) for o in val_out.values()],
+        F.col(f"_rp.`{ts_out}`").alias(ts_out),
     )
 
 

@@ -27,22 +27,28 @@ def mix_weighted_sources(
     df: DataFrame,
     id_col: str,
     source_col: str,
-    rates: Mapping[str, float],
+    rates: Mapping[str, float] | Column,
     default_rate: float = 0.0,
     key: str = "mix",
 ) -> DataFrame:
     """Keep each row with probability ``rates[source]`` (0..1), decided
     by a deterministic per-id hash — stratified domain reweighting.
     Rows of unlisted sources keep ``default_rate``.  Scale: a narrow
-    filter, no shuffle, no state; rates are a broadcast literal map."""
-    pairs: list[Column] = []
-    for s, r in rates.items():
-        pairs += [F.lit(s), F.lit(int(round(r * _DENOM)))]
-    rate_map = F.create_map(*pairs)
-    thresh = F.coalesce(
-        rate_map[F.col(source_col)],
-        F.lit(int(round(default_rate * _DENOM))),
-    )
+    filter, no shuffle, no state.  ``rates`` is either a literal map
+    (bounded source list → broadcast map lookup) or a Column expression
+    yielding the 0..1 rate per row — use the Column form when the source
+    set is unbounded, so no driver-side distinct/collect is ever needed."""
+    if isinstance(rates, Column):
+        thresh = F.round(rates * _DENOM).cast("int")
+    else:
+        pairs: list[Column] = []
+        for s, r in rates.items():
+            pairs += [F.lit(s), F.lit(int(round(r * _DENOM)))]
+        rate_map = F.create_map(*pairs)
+        thresh = F.coalesce(
+            rate_map[F.col(source_col)],
+            F.lit(int(round(default_rate * _DENOM))),
+        )
     h = hash32_expr(f"CAST({id_col} AS STRING)", key=key)
     return df.filter(h % _DENOM < thresh)
 

@@ -39,7 +39,7 @@ def compaction_filter_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = compact(li, target_rows=100_000)
     orders = load_table(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),

@@ -143,11 +143,15 @@ def microbench_chained_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    max_part = li.agg(F.max("l_partkey")).collect()[0][0]
-    filtered = li.filter(F.col("l_partkey") <= max_part / 10)
+    max_part = li.agg((F.max("l_partkey") / 10).alias("_maxp10"))
+    filtered = (
+        li.crossJoin(F.broadcast(max_part))
+        .filter(F.col("l_partkey") <= F.col("_maxp10"))
+        .drop("_maxp10")
+    )
     return (
-        filtered.join(F.broadcast(orders), filtered.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        filtered.join(orders, filtered.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(

@@ -67,8 +67,8 @@ def job_like_deep_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_regionkey").alias("sn_region"),
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
@@ -111,8 +111,8 @@ def job_like_late_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .filter(
@@ -153,8 +153,14 @@ def job_like_funnel_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_conversions"),
+            # DuckDB datediff('second') counts second-BOUNDARY crossings,
+            # so truncate both sides before the TZ-independent timestampdiff
+            # (never unix_timestamp on NTZ — session-TZ dependent).
             F.min(
-                (F.unix_timestamp("p_ts") - F.unix_timestamp("s_ts")).cast("long")
+                F.expr(
+                    "timestampdiff(SECOND, date_trunc('second', s_ts),"
+                    " date_trunc('second', p_ts))"
+                ).cast("long")
             ).alias("fastest_sec"),
         )
     )

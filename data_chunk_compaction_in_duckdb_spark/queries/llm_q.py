@@ -561,12 +561,12 @@ def mix_weighted_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_chunk_compaction_in_duckdb_spark.pipeline import mix_weighted_sources
 
     docs = load_table(spark, sf_dir, "documents")
-    sources = [r.source for r in docs.select("source").distinct().collect()]
-    rates = {
-        s: 0.8 if s.startswith("source_1") else (0.25 if s.startswith("source_2") else 0.05)
-        for s in sources
-    }
-    kept = mix_weighted_sources(docs, "doc_id", "source", rates)
+    rate = (
+        F.when(F.col("source").startswith("source_1"), F.lit(0.8))
+        .when(F.col("source").startswith("source_2"), F.lit(0.25))
+        .otherwise(F.lit(0.05))
+    )
+    kept = mix_weighted_sources(docs, "doc_id", "source", rate)
     return kept.groupBy("source").agg(
         F.count("*").alias("n_kept"),
         F.sum("n_chars").alias("chars_kept"),

@@ -198,9 +198,9 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1999-01-01")
     return (
         li.join(
-            F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "inner"
+            orders, li.l_orderkey == orders.o_orderkey, "inner"
         )
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .join(cust, orders.o_custkey == cust.c_custkey, "inner")
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_rev().alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -239,10 +239,10 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(
-            F.broadcast(cust),
+            cust,
             (orders.o_custkey == cust.c_custkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )

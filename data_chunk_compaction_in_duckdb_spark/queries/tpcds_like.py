@@ -129,7 +129,7 @@ def tpcds_q34_count_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt").between(2, 10))
     )
-    return band.join(F.broadcast(cust), band.o_custkey == cust.c_custkey).select(
+    return band.join(cust, band.o_custkey == cust.c_custkey).select(
         "c_name", "cnt"
     )
 
@@ -237,7 +237,7 @@ def tpcds_q67_rank_over_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty_c = F.sum(_cents("l_quantity"))
     rolled = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .rollup("p_brand", "o_orderpriority")
         .agg(
             qty_c.alias("qty_c"),

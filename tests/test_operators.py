@@ -55,6 +55,21 @@ def test_asof_forward_direction(spark, duck, sf_dir):
     assert got == sorted(exp)
 
 
+def test_asof_null_field_stays_bound_to_matched_row(spark):
+    """A NULL value column in the MATCHED right row must stay NULL — not be
+    filled from an older right row (the reference attaches one row whole,
+    physical_asof_join.cpp)."""
+    left = spark.createDataFrame([(1, 30)], "k INT, lts INT")
+    right = spark.createDataFrame(
+        [(1, 10, 100, "old"), (1, 20, None, "new")],
+        "k INT, rts INT, v INT, tag STRING",
+    )
+    from data_chunk_compaction_in_duckdb_spark.operators import asof_join
+
+    row = asof_join(left, right, ["k"], "lts", "rts", ["v", "tag"]).collect()[0]
+    assert row.tag == "new" and row.v is None and row.rts == 20
+
+
 def test_recursive_cte_distinct_terminates_on_cycle(spark):
     """UNION-DISTINCT recursion must reach a fixed point on a cyclic graph."""
     from pyspark.sql import functions as F
