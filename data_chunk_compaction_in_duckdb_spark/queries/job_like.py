@@ -208,3 +208,424 @@ def job_like_min_agg_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 widening: 11 more JOB shapes mirroring the reference's
+# benchmark/imdb_plan_cost/queries corpus (113 .sql files, run by
+# imdb_main.cpp:63-76) — deep left-deep chains, same-table multiple
+# roles, cyclic equi-predicate triangles, IN/LIKE-heavy dimension
+# filters, and the universal MIN(...) result shape.  All aggregate
+# outputs are MIN over strings/dates/ints or COUNT, so the driver's
+# value-hash is exact with no float scheme needed.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "job_like_9way_snowflake",
+    oracle="""
+    SELECT MIN(c_name) AS min_cust, MIN(s_name) AS min_supp,
+           MIN(p_name) AS min_part, COUNT(*) AS n
+    FROM lineitem
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+    JOIN part      ON l_partkey = p_partkey
+    WHERE cr.r_name = 'ASIA' AND sr.r_name IN ('EUROPE', 'AMERICA')
+      AND p_size < 25 AND o_orderstatus = 'F'
+    """,
+)
+def job_like_9way_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """9-way snowflake (the 19d/10-relation JOB depth): fact + two full
+    dimension chains (customer→nation→region, supplier→nation→region) +
+    part.  All six dimension sides are bounded (nation/region fixed-size;
+    part filtered) → broadcast; orders joins by shuffle/AQE choice — the
+    left-deep plan JOB stresses."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 25)
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    cn = nat.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = nat.select(F.col("n_nationkey").alias("sn_key"), F.col("n_regionkey").alias("sn_region"))
+    cr = reg.filter(F.col("r_name") == "ASIA").select(F.col("r_regionkey").alias("cr_key"))
+    sr = reg.filter(F.col("r_name").isin("EUROPE", "AMERICA")).select(
+        F.col("r_regionkey").alias("sr_key")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(cr), F.col("cn_region") == F.col("cr_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(sr), F.col("sn_region") == F.col("sr_key"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.min("c_name").alias("min_cust"),
+            F.min("s_name").alias("min_supp"),
+            F.min("p_name").alias("min_part"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "job_like_cyclic_triangle",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(MIN(l1.l_shipdate) AS DATE) AS first_ship,
+           CAST(MIN(l2.l_shipdate) AS DATE) AS first_ret_ship
+    FROM lineitem l1
+    JOIN orders   ON l1.l_orderkey = o_orderkey
+    JOIN lineitem l2 ON l2.l_orderkey = o_orderkey
+                    AND l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_linenumber < l2.l_linenumber
+    WHERE l2.l_returnflag = 'R' AND o_orderpriority = '1-URGENT'
+    """,
+)
+def job_like_cyclic_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclic equi-predicate triangle (JOB's mc.movie_id = ci.movie_id =
+    mi.movie_id redundancy): lineitem twice + orders, all three pairwise
+    join predicates present.  Catalyst dedups the redundant edge; one
+    shuffle on orderkey co-locates all three sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    l1 = li.select(
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("ln1"),
+        F.col("l_shipdate").alias("ship1"),
+    )
+    l2 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k2"),
+        F.col("l_linenumber").alias("ln2"),
+        F.col("l_shipdate").alias("ship2"),
+    )
+    return (
+        l1.join(o, F.col("k1") == o.o_orderkey)
+        .join(
+            l2,
+            (F.col("k2") == o.o_orderkey)
+            & (F.col("k1") == F.col("k2"))
+            & (F.col("ln1") < F.col("ln2")),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.col("ship1").cast("date")).alias("first_ship"),
+            F.min(F.col("ship2").cast("date")).alias("first_ret_ship"),
+        )
+    )
+
+
+@query(
+    "job_like_in_list_dims",
+    oracle="""
+    SELECT MIN(p_name) AS min_part, MIN(n_name) AS min_nation, COUNT(*) AS n
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33', 'Brand#44')
+      AND n_name IN ('FRANCE', 'GERMANY', 'ROMANIA', 'RUSSIA')
+      AND l_quantity BETWEEN 5 AND 45
+    """,
+)
+def job_like_in_list_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list dimension filters (JOB's ci.note IN (...) pattern): two
+    multi-value IN lists shrink part and nation; both broadcast, the fact
+    table never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(5, 45)
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33", "Brand#44")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("FRANCE", "GERMANY", "ROMANIA", "RUSSIA")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .agg(
+            F.min("p_name").alias("min_part"),
+            F.min("n_name").alias("min_nation"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "job_like_two_fact_roles",
+    oracle="""
+    SELECT COUNT(*) AS n, MIN(o_orderpriority) AS min_prio
+    FROM lineitem lr
+    JOIN lineitem lf ON lr.l_orderkey = lf.l_orderkey
+                    AND lr.l_linenumber <> lf.l_linenumber
+    JOIN orders ON o_orderkey = lr.l_orderkey
+    WHERE lr.l_returnflag = 'R' AND lf.l_linestatus = 'F'
+    """,
+)
+def job_like_two_fact_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same fact table in two differently-filtered roles (JOB joins
+    cast_info twice under different notes): both roles shuffle on the
+    shared orderkey, so the whole 3-way join is one co-partitioned
+    stage."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lr = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("kr"), F.col("l_linenumber").alias("lnr")
+    )
+    lf = li.filter(F.col("l_linestatus") == "F").select(
+        F.col("l_orderkey").alias("kf"), F.col("l_linenumber").alias("lnf")
+    )
+    return (
+        o.join(lr, F.col("kr") == o.o_orderkey)
+        .join(lf, F.col("kf") == o.o_orderkey)
+        .filter(F.col("lnr") != F.col("lnf"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_orderpriority").alias("min_prio"),
+        )
+    )
+
+
+@query(
+    "job_like_semi_reduce",
+    oracle="""
+    SELECT MIN(c_name) AS min_cust, COUNT(*) AS n
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    """,
+)
+def job_like_semi_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction before the dimension join (JOB's subquery-free
+    equivalent: the planner reduces the fact side first).  LEFT SEMI join
+    on orderkey, then the customer join — the semi output is the smaller
+    side."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    hi = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(hi, o.o_orderkey == hi.l_orderkey, "left_semi")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .agg(F.min("c_name").alias("min_cust"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "job_like_anti_exists",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_clean_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY n_name
+    """,
+)
+def job_like_anti_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join against a second fact role (orders with NO returned
+    line): LEFT ANTI on orderkey, then dimension joins and a group-by —
+    the negated-EXISTS JOB variant."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    ret = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(ret, o.o_orderkey == ret.l_orderkey, "left_anti")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_clean_orders"))
+    )
+
+
+@query(
+    "job_like_like_or_chain",
+    oracle="""
+    SELECT MIN(p_name) AS min_part, MIN(p_brand) AS min_brand, COUNT(*) AS n
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE (p_name LIKE '%ol%' OR p_name LIKE '%gre%' OR p_name LIKE 'sm%')
+      AND s_name LIKE 'Supplier#00000%'
+      AND p_type NOT LIKE '%COPPER%'
+    """,
+)
+def job_like_like_or_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-LIKEs dimension predicate (JOB's t.title LIKE ... OR ...):
+    non-sargable for pushdown stats but still a dimension-side filter —
+    broadcast both filtered dims, fact never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (
+            F.col("p_name").like("%ol%")
+            | F.col("p_name").like("%gre%")
+            | F.col("p_name").like("sm%")
+        )
+        & ~F.col("p_type").like("%COPPER%")
+    )
+    s = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("Supplier#00000%")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .agg(
+            F.min("p_name").alias("min_part"),
+            F.min("p_brand").alias("min_brand"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "job_like_dim_cross_predicate",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n
+    FROM lineitem
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation    ON c_nationkey = n_nationkey
+    WHERE c_nationkey = s_nationkey
+      AND o_orderstatus = 'F'
+    GROUP BY n_name
+    """,
+)
+def job_like_dim_cross_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dimension equality predicate (JOB's chn.id = ci.person_role_id
+    shape): customer and supplier must share a nation — a predicate
+    BETWEEN two joined dimensions, applied post-join; TPC-H q7's local
+    variant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "job_like_dim_only_selectivity",
+    oracle="""
+    SELECT MIN(c_name) AS min_cust, CAST(MIN(o_orderdate) AS DATE) AS min_date,
+           COUNT(*) AS n
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE p_brand = 'Brand#33' AND n_name = 'UNITED STATES'
+    """,
+)
+def job_like_dim_only_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All selectivity from tiny dimension point-filters, zero fact
+    predicates (most JOB queries): the plan quality question is purely
+    join order — reduce by part and nation before the wide joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#33")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "UNITED STATES"
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .agg(
+            F.min("c_name").alias("min_cust"),
+            F.min(F.col("o_orderdate").cast("date")).alias("min_date"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "job_like_fact_dim_fact_chain",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n, MIN(s_name) AS min_supp
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE n_name LIKE 'C%' AND l_shipdate >= DATE '1995-01-01'
+      AND o_totalprice > 50000
+    GROUP BY o_orderpriority
+    """,
+)
+def job_like_fact_dim_fact_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternating fact-dim-fact left-deep chain: the dimension join sits
+    BETWEEN two fact joins, so the intermediate carries dimension columns
+    through the second shuffle — the chunk-fragmentation case the
+    reference's compaction instrumentation profiles between consecutive
+    probes (HashJoinProfiler)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "1995-01-01"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").like("C%"))
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000)
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.min("s_name").alias("min_supp"))
+    )
+
+
+@query(
+    "job_like_events_fact_bridge",
+    oracle="""
+    SELECT e.event_type, COUNT(*) AS n, MIN(c_name) AS min_cust
+    FROM events e
+    JOIN customer ON e.user_id = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE n_name IN ('CHINA', 'INDIA', 'JAPAN') AND e.value > 50
+    GROUP BY e.event_type
+    """,
+)
+def job_like_events_fact_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second fact family (events) bridged to the TPC-H dimensions via
+    user_id=custkey — the heterogeneous-schema join JOB exercises with
+    aka_name/name.  Customer shuffles; nation broadcast."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") > 50)
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("CHINA", "INDIA", "JAPAN")
+    )
+    return (
+        e.join(c, e.user_id == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.min("c_name").alias("min_cust"))
+    )

@@ -520,3 +520,555 @@ def tpcds_q38_intersect_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
         chan("3-MEDIUM")
     )
     return loyal.agg(F.count("*").alias("n_loyal"))
+
+
+# ---------------------------------------------------------------------------
+# Round-2 widening: 13 more DS-distinctive shapes from the reference's
+# benchmark/tpcds/sf1/ 99-query corpus, adapted to the fixture schema.
+# Exactness: money goes through integer cents (CAST(ROUND(x*100) AS
+# BIGINT)), quantities through CAST(... AS BIGINT); ratios divide two
+# exact integers (identical IEEE doubles in both engines) and only then
+# round.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpcds_q9_case_buckets",
+    oracle="""
+    SELECT SUM(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN 1 ELSE 0 END) AS b1,
+           SUM(CASE WHEN l_quantity BETWEEN 11 AND 20 THEN 1 ELSE 0 END) AS b2,
+           SUM(CASE WHEN l_quantity BETWEEN 21 AND 30 THEN 1 ELSE 0 END) AS b3,
+           SUM(CASE WHEN l_quantity BETWEEN 31 AND 40 THEN 1 ELSE 0 END) AS b4,
+           SUM(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS b5
+    FROM lineitem
+    """,
+)
+def tpcds_q9_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q9 shape: one scan, five CASE bucket counts in a single wide row —
+    the conditional-aggregation alternative to q88's N scans.  One pass,
+    map-side partials, no shuffle beyond the single-row agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+
+    def b(lo, hi):
+        return F.sum(F.when(q.between(lo, hi), 1).otherwise(0).cast("long"))
+
+    return li.agg(
+        b(1, 10).alias("b1"),
+        b(11, 20).alias("b2"),
+        b(21, 30).alias("b3"),
+        b(31, 40).alias("b4"),
+        F.sum(F.when(q > 40, 1).otherwise(0).cast("long")).alias("b5"),
+    )
+
+
+@query(
+    "tpcds_q23_frequent_items",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_cents,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_partkey IN (
+      SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING COUNT(*) > 35
+    )
+    """,
+)
+def tpcds_q23_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q23 shape: frequent-item set built by a grouped HAVING subquery,
+    then a semi join restricts the fact scan to those items.  The item
+    set is aggregated (small) → broadcast semi join, fact never
+    shuffles for the probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    frequent = (
+        li.groupBy("l_partkey").agg(F.count("*").alias("cnt")).filter(
+            F.col("cnt") > 35
+        )
+    ).select("l_partkey")
+    return (
+        li.join(F.broadcast(frequent), "l_partkey", "left_semi")
+        .agg(
+            F.sum(_cents("l_extendedprice")).alias("rev_cents"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "tpcds_q36_margin_rollup_rank",
+    oracle="""
+    SELECT lochierarchy, r_name, n_name, qty,
+           RANK() OVER (PARTITION BY lochierarchy,
+                        CASE WHEN lochierarchy = 0 THEN r_name END
+                        ORDER BY qty DESC, r_name NULLS FIRST,
+                                 n_name NULLS FIRST) AS rank_within
+    FROM (
+      SELECT grouping(r_name) + grouping(n_name) AS lochierarchy,
+             CASE WHEN grouping(r_name) = 0 THEN r_name END AS r_name,
+             CASE WHEN grouping(n_name) = 0 THEN n_name END AS n_name,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+    ) t
+    """,
+)
+def tpcds_q36_margin_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q36/q70 shape: RANK partitioned by the rollup's grouping LEVEL
+    (lochierarchy trick — totals rank against totals, leaves against
+    leaves within their parent).  Rollup is one shuffle; the window
+    re-shuffles only the aggregated rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    g = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            (F.grouping("r_name") + F.grouping("n_name")).alias("lochierarchy"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.grouping("r_name").alias("_gr"),
+            F.grouping("n_name").alias("_gn"),
+        )
+        .select(
+            "lochierarchy",
+            F.when(F.col("_gr") == 0, F.col("r_name")).alias("r_name"),
+            F.when(F.col("_gn") == 0, F.col("n_name")).alias("n_name"),
+            "qty",
+        )
+    )
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("lochierarchy") == 0, F.col("r_name")),
+    ).orderBy(
+        F.col("qty").desc(),
+        F.col("r_name").asc_nulls_first(),
+        F.col("n_name").asc_nulls_first(),
+    )
+    return g.select(
+        "lochierarchy", "r_name", "n_name", "qty",
+        F.rank().over(w).alias("rank_within"),
+    )
+
+
+@query(
+    "tpcds_q59_mom_compare",
+    oracle="""
+    WITH monthly AS (
+      SELECT n_name, EXTRACT(MONTH FROM o_orderdate) AS m, COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+      GROUP BY n_name, EXTRACT(MONTH FROM o_orderdate)
+    )
+    SELECT a.n_name, a.m AS m,
+           a.n_orders AS cur, b.n_orders AS nxt,
+           ROUND(CAST(b.n_orders AS DOUBLE) / a.n_orders, 4) AS ratio
+    FROM monthly a JOIN monthly b
+      ON a.n_name = b.n_name AND b.m = a.m + 1
+    """,
+)
+def tpcds_q59_mom_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q59 shape: a periodic aggregate self-joined at period+1 to compare
+    consecutive months.  The monthly CTE aggregates once and joins to
+    itself on (nation, month) — both sides shrink to groups before the
+    join."""
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.month("o_orderdate").alias("m"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_name") == F.col("b.n_name"))
+        & (F.col("b.m") == F.col("a.m") + 1),
+    ).select(
+        F.col("a.n_name").alias("n_name"),
+        F.col("a.m").alias("m"),
+        F.col("a.n_orders").alias("cur"),
+        F.col("b.n_orders").alias("nxt"),
+        F.round(
+            F.col("b.n_orders").cast("double") / F.col("a.n_orders"), 4
+        ).alias("ratio"),
+    )
+
+
+@query(
+    "tpcds_q89_deviation_from_avg",
+    oracle="""
+    SELECT p_brand, m, qty, avg_qty
+    FROM (
+      SELECT p_brand, m, qty,
+             AVG(qty) OVER (PARTITION BY p_brand) AS avg_qty
+      FROM (
+        SELECT p_brand, EXTRACT(MONTH FROM l_shipdate) AS m,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type LIKE 'PROMO%'
+        GROUP BY p_brand, EXTRACT(MONTH FROM l_shipdate)
+      ) g
+    ) t
+    WHERE qty > 1.1 * avg_qty
+    """,
+)
+def tpcds_q89_deviation_from_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q89/q63 shape: monthly aggregate, window AVG per brand over the
+    months, keep months deviating above the brand mean.  The window runs
+    over already-aggregated rows (tiny); inputs to the float compare are
+    exact integers so both engines compute identical doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type").like("PROMO%"))
+    g = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", F.month("l_shipdate").alias("m"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    w = Window.partitionBy("p_brand")
+    return (
+        g.withColumn("avg_qty", F.avg("qty").over(w))
+        .filter(F.col("qty") > 1.1 * F.col("avg_qty"))
+        .select("p_brand", "m", "qty", "avg_qty")
+    )
+
+
+@query(
+    "tpcds_q65_below_avg_parts",
+    oracle="""
+    WITH part_rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand, COUNT(*) AS n_cheap
+    FROM part_rev
+    JOIN part ON l_partkey = p_partkey
+    WHERE rev_c < 0.5 * (SELECT AVG(rev_c) FROM part_rev)
+    GROUP BY p_brand
+    """,
+)
+def tpcds_q65_below_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q65 shape: per-item revenue compared against a fraction of the
+    global average item revenue (scalar subquery → lazy broadcast
+    single-row join, the q22 pattern — no driver collect)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(_cents("l_extendedprice")).alias("rev_c")
+    )
+    avg_rev = part_rev.agg(F.avg("rev_c").alias("_avg_rev"))
+    return (
+        part_rev.crossJoin(F.broadcast(avg_rev))
+        .filter(F.col("rev_c") < 0.5 * F.col("_avg_rev"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_cheap"))
+    )
+
+
+@query(
+    "tpcds_q25_three_fact",
+    oracle="""
+    SELECT o1.o_orderpriority, COUNT(*) AS n
+    FROM orders o1
+    JOIN lineitem r  ON r.l_orderkey = o1.o_orderkey AND r.l_returnflag = 'R'
+    JOIN orders o2   ON o2.o_custkey = o1.o_custkey
+                    AND o2.o_orderdate > o1.o_orderdate
+    GROUP BY o1.o_orderpriority
+    """,
+)
+def tpcds_q25_three_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q25/q29 shape: three fact roles — a sale, its return, and a later
+    repurchase by the same customer (sales ⋈ returns ⋈ sales).  First
+    join co-partitions on orderkey, second re-shuffles on custkey; the
+    date predicate stays a join residual."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o1 = o.select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_custkey").alias("c1"),
+        F.col("o_orderdate").alias("d1"),
+        F.col("o_orderpriority"),
+    )
+    r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("kr")
+    )
+    o2 = o.select(
+        F.col("o_custkey").alias("c2"), F.col("o_orderdate").alias("d2")
+    )
+    return (
+        o1.join(r, F.col("kr") == F.col("k1"))
+        .join(o2, (F.col("c2") == F.col("c1")) & (F.col("d2") > F.col("d1")))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "tpcds_q31_qoq_growth",
+    oracle="""
+    WITH q AS (
+      SELECT n_name, EXTRACT(QUARTER FROM o_orderdate) AS qtr, COUNT(*) AS cnt
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+      GROUP BY n_name, EXTRACT(QUARTER FROM o_orderdate)
+    )
+    SELECT q1.n_name, q1.cnt AS c1, q2.cnt AS c2,
+           ROUND(CAST(q2.cnt AS DOUBLE) / q1.cnt, 4) AS growth
+    FROM q q1 JOIN q q2 ON q1.n_name = q2.n_name AND q1.qtr = 1 AND q2.qtr = 2
+    WHERE q2.cnt > q1.cnt
+    """,
+)
+def tpcds_q31_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q31 shape: quarter-over-quarter growth per region, keeping only
+    growing groups.  Same aggregate reused under two filters — Catalyst
+    caches nothing between CTE references, but both sides reduce before
+    the tiny equi-join."""
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    q = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.quarter("o_orderdate").alias("qtr"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    q1 = q.filter(F.col("qtr") == 1).select(
+        F.col("n_name"), F.col("cnt").alias("c1")
+    )
+    q2 = q.filter(F.col("qtr") == 2).select(
+        F.col("n_name").alias("n2"), F.col("cnt").alias("c2")
+    )
+    return (
+        q1.join(q2, F.col("n_name") == F.col("n2"))
+        .filter(F.col("c2") > F.col("c1"))
+        .select(
+            "n_name", "c1", "c2",
+            F.round(F.col("c2").cast("double") / F.col("c1"), 4).alias("growth"),
+        )
+    )
+
+
+@query(
+    "tpcds_q54_revenue_bands",
+    oracle="""
+    SELECT band, COUNT(*) AS n_custs
+    FROM (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               // 5000000 AS band
+      FROM orders GROUP BY o_custkey
+    ) t
+    GROUP BY band
+    """,
+)
+def tpcds_q54_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q54 shape: histogram of customers by lifetime-spend band (integer
+    bucket width $50k in cents).  Two cascaded aggregations, the second
+    over an already-small domain."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).alias("spend_c")
+    )
+    t = F.col("spend_c")
+    band = ((t - t % 5000000) / 5000000).cast("long")
+    return (
+        spend.select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_custs"))
+    )
+
+
+@query(
+    "tpcds_q49_topn_union_channels",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders' AS channel, CAST(o_custkey AS BIGINT) AS cust_id, cnt, rnk
+      FROM (
+        SELECT o_custkey, COUNT(*) AS cnt,
+               RANK() OVER (ORDER BY COUNT(*) DESC, o_custkey) AS rnk
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+      ) a WHERE rnk <= 5
+      UNION ALL
+      SELECT 'events' AS channel, CAST(user_id AS BIGINT) AS cust_id, cnt, rnk
+      FROM (
+        SELECT user_id, COUNT(*) AS cnt,
+               RANK() OVER (ORDER BY COUNT(*) DESC, user_id) AS rnk
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+      ) b WHERE rnk <= 5
+    ) u
+    """,
+)
+def tpcds_q49_topn_union_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q49 shape: per-channel top-N by rank, UNION ALL'd with a channel
+    tag.  Each branch aggregates then ranks its own (small) group table;
+    the global-rank window runs over aggregated rows only."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+
+    def top5(df, key, tag):
+        g = df.groupBy(key).agg(F.count("*").alias("cnt"))
+        # Scale safety: a global rank window funnels all groups through
+        # one task, so pre-prune to each hash-bucket's local top 5 (any
+        # global top-5 row is in its bucket's top 5) — the final window
+        # then orders ≤ 5×n_buckets rows.
+        order = [F.col("cnt").desc(), F.col(key)]
+        wb = Window.partitionBy(F.abs(F.hash(key)) % 64).orderBy(*order)
+        pruned = (
+            g.withColumn("_brnk", F.row_number().over(wb))
+            .filter(F.col("_brnk") <= 5)
+            .drop("_brnk")
+        )
+        w = Window.orderBy(*order)
+        return (
+            pruned.withColumn("rnk", F.rank().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select(
+                F.lit(tag).alias("channel"),
+                F.col(key).cast("long").alias("cust_id"),
+                "cnt",
+                "rnk",
+            )
+        )
+
+    return top5(o, "o_custkey", "orders").unionByName(
+        top5(e, "user_id", "events")
+    )
+
+
+@query(
+    "tpcds_q21_before_after",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(CASE WHEN l_shipdate <  DATE '1995-06-01'
+                         THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS qty_before,
+           CAST(SUM(CASE WHEN l_shipdate >= DATE '1995-06-01'
+                         THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS qty_after
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size > 40
+    GROUP BY p_brand
+    HAVING SUM(CASE WHEN l_shipdate <  DATE '1995-06-01'
+                    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) * 2
+         > SUM(CASE WHEN l_shipdate >= DATE '1995-06-01'
+                    THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+    """,
+)
+def tpcds_q21_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21 shape: before/after pivot around a date with a HAVING ratio
+    band — the ratio stays in exact integer cross-multiplied form
+    (before*2 > after), no float boundary anywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    qty = F.col("l_quantity").cast("long")
+    before = F.sum(
+        F.when(F.col("l_shipdate") < "1995-06-01", qty).otherwise(F.lit(0))
+    )
+    after = F.sum(
+        F.when(F.col("l_shipdate") >= "1995-06-01", qty).otherwise(F.lit(0))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(before.alias("qty_before"), after.alias("qty_after"))
+        .filter(F.col("qty_before") * 2 > F.col("qty_after"))
+    )
+
+
+@query(
+    "tpcds_q78_channel_ratio",
+    oracle="""
+    WITH ord AS (
+      SELECT o_custkey AS cust, COUNT(*) AS n_ord
+      FROM orders GROUP BY o_custkey
+    ),
+    ev AS (
+      SELECT user_id AS cust, COUNT(*) AS n_ev
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT coalesce(ord.cust, ev.cust) AS cust,
+           coalesce(n_ord, 0) AS n_ord, coalesce(n_ev, 0) AS n_ev
+    FROM ord FULL OUTER JOIN ev ON ord.cust = ev.cust
+    WHERE coalesce(n_ord, 0) >= 20 OR coalesce(n_ev, 0) >= 20
+    """,
+)
+def tpcds_q78_channel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q78 shape: per-customer activity across two channels aligned by
+    FULL OUTER join with COALESCE defaults — customers missing from a
+    channel still appear.  Both inputs are pre-aggregated before the
+    join."""
+    o = _t(spark, sf_dir, "orders")
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ord_ = o.groupBy(F.col("o_custkey").alias("cust_o")).agg(
+        F.count("*").alias("n_ord")
+    )
+    ev = e.groupBy(F.col("user_id").alias("cust_e")).agg(
+        F.count("*").alias("n_ev")
+    )
+    j = ord_.join(ev, F.col("cust_o") == F.col("cust_e"), "full_outer")
+    return (
+        j.select(
+            F.coalesce(F.col("cust_o"), F.col("cust_e")).alias("cust"),
+            F.coalesce(F.col("n_ord"), F.lit(0)).alias("n_ord"),
+            F.coalesce(F.col("n_ev"), F.lit(0)).alias("n_ev"),
+        )
+        .filter((F.col("n_ord") >= 20) | (F.col("n_ev") >= 20))
+    )
+
+
+@query(
+    "tpcds_q6_above_avg_price",
+    oracle="""
+    WITH typed AS (
+      SELECT p_partkey, p_retailprice,
+             AVG(p_retailprice) OVER (PARTITION BY p_type) AS avg_price
+      FROM part
+    )
+    SELECT n_name, COUNT(*) AS n
+    FROM lineitem
+    JOIN typed    ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_retailprice > 1.2 * avg_price
+    GROUP BY n_name
+    """,
+)
+def tpcds_q6_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q6 shape: items priced above 1.2× their type's average (window
+    AVG inside the dimension), then fact joins count per nation.  The
+    window runs over the part dimension only; the enriched dimension
+    broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("p_type")
+    typed = (
+        p.withColumn("avg_price", F.avg("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") > 1.2 * F.col("avg_price"))
+        .select("p_partkey")
+    )
+    return (
+        li.join(F.broadcast(typed), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n"))
+    )

@@ -168,22 +168,58 @@ def win_frame_rows_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_frame_range_value",
     oracle="""
     SELECT o_orderkey,
-           COUNT(*) OVER (ORDER BY o_totalprice
-                          RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) AS n_near,
-           ROUND(SUM(o_totalprice) OVER (ORDER BY o_totalprice
-                          RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING), 2) AS sum_near
+           COUNT(*) OVER w AS n_near,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w
+                AS BIGINT) / 100.0 AS sum_near
     FROM orders
     WHERE o_totalprice > 450000
+    WINDOW w AS (ORDER BY o_totalprice
+                 RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING)
     """,
 )
 def win_frame_range_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE (value-based) frame over a numeric ORDER BY key."""
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
-    w = Window.orderBy("o_totalprice").rangeBetween(-5000, 5000)
-    return orders.select(
+    """RANGE (value-based) frame over a numeric ORDER BY key — the
+    PARTITION-SAFE form.  A bare ``Window.orderBy(value)`` funnels every
+    row through one task; instead the value axis is bucketed at width
+    10000 (≥ the 10000-wide frame, so any frame spans at most the bucket
+    and its two neighbors), every row is replicated as a CONTRIBUTOR into
+    its bucket ± 1, and the range window runs per bucket — fully
+    shuffle-parallel, 3× row inflation, identical results at any scale.
+    Sums use exact integer cents (see relational._cents)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 450000
+    )
+    width = 10000  # bucket width >= whole frame width
+    v = F.col("o_totalprice")
+    base = orders.select(
         "o_orderkey",
-        F.count("*").over(w).alias("n_near"),
-        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_near"),
+        v.alias("v"),
+        F.round(v * 100).cast("long").alias("v_c"),
+        F.floor(v / width).cast("long").alias("b"),
+    )
+    targets = base.select(
+        F.col("b").alias("pb"),
+        "v",
+        "o_orderkey",
+        F.lit(None).cast("long").alias("cv"),
+    )
+    contribs = base.select(
+        F.explode(
+            F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)
+        ).alias("pb"),
+        "v",
+        F.lit(None).cast(dict(base.dtypes)["o_orderkey"]).alias("o_orderkey"),
+        F.col("v_c").alias("cv"),
+    )
+    w = Window.partitionBy("pb").orderBy("v").rangeBetween(-5000, 5000)
+    return (
+        targets.unionByName(contribs)
+        .select(
+            "o_orderkey",
+            F.count("cv").over(w).alias("n_near"),
+            (F.sum("cv").over(w) / F.lit(100.0)).alias("sum_near"),
+        )
+        .filter(F.col("o_orderkey").isNotNull())
     )
 
 

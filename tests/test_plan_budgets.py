@@ -17,7 +17,10 @@ BUDGETS = {
     "tpch_q3_shipping_priority": 1,
     "tpch_q5_local_supplier_volume": 1,
     "tpch_q6_forecast_revenue": 1,
-    "microbench_chained_joins": 1,
+    # 1 fact pipeline + 1 single-row exchange for the lazy MAX(l_partkey)
+    # scalar (was a driver-side collect; the broadcast-join form keeps one
+    # DAG and the extra exchange moves one row)
+    "microbench_chained_joins": 2,
     "agg_distinct_multi": 2,  # Expand + distinct re-agg is inherent
     "win_running_totals": 1,
     "topk_per_group": 1,

@@ -1,16 +1,25 @@
 #!/usr/bin/env python
-"""Generate sqllogictest files with DuckDB-computed golden rows.
+"""Generate sqllogictest files validated against BOTH engines.
 
 The reference's primary corpus is sqllogictest files with inline golden
-rows (SURVEY.md §5).  This tool keeps ours honest the same way: each
-query spec below is written in the DIALECT-COMMON subset (identical text
-parses in DuckDB and Spark SQL), executed in DuckDB over the sf0.001
-fixture views, rendered with the runner's conventions
-(testing/sqllogic.py), and emitted as tests/sqllogic/<file>.test.
-pytest (tests/test_sqllogic.py) then asserts Spark produces the same
-rows — DuckDB stays the semantics oracle, Spark the system under test.
+rows (SURVEY.md §5).  This tool keeps ours honest the same way — and,
+since round 2, keeps itself honest too: each query spec below is written
+in the DIALECT-COMMON subset (identical text parses in DuckDB and Spark
+SQL), executed in BOTH engines over the sf0.001 fixture views, and a
+file is emitted only when every spec's rendered rows agree.  A mismatch
+prints both sides and fails the run — no unvalidated goldens can reach
+tests/sqllogic/ anymore (round 1 committed 5 never-executed files, all
+red).
 
-Usage:  python tools/gen_sqllogic.py          # regenerate all GENERATED files
+Dialect-common notes learned by running both engines:
+  - STRING, not VARCHAR (Spark needs a length for VARCHAR).
+  - No ANY/ALL quantified comparisons (Spark lacks the syntax); encode
+    the standard rewrites (IN / scalar min-max subqueries) instead.
+  - date_trunc returns DATE in DuckDB but TIMESTAMP in Spark → CAST.
+  - ceil/floor return DOUBLE in DuckDB, BIGINT in Spark → render I.
+  - datediff has different signatures → avoid.
+
+Usage:  python tools/gen_sqllogic.py          # validate + regenerate all
 """
 
 from __future__ import annotations
@@ -42,11 +51,13 @@ def corpus(name: str, header: str):
 
 corpus("scalar_expr", "Scalar expression semantics (reference test/sql/function, test/sql/cast)")([
     ("T", "", "SELECT CASE WHEN r_regionkey < 2 THEN 'low' WHEN r_regionkey < 4 THEN 'mid' ELSE 'high' END FROM region ORDER BY r_regionkey"),
-    ("I", "", "SELECT CAST(o_totalprice AS BIGINT) FROM orders ORDER BY o_orderkey LIMIT 5"),
-    ("T", "", "SELECT CAST(l_shipdate AS VARCHAR) FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 3"),
+    # CAST(double AS BIGINT) rounds in DuckDB, truncates in Spark — another
+    # validator-found divergence; floor() agrees in both engines.
+    ("I", "", "SELECT CAST(floor(o_totalprice) AS BIGINT) FROM orders ORDER BY o_orderkey LIMIT 5"),
+    ("T", "", "SELECT CAST(l_shipdate AS STRING) FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 3"),
     ("TI", "", "SELECT substr(r_name, 1, 3), length(r_name) FROM region ORDER BY r_regionkey"),
     ("T", "", "SELECT upper(lower(n_name)) FROM nation ORDER BY n_nationkey LIMIT 4"),
-    ("T", "", "SELECT concat(r_name, '-', CAST(r_regionkey AS VARCHAR)) FROM region ORDER BY r_regionkey"),
+    ("T", "", "SELECT concat(r_name, '-', CAST(r_regionkey AS STRING)) FROM region ORDER BY r_regionkey"),
     ("I", "", "SELECT abs(-r_regionkey) + least(r_regionkey, 2) * greatest(r_regionkey, 3) FROM region ORDER BY r_regionkey"),
     ("R", "", "SELECT round(sqrt(CAST(n_nationkey AS DOUBLE)), 3) FROM nation ORDER BY n_nationkey LIMIT 6"),
     ("I", "", "SELECT mod(n_nationkey, 7) FROM nation ORDER BY n_nationkey LIMIT 10"),
@@ -63,59 +74,207 @@ corpus("scalar_expr", "Scalar expression semantics (reference test/sql/function,
 
 corpus("null_semantics", "Three-valued logic / NULL handling (reference test/sql/subquery, test/sql/filter)")([
     ("I", "", "SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL"),
-    ("TT", "", "SELECT CAST(NULL AS VARCHAR) IS DISTINCT FROM 'x', 'x' IS NOT DISTINCT FROM 'x'"),
-    ("T", "", "SELECT CAST(NULL = NULL AS VARCHAR)"),
-    ("T", "", "SELECT CAST(NULL AND FALSE AS VARCHAR)"),
-    ("T", "", "SELECT CAST(NULL OR TRUE AS VARCHAR)"),
+    ("TT", "", "SELECT CAST(CAST(NULL AS STRING) IS DISTINCT FROM 'x' AS STRING), CAST('x' IS NOT DISTINCT FROM 'x' AS STRING)"),
+    ("T", "", "SELECT CAST(NULL = NULL AS STRING)"),
+    ("T", "", "SELECT CAST(NULL AND FALSE AS STRING)"),
+    ("T", "", "SELECT CAST(NULL OR TRUE AS STRING)"),
     ("I", "", "SELECT count(*) FROM nation WHERE n_nationkey NOT IN (SELECT r_regionkey FROM region WHERE r_regionkey < 3)"),
-    ("I", "", "SELECT sum(CASE WHEN NULL THEN 1 ELSE 0 END) FROM region"),
-    ("T", "", "SELECT CAST(max(CASE WHEN r_regionkey > 99 THEN r_name END) AS VARCHAR) FROM region"),
+    ("I", "", "SELECT sum(CASE WHEN CAST(NULL AS BOOLEAN) THEN 1 ELSE 0 END) FROM region"),
+    ("T", "", "SELECT CAST(max(CASE WHEN r_regionkey > 99 THEN r_name END) AS STRING) FROM region"),
     ("I", "", "SELECT count(CASE WHEN r_regionkey > 2 THEN 1 END) FROM region"),
     ("II", "", "SELECT count(*), count(NULL) FROM region"),
+    ("I", "", "SELECT count(*) FROM region WHERE CAST(NULL AS BOOLEAN)"),
+    ("I", "", "SELECT coalesce(nullif(1, 1), nullif(2, 3))"),
 ])
 
 corpus("datetime_interval", "Date / timestamp / interval arithmetic (reference test/sql/types/date, /interval)")([
-    ("T", "", "SELECT CAST(DATE '1995-03-15' + INTERVAL 30 DAY AS VARCHAR)"),
-    ("T", "", "SELECT CAST(DATE '1996-01-31' - INTERVAL 1 MONTH AS VARCHAR)"),
+    ("T", "", "SELECT CAST(CAST(DATE '1995-03-15' + INTERVAL 30 DAY AS DATE) AS STRING)"),
+    ("T", "", "SELECT CAST(CAST(DATE '1996-01-31' - INTERVAL 1 MONTH AS DATE) AS STRING)"),
     ("III", "", "SELECT EXTRACT(YEAR FROM o_orderdate), EXTRACT(MONTH FROM o_orderdate), EXTRACT(DAY FROM o_orderdate) FROM orders ORDER BY o_orderkey LIMIT 3"),
     ("I", "", "SELECT count(*) FROM lineitem WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'"),
-    ("T", "", "SELECT CAST(min(o_orderdate) AS VARCHAR) FROM orders"),
-    ("T", "", "SELECT CAST(max(l_shipdate) AS VARCHAR) FROM lineitem"),
+    ("T", "", "SELECT CAST(min(o_orderdate) AS STRING) FROM orders"),
+    ("T", "", "SELECT CAST(max(l_shipdate) AS STRING) FROM lineitem"),
     ("I", "rowsort", "SELECT EXTRACT(QUARTER FROM o_orderdate) FROM orders GROUP BY 1"),
-    ("TI", "", "SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS VARCHAR), count(*) FROM orders GROUP BY 1 ORDER BY 1"),
-    ("I", "", "SELECT datediff('day', DATE '1995-01-01', DATE '1995-03-01')"),
-    ("T", "", "SELECT CAST(last_day(DATE '1996-02-10') AS VARCHAR)"),
+    ("TI", "", "SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS STRING), count(*) FROM orders GROUP BY 1 ORDER BY 1"),
+    ("T", "", "SELECT CAST(last_day(DATE '1996-02-10') AS STRING)"),
+    ("T", "", "SELECT CAST(CAST(date_trunc('month', DATE '1995-07-19') AS DATE) AS STRING)"),
+    ("I", "", "SELECT EXTRACT(DOY FROM DATE '1996-03-01')"),
 ])
 
 corpus("grouping_edges", "GROUP BY edge semantics (reference test/sql/aggregate/group)")([
     ("TI", "", "SELECT r_name, count(*) FROM region GROUP BY r_name HAVING count(*) >= 1 ORDER BY r_name"),
     ("II", "rowsort", "SELECT n_regionkey, count(DISTINCT n_nationkey) FROM nation GROUP BY n_regionkey"),
     ("I", "", "SELECT count(*) FROM (SELECT o_custkey FROM orders GROUP BY o_custkey) t"),
-    ("TII", "rowsort", "SELECT coalesce(CAST(n_regionkey AS VARCHAR), 'ALL'), grouping(n_regionkey), count(*) FROM nation GROUP BY ROLLUP(n_regionkey)"),
+    ("TII", "rowsort", "SELECT coalesce(CAST(n_regionkey AS STRING), 'ALL'), grouping(n_regionkey), count(*) FROM nation GROUP BY ROLLUP(n_regionkey)"),
     ("II", "rowsort", "SELECT n_regionkey % 2, sum(n_nationkey) FROM nation GROUP BY n_regionkey % 2"),
-    ("I", "", "SELECT count(*) FROM nation GROUP BY () "),
     ("TI", "", "SELECT l_returnflag, count(*) FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     ("II", "", "SELECT o_orderkey % 3 AS k, max(o_custkey) FROM orders GROUP BY k ORDER BY k"),
 ])
 
-corpus("quantifiers", "ANY/ALL/EXISTS quantified comparisons (reference test/sql/subquery/any_all)")([
-    ("I", "", "SELECT count(*) FROM nation WHERE n_regionkey = ANY (SELECT r_regionkey FROM region WHERE r_name LIKE 'A%')"),
-    ("I", "", "SELECT count(*) FROM nation WHERE n_nationkey > ALL (SELECT r_regionkey FROM region)"),
+# Spark has no ANY/ALL quantified-comparison syntax; these are the
+# standard rewrites (IN, EXISTS, scalar min/max subqueries) both engines
+# parse — the same rewrites queries/subqueries.py uses.
+corpus("quantifiers", "ANY/ALL quantified comparisons via dialect-common rewrites (reference test/sql/subquery/any_all)")([
+    ("I", "", "SELECT count(*) FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name LIKE 'A%')"),
+    ("I", "", "SELECT count(*) FROM nation WHERE n_nationkey > (SELECT max(r_regionkey) FROM region)"),
     ("I", "", "SELECT count(*) FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)"),
     ("I", "", "SELECT count(*) FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),
-    ("T", "rowsort", "SELECT r_name FROM region WHERE r_regionkey <= ALL (SELECT n_regionkey FROM nation WHERE n_nationkey < 3)"),
-    ("I", "", "SELECT count(*) FROM orders WHERE o_totalprice >= ANY (SELECT o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT')"),
+    ("T", "rowsort", "SELECT r_name FROM region WHERE r_regionkey <= (SELECT min(n_regionkey) FROM nation WHERE n_nationkey < 3)"),
+    ("I", "", "SELECT count(*) FROM orders WHERE o_totalprice >= (SELECT min(o_totalprice) FROM orders WHERE o_orderpriority = '1-URGENT')"),
+])
+
+corpus("cast_matrix", "Cast / TRY_CAST matrix (reference test/sql/types/cast)")([
+    ("I", "", "SELECT CAST('42' AS BIGINT)"),
+    ("I", "", "SELECT TRY_CAST('oops' AS BIGINT)"),
+    ("I", "", "SELECT TRY_CAST('123' AS BIGINT)"),
+    ("R", "", "SELECT CAST('2.5' AS DOUBLE)"),
+    ("T", "", "SELECT CAST(CAST('1995-06-17' AS DATE) AS STRING)"),
+    ("I", "", "SELECT TRY_CAST('1995-13-40' AS DATE) IS NULL"),
+    ("T", "", "SELECT CAST(CAST(1 AS BOOLEAN) AS STRING)"),
+    ("T", "", "SELECT CAST(TRUE AS STRING)"),
+    # NOTE engine divergence found by this validator: CAST(3.7 AS BIGINT)
+    # rounds in DuckDB (4) but truncates in Spark (3).  Kept out of the
+    # dialect-common corpus; our engine follows Spark/ANSI truncation.
+    ("I", "", "SELECT CAST(CAST(3.0 AS BIGINT) AS BIGINT)"),
+    ("I", "", "SELECT CAST(o_orderkey AS INT) FROM orders ORDER BY o_orderkey LIMIT 3"),
+    ("T", "", "SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING) FROM orders ORDER BY o_orderkey LIMIT 3"),
+])
+
+corpus("in_expr", "IN-list and BETWEEN semantics with NULLs (reference test/sql/filter)")([
+    ("I", "", "SELECT count(*) FROM region WHERE r_regionkey IN (0, 2, 4)"),
+    ("I", "", "SELECT count(*) FROM region WHERE r_regionkey NOT IN (0, 2)"),
+    ("T", "", "SELECT CAST(1 IN (2, 3) AS STRING)"),
+    ("T", "", "SELECT CAST(NULL IN (1, 2) AS STRING)"),
+    ("T", "", "SELECT CAST(1 NOT IN (2, NULL) AS STRING)"),
+    ("T", "", "SELECT CAST(1 IN (1, NULL) AS STRING)"),
+    ("I", "", "SELECT count(*) FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')"),
+    ("I", "", "SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 10 AND 20"),
+    ("I", "", "SELECT count(*) FROM lineitem WHERE l_quantity NOT BETWEEN 10 AND 20"),
+])
+
+corpus("string_edges", "String function edges (reference test/sql/function/string)")([
+    ("I", "", "SELECT length('')"),
+    ("T", "", "SELECT substr('abcdef', -3, 2)"),
+    ("T", "", "SELECT substr('abcdef', 2)"),
+    ("T", "", "SELECT ltrim('  x  ') || '|' || rtrim('  x  ')"),
+    ("I", "", "SELECT length(n_name) FROM nation ORDER BY n_nationkey LIMIT 5"),
+    ("T", "", "SELECT left(r_name, 2) || right(r_name, 2) FROM region ORDER BY r_regionkey"),
+    ("T", "", "SELECT translate('abcba', 'ab', 'xy')"),
+    ("I", "", "SELECT instr(r_name, 'ROPE') FROM region ORDER BY r_regionkey"),
+    ("T", "", "SELECT split_part('a|b|c', '|', 2)"),
+    ("T", "", "SELECT md5('spark-graft')"),
+    ("I", "", "SELECT ascii('A')"),
+    ("T", "", "SELECT chr(66)"),
+    ("T", "", "SELECT lcase(ucase(r_name)) FROM region ORDER BY r_regionkey LIMIT 2"),
+])
+
+corpus("math_edges", "Math edges (reference test/sql/function/numeric)")([
+    ("I", "", "SELECT CAST(ceil(2.1) AS BIGINT)"),
+    ("I", "", "SELECT CAST(floor(-2.1) AS BIGINT)"),
+    ("R", "", "SELECT round(pi(), 3)"),
+    ("R", "", "SELECT round(exp(1.0), 3)"),
+    ("R", "", "SELECT round(ln(exp(2.0)), 3)"),
+    ("R", "", "SELECT round(log10(1000.0), 3)"),
+    ("R", "", "SELECT round(power(2.0, 10.0), 3)"),
+    ("I", "", "SELECT CAST(sign(-5.0) AS BIGINT)"),
+    ("R", "", "SELECT round(degrees(pi()), 3)"),
+    ("R", "", "SELECT round(radians(180.0), 6)"),
+    ("R", "", "SELECT round(atan2(1.0, 1.0), 6)"),
+    ("I", "", "SELECT factorial(5)"),
+    ("I", "", "SELECT CAST(cbrt(27.0) AS BIGINT)"),
+    ("R", "", "SELECT round(cos(0.0) + sin(0.0) + tan(0.0), 3)"),
+])
+
+corpus("order_nulls", "ORDER BY NULLS FIRST/LAST and mixed keys (reference test/sql/order)")([
+    ("I", "", "SELECT nullif(r_regionkey, 2) FROM region ORDER BY nullif(r_regionkey, 2) ASC NULLS FIRST"),
+    ("I", "", "SELECT nullif(r_regionkey, 2) FROM region ORDER BY nullif(r_regionkey, 2) ASC NULLS LAST"),
+    ("I", "", "SELECT nullif(r_regionkey, 0) FROM region ORDER BY nullif(r_regionkey, 0) DESC NULLS FIRST"),
+    ("TI", "", "SELECT o_orderpriority, o_orderkey FROM orders ORDER BY o_orderpriority DESC, o_orderkey ASC LIMIT 5"),
+    ("I", "", "SELECT r_regionkey FROM region ORDER BY r_regionkey DESC LIMIT 2 OFFSET 1"),
+])
+
+corpus("agg_edges", "Aggregate edge semantics (reference test/sql/aggregate)")([
+    ("I", "", "SELECT sum(r_regionkey) FROM region WHERE r_regionkey > 99"),
+    ("I", "", "SELECT count(*) FROM region WHERE r_regionkey > 99"),
+    ("I", "", "SELECT min(o_orderkey) FROM orders"),
+    ("R", "", "SELECT round(avg(CAST(l_quantity AS DOUBLE)), 3) FROM lineitem"),
+    ("II", "", "SELECT count(DISTINCT o_orderpriority), count(DISTINCT o_orderstatus) FROM orders"),
+    ("I", "", "SELECT max(o_orderkey) - min(o_orderkey) FROM orders"),
+    ("T", "", "SELECT CAST(bool_and(r_regionkey >= 0) AS STRING) FROM region"),
+    ("T", "", "SELECT CAST(bool_or(r_regionkey > 3) AS STRING) FROM region"),
+    ("I", "", "SELECT count(*) FILTER (WHERE o_orderstatus = 'F') FROM orders"),
+    ("I", "", "SELECT sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) FROM lineitem"),
+])
+
+corpus("exists_corr", "Correlated EXISTS / scalar subqueries (reference test/sql/subquery/exists)")([
+    ("I", "", "SELECT count(*) FROM region r WHERE EXISTS (SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey AND n.n_nationkey > 20)"),
+    ("TI", "", "SELECT r_name, (SELECT count(*) FROM nation n WHERE n.n_regionkey = r.r_regionkey) AS n_nations FROM region r ORDER BY r_name"),
+    ("I", "", "SELECT count(*) FROM nation n WHERE n.n_nationkey < (SELECT max(o_orderkey) FROM orders) / 100000"),
+    ("TI", "", "SELECT n_name, (SELECT r_regionkey FROM region WHERE r_regionkey = n_regionkey) FROM nation ORDER BY n_nationkey LIMIT 5"),
+    ("I", "", "SELECT count(*) FROM customer c WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)"),
+])
+
+corpus("union_edges", "Set-operation dedup/typing edges (reference test/sql/setops)")([
+    ("I", "rowsort", "SELECT r_regionkey FROM region UNION SELECT n_regionkey FROM nation"),
+    ("I", "", "SELECT count(*) FROM (SELECT r_regionkey FROM region UNION ALL SELECT n_regionkey FROM nation) t"),
+    ("I", "rowsort", "SELECT r_regionkey FROM region EXCEPT SELECT n_regionkey FROM nation WHERE n_regionkey < 2"),
+    ("I", "rowsort", "SELECT n_regionkey FROM nation INTERSECT SELECT r_regionkey FROM region"),
+    ("I", "", "SELECT count(*) FROM (SELECT 1 AS x UNION SELECT 1) t"),
+    ("I", "", "SELECT count(*) FROM (SELECT 1 AS x UNION ALL SELECT 1) t"),
+    ("R", "rowsort", "SELECT CAST(r_regionkey AS DOUBLE) FROM region WHERE r_regionkey < 2 UNION SELECT 2.5"),
+])
+
+corpus("window_edges", "Window function edges (reference test/sql/window)")([
+    ("II", "", "SELECT n_nationkey, row_number() OVER (ORDER BY n_nationkey DESC) FROM nation ORDER BY n_nationkey LIMIT 5"),
+    ("III", "", "SELECT n_regionkey, n_nationkey, rank() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) FROM nation ORDER BY n_regionkey, n_nationkey LIMIT 8"),
+    ("II", "", "SELECT n_nationkey, sum(n_nationkey) OVER (ORDER BY n_nationkey ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM nation ORDER BY n_nationkey LIMIT 6"),
+    ("II", "", "SELECT n_nationkey, lag(n_nationkey, 2) OVER (ORDER BY n_nationkey) FROM nation ORDER BY n_nationkey LIMIT 5"),
+    ("II", "", "SELECT n_nationkey, lead(n_nationkey, 1, -1) OVER (ORDER BY n_nationkey) FROM nation ORDER BY n_nationkey DESC LIMIT 3"),
+    ("II", "", "SELECT n_nationkey, ntile(4) OVER (ORDER BY n_nationkey) FROM nation ORDER BY n_nationkey LIMIT 8"),
+    ("IR", "", "SELECT n_nationkey, round(cume_dist() OVER (ORDER BY n_nationkey), 4) FROM nation ORDER BY n_nationkey LIMIT 5"),
+    ("II", "", "SELECT n_nationkey, first_value(n_nationkey) OVER (ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM nation ORDER BY n_nationkey LIMIT 3"),
+])
+
+corpus("having_distinct", "HAVING / DISTINCT interaction (reference test/sql/aggregate/having)")([
+    ("II", "rowsort", "SELECT o_custkey, count(*) FROM orders GROUP BY o_custkey HAVING count(*) > 25"),
+    ("I", "", "SELECT count(*) FROM (SELECT DISTINCT o_orderpriority FROM orders) t"),
+    ("T", "rowsort", "SELECT DISTINCT l_linestatus FROM lineitem"),
+    ("I", "", "SELECT count(*) FROM (SELECT DISTINCT o_custkey, o_orderpriority FROM orders) t"),
+    ("II", "rowsort", "SELECT n_regionkey, min(n_nationkey) FROM nation GROUP BY n_regionkey HAVING min(n_nationkey) < 5"),
+])
+
+corpus("join_edges", "Join type/condition edges (reference test/sql/join)")([
+    ("I", "", "SELECT count(*) FROM region CROSS JOIN nation"),
+    ("TI", "rowsort", "SELECT r_name, count(n_nationkey) FROM region LEFT JOIN nation ON r_regionkey = n_regionkey AND n_nationkey > 90 GROUP BY r_name"),
+    ("I", "", "SELECT count(*) FROM nation n1 JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey"),
+    ("I", "", "SELECT count(*) FROM region FULL JOIN nation ON r_regionkey = n_regionkey + 100"),
+    ("I", "", "SELECT count(*) FROM region JOIN nation ON r_regionkey = n_regionkey WHERE FALSE"),
+    ("TT", "rowsort", "SELECT r_name, n_name FROM region RIGHT JOIN nation ON r_regionkey = n_regionkey WHERE n_nationkey < 3"),
+])
+
+corpus("case_bool", "CASE / boolean algebra (reference test/sql/function/generic)")([
+    ("T", "", "SELECT CAST(TRUE AND NULL AS STRING)"),
+    ("T", "", "SELECT CAST(FALSE OR NULL AS STRING)"),
+    ("T", "", "SELECT CAST(NOT NULL AS STRING)"),
+    ("I", "", "SELECT CASE WHEN 1 = 1 THEN 10 END"),
+    ("I", "", "SELECT CASE WHEN 1 = 2 THEN 10 END"),
+    ("I", "", "SELECT CASE 5 WHEN 1 THEN 100 ELSE -1 END"),
+    ("T", "", "SELECT CAST((1 < 2) = (3 < 4) AS STRING)"),
+    ("I", "", "SELECT if(r_regionkey > 2, 1, 0) FROM region ORDER BY r_regionkey"),
 ])
 
 HEADER_NOTE = (
-    "# GENERATED by tools/gen_sqllogic.py — golden rows computed by DuckDB\n"
-    "# over /root/testdata/sf0.001 (the reference's golden-answer method,\n"
-    "# SURVEY.md §5).  Edit the specs in the generator, not this file.\n"
+    "# GENERATED by tools/gen_sqllogic.py — golden rows validated on BOTH\n"
+    "# engines (DuckDB + Spark) over /root/testdata/sf0.001 (the\n"
+    "# reference's golden-answer method, SURVEY.md §5).  Edit the specs in\n"
+    "# the generator, not this file.\n"
 )
 
 
 def main() -> int:
     import duckdb
+
+    from pyspark.sql import SparkSession
 
     con = duckdb.connect()
     for t in TABLES:
@@ -123,20 +282,63 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("gen-sqllogic")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+    from data_chunk_compaction_in_duckdb_spark.catalog import register_views
+
+    register_views(spark, SF_DIR)
+
+    n_bad = 0
     for fname, (header, specs) in SPECS.items():
         out = [HEADER_NOTE, f"# {header}\n"]
+        file_ok = True
         for types, sortmode, sql in specs:
-            rows = con.execute(sql).fetchall()
-            rendered = [render_row(r, types) for r in rows]
+            try:
+                d_rows = [render_row(r, types) for r in con.execute(sql).fetchall()]
+            except Exception as e:  # noqa: BLE001
+                print(f"[{fname}] DUCKDB ERROR: {sql}\n    {e}")
+                file_ok = False
+                n_bad += 1
+                continue
+            try:
+                s_rows = [
+                    render_row(tuple(r), types) for r in spark.sql(sql).collect()
+                ]
+            except Exception as e:  # noqa: BLE001
+                print(f"[{fname}] SPARK ERROR: {sql}\n    {str(e)[:300]}")
+                file_ok = False
+                n_bad += 1
+                continue
+            dd, ss = list(d_rows), list(s_rows)
             if sortmode == "rowsort":
-                rendered.sort()
+                dd.sort()
+                ss.sort()
+            if dd != ss:
+                print(f"[{fname}] MISMATCH: {sql}")
+                print(f"    duckdb: {dd[:4]}")
+                print(f"    spark : {ss[:4]}")
+                file_ok = False
+                n_bad += 1
+                continue
             mode = f" {sortmode}" if sortmode else ""
-            out.append(f"query {types}{mode}\n{sql}\n----\n" + "\n".join(rendered) + "\n")
-        path = os.path.join(OUT_DIR, f"{fname}.test")
-        with open(path, "w") as f:
-            f.write("\n".join(out))
-        print(f"wrote {path} ({len(specs)} queries)")
-    return 0
+            rendered = sorted(d_rows) if sortmode == "rowsort" else d_rows
+            out.append(
+                f"query {types}{mode}\n{sql}\n----\n" + "\n".join(rendered) + "\n"
+            )
+        if file_ok:
+            path = os.path.join(OUT_DIR, f"{fname}.test")
+            with open(path, "w") as f:
+                f.write("\n".join(out))
+            print(f"wrote {path} ({len(specs)} queries)")
+        else:
+            print(f"SKIPPED {fname}.test — fix the specs above first")
+    if n_bad:
+        print(f"\n{n_bad} failing specs; no file with failures was written")
+    return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
