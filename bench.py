@@ -37,6 +37,13 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "sim_topk_bruteforce",
     "text_tokens_quality_fingerprint",
+    # round-2 corpus additions
+    "job_like_9way_snowflake",
+    "job_like_min_agg_star",
+    "tpcds_q36_margin_rollup_rank",
+    "tpcds_q23_frequent_items",
+    "tpcds_q78_channel_ratio",
+    "win_frame_range_value",
 ]
 
 REPS = 3

@@ -179,47 +179,88 @@ def win_frame_rows_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_frame_range_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE (value-based) frame over a numeric ORDER BY key — the
-    PARTITION-SAFE form.  A bare ``Window.orderBy(value)`` funnels every
-    row through one task; instead the value axis is bucketed at width
-    10000 (≥ the 10000-wide frame, so any frame spans at most the bucket
-    and its two neighbors), every row is replicated as a CONTRIBUTOR into
-    its bucket ± 1, and the range window runs per bucket — fully
-    shuffle-parallel, 3× row inflation, identical results at any scale.
-    Sums use exact integer cents (see relational._cents)."""
+    SCALE-SAFE form.  Two problems with ``Window.orderBy(v).rangeBetween``:
+    it funnels all rows through one task, and Spark re-evaluates sliding
+    aggregate frames from scratch per row (O(rows × frame_rows); measured
+    5.7 s at sf0.1 vs DuckDB's segment tree).  Rewrite as a distributed
+    PREFIX SUM: emit each row once as a weighted contributor and twice as
+    zero-weight boundary probes at v±5000 (lo probe sorts before equal-
+    valued contributors → inclusive lower bound; hi probe after →
+    inclusive upper), range-repartition by (value, kind), cumulative-sum
+    within each partition with a ROWS frame (O(n)), add broadcast
+    per-partition offsets, and finish with frame = hi_cum − lo_cum.
+    Every stage is shuffle-parallel and linear; sums are exact integer
+    cents."""
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_totalprice") > 450000
     )
-    width = 10000  # bucket width >= whole frame width
     v = F.col("o_totalprice")
     base = orders.select(
         "o_orderkey",
         v.alias("v"),
         F.round(v * 100).cast("long").alias("v_c"),
-        F.floor(v / width).cast("long").alias("b"),
     )
-    targets = base.select(
-        F.col("b").alias("pb"),
-        "v",
+    key_t = dict(base.dtypes)["o_orderkey"]
+    contrib = base.select(
+        F.col("v").alias("sv"),
+        F.lit(0).alias("kind"),
+        "v_c",
+        F.lit(None).cast(key_t).alias("o_orderkey"),
+    )
+    lo = base.select(
+        (F.col("v") - 5000).alias("sv"),
+        F.lit(-1).alias("kind"),
+        F.lit(0).cast("long").alias("v_c"),
         "o_orderkey",
-        F.lit(None).cast("long").alias("cv"),
     )
-    contribs = base.select(
-        F.explode(
-            F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)
-        ).alias("pb"),
-        "v",
-        F.lit(None).cast(dict(base.dtypes)["o_orderkey"]).alias("o_orderkey"),
-        F.col("v_c").alias("cv"),
+    hi = base.select(
+        (F.col("v") + 5000).alias("sv"),
+        F.lit(1).alias("kind"),
+        F.lit(0).cast("long").alias("v_c"),
+        "o_orderkey",
     )
-    w = Window.partitionBy("pb").orderBy("v").rangeBetween(-5000, 5000)
-    return (
-        targets.unionByName(contribs)
+    u = (
+        contrib.unionByName(lo)
+        .unionByName(hi)
+        .repartitionByRange(32, "sv", "kind")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    is_row = F.when(F.col("kind") == 0, F.lit(1)).otherwise(F.lit(0))
+    wloc = (
+        Window.partitionBy("pid")
+        .orderBy("sv", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("lcum_s", F.sum("v_c").over(wloc)).withColumn(
+        "lcum_n", F.sum(is_row).over(wloc)
+    )
+    # exclusive running offsets over the (tiny) per-partition totals
+    tot = u.groupBy("pid").agg(
+        F.sum("v_c").alias("ts"), F.sum(is_row).alias("tn")
+    )
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = tot.select(
+        "pid",
+        F.coalesce(F.sum("ts").over(woff), F.lit(0)).alias("os"),
+        F.coalesce(F.sum("tn").over(woff), F.lit(0)).alias("on"),
+    )
+    probes = (
+        u.filter(F.col("kind") != 0)
+        .join(F.broadcast(off), "pid")
         .select(
             "o_orderkey",
-            F.count("cv").over(w).alias("n_near"),
-            (F.sum("cv").over(w) / F.lit(100.0)).alias("sum_near"),
+            "kind",
+            (F.col("lcum_s") + F.col("os")).alias("cum_s"),
+            (F.col("lcum_n") + F.col("on")).alias("cum_n"),
         )
-        .filter(F.col("o_orderkey").isNotNull())
+    )
+    k_hi = F.when(F.col("kind") == 1, F.col("cum_n"))
+    k_lo = F.when(F.col("kind") == -1, F.col("cum_n"))
+    s_hi = F.when(F.col("kind") == 1, F.col("cum_s"))
+    s_lo = F.when(F.col("kind") == -1, F.col("cum_s"))
+    return probes.groupBy("o_orderkey").agg(
+        (F.max(k_hi) - F.max(k_lo)).alias("n_near"),
+        ((F.max(s_hi) - F.max(s_lo)) / F.lit(100.0)).alias("sum_near"),
     )
 
 

@@ -263,6 +263,122 @@ corpus("case_bool", "CASE / boolean algebra (reference test/sql/function/generic
     ("I", "", "SELECT if(r_regionkey > 2, 1, 0) FROM region ORDER BY r_regionkey"),
 ])
 
+corpus("subquery_select", "Scalar subqueries in SELECT position (reference test/sql/subquery/scalar)")([
+    ("TI", "", "SELECT r_name, (SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey) FROM region ORDER BY r_name"),
+    ("II", "", "SELECT n_nationkey, (SELECT max(r_regionkey) FROM region) FROM nation ORDER BY n_nationkey LIMIT 4"),
+    ("I", "", "SELECT (SELECT count(*) FROM region WHERE r_regionkey > 99)"),
+    ("I", "", "SELECT (SELECT min(n_nationkey) FROM nation WHERE n_regionkey = 2)"),
+    ("TI", "", "SELECT o_orderpriority, count(*) FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+])
+
+corpus("limit_edges", "LIMIT/OFFSET edges (reference test/sql/order/limit)")([
+    ("I", "", "SELECT count(*) FROM (SELECT * FROM orders LIMIT 0) t"),
+    ("I", "", "SELECT count(*) FROM (SELECT * FROM region LIMIT 100) t"),
+    ("I", "", "SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 2 OFFSET 3"),
+    ("I", "", "SELECT count(*) FROM (SELECT r_regionkey FROM region ORDER BY r_regionkey OFFSET 8) t"),
+    ("I", "", "SELECT n_nationkey FROM nation ORDER BY n_nationkey DESC LIMIT 1"),
+])
+
+corpus("arith_semantics", "Arithmetic/type-coercion semantics (reference test/sql/types/numeric)")([
+    ("R", "", "SELECT 1 / 2"),
+    ("I", "", "SELECT 7 % 3"),
+    ("I", "", "SELECT -7 % 3"),
+    ("I", "", "SELECT CAST(2147483647 AS BIGINT) + 1"),
+    ("R", "", "SELECT 1e300 * 1e-300"),
+    ("I", "", "SELECT n_nationkey * -1 FROM nation ORDER BY n_nationkey LIMIT 3"),
+    ("R", "", "SELECT round(o_totalprice - o_totalprice, 1) FROM orders ORDER BY o_orderkey LIMIT 1"),
+    ("I", "", "SELECT greatest(1, 2, 3) + least(-1, 0, 1)"),
+])
+
+corpus("null_concat", "NULL propagation in string ops (reference test/sql/function/string)")([
+    ("T", "", "SELECT 'a' || CAST(NULL AS STRING)"),
+    ("T", "", "SELECT coalesce('a' || CAST(NULL AS STRING), 'fell-through')"),
+    ("T", "", "SELECT upper(CAST(NULL AS STRING))"),
+    ("I", "", "SELECT length(CAST(NULL AS STRING))"),
+    ("T", "", "SELECT replace(CAST(NULL AS STRING), 'a', 'b')"),
+])
+
+corpus("groupby_expr", "GROUP BY expressions / aliases / ordinals (reference test/sql/aggregate/group)")([
+    ("II", "rowsort", "SELECT n_nationkey % 5 AS bucket, count(*) FROM nation GROUP BY n_nationkey % 5"),
+    ("II", "rowsort", "SELECT n_nationkey % 5 AS bucket, count(*) FROM nation GROUP BY bucket"),
+    ("II", "rowsort", "SELECT n_nationkey % 5 AS bucket, count(*) FROM nation GROUP BY 1"),
+    ("TI", "rowsort", "SELECT substr(r_name, 1, 1) AS initial, count(*) FROM region GROUP BY substr(r_name, 1, 1)"),
+    ("II", "rowsort", "SELECT EXTRACT(YEAR FROM o_orderdate) AS y, count(*) FROM orders GROUP BY y"),
+])
+
+corpus("distinct_order", "DISTINCT + ORDER BY interaction (reference test/sql/distinct)")([
+    ("T", "", "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority"),
+    ("I", "", "SELECT DISTINCT n_regionkey FROM nation ORDER BY n_regionkey DESC"),
+    ("TI", "rowsort", "SELECT DISTINCT o_orderstatus, EXTRACT(YEAR FROM o_orderdate) FROM orders"),
+    ("I", "", "SELECT count(DISTINCT l_linenumber) FROM lineitem"),
+])
+
+corpus("like_escape", "LIKE pattern semantics (reference test/sql/function/string/like)")([
+    ("I", "", "SELECT count(*) FROM part WHERE p_name LIKE '%green%'"),
+    ("I", "", "SELECT count(*) FROM part WHERE p_name NOT LIKE '%a%'"),
+    ("I", "", "SELECT count(*) FROM region WHERE r_name LIKE '_SIA'"),
+    ("I", "", "SELECT count(*) FROM nation WHERE n_name LIKE '%'"),
+    ("T", "", "SELECT CAST('abc' LIKE 'a%' AS STRING)"),
+    ("T", "", "SELECT CAST('abc' LIKE 'A%' AS STRING)"),
+    ("I", "", "SELECT count(*) FROM orders WHERE o_orderpriority LIKE '_-%'"),
+])
+
+corpus("case_nested", "Nested CASE / conditional chains (reference test/sql/function/generic)")([
+    ("T", "", "SELECT CASE WHEN r_regionkey < 2 THEN CASE WHEN r_regionkey = 0 THEN 'zero' ELSE 'one' END ELSE 'big' END FROM region ORDER BY r_regionkey"),
+    ("I", "", "SELECT sum(CASE WHEN o_orderstatus = 'F' THEN CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END ELSE 0 END) FROM orders"),
+    ("T", "", "SELECT coalesce(CASE WHEN r_regionkey = 9 THEN r_name END, 'none') FROM region ORDER BY r_regionkey"),
+    ("I", "", "SELECT if(n_regionkey = 2, n_nationkey, -n_nationkey) FROM nation ORDER BY n_nationkey LIMIT 6"),
+])
+
+corpus("derived_tables", "Derived-table nesting (reference test/sql/subquery/table)")([
+    ("I", "", "SELECT count(*) FROM (SELECT * FROM (SELECT o_custkey FROM orders WHERE o_totalprice > 200000) a) b"),
+    ("II", "rowsort", "SELECT k, n FROM (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY o_custkey) t WHERE n > 25"),
+    ("I", "", "SELECT max(total) FROM (SELECT o_custkey, count(*) AS total FROM orders GROUP BY o_custkey) t"),
+    ("TI", "", "SELECT x.r_name, y.cnt FROM region x JOIN (SELECT n_regionkey, count(*) AS cnt FROM nation GROUP BY n_regionkey) y ON x.r_regionkey = y.n_regionkey ORDER BY x.r_name"),
+])
+
+corpus("window_nulls", "Window over nullable partition/order keys (reference test/sql/window)")([
+    ("II", "rowsort", "SELECT n_nationkey, row_number() OVER (PARTITION BY nullif(n_regionkey, 2) ORDER BY n_nationkey) FROM nation WHERE n_nationkey < 10"),
+    ("II", "", "SELECT n_nationkey, count(*) OVER (PARTITION BY nullif(n_regionkey, 0)) FROM nation ORDER BY n_nationkey LIMIT 6"),
+    ("II", "", "SELECT r_regionkey, sum(nullif(r_regionkey, 2)) OVER (ORDER BY r_regionkey) FROM region ORDER BY r_regionkey"),
+])
+
+corpus("union_typing", "Set-op type unification (reference test/sql/setops/union)")([
+    ("T", "rowsort", "SELECT CAST(r_regionkey AS STRING) FROM region UNION SELECT r_name FROM region"),
+    ("R", "rowsort", "SELECT 1.5 UNION ALL SELECT 2"),
+    ("I", "rowsort", "SELECT CAST(1 AS BIGINT) UNION SELECT CAST(1 AS INT)"),
+    ("T", "rowsort", "SELECT NULL UNION SELECT 'x'"),
+])
+
+corpus("agg_null_groups", "Aggregates over NULL group keys (reference test/sql/aggregate)")([
+    ("II", "rowsort", "SELECT nullif(n_regionkey, 2) AS k, count(*) FROM nation GROUP BY nullif(n_regionkey, 2)"),
+    ("II", "rowsort", "SELECT nullif(n_regionkey, 2) AS k, sum(n_nationkey) FROM nation GROUP BY nullif(n_regionkey, 2)"),
+    ("I", "", "SELECT count(DISTINCT nullif(n_regionkey, 2)) FROM nation"),
+    ("I", "", "SELECT min(nullif(r_regionkey, 0)) FROM region"),
+])
+
+corpus("semi_anti_shapes", "IN/EXISTS semi- and anti-join shapes (reference test/sql/join/semi)")([
+    ("I", "", "SELECT count(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)"),
+    ("I", "", "SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"),
+    ("I", "", "SELECT count(*) FROM part p WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p.p_partkey AND l_quantity > 49)"),
+    ("I", "", "SELECT count(*) FROM supplier s WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s.s_suppkey AND l_returnflag = 'R')"),
+])
+
+corpus("order_expr", "ORDER BY expressions and stability (reference test/sql/order)")([
+    ("I", "", "SELECT n_nationkey FROM nation ORDER BY n_nationkey % 7, n_nationkey LIMIT 8"),
+    ("T", "", "SELECT r_name FROM region ORDER BY length(r_name), r_name"),
+    ("I", "", "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 3"),
+    ("TI", "", "SELECT o_orderstatus, count(*) FROM orders GROUP BY o_orderstatus ORDER BY count(*) DESC, o_orderstatus"),
+])
+
+corpus("bool_agg_filter", "FILTER clauses and boolean aggregates (reference test/sql/aggregate/filter)")([
+    ("II", "", "SELECT count(*) FILTER (WHERE l_returnflag = 'R'), count(*) FILTER (WHERE l_returnflag = 'A') FROM lineitem"),
+    ("I", "", "SELECT sum(n_nationkey) FILTER (WHERE n_regionkey = 2) FROM nation"),
+    ("T", "", "SELECT CAST(bool_and(o_totalprice > 0) AS STRING) FROM orders"),
+    ("T", "", "SELECT CAST(bool_or(o_totalprice > 1000000) AS STRING) FROM orders"),
+    ("I", "", "SELECT min(o_orderkey) FILTER (WHERE o_orderstatus = 'O') FROM orders"),
+])
+
 HEADER_NOTE = (
     "# GENERATED by tools/gen_sqllogic.py — golden rows validated on BOTH\n"
     "# engines (DuckDB + Spark) over /root/testdata/sf0.001 (the\n"
