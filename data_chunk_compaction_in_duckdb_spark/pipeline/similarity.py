@@ -225,12 +225,20 @@ def _centroid(dim: int, idx: int) -> list[float]:
     return out
 
 
-def _nearest_clusters(vec_col: str, dim: int, n_clusters: int) -> Column:
+def _nearest_clusters(
+    vec_col: str,
+    dim: int,
+    n_clusters: int,
+    centroids: list[list[float]] | None = None,
+) -> Column:
     """Array of cluster ids ordered by descending dot(v, centroid) —
-    one fixed linear-algebra expression, JVM-side, no shuffle."""
+    one fixed linear-algebra expression, JVM-side, no shuffle.  Default
+    centroids are the deterministic md5 directions; pass the output of
+    ``train_ivf_centroids`` for data-adapted cells."""
+    cents = centroids or [_centroid(dim, i) for i in range(n_clusters)]
     scored = []
-    for cidx in range(n_clusters):
-        cen = F.array(*[F.lit(v) for v in _centroid(dim, cidx)])
+    for cidx, cvals in enumerate(cents):
+        cen = F.array(*[F.lit(v) for v in cvals])
         dot = F.aggregate(
             F.zip_with(F.col(vec_col), cen, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
@@ -239,6 +247,48 @@ def _nearest_clusters(vec_col: str, dim: int, n_clusters: int) -> Column:
         scored.append(F.struct(dot.alias("dot"), F.lit(cidx).alias("idx")))
     ranked = F.sort_array(F.array(*scored), asc=False)
     return F.transform(ranked, lambda s: s.idx)
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_clusters: int = 16,
+    n_iter: int = 5,
+) -> list[list[float]]:
+    """Distributed Lloyd (k-means) iterations to adapt the IVF centroids
+    to the data — spherical k-means on dot-product assignment, matching
+    the probe metric.
+
+    Each iteration is ONE distributed pass: assign every vector to its
+    nearest current centroid (narrow JVM expression), then groupBy cell
+    and element-wise AVG each of the ``dim`` components (map-side
+    partials).  Only the ``n_clusters × dim`` means come back to the
+    driver — bounded by the model size, never by the data, so the loop
+    is cluster-scale safe (same contract as any ML fit).  Init is the
+    deterministic md5 directions, so training is reproducible run-to-run
+    on the same data (the recall pytest pins it)."""
+    cents = [_centroid(dim, i) for i in range(n_clusters)]
+    for _ in range(n_iter):
+        cell = _nearest_clusters(vec_col, dim, n_clusters, cents)[0]
+        means = (
+            corpus.select(cell.alias("_cell"), F.col(vec_col).alias("_v"))
+            .groupBy("_cell")
+            .agg(
+                *[
+                    F.avg(F.col("_v")[i].cast("double")).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        got = {
+            int(r["_cell"]): [float(r[f"m{i}"]) for i in range(dim)]
+            for r in means
+        }
+        # empty cells keep their previous direction (standard Lloyd fix)
+        cents = [got.get(i, cents[i]) for i in range(n_clusters)]
+    return cents
 
 
 def ivf_ann_topk(
@@ -251,6 +301,7 @@ def ivf_ann_topk(
     k: int = 5,
     n_clusters: int = 16,
     n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN (the other scale path next to lsh_ann_topk):
     partition the corpus into ``n_clusters`` Voronoi cells of fixed
@@ -261,20 +312,26 @@ def ivf_ann_topk(
     is a narrow column), then an equi-join on cell id with the broadcast
     query probes.  At 100 TB the cell assignment is the partition prune:
     a corpus bucketed/partitioned by `_cell` on disk turns every query
-    into an n_probe/n_clusters fraction scan.  Deterministic centroids
-    trade recall for reproducibility (a trained k-means would drift
-    between runs); recall vs brute force is pinned by test."""
+    into an n_probe/n_clusters fraction scan.  Default centroids are the
+    deterministic md5 directions (reproducible with zero training);
+    pass ``centroids=train_ivf_centroids(...)`` for data-adapted cells —
+    training is itself deterministic (fixed init + exact means), so
+    reproducibility is kept.  Recall vs brute force is pinned by test."""
     qid = query_id_col or id_col
     cb = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("_cv"),
-        _nearest_clusters(vec_col, dim, n_clusters)[0].alias("_cell"),
+        _nearest_clusters(vec_col, dim, n_clusters, centroids)[0].alias("_cell"),
     )
     qb = queries.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         F.explode(
-            F.slice(_nearest_clusters(vec_col, dim, n_clusters), 1, n_probe)
+            F.slice(
+                _nearest_clusters(vec_col, dim, n_clusters, centroids),
+                1,
+                n_probe,
+            )
         ).alias("_cell"),
     )
     cands = (

@@ -211,6 +211,43 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_ivf_trained_centroids_deterministic_and_competitive(spark, sf_dir):
+    """Lloyd-trained centroids must be reproducible (fixed init + exact
+    means) and must not lose recall vs the untrained md5 directions."""
+    from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        ivf_ann_topk,
+        topk_similar,
+    )
+    from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = train_ivf_centroids(emb, "embedding", dim=64, n_clusters=8, n_iter=3)
+    c2 = train_ivf_centroids(emb, "embedding", dim=64, n_clusters=8, n_iter=3)
+    assert c1 == c2  # deterministic training
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = topk_similar(emb, queries, "vec_id", "embedding", k=5)
+    e = {(r.query_id, r.match_id) for r in exact.collect()}
+
+    def recall(cents):
+        a = {
+            (r.query_id, r.match_id)
+            for r in ivf_ann_topk(
+                emb, queries, "vec_id", "embedding", dim=64, k=5,
+                n_clusters=8, n_probe=4, centroids=cents,
+            ).collect()
+        }
+        return len(e & a) / len(e)
+
+    r_trained = recall(c1)
+    r_untrained = recall(None)
+    assert r_trained >= r_untrained - 0.05, (r_trained, r_untrained)
+    assert r_trained >= 0.5, r_trained
+
+
 def test_mixing_queries_match_oracle(spark, duck, sf_dir):
     assert_query_matches_oracle(spark, duck, sf_dir, "mix_weighted_sources")
     assert_query_matches_oracle(spark, duck, sf_dir, "select_token_budget")
