@@ -379,6 +379,65 @@ corpus("bool_agg_filter", "FILTER clauses and boolean aggregates (reference test
     ("I", "", "SELECT min(o_orderkey) FILTER (WHERE o_orderstatus = 'O') FROM orders"),
 ])
 
+corpus("values_clause", "VALUES inline relations (reference test/sql/table_function)")([
+    ("II", "", "SELECT a, b FROM (VALUES (1, 2), (3, 4)) t(a, b) ORDER BY a"),
+    ("I", "", "SELECT sum(a) FROM (VALUES (1), (2), (3)) t(a)"),
+    ("TI", "", "SELECT x, count(*) FROM (VALUES ('u'), ('v'), ('u')) t(x) GROUP BY x ORDER BY x"),
+    ("I", "", "SELECT count(*) FROM region JOIN (VALUES (0), (2)) t(k) ON r_regionkey = k"),
+])
+
+corpus("cte_chain", "Chained and reused CTEs (reference test/sql/cte)")([
+    ("I", "", "WITH a AS (SELECT r_regionkey k FROM region), b AS (SELECT k + 10 AS k2 FROM a) SELECT sum(k2) FROM b"),
+    ("II", "", "WITH big AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey HAVING count(*) > 25) SELECT count(*), sum(n) FROM big"),
+    ("I", "", "WITH x AS (SELECT n_regionkey FROM nation) SELECT count(*) FROM x a JOIN x b ON a.n_regionkey = b.n_regionkey"),
+    ("TI", "", "WITH r2 AS (SELECT * FROM region WHERE r_regionkey < 3) SELECT r_name, (SELECT count(*) FROM r2 b WHERE b.r_regionkey <= a.r_regionkey) FROM r2 a ORDER BY r_name"),
+])
+
+# NOTE validator-found divergence: DuckDB regexp_replace replaces the
+# FIRST match only (needs a 'g' flag Spark lacks); Spark replaces ALL.
+# Dialect-common regex specs therefore use single-match patterns only.
+corpus("regex_common", "Regex functions in the common dialect (reference test/sql/function/string/regex)")([
+    ("T", "", "SELECT regexp_replace(r_name, '^.', '_') FROM region ORDER BY r_regionkey"),
+    ("T", "", "SELECT regexp_extract(o_orderpriority, '([0-9]+)-(.*)', 2) FROM orders ORDER BY o_orderkey LIMIT 3"),
+    ("I", "", "SELECT count(*) FROM part WHERE regexp_extract(p_name, '(gre|ol)', 1) <> ''"),
+    ("T", "", "SELECT regexp_replace('aaa-bbb-ccc', 'bbb', 'X')"),
+])
+
+corpus("grouping_sets_explicit", "Explicit GROUPING SETS (reference test/sql/aggregate/grouping_sets)")([
+    ("TTI", "rowsort", "SELECT coalesce(o_orderstatus, '?') AS st, coalesce(o_orderpriority, '?') AS pr, count(*) FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"),
+    ("TII", "rowsort", "SELECT coalesce(CAST(n_regionkey AS STRING), 'ALL') AS k, grouping(n_regionkey), count(*) FROM nation GROUP BY GROUPING SETS ((n_regionkey), ())"),
+    ("TTI", "rowsort", "SELECT coalesce(l_returnflag, '?') AS f, coalesce(l_linestatus, '?') AS s, count(*) FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"),
+])
+
+corpus("setops_all", "INTERSECT ALL / EXCEPT ALL bag semantics (reference test/sql/setops)")([
+    ("I", "rowsort", "SELECT n_regionkey FROM nation INTERSECT ALL SELECT n_regionkey FROM nation WHERE n_nationkey < 10"),
+    ("I", "rowsort", "SELECT n_regionkey FROM nation WHERE n_nationkey < 6 EXCEPT ALL SELECT n_regionkey FROM nation WHERE n_nationkey < 3"),
+    ("I", "", "SELECT count(*) FROM (SELECT l_linenumber FROM lineitem INTERSECT ALL SELECT l_linenumber FROM lineitem WHERE l_returnflag = 'R') t"),
+])
+
+corpus("join_outer_filters", "Outer-join filter placement semantics (reference test/sql/join/left)")([
+    ("TI", "rowsort", "SELECT r_name, count(n_nationkey) FROM region LEFT JOIN nation ON r_regionkey = n_regionkey WHERE r_regionkey < 3 GROUP BY r_name"),
+    ("I", "", "SELECT count(*) FROM region LEFT JOIN nation ON r_regionkey = n_regionkey AND n_nationkey < 0"),
+    ("I", "", "SELECT count(*) FROM region LEFT JOIN nation ON r_regionkey = n_regionkey WHERE n_nationkey IS NULL"),
+    ("I", "", "SELECT count(*) FROM nation RIGHT JOIN region ON n_regionkey = r_regionkey AND n_nationkey > 90"),
+])
+
+# NOTE validator-found divergence: NaN/Inf RENDER differently (DuckDB
+# 'nan'/'inf', Spark 'NaN'/'Infinity') — compare them, never print them.
+corpus("numeric_special", "Special float values (reference test/sql/types/float)")([
+    ("T", "", "SELECT CAST(isnan(CAST('NaN' AS DOUBLE)) AS STRING)"),
+    ("T", "", "SELECT CAST(CAST('Infinity' AS DOUBLE) > 1e308 AS STRING)"),
+    ("T", "", "SELECT CAST(CAST('-Infinity' AS DOUBLE) < -1e308 AS STRING)"),
+    ("T", "", "SELECT CAST(CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE) AS STRING)"),
+    ("I", "", "SELECT count(*) FROM (SELECT CAST('NaN' AS DOUBLE) x) t WHERE x > 0"),
+])
+
+corpus("having_no_groupby", "HAVING without GROUP BY / global aggregates (reference test/sql/aggregate/having)")([
+    ("I", "", "SELECT count(*) FROM orders HAVING count(*) > 0"),
+    ("I", "", "SELECT count(*) FROM orders HAVING count(*) > 1000000000"),
+    ("I", "", "SELECT sum(r_regionkey) FROM region HAVING min(r_regionkey) = 0"),
+])
+
 HEADER_NOTE = (
     "# GENERATED by tools/gen_sqllogic.py — golden rows validated on BOTH\n"
     "# engines (DuckDB + Spark) over /root/testdata/sf0.001 (the\n"
