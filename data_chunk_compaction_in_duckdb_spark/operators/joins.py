@@ -148,6 +148,32 @@ def mark_join(
     return out.drop("_bk", "_bn", "_bnull")
 
 
+def _global_row_number(
+    df: DataFrame, order: Sequence[str], out_col: str, partitions: int = 32
+) -> DataFrame:
+    """Distributed global row numbering: range-repartition on the order
+    keys, number rows within each partition (one local sort), then add
+    broadcast exclusive prefix-counts per partition — no single-task
+    window anywhere; the only driver-independent sync is the tiny
+    per-partition count table."""
+    cols = [F.col(c) for c in order]
+    d = df.repartitionByRange(partitions, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("_pid").orderBy(*cols)
+    d = d.withColumn("_lrn", F.row_number().over(wloc))
+    counts = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = counts.select(
+        "_pid", F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_off")
+    )
+    return (
+        d.join(F.broadcast(off), "_pid")
+        .withColumn(out_col, (F.col("_lrn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
 def positional_join(
     left: DataFrame,
     right: DataFrame,
@@ -163,12 +189,11 @@ def positional_join(
     numbered per side and equi-joined on position; 'full' pads the shorter
     side with NULLs like the reference.
 
-    Note: the global row_number window funnels each side through one
-    partition — fine for the dimension-sized inputs POSITIONAL JOIN is
-    meant for; for large sides prefer zipWithIndex-style rdd alignment.
-    """
-    lw = Window.orderBy(*[F.col(c) for c in left_order])
-    rw = Window.orderBy(*[F.col(c) for c in right_order])
-    ln = left.withColumn("_pos", F.row_number().over(lw))
-    rn = right.withColumn("_pos", F.row_number().over(rw))
+    Scale: numbering uses the distributed prefix-count scheme
+    (_global_row_number) — range partition, local row_number, broadcast
+    offsets — so neither side ever funnels through one task, and the
+    final equi-join on ``_pos`` shuffles both sides by position as any
+    co-partitioned join would."""
+    ln = _global_row_number(left, left_order, "_pos")
+    rn = _global_row_number(right, right_order, "_pos")
     return ln.join(rn, "_pos", how).drop("_pos")
