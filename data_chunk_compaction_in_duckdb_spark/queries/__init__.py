@@ -33,5 +33,6 @@ from data_chunk_compaction_in_duckdb_spark.queries import misc_q  # noqa: E402,F
 from data_chunk_compaction_in_duckdb_spark.queries import edge_q  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import functions_more  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import job_like  # noqa: E402,F401
+from data_chunk_compaction_in_duckdb_spark.queries import job_variants  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import tpch_tail  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import tpcds_like  # noqa: E402,F401

@@ -51,6 +51,7 @@ _MODULE_PRIORITY = [
     "tpch_tail",       # TPC-H q15-q22
     "tpcds_like",      # TPC-DS shapes
     "job_like",        # JOB shapes
+    "job_variants",    # JOB a/b/c selectivity variants
     "events_q",
     "compaction_q",
     "functions_agg",

@@ -34,6 +34,16 @@ BUDGETS = {
     "tpcds_q11_yoy_growth": 1,  # the 4-self-join rewrite's whole point
     "tpcds_q38_intersect_channels": 2,  # INTERSECT chain reuses partitioning
     "tpcds_q97_channel_overlap": 3,  # 2 distinct sides + final gather
+    # round-2 headline additions
+    "job_like_9way_snowflake": 1,  # all six dims broadcast; one agg shuffle
+    "tpcds_q36_margin_rollup_rank": 2,  # rollup shuffle + window over groups
+    "tpcds_q23_frequent_items": 2,  # frequent-set agg + final single-row agg
+    "tpcds_q78_channel_ratio": 2,  # two pre-agg sides; AQE broadcasts the join
+    # distributed prefix-sum shapes: several exchanges, but each moves
+    # either the linear data once (repartitionByRange / pid hash) or a
+    # bounded per-partition table (offsets); nothing single-tasks the data
+    "win_frame_range_value": 6,
+    "join_positional": 12,
 }
 
 
