@@ -114,15 +114,17 @@ def edge_null_group_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CASE WHEN s_suppkey % 3 = 0 THEN NULL
                     ELSE CAST(s_suppkey AS BIGINT) END AS k,
                s_suppkey AS tiebreak
-        FROM supplier
+        FROM supplier WHERE s_suppkey <= 500
       ) t
     ) w
     """,
 )
 def edge_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit NULLS LAST ordering (Spark default is NULLS FIRST for ASC,
-    DuckDB's is NULLS LAST — engines disagree unless pinned)."""
-    supp = load_table(spark, sf_dir, "supplier")
+    DuckDB's is NULLS LAST — engines disagree unless pinned).  The global
+    row_number is the semantics under test; the s_suppkey bound keeps its
+    single partition dimension-sized at any SF."""
+    supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 500)
     from pyspark.sql import Window
 
     k = F.when(F.col("s_suppkey") % 3 == 0, None).otherwise(
