@@ -1072,3 +1072,128 @@ def tpcds_q6_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "tpcds_q64_repeat_purchase",
+    oracle="""
+    WITH yearly AS (
+      SELECT l_partkey AS pk, o_custkey AS ck,
+             EXTRACT(YEAR FROM o_orderdate) AS y
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_partkey, o_custkey, EXTRACT(YEAR FROM o_orderdate)
+    )
+    SELECT COUNT(*) AS n_repeat_pairs,
+           CAST(MIN(a.pk) AS BIGINT) AS min_part
+    FROM yearly a JOIN yearly b
+      ON a.pk = b.pk AND a.ck = b.ck AND b.y = a.y + 1
+    """,
+)
+def tpcds_q64_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q64 shape: (customer, item) pairs purchased in two CONSECUTIVE
+    years — dedup to (part, cust, year) grain first, then self-join at
+    year+1.  Both join sides are the same aggregate; one shuffle on
+    (pk, ck) serves grouping and join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    yearly = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.col("o_custkey").alias("ck"),
+            F.year("o_orderdate").alias("y"),
+        )
+        .agg(F.lit(1).alias("_one"))
+        .select("pk", "ck", "y")
+    )
+    a = yearly.alias("a")
+    b = yearly.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pk") == F.col("b.pk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("b.y") == F.col("a.y") + 1),
+        )
+        .agg(
+            F.count("*").alias("n_repeat_pairs"),
+            F.min(F.col("a.pk")).cast("long").alias("min_part"),
+        )
+    )
+
+
+@query(
+    "tpcds_q17_quantity_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+           ROUND(SQRT((COUNT(*) * SUM(CAST(l_quantity AS BIGINT)
+                                      * CAST(l_quantity AS BIGINT))
+                       - SUM(CAST(l_quantity AS BIGINT))
+                         * SUM(CAST(l_quantity AS BIGINT)))
+                      / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1))), 4)
+             AS qty_std
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def tpcds_q17_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q17 shape: per-group dispersion statistics.  stddev is computed
+    FROM EXACT INTEGER sums (n·Σx² − (Σx)²) rather than the engines'
+    streaming moment aggregates, whose merge order differs between Spark
+    and DuckDB in the last float bits — identical doubles on both sides,
+    one aggregation pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    n = F.count("*")
+    s = F.sum(q)
+    ss = F.sum(q * q)
+    var = (n * ss - s * s) / (n.cast("double") * (n - 1))
+    return li.groupBy("l_returnflag").agg(
+        n.cast("long").alias("n"),
+        s.alias("qty_sum"),
+        F.round(F.sqrt(var), 4).alias("qty_std"),
+    )
+
+
+@query(
+    "tpcds_q39_cov_filter",
+    oracle="""
+    SELECT pk, m, n, mean_x100
+    FROM (
+      SELECT l_partkey AS pk, EXTRACT(MONTH FROM l_shipdate) AS m,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) * 100 // COUNT(*) AS BIGINT)
+               AS mean_x100,
+             COUNT(*) * SUM(CAST(l_quantity AS BIGINT)
+                            * CAST(l_quantity AS BIGINT))
+               - SUM(CAST(l_quantity AS BIGINT))
+                 * SUM(CAST(l_quantity AS BIGINT)) AS m2n
+      FROM lineitem
+      GROUP BY l_partkey, EXTRACT(MONTH FROM l_shipdate)
+    ) t
+    WHERE n >= 4 AND m2n > n * n * 25
+    """,
+)
+def tpcds_q39_cov_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q39 shape: keep (item, month) groups whose quantity variance
+    exceeds a coefficient-of-variation-style threshold — the comparison
+    stays in cross-multiplied exact integers (m2n > n²·25 ⇔ sample
+    var·n(n−1) > n²·25), so no float boundary exists anywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    n = F.count("*")
+    s = F.sum(q)
+    ss = F.sum(q * q)
+    g = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.month("l_shipdate").alias("m")
+    ).agg(
+        n.cast("long").alias("n"),
+        ((s * 100 - (s * 100) % n) / n).cast("long").alias("mean_x100"),
+        (n * ss - s * s).alias("m2n"),
+    )
+    return (
+        g.filter((F.col("n") >= 4) & (F.col("m2n") > F.col("n") * F.col("n") * 25))
+        .select("pk", "m", "n", "mean_x100")
+    )
