@@ -72,6 +72,14 @@ def get_spark(
         builder = (
             builder.config("spark.sql.cbo.enabled", "true")
             .config("spark.sql.cbo.joinReorder.enabled", "true")
+            # -- runtime row-level filtering: inject a bloom filter of
+            # the selective dimension side into the fact scan (the
+            # engine-level analog of the reference's hash-join probe
+            # filters).  Default-on in Spark 4 but pinned here because
+            # at 100 TB it is what prunes fact partitions before the
+            # shuffle.  (Spark 4 dropped the older semiJoinReduction
+            # conf; the bloom path subsumes it.)
+            .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         )
     if extra_conf:
         for k, v in extra_conf.items():
