@@ -41,8 +41,10 @@ from data_chunk_compaction_in_duckdb_spark.queries.relational import _REV_SQL, _
 )
 def job_like_deep_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-way join with per-dimension selective filters and a self-joined
-    dimension (nation in two roles) — the JOB query shape.  Every
-    dimension broadcast; only the fact table streams; the chunk-factor
+    dimension (nation in two roles) — the JOB query shape.  Bounded
+    dimensions (supplier/part/nation/region) broadcast; orders and
+    customer are fact-scale, so their join strategy is left to AQE
+    (broadcast at small SF, shuffle at 100 TB); the chunk-factor
     fragmentation the reference measures between probe pipelines
     (HashJoinProfiler, profiler.hpp:335-432) maps to AQE's post-filter
     partition coalescing here."""

@@ -192,7 +192,8 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP: chained HASH_JOINs + selective filters + HASH_GROUP_BY +
     TOP_N in one pipeline — the same operator chain as the reference's
     chained-join microbenchmark (vector_compaction.cpp:83-91) and TPC-H Q3.
-    The two dimension sides are broadcast; only lineitem streams."""
+    orders/customer are fact-scale: no forced broadcast — AQE picks
+    broadcast when the filtered side fits, shuffle-hash at scale."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1999-01-01")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1999-01-01")
@@ -229,7 +230,8 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Six-way join star (TPC-H Q5): the bushy-plan stress case the
     reference's BushyOrderOptimizer targets (bushy_order_optimizer.cpp:7-44).
-    Spark: broadcast all dimensions, single shuffle on the fact table."""
+    Spark: broadcast the bounded dimensions (supplier/nation/region);
+    orders/customer join by AQE's choice — they scale with SF."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
