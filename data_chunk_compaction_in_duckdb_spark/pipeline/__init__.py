@@ -33,8 +33,10 @@ from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (  # noqa:
     train_ivf_centroids,
 )
 from data_chunk_compaction_in_duckdb_spark.pipeline.text import (  # noqa: F401
+    chunk_documents,
     language_id,
     quality_features,
+    redact_patterns,
     text_fingerprint,
     token_counts,
 )

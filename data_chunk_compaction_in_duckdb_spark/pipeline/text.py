@@ -116,3 +116,73 @@ def profile_documents(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         text_fingerprint(text_col).alias("fingerprint"),
         language_id(F.col(text_col)).alias("lang_pred"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 32,
+    overlap_words: int = 8,
+) -> DataFrame:
+    """Split each document into fixed-size word-window chunks with
+    overlap — the training-data chunking stage (context-window packing).
+
+    Pure narrow built-ins: split → sequence(#chunks) → explode → slice →
+    array_join; no UDF, no shuffle, output grows by the overlap factor
+    only.  Chunk starts advance by ``chunk_words − overlap_words``; the
+    final partial chunk is kept (truncated slice), matching the greedy
+    packing a tokenizer-side chunker performs."""
+    if overlap_words >= chunk_words:
+        raise ValueError("overlap_words must be < chunk_words")
+    step = chunk_words - overlap_words
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    # greedy chunk count: new chunks start while start < n - overlap,
+    # so ceil((n - overlap) / step), min 1 — no chunk is a pure suffix
+    # of the previous one
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((n - F.lit(overlap_words) + F.lit(step - 1)) / F.lit(step)),
+    ).cast("int")
+    return (
+        df.select(
+            F.col(id_col),
+            words.alias("_words"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(
+                F.slice(
+                    "_words", F.col("chunk_idx") * step + 1, chunk_words
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.size(
+                F.slice("_words", F.col("chunk_idx") * step + 1, chunk_words)
+            ).alias("n_words"),
+        )
+    )
+
+
+def redact_patterns(
+    col: Column | str,
+    patterns: list[tuple[str, str]] | None = None,
+) -> Column:
+    """Chained regexp_replace redaction — the PII-scrub stage of a
+    training-data pipeline.  Default patterns cover emails, long digit
+    runs (phone/account numbers), and IPv4 addresses; pass your own
+    (pattern, replacement) list for other categories.  JVM-side
+    regexp_replace, whole-stage codegen, no UDF."""
+    if patterns is None:
+        patterns = [
+            (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+            (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+            (r"\b\d{7,}\b", "[NUM]"),
+        ]
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, repl in patterns:
+        out = F.regexp_replace(out, pat, repl)
+    return out

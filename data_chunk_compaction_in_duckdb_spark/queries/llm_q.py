@@ -649,3 +649,66 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_byte",
         F.md5(F.hex("chunk")).alias("chunk_md5"),
     )
+
+
+@query(
+    "text_chunk_documents",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+      FROM documents WHERE doc_id < 100
+    ),
+    e AS (
+      SELECT doc_id, words,
+             unnest(range(greatest(1, (len(words) - 8 + 23) // 24)))
+               AS chunk_idx
+      FROM w
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(
+             words[CAST(chunk_idx * 24 + 1 AS BIGINT)
+                   : CAST(chunk_idx * 24 + 32 AS BIGINT)], ' ') AS chunk_text,
+           CAST(len(words[CAST(chunk_idx * 24 + 1 AS BIGINT)
+                          : CAST(chunk_idx * 24 + 32 AS BIGINT)]) AS INT)
+             AS n_words
+    FROM e
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-word chunks, 8-word overlap, greedy
+    starts every 24 words (pipeline.chunk_documents) — split/sequence/
+    explode/slice built-ins only; the oracle replays the identical window
+    arithmetic with DuckDB list slices."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return chunk_documents(docs, "doc_id", "text", chunk_words=32, overlap_words=8)
+
+
+@query(
+    "text_redact_patterns",
+    oracle=r"""
+    SELECT doc_id,
+           substr(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+             '\b\d{7,}\b', '[NUM]', 'g'), 1, 80) AS red80,
+           CAST(length(text) AS BIGINT) AS n_orig
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def text_redact_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (pipeline.redact_patterns): chained JVM
+    regexp_replace for emails / IPv4 / long digit runs.  Spark replaces
+    all occurrences; the DuckDB oracle needs the explicit 'g' flag —
+    dialect note recorded in gen_sqllogic.  The synthetic corpus is
+    PII-free, so the seeded-PII unit test carries the replacement
+    semantics; this query pins the no-op path byte-for-byte."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import redact_patterns
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.substring(redact_patterns("text"), 1, 80).alias("red80"),
+        F.length("text").cast("long").alias("n_orig"),
+    )

@@ -248,6 +248,44 @@ def test_ivf_trained_centroids_deterministic_and_competitive(spark, sf_dir):
     assert r_trained >= 0.5, r_trained
 
 
+def test_redact_patterns_seeded_pii(spark):
+    from data_chunk_compaction_in_duckdb_spark.pipeline import redact_patterns
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@example.co.uk today"),
+            (2, "server 10.0.255.7 answered"),
+            (3, "acct 12345678 and short 123 stay"),
+            (4, "clean text"),
+        ],
+        "id INT, text STRING",
+    )
+    got = {r.id: r.red for r in df.select(
+        "id", redact_patterns("text").alias("red")
+    ).collect()}
+    assert got[1] == "mail me at [EMAIL] today"
+    assert got[2] == "server [IP] answered"
+    assert got[3] == "acct [NUM] and short 123 stay"
+    assert got[4] == "clean text"
+
+
+def test_chunk_documents_windows(spark):
+    from data_chunk_compaction_in_duckdb_spark.pipeline import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(1, 51))  # 50 words
+    df = spark.createDataFrame([(1, words), (2, "only three words")],
+                               "doc_id INT, text STRING")
+    out = chunk_documents(df, "doc_id", "text", chunk_words=32, overlap_words=8)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # 50 words, step 24 → greedy count ceil((50-8)/24) = 2 chunks
+    assert {(1, 0), (1, 1), (2, 0)} == set(rows)
+    assert rows[(1, 0)].n_words == 32
+    assert rows[(1, 0)].chunk_text.startswith("w1 ")
+    assert rows[(1, 1)].chunk_text.startswith("w25 ")
+    assert rows[(1, 1)].n_words == 26  # truncated tail, overlaps w25-w32
+    assert rows[(2, 0)].chunk_text == "only three words"
+
+
 def test_mixing_queries_match_oracle(spark, duck, sf_dir):
     assert_query_matches_oracle(spark, duck, sf_dir, "mix_weighted_sources")
     assert_query_matches_oracle(spark, duck, sf_dir, "select_token_budget")
