@@ -1197,3 +1197,268 @@ def tpcds_q39_cov_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.filter((F.col("n") >= 4) & (F.col("m2n") > F.col("n") * F.col("n") * 25))
         .select("pk", "m", "n", "mean_x100")
     )
+
+
+@query(
+    "tpcds_q90_am_pm_ratio",
+    oracle="""
+    SELECT ROUND(CAST(am.n AS DOUBLE) / pm.n, 4) AS am_pm_ratio,
+           am.n AS n_am, pm.n AS n_pm
+    FROM (SELECT COUNT(*) AS n FROM events
+          WHERE EXTRACT(HOUR FROM ts) BETWEEN 6 AND 11) am,
+         (SELECT COUNT(*) AS n FROM events
+          WHERE EXTRACT(HOUR FROM ts) BETWEEN 18 AND 23) pm
+    """,
+)
+def tpcds_q90_am_pm_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q90 shape: ratio of two disjoint time-slice counts — two scalar
+    aggregates combined by a 1×1 cross join; ratio of exact integers is
+    the same double in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.hour("ts")
+    am = ev.filter(h.between(6, 11)).agg(F.count("*").alias("n_am"))
+    pm = ev.filter(h.between(18, 23)).agg(F.count("*").alias("n_pm"))
+    return am.crossJoin(F.broadcast(pm)).select(
+        F.round(F.col("n_am").cast("double") / F.col("n_pm"), 4).alias(
+            "am_pm_ratio"
+        ),
+        "n_am",
+        "n_pm",
+    )
+
+
+@query(
+    "tpcds_q98_revenue_share",
+    oracle="""
+    SELECT p_type, p_brand, rev_c,
+           ROUND(CAST(rev_c AS DOUBLE) * 100
+                 / SUM(rev_c) OVER (PARTITION BY p_type), 6) AS share_pct
+    FROM (
+      SELECT p_type, p_brand,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_type, p_brand
+    ) g
+    """,
+)
+def tpcds_q98_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q98/q12 shape: each brand's revenue share within its item type —
+    window SUM over the aggregated rows only; shares divide exact cents
+    so the doubles agree bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    g = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum(_cents("l_extendedprice")).alias("rev_c"))
+    )
+    w = Window.partitionBy("p_type")
+    return g.select(
+        "p_type",
+        "p_brand",
+        "rev_c",
+        F.round(
+            F.col("rev_c").cast("double") * 100 / F.sum("rev_c").over(w), 6
+        ).alias("share_pct"),
+    )
+
+
+@query(
+    "tpcds_q33_triple_union_by_brand",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(CASE WHEN ch = 'ret' THEN q ELSE 0 END) AS BIGINT) AS q_ret,
+           CAST(SUM(CASE WHEN ch = 'fin' THEN q ELSE 0 END) AS BIGINT) AS q_fin,
+           CAST(SUM(CASE WHEN ch = 'big' THEN q ELSE 0 END) AS BIGINT) AS q_big
+    FROM (
+      SELECT 'ret' AS ch, p_brand, CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = 'R'
+      UNION ALL
+      SELECT 'fin', p_brand, CAST(l_quantity AS BIGINT)
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_linestatus = 'F'
+      UNION ALL
+      SELECT 'big', p_brand, CAST(l_quantity AS BIGINT)
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_quantity > 40
+    ) u
+    GROUP BY p_brand
+    """,
+)
+def tpcds_q33_triple_union_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q33/q56/q60 shape: three channel branches UNION ALL'd with a tag,
+    re-aggregated into one wide row per item attribute.  Each branch
+    reuses the same broadcast part dimension; one shuffle on brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    base = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    q = F.col("l_quantity").cast("long")
+
+    def branch(tag, cond):
+        return base.filter(cond).select(
+            F.lit(tag).alias("ch"), F.col("p_brand"), q.alias("q")
+        )
+
+    u = (
+        branch("ret", F.col("l_returnflag") == "R")
+        .unionByName(branch("fin", F.col("l_linestatus") == "F"))
+        .unionByName(branch("big", F.col("l_quantity") > 40))
+    )
+    return u.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("ch") == "ret", F.col("q")).otherwise(0)).alias("q_ret"),
+        F.sum(F.when(F.col("ch") == "fin", F.col("q")).otherwise(0)).alias("q_fin"),
+        F.sum(F.when(F.col("ch") == "big", F.col("q")).otherwise(0)).alias("q_big"),
+    )
+
+
+@query(
+    "tpcds_q5_channel_rollup",
+    oracle="""
+    SELECT coalesce(channel, 'ALL') AS channel,
+           coalesce(grp, 'ALL') AS grp,
+           COUNT(*) AS n_rows,
+           CAST(SUM(v_c) AS BIGINT) AS v_c
+    FROM (
+      SELECT 'orders' AS channel, o_orderpriority AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v_c
+      FROM orders
+      UNION ALL
+      SELECT 'events', event_type,
+             CAST(ROUND(value * 100) AS BIGINT)
+      FROM events WHERE value IS NOT NULL
+    ) u
+    GROUP BY ROLLUP(channel, grp)
+    """,
+)
+def tpcds_q5_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q5/q77 shape: per-channel reports UNION ALL'd, then ROLLUP over
+    (channel, group) yields leaf rows, channel subtotals, and a grand
+    total in one aggregation."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.lit("orders").alias("channel"),
+        F.col("o_orderpriority").alias("grp"),
+        _cents("o_totalprice").alias("v_c"),
+    )
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.lit("events").alias("channel"),
+            F.col("event_type").alias("grp"),
+            _cents("value").alias("v_c"),
+        )
+    )
+    return (
+        o.unionByName(e)
+        .rollup("channel", "grp")
+        .agg(F.count("*").alias("n_rows"), F.sum("v_c").alias("v_c"))
+        .select(
+            F.coalesce(F.col("channel"), F.lit("ALL")).alias("channel"),
+            F.coalesce(F.col("grp"), F.lit("ALL")).alias("grp"),
+            "n_rows",
+            "v_c",
+        )
+    )
+
+
+@query(
+    "tpcds_q61_promo_ratio",
+    oracle="""
+    SELECT n_name,
+           CAST(promo_c AS BIGINT) AS promo_c,
+           CAST(total_c AS BIGINT) AS total_c,
+           ROUND(CAST(promo_c AS DOUBLE) * 100 / total_c, 4) AS promo_pct
+    FROM (
+      SELECT n_name,
+             SUM(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS promo_c,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS total_c
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY n_name
+    ) g
+    WHERE total_c > 0
+    """,
+)
+def tpcds_q61_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q61 shape (TPC-H q14's DS cousin): promotional share of revenue
+    per nation — conditional cents sum over the same single aggregation,
+    ratio of exact integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cents = _cents("l_extendedprice")
+    g = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.when(F.col("p_type").like("PROMO%"), cents).otherwise(0)
+            ).alias("promo_c"),
+            F.sum(cents).alias("total_c"),
+        )
+        .filter(F.col("total_c") > 0)
+    )
+    return g.select(
+        "n_name",
+        "promo_c",
+        "total_c",
+        F.round(
+            F.col("promo_c").cast("double") * 100 / F.col("total_c"), 4
+        ).alias("promo_pct"),
+    )
+
+
+@query(
+    "tpcds_q58_balanced_brands",
+    oracle="""
+    WITH m AS (
+      SELECT p_brand,
+             SUM(CASE WHEN EXTRACT(MONTH FROM l_shipdate) = 3
+                      THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS rev_a,
+             SUM(CASE WHEN EXTRACT(MONTH FROM l_shipdate) = 4
+                      THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS rev_b
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+    )
+    SELECT p_brand, CAST(rev_a AS BIGINT) AS rev_a, CAST(rev_b AS BIGINT) AS rev_b
+    FROM m
+    WHERE rev_a > 0 AND rev_b > 0
+      AND 20 * rev_a >= 9 * (rev_a + rev_b)
+      AND 20 * rev_a <= 11 * (rev_a + rev_b)
+    """,
+)
+def tpcds_q58_balanced_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q58 shape: brands whose revenue is balanced (within ±10% of the
+    two-period mean) across two periods — the band test stays in
+    cross-multiplied exact integers (20·a within [9,11]·(a+b) ⇔
+    a within [0.9,1.1]·mean), no float boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cents = _cents("l_extendedprice")
+    m = F.month("l_shipdate")
+    g = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(m == 3, cents).otherwise(0)).alias("rev_a"),
+            F.sum(F.when(m == 4, cents).otherwise(0)).alias("rev_b"),
+        )
+    )
+    tot = F.col("rev_a") + F.col("rev_b")
+    return g.filter(
+        (F.col("rev_a") > 0)
+        & (F.col("rev_b") > 0)
+        & (20 * F.col("rev_a") >= 9 * tot)
+        & (20 * F.col("rev_a") <= 11 * tot)
+    ).select("p_brand", "rev_a", "rev_b")
