@@ -631,3 +631,181 @@ def job_like_events_fact_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), F.min("c_name").alias("min_cust"))
     )
+
+
+@query(
+    "job_like_long_chain",
+    oracle="""
+    SELECT MIN(e.event_id) AS min_event, MIN(p_name) AS min_part,
+           COUNT(*) AS n
+    FROM events e
+    JOIN customer ON e.user_id = c_custkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE e.event_type = 'purchase' AND p_size > 45
+      AND n_name LIKE 'E%'
+    """,
+)
+def job_like_long_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal left-deep CHAIN topology (vs the star shapes): events →
+    customer → orders → lineitem → part/supplier/nation, each hop a
+    different key — the reference's chunk-factor degradation compounds
+    along exactly this kind of chain (each probe fragments the next
+    pipeline's input).  Selective part/nation broadcast; the two
+    custkey-keyed joins share one shuffle."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 45)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").like("E%"))
+    return (
+        e.join(c, e.user_id == c.c_custkey)
+        .join(o, F.col("o_custkey") == c.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .agg(
+            F.min("event_id").alias("min_event"),
+            F.min("p_name").alias("min_part"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "job_like_disjunctive_dims",
+    oracle="""
+    SELECT COUNT(*) AS n, MIN(p_name) AS min_part, MIN(n_name) AS min_nation
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_size < 5 OR n_name = 'JAPAN'
+    """,
+)
+def job_like_disjunctive_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction ACROSS two different dimensions (JOB's t.year > x OR
+    cn.code = y): neither branch can be pushed into its own dimension
+    scan, so the filter must run post-join — the late-filter
+    fragmentation case; both dims broadcast unfiltered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter((F.col("p_size") < 5) | (F.col("n_name") == "JAPAN"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("p_name").alias("min_part"),
+            F.min("n_name").alias("min_nation"),
+        )
+    )
+
+
+@query(
+    "job_like_negated_filters",
+    oracle="""
+    SELECT MIN(s_name) AS min_supp, MIN(p_type) AS min_type, COUNT(*) AS n
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_type NOT LIKE '%BRASS%' AND p_type NOT LIKE '%COPPER%'
+      AND n_name <> 'FRANCE' AND n_name <> 'GERMANY'
+      AND l_returnflag <> 'R'
+    """,
+)
+def job_like_negated_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negation-heavy predicates (JOB's note NOT LIKE ... chains):
+    low-selectivity NOT filters keep the dimensions large — the case
+    where forcing a broadcast is only safe because part/supplier/nation
+    are bounded relations, not because the filter shrinks them."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") != "R")
+    p = load_table(spark, sf_dir, "part").filter(
+        ~F.col("p_type").like("%BRASS%") & ~F.col("p_type").like("%COPPER%")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        (F.col("n_name") != "FRANCE") & (F.col("n_name") != "GERMANY")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .agg(
+            F.min("s_name").alias("min_supp"),
+            F.min("p_type").alias("min_type"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "job_like_distinct_pair_count",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS d_parts,
+           COUNT(DISTINCT l_suppkey) AS d_supps,
+           COUNT(DISTINCT o_custkey) AS d_custs,
+           MIN(o_orderpriority) AS min_prio
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 200000 AND l_quantity > 30
+    """,
+)
+def job_like_distinct_pair_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) over a filtered join (JOB's result-shape
+    cousin of MIN): Catalyst expands to a single Expand + two-phase
+    distinct aggregate — one plan, three dedup streams."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 30)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(
+            F.countDistinct("l_partkey").alias("d_parts"),
+            F.countDistinct("l_suppkey").alias("d_supps"),
+            F.countDistinct("o_custkey").alias("d_custs"),
+            F.min("o_orderpriority").alias("min_prio"),
+        )
+    )
+
+
+@query(
+    "job_like_date_band_dims",
+    oracle="""
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS y, n_name,
+           COUNT(*) AS n, MIN(c_name) AS min_cust
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate BETWEEN DATE '1994-06-01' AND DATE '1996-05-31'
+      AND c_acctbal > 0
+    GROUP BY EXTRACT(YEAR FROM o_orderdate), n_name
+    """,
+)
+def job_like_date_band_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-band fact filter + dimension attributes in the group key
+    (JOB's production_year BETWEEN shape): the date band prunes the
+    orders scan (PushedFilters), nation broadcasts, one shuffle for the
+    two-key aggregate."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1994-06-01", "1996-05-31")
+    )
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("y"), F.col("n_name"))
+        .agg(F.count("*").alias("n"), F.min("c_name").alias("min_cust"))
+    )
