@@ -712,3 +712,82 @@ def text_redact_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(redact_patterns("text"), 1, 80).alias("red80"),
         F.length("text").cast("long").alias("n_orig"),
     )
+
+
+@query(
+    "quality_filter_source_quantile",
+    oracle=r"""
+    SELECT doc_id, source, ws_tokens,
+           ROUND(pr, 6) AS pr
+    FROM (
+      SELECT doc_id, source, ws_tokens,
+             PERCENT_RANK() OVER (PARTITION BY source
+                                  ORDER BY ws_tokens, doc_id) AS pr
+      FROM (
+        SELECT doc_id, source,
+               len(string_split_regex(trim(text), '\s+')) AS ws_tokens
+        FROM documents
+      ) t
+    ) r
+    WHERE pr >= 0.25
+    """,
+)
+def quality_filter_source_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-quantile gate (drop each source's bottom
+    quartile by token count) — the stratified quality-filter stage of a
+    corpus build.  percent_rank windows run per source partition;
+    (rank−1)/(n−1) of exact integers is the same double in both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    from data_chunk_compaction_in_duckdb_spark.pipeline.text import token_counts
+
+    toks = docs.select(
+        "doc_id", "source", token_counts("text")["ws_tokens"].alias("ws_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("ws_tokens", "doc_id")
+    return (
+        toks.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.25)
+        .select("doc_id", "source", "ws_tokens", F.round("pr", 6).alias("pr"))
+    )
+
+
+@query(
+    "dedup_keep_best_survivor",
+    oracle=r"""
+    SELECT doc_id, n_chars, n_copies
+    FROM (
+      SELECT doc_id, n_chars,
+             COUNT(*) OVER (PARTITION BY h) AS n_copies,
+             ROW_NUMBER() OVER (PARTITION BY h
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        FROM documents
+      ) t
+    ) r
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor policy: within each exact-duplicate group
+    keep the LONGEST copy (ties → smallest id) instead of round 1's
+    min-id policy — the 'keep best representative' variant every corpus
+    build needs.  One hash-partitioned window, no extra shuffle over the
+    plain dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    )
+    base = docs.select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"), h.alias("h")
+    )
+    w = Window.partitionBy("h")
+    wr = w.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        base.withColumn("n_copies", F.count("*").over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_chars", "n_copies")
+    )
