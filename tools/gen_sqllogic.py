@@ -438,6 +438,58 @@ corpus("having_no_groupby", "HAVING without GROUP BY / global aggregates (refere
     ("I", "", "SELECT sum(r_regionkey) FROM region HAVING min(r_regionkey) = 0"),
 ])
 
+corpus("date_parts", "EXTRACT field matrix (reference test/sql/function/date_part)")([
+    ("IIII", "", "SELECT EXTRACT(YEAR FROM DATE '1995-07-19'), EXTRACT(MONTH FROM DATE '1995-07-19'), EXTRACT(DAY FROM DATE '1995-07-19'), EXTRACT(QUARTER FROM DATE '1995-07-19')"),
+    # NOTE validator-found divergence: EXTRACT(DOW) numbers Sunday=0 in
+    # DuckDB but Sunday=1 in Spark — excluded from the common corpus.
+    ("I", "", "SELECT EXTRACT(WEEK FROM DATE '1995-01-04')"),
+    ("II", "rowsort", "SELECT EXTRACT(MONTH FROM l_shipdate), count(*) FROM lineitem GROUP BY 1"),
+    ("I", "", "SELECT count(*) FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995"),
+])
+
+corpus("having_agg_expr", "Aggregates inside HAVING expressions (reference test/sql/aggregate/having)")([
+    ("TI", "rowsort", "SELECT o_orderstatus, count(*) FROM orders GROUP BY o_orderstatus HAVING sum(o_totalprice) > 1000000"),
+    ("II", "rowsort", "SELECT n_regionkey, max(n_nationkey) FROM nation GROUP BY n_regionkey HAVING max(n_nationkey) - min(n_nationkey) > 15"),
+    ("TI", "rowsort", "SELECT l_returnflag, count(*) FROM lineitem GROUP BY l_returnflag HAVING avg(l_quantity) > 25 AND count(*) > 100"),
+    ("II", "rowsort", "SELECT o_custkey, count(*) FROM orders GROUP BY o_custkey HAVING count(DISTINCT o_orderpriority) >= 5"),
+])
+
+corpus("corr_scalar_agg", "Correlated scalar-aggregate subqueries (reference test/sql/subquery/scalar)")([
+    ("TI", "", "SELECT r_name, (SELECT max(n_nationkey) FROM nation WHERE n_regionkey = r_regionkey) FROM region ORDER BY r_name"),
+    ("I", "", "SELECT count(*) FROM nation n WHERE n_nationkey = (SELECT min(n2.n_nationkey) FROM nation n2 WHERE n2.n_regionkey = n.n_regionkey)"),
+    ("I", "", "SELECT count(*) FROM orders o WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"),
+    ("II", "", "SELECT n_nationkey, (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) FROM nation ORDER BY n_nationkey LIMIT 6"),
+])
+
+corpus("nested_derived", "Deeply nested derived tables with re-aggregation (reference test/sql/subquery/table)")([
+    ("I", "", "SELECT max(cnt) FROM (SELECT n, count(*) AS cnt FROM (SELECT o_custkey % 10 AS n FROM orders) a GROUP BY n) b"),
+    ("R", "", "SELECT round(avg(CAST(mx AS DOUBLE)), 3) FROM (SELECT o_custkey, max(o_totalprice) AS mx FROM orders GROUP BY o_custkey) t"),
+    ("I", "", "SELECT count(*) FROM (SELECT DISTINCT a.n_regionkey FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey) t"),
+    ("II", "", "SELECT mn, mx FROM (SELECT min(total) AS mn, max(total) AS mx FROM (SELECT o_custkey, count(*) AS total FROM orders GROUP BY o_custkey) i) o2"),
+])
+
+corpus("string_numeric_mix", "String/number coercion boundaries (reference test/sql/types)")([
+    ("T", "", "SELECT concat('n=', CAST(count(*) AS STRING)) FROM region"),
+    ("I", "", "SELECT length(CAST(12345 AS STRING))"),
+    ("I", "", "SELECT CAST(substr('12345', 2, 3) AS BIGINT)"),
+    ("T", "", "SELECT lpad(CAST(7 AS STRING), 3, '0')"),
+    ("T", "", "SELECT CAST(CAST('  42  ' AS INT) AS STRING)"),
+])
+
+corpus("window_running_min_max", "Running extrema windows (reference test/sql/window)")([
+    ("III", "", "SELECT n_nationkey, min(n_nationkey) OVER (ORDER BY n_name), max(n_nationkey) OVER (ORDER BY n_name) FROM nation ORDER BY n_nationkey LIMIT 6"),
+    ("II", "", "SELECT n_nationkey, count(*) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM nation ORDER BY n_nationkey LIMIT 8"),
+    ("II", "", "SELECT o_orderkey, dense_rank() OVER (ORDER BY o_orderpriority) FROM orders ORDER BY o_orderkey LIMIT 5"),
+])
+
+corpus("coalesce_chains", "COALESCE/NULLIF chains and defaults (reference test/sql/function/generic)")([
+    ("I", "", "SELECT coalesce(NULL, NULL, NULL, 4)"),
+    ("I", "", "SELECT coalesce(nullif(0, 0), nullif(1, 1), 9)"),
+    ("T", "", "SELECT coalesce(nullif(r_name, r_name), 'same') FROM region ORDER BY r_regionkey LIMIT 2"),
+    ("I", "", "SELECT sum(coalesce(nullif(n_regionkey, 2), 0)) FROM nation"),
+    ("I", "", "SELECT ifnull(NULL, 5)"),
+])
+
 HEADER_NOTE = (
     "# GENERATED by tools/gen_sqllogic.py — golden rows validated on BOTH\n"
     "# engines (DuckDB + Spark) over /root/testdata/sf0.001 (the\n"
