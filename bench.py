@@ -44,6 +44,8 @@ HEADLINE = [
     "tpcds_q23_frequent_items",
     "tpcds_q78_channel_ratio",
     "win_frame_range_value",
+    "text_chunk_documents",
+    "quality_filter_source_quantile",
 ]
 
 REPS = 3
