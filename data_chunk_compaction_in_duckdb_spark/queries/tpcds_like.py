@@ -1462,3 +1462,141 @@ def tpcds_q58_balanced_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (20 * F.col("rev_a") >= 9 * tot)
         & (20 * F.col("rev_a") <= 11 * tot)
     ).select("p_brand", "rev_a", "rev_b")
+
+
+@query(
+    "tpcds_q7_multi_avg",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_qty,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                      AS DOUBLE) / COUNT(*) / 100, 4) AS avg_price,
+           ROUND(CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT))
+                      AS DOUBLE) / COUNT(*) / 100, 6) AS avg_disc,
+           COUNT(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def tpcds_q7_multi_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q7/q26 shape: several demographic averages in one aggregation —
+    every AVG is an exact-integer SUM divided by COUNT, so both engines
+    produce the identical double before the final ROUND."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    n = F.count("*")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity").cast("long")).cast("double") / n, 4
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(_cents("l_extendedprice")).cast("double") / n / 100, 4
+            ).alias("avg_price"),
+            F.round(
+                F.sum(_cents("l_discount")).cast("double") / n / 100, 6
+            ).alias("avg_disc"),
+            n.alias("n"),
+        )
+    )
+
+
+@query(
+    "tpcds_q48_or_band_sum",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           COUNT(*) AS n
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE (p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+       OR (p_size BETWEEN 11 AND 25 AND l_quantity BETWEEN 16 AND 35)
+       OR (p_size BETWEEN 26 AND 50 AND l_quantity BETWEEN 36 AND 50)
+    """,
+)
+def tpcds_q48_or_band_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q48 shape: OR of conjunctive band pairs across the fact and a
+    dimension — each disjunct pairs a dimension band with a fact band,
+    so no single-side pushdown removes the OR; the dimension still
+    broadcasts whole."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        (sz.between(1, 10) & q.between(1, 15))
+        | (sz.between(11, 25) & q.between(16, 35))
+        | (sz.between(26, 50) & q.between(36, 50))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(q.cast("long")).alias("qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "tpcds_q96_point_count",
+    oracle="""
+    SELECT COUNT(*) AS n
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    WHERE EXTRACT(HOUR FROM ts) = 20
+      AND event_type = 'click'
+      AND c_mktsegment = 'AUTOMOBILE'
+    """,
+)
+def tpcds_q96_point_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q96 shape: one COUNT(*) under three point predicates spanning the
+    fact and a dimension — the minimal star probe; AQE broadcasts the
+    filtered customer slice."""
+    e = _t(spark, sf_dir, "events").filter(
+        (F.hour("ts") == 20) & (F.col("event_type") == "click")
+    )
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    return e.join(c, e.user_id == c.c_custkey).agg(F.count("*").alias("n"))
+
+
+@query(
+    "tpcds_q32_excess_discount",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS disc_sum,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS BIGINT)
+             AS excess_disc_c,
+           COUNT(*) AS n
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.pk
+    WHERE CAST(ROUND(l.l_discount * 100) AS BIGINT) * pa.cnt * 10
+          > pa.disc_sum * 13
+    """,
+)
+def tpcds_q32_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q32/q92 shape: lines discounted more than 1.3× their item's
+    average discount — per-item aggregate joined back to the fact, the
+    threshold kept in cross-multiplied exact integers (d·cnt·10 >
+    sum·13 ⇔ d > 1.3·avg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    d_c = _cents("l_discount")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(d_c).alias("disc_sum"), F.count("*").alias("cnt")
+    )
+    return (
+        li.join(pa, F.col("l_partkey") == F.col("pk"))
+        .filter(d_c * F.col("cnt") * 10 > F.col("disc_sum") * 13)
+        .agg(
+            F.sum(d_c).alias("excess_disc_c"),
+            F.count("*").alias("n"),
+        )
+    )
