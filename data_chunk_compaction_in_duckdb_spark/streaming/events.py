@@ -15,31 +15,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns (nanosAsLong read path)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming file sources need an explicit schema; infer it from a batch
+    # read of the same file so the stream tracks whatever physical type the
+    # fixture uses for ts (int64 nanoseconds in older fixtures, native
+    # timestamp[us] in current ones).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
     # The streaming file source requires a directory: scan sf_dir with a
     # glob pinned to the events file.
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        # ns→µs NTZ, same arithmetic construction as catalog.load_table
+        # (session-TZ independent).
+        raw = raw.withColumn(
+            "ts",
+            F.expr(
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval("
+                "0, 0, 0, CAST(ts div 1000 AS DECIMAL(26,6)) / 1000000)"
+            ),
+        )
+    return raw
 
 
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,12 +50,29 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of the batch events_tumbling_window query (same results once the
     watermark closes every window)."""
     ev = _event_stream(spark, sf_dir)
+    # Watermarks accept TIMESTAMP but not TIMESTAMP_NTZ: map the NTZ
+    # wall-clock onto the identical UTC instant arithmetically (no session
+    # TZ involved), window on that, and convert the window start back to
+    # NTZ so the output matches the batch twin under any driver timezone.
+    ev = ev.withColumn(
+        "ts_evt",
+        F.timestamp_micros(
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+        ),
+    )
     return (
-        ev.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        ev.withWatermark("ts_evt", "1 hour")
+        .groupBy(F.window("ts_evt", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
         .select(
-            F.col("w.start").alias("win_start"),
+            F.expr(
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval("
+                "0, 0, 0, CAST(unix_micros(w.start) AS DECIMAL(26,6))"
+                " / 1000000)"
+            ).alias("win_start"),
             "event_type",
             "n",
             "total",
