@@ -353,3 +353,33 @@ def ivf_ann_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/transport
+    compression step of an embedding pipeline (scale = max|v|/127,
+    q_i = round(v_i/scale)).
+
+    Rounding is floor(x + 0.5): exact IEEE-double ops that evaluate
+    identically in any engine, unlike decimal ROUND whose half-case
+    handling is engine-specific.  Returns the scale plus the quantized
+    vector's sum and dot product (the reconstruction-checkable summary;
+    the full int8 array rides along as q).  Pure built-in expressions —
+    one narrow projection, no shuffle."""
+    v = F.col(vec_col).cast("array<double>")
+    mx = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    scale = mx / F.lit(127.0)
+    q = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long"))
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        q.alias("q"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("qsum"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda a, x: a + x * x
+        ).alias("qdot"),
+    )

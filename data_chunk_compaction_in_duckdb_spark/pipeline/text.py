@@ -35,6 +35,63 @@ def token_counts(col: Column | str) -> dict[str, Column]:
     return {"ws_tokens": ws, "bpe_tokens": bpe}
 
 
+def word_ngrams(col: Column | str, n: int, distinct: bool = True) -> Column:
+    """Word n-grams of a text column as an array of space-joined strings.
+
+    Documents shorter than ``n`` words yield one gram (the whole text) so
+    every non-empty document contributes at least one row downstream —
+    the convention the contamination/top-k operators rely on.  Pure
+    built-ins (split/sequence/transform/slice), so the expression stays
+    inside whole-stage codegen and is replayable in DuckDB as
+    list_transform over list_slice."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(c), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return F.array_distinct(grams) if distinct else grams
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: for each candidate document, the
+    fraction of its distinct word ``n``-grams that also occur anywhere in
+    the benchmark set — the standard train/test decontamination step of a
+    corpus build.
+
+    Scale shape: the benchmark gram set is DISTINCT-reduced first (it is
+    bounded — eval sets are small) and the join is a plain equi-join on
+    the gram string, so candidates never collect and Spark broadcasts the
+    benchmark side when it fits.  Candidate grams explode shuffle-free
+    (one generation per partition) and re-group on the document id."""
+    cand = docs.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    )
+    bgrams = (
+        bench.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        cand.join(bgrams, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("_hit").alias("n_hit"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 6),
+        )
+    )
+
+
 def quality_features(col: Column | str) -> dict[str, Column]:
     """Quality-scoring features: length, punctuation/digit/space ratios,
     stopword ratio, mean word length — the standard cheap filters applied

@@ -1,0 +1,245 @@
+"""Training-data pipeline, round-2 additions: benchmark decontamination,
+corpus n-gram statistics, embedding quantization, document-frequency/IDF,
+and a chunk→dedup composition — each oracle-checked in DuckDB.
+
+These extend the LLM-pipeline surface (llm_q.py) with the remaining
+stages a 100 TB corpus build runs: train/test contamination checks
+before training, global vocabulary statistics for filter design, int8
+embedding compression for the ANN index, and chunk-level dedup (near-dup
+at document granularity misses boilerplate repeated across documents —
+chunk-level catches it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+from data_chunk_compaction_in_duckdb_spark.queries.registry import query
+
+# Shared DuckDB fragment: distinct word 5-grams per document (matches
+# pipeline.text.word_ngrams semantics: short docs yield one whole-text
+# gram).
+_GRAMS5 = """
+    w AS (SELECT doc_id, source,
+                 string_split_regex(trim(text), '\\s+') AS words
+          FROM documents),
+    g AS (SELECT doc_id, source,
+                 list_distinct(list_transform(
+                   generate_series(1, GREATEST(len(words) - 4, 1)),
+                   i -> array_to_string(list_slice(words, i, i + 4), ' ')))
+                 AS grams
+          FROM w)
+"""
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH {_GRAMS5},
+    bench AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g
+              WHERE source = 'src0'),
+    cand AS (SELECT doc_id, UNNEST(grams) AS gram FROM g
+             WHERE source <> 'src0')
+    SELECT c.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(b.gram) AS n_hit,
+           ROUND(CAST(COUNT(b.gram) AS DOUBLE) / COUNT(*), 6)
+             AS contamination
+    FROM cand c LEFT JOIN bench b ON c.gram = b.gram
+    GROUP BY c.doc_id
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: fraction of each candidate document's
+    distinct word 5-grams that appear anywhere in the benchmark set
+    (source 'src0' stands in for the eval suite).  The benchmark gram set
+    is DISTINCT-reduced and broadcast (eval sets are bounded); candidates
+    stream through one equi-join + one groupBy — no all-pairs work, so
+    the shape holds when the candidate side is 100 TB."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.text import (
+        ngram_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    cand = docs.filter(F.col("source") != "src0")
+    return ngram_contamination(cand, bench, "doc_id", "text", n=5)
+
+
+@query(
+    "text_top_ngrams",
+    oracle="""
+    WITH w AS (SELECT string_split_regex(trim(text), '\\s+') AS words
+               FROM documents),
+    g AS (SELECT UNNEST(list_transform(
+                   generate_series(1, GREATEST(len(words) - 2, 1)),
+                   i -> array_to_string(list_slice(words, i, i + 2), ' ')))
+                 AS gram
+          FROM w)
+    SELECT gram, COUNT(*) AS cnt
+    FROM g GROUP BY gram
+    ORDER BY cnt DESC, gram LIMIT 20
+    """,
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 word trigrams by occurrence (non-distinct) — the
+    vocabulary/boilerplate statistic that seeds stopword and filter
+    lists.  Partial aggregation happens map-side; only (gram, count)
+    pairs shuffle, and the final top-k is a TakeOrdered, not a full
+    sort."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(word_ngrams("text", 3, distinct=False)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "gram")
+        .limit(20)
+    )
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 GREATEST(list_max(list_transform(v, x -> abs(x))), 1e-12)
+                   / 127.0 AS scale
+          FROM e),
+    q AS (SELECT vec_id, scale,
+                 list_transform(v, x -> CAST(floor(x / scale + 0.5)
+                                             AS BIGINT)) AS qv
+          FROM s)
+    SELECT vec_id, ROUND(scale, 8) AS scale8,
+           CAST(list_sum(qv) AS BIGINT) AS qsum,
+           CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qdot
+    FROM q
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization summary (scale, sum, dot of
+    the quantized ints).  Rounding is floor(x+0.5) — exact IEEE ops that
+    replay bit-identically in DuckDB, unlike decimal ROUND half-cases.
+    Narrow projection, zero shuffles."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = quantize_embeddings_int8(emb, "vec_id", "embedding")
+    return out.select(
+        "vec_id", F.round("scale", 8).alias("scale8"), "qsum", "qdot"
+    )
+
+
+@query(
+    "text_doc_frequency_idf",
+    oracle="""
+    WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+    wds AS (SELECT doc_id,
+                   UNNEST(list_distinct(string_split_regex(t, '\\s+')))
+                     AS word
+            FROM d),
+    dfreq AS (SELECT word, COUNT(*) AS df FROM wds GROUP BY word),
+    n AS (SELECT COUNT(*) AS n FROM d)
+    SELECT word, df,
+           ROUND(ln((CAST(n AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)),
+                 6) AS idf
+    FROM dfreq, n
+    ORDER BY df DESC, word LIMIT 30
+    """,
+)
+def text_doc_frequency_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency + smoothed IDF for the 30 most common words —
+    corpus-driven stopword extraction.  The corpus size is a 1-row
+    aggregate broadcast into the expression (no driver-side collect);
+    ln over exact integer ratios is the same double in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("word")
+    )
+    dfreq = words.groupBy("word").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    return (
+        dfreq.crossJoin(F.broadcast(n))
+        .select(
+            "word",
+            "df",
+            F.round(
+                F.log(
+                    (F.col("n").cast("double") + 1.0)
+                    / (F.col("df").cast("double") + 1.0)
+                ),
+                6,
+            ).alias("idf"),
+        )
+        .orderBy(F.col("df").desc(), "word")
+        .limit(30)
+    )
+
+
+@query(
+    "pipeline_chunk_dedup_tokens",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS words
+      FROM documents WHERE doc_id < 100
+    ),
+    e AS (
+      SELECT doc_id, source, words,
+             unnest(range(greatest(1, (len(words) - 8 + 23) // 24)))
+               AS chunk_idx
+      FROM w
+    ),
+    c AS (
+      SELECT doc_id, source, CAST(chunk_idx AS INT) AS chunk_idx,
+             array_to_string(
+               words[CAST(chunk_idx * 24 + 1 AS BIGINT)
+                     : CAST(chunk_idx * 24 + 32 AS BIGINT)], ' ')
+               AS chunk_text,
+             len(words[CAST(chunk_idx * 24 + 1 AS BIGINT)
+                       : CAST(chunk_idx * 24 + 32 AS BIGINT)]) AS n_words
+      FROM e
+    ),
+    r AS (
+      SELECT source, n_words,
+             ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM c
+    )
+    SELECT source,
+           COUNT(*) AS n_chunks,
+           COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_unique,
+           CAST(SUM(CASE WHEN rn = 1 THEN n_words ELSE 0 END) AS BIGINT)
+             AS surviving_words
+    FROM r GROUP BY source
+    """,
+)
+def pipeline_chunk_dedup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup composition: context-window chunking (32-word
+    windows, 8 overlap) → exact md5 dedup over CHUNKS (catches boilerplate
+    repeated across distinct documents) → per-source surviving-token
+    accounting.  One window over the chunk hash + one groupBy; chunking
+    itself is shuffle-free."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    ch = chunk_documents(docs, "doc_id", "text", chunk_words=32, overlap_words=8)
+    ch = ch.join(docs.select("doc_id", "source"), "doc_id")
+    wr = Window.partitionBy(F.md5("chunk_text")).orderBy("doc_id", "chunk_idx")
+    r = ch.withColumn("rn", F.row_number().over(wr))
+    return r.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_unique"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_words")).otherwise(0))
+        .cast("long")
+        .alias("surviving_words"),
+    )

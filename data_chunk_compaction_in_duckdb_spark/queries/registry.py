@@ -44,6 +44,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[Builder], Builder]:
 # Each round this rotates automatically as new CORRECTNESS files land.
 _MODULE_PRIORITY = [
     "llm_q",          # LLM-pipeline ops: dedup, ANN, text, multimodal, mixing
+    "llm_q2",         # round-2 pipeline ops: contamination, quantization, IDF
     "advanced_joins",  # asof / IE / range joins
     "subqueries",      # mark/single joins, decorrelation
     "recursion",       # recursive CTE

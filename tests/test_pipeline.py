@@ -11,9 +11,10 @@ from tests.oracle_compare import assert_query_matches_oracle
 
 
 def _llm_names():
-    from data_chunk_compaction_in_duckdb_spark.queries import REGISTRY, llm_q
+    from data_chunk_compaction_in_duckdb_spark.queries import REGISTRY, llm_q, llm_q2
 
-    return [n for n, q in REGISTRY.items() if q.builder.__module__ == llm_q.__name__]
+    mods = {llm_q.__name__, llm_q2.__name__}
+    return [n for n, q in REGISTRY.items() if q.builder.__module__ in mods]
 
 
 @pytest.mark.parametrize("name", _llm_names())
