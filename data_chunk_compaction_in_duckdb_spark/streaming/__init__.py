@@ -10,6 +10,10 @@ batch and streaming append mode once the watermark passes).
 
 from data_chunk_compaction_in_duckdb_spark.streaming.events import (  # noqa: F401
     run_stream_to_memory,
+    streaming_dedup_events,
+    streaming_session_windows,
     streaming_sessionize,
+    streaming_sliding_counts,
+    streaming_static_join_rollup,
     streaming_tumbling_counts,
 )

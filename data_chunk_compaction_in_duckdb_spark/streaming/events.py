@@ -11,9 +11,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Streaming file sources need an explicit schema; infer it from a batch
@@ -146,3 +145,96 @@ def run_stream_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def _ts_as_utc_instant(ev: DataFrame) -> DataFrame:
+    """NTZ wall-clock → identical UTC instant (watermark-compatible
+    TIMESTAMP), session-TZ independent."""
+    return ev.withColumn(
+        "ts_evt",
+        F.timestamp_micros(
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+        ),
+    )
+
+
+def _win_start_ntz(col: str) -> Column:
+    return F.expr(
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval("
+        f"0, 0, 0, CAST(unix_micros({col}) AS DECIMAL(26,6)) / 1000000)"
+    )
+
+
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (2 h window, 1 h slide) per-type counts — each event
+    lands in two windows; the overlap is what a rate monitor smooths
+    with."""
+    ev = _ts_as_utc_instant(_event_stream(spark, sf_dir))
+    return (
+        ev.withWatermark("ts_evt", "1 hour")
+        .groupBy(
+            F.window("ts_evt", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            _win_start_ntz("w.start").alias("win_start"), "event_type", "n"
+        )
+    )
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven session windows (30-min inactivity gap) per user via
+    the built-in session_window — the declarative form of sessionization
+    (streaming_sessionize is the applyInPandasWithState form for custom
+    state)."""
+    ev = _ts_as_utc_instant(_event_stream(spark, sf_dir))
+    return (
+        ev.withWatermark("ts_evt", "1 hour")
+        .groupBy(F.session_window("ts_evt", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id", _win_start_ntz("w.start").alias("sess_start"), "n_events"
+        )
+    )
+
+
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on (user_id, event_type) within the
+    watermark — the streaming twin of the corpus dedup stage: state keeps
+    one fingerprint per key and drops repeats as they arrive."""
+    ev = _ts_as_utc_instant(_event_stream(spark, sf_dir))
+    return (
+        ev.withWatermark("ts_evt", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+def streaming_static_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream joins a bounded static
+    dimension (per-user tier derived from a batch read) executor-side —
+    no state, the static side is broadcast per micro-batch — then rolls
+    up value by tier."""
+    static_dim = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_total"))
+        .select(
+            "user_id",
+            F.when(F.col("n_total") >= 100, "heavy")
+            .otherwise("light")
+            .alias("tier"),
+        )
+    )
+    ev = _event_stream(spark, sf_dir)
+    return (
+        ev.join(static_dim, "user_id")
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

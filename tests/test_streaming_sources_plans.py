@@ -44,6 +44,146 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir):
     assert got == exp
 
 
+def _batch_events_utc(spark, sf_dir):
+    from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn(
+        "ts_evt",
+        F.timestamp_micros(
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+        ),
+    )
+
+
+def test_streaming_sliding_matches_batch(spark, sf_dir):
+    from data_chunk_compaction_in_duckdb_spark.streaming import (
+        run_stream_to_memory,
+        streaming_sliding_counts,
+    )
+
+    sdf = streaming_sliding_counts(spark, sf_dir)
+    run_stream_to_memory(sdf, name="t_slide_out", mode="complete")
+    got = {
+        (r.win_start, r.event_type): r.n
+        for r in spark.table("t_slide_out").collect()
+    }
+    batch = (
+        _batch_events_utc(spark, sf_dir)
+        .groupBy(F.window("ts_evt", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.expr(
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval("
+                "0, 0, 0, CAST(unix_micros(w.start) AS DECIMAL(26,6))"
+                " / 1000000)"
+            ).alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    exp = {(r.win_start, r.event_type): r.n for r in batch.collect()}
+    assert got == exp
+    # sliding windows double-count by construction: total == 2 * events
+    n_events = _batch_events_utc(spark, sf_dir).count()
+    assert sum(got.values()) == 2 * n_events
+
+
+def test_streaming_session_windows_matches_batch(spark, sf_dir):
+    from data_chunk_compaction_in_duckdb_spark.streaming import (
+        run_stream_to_memory,
+        streaming_session_windows,
+    )
+
+    sdf = streaming_session_windows(spark, sf_dir)
+    run_stream_to_memory(sdf, name="t_sess_win_out", mode="complete")
+    got = {
+        (r.user_id, r.sess_start): r.n_events
+        for r in spark.table("t_sess_win_out").collect()
+    }
+    batch = (
+        _batch_events_utc(spark, sf_dir)
+        .groupBy(F.session_window("ts_evt", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.expr(
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval("
+                "0, 0, 0, CAST(unix_micros(w.start) AS DECIMAL(26,6))"
+                " / 1000000)"
+            ).alias("sess_start"),
+            "n_events",
+        )
+    )
+    exp = {(r.user_id, r.sess_start): r.n_events for r in batch.collect()}
+    assert got == exp
+    # session counts must agree with the stateful sessionizer's totals
+    from data_chunk_compaction_in_duckdb_spark.queries import REGISTRY
+
+    sess = REGISTRY["events_sessionization"].builder(spark, sf_dir)
+    n_sessions_batch = sum(r.n_sessions for r in sess.collect())
+    assert len(got) == n_sessions_batch
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir):
+    from data_chunk_compaction_in_duckdb_spark.streaming import (
+        run_stream_to_memory,
+        streaming_dedup_events,
+    )
+
+    sdf = streaming_dedup_events(spark, sf_dir)
+    run_stream_to_memory(sdf, name="t_dedup_out", mode="append")
+    got = {
+        (r.user_id, r.event_type)
+        for r in spark.table("t_dedup_out").collect()
+    }
+    exp = {
+        (r.user_id, r.event_type)
+        for r in _batch_events_utc(spark, sf_dir)
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == exp
+
+
+def test_streaming_static_join_matches_batch(spark, sf_dir):
+    from data_chunk_compaction_in_duckdb_spark.streaming import (
+        run_stream_to_memory,
+        streaming_static_join_rollup,
+    )
+
+    sdf = streaming_static_join_rollup(spark, sf_dir)
+    run_stream_to_memory(sdf, name="t_sj_out", mode="complete")
+    got = {
+        r.tier: (r.n, r.total_value) for r in spark.table("t_sj_out").collect()
+    }
+    ev = _batch_events_utc(spark, sf_dir)
+    dim = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_total"))
+        .select(
+            "user_id",
+            F.when(F.col("n_total") >= 100, "heavy")
+            .otherwise("light")
+            .alias("tier"),
+        )
+    )
+    batch = (
+        ev.join(dim, "user_id")
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    exp = {r.tier: (r.n, r.total_value) for r in batch.collect()}
+    assert got == exp
+
+
 def test_streaming_stateful_sessionize_matches_batch(spark, sf_dir):
     """applyInPandasWithState sessionization == batch sessionization when
     the whole fixture arrives as one micro-batch."""
