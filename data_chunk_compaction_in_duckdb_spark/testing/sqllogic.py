@@ -114,6 +114,10 @@ def render_value(v, t: str) -> str:
         return "true" if v else "false"
     if isinstance(v, Decimal):
         return str(v)
+    # sqllogictest convention: empty strings render as "(empty)" so golden
+    # rows never contain blank lines (which terminate the record).
+    if isinstance(v, str) and v == "":
+        return "(empty)"
     return str(v)
 
 

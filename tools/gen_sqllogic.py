@@ -490,6 +490,114 @@ corpus("coalesce_chains", "COALESCE/NULLIF chains and defaults (reference test/s
     ("I", "", "SELECT ifnull(NULL, 5)"),
 ])
 
+corpus("div_mod_negative", "Integer division and modulo sign semantics (reference test/sql/types/numeric)")([
+    ("I", "", "SELECT (-7) % 3"),
+    ("I", "", "SELECT 7 % (-3)"),
+    ("I", "", "SELECT mod(-7, 3)"),
+    ("I", "", "SELECT (0 - n_nationkey) % 5 FROM nation ORDER BY n_nationkey LIMIT 6"),
+    ("I", "", "SELECT CAST(floor((0 - o_orderkey) / 7.0) AS BIGINT) FROM orders ORDER BY o_orderkey LIMIT 5"),
+    ("I", "", "SELECT sum(l_linenumber % 2) FROM lineitem"),
+])
+
+corpus("bool_3vl", "Three-valued boolean logic (reference test/sql/types/bool)")([
+    ("T", "", "SELECT CAST((NULL AND FALSE) AS STRING)"),
+    ("T", "", "SELECT CAST((NULL AND TRUE) AS STRING)"),
+    ("T", "", "SELECT CAST((NULL OR TRUE) AS STRING)"),
+    ("T", "", "SELECT CAST((NULL OR FALSE) AS STRING)"),
+    ("T", "", "SELECT CAST((NOT NULL) AS STRING)"),
+    ("I", "", "SELECT count(*) FROM nation WHERE (n_regionkey = 1) IS NULL"),
+    ("I", "", "SELECT count(*) FROM customer WHERE (c_acctbal > 0 AND NULL) IS NULL"),
+])
+
+corpus("not_in_null", "NOT IN with NULL in the list (reference test/sql/subquery)")([
+    ("I", "", "SELECT count(*) FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region WHERE r_regionkey < 2)"),
+    ("I", "", "SELECT count(*) FROM nation WHERE n_regionkey NOT IN (SELECT CASE WHEN r_regionkey = 0 THEN NULL ELSE r_regionkey END FROM region)"),
+    ("I", "", "SELECT count(*) FROM nation WHERE n_regionkey IN (SELECT CASE WHEN r_regionkey = 0 THEN NULL ELSE r_regionkey END FROM region)"),
+    ("I", "", "SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)"),
+])
+
+corpus("scalar_subquery_empty", "Scalar subqueries returning zero rows yield NULL (reference test/sql/subquery/scalar)")([
+    ("T", "", "SELECT CAST((SELECT r_name FROM region WHERE r_regionkey = 99) AS STRING)"),
+    ("I", "", "SELECT coalesce((SELECT CAST(max(n_nationkey) AS BIGINT) FROM nation WHERE n_regionkey = 99), -1)"),
+    ("I", "", "SELECT count(*) FROM nation WHERE n_nationkey = coalesce((SELECT n_nationkey FROM nation WHERE n_name = 'NOPE'), 3)"),
+    ("I", "", "SELECT (SELECT CAST(count(*) AS BIGINT) FROM region WHERE r_regionkey = 99)"),
+])
+
+corpus("window_frames_sql", "Window frame clauses in SQL (reference test/sql/window)")([
+    ("II", "", "SELECT n_nationkey, CAST(sum(n_regionkey) OVER (ORDER BY n_nationkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) FROM nation ORDER BY n_nationkey LIMIT 8"),
+    ("II", "", "SELECT n_nationkey, CAST(sum(n_regionkey) OVER (ORDER BY n_nationkey RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) FROM nation ORDER BY n_nationkey LIMIT 8"),
+    ("II", "", "SELECT n_nationkey, CAST(count(*) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING) AS BIGINT) FROM nation ORDER BY n_nationkey LIMIT 8"),
+    ("II", "", "SELECT n_nationkey, CAST(min(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey DESC ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) FROM nation ORDER BY n_nationkey LIMIT 8"),
+])
+
+corpus("window_distribution", "ntile/cume_dist/percent_rank (reference test/sql/window)")([
+    ("II", "", "SELECT n_nationkey, ntile(4) OVER (ORDER BY n_nationkey) FROM nation ORDER BY n_nationkey LIMIT 10"),
+    ("IR", "", "SELECT n_nationkey, cume_dist() OVER (ORDER BY n_regionkey) FROM nation ORDER BY n_nationkey LIMIT 6"),
+    ("IR", "", "SELECT n_nationkey, percent_rank() OVER (ORDER BY n_regionkey) FROM nation ORDER BY n_nationkey LIMIT 6"),
+])
+
+corpus("interval_arith", "Date +/- interval arithmetic (reference test/sql/types/interval)")([
+    ("T", "", "SELECT CAST(CAST(DATE '1994-01-31' + INTERVAL 1 DAY AS DATE) AS STRING)"),
+    ("T", "", "SELECT CAST(CAST(DATE '1994-03-01' - INTERVAL 1 DAY AS DATE) AS STRING)"),
+    ("T", "", "SELECT CAST(CAST(DATE '1996-02-29' + INTERVAL 1 YEAR AS DATE) AS STRING)"),
+    ("T", "", "SELECT CAST(CAST(DATE '1994-01-31' + INTERVAL 1 MONTH AS DATE) AS STRING)"),
+    ("T", "", "SELECT CAST(CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS STRING) FROM orders ORDER BY o_orderkey LIMIT 3"),
+])
+
+corpus("string_pad_split", "lpad/rpad/split_part/repeat/reverse (reference test/sql/function/string)")([
+    ("T", "", "SELECT lpad(r_name, 12, '.') FROM region ORDER BY r_regionkey"),
+    ("T", "", "SELECT rpad(substr(r_name, 1, 4), 8, '*') FROM region ORDER BY r_regionkey"),
+    ("T", "", "SELECT split_part(o_orderpriority, '-', 2) FROM orders ORDER BY o_orderkey LIMIT 5"),
+    ("T", "", "SELECT repeat(substr(r_name, 1, 2), 3) FROM region ORDER BY r_regionkey"),
+    ("T", "", "SELECT reverse(r_name) FROM region ORDER BY r_regionkey"),
+    ("T", "", "SELECT replace(p_type, ' ', '_') FROM part ORDER BY p_partkey LIMIT 4"),
+])
+
+corpus("instr_position", "instr/position/contains family (reference test/sql/function/string)")([
+    ("I", "", "SELECT CAST(instr(r_name, 'A') AS BIGINT) FROM region ORDER BY r_regionkey"),
+    ("I", "", "SELECT CAST(position('R' IN r_name) AS BIGINT) FROM region ORDER BY r_regionkey"),
+    ("T", "", "SELECT CAST(contains(p_type, 'BRASS') AS STRING) FROM part ORDER BY p_partkey LIMIT 5"),
+    ("T", "", "SELECT CAST(left(r_name, 1) = 'A' AS STRING) FROM region ORDER BY r_regionkey"),
+])
+
+corpus("greatest_least", "greatest/least across types and NULLs (reference test/sql/function/generic)")([
+    ("I", "", "SELECT greatest(1, 2, 3)"),
+    ("I", "", "SELECT least(n_nationkey, n_regionkey) FROM nation ORDER BY n_nationkey LIMIT 6"),
+    ("I", "", "SELECT greatest(o_orderkey, o_custkey) FROM orders ORDER BY o_orderkey LIMIT 5"),
+    ("T", "", "SELECT greatest(r_name, 'EUROPE') FROM region ORDER BY r_regionkey"),
+])
+
+corpus("corr_agg_where", "Correlated aggregate subqueries in WHERE (reference test/sql/subquery/any_all)")([
+    ("I", "", "SELECT count(*) FROM customer c WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)"),
+    ("I", "", "SELECT count(*) FROM orders o WHERE o.o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"),
+    ("II", "", "SELECT n_nationkey, (SELECT CAST(count(*) AS BIGINT) FROM supplier s WHERE s.s_nationkey = n.n_nationkey) FROM nation n ORDER BY n_nationkey LIMIT 8"),
+])
+
+corpus("exists_nested_or", "Nested/disjunctive EXISTS (reference test/sql/subquery/exists)")([
+    ("I", "", "SELECT count(*) FROM nation n WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey) OR n.n_regionkey = 0"),
+    ("I", "", "SELECT count(*) FROM region r WHERE EXISTS (SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey AND EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey))"),
+    ("I", "", "SELECT count(*) FROM nation n WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal < -900)"),
+])
+
+corpus("round_scale", "round() with scale including negative (reference test/sql/function/numeric)")([
+    ("R", "", "SELECT round(123.456, 1)"),
+    ("R", "", "SELECT round(123.456, -1)"),
+    ("R", "", "SELECT round(-123.456, 2)"),
+    ("I", "", "SELECT CAST(round(o_totalprice, -2) AS BIGINT) FROM orders ORDER BY o_orderkey LIMIT 5"),
+])
+
+corpus("div_zero_guard", "Guarded division by zero yields NULL (reference test/sql/types/numeric)")([
+    ("T", "", "SELECT CAST(10 / nullif(0, 0) AS STRING)"),
+    ("T", "", "SELECT CAST(mod(10, nullif(0, 0)) AS STRING)"),
+    ("I", "", "SELECT count(*) FROM orders WHERE o_totalprice / nullif(o_custkey, o_custkey) IS NULL"),
+])
+
+corpus("agg_of_case_join", "Aggregates over CASE across joins (reference test/sql/aggregate)")([
+    ("TI", "", "SELECT r_name, CAST(sum(CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM region JOIN nation ON r_regionkey = n_regionkey GROUP BY r_name ORDER BY r_name"),
+    ("I", "", "SELECT CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) FROM orders"),
+    ("II", "", "SELECT CAST(o_orderkey % 3 AS BIGINT), CAST(max(CASE WHEN o_totalprice > 100000 THEN o_custkey END) AS BIGINT) FROM orders GROUP BY o_orderkey % 3 ORDER BY 1"),
+])
+
 HEADER_NOTE = (
     "# GENERATED by tools/gen_sqllogic.py — golden rows validated on BOTH\n"
     "# engines (DuckDB + Spark) over /root/testdata/sf0.001 (the\n"
