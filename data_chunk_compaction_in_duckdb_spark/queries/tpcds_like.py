@@ -1600,3 +1600,370 @@ def tpcds_q32_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@query(
+    "tpcds_q2_wow_share",
+    oracle="""
+    SELECT dow,
+           SUM(CASE WHEN y = 1994 THEN cents ELSE 0 END) AS c94,
+           SUM(CASE WHEN y = 1995 THEN cents ELSE 0 END) AS c95,
+           ROUND(CAST(SUM(CASE WHEN y = 1994 THEN cents ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN y = 1995 THEN cents ELSE 0 END), 6) AS ratio
+    FROM (SELECT date_diff('day', DATE '1992-01-05', o_orderdate) % 7 AS dow,
+                 EXTRACT(YEAR FROM o_orderdate) AS y,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+          WHERE EXTRACT(YEAR FROM o_orderdate) IN (1994, 1995)) t
+    GROUP BY dow ORDER BY dow
+    """,
+)
+def tpcds_q2_wow_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2 shape: day-of-week revenue aligned across two years with a
+    year-over-year ratio per weekday.  DOW is computed as days-since-a-
+    known-Sunday mod 7 (pure integer arithmetic) because the engines
+    number weekdays differently (divergence documented in COVERAGE.md).
+    One scan, one groupBy on a 7-value key; ratio of exact integer-cents
+    sums is the same double in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    base = o.filter(y.isin(1994, 1995)).select(
+        (F.datediff(F.col("o_orderdate"), F.lit("1992-01-05").cast("date")) % 7)
+        .alias("dow"),
+        y.alias("y"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    c94 = F.sum(F.when(F.col("y") == 1994, F.col("cents")).otherwise(0))
+    c95 = F.sum(F.when(F.col("y") == 1995, F.col("cents")).otherwise(0))
+    return (
+        base.groupBy("dow")
+        .agg(
+            c94.alias("c94"),
+            c95.alias("c95"),
+            F.round(c94.cast("double") / c95, 6).alias("ratio"),
+        )
+        .orderBy("dow")
+    )
+
+
+@query(
+    "tpcds_q16_multi_supplier_clean",
+    oracle="""
+    SELECT COUNT(*) AS n_orders, SUM(cents) AS total_c
+    FROM (
+      SELECT o.o_orderkey, CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      WHERE o.o_orderpriority = '1-URGENT'
+        AND o.o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) > 1)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = o.o_orderkey AND l3.l_returnflag = 'R')
+    ) t
+    """,
+)
+def tpcds_q16_multi_supplier_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q16 shape: orders fulfilled by MULTIPLE suppliers with NO returned
+    line — a grouped-HAVING semi join plus an anti join on the same fact.
+    Both reduce lineitem to order keys before touching orders, so the
+    joins are key-only; the HAVING side is a partial-aggregated
+    count-distinct per key."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    kept = (
+        o.join(multi, "o_orderkey", "left_semi")
+        .join(returned, "o_orderkey", "left_anti")
+    )
+    return kept.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_cents("o_totalprice")).alias("total_c"),
+    )
+
+
+@query(
+    "tpcds_q28_band_buckets",
+    oracle="""
+    SELECT a.avg1, a.cnt1, a.cd1, b.avg2, b.cnt2, b.cd2, c.avg3, c.cnt3, c.cd3
+    FROM
+      (SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / COUNT(*) / 100, 6) AS avg1,
+              COUNT(*) AS cnt1,
+              COUNT(DISTINCT CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cd1
+       FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) a,
+      (SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / COUNT(*) / 100, 6) AS avg2,
+              COUNT(*) AS cnt2,
+              COUNT(DISTINCT CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cd2
+       FROM lineitem WHERE l_quantity BETWEEN 11 AND 25) b,
+      (SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / COUNT(*) / 100, 6) AS avg3,
+              COUNT(*) AS cnt3,
+              COUNT(DISTINCT CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cd3
+       FROM lineitem WHERE l_quantity BETWEEN 26 AND 50) c
+    """,
+)
+def tpcds_q28_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q28 shape: independent (avg, count, count-distinct) triples over
+    disjoint quantity bands, cross-joined into one wide row.  Each band
+    is its own aggregate subtree (mirroring the reference plan); the
+    cross joins combine 1-row results.  Averages are exact-integer-cents
+    sums divided once at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = _cents("l_extendedprice")
+    parts = []
+    for i, (lo, hi) in enumerate([(1, 10), (11, 25), (26, 50)], start=1):
+        parts.append(
+            li.filter(F.col("l_quantity").between(lo, hi))
+            .select(cents.alias("c"))
+            .agg(
+                F.round(
+                    F.sum("c").cast("double") / F.count("*") / 100.0, 6
+                ).alias(f"avg{i}"),
+                F.count("*").alias(f"cnt{i}"),
+                F.countDistinct("c").alias(f"cd{i}"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.crossJoin(p)
+    return out
+
+
+@query(
+    "tpcds_q41_or_maze_distinct",
+    oracle="""
+    SELECT DISTINCT p_name FROM part
+    WHERE p_size BETWEEN 1 AND 20 AND (
+      (p_type LIKE '%BRASS%' AND p_brand IN ('Brand#11', 'Brand#12', 'Brand#13')
+       AND p_size BETWEEN 1 AND 8) OR
+      (p_type LIKE '%COPPER%' AND p_brand IN ('Brand#21', 'Brand#22', 'Brand#23')
+       AND p_size BETWEEN 5 AND 15) OR
+      (p_type LIKE '%STEEL%' AND p_brand IN ('Brand#31', 'Brand#32', 'Brand#33')
+       AND p_size BETWEEN 10 AND 20)
+    )
+    ORDER BY p_name LIMIT 100
+    """,
+)
+def tpcds_q41_or_maze_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q41 shape: DISTINCT dimension attribute under a deep OR-of-ANDs
+    predicate maze.  The whole disjunction is one Catalyst filter over a
+    single dimension scan (no join) — the common BETWEEN bound still
+    prunes via min/max statistics even though the OR arms cannot all
+    push to parquet."""
+    p = _t(spark, sf_dir, "part")
+    arm1 = (
+        F.col("p_type").like("%BRASS%")
+        & F.col("p_brand").isin("Brand#11", "Brand#12", "Brand#13")
+        & F.col("p_size").between(1, 8)
+    )
+    arm2 = (
+        F.col("p_type").like("%COPPER%")
+        & F.col("p_brand").isin("Brand#21", "Brand#22", "Brand#23")
+        & F.col("p_size").between(5, 15)
+    )
+    arm3 = (
+        F.col("p_type").like("%STEEL%")
+        & F.col("p_brand").isin("Brand#31", "Brand#32", "Brand#33")
+        & F.col("p_size").between(10, 20)
+    )
+    return (
+        p.filter(F.col("p_size").between(1, 20) & (arm1 | arm2 | arm3))
+        .select("p_name")
+        .distinct()
+        .orderBy("p_name")
+        .limit(100)
+    )
+
+
+@query(
+    "tpcds_q44_best_worst_rank",
+    oracle="""
+    WITH perf AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) AS avg_disc
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, avg_disc,
+             ROW_NUMBER() OVER (ORDER BY avg_disc ASC,  l_partkey) AS rk_best,
+             ROW_NUMBER() OVER (ORDER BY avg_disc DESC, l_partkey) AS rk_worst
+      FROM perf
+    )
+    SELECT b.rk_best AS rk, pb.p_name AS best_name, pw.p_name AS worst_name
+    FROM ranked b
+    JOIN ranked w ON w.rk_worst = b.rk_best
+    JOIN part pb ON pb.p_partkey = b.l_partkey
+    JOIN part pw ON pw.p_partkey = w.l_partkey
+    WHERE b.rk_best <= 10
+    ORDER BY rk
+    """,
+)
+def tpcds_q44_best_worst_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q44 shape: best- and worst-performing parts by average discount,
+    aligned rank-for-rank (rank 1 best beside rank 1 worst) and decorated
+    from the dimension twice.  Ranks come from two windows over the SAME
+    aggregate (one shuffle); the global top-10 windows are bounded by
+    rank<=10 so the unpartitioned window feeds a LIMIT-sized set.
+    Averages of exact cents ints order identically in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    perf = (
+        li.groupBy("l_partkey")
+        .agg(
+            (F.sum(_cents("l_discount")).cast("double") / F.count("*"))
+            .alias("avg_disc")
+        )
+    )
+    ranked = perf.select(
+        "l_partkey",
+        "avg_disc",
+        F.row_number()
+        .over(Window.orderBy(F.col("avg_disc").asc(), F.col("l_partkey")))
+        .alias("rk_best"),
+        F.row_number()
+        .over(Window.orderBy(F.col("avg_disc").desc(), F.col("l_partkey")))
+        .alias("rk_worst"),
+    )
+    b = ranked.filter(F.col("rk_best") <= 10).select(
+        F.col("rk_best").alias("rk"), F.col("l_partkey").alias("bk")
+    )
+    w = ranked.select(F.col("rk_worst").alias("rk"), F.col("l_partkey").alias("wk"))
+    pb = p.select(F.col("p_partkey").alias("bk"), F.col("p_name").alias("best_name"))
+    pw = p.select(F.col("p_partkey").alias("wk"), F.col("p_name").alias("worst_name"))
+    return (
+        b.join(w, "rk")
+        .join(F.broadcast(pb), "bk")
+        .join(F.broadcast(pw), "wk")
+        .select("rk", "best_name", "worst_name")
+        .orderBy("rk")
+    )
+
+
+@query(
+    "tpcds_q50_latency_matrix",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN d <= 30 THEN 1 ELSE 0 END) AS d30,
+           SUM(CASE WHEN d > 30 AND d <= 60 THEN 1 ELSE 0 END) AS d60,
+           SUM(CASE WHEN d > 60 AND d <= 90 THEN 1 ELSE 0 END) AS d90,
+           SUM(CASE WHEN d > 90 AND d <= 120 THEN 1 ELSE 0 END) AS d120,
+           SUM(CASE WHEN d > 120 THEN 1 ELSE 0 END) AS dmore
+    FROM (SELECT l_returnflag,
+                 date_diff('day', o_orderdate, l_shipdate) AS d
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def tpcds_q50_latency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q50/q99 shape: order-to-ship latency bucketed into a day-band
+    matrix per return flag — conditional-sum pivot in a single aggregate
+    after a key join (integer day arithmetic; the fixture has no
+    shipmode/receiptdate columns, so the band source is the
+    orderdate→shipdate gap)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    d = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    base = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_returnflag", d.alias("d")
+    )
+    return (
+        base.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("d") <= 30, 1).otherwise(0)).alias("d30"),
+            F.sum(
+                F.when((F.col("d") > 30) & (F.col("d") <= 60), 1).otherwise(0)
+            ).alias("d60"),
+            F.sum(
+                F.when((F.col("d") > 60) & (F.col("d") <= 90), 1).otherwise(0)
+            ).alias("d90"),
+            F.sum(
+                F.when((F.col("d") > 90) & (F.col("d") <= 120), 1).otherwise(0)
+            ).alias("d120"),
+            F.sum(F.when(F.col("d") > 120, 1).otherwise(0)).alias("dmore"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "tpcds_q87_except_customers",
+    oracle="""
+    SELECT COUNT(*) AS n FROM (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1994
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+    ) t
+    """,
+)
+def tpcds_q87_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q87 shape: customer count via EXCEPT between period scans (bought
+    in 1994 but not 1995).  EXCEPT over pre-DISTINCTed single columns is
+    a key-only shuffle; both branches scan the same table once each with
+    the year filter pushed down."""
+    o = _t(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    a = o.filter(y == 1994).select("o_custkey").distinct()
+    b = o.filter(y == 1995).select("o_custkey").distinct()
+    return a.exceptAll(b).agg(F.count("*").alias("n"))
+
+
+@query(
+    "tpcds_q66_month_matrix",
+    oracle="""
+    SELECT n.n_name,
+           SUM(CASE WHEN m = 1 THEN cents ELSE 0 END) AS jan_c,
+           SUM(CASE WHEN m = 2 THEN cents ELSE 0 END) AS feb_c,
+           SUM(CASE WHEN m = 3 THEN cents ELSE 0 END) AS mar_c,
+           SUM(CASE WHEN m = 4 THEN cents ELSE 0 END) AS apr_c,
+           SUM(CASE WHEN m = 5 THEN cents ELSE 0 END) AS may_c,
+           SUM(CASE WHEN m = 6 THEN cents ELSE 0 END) AS jun_c
+    FROM (SELECT l_suppkey, EXTRACT(MONTH FROM l_shipdate) AS m,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem
+          WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-06-30') l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def tpcds_q66_month_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q66 shape: wide month-column revenue report per supplier nation —
+    a conditional-sum pivot after broadcast dimension joins.  The date
+    band prunes the fact scan; only (suppkey, month, cents) survives to
+    the join, and the 12-way CASE pivot is one aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1994-01-01", "1994-06-30")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        li.select(
+            "l_suppkey",
+            F.month("l_shipdate").alias("m"),
+            _cents("l_extendedprice").alias("cents"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    aggs = [
+        F.sum(F.when(F.col("m") == i, F.col("cents")).otherwise(0)).alias(a)
+        for i, a in enumerate(
+            ["jan_c", "feb_c", "mar_c", "apr_c", "may_c", "jun_c"], start=1
+        )
+    ]
+    return base.groupBy("n_name").agg(*aggs).orderBy("n_name")
