@@ -1814,10 +1814,12 @@ def tpcds_q41_or_maze_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q44_best_worst_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q44 shape: best- and worst-performing parts by average discount,
     aligned rank-for-rank (rank 1 best beside rank 1 worst) and decorated
-    from the dimension twice.  Ranks come from two windows over the SAME
-    aggregate (one shuffle); the global top-10 windows are bounded by
-    rank<=10 so the unpartitioned window feeds a LIMIT-sized set.
-    Averages of exact cents ints order identically in both engines."""
+    from the dimension twice.  Scale safety: a global rank window would
+    funnel every partkey group through one task, so each direction first
+    prunes to per-hash-bucket local top 10 (any global top-10 row is in
+    its bucket's top 10) and the final unpartitioned window orders
+    ≤ 10×64 rows.  Averages of exact cents ints order identically in
+    both engines."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     perf = (
@@ -1827,20 +1829,26 @@ def tpcds_q44_best_worst_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_disc")
         )
     )
-    ranked = perf.select(
-        "l_partkey",
-        "avg_disc",
-        F.row_number()
-        .over(Window.orderBy(F.col("avg_disc").asc(), F.col("l_partkey")))
-        .alias("rk_best"),
-        F.row_number()
-        .over(Window.orderBy(F.col("avg_disc").desc(), F.col("l_partkey")))
-        .alias("rk_worst"),
-    )
-    b = ranked.filter(F.col("rk_best") <= 10).select(
-        F.col("rk_best").alias("rk"), F.col("l_partkey").alias("bk")
-    )
-    w = ranked.select(F.col("rk_worst").alias("rk"), F.col("l_partkey").alias("wk"))
+
+    def global_top10(direction_desc: bool, out_key: str) -> DataFrame:
+        order = [
+            F.col("avg_disc").desc() if direction_desc else F.col("avg_disc").asc(),
+            F.col("l_partkey"),
+        ]
+        wb = Window.partitionBy(F.abs(F.hash("l_partkey")) % 64).orderBy(*order)
+        pruned = (
+            perf.withColumn("_brnk", F.row_number().over(wb))
+            .filter(F.col("_brnk") <= 10)
+            .drop("_brnk")
+        )
+        return (
+            pruned.withColumn("rk", F.row_number().over(Window.orderBy(*order)))
+            .filter(F.col("rk") <= 10)
+            .select("rk", F.col("l_partkey").alias(out_key))
+        )
+
+    b = global_top10(False, "bk")
+    w = global_top10(True, "wk")
     pb = p.select(F.col("p_partkey").alias("bk"), F.col("p_name").alias("best_name"))
     pw = p.select(F.col("p_partkey").alias("wk"), F.col("p_name").alias("worst_name"))
     return (
