@@ -598,6 +598,86 @@ corpus("agg_of_case_join", "Aggregates over CASE across joins (reference test/sq
     ("II", "", "SELECT CAST(o_orderkey % 3 AS BIGINT), CAST(max(CASE WHEN o_totalprice > 100000 THEN o_custkey END) AS BIGINT) FROM orders GROUP BY o_orderkey % 3 ORDER BY 1"),
 ])
 
+corpus("order_by_ordinal", "ORDER BY / GROUP BY ordinals and expressions (reference test/sql/order)")([
+    ("TI", "", "SELECT o_orderstatus, count(*) FROM orders GROUP BY 1 ORDER BY 1"),
+    ("II", "", "SELECT n_regionkey, sum(n_nationkey) FROM nation GROUP BY 1 ORDER BY 2 DESC, 1"),
+    ("T", "", "SELECT r_name FROM region ORDER BY length(r_name), r_name"),
+    ("I", "", "SELECT n_nationkey FROM nation ORDER BY n_nationkey % 3, n_nationkey LIMIT 9"),
+])
+
+corpus("exists_select_list", "EXISTS / IN as SELECT-list expressions (reference test/sql/subquery)")([
+    ("TI", "rowsort", "SELECT r_name, CAST(EXISTS (SELECT 1 FROM nation WHERE n_regionkey = r_regionkey AND n_nationkey > 20) AS INT) FROM region"),
+    ("II", "rowsort", "SELECT n_nationkey, CAST(n_regionkey IN (1, 3) AS INT) FROM nation WHERE n_nationkey < 8"),
+    ("I", "", "SELECT sum(CASE WHEN EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey) THEN 1 ELSE 0 END) FROM nation n"),
+])
+
+corpus("union_coercion", "Set-op type coercion int/double/string (reference test/sql/setops)")([
+    ("R", "rowsort", "SELECT CAST(1 AS DOUBLE) UNION SELECT 2.5 UNION SELECT 1.0"),
+    ("I", "rowsort", "SELECT n_nationkey FROM nation WHERE n_nationkey < 3 UNION SELECT r_regionkey FROM region"),
+    ("I", "", "SELECT count(*) FROM (SELECT o_custkey FROM orders UNION ALL SELECT c_custkey FROM customer) t"),
+    ("I", "", "SELECT count(*) FROM (SELECT o_custkey FROM orders INTERSECT SELECT c_custkey FROM customer) t"),
+])
+
+corpus("case_in_groupby", "CASE expressions as grouping keys (reference test/sql/aggregate/group)")([
+    ("TI", "", "SELECT CASE WHEN o_totalprice < 50000 THEN 'small' WHEN o_totalprice < 150000 THEN 'mid' ELSE 'big' END AS band, count(*) FROM orders GROUP BY band ORDER BY band"),
+    ("TI", "", "SELECT CASE WHEN n_regionkey IN (0, 1) THEN 'west' ELSE 'east' END AS half, count(*) FROM nation GROUP BY 1 ORDER BY 1"),
+    ("TR", "", "SELECT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS sgn, round(sum(c_acctbal), 2) FROM customer GROUP BY 1 ORDER BY 1"),
+])
+
+corpus("nested_window_cte", "Windows inside CTEs feeding aggregates (reference test/sql/window)")([
+    ("I", "", "SELECT count(*) FROM (SELECT n_nationkey, row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn FROM nation) t WHERE rn = 1"),
+    ("II", "", "WITH r AS (SELECT o_custkey, rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk FROM orders) SELECT CAST(max(o_custkey) AS BIGINT), count(*) FROM r WHERE rk <= 2"),
+    ("TI", "", "WITH x AS (SELECT l_returnflag, lag(l_orderkey) OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber) AS p FROM lineitem) SELECT l_returnflag, count(p) FROM x GROUP BY l_returnflag ORDER BY l_returnflag"),
+])
+
+corpus("having_subquery", "HAVING with scalar subqueries (reference test/sql/aggregate/having)")([
+    ("II", "rowsort", "SELECT n_regionkey, count(*) FROM nation GROUP BY n_regionkey HAVING count(*) > (SELECT count(*) FROM region)"),
+    ("I", "", "SELECT count(*) FROM (SELECT o_custkey FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > (SELECT avg(o_totalprice) FROM orders) * 3) t"),
+])
+
+corpus("distinct_count_exprs", "COUNT(DISTINCT expr) variants (reference test/sql/aggregate/distinct)")([
+    ("I", "", "SELECT count(DISTINCT n_regionkey) FROM nation"),
+    ("I", "", "SELECT count(DISTINCT o_orderpriority) FROM orders"),
+    ("I", "", "SELECT count(DISTINCT EXTRACT(YEAR FROM o_orderdate)) FROM orders"),
+    ("II", "", "SELECT CAST(o_orderkey % 2 AS BIGINT) AS k, count(DISTINCT o_orderpriority) FROM orders GROUP BY k ORDER BY k"),
+    ("I", "", "SELECT count(DISTINCT l_returnflag || l_linestatus) FROM lineitem"),
+])
+
+corpus("between_edges", "BETWEEN inclusive bounds and reversals (reference test/sql/filter)")([
+    ("I", "", "SELECT count(*) FROM nation WHERE n_nationkey BETWEEN 5 AND 5"),
+    ("I", "", "SELECT count(*) FROM nation WHERE n_nationkey BETWEEN 10 AND 5"),
+    ("I", "", "SELECT count(*) FROM nation WHERE n_nationkey NOT BETWEEN 3 AND 20"),
+    ("I", "", "SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 10 AND 10"),
+    ("I", "", "SELECT count(*) FROM orders WHERE o_orderdate BETWEEN DATE '1994-06-01' AND DATE '1994-06-30'"),
+])
+
+corpus("self_join_inequality", "Self joins with inequality predicates (reference test/sql/join)")([
+    ("I", "", "SELECT count(*) FROM region a JOIN region b ON a.r_regionkey < b.r_regionkey"),
+    ("II", "", "SELECT a.n_nationkey, CAST(count(*) AS BIGINT) FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey GROUP BY a.n_nationkey ORDER BY a.n_nationkey LIMIT 6"),
+    ("I", "", "SELECT count(*) FROM supplier a JOIN supplier b ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey"),
+])
+
+corpus("agg_min_max_types", "MIN/MAX over strings, dates, negatives (reference test/sql/aggregate)")([
+    ("TT", "", "SELECT min(r_name), max(r_name) FROM region"),
+    ("TT", "", "SELECT CAST(min(o_orderdate) AS STRING), CAST(max(o_orderdate) AS STRING) FROM orders"),
+    ("RR", "", "SELECT round(min(c_acctbal), 2), round(max(c_acctbal), 2) FROM customer"),
+    ("II", "", "SELECT min(n_nationkey - 12), max(n_nationkey - 12) FROM nation"),
+])
+
+corpus("in_list_edge", "Literal IN lists: types, NULL, dedup (reference test/sql/filter/in)")([
+    ("I", "", "SELECT count(*) FROM nation WHERE n_nationkey IN (1, 1, 1, 2)"),
+    ("I", "", "SELECT count(*) FROM nation WHERE n_name IN ('FRANCE', 'GERMANY', 'NOPE')"),
+    ("I", "", "SELECT count(*) FROM nation WHERE n_nationkey IN (1 + 1, 2 * 2)"),
+    ("T", "", "SELECT CAST(5 IN (1, 2, NULL) AS STRING)"),
+    ("T", "", "SELECT CAST(1 IN (1, NULL) AS STRING)"),
+])
+
+corpus("cross_join_filter", "Explicit CROSS JOIN reduced by WHERE (reference test/sql/join/cross)")([
+    ("I", "", "SELECT count(*) FROM region CROSS JOIN nation"),
+    ("I", "", "SELECT count(*) FROM region r CROSS JOIN nation n WHERE r.r_regionkey = n.n_regionkey"),
+    ("TI", "", "SELECT r_name, CAST(count(*) AS BIGINT) FROM region CROSS JOIN nation GROUP BY r_name ORDER BY r_name"),
+])
+
 HEADER_NOTE = (
     "# GENERATED by tools/gen_sqllogic.py — golden rows validated on BOTH\n"
     "# engines (DuckDB + Spark) over /root/testdata/sf0.001 (the\n"
