@@ -45,6 +45,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[Builder], Builder]:
 _MODULE_PRIORITY = [
     "llm_q",          # LLM-pipeline ops: dedup, ANN, text, multimodal, mixing
     "llm_q2",         # round-2 pipeline ops: contamination, quantization, IDF
+    "streaming_q",    # driver-checkable streaming parity
     "advanced_joins",  # asof / IE / range joins
     "subqueries",      # mark/single joins, decorrelation
     "recursion",       # recursive CTE
