@@ -1975,3 +1975,199 @@ def tpcds_q66_month_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     return base.groupBy("n_name").agg(*aggs).orderBy("n_name")
+
+
+@query(
+    "tpcds_q13_count_of_counts",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY n_orders ORDER BY n_orders
+    """,
+)
+def tpcds_q13_count_of_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q13 shape: count-of-counts histogram (how many customers placed
+    exactly N orders, including zero via LEFT JOIN).  Two aggregations:
+    the first shuffles on the customer key; the second groups the
+    already-tiny (n_orders, count) pairs — the classic distribution
+    report that stays two-exchange at any scale."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+@query(
+    "tpcds_q45_disjunctive_semi",
+    oracle="""
+    SELECT COUNT(*) AS n, SUM(cents) AS total_c
+    FROM (
+      SELECT o.o_orderkey, CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+         OR c.c_custkey IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal > 5000)
+    ) t
+    """,
+)
+def tpcds_q45_disjunctive_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q45 shape: a literal attribute filter OR membership in a subquery
+    list.  The disjunction cannot become a plain semi join, so the
+    bounded subquery key set is broadcast-joined as a marker column and
+    the OR evaluates per row — one pass over the fact, no correlated
+    re-execution."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    marks = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_suppkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("_in_list", F.lit(1))
+    )
+    joined = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(marks), "c_custkey", "left")
+        .filter(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            | F.col("_in_list").isNotNull()
+        )
+    )
+    return joined.agg(
+        F.count("*").alias("n"),
+        F.sum(_cents("o_totalprice")).alias("total_c"),
+    )
+
+
+@query(
+    "tpcds_q75_yoy_decline",
+    oracle="""
+    WITH yearly AS (
+      SELECT p.p_brand AS brand, EXTRACT(YEAR FROM l.l_shipdate) AS y,
+             SUM(CAST(l.l_quantity AS BIGINT)) AS qty,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS rev_c
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE EXTRACT(YEAR FROM l.l_shipdate) IN (1994, 1995)
+      GROUP BY p.p_brand, EXTRACT(YEAR FROM l.l_shipdate)
+    )
+    SELECT cur.brand, cur.qty AS qty95, prev.qty AS qty94,
+           cur.rev_c AS rev95_c, prev.rev_c AS rev94_c
+    FROM yearly cur JOIN yearly prev
+      ON cur.brand = prev.brand AND cur.y = 1995 AND prev.y = 1994
+    WHERE cur.qty * 10 < prev.qty * 9
+    ORDER BY cur.brand
+    """,
+)
+def tpcds_q75_yoy_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q75 shape: brands whose shipped quantity declined more than 10%
+    year over year.  One fact aggregation produces both years; the
+    self-join aligns (brand, 1995) to (brand, 1994) on the tiny
+    aggregate, and the decline test is integer cross-multiplication
+    (qty95 < 0.9*qty94 without touching floats)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    y = F.year("l_shipdate")
+    yearly = (
+        li.filter(y.isin(1994, 1995))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"), y.alias("y"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.sum(_cents("l_extendedprice")).alias("rev_c"),
+        )
+    )
+    cur = yearly.filter(F.col("y") == 1995).select(
+        "brand",
+        F.col("qty").alias("qty95"),
+        F.col("rev_c").alias("rev95_c"),
+    )
+    prev = yearly.filter(F.col("y") == 1994).select(
+        "brand",
+        F.col("qty").alias("qty94"),
+        F.col("rev_c").alias("rev94_c"),
+    )
+    return (
+        cur.join(prev, "brand")
+        .filter(F.col("qty95") * 10 < F.col("qty94") * 9)
+        .select("brand", "qty95", "qty94", "rev95_c", "rev94_c")
+        .orderBy("brand")
+    )
+
+
+@query(
+    "tpcds_q10_customer_profile",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_cust,
+           SUM(CASE WHEN f.has_urgent = 1 THEN 1 ELSE 0 END) AS n_urgent,
+           SUM(CASE WHEN f.has_return = 1 THEN 1 ELSE 0 END) AS n_returned
+    FROM customer c
+    JOIN (
+      SELECT o.o_custkey,
+             MAX(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS has_urgent,
+             MAX(CASE WHEN EXISTS (
+                   SELECT 1 FROM lineitem l
+                   WHERE l.l_orderkey = o.o_orderkey
+                     AND l.l_returnflag = 'R') THEN 1 ELSE 0 END)
+               AS has_return
+      FROM orders o GROUP BY o.o_custkey
+    ) f ON f.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def tpcds_q10_customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q10 shape: segment-level customer profile with per-customer
+    behavior flags (any urgent order / any returned line), each flag a
+    semi-join-derived marker folded by MAX before the final rollup.
+    The lineitem probe reduces to distinct returned order keys before
+    joining orders — key-only traffic on both fact joins."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+        .withColumn("_ret", F.lit(1))
+    )
+    flags = (
+        o.join(returned, "o_orderkey", "left")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("has_urgent"),
+            F.max(
+                F.when(F.col("_ret").isNotNull(), 1).otherwise(0)
+            ).alias("has_return"),
+        )
+    )
+    return (
+        c.join(flags, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.when(F.col("has_urgent") == 1, 1).otherwise(0)).alias(
+                "n_urgent"
+            ),
+            F.sum(F.when(F.col("has_return") == 1, 1).otherwise(0)).alias(
+                "n_returned"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
