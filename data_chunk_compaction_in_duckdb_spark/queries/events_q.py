@@ -193,3 +193,103 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_day", F.datediff("a_day", "c_day").cast("long").alias("offset_days"))
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@query(
+    "events_gap_islands",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN date_diff('microsecond',
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS new_island
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id,
+             SUM(new_island) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+           COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, island_id
+    ORDER BY user_id, island_id
+    """,
+)
+def events_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: number each user's activity bursts (> 30 min of
+    silence starts a new island) via lag + running conditional sum, then
+    size each island.  Both windows and the final groupBy share the
+    user_id partitioning — one shuffle total.  The same shape backs the
+    reference-style sessionization without stateful UDFs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Microsecond-exact gap: DuckDB's date_diff('second', ...) counts
+    # second-boundary crossings while Spark's timestampdiff(SECOND, ...)
+    # floors elapsed time — they disagree on sub-second offsets.  At
+    # microsecond resolution (the storage precision) both are exact.
+    gap_us = F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
+                    "(PARTITION BY user_id ORDER BY ts, event_id), ts)")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us > 1800 * 1000000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.select(
+        "user_id",
+        F.sum("new_island").over(wrun).cast("long").alias("island_id"),
+    )
+    return (
+        islands.groupBy("user_id", "island_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("user_id", "island_id")
+    )
+
+
+@query(
+    "events_hour_dow_matrix",
+    oracle="""
+    SELECT hour(ts) AS h,
+           SUM(CASE WHEN dow = 0 THEN 1 ELSE 0 END) AS sun,
+           SUM(CASE WHEN dow = 1 THEN 1 ELSE 0 END) AS mon,
+           SUM(CASE WHEN dow = 2 THEN 1 ELSE 0 END) AS tue,
+           SUM(CASE WHEN dow = 3 THEN 1 ELSE 0 END) AS wed,
+           SUM(CASE WHEN dow = 4 THEN 1 ELSE 0 END) AS thu,
+           SUM(CASE WHEN dow = 5 THEN 1 ELSE 0 END) AS fri,
+           SUM(CASE WHEN dow = 6 THEN 1 ELSE 0 END) AS sat
+    FROM (SELECT ts,
+                 date_diff('day', DATE '1970-01-04', CAST(ts AS DATE)) % 7
+                   AS dow
+          FROM events) t
+    GROUP BY h ORDER BY h
+    """,
+)
+def events_hour_dow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity matrix — the punch-card report,
+    one conditional-sum pivot over a single scan.  DOW is integer
+    days-since-a-known-Sunday mod 7 (1970-01-04), sidestepping the
+    engines' different weekday numbering."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-04").cast("date")) % 7
+    base = ev.select(F.hour("ts").alias("h"), dow.alias("dow"))
+    names = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
+    aggs = [
+        F.sum(F.when(F.col("dow") == i, 1).otherwise(0)).alias(n)
+        for i, n in enumerate(names)
+    ]
+    return base.groupBy("h").agg(*aggs).orderBy("h")
