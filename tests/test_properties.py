@@ -158,3 +158,91 @@ def test_connected_components_matches_union_find(spark, edges):
     )
     got = {r.id: r.component for r in connected_components(df).collect()}
     assert got == expected
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-10, 10, allow_nan=False, allow_infinity=False,
+                      width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@_slow
+def test_quantize_int8_bounds_and_reconstruction(spark, vecs):
+    """Quantized components stay in [-127, 127] and dequantized values
+    reconstruct within half a quantization step."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vid INT, embedding ARRAY<FLOAT>",
+    )
+    out = {
+        r.vid: r for r in quantize_embeddings_int8(df, "vid", "embedding").collect()
+    }
+    for i, v in enumerate(vecs):
+        r = out[i]
+        assert all(abs(q) <= 127 for q in r.q)
+        for x, q in zip(v, r.q):
+            assert abs(q * r.scale - x) <= r.scale / 2 + 1e-12
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=4),
+        min_size=1,
+        max_size=60,
+    ),
+    chunk=st.integers(4, 12),
+)
+@_slow
+def test_chunk_documents_covers_all_words(spark, words, chunk):
+    """Non-overlap strides of consecutive chunks reconstruct the exact
+    word sequence (no loss, no duplication beyond the overlap)."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import chunk_documents
+
+    overlap = chunk // 4
+    step = chunk - overlap
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id INT, text STRING")
+    chunks = sorted(
+        (r.chunk_idx, r.chunk_text.split(" "))
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_words=chunk, overlap_words=overlap
+        ).collect()
+    )
+    rebuilt: list[str] = []
+    for idx, ws in chunks:
+        rebuilt.extend(ws if idx == len(chunks) - 1 else ws[:step])
+    # the final chunk may re-cover earlier words only through the overlap
+    assert rebuilt[: len(words)] == words
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=30).map(str.strip),
+        min_size=1,
+        max_size=8,
+    ).map(lambda ts: [t or "x" for t in ts])
+)
+@_slow
+def test_contamination_self_is_total(spark, texts):
+    """Every document checked against a benchmark set containing ITSELF
+    is 100% contaminated."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.text import (
+        ngram_contamination,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    out = ngram_contamination(df, df, "doc_id", "text", n=3).collect()
+    assert len(out) == len(texts)
+    for r in out:
+        assert r.n_hit == r.n_grams and abs(r.contamination - 1.0) < 1e-9
