@@ -12,3 +12,7 @@ from data_chunk_compaction_in_duckdb_spark.operators.joins import (  # noqa: F40
 from data_chunk_compaction_in_duckdb_spark.operators.recursive import (  # noqa: F401
     recursive_cte,
 )
+from data_chunk_compaction_in_duckdb_spark.operators.skew import (  # noqa: F401
+    salted_aggregate,
+    salted_join,
+)

@@ -60,3 +60,46 @@ def salted_join(
     )
     out = lsalt.join(rsalt, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    n_salts: int = 8,
+    **aggs: tuple[str, str],
+) -> DataFrame:
+    """Two-stage skew-resistant aggregation: partial-aggregate on
+    (key, salt) so a hot key spreads across ``n_salts`` reducers, then
+    merge the ≤ n_salts partials per key.
+
+    ``aggs`` maps output column → (op, input column) with op in
+    sum/count/min/max — the ops whose partials merge losslessly
+    (count merges by sum).  Spark's own map-side partial aggregation
+    covers the combiner role; explicit salting additionally bounds the
+    FINAL shuffle's per-reducer load, which matters when one key holds
+    a double-digit share of all rows."""
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+    partial_exprs = []
+    merge_exprs = []
+    for out, (op, col) in aggs.items():
+        if op == "sum":
+            partial_exprs.append(F.sum(col).alias(f"_p_{out}"))
+            merge_exprs.append(F.sum(f"_p_{out}").alias(out))
+        elif op == "count":
+            partial_exprs.append(F.count(col).alias(f"_p_{out}"))
+            merge_exprs.append(F.sum(f"_p_{out}").alias(out))
+        elif op == "min":
+            partial_exprs.append(F.min(col).alias(f"_p_{out}"))
+            merge_exprs.append(F.min(f"_p_{out}").alias(out))
+        elif op == "max":
+            partial_exprs.append(F.max(col).alias(f"_p_{out}"))
+            merge_exprs.append(F.max(f"_p_{out}").alias(out))
+        else:
+            raise ValueError(f"unsupported salted agg op: {op}")
+    return (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(*partial_exprs)
+        .groupBy(*key_cols)
+        .agg(*merge_exprs)
+    )

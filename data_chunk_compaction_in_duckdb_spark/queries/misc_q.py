@@ -335,3 +335,82 @@ def select_exclude_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus": F.upper("o_orderstatus"),
         }
     )
+
+
+@query(
+    "agg_salted_skew_groupby",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rev_c,
+           COUNT(*) AS n,
+           CAST(MAX(l_quantity) AS BIGINT) AS max_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_salted_skew_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage aggregation (operators.salted_aggregate):
+    l_returnflag has only 3 values, so a plain groupBy funnels a third of
+    the fact through each of 3 reducers at any scale — the salted partial
+    stage spreads each hot key over 8 buckets first.  The oracle is the
+    PLAIN group-by: salting must be invisible in the result (exact
+    integer partials merge losslessly)."""
+    from data_chunk_compaction_in_duckdb_spark.operators import salted_aggregate
+    from data_chunk_compaction_in_duckdb_spark.queries.relational import _cents
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        _cents("l_extendedprice").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        n_salts=8,
+        rev_c=("sum", "cents"),
+        n=("count", "cents"),
+        max_qty=("max", "qty"),
+    )
+    return out.orderBy("l_returnflag")
+
+
+@query(
+    "mutation_scd2_merge",
+    oracle="""
+    SELECT c_custkey, segment, is_current FROM (
+      SELECT c_custkey, c_mktsegment AS segment, 0 AS is_current
+      FROM customer WHERE c_acctbal < 0
+      UNION ALL
+      SELECT c_custkey, 'DELINQUENT' AS segment, 1 AS is_current
+      FROM customer WHERE c_acctbal < 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment AS segment, 1 AS is_current
+      FROM customer WHERE c_acctbal >= 0
+    ) t
+    """,
+)
+def mutation_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension merge: an incoming snapshot reclassifies
+    delinquent customers, so each changed key emits a CLOSED history row
+    (is_current=0, prior segment) plus an OPEN row (new segment), while
+    unchanged keys keep one current row — the MERGE INTO ... WHEN MATCHED
+    pattern expressed as a branch-union over one scan.  Catalyst collapses
+    the three branches into a single-pass union; no join is needed because
+    the change predicate is computable from the current row."""
+    c = load_table(spark, sf_dir, "customer")
+    changed = F.col("c_acctbal") < 0
+    closed = c.filter(changed).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).alias("is_current"),
+    )
+    opened = c.filter(changed).select(
+        "c_custkey",
+        F.lit("DELINQUENT").alias("segment"),
+        F.lit(1).alias("is_current"),
+    )
+    kept = c.filter(~changed).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(1).alias("is_current"),
+    )
+    return closed.unionByName(opened).unionByName(kept)
