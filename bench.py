@@ -46,6 +46,9 @@ HEADLINE = [
     "win_frame_range_value",
     "text_chunk_documents",
     "quality_filter_source_quantile",
+    "contamination_ngram_overlap",
+    "embed_quantize_int8",
+    "events_gap_islands",
 ]
 
 REPS = 3

@@ -678,6 +678,97 @@ corpus("cross_join_filter", "Explicit CROSS JOIN reduced by WHERE (reference tes
     ("TI", "", "SELECT r_name, CAST(count(*) AS BIGINT) FROM region CROSS JOIN nation GROUP BY r_name ORDER BY r_name"),
 ])
 
+corpus("substr_bounds", "substr out-of-range bounds (reference test/sql/function/string/test_substring)")([
+    ("T", "", "SELECT substr('hello', 10, 3)"),
+    ("T", "", "SELECT substr('hello', 2, 100)"),
+    ("T", "", "SELECT substr('hello', 1, 0)"),
+    ("T", "", "SELECT substr(r_name, 3) FROM region ORDER BY r_regionkey"),
+    ("T", "", "SELECT substr(n_name, 2, 3) FROM nation ORDER BY n_nationkey LIMIT 5"),
+])
+
+corpus("concat_null_ws", "concat_ws NULL skipping vs || propagation (reference test/sql/function/string)")([
+    ("T", "", "SELECT concat_ws('-', 'a', 'b', 'c')"),
+    ("T", "", "SELECT concat_ws('-', 'a', CAST(NULL AS STRING), 'c')"),
+    ("T", "", "SELECT CAST('a' || CAST(NULL AS STRING) AS STRING)"),
+    ("T", "", "SELECT concat_ws('', r_name, r_name) FROM region ORDER BY r_regionkey LIMIT 2"),
+])
+
+corpus("trim_chars", "trim/ltrim/rtrim with explicit char sets (reference test/sql/function/string/test_trim)")([
+    # Two-arg trim('s','x') has REVERSED argument order between the
+    # engines (validator-found divergence) — the ANSI TRIM ... FROM form
+    # is the dialect-common spelling.
+    ("T", "", "SELECT trim(BOTH 'x' FROM 'xxhixx')"),
+    ("T", "", "SELECT trim(LEADING 'x' FROM 'xxhixx')"),
+    ("T", "", "SELECT trim(TRAILING 'x' FROM 'xxhixx')"),
+    ("T", "", "SELECT trim('  spaced  ')"),
+])
+
+corpus("abs_neg_extremes", "abs/negation on extremes and expressions (reference test/sql/types/numeric)")([
+    ("I", "", "SELECT abs(-0)"),
+    ("I", "", "SELECT abs(n_nationkey - 24) FROM nation ORDER BY n_nationkey LIMIT 6"),
+    ("I", "", "SELECT -(-(n_regionkey)) FROM nation ORDER BY n_nationkey LIMIT 4"),
+    ("R", "", "SELECT abs(round(-123.456, 1))"),
+])
+
+corpus("agg_empty_groups", "Aggregates over empty inputs (reference test/sql/aggregate)")([
+    ("I", "", "SELECT count(*) FROM nation WHERE n_nationkey > 999"),
+    ("T", "", "SELECT CAST(sum(n_nationkey) AS STRING) FROM nation WHERE n_nationkey > 999"),
+    ("T", "", "SELECT CAST(max(n_name) AS STRING) FROM nation WHERE 1 = 0"),
+    ("T", "", "SELECT CAST(avg(c_acctbal) AS STRING) FROM customer WHERE c_custkey < 0"),
+    ("I", "", "SELECT count(*) FROM (SELECT n_regionkey FROM nation WHERE 1 = 0 GROUP BY n_regionkey) t"),
+])
+
+corpus("join_null_keys", "Joins never match on NULL keys (reference test/sql/join)")([
+    ("I", "", "SELECT count(*) FROM (SELECT CASE WHEN n_nationkey < 5 THEN NULL ELSE n_regionkey END AS k FROM nation) a JOIN region b ON a.k = b.r_regionkey"),
+    ("I", "", "SELECT count(*) FROM (SELECT CASE WHEN n_nationkey < 5 THEN NULL ELSE n_regionkey END AS k FROM nation) a LEFT JOIN region b ON a.k = b.r_regionkey WHERE b.r_regionkey IS NULL"),
+    ("I", "", "SELECT count(*) FROM (SELECT NULL AS k FROM region) a JOIN (SELECT NULL AS k FROM region) b ON a.k = b.k"),
+])
+
+corpus("string_compare_order", "String comparison and ordering (reference test/sql/types/string)")([
+    ("T", "", "SELECT CAST('a' < 'b' AS STRING)"),
+    ("T", "", "SELECT CAST('A' < 'a' AS STRING)"),
+    ("T", "", "SELECT CAST('abc' < 'abcd' AS STRING)"),
+    ("T", "", "SELECT min(c_name) FROM customer"),
+    ("T", "rowsort", "SELECT r_name FROM region WHERE r_name BETWEEN 'AMERICA' AND 'EUROPE'"),
+])
+
+corpus("nested_agg_subquery", "Aggregates of aggregates via subqueries (reference test/sql/aggregate/group)")([
+    ("I", "", "SELECT CAST(max(cnt) AS BIGINT) FROM (SELECT count(*) AS cnt FROM nation GROUP BY n_regionkey) t"),
+    ("R", "", "SELECT round(avg(CAST(cnt AS DOUBLE)), 4) FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_custkey) t"),
+    ("I", "", "SELECT count(*) FROM (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey HAVING count(*) >= 5) t"),
+])
+
+corpus("window_rank_vs_dense", "rank vs dense_rank vs row_number divergence on ties (reference test/sql/window)")([
+    ("IIII", "", "SELECT n_nationkey, rank() OVER (ORDER BY n_regionkey), dense_rank() OVER (ORDER BY n_regionkey), row_number() OVER (ORDER BY n_regionkey, n_nationkey) FROM nation ORDER BY n_regionkey, n_nationkey LIMIT 10"),
+    ("II", "", "SELECT n_nationkey, rank() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey % 2, n_nationkey) FROM nation ORDER BY n_nationkey LIMIT 8"),
+])
+
+corpus("limit_offset_stability", "LIMIT/OFFSET with full ORDER BY determinism (reference test/sql/order)")([
+    ("I", "", "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 3 OFFSET 4"),
+    ("I", "", "SELECT n_nationkey FROM nation ORDER BY n_nationkey DESC LIMIT 2 OFFSET 0"),
+    ("I", "", "SELECT count(*) FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 50) t"),
+    ("I", "", "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 5 OFFSET 23"),
+])
+
+corpus("boolean_agg", "bool_and/bool_or/min-max over booleans (reference test/sql/aggregate)")([
+    ("T", "", "SELECT CAST(bool_and(n_nationkey >= 0) AS STRING) FROM nation"),
+    ("T", "", "SELECT CAST(bool_or(n_nationkey > 20) AS STRING) FROM nation"),
+    ("TT", "rowsort", "SELECT CAST(n_regionkey AS STRING), CAST(bool_and(n_nationkey % 2 = 0) AS STRING) FROM nation GROUP BY n_regionkey"),
+])
+
+corpus("date_compare_boundaries", "Date comparison boundary semantics (reference test/sql/types/date)")([
+    ("I", "", "SELECT count(*) FROM orders WHERE o_orderdate < DATE '1992-01-02'"),
+    ("I", "", "SELECT count(*) FROM orders WHERE o_orderdate >= DATE '1998-08-01'"),
+    ("T", "", "SELECT CAST(DATE '1994-01-01' = DATE '1994-01-01' AS STRING)"),
+    ("I", "", "SELECT count(*) FROM lineitem WHERE l_shipdate = DATE '1994-06-15'"),
+])
+
+corpus("derived_table_alias", "Derived-table column aliasing forms (reference test/sql/parser)")([
+    ("II", "", "SELECT a, b FROM (SELECT n_nationkey AS a, n_regionkey AS b FROM nation) t ORDER BY a LIMIT 4"),
+    ("I", "", "SELECT x FROM (SELECT 1 AS x) t"),
+    ("II", "", "SELECT t.k, t.c FROM (SELECT n_regionkey AS k, count(*) AS c FROM nation GROUP BY n_regionkey) t ORDER BY t.k"),
+])
+
 HEADER_NOTE = (
     "# GENERATED by tools/gen_sqllogic.py — golden rows validated on BOTH\n"
     "# engines (DuckDB + Spark) over /root/testdata/sf0.001 (the\n"
