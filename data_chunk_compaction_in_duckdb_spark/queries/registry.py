@@ -51,6 +51,7 @@ _MODULE_PRIORITY = [
     "recursion",       # recursive CTE
     "tpch_more",       # TPC-H q7-q14 tail
     "tpch_tail",       # TPC-H q15-q22
+    "tpcds_like2",     # round-2 TPC-DS shapes (never driver-checked)
     "tpcds_like",      # TPC-DS shapes
     "job_like",        # JOB shapes
     "job_variants",    # JOB a/b/c selectivity variants

@@ -1606,15 +1606,15 @@ def tpcds_q32_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpcds_q2_wow_share",
     oracle="""
     SELECT dow,
-           SUM(CASE WHEN y = 1994 THEN cents ELSE 0 END) AS c94,
-           SUM(CASE WHEN y = 1995 THEN cents ELSE 0 END) AS c95,
-           ROUND(CAST(SUM(CASE WHEN y = 1994 THEN cents ELSE 0 END) AS DOUBLE)
-                 / SUM(CASE WHEN y = 1995 THEN cents ELSE 0 END), 6) AS ratio
+           SUM(CASE WHEN y = 1996 THEN cents ELSE 0 END) AS c96,
+           SUM(CASE WHEN y = 1997 THEN cents ELSE 0 END) AS c97,
+           ROUND(CAST(SUM(CASE WHEN y = 1996 THEN cents ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN y = 1997 THEN cents ELSE 0 END), 6) AS ratio
     FROM (SELECT date_diff('day', DATE '1992-01-05', o_orderdate) % 7 AS dow,
                  EXTRACT(YEAR FROM o_orderdate) AS y,
                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
           FROM orders
-          WHERE EXTRACT(YEAR FROM o_orderdate) IN (1994, 1995)) t
+          WHERE EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)) t
     GROUP BY dow ORDER BY dow
     """,
 )
@@ -1624,23 +1624,24 @@ def tpcds_q2_wow_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     known-Sunday mod 7 (pure integer arithmetic) because the engines
     number weekdays differently (divergence documented in COVERAGE.md).
     One scan, one groupBy on a 7-value key; ratio of exact integer-cents
-    sums is the same double in both engines."""
+    sums is the same double in both engines.  (Years 1996/1997: the
+    fixture's orderdate range is 1995-01-01..2001-08-01.)"""
     o = _t(spark, sf_dir, "orders")
     y = F.year("o_orderdate")
-    base = o.filter(y.isin(1994, 1995)).select(
+    base = o.filter(y.isin(1996, 1997)).select(
         (F.datediff(F.col("o_orderdate"), F.lit("1992-01-05").cast("date")) % 7)
         .alias("dow"),
         y.alias("y"),
         _cents("o_totalprice").alias("cents"),
     )
-    c94 = F.sum(F.when(F.col("y") == 1994, F.col("cents")).otherwise(0))
-    c95 = F.sum(F.when(F.col("y") == 1995, F.col("cents")).otherwise(0))
+    c96 = F.sum(F.when(F.col("y") == 1996, F.col("cents")).otherwise(0))
+    c97 = F.sum(F.when(F.col("y") == 1997, F.col("cents")).otherwise(0))
     return (
         base.groupBy("dow")
         .agg(
-            c94.alias("c94"),
-            c95.alias("c95"),
-            F.round(c94.cast("double") / c95, 6).alias("ratio"),
+            c96.alias("c96"),
+            c97.alias("c97"),
+            F.round(c96.cast("double") / c97, 6).alias("ratio"),
         )
         .orderBy("dow")
     )
@@ -1911,22 +1912,22 @@ def tpcds_q50_latency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COUNT(*) AS n FROM (
       SELECT DISTINCT o_custkey FROM orders
-      WHERE EXTRACT(YEAR FROM o_orderdate) = 1994
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
       EXCEPT
       SELECT DISTINCT o_custkey FROM orders
-      WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
     ) t
     """,
 )
 def tpcds_q87_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q87 shape: customer count via EXCEPT between period scans (bought
-    in 1994 but not 1995).  EXCEPT over pre-DISTINCTed single columns is
+    in 1996 but not 1997).  EXCEPT over pre-DISTINCTed single columns is
     a key-only shuffle; both branches scan the same table once each with
     the year filter pushed down."""
     o = _t(spark, sf_dir, "orders")
     y = F.year("o_orderdate")
-    a = o.filter(y == 1994).select("o_custkey").distinct()
-    b = o.filter(y == 1995).select("o_custkey").distinct()
+    a = o.filter(y == 1996).select("o_custkey").distinct()
+    b = o.filter(y == 1997).select("o_custkey").distinct()
     return a.exceptAll(b).agg(F.count("*").alias("n"))
 
 
@@ -1943,7 +1944,7 @@ def tpcds_q87_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT l_suppkey, EXTRACT(MONTH FROM l_shipdate) AS m,
                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
           FROM lineitem
-          WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-06-30') l
+          WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-06-30') l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
     GROUP BY n.n_name ORDER BY n.n_name
@@ -1955,7 +1956,7 @@ def tpcds_q66_month_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     band prunes the fact scan; only (suppkey, month, cents) survives to
     the join, and the 12-way CASE pivot is one aggregate."""
     li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate").between("1994-01-01", "1994-06-30")
+        F.col("l_shipdate").between("1996-01-01", "1996-06-30")
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -2059,13 +2060,13 @@ def tpcds_q45_disjunctive_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(l.l_quantity AS BIGINT)) AS qty,
              SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS rev_c
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-      WHERE EXTRACT(YEAR FROM l.l_shipdate) IN (1994, 1995)
+      WHERE EXTRACT(YEAR FROM l.l_shipdate) IN (1996, 1997)
       GROUP BY p.p_brand, EXTRACT(YEAR FROM l.l_shipdate)
     )
-    SELECT cur.brand, cur.qty AS qty95, prev.qty AS qty94,
-           cur.rev_c AS rev95_c, prev.rev_c AS rev94_c
+    SELECT cur.brand, cur.qty AS qty97, prev.qty AS qty96,
+           cur.rev_c AS rev97_c, prev.rev_c AS rev96_c
     FROM yearly cur JOIN yearly prev
-      ON cur.brand = prev.brand AND cur.y = 1995 AND prev.y = 1994
+      ON cur.brand = prev.brand AND cur.y = 1997 AND prev.y = 1996
     WHERE cur.qty * 10 < prev.qty * 9
     ORDER BY cur.brand
     """,
@@ -2073,14 +2074,14 @@ def tpcds_q45_disjunctive_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q75_yoy_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q75 shape: brands whose shipped quantity declined more than 10%
     year over year.  One fact aggregation produces both years; the
-    self-join aligns (brand, 1995) to (brand, 1994) on the tiny
+    self-join aligns (brand, 1997) to (brand, 1996) on the tiny
     aggregate, and the decline test is integer cross-multiplication
-    (qty95 < 0.9*qty94 without touching floats)."""
+    (qty97 < 0.9*qty96 without touching floats)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     y = F.year("l_shipdate")
     yearly = (
-        li.filter(y.isin(1994, 1995))
+        li.filter(y.isin(1996, 1997))
         .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy(F.col("p_brand").alias("brand"), y.alias("y"))
         .agg(
@@ -2088,20 +2089,20 @@ def tpcds_q75_yoy_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_cents("l_extendedprice")).alias("rev_c"),
         )
     )
-    cur = yearly.filter(F.col("y") == 1995).select(
+    cur = yearly.filter(F.col("y") == 1997).select(
         "brand",
-        F.col("qty").alias("qty95"),
-        F.col("rev_c").alias("rev95_c"),
+        F.col("qty").alias("qty97"),
+        F.col("rev_c").alias("rev97_c"),
     )
-    prev = yearly.filter(F.col("y") == 1994).select(
+    prev = yearly.filter(F.col("y") == 1996).select(
         "brand",
-        F.col("qty").alias("qty94"),
-        F.col("rev_c").alias("rev94_c"),
+        F.col("qty").alias("qty96"),
+        F.col("rev_c").alias("rev96_c"),
     )
     return (
         cur.join(prev, "brand")
-        .filter(F.col("qty95") * 10 < F.col("qty94") * 9)
-        .select("brand", "qty95", "qty94", "rev95_c", "rev94_c")
+        .filter(F.col("qty97") * 10 < F.col("qty96") * 9)
+        .select("brand", "qty97", "qty96", "rev97_c", "rev96_c")
         .orderBy("brand")
     )
 
