@@ -21,6 +21,7 @@ small-file problem.  This package provides:
 
 from data_chunk_compaction_in_duckdb_spark.compaction.compact import (  # noqa: F401
     compact,
+    fan_out,
     pipeline_break,
 )
 from data_chunk_compaction_in_duckdb_spark.compaction.profiler import (  # noqa: F401

@@ -82,3 +82,21 @@ def pipeline_break(df: DataFrame, eager: bool = True) -> DataFrame:
     if eager:
         out.count()
     return out
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """The inverse of compact(): widen an under-parallel scan before a
+    CPU-bound narrow stage (n-gram generation, UDF feature extraction).
+
+    A single parquet file with one row group plans as ONE task no matter
+    how many cores exist — maxPartitionBytes cannot split below row-group
+    granularity — so per-row-expensive expressions serialize.  When the
+    current partition count is below the session's default parallelism,
+    round-robin repartition up to it; otherwise return the input
+    unchanged, so on a real cluster (where scans already carry thousands
+    of partitions) this is a no-op and adds no shuffle.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -80,6 +80,9 @@ def minhash_signatures(
     = numeric min on hex, engine-portable.  Plan: explode shingles
     (narrow) → single groupBy(id) computing all num_hashes mins map-side
     (partial aggregation) → one shuffle row per document."""
+    from data_chunk_compaction_in_duckdb_spark.compaction import fan_out
+
+    df = fan_out(df)  # md5-per-shingle is CPU-bound; widen 1-task scans
     sh = df.select(
         F.col(id_col),
         F.explode(char_shingles_expr(text_col, shingle_size)).alias("_sh"),

@@ -66,6 +66,11 @@ def topk_similar(
             )
         )
 
+    from data_chunk_compaction_in_duckdb_spark.compaction import fan_out
+
+    # The corpus streams through the broadcast-NL join doing O(dim) flops
+    # per pair — widen a 1-task scan so the probe runs on all cores.
+    corpus = fan_out(corpus)
     # Precompute norms once per side — naive per-pair cosine recomputes
     # both norms for every (query, candidate) pair, tripling the flops.
     q = queries.select(
@@ -367,7 +372,11 @@ def quantize_embeddings_int8(
     handling is engine-specific.  Returns the scale plus the quantized
     vector's sum and dot product (the reconstruction-checkable summary;
     the full int8 array rides along as q).  Pure built-in expressions —
-    one narrow projection, no shuffle."""
+    one narrow projection; the only exchange is the fan_out widening of
+    a 1-task local scan (a no-op on a many-partition cluster scan)."""
+    from data_chunk_compaction_in_duckdb_spark.compaction import fan_out
+
+    df = fan_out(df)
     v = F.col(vec_col).cast("array<double>")
     mx = F.greatest(
         F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
