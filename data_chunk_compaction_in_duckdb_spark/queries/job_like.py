@@ -809,3 +809,98 @@ def job_like_date_band_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("y"), F.col("n_name"))
         .agg(F.count("*").alias("n"), F.min("c_name").alias("min_cust"))
     )
+
+
+@query(
+    "job_like_four_dim_roles",
+    oracle=f"""
+    SELECT cr.r_name AS cust_region, sr.r_name AS supp_region,
+           COUNT(*) AS n, {_REV_SQL} AS revenue
+    FROM lineitem
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+    WHERE cr.r_regionkey <> sr.r_regionkey
+      AND o_orderstatus = 'F'
+      AND l_discount >= 0.05
+    GROUP BY cr.r_name, sr.r_name
+    """,
+)
+def job_like_four_dim_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOB multi-role topology: TWO dimension tables each joined in TWO
+    roles (customer/supplier nation, customer/supplier region) — the
+    shape of JOB queries that alias company/info tables repeatedly
+    (e.g. 11-family).  All four role joins broadcast the same two tiny
+    tables; the inequality predicate between the two region roles runs
+    post-join (it references both sides), like JOB's cross-alias
+    filters."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") >= 0.05)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    cn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_reg")
+    )
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_regionkey").alias("sn_reg")
+    )
+    cr = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("cr_key"), F.col("r_name").alias("cust_region")
+    )
+    sr = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("sr_key"), F.col("r_name").alias("supp_region")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), sup.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cr), F.col("cn_reg") == F.col("cr_key"))
+        .join(F.broadcast(sr), F.col("sn_reg") == F.col("sr_key"))
+        .filter(F.col("cr_key") != F.col("sr_key"))
+        .groupBy("cust_region", "supp_region")
+        .agg(F.count("*").alias("n"), _rev().alias("revenue"))
+    )
+
+
+@query(
+    "job_like_exists_two_hop",
+    oracle="""
+    SELECT p_type, COUNT(*) AS n_parts, MIN(p_retailprice) AS min_price
+    FROM part
+    WHERE p_size > 20
+      AND EXISTS (
+        SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_partkey = p_partkey
+          AND o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY p_type
+    """,
+)
+def job_like_exists_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOB 2-hop EXISTS: the correlated subquery is itself a join
+    (lineitem x orders), so the semi join's probe side is a reduced
+    fact-fact join — JOB's movie_keyword/movie_info chains behind an
+    EXISTS take this shape.  The output is the canonical JOB MIN()
+    row per group.  The inner join reduces before the semi (urgent +
+    date filters push to both scans); the dimension is the build side."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 20)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1999-01-01")
+    )
+    probe = li.join(o, li.l_orderkey == o.o_orderkey).select("l_partkey")
+    return (
+        part.join(probe, part.p_partkey == probe.l_partkey, "left_semi")
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("p_retailprice").alias("min_price"),
+        )
+    )

@@ -650,3 +650,193 @@ def tpcds_q70_rank_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("r_name", "n_name")
         .agg((F.sum("c") / 100.0).alias("revenue"))
     )
+
+
+@query(
+    "tpcds_q22_hierarchy_band_avg",
+    oracle="""
+    SELECT p_brand, p_type, sz_band,
+           CAST(SUM(qc) AS DOUBLE) / COUNT(*) / 100.0 AS avg_qty,
+           COUNT(*) AS n_lines
+    FROM (SELECT p_brand, p_type,
+                 CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 25 THEN 'M'
+                      WHEN p_size < 40 THEN 'L' ELSE 'XL' END AS sz_band,
+                 CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc
+          FROM lineitem JOIN part ON l_partkey = p_partkey) t
+    GROUP BY ROLLUP(p_brand, p_type, sz_band)
+    """,
+)
+def tpcds_q22_hierarchy_band_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q22 shape: average quantity over a 3-level item-hierarchy ROLLUP
+    whose innermost level is a computed size band (DS rolls up the
+    product hierarchy over inventory).  The band CASE is evaluated on
+    the broadcast dimension before the join; the rollup stays one
+    Expand + one exchange regardless of level count."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        F.when(F.col("p_size") < 10, "S")
+        .when(F.col("p_size") < 25, "M")
+        .when(F.col("p_size") < 40, "L")
+        .otherwise("XL")
+        .alias("sz_band"),
+    )
+    n = F.count("*")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("p_brand", "p_type", "sz_band", _cents("l_quantity").alias("qc"))
+        .rollup("p_brand", "p_type", "sz_band")
+        .agg(
+            (F.sum("qc").cast("double") / n / 100.0).alias("avg_qty"),
+            n.alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpcds_q71_time_of_day_matrix",
+    oracle="""
+    SELECT c_mktsegment,
+           SUM(CASE WHEN h BETWEEN 6 AND 11 THEN c ELSE 0 END) / 100.0
+             AS morning,
+           SUM(CASE WHEN h BETWEEN 12 AND 17 THEN c ELSE 0 END) / 100.0
+             AS afternoon,
+           SUM(CASE WHEN h BETWEEN 18 AND 23 THEN c ELSE 0 END) / 100.0
+             AS evening,
+           SUM(CASE WHEN h BETWEEN 0 AND 5 THEN c ELSE 0 END) / 100.0
+             AS night
+    FROM (SELECT user_id, EXTRACT(HOUR FROM ts) AS h,
+                 CAST(ROUND(value * 100) AS BIGINT) AS c
+          FROM events WHERE event_type = 'purchase') e
+    JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def tpcds_q71_time_of_day_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q71 shape: revenue by reporting entity x time-of-day bucket (DS:
+    brand x breakfast/dinner), the time dimension derived in-query from
+    the event timestamp.  The purchase filter prunes the fact before the
+    customer join; the 4-bucket pivot is conditional sums in one
+    aggregate."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cust = _t(spark, sf_dir, "customer")
+    base = ev.select(
+        "user_id", F.hour("ts").alias("h"), _cents("value").alias("c")
+    ).join(cust, F.col("user_id") == cust.c_custkey)
+    z = F.lit(0).cast("long")
+
+    def bucket(lo: int, hi: int, name: str) -> F.Column:
+        return (
+            F.sum(F.when(F.col("h").between(lo, hi), F.col("c")).otherwise(z))
+            / 100.0
+        ).alias(name)
+
+    return base.groupBy("c_mktsegment").agg(
+        bucket(6, 11, "morning"),
+        bucket(12, 17, "afternoon"),
+        bucket(18, 23, "evening"),
+        bucket(0, 5, "night"),
+    )
+
+
+@query(
+    "tpcds_q76_null_key_channels",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN k7 IS NULL THEN 1 ELSE 0 END) AS n_null_key,
+           SUM(CASE WHEN k7 IS NULL THEN c ELSE 0 END) / 100.0
+             AS null_key_value
+    FROM (SELECT event_type,
+                 NULLIF(CAST(json_extract(props, '$.k') AS BIGINT) % 7, 0)
+                   AS k7,
+                 CAST(ROUND(value * 100) AS BIGINT) AS c
+          FROM events) t
+    GROUP BY event_type
+    """,
+)
+def tpcds_q76_null_key_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q76 shape: per-channel counts/sums of fact rows whose dimension
+    key is NULL (DS unions three channels each probing a nullable key).
+    The nullable key derives from the JSON payload (NULLIF residue
+    class), so the NULL test exercises the JSON path + three-valued
+    conditional aggregation in one scan."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr(
+            "nullif(cast(get_json_object(props, '$.k') as bigint) % 7, 0)"
+        ).alias("k7"),
+        _cents("value").alias("c"),
+    )
+    z = F.lit(0).cast("long")
+    return base.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("k7").isNull(), F.lit(1).cast("long")).otherwise(z)).alias(
+            "n_null_key"
+        ),
+        (F.sum(F.when(F.col("k7").isNull(), F.col("c")).otherwise(z)) / 100.0).alias(
+            "null_key_value"
+        ),
+    )
+
+
+@query(
+    "tpcds_q83_three_slice_share",
+    oracle="""
+    SELECT l_partkey,
+           q1c / 100.0 AS q_mar, q2c / 100.0 AS q_apr, q3c / 100.0 AS q_may,
+           ROUND(q1c * 300.0 / (q1c + q2c + q3c), 6) AS mar_share_pct3,
+           ROUND(q2c * 300.0 / (q1c + q2c + q3c), 6) AS apr_share_pct3,
+           ROUND(q3c * 300.0 / (q1c + q2c + q3c), 6) AS may_share_pct3
+    FROM (
+      SELECT l_partkey,
+             SUM(CASE WHEN mo = 3 THEN qc ELSE 0 END) AS q1c,
+             SUM(CASE WHEN mo = 4 THEN qc ELSE 0 END) AS q2c,
+             SUM(CASE WHEN mo = 5 THEN qc ELSE 0 END) AS q3c
+      FROM (SELECT l_partkey, EXTRACT(MONTH FROM l_shipdate) AS mo,
+                   CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc
+            FROM lineitem
+            WHERE l_returnflag = 'R'
+              AND EXTRACT(YEAR FROM l_shipdate) = 1997
+              AND EXTRACT(MONTH FROM l_shipdate) IN (3, 4, 5)) t
+      GROUP BY l_partkey
+    ) m
+    WHERE q1c + q2c + q3c > 0
+    """,
+)
+def tpcds_q83_three_slice_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q83 shape: per-item returned quantity in three aligned period
+    slices, each expressed as its share of the three-slice total (DS
+    aligns store/catalog/web return months).  One scan with conditional
+    sums replaces DS's three-CTE join; the share `q/(tot/3)*100` is
+    cross-multiplied to `q*300/tot` so the only float op is the final
+    division of exact integers."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag") == "R")
+        & (F.year("l_shipdate") == 1997)
+        & F.month("l_shipdate").isin(3, 4, 5)
+    )
+    base = li.select(
+        "l_partkey", F.month("l_shipdate").alias("mo"), _cents("l_quantity").alias("qc")
+    )
+    z = F.lit(0).cast("long")
+
+    def slice_(mo: int, name: str) -> F.Column:
+        return F.sum(F.when(F.col("mo") == mo, F.col("qc")).otherwise(z)).alias(name)
+
+    m = base.groupBy("l_partkey").agg(
+        slice_(3, "q1c"), slice_(4, "q2c"), slice_(5, "q3c")
+    )
+    tot = F.col("q1c") + F.col("q2c") + F.col("q3c")
+    return m.filter(tot > 0).select(
+        "l_partkey",
+        (F.col("q1c") / 100.0).alias("q_mar"),
+        (F.col("q2c") / 100.0).alias("q_apr"),
+        (F.col("q3c") / 100.0).alias("q_may"),
+        F.round(F.col("q1c") * 300.0 / tot, 6).alias("mar_share_pct3"),
+        F.round(F.col("q2c") * 300.0 / tot, 6).alias("apr_share_pct3"),
+        F.round(F.col("q3c") * 300.0 / tot, 6).alias("may_share_pct3"),
+    )
