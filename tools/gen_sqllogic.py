@@ -769,6 +769,106 @@ corpus("derived_table_alias", "Derived-table column aliasing forms (reference te
     ("II", "", "SELECT t.k, t.c FROM (SELECT n_regionkey AS k, count(*) AS c FROM nation GROUP BY n_regionkey) t ORDER BY t.k"),
 ])
 
+corpus("filter_clause", "Aggregate FILTER clause (reference test/sql/aggregate/aggregates)")([
+    ("II", "", "SELECT count(*) FILTER (WHERE o_orderstatus = 'F'), count(*) FILTER (WHERE o_orderstatus = 'O') FROM orders"),
+    ("TI", "", "SELECT o_orderstatus, count(*) FILTER (WHERE o_totalprice > 200000) FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    ("I", "", "SELECT sum(n_regionkey) FILTER (WHERE n_nationkey % 2 = 0) FROM nation"),
+    ("TI", "", "SELECT o_orderstatus, count(*) FILTER (WHERE o_orderpriority = '1-URGENT') FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    ("II", "", "SELECT min(n_nationkey) FILTER (WHERE n_regionkey = 1), max(n_nationkey) FILTER (WHERE n_regionkey = 1) FROM nation"),
+])
+
+corpus("try_cast", "TRY_CAST returns NULL on failure (reference test/sql/cast)")([
+    ("I", "", "SELECT TRY_CAST('123' AS BIGINT)"),
+    ("I", "", "SELECT TRY_CAST('12x' AS BIGINT)"),
+    ("R", "", "SELECT round(TRY_CAST('1.5' AS DOUBLE), 3)"),
+    ("I", "", "SELECT TRY_CAST('' AS BIGINT)"),
+    ("T", "", "SELECT CAST(TRY_CAST('2001-02-03' AS DATE) AS STRING)"),
+    ("I", "", "SELECT CASE WHEN TRY_CAST('2001-13-45' AS DATE) IS NULL THEN 1 ELSE 0 END"),
+    ("I", "", "SELECT count(*) FROM orders WHERE TRY_CAST(o_orderpriority AS BIGINT) IS NULL"),
+])
+
+corpus("stddev_corr", "Dispersion and correlation aggregates (reference test/sql/aggregate)")([
+    ("R", "", "SELECT round(stddev_pop(CAST(n_nationkey AS DOUBLE)), 3) FROM nation"),
+    ("R", "", "SELECT round(var_pop(CAST(n_regionkey AS DOUBLE)), 3) FROM nation"),
+    ("R", "", "SELECT round(stddev_samp(CAST(r_regionkey AS DOUBLE)), 3) FROM region"),
+    ("R", "", "SELECT round(corr(CAST(n_nationkey AS DOUBLE), CAST(n_nationkey AS DOUBLE)), 3) FROM nation"),
+    ("R", "", "SELECT round(covar_pop(CAST(n_nationkey AS DOUBLE), CAST(n_regionkey AS DOUBLE)), 3) FROM nation"),
+])
+
+corpus("median_percentile", "median over integer and double inputs (reference test/sql/aggregate/quantile)")([
+    ("R", "", "SELECT round(median(CAST(n_nationkey AS DOUBLE)), 3) FROM nation"),
+    ("R", "", "SELECT round(median(CAST(r_regionkey AS DOUBLE)), 3) FROM region"),
+    ("RR", "", "SELECT round(median(CAST(n_regionkey AS DOUBLE)), 3), round(median(CAST(n_nationkey AS DOUBLE) * 2), 3) FROM nation"),
+])
+
+corpus("group_order_all", "GROUP BY ALL / ORDER BY ALL sugar (reference test/sql/aggregate/group)")([
+    ("TI", "", "SELECT o_orderstatus, count(*) FROM orders GROUP BY ALL ORDER BY ALL"),
+    ("II", "", "SELECT n_regionkey, count(*) FROM nation GROUP BY ALL ORDER BY ALL"),
+    ("TII", "", "SELECT o_orderstatus, CAST(o_totalprice > 250000 AS INT), count(*) FROM orders GROUP BY ALL ORDER BY ALL"),
+])
+
+corpus("named_windows", "WINDOW clause with named window reuse (reference test/sql/window)")([
+    ("II", "", "SELECT n_nationkey, CAST(row_number() OVER w AS INT) FROM nation WINDOW w AS (ORDER BY n_nationkey) ORDER BY n_nationkey LIMIT 6"),
+    ("III", "", "SELECT n_regionkey, n_nationkey, CAST(rank() OVER w AS INT) FROM nation WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_nationkey) ORDER BY n_regionkey, n_nationkey LIMIT 8"),
+])
+
+corpus("lead_lag_defaults", "lead/lag offsets and default values (reference test/sql/window)")([
+    ("II", "", "SELECT r_regionkey, lag(r_regionkey, 1, -1) OVER (ORDER BY r_regionkey) FROM region ORDER BY r_regionkey"),
+    ("II", "", "SELECT r_regionkey, lead(r_regionkey, 2, 99) OVER (ORDER BY r_regionkey) FROM region ORDER BY r_regionkey"),
+    ("II", "", "SELECT r_regionkey, lag(r_regionkey) OVER (ORDER BY r_regionkey) FROM region ORDER BY r_regionkey"),
+])
+
+corpus("ntile_cume", "ntile / percent_rank / cume_dist (reference test/sql/window)")([
+    ("II", "", "SELECT n_nationkey, ntile(4) OVER (ORDER BY n_nationkey) FROM nation ORDER BY n_nationkey LIMIT 10"),
+    ("IR", "", "SELECT n_nationkey, round(percent_rank() OVER (ORDER BY n_nationkey), 3) FROM nation ORDER BY n_nationkey LIMIT 6"),
+    ("IR", "", "SELECT n_nationkey, round(cume_dist() OVER (ORDER BY n_nationkey), 3) FROM nation ORDER BY n_nationkey LIMIT 6"),
+])
+
+corpus("bit_shift_ops", "Bitwise &, |, shifts (reference test/sql/function/numeric)")([
+    ("I", "", "SELECT 12 & 10"),
+    ("I", "", "SELECT 12 | 3"),
+    ("I", "", "SELECT n_nationkey & 7 FROM nation ORDER BY n_nationkey LIMIT 9"),
+    ("I", "", "SELECT 1 << 10"),
+    ("I", "", "SELECT 1024 >> 3"),
+])
+
+corpus("split_part_left_right", "split_part / left / right / translate / initcap (reference test/sql/function/string)")([
+    ("T", "", "SELECT split_part(n_name, '_', 1) FROM nation ORDER BY n_nationkey LIMIT 3"),
+    ("T", "", "SELECT split_part(n_name, '_', 2) FROM nation ORDER BY n_nationkey LIMIT 3"),
+    ("T", "", "SELECT left(r_name, 4) FROM region ORDER BY r_regionkey"),
+    ("T", "", "SELECT right(r_name, 2) FROM region ORDER BY r_regionkey"),
+    ("T", "", "SELECT translate(r_name, 'AEIOU', 'aeiou') FROM region ORDER BY r_regionkey"),
+    # initcap exists in Spark but not DuckDB — validator-found, excluded.
+])
+
+corpus("last_day_months", "last_day / month boundary arithmetic (reference test/sql/function/date)")([
+    ("T", "", "SELECT CAST(last_day(DATE '1996-02-10') AS STRING)"),
+    ("T", "", "SELECT CAST(last_day(DATE '2000-02-10') AS STRING)"),
+    ("T", "", "SELECT CAST(last_day(CAST(o_orderdate AS DATE)) AS STRING) FROM orders ORDER BY o_orderkey LIMIT 3"),
+])
+
+corpus("exists_agg_empty", "EXISTS / scalar aggregates over empty inputs (reference test/sql/subquery)")([
+    ("I", "", "SELECT count(*) FROM region WHERE EXISTS (SELECT 1 FROM nation WHERE n_regionkey = r_regionkey AND n_nationkey < 0)"),
+    ("I", "", "SELECT (SELECT count(*) FROM nation WHERE n_nationkey < 0)"),
+    ("T", "", "SELECT CAST((SELECT max(n_nationkey) FROM nation WHERE n_nationkey < 0) AS STRING)"),
+    ("I", "", "SELECT coalesce((SELECT min(n_nationkey) FROM nation WHERE n_nationkey > 100), -1)"),
+])
+
+corpus("subquery_in_having", "Scalar subqueries inside HAVING (reference test/sql/subquery)")([
+    ("II", "", "SELECT n_regionkey, count(*) FROM nation GROUP BY n_regionkey HAVING count(*) >= (SELECT count(*) / 6 FROM nation) ORDER BY n_regionkey"),
+    ("TI", "", "SELECT o_orderstatus, count(*) FROM orders GROUP BY o_orderstatus HAVING count(*) > (SELECT count(*) FROM orders) / 4 ORDER BY o_orderstatus"),
+])
+
+corpus("any_value_single", "any_value over single-value groups (deterministic) (reference test/sql/aggregate)")([
+    ("IT", "", "SELECT n_nationkey, any_value(n_name) FROM nation GROUP BY n_nationkey ORDER BY n_nationkey LIMIT 5"),
+    ("T", "", "SELECT any_value(r_name) FROM region WHERE r_regionkey = 2"),
+])
+
+corpus("full_outer_coalesce", "FULL OUTER key coalescing (reference test/sql/join/full_outer)")([
+    ("II", "rowsort", "SELECT coalesce(a.k, b.k), coalesce(a.c, 0) + coalesce(b.c, 0) FROM (SELECT n_regionkey AS k, count(*) AS c FROM nation WHERE n_nationkey < 10 GROUP BY n_regionkey) a FULL OUTER JOIN (SELECT n_regionkey AS k, count(*) AS c FROM nation WHERE n_nationkey >= 20 GROUP BY n_regionkey) b ON a.k = b.k"),
+    ("I", "", "SELECT count(*) FROM (SELECT r_regionkey AS k FROM region) a FULL OUTER JOIN (SELECT n_nationkey AS k FROM nation) b ON a.k = b.k"),
+])
+
 HEADER_NOTE = (
     "# GENERATED by tools/gen_sqllogic.py — golden rows validated on BOTH\n"
     "# engines (DuckDB + Spark) over /root/testdata/sf0.001 (the\n"
