@@ -840,3 +840,100 @@ def tpcds_q83_three_slice_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("q2c") * 300.0 / tot, 6).alias("apr_share_pct3"),
         F.round(F.col("q3c") * 300.0 / tot, 6).alias("may_share_pct3"),
     )
+
+
+@query(
+    "tpcds_q19_brand_geo_mismatch",
+    oracle="""
+    SELECT p_brand,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+             AS mismatch_rev,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE c_nationkey <> s_nationkey
+      AND p_size BETWEEN 20 AND 35
+    GROUP BY p_brand
+    """,
+)
+def tpcds_q19_brand_geo_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q19 shape: brand-grain revenue restricted to transactions whose
+    customer and fulfillment geographies differ (DS: buyer zip != store
+    zip) — the aggregate-grain sibling of q46's per-order detail.  The
+    nationkey inequality needs no nation join at all (both keys are
+    already on the joined row); part is filtered then broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size").between(20, 35))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(_cents("l_extendedprice")) / 100.0).alias("mismatch_rev"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpcds_q72_late_fulfillment",
+    oracle="""
+    SELECT p_brand, wk,
+           COUNT(*) AS n_late,
+           SUM(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS n_neg_supp
+    FROM (
+      SELECT l_partkey, l_suppkey,
+             CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS wk
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    ) late
+    JOIN part ON l_partkey = p_partkey
+    LEFT JOIN supplier ON l_suppkey = s_suppkey AND s_acctbal < 0
+    WHERE p_size <= 15
+    GROUP BY p_brand, wk
+    """,
+)
+def tpcds_q72_late_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q72 shape: fulfillment later than a date offset from the order
+    (DS: inventory on-hand date more than 5 days after sale), reported
+    per item/week, with a null-preserving LEFT JOIN to a qualifying
+    dimension slice counted via NULL presence (DS's promotion left
+    join).  The date-offset predicate is a non-equi condition between
+    two fact columns — it rides the fact-fact equi-join and filters
+    in-stage, never a range-join explosion."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    neg_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.date_trunc("week", "o_orderdate").alias("wk"),
+        )
+    )
+    return (
+        late.join(F.broadcast(part), late.l_partkey == part.p_partkey)
+        .join(F.broadcast(neg_supp), late.l_suppkey == neg_supp.s_suppkey, "left")
+        .groupBy("p_brand", "wk")
+        .agg(
+            F.count("*").alias("n_late"),
+            F.sum(
+                F.when(F.col("s_acctbal").isNotNull(), F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("n_neg_supp"),
+        )
+    )
