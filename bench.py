@@ -49,6 +49,9 @@ HEADLINE = [
     "contamination_ngram_overlap",
     "embed_quantize_int8",
     "events_gap_islands",
+    "tpcds_q70_rank_pruned_rollup",
+    "tpcds_q72_late_fulfillment",
+    "job_like_four_dim_roles",
 ]
 
 REPS = 3

@@ -45,3 +45,44 @@ def stream_tumbling_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     sdf = streaming_tumbling_counts(spark, sf_dir)
     run_stream_to_memory(sdf, name=sink, mode="complete")
     return spark.table(sink)
+
+
+@query(
+    "stream_interval_join_parity",
+    oracle="""
+    SELECT p.user_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           CAST(ROUND(p.value * 100) AS BIGINT) / 100.0 AS purchase_value
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts <= p.ts
+    """,
+)
+def stream_interval_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked stream-stream interval join (purchase <- same-user
+    clicks within 30 minutes, streaming/events.py) drained to a memory
+    sink and returned as a batch DataFrame.  The oracle is the identical
+    interval self-join over the static table; purchase_value uses the
+    integer-cents form so the only float is one exact division."""
+    from data_chunk_compaction_in_duckdb_spark.streaming import (
+        run_stream_to_memory,
+        streaming_interval_join,
+    )
+    from pyspark.sql import functions as F
+
+    sink = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    sdf = streaming_interval_join(spark, sf_dir)
+    run_stream_to_memory(sdf, name=sink, mode="append")
+    out = spark.table(sink)
+    return out.select(
+        "user_id",
+        "click_ts",
+        "purchase_ts",
+        ((F.round(F.col("purchase_value") * 100)).cast("long") / 100.0).alias(
+            "purchase_value"
+        ),
+    )

@@ -238,3 +238,42 @@ def streaming_static_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase matches the
+    same user's clicks in the preceding 30 minutes.  Both sides carry
+    watermarks and the join condition bounds event time on both sides, so
+    Spark can expire join state (the unbounded-state hazard of
+    stream-stream joins); output is append-mode rows.  Timestamps are
+    converted back to NTZ so results are session-TZ independent, matching
+    the batch twin exactly."""
+    clicks = (
+        _ts_as_utc_instant(_event_stream(spark, sf_dir))
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts_evt").alias("c_ts"))
+    )
+    buys = (
+        _ts_as_utc_instant(_event_stream(spark, sf_dir))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts_evt").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    joined = clicks.withWatermark("c_ts", "1 hour").join(
+        buys.withWatermark("p_ts", "1 hour"),
+        F.expr(
+            "c_user = p_user"
+            " AND c_ts >= p_ts - INTERVAL 30 MINUTES"
+            " AND c_ts <= p_ts"
+        ),
+        "inner",
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"),
+        _win_start_ntz("c_ts").alias("click_ts"),
+        _win_start_ntz("p_ts").alias("purchase_ts"),
+        F.col("p_value").alias("purchase_value"),
+    )

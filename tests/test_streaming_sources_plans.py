@@ -424,3 +424,47 @@ def test_explain_analyze_metrics(spark, sf_dir):
     # join of filtered lineitem to orders keeps every probe row here, but
     # the factor must be computed and finite
     assert 0 < f["row_factor"] < 2
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (purchase <- same-user clicks within
+    30 min) must equal the equivalent batch join."""
+    from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+    from data_chunk_compaction_in_duckdb_spark.streaming.events import (
+        run_stream_to_memory,
+        streaming_interval_join,
+    )
+    from pyspark.sql import functions as F
+
+    sdf = streaming_interval_join(spark, sf_dir)
+    run_stream_to_memory(sdf, "interval_join_out")
+    got = sorted(
+        tuple(r) for r in spark.table("interval_join_out").collect()
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    batch = (
+        clicks.join(
+            buys,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .select(
+            F.col("p_user").alias("user_id"),
+            F.col("c_ts").alias("click_ts"),
+            F.col("p_ts").alias("purchase_ts"),
+            F.col("p_value").alias("purchase_value"),
+        )
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    assert len(got) > 0
+    assert got == want
