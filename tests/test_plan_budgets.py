@@ -27,7 +27,8 @@ BUDGETS = {
     "join_asof_backward": 1,
     "events_sessionization": 1,
     "compaction_filter_join_agg": 1,  # compact() may repartition post-filter
-    "sim_topk_bruteforce": 1,
+    "sim_topk_bruteforce": 2,  # +1: fan_out widens the 1-task local scan
+    # (no-op exchange on a many-partition cluster scan)
     "text_tokens_quality_fingerprint": 0,
     "job_like_min_agg_star": 1,
     "tpcds_q1_returns_above_avg": 2,  # agg shuffle + window on nation
@@ -44,6 +45,12 @@ BUDGETS = {
     # bounded per-partition table (offsets); nothing single-tasks the data
     "win_frame_range_value": 6,
     "join_positional": 12,
+    # round-2 additions
+    "tpcds_q70_rank_pruned_rollup": 6,  # natrev subtree appears twice in
+    # the static plan (3 exchanges each); runtime dedupes via
+    # ReusedExchange (pinned in test_tpcds_like2)
+    "tpcds_q72_late_fulfillment": 1,  # one fact-fact shuffle; dims broadcast
+    "job_like_four_dim_roles": 1,  # four dim-role joins all broadcast
 }
 
 
