@@ -247,3 +247,55 @@ def redact_patterns(
     for pat, repl in patterns:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def repetition_ratio(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Repetition-ratio quality metric: 1 - distinct/total word n-grams
+    per document — the standard repetitious-text gate of a corpus build
+    (heavily duplicated phrasing scores high and gets filtered).
+
+    Pure narrow built-ins (no explode, no shuffle): both gram counts are
+    array sizes computed in one projection."""
+    grams = word_ngrams(text_col, n, distinct=False)
+    n_total = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return docs.select(
+        F.col(id_col),
+        n_total.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - n_distinct.cast("double") / n_total, 6
+        ).alias("repetition"),
+    )
+
+
+def unigram_logprob(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Perplexity-proxy scoring with a corpus unigram LM: mean
+    -ln p(word) per document, p from the corpus's own word frequencies.
+
+    Scale shape: the frequency table is vocabulary-bounded (Heaps' law),
+    built by one explode + map-side partial count; the corpus total
+    rides a 1-row broadcast crossJoin (no driver scalar); the per-word
+    join keys both sides on the word and re-groups on the document id.
+    Words explode via fan_out so single-file local scans parallelize."""
+    from data_chunk_compaction_in_duckdb_spark.compaction import fan_out
+
+    docs = fan_out(docs)
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+    )
+    freq = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    scored = (
+        words.join(freq, "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.ln(F.col("cnt").cast("double") / F.col("total")).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        F.round(-F.sum("lp") / F.count("*"), 6).alias("mean_neg_logprob"),
+    )

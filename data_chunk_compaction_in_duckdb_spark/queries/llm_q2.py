@@ -243,3 +243,69 @@ def pipeline_chunk_dedup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("surviving_words"),
     )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      string_split_regex(trim(text), '\\s+') AS words
+               FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(
+                   generate_series(1, GREATEST(len(words) - 2, 1)),
+                   i -> array_to_string(list_slice(words, i, i + 2), ' '))
+                 AS grams
+          FROM w)
+    SELECT doc_id,
+           len(grams) AS n_grams,
+           len(list_distinct(grams)) AS n_distinct,
+           ROUND(1 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+             AS repetition
+    FROM g
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetitious-text gate: per-document duplicate word-trigram
+    fraction (Gopher-style repetition rule).  Narrow projection, zero
+    shuffles; short docs yield one whole-text gram (repetition 0) per
+    the word_ngrams convention."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.text import (
+        repetition_ratio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_ratio(docs, "doc_id", "text", n=3)
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ),
+    freq AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
+    tot AS (SELECT SUM(cnt) AS total FROM freq)
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           ROUND(-SUM(ln(CAST(cnt AS DOUBLE) / total)) / COUNT(*), 6)
+             AS mean_neg_logprob
+    FROM words JOIN freq USING (word), tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score from a corpus-trained unigram LM:
+    mean -ln p(word) per document.  The LM "training" is one word-count
+    aggregation (vocabulary-bounded at any corpus size); scoring is an
+    equi-join on the word plus a per-document mean.  ln on identical
+    doubles may differ in the last ulp across engine libms, so the mean
+    is rounded to 6 decimals on both sides (the repo's ratio-rounding
+    convention)."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.text import (
+        unigram_logprob,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "doc_id", "text")
