@@ -937,3 +937,226 @@ def tpcds_q72_late_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_neg_supp"),
         )
     )
+
+
+@query(
+    "tpcds_q29_sale_return_resale",
+    oracle="""
+    SELECT s.l_partkey,
+           SUM(CAST(ROUND(s.l_quantity * 100) AS BIGINT)) / 100.0 AS sold_qty,
+           SUM(CAST(ROUND(r.l_quantity * 100) AS BIGINT)) / 100.0 AS ret_qty,
+           COUNT(*) AS n_pairs
+    FROM (SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+          WHERE l_returnflag = 'N') s
+    JOIN (SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+          WHERE l_returnflag = 'R') r
+      ON s.l_orderkey = r.l_orderkey AND s.l_partkey = r.l_partkey
+    GROUP BY s.l_partkey
+    """,
+)
+def tpcds_q29_sale_return_resale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q29 shape: the same fact joined to itself in two role slices
+    (sold vs returned lines of the same order+part), quantities compared
+    per item — DS's sale->return->re-sale chain with the fixture's two
+    return-flag roles.  The self-join keys on (orderkey, partkey), so
+    both sides shuffle once on the same compound key; AQE handles the
+    skewed popular parts."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.filter(F.col("l_returnflag") == "N").select(
+        F.col("l_orderkey").alias("s_ok"),
+        F.col("l_partkey").alias("s_pk"),
+        _cents("l_quantity").alias("s_qc"),
+    )
+    r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("r_ok"),
+        F.col("l_partkey").alias("r_pk"),
+        _cents("l_quantity").alias("r_qc"),
+    )
+    return (
+        s.join(r, (F.col("s_ok") == F.col("r_ok")) & (F.col("s_pk") == F.col("r_pk")))
+        .groupBy(F.col("s_pk").alias("l_partkey"))
+        .agg(
+            (F.sum("s_qc") / 100.0).alias("sold_qty"),
+            (F.sum("r_qc") / 100.0).alias("ret_qty"),
+            F.count("*").alias("n_pairs"),
+        )
+    )
+
+
+@query(
+    "tpcds_q62_transit_band_matrix",
+    oracle="""
+    SELECT o_orderpriority, l_linestatus,
+           SUM(CASE WHEN d <= 30 THEN 1 ELSE 0 END) AS d30,
+           SUM(CASE WHEN d > 30 AND d <= 60 THEN 1 ELSE 0 END) AS d60,
+           SUM(CASE WHEN d > 60 AND d <= 90 THEN 1 ELSE 0 END) AS d90,
+           SUM(CASE WHEN d > 90 THEN 1 ELSE 0 END) AS d_over
+    FROM (SELECT o_orderpriority, l_linestatus,
+                 date_diff('day', o_orderdate, l_shipdate) AS d
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
+    GROUP BY o_orderpriority, l_linestatus
+    """,
+)
+def tpcds_q62_transit_band_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q62/q99 shape: shipping-latency day-bands as columns, reported per
+    TWO dimension attributes (DS: warehouse x ship mode) — unlike q50's
+    single-dimension pivot, the band matrix here keys on a compound
+    (priority, linestatus) pair.  One fact-fact join, one groupBy; the
+    day difference is integer arithmetic on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        "l_linestatus",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("d"),
+    )
+    z = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+
+    def band(pred, name: str) -> F.Column:
+        return F.sum(F.when(pred, one).otherwise(z)).alias(name)
+
+    d = F.col("d")
+    return base.groupBy("o_orderpriority", "l_linestatus").agg(
+        band(d <= 30, "d30"),
+        band((d > 30) & (d <= 60), "d60"),
+        band((d > 60) & (d <= 90), "d90"),
+        band(d > 90, "d_over"),
+    )
+
+
+@query(
+    "tpcds_q74_quarterly_growth",
+    oracle="""
+    WITH q AS (
+      SELECT o_custkey,
+             EXTRACT(YEAR FROM o_orderdate) AS y,
+             EXTRACT(QUARTER FROM o_orderdate) AS qtr,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+      FROM orders
+      WHERE EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)
+        AND EXTRACT(QUARTER FROM o_orderdate) = 1
+      GROUP BY o_custkey, EXTRACT(YEAR FROM o_orderdate),
+               EXTRACT(QUARTER FROM o_orderdate)
+    )
+    SELECT cur.o_custkey, prev.c / 100.0 AS q1_1996, cur.c / 100.0 AS q1_1997
+    FROM q cur JOIN q prev
+      ON cur.o_custkey = prev.o_custkey AND cur.y = 1997 AND prev.y = 1996
+    WHERE cur.c * 10 > prev.c * 15
+    """,
+)
+def tpcds_q74_quarterly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q74 shape: q11's year-over-year growth at QUARTER grain — the
+    period key is (year, quarter) and the growth bar is a 1.5x cross-
+    multiplied integer compare, so the self-join aligns same-quarter
+    slices of adjacent years on the pre-aggregated per-customer rows."""
+    o = _t(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    q = (
+        o.filter(y.isin(1996, 1997) & (F.quarter("o_orderdate") == 1))
+        .groupBy(
+            "o_custkey", y.alias("y"), F.quarter("o_orderdate").alias("qtr")
+        )
+        .agg(F.sum(_cents("o_totalprice")).alias("c"))
+    )
+    cur = q.filter(F.col("y") == 1997).select(
+        "o_custkey", F.col("c").alias("c97")
+    )
+    prev = q.filter(F.col("y") == 1996).select(
+        "o_custkey", F.col("c").alias("c96")
+    )
+    return (
+        cur.join(prev, "o_custkey")
+        .filter(F.col("c97") * 10 > F.col("c96") * 15)
+        .select(
+            "o_custkey",
+            (F.col("c96") / 100.0).alias("q1_1996"),
+            (F.col("c97") / 100.0).alias("q1_1997"),
+        )
+    )
+
+
+@query(
+    "tpcds_q77_channel_net_rollup",
+    oracle="""
+    SELECT o_orderpriority,
+           SUM(CASE WHEN l_returnflag <> 'R' THEN cents ELSE 0 END) / 100.0
+             AS gross,
+           SUM(CASE WHEN l_returnflag = 'R' THEN cents ELSE 0 END) / 100.0
+             AS returned,
+           SUM(CASE WHEN l_returnflag <> 'R' THEN cents ELSE -cents END)
+             / 100.0 AS net
+    FROM (SELECT o_orderpriority, l_returnflag,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
+    GROUP BY ROLLUP(o_orderpriority)
+    """,
+)
+def tpcds_q77_channel_net_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q77/q80 shape: per-channel gross, returns, and RETURNS-NETTED
+    revenue with a channel rollup total row — q5 reports sales only;
+    the netting (gross minus returned in one signed conditional sum)
+    is what q77 adds.  One fact join, one Expand aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        "l_returnflag",
+        _cents("l_extendedprice").alias("cents"),
+    )
+    z = F.lit(0).cast("long")
+    is_ret = F.col("l_returnflag") == "R"
+    return base.rollup("o_orderpriority").agg(
+        (F.sum(F.when(~is_ret, F.col("cents")).otherwise(z)) / 100.0).alias("gross"),
+        (F.sum(F.when(is_ret, F.col("cents")).otherwise(z)) / 100.0).alias("returned"),
+        (
+            F.sum(F.when(~is_ret, F.col("cents")).otherwise(-F.col("cents"))) / 100.0
+        ).alias("net"),
+    )
+
+
+@query(
+    "tpcds_q94_dated_semi_anti",
+    oracle="""
+    SELECT COUNT(*) AS n_orders,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l1
+                  WHERE l1.l_orderkey = o.o_orderkey
+                    AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = o.o_orderkey
+                        AND l2.l_returnflag = 'R')
+    """,
+)
+def tpcds_q94_dated_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q94/q95 shape: orders in a date window with a correlated EXISTS
+    whose predicate compares columns ACROSS the outer and inner fact
+    (shipped >30 days after the order date) and a NOT EXISTS excluding
+    returns — q16's semi+anti with the dated cross-fact correlation
+    added.  The cross-column predicate forces the semi join to carry
+    o_orderdate through the join rather than pre-filtering lineitem."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.select("l_orderkey", "l_shipdate")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(
+            late,
+            (o.o_orderkey == late.l_orderkey)
+            & (
+                late.l_shipdate
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+            ),
+            "left_semi",
+        )
+        .join(returned, o.o_orderkey == returned.l_orderkey, "left_anti")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(_cents("o_totalprice")) / 100.0).alias("total"),
+        )
+    )
