@@ -124,3 +124,43 @@ def join_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         region, nation, ["r_regionkey"], ["n_nationkey"], how="full"
     )
     return out.select("r_name", "n_name")
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           ROUND(p.value, 4) AS next_purchase_value,
+           p.ts AS next_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts <= p.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward ASOF (physical_asof_join.cpp comparison variants): for
+    each click, the EARLIEST purchase at-or-after it per user — the
+    direction='forward' path of the engine's asof_join (same union +
+    key-partitioned window plan, reversed ordering)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["value"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("next_purchase_value"),
+        F.col("ts_right").alias("next_purchase_ts"),
+    )
