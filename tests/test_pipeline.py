@@ -312,3 +312,38 @@ def test_mix_rates_and_budget_semantics(spark):
     )
     per = {r.source: r.n for r in sel.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert per == {"a": 3, "b": 3}  # 3×100 ≤ 350 < 4×100
+
+
+def test_pipeline_ops_preserve_schema_on_empty_input(spark, sf_dir):
+    """Empty-input path: every text-pipeline operator must keep its output
+    schema and return zero rows (no div-by-zero, no lost columns) when the
+    gate upstream filters everything out."""
+    from pyspark.sql import functions as F
+
+    from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+    from data_chunk_compaction_in_duckdb_spark.pipeline.dedup import (
+        minhash_signatures,
+    )
+    from data_chunk_compaction_in_duckdb_spark.pipeline.text import (
+        ngram_contamination,
+        repetition_ratio,
+        unigram_logprob,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    empty = docs.filter(F.lit(False))
+
+    rep = repetition_ratio(empty, "doc_id", "text")
+    assert rep.columns == ["doc_id", "n_grams", "n_distinct", "repetition"]
+    assert rep.count() == 0
+
+    lp = unigram_logprob(empty, "doc_id", "text")
+    assert lp.columns == ["doc_id", "n_words", "mean_neg_logprob"]
+    assert lp.count() == 0
+
+    cont = ngram_contamination(empty, docs.limit(5), "doc_id", "text")
+    assert cont.columns == ["doc_id", "n_grams", "n_hit", "contamination"]
+    assert cont.count() == 0
+
+    sig = minhash_signatures(empty, "doc_id", "text")
+    assert sig.count() == 0 and sig.columns[0] == "doc_id"
