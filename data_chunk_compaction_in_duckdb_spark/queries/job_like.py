@@ -904,3 +904,122 @@ def job_like_exists_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("p_retailprice").alias("min_price"),
         )
     )
+
+
+@query(
+    "job_like_dense_transitive_star",
+    oracle="""
+    SELECT MIN(p_name) AS a_part, MIN(s_name) AS a_supplier,
+           MIN(c_name) AS a_customer, COUNT(*) AS n
+    FROM lineitem, orders, customer, supplier, part,
+         nation cn, nation sn, region cr, region sr, events
+    WHERE l_orderkey = o_orderkey
+      AND o_custkey = c_custkey
+      AND l_suppkey = s_suppkey
+      AND l_partkey = p_partkey
+      AND c_nationkey = cn.n_nationkey
+      AND s_nationkey = sn.n_nationkey
+      AND cn.n_regionkey = cr.r_regionkey
+      AND sn.n_regionkey = sr.r_regionkey
+      AND user_id = c_custkey
+      AND event_type = 'purchase'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND p_name LIKE '%a%'
+      AND p_size BETWEEN 5 AND 40
+      AND l_quantity > 25
+      AND cr.r_regionkey < 4
+    """,
+)
+def job_like_dense_transitive_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JOB 29a topology (queries/29a.sql: 17 relations, transitive
+    equi-closure over movie_id, point + IN + LIKE + BETWEEN filters, MIN
+    outputs) mapped to the fixture: 10 relations — fact, two bridges
+    (orders, events), four dimension roles across two tables — with the
+    canonical MIN() result row.  Catalyst prunes the redundant
+    transitive predicates; dimensions broadcast, the two fact bridges
+    shuffle on their own keys."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 25)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%a%") & F.col("p_size").between(5, 40)
+    )
+    cn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_reg")
+    )
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_regionkey").alias("sn_reg")
+    )
+    cr = load_table(spark, sf_dir, "region").filter(F.col("r_regionkey") < 4).select(
+        F.col("r_regionkey").alias("cr_key")
+    )
+    sr = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("sr_key")
+    )
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), sup.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cr), F.col("cn_reg") == F.col("cr_key"))
+        .join(F.broadcast(sr), F.col("sn_reg") == F.col("sr_key"))
+        .join(ev, cust.c_custkey == ev.user_id)
+        .agg(
+            F.min("p_name").alias("a_part"),
+            F.min("s_name").alias("a_supplier"),
+            F.min("c_name").alias("a_customer"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "job_like_linked_pair_subtrees",
+    oracle="""
+    SELECT c_custkey,
+           MIN(o1.o_totalprice) AS first_price,
+           MIN(o2.o_totalprice) AS second_price,
+           COUNT(*) AS n_pairs
+    FROM customer, orders o1, orders o2
+    WHERE o1.o_custkey = c_custkey
+      AND o2.o_custkey = c_custkey
+      AND o1.o_orderstatus = 'F'
+      AND o2.o_orderstatus = 'O'
+      AND o1.o_totalprice > o2.o_totalprice
+    GROUP BY c_custkey
+    """,
+)
+def job_like_linked_pair_subtrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JOB 33a topology (queries/33a.sql: movie_link joins TWO full
+    copies of the schema, with a cross-side comparison between the two
+    sides' ratings): two role slices of the same fact joined through the
+    shared hub (customer), plus the cross-side inequality
+    (o1.price > o2.price, 33a's mi_idx1 < mi_idx2 analog).  Both role
+    slices shuffle on custkey — one co-partitioned exchange each — and
+    the inequality filters inside the join stage."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders")
+    o1 = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k1"), F.col("o_totalprice").alias("p1")
+    )
+    o2 = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k2"), F.col("o_totalprice").alias("p2")
+    )
+    return (
+        cust.join(o1, cust.c_custkey == F.col("k1"))
+        .join(o2, (cust.c_custkey == F.col("k2")) & (F.col("p1") > F.col("p2")))
+        .groupBy("c_custkey")
+        .agg(
+            F.min("p1").alias("first_price"),
+            F.min("p2").alias("second_price"),
+            F.count("*").alias("n_pairs"),
+        )
+    )
