@@ -33,36 +33,69 @@ from data_chunk_compaction_in_duckdb_spark.compaction.profiler import (
 DEFAULT_TARGET_ROWS = 1_000_000
 
 
+#: The reference's compaction-strategy matrix (run_bench.py:38-100 runs
+#: one git branch per strategy over the same three suites).
+STRATEGIES = ("none", "logical", "full", "binary", "dynamic")
+
+
 def compact(
     df: DataFrame,
     target_rows: int = DEFAULT_TARGET_ROWS,
     skew_tolerance: float = 4.0,
     stats_sample: bool = True,
+    strategy: str = "dynamic",
 ) -> DataFrame:
     """Coalesce a fragmented DataFrame toward ``target_rows`` per
     partition.
 
-    Computes the partition histogram (one narrow JVM-side aggregation),
-    then:
+    ``strategy`` mirrors the reference's strategy matrix (one git branch
+    each, run_bench.py:38-100), mapped to Spark's two physical moves:
 
-    - already compact (mean ≥ half target, no heavy skew) → returned as-is
-      (the reference's pass-through when the chunk is ≥ threshold,
-      physical_operator.cpp:262-266);
-    - fragmented but balanced → ``coalesce`` to ``ceil(rows/target)``
-      partitions (logical compaction: no shuffle);
-    - skewed (max > skew_tolerance × mean) → ``repartition`` (full
-      compaction: one shuffle, restores balance for downstream ops).
+    - ``none``     (no_cpt): pass-through, never compact.
+    - ``logical``  (logical_cpt): always ``coalesce`` — merge partitions
+      by concatenating task inputs, no copy/shuffle (the dictionary-
+      slice concatenation analog, join_hashtable.cpp:513-565).
+    - ``full``     (full_cpt): always ``repartition`` — one shuffle,
+      rebalances skew (the copying-cache analog).
+    - ``binary``   (binary_cpt): all-or-nothing at the threshold —
+      fragmented means full compaction, otherwise pass-through.
+    - ``dynamic``  (dynamic_cpt, default): histogram heuristic — cheap
+      coalesce when fragmented-but-balanced, repartition only under
+      skew (max > skew_tolerance x mean).
+
+    The learning branch of the matrix is `CompactTuner` +
+    `run_stage_tuned` (integration.py): the bandit picks target_rows,
+    this function executes the move.
+
+    Computes the partition histogram (one narrow JVM-side aggregation)
+    first; already-compact inputs return as-is under every strategy but
+    ``full`` (the reference's pass-through when the chunk is >=
+    threshold, physical_operator.cpp:262-266).
 
     At 100 TB the histogram job is the same scan AQE already does for its
     runtime statistics; call compact() after selective filters/joins
     where AQE's stage boundary isn't available (mid-stage narrow chains).
     """
+    if strategy not in STRATEGIES:
+        raise ValueError(
+            f"strategy must be one of {STRATEGIES} (learning = CompactTuner"
+            " + run_stage_tuned)"
+        )
+    if strategy == "none":
+        return df
     hist = partition_histogram(df)
     if hist.n_rows == 0 or hist.n_partitions <= 1:
         return df
     needed = max(1, -(-hist.n_rows // target_rows))  # ceil
     if needed >= hist.n_partitions:
         return df  # nothing to merge
+    if strategy == "logical":
+        return df.coalesce(needed)
+    if strategy == "full":
+        return df.repartition(needed)
+    if strategy == "binary":
+        fragmented = hist.mean_rows < target_rows / 2
+        return df.repartition(needed) if fragmented else df
     skewed = hist.max_rows > skew_tolerance * max(hist.mean_rows, 1.0)
     if skewed:
         return df.repartition(needed)

@@ -126,3 +126,33 @@ def test_fragmentation_report_flags_selective_join(spark, sf_dir):
     keep_all = li.join(o, li.l_orderkey == o.o_orderkey)
     rep2 = fragmentation_report(keep_all.select("l_quantity"))
     assert len(rep2) == 1 and rep2[0]["fragmenting"] is False
+
+
+def test_compact_strategy_matrix(spark):
+    """The reference's strategy matrix (no/logical/full/binary/dynamic,
+    run_bench.py:38-100) maps to distinct physical moves on a fragmented
+    input."""
+    import pytest as _pytest
+
+    from data_chunk_compaction_in_duckdb_spark.compaction import compact
+
+    frag = spark.range(0, 10_000).repartition(64)  # ~156 rows/partition
+
+    assert compact(frag, target_rows=5_000, strategy="none") is frag
+
+    logical = compact(frag, target_rows=5_000, strategy="logical")
+    assert logical.rdd.getNumPartitions() == 2
+
+    full = compact(frag, target_rows=5_000, strategy="full")
+    assert full.rdd.getNumPartitions() == 2
+
+    binary = compact(frag, target_rows=5_000, strategy="binary")
+    assert binary.rdd.getNumPartitions() == 2
+
+    # already-compact input passes through under binary and dynamic
+    ok = spark.range(0, 10_000).repartition(2)
+    assert compact(ok, target_rows=5_000, strategy="binary").rdd.getNumPartitions() == 2
+    assert compact(ok, target_rows=5_000, strategy="dynamic").rdd.getNumPartitions() == 2
+
+    with _pytest.raises(ValueError):
+        compact(frag, strategy="learning")
