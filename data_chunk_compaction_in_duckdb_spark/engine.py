@@ -162,5 +162,38 @@ class Engine:
             )
         self.spark.conf.set(key, str(value))
 
+    def create_index(
+        self,
+        table: str,
+        columns: list[str] | str,
+        path: str,
+        n_buckets: int = 32,
+    ) -> None:
+        """CREATE INDEX analog (reference `CREATE INDEX ... ON t(cols)`,
+        ART index, src/execution/index/art/).  Spark has no row-level
+        index; the engine-native acceleration with the same effect on
+        the reference's two index uses is a hash-bucketed, sorted
+        persistent copy of the table keyed on the indexed columns:
+
+        - INDEX_JOIN: joins between tables bucketed on the same key run
+          with zero join-side exchanges (physical_hash_join.cpp's
+          co-located build, made durable).
+        - point/range lookup: bucket pruning + per-file min/max on the
+          sort column skip irrelevant buckets at scan time.
+
+        The registered view for ``table`` is replaced by the indexed
+        copy, so subsequent `sql()`/`table()` calls use it transparently
+        (the reference's planner picks the ART plan the same way).
+        """
+        from data_chunk_compaction_in_duckdb_spark.sources import (
+            write_bucketed,
+        )
+
+        df = self.table(table)
+        write_bucketed(df, f"{table}_idx", path, columns, n_buckets=n_buckets)
+        indexed = self.spark.table(f"{table}_idx")
+        indexed.createOrReplaceTempView(table)
+        self.tables[table] = indexed
+
     def close(self) -> None:
         self.spark.stop()

@@ -119,3 +119,36 @@ def test_engine_pragma_mapping(spark, sf_dir):
             eng.pragma("memory_limit", "1GB")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_create_index_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
+    """CREATE INDEX analog: after indexing orders and lineitem on the
+    join key, their join must run with no join-side exchange (the ART
+    INDEX_JOIN parity), and point lookups still answer correctly."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+    from data_chunk_compaction_in_duckdb_spark.plans import count_exchanges
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    try:
+        eng.create_index("orders", "o_orderkey", str(tmp_path / "o_idx"), n_buckets=4)
+        eng.create_index(
+            "lineitem", "l_orderkey", str(tmp_path / "l_idx"), n_buckets=4
+        )
+        joined = eng.sql(
+            "SELECT count(*) AS n FROM lineitem JOIN orders"
+            " ON l_orderkey = o_orderkey"
+        )
+        # aggregation may exchange; the join itself must not
+        assert count_exchanges(joined) <= 1
+        n = joined.first()["n"]
+        assert n > 0
+
+        point = eng.sql(
+            "SELECT count(*) AS n FROM orders WHERE o_orderkey = 7"
+        ).first()["n"]
+        assert point in (0, 1)
+    finally:
+        # restore the plain views for other tests sharing the session
+        import data_chunk_compaction_in_duckdb_spark.catalog as _c
+
+        _c.register_views(spark, sf_dir)
