@@ -309,3 +309,67 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_logprob(docs, "doc_id", "text")
+
+
+@query(
+    "sample_stratified_per_source",
+    oracle="""
+    SELECT source, doc_id
+    FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) t
+    WHERE rn <= 50
+    """,
+)
+def sample_stratified_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: exactly N documents per source, chosen by
+    deterministic hash order (md5 of the id) so the sample is stable
+    across runs and engines — the per-domain quota step of a corpus
+    build.  The window partitions on source (source-bounded fan-in);
+    nothing global orders, so the plan scales with the widest single
+    source, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+        .select("source", "doc_id")
+    )
+
+
+@query(
+    "curriculum_quality_tiers",
+    oracle="""
+    SELECT source, tier, COUNT(*) AS n_docs,
+           SUM(n_chars) AS tier_chars
+    FROM (
+      SELECT source, n_chars,
+             NTILE(4) OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+               AS tier
+      FROM documents
+    ) t
+    GROUP BY source, tier
+    """,
+)
+def curriculum_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: each source's documents split into 4
+    difficulty tiers by a quality proxy (length here; any scored column
+    works), with per-tier token mass — the schedule a curriculum-
+    training data loader consumes.  NTILE runs per source (partitioned
+    window, deterministic tie-break on doc_id), then one small groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        docs.select("source", "n_chars", F.ntile(4).over(w).alias("tier"))
+        .groupBy("source", "tier")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("tier_chars"),
+        )
+    )
