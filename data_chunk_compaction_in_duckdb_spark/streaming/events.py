@@ -277,3 +277,49 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _win_start_ntz("p_ts").alias("purchase_ts"),
         F.col("p_value").alias("purchase_value"),
     )
+
+
+def streaming_upsert_sink(
+    spark: SparkSession, sf_dir: str, state_path: str
+) -> None:
+    """foreachBatch upsert sink — the production pattern for maintaining
+    a keyed state table from a stream (stream -> per-batch aggregate ->
+    MERGE into the sink; with Delta/Iceberg the merge is the table
+    format's MERGE INTO, here the dependency-free parquet swap).
+
+    Each micro-batch aggregates per user, merges with the current state
+    by summing counts/totals (associative, so batch boundaries never
+    change the result), and atomically swaps the state table via a tmp
+    path (read-modify-overwrite of the same path would race the scan).
+    Synchronous (processAllAvailable) for tests; identical graph runs
+    against Kafka + checkpoint on a cluster."""
+    from py4j.protocol import Py4JJavaError
+
+    ev = _event_stream(spark, sf_dir)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("value").alias("total")
+        )
+        try:
+            cur = spark.read.parquet(state_path)
+            merged = (
+                cur.unionByName(agg)
+                .groupBy("user_id")
+                .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+            )
+        except Exception:  # noqa: BLE001 — first batch: no state yet
+            merged = agg
+        tmp = state_path + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
+
+    q = (
+        ev.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", state_path + "_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

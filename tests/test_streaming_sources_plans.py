@@ -468,3 +468,28 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir):
     want = sorted(tuple(r) for r in batch.collect())
     assert len(got) > 0
     assert got == want
+
+
+def test_streaming_upsert_sink_matches_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch-maintained state table must equal the batch
+    per-user aggregate regardless of micro-batch boundaries."""
+    from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+    from data_chunk_compaction_in_duckdb_spark.streaming.events import (
+        streaming_upsert_sink,
+    )
+    from pyspark.sql import functions as F
+
+    state = str(tmp_path / "user_state")
+    streaming_upsert_sink(spark, sf_dir, state)
+    got = {
+        r["user_id"]: (r["n"], round(r["total"], 6))
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["total"], 6))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
