@@ -157,8 +157,16 @@ def _global_row_number(
     window anywhere; the only driver-independent sync is the tiny
     per-partition count table."""
     cols = [F.col(c) for c in order]
-    d = df.repartitionByRange(partitions, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    d = (
+        df.repartitionByRange(partitions, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        # REQUIRED for correctness: the numbering window and the
+        # per-partition count table both consume this subtree; without
+        # materialization each job re-executes repartitionByRange and the
+        # runtime _pid assignment need not agree across jobs, so offsets
+        # would belong to a different partitioning than the local row
+        # numbers (the win_frame_range_value sf0.1 divergence).
+        .persist()
     )
     wloc = Window.partitionBy("_pid").orderBy(*cols)
     d = d.withColumn("_lrn", F.row_number().over(wloc))

@@ -224,6 +224,14 @@ def win_frame_range_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hi)
         .repartitionByRange(32, "sv", "kind")
         .withColumn("pid", F.spark_partition_id())
+        # REQUIRED for correctness, not a perf cache: lcum (window) and
+        # the per-partition totals both consume this subtree, and without
+        # materialization each job re-executes repartitionByRange, whose
+        # runtime pid assignment need not match across jobs — offsets
+        # then belong to a different partitioning than the local cumsums
+        # (observed at sf0.1: every row wrong by ~1-3%).  Persisting pins
+        # one partitioning; the stream is 3n narrow rows, spill-safe.
+        .persist()
     )
     is_row = F.when(F.col("kind") == 0, F.lit(1)).otherwise(F.lit(0))
     wloc = (

@@ -43,8 +43,14 @@ BUDGETS = {
     # distributed prefix-sum shapes: several exchanges, but each moves
     # either the linear data once (repartitionByRange / pid hash) or a
     # bounded per-partition table (offsets); nothing single-tasks the data
-    "win_frame_range_value": 6,
-    "join_positional": 12,
+    # Both prefix-sum shapes persist their range-partitioned stream (a
+    # correctness requirement: spark_partition_id must be pinned to ONE
+    # materialized partitioning).  When the cache is already populated
+    # (earlier test touched the same subtree) the static plan counts the
+    # cached child's exchanges once per consumer instead of deduping via
+    # ReuseExchange, so budgets cover the cached-plan count.
+    "win_frame_range_value": 8,
+    "join_positional": 16,
     # round-2 additions
     "tpcds_q70_rank_pruned_rollup": 6,  # natrev subtree appears twice in
     # the static plan (3 exchanges each); runtime dedupes via
