@@ -208,7 +208,7 @@ def fn_datetime_parts_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
            (p_partkey >> 4) & 1 AS bit4,
            decode(unhex(hex(encode(p_name)))) AS hex_rt,
            decode(from_base64(to_base64(encode(p_name)))) AS b64_rt,
-           ends_with(p_type, 'STEEL') AS is_steel,
+           ends_with(p_type, 'ARD') AS is_standard,
            unicode(p_name) AS first_cp
     FROM part WHERE p_partkey <= 200
     """,
@@ -233,7 +233,7 @@ def fn_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "decode(unbase64(base64(encode(p_name, 'UTF-8'))), 'UTF-8')"
         ).alias("b64_rt"),
-        F.expr("endswith(p_type, 'STEEL')").alias("is_steel"),
+        F.expr("endswith(p_type, 'ARD')").alias("is_standard"),
         F.ascii("p_name").alias("first_cp"),
     )
 

@@ -179,8 +179,8 @@ def job_like_funnel_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN nation   ON s_nationkey = n_nationkey
-    WHERE p_type LIKE '%BRASS' AND o_orderpriority LIKE '1-%'
-      AND n_name LIKE 'U%' AND s_name NOT LIKE '%9%'
+    WHERE p_type LIKE '%DARD' AND o_orderpriority LIKE '1-%'
+      AND n_name LIKE 'NATION_1%' AND s_name NOT LIKE '%9%'
     """,
 )
 def job_like_min_agg_star(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,14 +190,16 @@ def job_like_min_agg_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan is fact-scan + three broadcast hash joins + a single-row partial
     aggregate — no fact-side shuffle at any scale."""
     li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_type").like("%BRASS"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type").like("%DARD"))
     s = load_table(spark, sf_dir, "supplier").filter(
         ~F.col("s_name").like("%9%")
     )
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority").like("1-%")
     )
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").like("U%"))
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").like("NATION_1%")
+    )
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -335,8 +337,8 @@ def job_like_cyclic_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN part     ON l_partkey = p_partkey
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
-    WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33', 'Brand#44')
-      AND n_name IN ('FRANCE', 'GERMANY', 'ROMANIA', 'RUSSIA')
+    WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#3', 'Brand#24')
+      AND n_name IN ('NATION_5', 'NATION_6', 'NATION_14', 'NATION_21')
       AND l_quantity BETWEEN 5 AND 45
     """,
 )
@@ -348,11 +350,11 @@ def job_like_in_list_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").between(5, 45)
     )
     p = load_table(spark, sf_dir, "part").filter(
-        F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33", "Brand#44")
+        F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#3", "Brand#24")
     )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(
-        F.col("n_name").isin("FRANCE", "GERMANY", "ROMANIA", "RUSSIA")
+        F.col("n_name").isin("NATION_5", "NATION_6", "NATION_14", "NATION_21")
     )
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
@@ -469,7 +471,7 @@ def job_like_anti_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier ON l_suppkey = s_suppkey
     WHERE (p_name LIKE '%ol%' OR p_name LIKE '%gre%' OR p_name LIKE 'sm%')
       AND s_name LIKE 'Supplier#00000%'
-      AND p_type NOT LIKE '%COPPER%'
+      AND p_type NOT LIKE '%LARGE%'
     """,
 )
 def job_like_like_or_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,7 +485,7 @@ def job_like_like_or_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             | F.col("p_name").like("%gre%")
             | F.col("p_name").like("sm%")
         )
-        & ~F.col("p_type").like("%COPPER%")
+        & ~F.col("p_type").like("%LARGE%")
     )
     s = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_name").like("Supplier#00000%")
@@ -544,7 +546,7 @@ def job_like_dim_cross_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer ON o_custkey = c_custkey
     JOIN part     ON l_partkey = p_partkey
     JOIN nation   ON c_nationkey = n_nationkey
-    WHERE p_brand = 'Brand#33' AND n_name = 'UNITED STATES'
+    WHERE p_brand = 'Brand#3' AND n_name = 'NATION_7'
     """,
 )
 def job_like_dim_only_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -554,9 +556,9 @@ def job_like_dim_only_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#33")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     n = load_table(spark, sf_dir, "nation").filter(
-        F.col("n_name") == "UNITED STATES"
+        F.col("n_name") == "NATION_7"
     )
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
@@ -579,7 +581,7 @@ def job_like_dim_only_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
     JOIN orders   ON l_orderkey = o_orderkey
-    WHERE n_name LIKE 'C%' AND l_shipdate >= DATE '1995-01-01'
+    WHERE n_name LIKE 'NATION_2%' AND l_shipdate >= DATE '1995-01-01'
       AND o_totalprice > 50000
     GROUP BY o_orderpriority
     """,
@@ -594,7 +596,9 @@ def job_like_fact_dim_fact_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") >= "1995-01-01"
     )
     s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").like("C%"))
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").like("NATION_2%")
+    )
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000)
     return (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -612,7 +616,7 @@ def job_like_fact_dim_fact_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e
     JOIN customer ON e.user_id = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
-    WHERE n_name IN ('CHINA', 'INDIA', 'JAPAN') AND e.value > 50
+    WHERE n_name IN ('NATION_3', 'NATION_11', 'NATION_19') AND e.value > 50
     GROUP BY e.event_type
     """,
 )
@@ -623,7 +627,7 @@ def job_like_events_fact_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("value") > 50)
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation").filter(
-        F.col("n_name").isin("CHINA", "INDIA", "JAPAN")
+        F.col("n_name").isin("NATION_3", "NATION_11", "NATION_19")
     )
     return (
         e.join(c, e.user_id == c.c_custkey)
@@ -646,7 +650,7 @@ def job_like_events_fact_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
     WHERE e.event_type = 'purchase' AND p_size > 45
-      AND n_name LIKE 'E%'
+      AND n_name LIKE 'NATION_1%'
     """,
 )
 def job_like_long_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -664,7 +668,9 @@ def job_like_long_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 45)
     s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").like("E%"))
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").like("NATION_1%")
+    )
     return (
         e.join(c, e.user_id == c.c_custkey)
         .join(o, F.col("o_custkey") == c.c_custkey)
@@ -688,7 +694,7 @@ def job_like_long_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN part     ON l_partkey = p_partkey
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
-    WHERE p_size < 5 OR n_name = 'JAPAN'
+    WHERE p_size < 5 OR n_name = 'NATION_9'
     """,
 )
 def job_like_disjunctive_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -704,7 +710,7 @@ def job_like_disjunctive_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .filter((F.col("p_size") < 5) | (F.col("n_name") == "JAPAN"))
+        .filter((F.col("p_size") < 5) | (F.col("n_name") == "NATION_9"))
         .agg(
             F.count("*").alias("n"),
             F.min("p_name").alias("min_part"),
@@ -721,8 +727,8 @@ def job_like_disjunctive_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN part     ON l_partkey = p_partkey
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
-    WHERE p_type NOT LIKE '%BRASS%' AND p_type NOT LIKE '%COPPER%'
-      AND n_name <> 'FRANCE' AND n_name <> 'GERMANY'
+    WHERE p_type NOT LIKE '%SMALL%' AND p_type NOT LIKE '%PROMO%'
+      AND n_name <> 'NATION_5' AND n_name <> 'NATION_6'
       AND l_returnflag <> 'R'
     """,
 )
@@ -733,11 +739,11 @@ def job_like_negated_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bounded relations, not because the filter shrinks them."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") != "R")
     p = load_table(spark, sf_dir, "part").filter(
-        ~F.col("p_type").like("%BRASS%") & ~F.col("p_type").like("%COPPER%")
+        ~F.col("p_type").like("%SMALL%") & ~F.col("p_type").like("%PROMO%")
     )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(
-        (F.col("n_name") != "FRANCE") & (F.col("n_name") != "GERMANY")
+        (F.col("n_name") != "NATION_5") & (F.col("n_name") != "NATION_6")
     )
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))

@@ -184,15 +184,18 @@ def _register_inlist_variant(
 # JOB a/b/c/d files drift (tighter region, looser size, different LIKE).
 _register_snowflake_variant("b", "EUROPE", ["ASIA"], 40, "O")
 _register_snowflake_variant("c", "AMERICA", ["AFRICA", "ASIA"], 15, "F")
-_register_star_variant("b", "%STEEL", "F%", "2-%")
+_register_star_variant("b", "STAND%", "NATION_1%", "2-%")
 _register_star_variant("c", "PROMO%", "%A%", "%")
 _register_snowflake_variant("d", "ASIA", ["EUROPE", "AMERICA", "AFRICA"], 50, "P")
-_register_star_variant("d", "%COPPER", "%N%", "5-%")
-_register_inlist_variant("b", ["Brand#12", "Brand#23"], ["BRAZIL", "CANADA"], 1, 25)
+_register_star_variant("d", "ECONO%", "%2%", "5-%")
 _register_inlist_variant(
-    "c", ["Brand#55", "Brand#44", "Brand#31"], ["KENYA", "PERU", "CHINA"], 30, 50
+    "b", ["Brand#12", "Brand#23"], ["NATION_3", "NATION_7"], 1, 25
 )
 _register_inlist_variant(
-    "d", ["Brand#13", "Brand#42", "Brand#34", "Brand#25"],
-    ["UNITED STATES", "UNITED KINGDOM", "INDIA", "IRAN"], 10, 40,
+    "c", ["Brand#5", "Brand#14", "Brand#21"],
+    ["NATION_10", "NATION_15", "NATION_20"], 30, 50,
+)
+_register_inlist_variant(
+    "d", ["Brand#13", "Brand#22", "Brand#24", "Brand#25"],
+    ["NATION_2", "NATION_4", "NATION_11", "NATION_19"], 10, 40,
 )

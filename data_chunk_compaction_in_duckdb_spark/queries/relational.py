@@ -777,14 +777,16 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey AS nkey FROM customer
     EXCEPT
-    SELECT s_nationkey AS nkey FROM supplier
+    SELECT s_nationkey AS nkey FROM supplier WHERE s_nationkey < 20
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT — planned as ANTI join over all columns
-    (plan_set_operation.cpp:25-39)."""
+    (plan_set_operation.cpp:25-39).  The right side is key-bounded so
+    the difference is non-empty (every nation has suppliers in this
+    fixture; an unrestricted EXCEPT verified only the empty case)."""
     cust = _t(spark, sf_dir, "customer")
-    supp = _t(spark, sf_dir, "supplier")
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 20)
     return cust.select(F.col("c_nationkey").alias("nkey")).subtract(
         supp.select(F.col("s_nationkey").alias("nkey"))
     )

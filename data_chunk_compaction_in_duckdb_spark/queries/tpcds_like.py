@@ -956,39 +956,49 @@ def tpcds_q49_topn_union_channels(spark: SparkSession, sf_dir: str) -> DataFrame
     "tpcds_q21_before_after",
     oracle="""
     SELECT p_brand,
-           CAST(SUM(CASE WHEN l_shipdate <  DATE '1995-06-01'
+           CAST(SUM(CASE WHEN l_shipdate <  DATE '1998-07-01'
                          THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
              AS qty_before,
-           CAST(SUM(CASE WHEN l_shipdate >= DATE '1995-06-01'
+           CAST(SUM(CASE WHEN l_shipdate >= DATE '1998-07-01'
                          THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
              AS qty_after
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_size > 40
     GROUP BY p_brand
-    HAVING SUM(CASE WHEN l_shipdate <  DATE '1995-06-01'
+    HAVING SUM(CASE WHEN l_shipdate <  DATE '1998-07-01'
+                    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) * 3
+         > SUM(CASE WHEN l_shipdate >= DATE '1998-07-01'
                     THEN CAST(l_quantity AS BIGINT) ELSE 0 END) * 2
-         > SUM(CASE WHEN l_shipdate >= DATE '1995-06-01'
-                    THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+       AND SUM(CASE WHEN l_shipdate <  DATE '1998-07-01'
+                    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) * 2
+         < SUM(CASE WHEN l_shipdate >= DATE '1998-07-01'
+                    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) * 3
     """,
 )
 def tpcds_q21_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q21 shape: before/after pivot around a date with a HAVING ratio
-    band — the ratio stays in exact integer cross-multiplied form
-    (before*2 > after), no float boundary anywhere."""
+    """q21 shape: before/after pivot around a date, keeping brands whose
+    ratio stays within (2/3, 3/2) — DS q21's band, in exact integer
+    cross-multiplied form, no float boundary anywhere.  (Pivot
+    1998-07-01 splits the fixture's 1995-2001 shipdate range near its
+    middle; the round-1 pivot of 1995-06-01 left the before leg ~5
+    months vs 6.5 years and the band empty.)"""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") > 40)
     qty = F.col("l_quantity").cast("long")
     before = F.sum(
-        F.when(F.col("l_shipdate") < "1995-06-01", qty).otherwise(F.lit(0))
+        F.when(F.col("l_shipdate") < "1998-07-01", qty).otherwise(F.lit(0))
     )
     after = F.sum(
-        F.when(F.col("l_shipdate") >= "1995-06-01", qty).otherwise(F.lit(0))
+        F.when(F.col("l_shipdate") >= "1998-07-01", qty).otherwise(F.lit(0))
     )
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(before.alias("qty_before"), after.alias("qty_after"))
-        .filter(F.col("qty_before") * 2 > F.col("qty_after"))
+        .filter(
+            (F.col("qty_before") * 3 > F.col("qty_after") * 2)
+            & (F.col("qty_before") * 2 < F.col("qty_after") * 3)
+        )
     )
 
 
@@ -1046,15 +1056,17 @@ def tpcds_q78_channel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN typed    ON l_partkey = p_partkey
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
-    WHERE p_retailprice > 1.2 * avg_price
+    WHERE p_retailprice > 1.03 * avg_price
     GROUP BY n_name
     """,
 )
 def tpcds_q6_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q6 shape: items priced above 1.2× their type's average (window
+    """q6 shape: items priced above 1.03x their type's average (window
     AVG inside the dimension), then fact joins count per nation.  The
     window runs over the part dimension only; the enriched dimension
-    broadcasts."""
+    broadcasts.  (DS uses 1.2x over a wide price domain; the fixture's
+    p_retailprice spans only 900..999.9, where 1.2x the mean exceeds the
+    max and returned nothing — 1.03x keeps the same shape selective.)"""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
@@ -1062,7 +1074,7 @@ def tpcds_q6_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("p_type")
     typed = (
         p.withColumn("avg_price", F.avg("p_retailprice").over(w))
-        .filter(F.col("p_retailprice") > 1.2 * F.col("avg_price"))
+        .filter(F.col("p_retailprice") > 1.03 * F.col("avg_price"))
         .select("p_partkey")
     )
     return (
@@ -1747,11 +1759,11 @@ def tpcds_q28_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT DISTINCT p_name FROM part
     WHERE p_size BETWEEN 1 AND 20 AND (
-      (p_type LIKE '%BRASS%' AND p_brand IN ('Brand#11', 'Brand#12', 'Brand#13')
+      (p_type LIKE '%LARGE%' AND p_brand IN ('Brand#11', 'Brand#12', 'Brand#13')
        AND p_size BETWEEN 1 AND 8) OR
-      (p_type LIKE '%COPPER%' AND p_brand IN ('Brand#21', 'Brand#22', 'Brand#23')
+      (p_type LIKE '%MEDIUM%' AND p_brand IN ('Brand#21', 'Brand#22', 'Brand#23')
        AND p_size BETWEEN 5 AND 15) OR
-      (p_type LIKE '%STEEL%' AND p_brand IN ('Brand#31', 'Brand#32', 'Brand#33')
+      (p_type LIKE '%STANDARD%' AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
        AND p_size BETWEEN 10 AND 20)
     )
     ORDER BY p_name LIMIT 100
@@ -1765,18 +1777,18 @@ def tpcds_q41_or_maze_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     push to parquet."""
     p = _t(spark, sf_dir, "part")
     arm1 = (
-        F.col("p_type").like("%BRASS%")
+        F.col("p_type").like("%LARGE%")
         & F.col("p_brand").isin("Brand#11", "Brand#12", "Brand#13")
         & F.col("p_size").between(1, 8)
     )
     arm2 = (
-        F.col("p_type").like("%COPPER%")
+        F.col("p_type").like("%MEDIUM%")
         & F.col("p_brand").isin("Brand#21", "Brand#22", "Brand#23")
         & F.col("p_size").between(5, 15)
     )
     arm3 = (
-        F.col("p_type").like("%STEEL%")
-        & F.col("p_brand").isin("Brand#31", "Brand#32", "Brand#33")
+        F.col("p_type").like("%STANDARD%")
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
         & F.col("p_size").between(10, 20)
     )
     return (

@@ -402,7 +402,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND l_quantity >= 1 AND l_quantity <= 21)
        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
            AND l_quantity >= 10 AND l_quantity <= 30)
-       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
            AND l_quantity >= 20 AND l_quantity <= 40)
     """,
 )
@@ -423,7 +423,7 @@ def tpch_q19_or_of_ands(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(10, 30)
     )
     c3 = (
-        (F.col("p_brand") == "Brand#34")
+        (F.col("p_brand") == "Brand#24")
         & F.col("p_size").between(1, 35)
         & F.col("l_quantity").between(20, 40)
     )
@@ -480,15 +480,22 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1998-01-01')
     GROUP BY c_nationkey
     """,
 )
 def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q22: above-average balances with no orders (scalar subquery +
-    anti-join)."""
+    """Q22: above-average balances with no RECENT orders (scalar
+    subquery + anti-join).  TPC-H's "no orders at all" predicate is
+    vacuous on this fixture (every customer has orders), so the anti
+    leg is date-bounded — same lost-customer semantics, non-empty
+    result."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1998-01-01"
+    )
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("_avg_bal")
     )
