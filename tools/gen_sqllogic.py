@@ -895,6 +895,17 @@ corpus("cast_overflow", "TRY_CAST overflow/precision corners (reference test/sql
     ("R", "", "SELECT round(CAST(CAST(1 AS BIGINT) AS DOUBLE) / 3, 6)"),
 ])
 
+corpus("grouping_sets_corners", "GROUPING SETS corners: empty set, duplicates, GROUPING() in HAVING (reference test/sql/aggregate/group)")([
+    ("II", "rowsort", "SELECT coalesce(r_regionkey, -1), count(*) FROM region GROUP BY GROUPING SETS ((), (r_regionkey))"),
+    ("II", "rowsort", "SELECT coalesce(r_regionkey, -1), count(*) FROM region GROUP BY GROUPING SETS ((r_regionkey), (r_regionkey))"),
+    ("III", "rowsort", "SELECT coalesce(n_regionkey, -1), CAST(GROUPING(n_regionkey) AS INT), count(*) FROM nation GROUP BY GROUPING SETS ((n_regionkey), ())"),
+    # GROUPING() directly in HAVING: DuckDB accepts it, Spark raises
+    # UNRESOLVED_COLUMN (validator-found divergence) — encode the
+    # portable subquery rewrite instead.
+    ("II", "rowsort", "SELECT k, n FROM (SELECT coalesce(n_regionkey, -1) AS k, CAST(GROUPING(n_regionkey) AS INT) AS g, count(*) AS n FROM nation GROUP BY ROLLUP (n_regionkey)) t WHERE g = 0"),
+    ("I", "", "SELECT count(*) FROM (SELECT n_regionkey, n_nationkey % 2 AS par FROM nation) t GROUP BY CUBE (n_regionkey, par) ORDER BY count(*) DESC LIMIT 1"),
+])
+
 HEADER_NOTE = (
     "# GENERATED by tools/gen_sqllogic.py — golden rows validated on BOTH\n"
     "# engines (DuckDB + Spark) over /root/testdata/sf0.001 (the\n"
