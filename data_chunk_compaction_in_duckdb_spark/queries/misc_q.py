@@ -414,3 +414,30 @@ def mutation_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("is_current"),
     )
     return closed.unionByName(opened).unionByName(kept)
+
+
+@query(
+    "scan_pyds_repeat",
+    oracle="""
+    SELECT CAST(g AS BIGINT) AS idx,
+           concat('row_', CAST(g % 7 AS VARCHAR)) AS tag
+    FROM generate_series(0, 499) t(g)
+    """,
+)
+def scan_pyds_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DataSource scan (Spark 4 pyspark.sql.datasource): the
+    repeat/generate_series-style table function implemented as a
+    registered source with real InputPartitions — a parallel generator
+    scan, not a driver-side createDataFrame (reference table-function
+    registry, src/function/table/).  500 rows over 5 partitions."""
+    from data_chunk_compaction_in_duckdb_spark.sources import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    return (
+        spark.read.format("repeat_rows")
+        .option("n", 500)
+        .option("partitions", 5)
+        .load()
+    )

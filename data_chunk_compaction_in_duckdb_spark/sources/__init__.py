@@ -18,3 +18,7 @@ from data_chunk_compaction_in_duckdb_spark.sources.summary import (  # noqa: F40
     import_database,
     summarize,
 )
+from data_chunk_compaction_in_duckdb_spark.sources.pydatasource import (  # noqa: F401
+    RepeatRowsDataSource,
+    register_python_sources,
+)

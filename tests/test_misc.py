@@ -54,3 +54,21 @@ def test_insert_into_appends(spark, sf_dir):
     out = insert_into(region, extra)
     assert out.count() == region.count() + 1
     assert out.filter(F.col("r_name") == "REGION_APPENDED").count() == 1
+
+
+def test_python_datasource_parallel_partitions(spark):
+    """The Python DataSource must plan real input partitions (parallel
+    generator scan), not a single-task collect."""
+    from data_chunk_compaction_in_duckdb_spark.sources import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    df = (
+        spark.read.format("repeat_rows")
+        .option("n", 100)
+        .option("partitions", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 100
