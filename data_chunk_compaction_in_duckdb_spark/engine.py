@@ -162,6 +162,18 @@ class Engine:
             )
         self.spark.conf.set(key, str(value))
 
+    def create_udtf(self, name: str, cls: type, return_type: str) -> None:
+        """Register a Python UDTF (Spark's table-function analog of the
+        reference's Connection::CreateTableFunction for row-generating
+        functions): the class's ``eval`` yields output rows, and the
+        function becomes SQL-callable both standalone
+        (``SELECT * FROM f(x)``) and correlated via ``LATERAL f(t.col)``
+        — the TABLE IN-OUT operator surface (§2.2) in the modern API.
+        Rows stream Arrow-batched per partition; no driver round-trip."""
+        from pyspark.sql.functions import udtf as _udtf
+
+        self.spark.udtf.register(name, _udtf(cls, returnType=return_type))
+
     def create_index(
         self,
         table: str,

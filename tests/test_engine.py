@@ -152,3 +152,30 @@ def test_create_index_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
         import data_chunk_compaction_in_duckdb_spark.catalog as _c
 
         _c.register_views(spark, sf_dir)
+
+
+def test_create_udtf_standalone_and_lateral(spark, sf_dir):
+    """Python UDTF: SQL-callable standalone and correlated (LATERAL),
+    the §2.2 TABLE IN-OUT surface through the modern API."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield (w, i)
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.create_udtf("split_words_t", SplitWords, "word STRING, pos INT")
+
+    rows = eng.sql("SELECT * FROM split_words_t('alpha beta')").collect()
+    assert [(r.word, r.pos) for r in rows] == [("alpha", 0), ("beta", 1)]
+
+    lat = eng.sql(
+        "SELECT count(*) AS n FROM documents d,"
+        " LATERAL split_words_t(d.text) w WHERE d.doc_id < 10"
+    ).first()["n"]
+    plain = eng.sql(
+        "SELECT sum(size(split(trim(text), '\\\\s+'))) AS n"
+        " FROM documents WHERE doc_id < 10"
+    ).first()["n"]
+    assert lat == plain and lat > 0
