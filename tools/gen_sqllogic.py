@@ -906,6 +906,19 @@ corpus("grouping_sets_corners", "GROUPING SETS corners: empty set, duplicates, G
     ("I", "", "SELECT count(*) FROM (SELECT n_regionkey, n_nationkey % 2 AS par FROM nation) t GROUP BY CUBE (n_regionkey, par) ORDER BY count(*) DESC LIMIT 1"),
 ])
 
+corpus("window_desc_frames", "Frames over DESC ordering (reference test/sql/window)")([
+    ("II", "", "SELECT n_nationkey, CAST(sum(n_nationkey) OVER (ORDER BY n_nationkey DESC ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) FROM nation ORDER BY n_nationkey LIMIT 8"),
+    ("II", "", "SELECT n_nationkey, CAST(count(*) OVER (ORDER BY n_nationkey DESC RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) FROM nation ORDER BY n_nationkey LIMIT 8"),
+    ("II", "", "SELECT r_regionkey, CAST(min(r_regionkey) OVER (ORDER BY r_regionkey DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) FROM region ORDER BY r_regionkey"),
+    ("II", "", "SELECT n_nationkey, CAST(first_value(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey DESC) AS INT) FROM nation ORDER BY n_nationkey LIMIT 8"),
+])
+
+corpus("nested_composition", "Window over aggregate over derived chains (reference test/sql/window, test/sql/subquery)")([
+    ("IIR", "", "SELECT k, c, round(CAST(sum(c) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 3) FROM (SELECT n_regionkey AS k, count(*) AS c FROM nation GROUP BY n_regionkey) t ORDER BY k"),
+    ("II", "", "SELECT k, CAST(rank() OVER (ORDER BY c DESC, k) AS INT) FROM (SELECT o_orderstatus AS st, count(*) AS c, length(o_orderstatus) AS k FROM orders GROUP BY o_orderstatus, length(o_orderstatus)) t ORDER BY k, c DESC LIMIT 3"),
+    ("I", "", "SELECT max(rn) FROM (SELECT row_number() OVER (ORDER BY n_nationkey) AS rn FROM nation WHERE n_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)) t"),
+])
+
 HEADER_NOTE = (
     "# GENERATED by tools/gen_sqllogic.py — golden rows validated on BOTH\n"
     "# engines (DuckDB + Spark) over /root/testdata/sf0.001 (the\n"
