@@ -78,11 +78,25 @@ def tpch_q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = 2 * _cents("l_extendedprice") * 10000 + _cents("l_quantity")
     den = 2 * _cents("l_quantity")
     unit_u = ((num - num % den) / den).cast("long")
-    unit = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(unit_u).alias("unit_price_u")
+    # One lexicographic struct-min per part replaces the oracle's
+    # min-per-(part,supplier) + rank-1 window: the global (unit, suppkey)
+    # minimum over raw rows is the same winner (any row's pair is >= its
+    # supplier's own (min_unit, suppkey) under the same tie order), so
+    # the plan is ONE partkey shuffle with map-side combine and no
+    # window sort — half the exchanges of the literal translation.
+    best = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.min(
+                F.struct(unit_u.alias("u"), F.col("l_suppkey").alias("sk"))
+            ).alias("b")
+        )
+        .select(
+            "l_partkey",
+            F.col("b.u").alias("unit_price_u"),
+            F.col("b.sk").alias("l_suppkey"),
+        )
     )
-    w = Window.partitionBy("l_partkey").orderBy("unit_price_u", "l_suppkey")
-    best = unit.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return (
         best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
