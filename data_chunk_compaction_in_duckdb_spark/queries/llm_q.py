@@ -232,7 +232,7 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 97 == 0)
     out = lsh_ann_topk(
-        emb, queries, "vec_id", "embedding", dim=64, k=5, n_planes=6, n_tables=3
+        emb, queries, "vec_id", "embedding", dim=64, k=5, n_planes=5, n_tables=6
     )
     return out.select(
         "query_id", "match_id", F.round("cosine", 4).alias("cosine")
@@ -527,7 +527,7 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 97 == 0)
     out = ivf_ann_topk(
-        emb, queries, "vec_id", "embedding", dim=64, k=5, n_clusters=16, n_probe=6
+        emb, queries, "vec_id", "embedding", dim=64, k=5, n_clusters=16, n_probe=8
     )
     return out.select(
         "query_id", "match_id", F.round("cosine", 4).alias("cosine")

@@ -96,12 +96,12 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     exact = topk_similar(emb, queries, "vec_id", "embedding", k=5)
     approx = lsh_ann_topk(
-        emb, queries, "vec_id", "embedding", dim=64, k=5, n_planes=6, n_tables=3
+        emb, queries, "vec_id", "embedding", dim=64, k=5, n_planes=5, n_tables=6
     )
     e = {(r.query_id, r.match_id) for r in exact.collect()}
     a = {(r.query_id, r.match_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
-    assert recall >= 0.5, f"ANN recall too low: {recall}"
+    assert recall >= 0.7, f"ANN recall too low: {recall}"
 
 
 def test_language_id_on_real_language_samples(spark):
@@ -204,7 +204,7 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     exact = topk_similar(emb, queries, "vec_id", "embedding", k=5)
     approx = ivf_ann_topk(
-        emb, queries, "vec_id", "embedding", dim=64, k=5, n_clusters=16, n_probe=6
+        emb, queries, "vec_id", "embedding", dim=64, k=5, n_clusters=16, n_probe=8
     )
     e = {(r.query_id, r.match_id) for r in exact.collect()}
     a = {(r.query_id, r.match_id) for r in approx.collect()}
