@@ -122,19 +122,27 @@ def lsh_candidate_pairs(
     if cache_signatures:
         sig_df = sig_df.persist()
     rows_per_band = num_hashes // bands
-    band_rows = []
-    for b in range(bands):
-        cols = [f"sig_{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_rows.append(
-            sig_df.select(
-                F.col(id_col),
-                F.lit(b).alias("_band"),
-                F.md5(F.concat_ws("|", *cols)).alias("_bh"),
+    # One posexplode over the per-row array of band hashes replaces the
+    # bands-way union of arms: a single pass over the (persisted)
+    # signatures emitting (id, band, hash) rows — same relation, one
+    # scan instead of `bands`.
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        f"sig_{i}"
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
             )
-        )
-    all_bands = band_rows[0]
-    for br in band_rows[1:]:
-        all_bands = all_bands.unionByName(br)
+            for b in range(bands)
+        ]
+    )
+    all_bands = sig_df.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("_band", "_bh")
+    )
     a, b_ = all_bands.alias("a"), all_bands.alias("b")
     pairs = (
         a.join(
