@@ -39,3 +39,4 @@ from data_chunk_compaction_in_duckdb_spark.queries import job_variants  # noqa: 
 from data_chunk_compaction_in_duckdb_spark.queries import tpch_tail  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import tpcds_like  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import tpcds_like2  # noqa: E402,F401
+from data_chunk_compaction_in_duckdb_spark.queries import tpcds_like3  # noqa: E402,F401

@@ -52,6 +52,7 @@ _MODULE_PRIORITY = [
     "tpch_more",       # TPC-H q7-q14 tail
     "tpch_tail",       # TPC-H q15-q22
     "tpcds_like2",     # round-2 TPC-DS shapes (never driver-checked)
+    "tpcds_like3",     # round-2 third tranche: the last 24 DS numbers
     "tpcds_like",      # TPC-DS shapes
     "job_like",        # JOB shapes
     "job_variants",    # JOB a/b/c selectivity variants

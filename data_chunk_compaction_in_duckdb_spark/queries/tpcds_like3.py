@@ -1,0 +1,1147 @@
+"""TPC-DS-shaped query corpus, third tranche (reference
+benchmark/tpcds/sf1/, 99 queries, run by run_bench.py:97-98) — the 24
+numbers that round 2 had only family-mapped in COVERAGE.md, each now a
+real fixture-adapted query: q20/q26/q30/q40/q42/q52/q53/q55/q56/q60/
+q63/q68/q73/q79/q80/q81/q82/q84/q85/q86/q91/q92/q95/q99.  These are
+structural siblings of already-implemented families (that is what
+TPC-DS is), but each carries its own predicate set, grain, and output
+shape so the inventory is line-by-line complete with hard oracle rows.
+
+Money/quantity sums use the exact integer-cents scheme from
+relational.py; ratio predicates are cross-multiplied so no float
+boundary decides a row's fate; averages are expressed as
+CAST(SUM AS DOUBLE)/COUNT on both engines (identical IEEE division).
+
+Scale notes (100 TB): every join here broadcasts only bounded
+dimension slices (part/nation/region/supplier filtered); fact-fact
+relationships are expressed as conditional aggregation over one scan
+wherever DS uses self-joins, otherwise as key-partitioned shuffles
+that AQE is free to re-plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+from data_chunk_compaction_in_duckdb_spark.queries.registry import query
+from data_chunk_compaction_in_duckdb_spark.queries.relational import _cents
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "tpcds_q20_class_share_window",
+    oracle="""
+    SELECT p_type, p_brand, s / 100.0 AS revenue,
+           CAST(s AS DOUBLE) * 100 / CAST(t AS DOUBLE) AS revenueratio
+    FROM (
+      SELECT p_type, p_brand, s,
+             SUM(s) OVER (PARTITION BY p_type) AS t
+      FROM (
+        SELECT p_type, p_brand,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '1999-02-01'
+          AND l_shipdate < DATE '1999-03-03'
+        GROUP BY p_type, p_brand
+      ) g
+    ) w
+    """,
+)
+def tpcds_q20_class_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20 shape (catalog twin of q12/q98): revenue share of each item
+    within its class over a 30-day window.  Aggregate first (fact
+    shrinks to |type x brand| rows), THEN window over the tiny
+    aggregate — the window never sees fact-scale data, so the
+    unpartitioned-looking share computation is bounded by the dimension
+    cross-product at any scale factor."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1999-02-01") & (F.col("l_shipdate") < "1999-03-03")
+    )
+    p = _t(spark, sf_dir, "part")
+    g = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum(_cents("l_extendedprice")).alias("s"))
+    )
+    w = Window.partitionBy("p_type")
+    return g.withColumn("t", F.sum("s").over(w)).select(
+        "p_type",
+        "p_brand",
+        (F.col("s") / 100.0).alias("revenue"),
+        (F.col("s").cast("double") * 100 / F.col("t").cast("double")).alias(
+            "revenueratio"
+        ),
+    )
+
+
+@query(
+    "tpcds_q26_promo_avgs",
+    oracle="""
+    SELECT p_brand,
+           CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / COUNT(*) AS agg1,
+           CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS DOUBLE) / COUNT(*) / 100.0 AS agg2,
+           CAST(CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT))
+                     AS BIGINT) AS DOUBLE) / COUNT(*) / 100.0 AS agg3
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE o_orderpriority = '1-URGENT' AND p_type = 'PROMO'
+    GROUP BY p_brand
+    """,
+)
+def tpcds_q26_promo_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q26 shape (catalog twin of q7/q27): average quantity, list price
+    and discount per item for a demographic/promotion slice — here the
+    URGENT-priority x PROMO-type slice.  Averages are exact integer
+    sums divided once as doubles.  part is a broadcast dimension;
+    lineitem⋈orders is the one key shuffle and AQE owns its strategy."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cnt = F.count(F.lit(1))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(F.col("l_quantity").cast("long")).cast("double") / cnt).alias(
+                "agg1"
+            ),
+            (
+                F.sum(_cents("l_extendedprice")).cast("double") / cnt / 100.0
+            ).alias("agg2"),
+            (F.sum(_cents("l_discount")).cast("double") / cnt / 100.0).alias("agg3"),
+        )
+    )
+
+
+@query(
+    "tpcds_q30_returns_above_nation_avg",
+    oracle="""
+    SELECT c_custkey, c_name, ctr / 100.0 AS return_amt
+    FROM (
+      SELECT c_custkey, c_name, c_nationkey, ctr,
+             SUM(ctr) OVER (PARTITION BY c_nationkey) AS tot,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM (
+        SELECT c_custkey, c_name, c_nationkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS ctr
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_nationkey
+      ) g
+    ) w
+    WHERE ctr * n * 10 > tot * 12
+    """,
+)
+def tpcds_q30_returns_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q30 shape (web-returns twin of q1/q81): customers whose total
+    returned revenue exceeds 1.2x their nation's average.  The
+    above-average predicate is cross-multiplied (ctr*n*10 > tot*12) so
+    it is decided in exact integer arithmetic.  Window runs over the
+    customer-grain aggregate (already reduced), partitioned by nation —
+    no unpartitioned window, no fact-scale window input."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    g = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(F.sum(_cents("l_extendedprice")).alias("ctr"))
+    )
+    w = Window.partitionBy("c_nationkey")
+    return (
+        g.withColumn("tot", F.sum("ctr").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .filter(F.col("ctr") * F.col("n") * 10 > F.col("tot") * 12)
+        .select("c_custkey", "c_name", (F.col("ctr") / 100.0).alias("return_amt"))
+    )
+
+
+@query(
+    "tpcds_q40_netted_before_after",
+    oracle="""
+    SELECT n_name, p_brand,
+           CAST(SUM(CASE WHEN l_shipdate < DATE '1998-07-01' THEN net
+                         ELSE 0 END) AS BIGINT) / 100.0 AS sales_before,
+           CAST(SUM(CASE WHEN l_shipdate >= DATE '1998-07-01' THEN net
+                         ELSE 0 END) AS BIGINT) / 100.0 AS sales_after
+    FROM (
+      SELECT l_shipdate, l_suppkey, l_partkey,
+             CASE WHEN l_returnflag = 'R' THEN 0
+                  ELSE CAST(ROUND(l_extendedprice * 100) AS BIGINT) END AS net
+      FROM lineitem
+    ) li
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_retailprice BETWEEN 910 AND 930
+    GROUP BY n_name, p_brand
+    """,
+)
+def tpcds_q40_netted_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q40 shape: warehouse x item sales before/after a pivot date with
+    returns netted out (DS subtracts the refunded amount when a return
+    row exists; the fixture encodes returns as l_returnflag, so netting
+    zeroes returned rows).  Supplier-nation stands in for warehouse.
+    One fact scan, conditional sums, broadcast dimensions only."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_retailprice").between(910, 930))
+    net = F.when(F.col("l_returnflag") == "R", F.lit(0).cast("long")).otherwise(
+        _cents("l_extendedprice")
+    )
+    before = F.sum(
+        F.when(F.col("l_shipdate") < "1998-07-01", net).otherwise(F.lit(0))
+    )
+    after = F.sum(
+        F.when(F.col("l_shipdate") >= "1998-07-01", net).otherwise(F.lit(0))
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("n_name", "p_brand")
+        .agg(
+            (before / 100.0).alias("sales_before"),
+            (after / 100.0).alias("sales_after"),
+        )
+    )
+
+
+@query(
+    "tpcds_q42_year_category_report",
+    oracle="""
+    SELECT EXTRACT(YEAR FROM l_shipdate) AS y, p_type,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE EXTRACT(YEAR FROM l_shipdate) = 2000
+    GROUP BY y, p_type
+    """,
+)
+def tpcds_q42_year_category_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q42 shape (q3 report family at category grain): one year's
+    revenue by item category.  The year predicate prunes the scan (a
+    date-partitioned layout would partition-prune it); part is
+    broadcast; one two-key shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 2000)
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("l_shipdate").alias("y"), "p_type")
+        .agg((F.sum(_cents("l_extendedprice")) / 100.0).alias("revenue"))
+    )
+
+
+@query(
+    "tpcds_q52_year_brand_report",
+    oracle="""
+    SELECT EXTRACT(YEAR FROM l_shipdate) AS y, p_brand,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS ext_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE EXTRACT(YEAR FROM l_shipdate) = 2000
+      AND EXTRACT(MONTH FROM l_shipdate) = 11
+    GROUP BY y, p_brand
+    """,
+)
+def tpcds_q52_year_brand_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q52 shape (q3 family at brand grain, one month): November 2000
+    brand revenue.  Same plan skeleton as q42 with a tighter temporal
+    prune — in DS these are distinct numbered queries; both are kept so
+    the 99-number inventory is complete line by line."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.year("l_shipdate") == 2000) & (F.month("l_shipdate") == 11)
+    )
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("l_shipdate").alias("y"), "p_brand")
+        .agg((F.sum(_cents("l_extendedprice")) / 100.0).alias("ext_price"))
+    )
+
+
+@query(
+    "tpcds_q53_quarterly_brand_deviation",
+    oracle="""
+    SELECT p_brand, q, s / 100.0 AS quarter_sales,
+           CAST(tot AS DOUBLE) / n / 100.0 AS avg_quarter_sales
+    FROM (
+      SELECT p_brand, q, s,
+             CAST(SUM(s) OVER (PARTITION BY p_brand) AS BIGINT) AS tot,
+             COUNT(*) OVER (PARTITION BY p_brand) AS n
+      FROM (
+        SELECT p_brand, EXTRACT(QUARTER FROM l_shipdate) AS q,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 10
+        GROUP BY p_brand, EXTRACT(QUARTER FROM l_shipdate)
+      ) g
+    ) w
+    WHERE tot > 0 AND ABS(s * n - tot) * 10 > tot * 1
+    """,
+)
+def tpcds_q53_quarterly_brand_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q53 shape (q89 deviation family at quarter grain): quarters whose
+    brand sales deviate from the brand's quarterly average by more than
+    10%.  |s - avg| > 0.1*avg is cross-multiplied to
+    |s*n - tot| * 10 > tot, exact in BIGINT.  Window input is the
+    brand x quarter aggregate (bounded), partitioned by brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    g = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", F.quarter("l_shipdate").alias("q"))
+        .agg(F.sum(_cents("l_extendedprice")).alias("s"))
+    )
+    w = Window.partitionBy("p_brand")
+    return (
+        g.withColumn("tot", F.sum("s").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .filter(
+            (F.col("tot") > 0)
+            & (F.abs(F.col("s") * F.col("n") - F.col("tot")) * 10 > F.col("tot"))
+        )
+        .select(
+            "p_brand",
+            "q",
+            (F.col("s") / 100.0).alias("quarter_sales"),
+            (F.col("tot").cast("double") / F.col("n") / 100.0).alias(
+                "avg_quarter_sales"
+            ),
+        )
+    )
+
+
+@query(
+    "tpcds_q55_month_brand_revenue",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS ext_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE EXTRACT(YEAR FROM l_shipdate) = 1999
+      AND EXTRACT(MONTH FROM l_shipdate) = 5
+      AND p_size BETWEEN 20 AND 35
+    GROUP BY p_brand
+    """,
+)
+def tpcds_q55_month_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q55 shape (q3 family, brand-only output for one month with a
+    manager-analog dimension filter — p_size band stands in for the
+    item manager id): May 1999 brand revenue."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.year("l_shipdate") == 1999) & (F.month("l_shipdate") == 5)
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").between(20, 35))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg((F.sum(_cents("l_extendedprice")) / 100.0).alias("ext_price"))
+    )
+
+
+@query(
+    "tpcds_q56_channel_union_by_name_prefix",
+    oracle="""
+    SELECT pfx, CAST(SUM(s) AS BIGINT) / 100.0 AS total_sales
+    FROM (
+      SELECT substr(p_name, 1, 6) AS pfx,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = 'N' AND l_linestatus = 'O'
+      GROUP BY substr(p_name, 1, 6)
+      UNION ALL
+      SELECT substr(p_name, 1, 6) AS pfx,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = 'N' AND l_linestatus = 'F'
+      GROUP BY substr(p_name, 1, 6)
+      UNION ALL
+      SELECT substr(p_name, 1, 6) AS pfx,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = 'R'
+      GROUP BY substr(p_name, 1, 6)
+    ) u
+    GROUP BY pfx
+    """,
+)
+def tpcds_q56_channel_union_by_name_prefix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q56 shape (q33/q60 triple-union family, keyed by an item *name*
+    attribute rather than brand/category): three channel slices
+    (return-status legs stand in for store/catalog/web) aggregated
+    independently, UNION ALL'd, re-aggregated by item-name prefix.
+    Each leg reduces before the union, so the union carries
+    |prefix|-scale rows, not fact rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    pfx = F.substring("p_name", 1, 6).alias("pfx")
+
+    def leg(pred) -> DataFrame:
+        return (
+            li.filter(pred)
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy(pfx)
+            .agg(F.sum(_cents("l_extendedprice")).alias("s"))
+        )
+
+    u = (
+        leg((F.col("l_returnflag") == "N") & (F.col("l_linestatus") == "O"))
+        .unionByName(
+            leg((F.col("l_returnflag") == "N") & (F.col("l_linestatus") == "F"))
+        )
+        .unionByName(leg(F.col("l_returnflag") == "R"))
+    )
+    return u.groupBy("pfx").agg((F.sum("s") / 100.0).alias("total_sales"))
+
+
+@query(
+    "tpcds_q60_channel_union_by_category",
+    oracle="""
+    SELECT p_type, CAST(SUM(s) AS BIGINT) / 100.0 AS total_sales
+    FROM (
+      SELECT p_type,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = 'N' AND l_linestatus = 'O'
+        AND EXTRACT(MONTH FROM l_shipdate) = 9
+      GROUP BY p_type
+      UNION ALL
+      SELECT p_type,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = 'N' AND l_linestatus = 'F'
+        AND EXTRACT(MONTH FROM l_shipdate) = 9
+      GROUP BY p_type
+      UNION ALL
+      SELECT p_type,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = 'R' AND EXTRACT(MONTH FROM l_shipdate) = 9
+      GROUP BY p_type
+    ) u
+    GROUP BY p_type
+    """,
+)
+def tpcds_q60_channel_union_by_category(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q60 shape (q33/q56 family at category grain with a month
+    window): September sales across the three channel legs, summed per
+    category.  Distinct from q56 by grain and temporal slice — the
+    numbered DS trio (q33 brand / q56 id-attr / q60 category) is the
+    same plan family on purpose."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.month("l_shipdate") == 9)
+    p = _t(spark, sf_dir, "part")
+
+    def leg(pred) -> DataFrame:
+        return (
+            li.filter(pred)
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_type")
+            .agg(F.sum(_cents("l_extendedprice")).alias("s"))
+        )
+
+    u = (
+        leg((F.col("l_returnflag") == "N") & (F.col("l_linestatus") == "O"))
+        .unionByName(
+            leg((F.col("l_returnflag") == "N") & (F.col("l_linestatus") == "F"))
+        )
+        .unionByName(leg(F.col("l_returnflag") == "R"))
+    )
+    return u.groupBy("p_type").agg((F.sum("s") / 100.0).alias("total_sales"))
+
+
+@query(
+    "tpcds_q63_monthly_priority_deviation",
+    oracle="""
+    SELECT o_orderpriority, m, s / 100.0 AS month_sales,
+           CAST(tot AS DOUBLE) / n / 100.0 AS avg_month_sales
+    FROM (
+      SELECT o_orderpriority, m, s,
+             CAST(SUM(s) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS tot,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM (
+        SELECT o_orderpriority, EXTRACT(MONTH FROM o_orderdate) AS m,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) = 1999
+        GROUP BY o_orderpriority, EXTRACT(MONTH FROM o_orderdate)
+      ) g
+    ) w
+    WHERE tot > 0 AND ABS(s * n - tot) * 20 > tot * 1
+    """,
+)
+def tpcds_q63_monthly_priority_deviation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q63 shape (q53's twin at manager/month grain — o_orderpriority
+    stands in for the item manager): months of 1999 whose priority-class
+    sales deviate from that class's monthly mean by more than 5%
+    (cross-multiplied |s*n - tot|*20 > tot)."""
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1999)
+    g = o.groupBy(
+        "o_orderpriority", F.month("o_orderdate").alias("m")
+    ).agg(F.sum(_cents("o_totalprice")).alias("s"))
+    w = Window.partitionBy("o_orderpriority")
+    return (
+        g.withColumn("tot", F.sum("s").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .filter(
+            (F.col("tot") > 0)
+            & (F.abs(F.col("s") * F.col("n") - F.col("tot")) * 20 > F.col("tot"))
+        )
+        .select(
+            "o_orderpriority",
+            "m",
+            (F.col("s") / 100.0).alias("month_sales"),
+            (F.col("tot").cast("double") / F.col("n") / 100.0).alias(
+                "avg_month_sales"
+            ),
+        )
+    )
+
+
+@query(
+    "tpcds_q68_cross_nation_order_detail",
+    oracle="""
+    SELECT c_name, o_orderkey, ext / 100.0 AS extended_price,
+           disc / 100.0 AS extended_discount
+    FROM (
+      SELECT o.o_orderkey, o.o_custkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS ext,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND(l_discount * 100) AS BIGINT))
+                  AS BIGINT) // 100 AS disc,
+             MAX(CASE WHEN s_nationkey <> c_nationkey THEN 1 ELSE 0 END)
+               AS cross_nation
+      FROM lineitem
+      JOIN orders o ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE o_orderpriority = '2-HIGH'
+      GROUP BY o.o_orderkey, o.o_custkey
+    ) g
+    JOIN customer ON g.o_custkey = c_custkey
+    WHERE cross_nation = 1
+    """,
+)
+def tpcds_q68_cross_nation_order_detail(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q68 shape (q46 family with extended measure columns): per-order
+    detail for orders where some supplying nation differs from the
+    customer's nation (DS: bought in a city different from the home
+    city), reporting extended price and discount amount per order.
+    The cross-nation flag is a MAX(CASE) inside the per-order
+    aggregation — no second fact pass; the discount amount uses the
+    exact cents*cents//100 scheme."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "2-HIGH")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    units = _cents("l_extendedprice") * _cents("l_discount")
+    g = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.sum(_cents("l_extendedprice")).alias("ext"),
+            (F.sum(units) - F.sum(units) % 100).cast("long").alias("disc_u"),
+            F.max(
+                F.when(F.col("s_nationkey") != F.col("c_nationkey"), 1).otherwise(0)
+            ).alias("cross_nation"),
+        )
+        .withColumn("disc", (F.col("disc_u") / 100).cast("long"))
+    )
+    return (
+        g.filter(F.col("cross_nation") == 1)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            (F.col("ext") / 100.0).alias("extended_price"),
+            (F.col("disc") / 100.0).alias("extended_discount"),
+        )
+    )
+
+
+@query(
+    "tpcds_q73_order_count_band",
+    oracle="""
+    SELECT c_name, o_orderkey, cnt
+    FROM (
+      SELECT l_orderkey, COUNT(*) AS cnt
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING COUNT(*) BETWEEN 6 AND 7
+    ) b
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def tpcds_q73_order_count_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q73 shape (q34's twin with a different band): orders holding 6-7
+    items (vs q34's 15-20-analog band), joined back to the customer for
+    the report columns.  The HAVING band reduces the fact to a sparse
+    order set before either join; orders⋈customer stays a key shuffle
+    that AQE may convert once the band output is small."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    b = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt").between(6, 7))
+    )
+    return (
+        b.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "o_orderkey", "cnt")
+    )
+
+
+@query(
+    "tpcds_q79_best_month_per_customer",
+    oracle="""
+    SELECT c_name, best_m AS m, best_s / 100.0 AS month_spend
+    FROM (
+      SELECT o_custkey,
+             MAX(STRUCT_PACK(s := s, neg_m := -m)).s AS best_s,
+             -MAX(STRUCT_PACK(s := s, neg_m := -m)).neg_m AS best_m
+      FROM (
+        SELECT o_custkey, EXTRACT(MONTH FROM o_orderdate) AS m,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_custkey, EXTRACT(MONTH FROM o_orderdate)
+      ) g
+      GROUP BY o_custkey
+    ) b
+    JOIN customer ON o_custkey = c_custkey
+    WHERE best_s > 50000 * 100
+    """,
+)
+def tpcds_q79_best_month_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q79 shape (q46 family): each customer's best month of urgent
+    spending (DS: the max shift purchase amount per customer).  The
+    argmax is a single struct-max aggregation — (s, -m) lexicographic
+    max picks the earliest month on ties deterministically on both
+    engines — so the whole query is two groupBys and one dimension
+    join, no window, no self-join."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    c = _t(spark, sf_dir, "customer")
+    g = o.groupBy("o_custkey", F.month("o_orderdate").alias("m")).agg(
+        F.sum(_cents("o_totalprice")).alias("s")
+    )
+    best = g.groupBy("o_custkey").agg(
+        F.max(F.struct(F.col("s"), (-F.col("m")).alias("neg_m"))).alias("b")
+    )
+    return (
+        best.select(
+            "o_custkey",
+            F.col("b.s").alias("best_s"),
+            (-F.col("b.neg_m")).alias("best_m"),
+        )
+        .filter(F.col("best_s") > 50000 * 100)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            F.col("best_m").alias("m"),
+            (F.col("best_s") / 100.0).alias("month_spend"),
+        )
+    )
+
+
+@query(
+    "tpcds_q80_channel_netted_rollup",
+    oracle="""
+    SELECT COALESCE(channel, 'ALL') AS channel,
+           COALESCE(p_brand, 'ALL') AS brand,
+           CAST(SUM(sales_u) AS BIGINT) / 100.0 AS sales,
+           CAST(SUM(returns_u) AS BIGINT) / 100.0 AS returns,
+           CAST(SUM(sales_u) - SUM(returns_u) AS BIGINT) / 100.0 AS profit
+    FROM (
+      SELECT CASE WHEN l_linestatus = 'O' THEN 'open' ELSE 'final' END
+               AS channel,
+             p_brand,
+             CASE WHEN l_returnflag <> 'R'
+                  THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  ELSE 0 END AS sales_u,
+             CASE WHEN l_returnflag = 'R'
+                  THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  ELSE 0 END AS returns_u
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size BETWEEN 10 AND 20
+    ) t
+    GROUP BY ROLLUP(channel, p_brand)
+    """,
+)
+def tpcds_q80_channel_netted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q80 shape (q77 family with returns netting folded in): sales,
+    returns, and netted profit per channel x brand with ROLLUP
+    subtotals.  Returns are the R-flagged rows of the same fact (DS
+    joins a separate returns fact; the fixture encodes it in-row), so
+    one scan produces all three measures; ROLLUP null labels are
+    COALESCE'd identically on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").between(10, 20))
+    base = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
+        F.when(F.col("l_linestatus") == "O", F.lit("open"))
+        .otherwise(F.lit("final"))
+        .alias("channel"),
+        "p_brand",
+        F.when(F.col("l_returnflag") != "R", _cents("l_extendedprice"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("sales_u"),
+        F.when(F.col("l_returnflag") == "R", _cents("l_extendedprice"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("returns_u"),
+    )
+    return (
+        base.rollup("channel", "p_brand")
+        .agg(
+            (F.sum("sales_u") / 100.0).alias("sales"),
+            (F.sum("returns_u") / 100.0).alias("returns"),
+            ((F.sum("sales_u") - F.sum("returns_u")) / 100.0).alias("profit"),
+        )
+        .select(
+            F.coalesce(F.col("channel"), F.lit("ALL")).alias("channel"),
+            F.coalesce(F.col("p_brand"), F.lit("ALL")).alias("brand"),
+            "sales",
+            "returns",
+            "profit",
+        )
+    )
+
+
+@query(
+    "tpcds_q81_returned_qty_above_region_avg",
+    oracle="""
+    SELECT c_custkey, c_name, qty
+    FROM (
+      SELECT c_custkey, c_name, n_regionkey, qty,
+             CAST(SUM(qty) OVER (PARTITION BY n_regionkey) AS BIGINT) AS tot,
+             COUNT(*) OVER (PARTITION BY n_regionkey) AS n
+      FROM (
+        SELECT c_custkey, c_name, n_regionkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_regionkey
+      ) g
+    ) w
+    WHERE qty * n * 10 > tot * 12
+    """,
+)
+def tpcds_q81_returned_qty_above_region_avg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q81 shape (q30's catalog twin, quantity measure, region grain):
+    customers whose returned *quantity* exceeds 1.2x their region's
+    average (cross-multiplied: qty*n*10 > tot*12).  Quantity sums are
+    exact BIGINTs; the window input is customer-grain, partitioned by
+    region (5 partitions of bounded size: customer-grain rows, not
+    fact rows)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    g = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_regionkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    w = Window.partitionBy("n_regionkey")
+    return (
+        g.withColumn("tot", F.sum("qty").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .filter(F.col("qty") * F.col("n") * 10 > F.col("tot") * 12)
+        .select("c_custkey", "c_name", "qty")
+    )
+
+
+@query(
+    "tpcds_q82_parts_with_dated_demand",
+    oracle="""
+    SELECT DISTINCT p_name, p_brand, p_retailprice
+    FROM part
+    WHERE p_retailprice BETWEEN 940 AND 960
+      AND p_size IN (2, 7, 13, 21, 34)
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= DATE '2000-03-01'
+          AND l_shipdate < DATE '2000-04-30'
+      )
+    """,
+)
+def tpcds_q82_parts_with_dated_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q82 shape (q37's store twin with different bands): parts in a
+    retail-price band and size list that shipped in a 60-day window.
+    The semi join probes the (tiny) filtered part set against the
+    date-pruned fact — build side is the dimension slice, so the fact
+    never shuffles."""
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").between(940, 960)
+        & F.col("p_size").isin(2, 7, 13, 21, 34)
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "2000-03-01") & (F.col("l_shipdate") < "2000-04-30")
+    )
+    return (
+        p.join(li, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .select("p_name", "p_brand", "p_retailprice")
+        .distinct()
+    )
+
+
+@query(
+    "tpcds_q84_customer_profile_lookup",
+    oracle="""
+    SELECT c_custkey AS customer_id,
+           c_name || ' [' || n_name || ']' AS customername
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal BETWEEN 2000 AND 3500
+      AND n_regionkey = 2
+      AND EXISTS (
+        SELECT 1 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_custkey = c_custkey AND l_returnflag = 'R'
+      )
+    """,
+)
+def tpcds_q84_customer_profile_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q84 shape: the customer-profile lookup — an income band
+    (c_acctbal stands in for ib_lower/upper bound), a geography filter,
+    and a returns-channel EXISTS, returning a formatted display name.
+    The EXISTS reduces through orders⋈lineitem once; customer-side
+    filters make the semi join's probe side small."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal").between(2000, 3500))
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    returners = o.join(
+        li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    ).select("o_custkey")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(returners, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            F.concat(
+                F.col("c_name"), F.lit(" ["), F.col("n_name"), F.lit("]")
+            ).alias("customername"),
+        )
+    )
+
+
+@query(
+    "tpcds_q85_returns_band_profile",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / COUNT(*) AS avg_qty,
+           CAST(CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / COUNT(*) / 100.0 AS avg_disc,
+           CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS BIGINT) / 100.0 AS total_refund
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND ((l_quantity BETWEEN 1 AND 15 AND o_totalprice BETWEEN 10000 AND 150000)
+        OR (l_quantity BETWEEN 16 AND 30 AND o_totalprice BETWEEN 50000 AND 250000)
+        OR (l_quantity BETWEEN 31 AND 50 AND o_totalprice BETWEEN 100000 AND 400000))
+    GROUP BY o_orderpriority
+    """,
+)
+def tpcds_q85_returns_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q85 shape: returned-item profile under OR-of-AND band predicates
+    (DS pairs quantity bands with demographic bands; here quantity
+    bands pair with order-value bands), grouped by priority with exact
+    integer-sum averages.  The OR-of-ANDs cannot prune at scan time as
+    a single range, but each leg is sargable — Catalyst keeps it one
+    predicate over one scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    q, tp = F.col("l_quantity"), F.col("o_totalprice")
+    bands = (
+        (q.between(1, 15) & tp.between(10000, 150000))
+        | (q.between(16, 30) & tp.between(50000, 250000))
+        | (q.between(31, 50) & tp.between(100000, 400000))
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(bands)
+        .groupBy("o_orderpriority")
+        .agg(
+            (F.sum(q.cast("long")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(_cents("l_discount")).cast("double") / cnt / 100.0).alias(
+                "avg_disc"
+            ),
+            (F.sum(_cents("l_extendedprice")) / 100.0).alias("total_refund"),
+        )
+    )
+
+
+@query(
+    "tpcds_q86_geo_rollup_rank",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(n_name, 'ALL') AS nation,
+           s / 100.0 AS total_rev, lochierarchy,
+           RANK() OVER (
+             PARTITION BY lochierarchy, CASE WHEN lochierarchy = 1
+                                             THEN r_name END
+             ORDER BY s DESC, COALESCE(n_name, 'ALL')
+           ) AS rank_within_parent
+    FROM (
+      SELECT r_name, n_name,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS s,
+             GROUPING(r_name) + GROUPING(n_name) AS lochierarchy
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+    ) g
+    """,
+)
+def tpcds_q86_geo_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q86 shape (q36/q70's web twin on the geography hierarchy):
+    revenue ROLLUP over region/nation with RANK within each hierarchy
+    level, partitioned by the parent region at the nation level.  The
+    rank's input is the rollup output (|regions|+|nations|+1 rows) —
+    a driver-safe window at any scale.  Tie-break on the nation label
+    keeps RANK deterministic across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    g = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(_cents("l_extendedprice")).alias("s"),
+            (F.grouping("r_name") + F.grouping("n_name")).alias("lochierarchy"),
+        )
+    )
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("lochierarchy") == 1, F.col("r_name")),
+    ).orderBy(F.col("s").desc(), F.coalesce(F.col("n_name"), F.lit("ALL")))
+    return g.select(
+        F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+        F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+        (F.col("s") / 100.0).alias("total_rev"),
+        "lochierarchy",
+        F.rank().over(w).alias("rank_within_parent"),
+    )
+
+
+@query(
+    "tpcds_q91_returns_loss_matrix",
+    oracle="""
+    SELECT o_orderpriority, EXTRACT(MONTH FROM o_orderdate) AS m,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS returns_loss
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R' AND c_acctbal < 0
+    GROUP BY o_orderpriority, EXTRACT(MONTH FROM o_orderdate)
+    """,
+)
+def tpcds_q91_returns_loss_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q91 shape: call-center returns loss (priority stands in for the
+    call center, month for the fiscal period) restricted to customers
+    in the lowest credit band (c_acctbal < 0 — DS's 'Unknown' buy
+    potential).  customer is filtered to a sliver, so it broadcasts;
+    the loss sums stay exact cents."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderpriority", F.month("o_orderdate").alias("m"))
+        .agg((F.sum(_cents("l_extendedprice")) / 100.0).alias("returns_loss"))
+    )
+
+
+@query(
+    "tpcds_q92_excess_discount_total",
+    oracle="""
+    SELECT CAST(SUM(ext) AS BIGINT) / 100.0 AS excess_discount_amount
+    FROM (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS ext,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT))
+                  OVER (PARTITION BY l_partkey) AS BIGINT) AS sd,
+             COUNT(*) OVER (PARTITION BY l_partkey) AS n
+      FROM lineitem
+      WHERE l_shipdate >= DATE '2000-01-01' AND l_shipdate < DATE '2000-04-01'
+    ) t
+    WHERE d * n * 10 > sd * 13
+    """,
+)
+def tpcds_q92_excess_discount_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q92 shape (q32's web twin): total revenue of line items whose
+    discount exceeds 1.3x the item's average discount over a 90-day
+    window (cross-multiplied d*n*10 > sd*13).  Expressed as one window
+    over the date-pruned fact partitioned by partkey — same single
+    shuffle as the DS correlated-subquery plan after decorrelation,
+    with no second fact scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "2000-01-01") & (F.col("l_shipdate") < "2000-04-01")
+    )
+    w = Window.partitionBy("l_partkey")
+    t = li.select(
+        _cents("l_extendedprice").alias("ext"),
+        _cents("l_discount").alias("d"),
+        F.col("l_partkey"),
+    ).select(
+        "ext",
+        "d",
+        F.sum("d").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return t.filter(F.col("d") * F.col("n") * 10 > F.col("sd") * 13).agg(
+        (F.sum("ext") / 100.0).alias("excess_discount_amount")
+    )
+
+
+@query(
+    "tpcds_q95_multi_supplier_clean_orders",
+    oracle="""
+    SELECT COUNT(*) AS order_count,
+           CAST(SUM(tp) AS BIGINT) / 100.0 AS total_price
+    FROM (
+      SELECT o_orderkey,
+             CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS tp
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderdate >= DATE '1999-01-01' AND o_orderdate < DATE '1999-07-01'
+      GROUP BY o_orderkey
+      HAVING COUNT(DISTINCT l_suppkey) >= 2
+         AND MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 0
+    ) g
+    """,
+)
+def tpcds_q95_multi_supplier_clean_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q95 shape (q94 with the two-hop EXISTS made first-class): orders
+    in a half-year window shipped by at least two distinct suppliers
+    (DS: exists a second web_sales row from a different warehouse) with
+    no returned items (NOT EXISTS returns).  Both existence conditions
+    fold into one per-order aggregate — COUNT(DISTINCT supplier) and a
+    MAX(CASE) — so the fact is scanned once instead of three times."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1999-01-01") & (F.col("o_orderdate") < "1999-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    g = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.max(_cents("o_totalprice")).alias("tp"),
+            F.countDistinct("l_suppkey").alias("nsupp"),
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("has_return"),
+        )
+        .filter((F.col("nsupp") >= 2) & (F.col("has_return") == 0))
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("order_count"),
+        (F.sum("tp") / 100.0).alias("total_price"),
+    )
+
+
+@query(
+    "tpcds_q99_latency_month_matrix",
+    oracle="""
+    SELECT EXTRACT(MONTH FROM o_orderdate) AS m, o_orderstatus,
+           CAST(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d30,
+           CAST(SUM(CASE WHEN lag_days > 30 AND lag_days <= 60 THEN 1 ELSE 0
+                    END) AS BIGINT) AS d60,
+           CAST(SUM(CASE WHEN lag_days > 60 AND lag_days <= 90 THEN 1 ELSE 0
+                    END) AS BIGINT) AS d90,
+           CAST(SUM(CASE WHEN lag_days > 90 AND lag_days <= 120 THEN 1 ELSE 0
+                    END) AS BIGINT) AS d120,
+           CAST(SUM(CASE WHEN lag_days > 120 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dmore
+    FROM (
+      SELECT o_orderdate, o_orderstatus,
+             datediff('day', o_orderdate, l_shipdate) AS lag_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ) t
+    GROUP BY EXTRACT(MONTH FROM o_orderdate), o_orderstatus
+    """,
+)
+def tpcds_q99_latency_month_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q99 shape (q62's catalog twin at month x status grain with
+    five 30-day bands): ship-latency histogram columns per order month
+    and status.  One fact-fact key join (lineitem⋈orders is the
+    engine's bread-and-butter shuffle), then conditional counts — the
+    five bands are CASE sums, not five scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+
+    def band(pred) -> F.Column:
+        return F.sum(F.when(pred, 1).otherwise(0)).cast("long")
+
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("lag_days", lag)
+        .groupBy(F.month("o_orderdate").alias("m"), "o_orderstatus")
+        .agg(
+            band(F.col("lag_days") <= 30).alias("d30"),
+            band((F.col("lag_days") > 30) & (F.col("lag_days") <= 60)).alias("d60"),
+            band((F.col("lag_days") > 60) & (F.col("lag_days") <= 90)).alias("d90"),
+            band((F.col("lag_days") > 90) & (F.col("lag_days") <= 120)).alias(
+                "d120"
+            ),
+            band(F.col("lag_days") > 120).alias("dmore"),
+        )
+    )
