@@ -40,3 +40,4 @@ from data_chunk_compaction_in_duckdb_spark.queries import tpch_tail  # noqa: E40
 from data_chunk_compaction_in_duckdb_spark.queries import tpcds_like  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import tpcds_like2  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import tpcds_like3  # noqa: E402,F401
+from data_chunk_compaction_in_duckdb_spark.queries import job_variants2  # noqa: E402,F401

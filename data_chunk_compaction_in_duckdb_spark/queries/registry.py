@@ -56,6 +56,7 @@ _MODULE_PRIORITY = [
     "tpcds_like",      # TPC-DS shapes
     "job_like",        # JOB shapes
     "job_variants",    # JOB a/b/c selectivity variants
+    "job_variants2",   # round-2 JOB variant tranche (7 more families)
     "events_q",
     "compaction_q",
     "functions_agg",

@@ -14,9 +14,10 @@ def _names():
         REGISTRY,
         job_like,
         job_variants,
+        job_variants2,
     )
 
-    mods = {job_like.__name__, job_variants.__name__}
+    mods = {job_like.__name__, job_variants.__name__, job_variants2.__name__}
     return [n for n, q in REGISTRY.items() if q.builder.__module__ in mods]
 
 
