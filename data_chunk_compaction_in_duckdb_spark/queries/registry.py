@@ -57,6 +57,7 @@ _MODULE_PRIORITY = [
     "job_like",        # JOB shapes
     "job_variants",    # JOB a/b/c selectivity variants
     "job_variants2",   # round-2 JOB variant tranche (7 more families)
+    "job_variants3",   # round-2 JOB variant tranche (remaining families)
     "events_q",
     "compaction_q",
     "functions_agg",

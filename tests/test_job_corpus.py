@@ -15,9 +15,10 @@ def _names():
         job_like,
         job_variants,
         job_variants2,
+        job_variants3,
     )
 
-    mods = {job_like.__name__, job_variants.__name__, job_variants2.__name__}
+    mods = {job_like.__name__, job_variants.__name__, job_variants2.__name__, job_variants3.__name__}
     return [n for n, q in REGISTRY.items() if q.builder.__module__ in mods]
 
 
