@@ -45,6 +45,8 @@ SPECS: dict[str, tuple[str, list[tuple[str, str, str]]]] = {}
 
 def corpus(name: str, header: str):
     def add(specs):
+        if name in SPECS:
+            raise ValueError(f"duplicate corpus name: {name}")
         SPECS[name] = (header, specs)
     return add
 
@@ -805,6 +807,9 @@ corpus("group_order_all", "GROUP BY ALL / ORDER BY ALL sugar (reference test/sql
     ("TI", "", "SELECT o_orderstatus, count(*) FROM orders GROUP BY ALL ORDER BY ALL"),
     ("II", "", "SELECT n_regionkey, count(*) FROM nation GROUP BY ALL ORDER BY ALL"),
     ("TII", "", "SELECT o_orderstatus, CAST(o_totalprice > 250000 AS INT), count(*) FROM orders GROUP BY ALL ORDER BY ALL"),
+    ("TII", "", "SELECT l_returnflag, l_linenumber % 2, count(*) FROM lineitem GROUP BY ALL ORDER BY ALL"),
+    ("TI", "", "SELECT c_mktsegment, count(*) FROM customer GROUP BY ALL ORDER BY ALL LIMIT 3"),
+    ("II", "", "SELECT n_regionkey, min(n_nationkey) FROM nation GROUP BY ALL ORDER BY ALL"),
 ])
 
 corpus("named_windows", "WINDOW clause with named window reuse (reference test/sql/window)")([
@@ -917,6 +922,59 @@ corpus("nested_composition", "Window over aggregate over derived chains (referen
     ("IIR", "", "SELECT k, c, round(CAST(sum(c) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 3) FROM (SELECT n_regionkey AS k, count(*) AS c FROM nation GROUP BY n_regionkey) t ORDER BY k"),
     ("II", "", "SELECT k, CAST(rank() OVER (ORDER BY c DESC, k) AS INT) FROM (SELECT o_orderstatus AS st, count(*) AS c, length(o_orderstatus) AS k FROM orders GROUP BY o_orderstatus, length(o_orderstatus)) t ORDER BY k, c DESC LIMIT 3"),
     ("I", "", "SELECT max(rn) FROM (SELECT row_number() OVER (ORDER BY n_nationkey) AS rn FROM nation WHERE n_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)) t"),
+])
+
+corpus("ilike_patterns", "Case-insensitive LIKE (reference test/sql/function/string/like)")([
+    ("T", "", "SELECT r_name FROM region WHERE r_name ILIKE 'a%' ORDER BY r_name"),
+    ("I", "", "SELECT count(*) FROM part WHERE p_type ILIKE '%promo%'"),
+    ("I", "", "SELECT count(*) FROM customer WHERE c_mktsegment NOT ILIKE 'b%'"),
+    ("T", "", "SELECT p_type FROM part WHERE p_type ILIKE 'eco%' GROUP BY p_type"),
+    ("I", "", "SELECT count(*) FROM supplier WHERE s_name ILIKE 'supplier#%'"),
+    ("I", "", "SELECT count(*) FROM region WHERE 'Asia' ILIKE r_name"),
+    ("TT", "", "SELECT CAST('AbC' ILIKE 'ab_' AS STRING), CAST('AbC' ILIKE 'ab' AS STRING)"),
+])
+
+corpus("join_using_natural", "JOIN USING / NATURAL JOIN column merging (reference test/sql/join/natural)")([
+    ("I", "", "SELECT count(*) FROM (SELECT n_regionkey AS k FROM nation) a JOIN (SELECT r_regionkey AS k FROM region) b USING (k)"),
+    ("II", "rowsort", "SELECT k, count(*) FROM (SELECT n_regionkey AS k FROM nation) a JOIN (SELECT r_regionkey AS k FROM region) b USING (k) GROUP BY k"),
+    ("I", "", "SELECT count(*) FROM (SELECT n_regionkey AS k, n_nationkey FROM nation) a NATURAL JOIN (SELECT r_regionkey AS k FROM region) b"),
+    ("IT", "", "SELECT k, coalesce(CAST(c AS STRING), '-') FROM (SELECT r_regionkey AS k FROM region) a LEFT JOIN (SELECT n_regionkey AS k, count(*) AS c FROM nation WHERE n_regionkey < 3 GROUP BY n_regionkey) b USING (k) ORDER BY k"),
+    ("I", "", "SELECT sum(k) FROM (SELECT n_regionkey AS k FROM nation) a NATURAL JOIN (SELECT n_regionkey AS k FROM nation) b"),
+])
+
+corpus("exists_setops", "Subqueries built from set operations (reference test/sql/subquery, test/sql/setops)")([
+    ("I", "", "SELECT count(*) FROM nation WHERE n_nationkey IN (SELECT r_regionkey FROM region UNION SELECT n_regionkey FROM nation)"),
+    ("I", "", "SELECT count(*) FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM region INTERSECT SELECT n_regionkey FROM nation WHERE n_nationkey < 10)"),
+    ("I", "", "SELECT count(*) FROM part WHERE p_size IN (SELECT p_size FROM part WHERE p_type = 'PROMO' EXCEPT SELECT p_size FROM part WHERE p_type = 'LARGE')"),
+    ("I", "", "SELECT count(*) FROM region r WHERE EXISTS (SELECT 1 FROM nation WHERE n_regionkey = r.r_regionkey UNION ALL SELECT 1 FROM nation WHERE n_nationkey = r.r_regionkey)"),
+    ("I", "", "SELECT count(*) FROM orders WHERE o_orderstatus IN (SELECT 'F' UNION ALL SELECT 'P')"),
+])
+
+corpus("lateral_subquery", "Correlated LATERAL derived tables (reference test/sql/join/lateral)")([
+    ("TI", "", "SELECT r_name, t.c FROM region, LATERAL (SELECT count(*) AS c FROM nation WHERE n_regionkey = r_regionkey) t ORDER BY r_name"),
+    ("TI", "", "SELECT r_name, t.mx FROM region, LATERAL (SELECT max(n_nationkey) AS mx FROM nation WHERE n_regionkey = r_regionkey) t ORDER BY r_name"),
+    ("II", "rowsort", "SELECT n_regionkey, t.s FROM nation, LATERAL (SELECT n_nationkey + 1 AS s) t WHERE n_nationkey < 5"),
+])
+
+corpus("setop_precedence", "Set-operation precedence and associativity (reference test/sql/setops)")([
+    ("I", "rowsort", "SELECT r_regionkey FROM region UNION SELECT n_regionkey FROM nation INTERSECT SELECT 0"),
+    ("I", "rowsort", "SELECT 1 UNION ALL SELECT 1 UNION SELECT 1"),
+    ("I", "rowsort", "SELECT 1 UNION SELECT 1 UNION ALL SELECT 1"),
+    ("I", "rowsort", "SELECT r_regionkey FROM region EXCEPT SELECT 0 EXCEPT SELECT 1"),
+    ("I", "rowsort", "SELECT r_regionkey FROM region INTERSECT SELECT n_regionkey FROM nation UNION SELECT 99"),
+])
+
+corpus("values_join", "VALUES derived tables joined to base tables (reference test/sql/parser/values)")([
+    ("TI", "", "SELECT v.nm, count(*) FROM (VALUES ('AFRICA', 0), ('ASIA', 2)) AS v(nm, k) JOIN nation ON n_regionkey = v.k GROUP BY v.nm ORDER BY v.nm"),
+    ("TI", "", "SELECT nm, k FROM (VALUES ('a', 1), ('b', 2), ('c', 3)) AS t(nm, k) WHERE k > 1 ORDER BY k"),
+    ("I", "", "SELECT sum(x) FROM (VALUES (1), (2), (NULL)) AS t(x)"),
+    ("TI", "", "SELECT r_name, v.w FROM region LEFT JOIN (VALUES (0, 10), (2, 20)) AS v(k, w) ON r_regionkey = v.k ORDER BY r_regionkey LIMIT 3"),
+])
+
+corpus("window_in_setops", "Window functions inside set-operation branches (reference test/sql/window)")([
+    ("II", "rowsort", "SELECT n_nationkey, CAST(rank() OVER (ORDER BY n_nationkey) AS INT) FROM nation WHERE n_regionkey = 0 UNION ALL SELECT n_nationkey, CAST(rank() OVER (ORDER BY n_nationkey DESC) AS INT) FROM nation WHERE n_regionkey = 1"),
+    ("I", "", "SELECT max(rn) FROM (SELECT row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn FROM nation) t"),
+    ("II", "rowsort", "SELECT r_regionkey, CAST(count(*) OVER () AS INT) FROM region UNION SELECT r_regionkey, CAST(count(*) OVER () AS INT) FROM region"),
 ])
 
 HEADER_NOTE = (
