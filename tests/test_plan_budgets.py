@@ -57,6 +57,21 @@ BUDGETS = {
     # ReusedExchange (pinned in test_tpcds_like2)
     "tpcds_q72_late_fulfillment": 1,  # one fact-fact shuffle; dims broadcast
     "job_like_four_dim_roles": 1,  # four dim-role joins all broadcast
+    # late round-2 additions (tpcds_like3 + variant tranches); measured
+    # identical at sf0.001 and sf0.1
+    "tpcds_q20_class_share_window": 2,  # agg shuffle + window over tiny agg
+    "tpcds_q30_returns_above_nation_avg": 2,  # cust-grain agg + nation window
+    "tpcds_q42_year_category_report": 1,  # broadcast dim + one agg shuffle
+    "tpcds_q53_quarterly_brand_deviation": 2,  # agg + brand-partition window
+    "tpcds_q56_channel_union_by_name_prefix": 3,  # 3 legs pre-agg; union re-agg
+    "tpcds_q79_best_month_per_customer": 2,  # two groupBys share custkey keying
+    "tpcds_q80_channel_netted_rollup": 1,  # one scan, one rollup shuffle
+    "tpcds_q86_geo_rollup_rank": 2,  # rollup + hierarchy-level window
+    "tpcds_q92_excess_discount_total": 2,  # partkey window + single-row agg
+    "tpcds_q95_multi_supplier_clean_orders": 3,  # join/agg on orderkey + gather
+    "tpcds_q99_latency_month_matrix": 1,  # orderkey join feeds month agg
+    "job_like_deep_join_d": 2,  # dims broadcast; AQE owns orders/customer
+    "job_like_linked_pair_subtrees_b": 1,  # custkey co-partitioned roles
 }
 
 
