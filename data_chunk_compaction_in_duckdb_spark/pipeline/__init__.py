@@ -20,6 +20,7 @@ from data_chunk_compaction_in_duckdb_spark.pipeline.dedup import (  # noqa: F401
     dedup_exact,
     keep_representatives,
     embedding_neardup_pairs,
+    semantic_ivf_neardup_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,

@@ -290,3 +290,70 @@ def keep_representatives(
     for full transitive closure)."""
     losers = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def semantic_ivf_neardup_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_clusters: int = 8,
+    n_assign: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Semantic near-dup pairs via IVF cell bucketing — the 100 TB scale
+    path for ``embedding_neardup_pairs``: each vector is assigned to its
+    ``n_assign`` nearest Voronoi cells (multi-assign so near-boundary
+    pairs are not lost), candidates are the within-cell id pairs, and
+    exact cosine re-ranks candidates only.  Per-cell candidate volume is
+    ~(n/k)^2 instead of n^2; everything before the final cosine is one
+    explode + one equi-self-join + a distinct — all key-partitioned.
+
+    Cell assignment sorts struct(-dot, idx) ascending so ties replay
+    identically in DuckDB's list_sort (lexicographic struct order) —
+    the whole assignment is a deterministic md5-centroid expression,
+    which is what makes this approximate operator fully oracle-pairable
+    (unlike LSH ANN, whose per-table multi-probe union has no compact
+    SQL form)."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
+        _centroid,
+        cosine_similarity,
+    )
+
+    cents = [_centroid(dim, i) for i in range(n_clusters)]
+    scored = []
+    for idx, cvals in enumerate(cents):
+        cen = F.array(*[F.lit(v) for v in cvals])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), cen, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored.append(F.struct((-dot).alias("d"), F.lit(idx).alias("i")))
+    cells_expr = F.slice(
+        F.transform(F.sort_array(F.array(*scored)), lambda s: s.i), 1, n_assign
+    )
+
+    cells = emb.select(
+        F.col(id_col).alias("_id"), F.explode(cells_expr).alias("_cell")
+    )
+    a = cells.select(F.col("_id").alias("id_a"), "_cell")
+    b = cells.select(F.col("_id").alias("id_b"), "_cell")
+    cand = (
+        a.join(b, ["_cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -373,3 +373,56 @@ def curriculum_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("tier_chars"),
         )
     )
+
+
+def _ivf_oracle_sql(dim: int = 64, n_clusters: int = 8, n_assign: int = 2) -> str:
+    """Render the DuckDB replay of semantic_ivf_neardup_pairs: the same
+    md5-derived centroid literals, the same struct(-dot, idx) ascending
+    sort (DuckDB list_sort orders structs lexicographically), the same
+    top-n_assign multi-assignment, then exact cosine over candidates."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import _centroid
+
+    structs = ", ".join(
+        "struct_pack(d := -list_dot_product(v, ["
+        + ",".join(repr(x) for x in _centroid(dim, i))
+        + f"]), i := {i})"
+        for i in range(n_clusters)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cells AS (
+      SELECT vec_id,
+             unnest(list_transform(list_sort([{structs}]),
+                    x -> x.i)[1:{n_assign}]) AS cell
+      FROM e),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b,
+           ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+    FROM cand
+    JOIN e ea ON ea.vec_id = id_a
+    JOIN e eb ON eb.vec_id = id_b
+    WHERE list_cosine_similarity(ea.v, eb.v) >= 0.25
+    """
+
+
+@query("dedup_semantic_ivf_pairs", oracle=_ivf_oracle_sql())
+def dedup_semantic_ivf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup via IVF cell bucketing — the scale path for
+    dedup_embedding_cosine_pairs (per-cell candidates ~(n/k)^2 instead
+    of the n^2 cross join), and the one approximate-index operator whose
+    bucketing is compact enough to replay bit-for-bit in SQL: the oracle
+    recomputes the md5 centroids, the multi-assignment, and the exact
+    cosine re-rank (threshold calibrated to the synthetic data like the
+    brute-force twin)."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        semantic_ivf_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_ivf_neardup_pairs(
+        emb, "vec_id", "embedding", dim=64, n_clusters=8, n_assign=2,
+        threshold=0.25,
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))

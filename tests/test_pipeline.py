@@ -347,3 +347,35 @@ def test_pipeline_ops_preserve_schema_on_empty_input(spark, sf_dir):
 
     sig = minhash_signatures(empty, "doc_id", "text")
     assert sig.count() == 0 and sig.columns[0] == "doc_id"
+
+
+def test_semantic_ivf_dedup_recall_and_precision(spark, sf_dir):
+    """The IVF-bucketed semantic dedup must (a) return only true pairs
+    (every emitted pair passes the exact cosine threshold — precision 1
+    by construction, asserted against the brute-force twin) and (b)
+    recover a solid fraction of the brute-force pairs (recall) despite
+    scanning only within-cell candidates."""
+    from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        embedding_neardup_pairs,
+        semantic_ivf_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=0.25
+        ).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in semantic_ivf_neardup_pairs(
+            emb, "vec_id", "embedding", dim=64, n_clusters=8, n_assign=2,
+            threshold=0.25,
+        ).collect()
+    }
+    assert approx <= exact  # precision 1: candidates re-ranked exactly
+    assert exact, "fixture should produce at least one near-dup pair"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.4, f"semantic IVF recall too low: {recall}"
