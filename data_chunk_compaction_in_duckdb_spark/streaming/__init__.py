@@ -16,5 +16,6 @@ from data_chunk_compaction_in_duckdb_spark.streaming.events import (  # noqa: F4
     streaming_sliding_counts,
     streaming_static_join_rollup,
     streaming_interval_join,
+    streaming_left_outer_interval_join,
     streaming_tumbling_counts,
 )

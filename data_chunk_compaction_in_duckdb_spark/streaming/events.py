@@ -323,3 +323,47 @@ def streaming_upsert_sink(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def streaming_left_outer_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: every purchase
+    row is emitted, with its same-user clicks from the preceding 30
+    minutes or NULL click columns when none arrived.  The outer
+    (null-padded) rows can only be emitted once the click-side watermark
+    has passed the purchase's join window — Spark holds them in state
+    until then and flushes them on the no-data micro-batch that advances
+    the final watermark.  Callers comparing against a batch twin must
+    therefore bound the comparison to purchases older than the final
+    watermark (max event time - delay); the tail is *correctly* still
+    unresolved at drain time."""
+    clicks = (
+        _ts_as_utc_instant(_event_stream(spark, sf_dir))
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts_evt").alias("c_ts"))
+    )
+    buys = (
+        _ts_as_utc_instant(_event_stream(spark, sf_dir))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts_evt").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    joined = buys.withWatermark("p_ts", "1 hour").join(
+        clicks.withWatermark("c_ts", "1 hour"),
+        F.expr(
+            "c_user = p_user"
+            " AND c_ts >= p_ts - INTERVAL 30 MINUTES"
+            " AND c_ts <= p_ts"
+        ),
+        "left_outer",
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"),
+        _win_start_ntz("c_ts").alias("click_ts"),
+        _win_start_ntz("p_ts").alias("purchase_ts"),
+        F.col("p_value").alias("purchase_value"),
+    )
