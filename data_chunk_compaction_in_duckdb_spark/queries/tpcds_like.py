@@ -1103,34 +1103,32 @@ def tpcds_q6_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpcds_q64_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q64 shape: (customer, item) pairs purchased in two CONSECUTIVE
-    years — dedup to (part, cust, year) grain first, then self-join at
-    year+1.  Both join sides are the same aggregate; one shuffle on
-    (pk, ck) serves grouping and join."""
+    years.  The DS formulation (and this oracle) is a year+1 self-join
+    of the deduped (part, cust, year) grain; the Spark plan instead
+    dedups to the (part, cust, year) grain and flags rows whose
+    predecessor year exists via lag() over (pk, ck) — the self-join
+    collapses into dedup + one window, the fact subtree is scanned ONCE
+    instead of twice, and every operator stays in codegen (a collect_set
+    formulation was tried and lost: object-hash aggregation over near-
+    unique (pk, ck) groups costs more than the shuffle it saves)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    yearly = (
+    dedup = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy(
+        .select(
             F.col("l_partkey").alias("pk"),
             F.col("o_custkey").alias("ck"),
             F.year("o_orderdate").alias("y"),
         )
-        .agg(F.lit(1).alias("_one"))
-        .select("pk", "ck", "y")
+        .distinct()
     )
-    a = yearly.alias("a")
-    b = yearly.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.pk") == F.col("b.pk"))
-            & (F.col("a.ck") == F.col("b.ck"))
-            & (F.col("b.y") == F.col("a.y") + 1),
-        )
-        .agg(
-            F.count("*").alias("n_repeat_pairs"),
-            F.min(F.col("a.pk")).cast("long").alias("min_part"),
-        )
+    w = Window.partitionBy("pk", "ck").orderBy("y")
+    flagged = dedup.withColumn("prev", F.lag("y").over(w)).filter(
+        F.col("prev") == F.col("y") - 1
+    )
+    return flagged.agg(
+        F.count("*").alias("n_repeat_pairs"),
+        F.min("pk").cast("long").alias("min_part"),
     )
 
 
