@@ -17,5 +17,7 @@ from data_chunk_compaction_in_duckdb_spark.streaming.events import (  # noqa: F4
     streaming_static_join_rollup,
     streaming_interval_join,
     streaming_left_outer_interval_join,
+    streaming_tws_running_totals,
+    tws_available,
     streaming_tumbling_counts,
 )

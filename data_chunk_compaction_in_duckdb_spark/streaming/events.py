@@ -367,3 +367,67 @@ def streaming_left_outer_interval_join(
         _win_start_ntz("p_ts").alias("purchase_ts"),
         F.col("p_value").alias("purchase_value"),
     )
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf runtime for its
+    state-server protocol; probe it so callers can gate (this container
+    ships pyspark 4.1 with the API but without google.protobuf)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        from pyspark.sql.streaming import StatefulProcessor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas (Spark 4's
+    arbitrary-stateful API, the successor to applyInPandasWithState):
+    one ValueState(n, cents) per user, updated per micro-batch, emitting
+    the running totals in Update mode.  Money accumulates as integer
+    cents inside the processor so the drained totals equal the batch
+    groupBy bit-for-bit.  Raises ImportError when the protobuf runtime
+    is absent (see tws_available); the applyInPandasWithState
+    sessionizer covers custom state where TWS cannot run."""
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf, which "
+            "is not installed in this environment"
+        )
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("totals", "n LONG, cents LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            st = self._state.get()
+            n, cents = (st[0], st[1]) if st else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["value"].astype("float64").mul(100).round().sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ev = _event_stream(spark, sf_dir).select("user_id", "value")
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id LONG, n LONG, cents LONG",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -493,3 +493,34 @@ def test_streaming_upsert_sink_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_tws_running_totals_parity_or_env_gate(spark, sf_dir):
+    """transformWithStateInPandas running totals == batch groupBy when
+    the protobuf runtime exists; otherwise the operator must fail fast
+    with the documented ImportError (environment gate, not a stub)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_chunk_compaction_in_duckdb_spark.streaming import events as sev
+
+    if not sev.tws_available():
+        with pytest.raises(ImportError, match="protobuf"):
+            sev.streaming_tws_running_totals(spark, sf_dir)
+        pytest.skip("google.protobuf not installed; TWS API gated off")
+
+    out = sev.streaming_tws_running_totals(spark, sf_dir)
+    sev.run_stream_to_memory(out, name="tws_totals", mode="update")
+    res = spark.table("tws_totals")
+    import os
+
+    batch = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    assert res.exceptAll(batch).count() == 0
+    assert batch.exceptAll(res).count() == 0
