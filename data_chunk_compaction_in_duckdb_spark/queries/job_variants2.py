@@ -442,3 +442,12 @@ _register_exists_two_hop_variant("b", "5-LOW", "2000-06-01", 5)
 _register_exists_two_hop_variant("c", "3-MEDIUM", "1996-01-01", 40)
 _register_date_band_variant("b", "1998-01-01", "1999-12-31", "c_acctbal < 500", 500)
 _register_date_band_variant("c", "1995-01-01", "1995-12-31", "c_acctbal > 5000", 5000)
+
+# d-variants (same topologies, a fourth selectivity placement — the
+# reference's families run up to four letters)
+_register_late_filter_variant("d", "8.8")
+_register_cyclic_triangle_variant("d", "R", "2-HIGH")
+_register_four_dim_roles_variant("d", "P", "0.00", False)
+_register_long_chain_variant("d", "error", 20, "NATION_3%")
+_register_exists_two_hop_variant("d", "2-HIGH", "1997-06-01", 25)
+_register_date_band_variant("d", "1999-06-01", "2001-06-30", "c_acctbal > -1000", -1000)

@@ -468,3 +468,24 @@ _register_events_bridge_variant("c", ["NATION_2"], 10)
 _register_distinct_pair_variant("b", 300000, 45)
 _register_distinct_pair_variant("c", 100000, 10)
 _register_linked_pair_variant("b", "O", "P", True)
+
+# d-variants (fourth placement per family) and the missing c's
+_register_funnel_variant("d", "view", "purchase")
+_register_two_fact_roles_variant("d", "R", "O")
+_register_semi_reduce_variant("d", "AUTOMOBILE", 44)
+_register_anti_exists_variant("d", "l_quantity > 45 AND l_returnflag = 'A'")
+_register_like_or_variant(
+    "c", ["%re%", "me%", "%um"], "Supplier#000%", "%STANDARD%"
+)
+_register_like_or_variant(
+    "d", ["red %", "%gear", "%bolt%"], "Supplier#%", "%MEDIUM%"
+)
+_register_dim_cross_variant("d", "F", True)
+_register_dim_only_variant("d", "Brand#9", "NATION_20")
+_register_fact_dim_fact_variant("d", "NATION_2_", "1998-01-01", 250000)
+_register_events_bridge_variant(
+    "d", ["NATION_4", "NATION_9", "NATION_13", "NATION_17"], 50
+)
+_register_distinct_pair_variant("d", 250000, 40)
+_register_linked_pair_variant("c", "F", "P", False)
+_register_linked_pair_variant("d", "P", "O", True)
