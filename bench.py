@@ -52,6 +52,12 @@ HEADLINE = [
     "tpcds_q70_rank_pruned_rollup",
     "tpcds_q72_late_fulfillment",
     "job_like_four_dim_roles",
+    # late round-2 additions: the completed-DS tranche, a JOB d-variant,
+    # and the oracle-replayable bucketed semantic dedup
+    "tpcds_q86_geo_rollup_rank",
+    "tpcds_q99_latency_month_matrix",
+    "job_like_deep_join_d",
+    "dedup_semantic_ivf_pairs",
 ]
 
 REPS = 3
