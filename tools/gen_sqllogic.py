@@ -977,6 +977,36 @@ corpus("window_in_setops", "Window functions inside set-operation branches (refe
     ("II", "rowsort", "SELECT r_regionkey, CAST(count(*) OVER () AS INT) FROM region UNION SELECT r_regionkey, CAST(count(*) OVER () AS INT) FROM region"),
 ])
 
+corpus("date_part_matrix", "date_part field-name matrix (reference test/sql/function/date)")([
+    ("I", "", "SELECT date_part('year', DATE '1997-03-09')"),
+    ("I", "", "SELECT date_part('quarter', DATE '1997-03-09')"),
+    ("I", "", "SELECT date_part('month', DATE '1997-12-31')"),
+    ("I", "", "SELECT date_part('day', DATE '1997-12-31')"),
+    ("I", "", "SELECT date_part('week', DATE '1997-01-02')"),
+    ("I", "", "SELECT EXTRACT(WEEK FROM DATE '2000-12-31')"),
+    ("I", "", "SELECT date_part('doy', DATE '1996-03-01')"),
+    ("I", "", "SELECT date_part('hour', TIMESTAMP '1997-03-09 13:45:30')"),
+    ("I", "", "SELECT date_part('minute', TIMESTAMP '1997-03-09 13:45:30')"),
+    ("I", "", "SELECT date_part('second', TIMESTAMP '1997-03-09 13:45:30')"),
+])
+
+corpus("tuple_in", "Row-value IN lists (reference test/sql/filter/in)")([
+    ("I", "", "SELECT count(*) FROM nation WHERE (n_regionkey, n_nationkey % 5) IN ((0, 0), (1, 1))"),
+    ("T", "", "SELECT r_name FROM region WHERE (r_regionkey, r_name) IN ((2, 'ASIA'), (9, 'NOWHERE')) ORDER BY r_name"),
+    ("I", "", "SELECT count(*) FROM lineitem WHERE (l_returnflag, l_linestatus) IN (('R', 'F'), ('A', 'F'))"),
+    ("I", "", "SELECT count(*) FROM orders WHERE (o_orderstatus, EXTRACT(YEAR FROM o_orderdate)) IN (('F', 1995), ('O', 2000))"),
+])
+
+corpus("misc_common_fns", "Shared scalar functions across engines (reference test/sql/function)")([
+    ("II", "", "SELECT factorial(5), factorial(0)"),
+    ("T", "", "SELECT translate(r_name, 'AEI', 'aei') FROM region ORDER BY r_regionkey"),
+    ("I", "", "SELECT levenshtein('kitten', 'sitting')"),
+    ("T", "", "SELECT concat_ws('/', r_name, CAST(r_regionkey AS STRING), NULL) FROM region ORDER BY r_regionkey"),
+    ("I", "", "SELECT instr(p_type, 'OMO') FROM part WHERE p_partkey = 1"),
+    ("T", "", "SELECT regexp_extract(s_name, '([0-9]+)', 1) FROM supplier ORDER BY s_suppkey LIMIT 3"),
+    ("I", "", "SELECT bit_count(CAST(255 AS BIGINT))"),
+])
+
 HEADER_NOTE = (
     "# GENERATED by tools/gen_sqllogic.py — golden rows validated on BOTH\n"
     "# engines (DuckDB + Spark) over /root/testdata/sf0.001 (the\n"
