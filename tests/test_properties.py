@@ -246,3 +246,14 @@ def test_contamination_self_is_total(spark, texts):
     assert len(out) == len(texts)
     for r in out:
         assert r.n_hit == r.n_grams and abs(r.contamination - 1.0) < 1e-9
+
+
+def test_differential_fuzz_seeded(spark, duck, sf_dir):
+    """Seeded slice of the dialect-common differential fuzzer
+    (tools/fuzz_differential.py, the port's sqlsmith analog): 120
+    random SELECTs must agree between engines.  Deterministic seed so a
+    failure is reproducible; widen with the CLI tool when hunting."""
+    from tools.fuzz_differential import run_fuzz
+
+    bad = run_fuzz(120, seed=20260814, spark=spark, duck=duck, sf_dir=sf_dir)
+    assert not bad, f"{len(bad)} divergences; first: {bad[0]}"

@@ -1,0 +1,297 @@
+#!/usr/bin/env python
+"""Seeded differential SQL fuzzer — the port's analog of the reference's
+randomized testing (SURVEY.md §5: test/fuzzer/{sqlsmith,duckfuzz},
+extension/sqlsmith).
+
+Generates random SELECTs from a DIALECT-COMMON grammar (identical text
+parses in DuckDB and Spark SQL; the same subset tools/gen_sqllogic.py
+validates), runs both engines over the sf0.001 fixture views, and
+compares results as sorted multisets with the driver's normalization.
+
+Exactness discipline: aggregates only over integer-valued columns (keys,
+sizes, BIGINT-cast quantity) so no float summation order can diverge;
+doubles appear only in comparisons and ROUND(x, 2) projections.
+
+Usage:
+  python tools/fuzz_differential.py [n_queries] [seed]
+Exit 1 on any divergence, printing the offending SQL and both results —
+a found divergence becomes either an engine-semantics note in
+gen_sqllogic.py's dialect list or a new pinned sqllogic corpus entry.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_FUZZ_SF_DIR", "/root/testdata/sf0.001")
+TABLES = {
+    "region": {"int": ["r_regionkey"], "str": ["r_name"], "date": []},
+    "nation": {"int": ["n_nationkey", "n_regionkey"], "str": ["n_name"], "date": []},
+    "customer": {
+        "int": ["c_custkey", "c_nationkey"],
+        "str": ["c_name", "c_mktsegment"],
+        "date": [],
+    },
+    "supplier": {
+        "int": ["s_suppkey", "s_nationkey"],
+        "str": ["s_name"],
+        "date": [],
+    },
+    "part": {
+        "int": ["p_partkey", "p_size"],
+        "str": ["p_name", "p_brand", "p_type"],
+        "date": [],
+    },
+    "orders": {
+        "int": ["o_orderkey", "o_custkey"],
+        "str": ["o_orderstatus", "o_orderpriority"],
+        "date": ["o_orderdate"],
+    },
+    "lineitem": {
+        "int": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "str": ["l_returnflag", "l_linestatus"],
+        "date": ["l_shipdate"],
+    },
+}
+STR_LITS = {
+    "r_name": ["ASIA", "EUROPE", "AMERICA"],
+    "n_name": ["NATION_3", "NATION_11", "NATION_20"],
+    "c_name": ["Customer#1", "Customer#99"],
+    "c_mktsegment": ["BUILDING", "MACHINERY", "HOUSEHOLD"],
+    "s_name": ["Supplier#5", "Supplier#77"],
+    "p_name": ["red bolt", "small gizmo"],
+    "p_brand": ["Brand#3", "Brand#14", "Brand#22"],
+    "p_type": ["PROMO", "STANDARD", "ECONOMY"],
+    "o_orderstatus": ["F", "O", "P"],
+    "o_orderpriority": ["1-URGENT", "3-MEDIUM", "5-LOW"],
+    "l_returnflag": ["R", "N", "A"],
+    "l_linestatus": ["F", "O"],
+}
+
+
+class Gen:
+    def __init__(self, rng: random.Random, table: str):
+        self.rng = rng
+        self.t = TABLES[table]
+        self.table = table
+
+    def int_expr(self, depth: int = 0) -> str:
+        r = self.rng
+        if depth > 1 or r.random() < 0.4:
+            if self.t["int"] and r.random() < 0.8:
+                return r.choice(self.t["int"])
+            return str(r.randint(-20, 30))
+        a, b = self.int_expr(depth + 1), self.int_expr(depth + 1)
+        op = r.choice(["+", "-", "*", "%", "%"])
+        if op == "%":
+            # negative-dividend modulo is a classic engine-divergence
+            # zone (both here follow sign-of-dividend)
+            return f"(({a} - {r.randint(0, 15)}) % {r.randint(2, 13)})"
+        return f"({a} {op} {b})"
+
+    def str_expr(self) -> str:
+        r = self.rng
+        col = r.choice(self.t["str"])
+        return r.choice(
+            [
+                col,
+                f"upper({col})",
+                f"substr({col}, 1, {r.randint(1, 6)})",
+                f"concat({col}, '_x')",
+            ]
+        )
+
+    def pred(self, depth: int = 0) -> str:
+        r = self.rng
+        if depth < 1 and r.random() < 0.4:
+            a, b = self.pred(depth + 1), self.pred(depth + 1)
+            conj = r.choice(["AND", "OR"])
+            neg = "NOT " if r.random() < 0.2 else ""
+            return f"{neg}({a} {conj} {b})"
+        kind = r.random()
+        if kind < 0.45:
+            return f"{self.int_expr()} {r.choice(['<', '<=', '=', '>', '>=', '<>'])} {r.randint(0, 40)}"
+        if kind < 0.65 and self.t["str"]:
+            col = r.choice(self.t["str"])
+            lit = r.choice(STR_LITS[col])
+            return f"{col} {r.choice(['=', '<>', '<', '>'])} '{lit}'"
+        if kind < 0.8 and self.t["str"]:
+            col = r.choice(self.t["str"])
+            pat = r.choice(["%a%", "B%", "%_1%", "%o"])
+            return f"{col} {r.choice(['LIKE', 'NOT LIKE'])} '{pat}'"
+        if kind < 0.85:
+            col = r.choice(self.t["int"])
+            vals = ", ".join(str(r.randint(0, 25)) for _ in range(r.randint(2, 5)))
+            return f"{col} IN ({vals})"
+        if kind < 0.9:
+            lo = r.randint(-5, 20)
+            return f"{self.int_expr()} BETWEEN {lo} AND {lo + r.randint(0, 15)}"
+        if self.t["date"]:
+            col = r.choice(self.t["date"])
+            y = r.randint(1995, 2001)
+            return f"{col} >= DATE '{y}-0{r.randint(1, 9)}-01'"
+        return f"{r.choice(self.t['int'])} IS NOT NULL"
+
+    def scalar_select(self) -> str:
+        r = self.rng
+        items = []
+        for _ in range(r.randint(1, 4)):
+            if r.random() < 0.5:
+                items.append(self.int_expr())
+            elif r.random() < 0.7 and self.t["str"]:
+                items.append(self.str_expr())
+            else:
+                ie = self.int_expr()
+                items.append(
+                    r.choice(
+                        [
+                            f"CASE WHEN {self.pred(1)} THEN {ie} ELSE 0 END",
+                            f"coalesce(nullif({ie}, 0), -1)",
+                            f"abs({ie} - 10)",
+                        ]
+                    )
+                )
+        cols = ", ".join(f"{e} AS c{i}" for i, e in enumerate(items))
+        order = ", ".join(f"c{i}" for i in range(len(items)))
+        where = f" WHERE {self.pred()}" if r.random() < 0.8 else ""
+        lim = f" LIMIT {r.randint(1, 50)}" if r.random() < 0.5 else ""
+        # ORDER BY all projected columns keeps LIMIT deterministic only
+        # when the prefix is unique; compare without LIMIT unless ordered
+        # output is total — simplest: LIMIT only with full ORDER BY and a
+        # unique key appended.
+        key = TABLES[self.table]["int"][0]
+        return (
+            f"SELECT {cols} FROM {self.table}{where} "
+            f"ORDER BY {order}, {key}{lim}"
+        )
+
+    def agg_select(self) -> str:
+        r = self.rng
+        gcols = []
+        if r.random() < 0.7:
+            pool = self.t["str"] + self.t["int"]
+            gcols = r.sample(pool, k=min(len(pool), r.randint(1, 2)))
+        aggs = []
+        for _ in range(r.randint(1, 3)):
+            ie = self.int_expr()
+            aggs.append(
+                r.choice(
+                    [
+                        "count(*)",
+                        f"CAST(count(DISTINCT {r.choice(self.t['int'])}) AS BIGINT)",
+                        f"CAST(sum(CAST({ie} AS BIGINT)) AS BIGINT)",
+                        f"min({ie})",
+                        f"max({ie})",
+                    ]
+                )
+            )
+        items = gcols + aggs
+        sel = ", ".join(f"{e} AS c{i}" for i, e in enumerate(items))
+        where = f" WHERE {self.pred()}" if r.random() < 0.6 else ""
+        group = (
+            " GROUP BY " + ", ".join(f"c{i}" for i in range(len(gcols)))
+            if gcols
+            else ""
+        )
+        having = (
+            f" HAVING count(*) > {r.randint(0, 3)}"
+            if gcols and r.random() < 0.4
+            else ""
+        )
+        return f"SELECT {sel} FROM {self.table}{where}{group}{having}"
+
+
+def gen_query(rng: random.Random) -> str:
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    roll = rng.random()
+    if roll < 0.45:
+        return g.agg_select()
+    if roll < 0.55:
+        # DISTINCT over a small projection
+        e1, e2 = g.int_expr(), g.int_expr()
+        return (
+            f"SELECT DISTINCT {e1} AS c0, {e2} AS c1 FROM {table} "
+            f"WHERE {g.pred()} ORDER BY c0, c1"
+        )
+    if roll < 0.65:
+        # UNION [ALL] of two compatible single-column branches
+        t2 = rng.choice(list(TABLES))
+        g2 = Gen(rng, t2)
+        setop = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+        return (
+            f"SELECT {g.int_expr()} AS c0 FROM {table} WHERE {g.pred()} "
+            f"{setop} SELECT {g2.int_expr()} FROM {t2} WHERE {g2.pred()}"
+        )
+    return g.scalar_select()
+
+
+def run_fuzz(
+    n: int, seed: int, spark=None, duck=None, sf_dir: str = SF_DIR
+) -> list[tuple[str, str]]:
+    """Returns list of (sql, reason) divergences."""
+    import duckdb
+
+    from tests.oracle_compare import normalize
+
+    if duck is None:
+        duck = duckdb.connect()
+        for t in TABLES:
+            duck.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+    if spark is None:
+        from data_chunk_compaction_in_duckdb_spark.session import get_spark
+
+        spark = get_spark(app_name="fuzz", cpus=4, shuffle_partitions=4)
+    from data_chunk_compaction_in_duckdb_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+
+    rng = random.Random(seed)
+    bad: list[tuple[str, str]] = []
+    for i in range(n):
+        sql = gen_query(rng)
+        try:
+            ores = duck.execute(sql)
+            o_cols = [d[0] for d in ores.description]
+            o_rows = [tuple(x) for x in ores.fetchall()]
+        except Exception as e:  # noqa: BLE001
+            bad.append((sql, f"duckdb error: {e}"))
+            continue
+        try:
+            sdf = spark.sql(sql)
+            s_cols = sdf.columns
+            s_rows = [tuple(x) for x in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            bad.append((sql, f"spark error: {str(e)[:200]}"))
+            continue
+        sn = normalize(s_cols, s_rows)
+        on = normalize(o_cols, o_rows)
+        if sn != on:
+            detail = f"rows {len(sn)}/{len(on)}"
+            for a, b in zip(sn, on):
+                if a != b:
+                    detail += f"; first diff {a} vs {b}"
+                    break
+            bad.append((sql, f"result mismatch: {detail}"))
+    return bad
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    bad = run_fuzz(n, seed)
+    for sql, reason in bad:
+        print(f"DIVERGENCE: {reason}\n  {sql}\n")
+    print(f"{n} queries, {len(bad)} divergences (seed={seed})")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
