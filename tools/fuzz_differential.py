@@ -205,10 +205,58 @@ class Gen:
         return f"SELECT {sel} FROM {self.table}{where}{group}{having}"
 
 
+JOIN_PAIRS = [
+    ("nation", "region", "n_regionkey = r_regionkey"),
+    ("customer", "nation", "c_nationkey = n_nationkey"),
+    ("supplier", "nation", "s_nationkey = n_nationkey"),
+    ("orders", "customer", "o_custkey = c_custkey"),
+    ("lineitem", "orders", "l_orderkey = o_orderkey"),
+    ("lineitem", "part", "l_partkey = p_partkey"),
+]
+
+
+def join_select(rng: random.Random) -> str:
+    """Two-table FK join under a random join type — outer-join NULL
+    semantics and join+aggregate interaction are the classic divergence
+    territory."""
+    r = rng
+    lt, rt, cond = r.choice(JOIN_PAIRS)
+    jt = r.choice(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"])
+    gl, gr = Gen(r, lt), Gen(r, rt)
+    # predicate placement: ON-extra vs WHERE changes outer-join results;
+    # both engines must agree on either placement.
+    extra = ""
+    where = ""
+    side = r.choice([gl, gr])
+    if r.random() < 0.5:
+        extra = f" AND {side.pred(1)}"
+    elif r.random() < 0.7:
+        where = f" WHERE {side.pred(1)}"
+    key_l = TABLES[lt]["int"][0]
+    key_r = TABLES[rt]["int"][0]
+    aggs = [
+        "count(*)",
+        f"count({key_l})",
+        f"count({key_r})",
+        f"min({key_l})",
+        f"max({key_r})",
+    ]
+    sel = ", ".join(f"{e} AS c{i}" for i, e in enumerate(r.sample(aggs, 3)))
+    if r.random() < 0.5:
+        gcol = r.choice(TABLES[r.choice([lt, rt])]["str"])
+        return (
+            f"SELECT {gcol} AS g, {sel} FROM {lt} {jt} {rt} "
+            f"ON {cond}{extra}{where} GROUP BY g"
+        )
+    return f"SELECT {sel} FROM {lt} {jt} {rt} ON {cond}{extra}{where}"
+
+
 def gen_query(rng: random.Random) -> str:
     table = rng.choice(list(TABLES))
     g = Gen(rng, table)
     roll = rng.random()
+    if roll < 0.2:
+        return join_select(rng)
     if roll < 0.45:
         return g.agg_select()
     if roll < 0.55:
