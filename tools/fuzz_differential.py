@@ -140,7 +140,18 @@ class Gen:
         r = self.rng
         items = []
         for _ in range(r.randint(1, 4)):
-            if r.random() < 0.5:
+            if self.t["date"] and r.random() < 0.15:
+                col = r.choice(self.t["date"])
+                items.append(
+                    r.choice(
+                        [
+                            f"CAST(CAST({col} AS DATE) AS STRING)",
+                            f"EXTRACT(YEAR FROM {col})",
+                            f"EXTRACT(MONTH FROM {col}) * 100 + EXTRACT(DAY FROM {col})",
+                        ]
+                    )
+                )
+            elif r.random() < 0.5:
                 items.append(self.int_expr())
             elif r.random() < 0.7 and self.t["str"]:
                 items.append(self.str_expr())
@@ -251,12 +262,42 @@ def join_select(rng: random.Random) -> str:
     return f"SELECT {sel} FROM {lt} {jt} {rt} ON {cond}{extra}{where}"
 
 
+def window_select(rng: random.Random) -> str:
+    """Deterministic window shapes: a unique ORDER BY key inside each
+    partition keeps rank/row_number engine-independent."""
+    r = rng
+    table = r.choice([t for t, c in TABLES.items() if c["str"]])
+    g = Gen(r, table)
+    part = r.choice(TABLES[table]["str"])
+    key = TABLES[table]["int"][0]
+    fn = r.choice(
+        [
+            "row_number()",
+            "rank()",
+            "dense_rank()",
+            f"CAST(count(*) OVER (PARTITION BY {part}) AS BIGINT)",
+            f"CAST(sum({key}) OVER (PARTITION BY {part} ORDER BY {key} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)",
+            f"lag({key}, 1) OVER (PARTITION BY {part} ORDER BY {key})",
+        ]
+    )
+    if "OVER" not in fn:
+        fn = f"CAST({fn} OVER (PARTITION BY {part} ORDER BY {key}) AS BIGINT)"
+    where = f" WHERE {g.pred()}" if r.random() < 0.5 else ""
+    return (
+        f"SELECT {part} AS c0, {key} AS c1, {fn} AS c2 FROM {table}{where} "
+        f"ORDER BY c0, c1 LIMIT {r.randint(5, 80)}"
+    )
+
+
 def gen_query(rng: random.Random) -> str:
     table = rng.choice(list(TABLES))
     g = Gen(rng, table)
     roll = rng.random()
-    if roll < 0.2:
+    if roll < 0.15:
         return join_select(rng)
+    if roll < 0.25:
+        return window_select(rng)
     if roll < 0.45:
         return g.agg_select()
     if roll < 0.55:
