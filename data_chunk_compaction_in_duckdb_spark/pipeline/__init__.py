@@ -55,3 +55,7 @@ from data_chunk_compaction_in_duckdb_spark.pipeline.mixing import (  # noqa: F40
     mix_weighted_sources,
     select_within_token_budget,
 )
+from data_chunk_compaction_in_duckdb_spark.pipeline.fts import (  # noqa: F401
+    bm25_scores,
+    build_fts_index,
+)

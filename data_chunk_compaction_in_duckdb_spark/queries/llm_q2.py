@@ -426,3 +426,48 @@ def dedup_semantic_ivf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.25,
     )
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+@query(
+    "fts_bm25_search",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\\s+'))
+               AS term
+      FROM documents
+    ),
+    tok2 AS (SELECT doc, term FROM tok WHERE term <> ''),
+    doclen AS (SELECT doc, COUNT(*) AS dl FROM tok2 GROUP BY doc),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM doclen),
+    tf AS (SELECT doc, term, COUNT(*) AS tf FROM tok2
+           WHERE term IN ('data', 'query', 'stream')
+           GROUP BY doc, term),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT doc,
+           ROUND(SUM(
+             ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * (1.2 + 1)
+             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 4) AS score
+    FROM tf
+    JOIN dft USING (term)
+    JOIN doclen USING (doc)
+    CROSS JOIN stats
+    GROUP BY doc
+    """,
+)
+def fts_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text BM25 search (the reference's FTS extension:
+    create_fts_index + match_bm25, extension/fts, test/sql/fts) over the
+    documents table for the query 'data query stream'.  The oracle
+    replays the identical Okapi/Lucene-IDF formula in plain SQL —
+    DuckDB's own fts extension is not loadable offline, and replaying
+    the math keeps the check exact rather than approximating another
+    engine's stemmer."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_scores(docs, "doc_id", "text", ["data", "query", "stream"])
+    return out.select("doc", F.round("score", 4).alias("score"))

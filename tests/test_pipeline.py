@@ -379,3 +379,43 @@ def test_semantic_ivf_dedup_recall_and_precision(spark, sf_dir):
     assert exact, "fixture should produce at least one near-dup pair"
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.4, f"semantic IVF recall too low: {recall}"
+
+
+def test_fts_bm25_ranking_sanity(spark, sf_dir):
+    """BM25 invariants on the fixture corpus: (a) every scored doc
+    contains at least one query term; (b) for a single-term query,
+    among docs of (nearly) equal length the higher-tf doc scores
+    higher; (c) scores are positive (Lucene IDF is non-negative)."""
+    from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        bm25_scores,
+        build_fts_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, "doc_id", "text", ["vector"]).collect()
+    assert scored and all(r.score > 0 for r in scored)
+
+    postings, doclen = build_fts_index(docs, "doc_id", "text")
+    rows = (
+        postings.filter(F.col("term") == "vector")
+        .join(doclen, "doc")
+        .collect()
+    )
+    matched_docs = {r.doc for r in rows}
+    assert {r.doc for r in scored} == matched_docs
+
+    by_doc = {r.doc: r for r in rows}
+    score = {r.doc: r.score for r in scored}
+    # pick pairs with identical dl: higher tf must outrank
+    from itertools import combinations
+
+    checked = 0
+    for a, b in combinations(rows, 2):
+        if a.dl == b.dl and a.tf != b.tf:
+            hi, lo = (a, b) if a.tf > b.tf else (b, a)
+            assert score[hi.doc] > score[lo.doc]
+            checked += 1
+            if checked > 20:
+                break
+    assert checked > 0, "fixture should contain comparable doc pairs"
