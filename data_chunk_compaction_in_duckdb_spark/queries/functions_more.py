@@ -278,3 +278,64 @@ def fn_math_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_suppkey").cast("double"), F.lit(1e18)
         ).alias("na"),
     )
+
+
+@query(
+    "fn_inet_ops",
+    oracle="""
+    WITH ips AS (
+      SELECT c_mktsegment,
+             '10.' || CAST(c_custkey % 200 AS VARCHAR) || '.'
+                   || CAST((c_custkey // 7) % 256 AS VARCHAR) || '.'
+                   || CAST(c_custkey % 256 AS VARCHAR) AS ip,
+             CAST(10 * 16777216 + (c_custkey % 200) * 65536
+                  + ((c_custkey // 7) % 256) * 256
+                  + (c_custkey % 256) AS BIGINT) AS addr
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN addr >= 10 * 16777216 + 57 * 65536
+                          AND addr < 10 * 16777216 + 58 * 65536
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_in_cidr,
+           CAST(MIN(addr) AS BIGINT) AS min_addr,
+           CAST((MIN(addr) // 16777216) % 256 AS VARCHAR) || '.'
+             || CAST((MIN(addr) // 65536) % 256 AS VARCHAR) || '.'
+             || CAST((MIN(addr) // 256) % 256 AS VARCHAR) || '.'
+             || CAST(MIN(addr) % 256 AS VARCHAR) AS min_ip
+    FROM ips
+    GROUP BY c_mktsegment
+    """,
+)
+def fn_inet_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 functions (reference extension/inet, test/sql/inet): INET as
+    uint32-in-BIGINT — inet_aton/inet_ntoa round trip and CIDR
+    containment (`<<=`) as pure integer arithmetic over synthetic
+    addresses derived from customer keys.  The oracle replays the same
+    integer math; containment for 10.57.0.0/16 is the addr-range check
+    the functions module compiles CIDR literals into."""
+    from data_chunk_compaction_in_duckdb_spark.functions.inet import (
+        inet_aton,
+        inet_contains,
+        inet_ntoa,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    ips = c.select(
+        "c_mktsegment",
+        F.concat_ws(
+            ".",
+            F.lit("10"),
+            (F.col("c_custkey") % 200).cast("string"),
+            ((F.col("c_custkey") / 7).cast("long") % 256).cast("string"),
+            (F.col("c_custkey") % 256).cast("string"),
+        ).alias("ip"),
+    ).withColumn("addr", inet_aton("ip"))
+    return ips.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(inet_contains("10.57.0.0/16", F.col("ip")), 1).otherwise(0)
+        ).cast("long").alias("n_in_cidr"),
+        F.min("addr").alias("min_addr"),
+        inet_ntoa(F.min("addr")).alias("min_ip"),
+    )
