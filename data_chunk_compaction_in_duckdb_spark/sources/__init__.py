@@ -3,6 +3,8 @@ readers and COPY TO-style writers mirroring the reference's table
 functions (src/function/table/*, extension/parquet, csv_scanner/)."""
 
 from data_chunk_compaction_in_duckdb_spark.sources.readers import (  # noqa: F401
+    read_remote,
+    remote_path,
     attach_database,
     copy_to_file,
     detach_database,

@@ -83,3 +83,25 @@ def test_bucketed_join_has_no_join_side_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_li")
         spark.sql("DROP TABLE IF EXISTS bkt_o")
+
+
+def test_remote_path_mapping_and_local_http_spool(spark, tmp_path, sf_dir):
+    """httpfs surface: URL scheme mapping is pure (s3->s3a, gcs->gs),
+    and the http spool path is exercised offline via file:// — the
+    mapping must leave it untouched and the reader must produce the
+    same rows as a direct read."""
+    from data_chunk_compaction_in_duckdb_spark.sources import (
+        read_remote,
+        remote_path,
+    )
+
+    assert remote_path("s3://bucket/k/part.parquet") == "s3a://bucket/k/part.parquet"
+    assert remote_path("gcs://b/x.parquet") == "gs://b/x.parquet"
+    assert remote_path("https://h/x.parquet") == "https://h/x.parquet"
+    assert remote_path("/local/x.parquet") == "/local/x.parquet"
+
+    direct = spark.read.parquet(f"{sf_dir}/region.parquet")
+    via = read_remote(spark, f"file://{sf_dir}/region.parquet")
+    assert sorted(map(tuple, via.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
