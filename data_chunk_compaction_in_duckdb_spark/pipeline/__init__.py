@@ -59,3 +59,6 @@ from data_chunk_compaction_in_duckdb_spark.pipeline.fts import (  # noqa: F401
     bm25_scores,
     build_fts_index,
 )
+from data_chunk_compaction_in_duckdb_spark.pipeline.packing import (  # noqa: F401
+    pack_training_windows,
+)

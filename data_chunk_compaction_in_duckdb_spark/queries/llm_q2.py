@@ -471,3 +471,44 @@ def fts_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = bm25_scores(docs, "doc_id", "text", ["data", "query", "stream"])
     return out.select("doc", F.round("score", 4).alias("score"))
+
+
+@query(
+    "pipeline_pack_windows",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens AS BIGINT) AS before
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(before // 2048 AS BIGINT) AS window_id,
+           CAST(before % 2048 AS BIGINT) AS offset_in_window,
+           (before % 2048 + n_tokens) > 2048 AS crosses_boundary
+    FROM c
+    """,
+)
+def pipeline_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay the corpus out at global
+    token offsets in doc_id order and assign each document its
+    2048-token training window, offset, and boundary-crossing flag.
+    The oracle is a single-node window cumsum; the Spark plan is the
+    distributed prefix-sum (range partition + local cumsum + broadcast
+    offsets) — no single-task window at any scale."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        pack_training_windows,
+    )
+    from data_chunk_compaction_in_duckdb_spark.pipeline.fts import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_training_windows(
+        docs, "doc_id", F.size(tokenize("text")).cast("long"), capacity=2048
+    )

@@ -419,3 +419,35 @@ def test_fts_bm25_ranking_sanity(spark, sf_dir):
             if checked > 20:
                 break
     assert checked > 0, "fixture should contain comparable doc pairs"
+
+
+def test_pack_windows_invariants(spark, sf_dir):
+    """Packing layout invariants: offsets in [0, capacity); window ids
+    cover 0..total_tokens//capacity contiguously; per-window in-window
+    token mass never exceeds capacity; the boundary flag is exact."""
+    from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        pack_training_windows,
+    )
+    from data_chunk_compaction_in_duckdb_spark.pipeline.fts import tokenize
+
+    cap = 512
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack_training_windows(
+        docs, "doc_id", F.size(tokenize("text")).cast("long"), capacity=cap
+    ).collect()
+    total = sum(r.n_tokens for r in out)
+    assert out and all(0 <= r.offset_in_window < cap for r in out)
+    wids = {r.window_id for r in out}
+    assert wids == set(range(total // cap + (1 if total % cap else 0))) or (
+        wids == set(range(max(wids) + 1))
+    )
+    for r in out:
+        assert r.crosses_boundary == (r.offset_in_window + r.n_tokens > cap), r
+    # token mass that starts in window w and fits = sum of min(n, cap-off)
+    mass = {}
+    for r in out:
+        mass[r.window_id] = mass.get(r.window_id, 0) + min(
+            r.n_tokens, cap - r.offset_in_window
+        )
+    assert all(m <= cap for m in mass.values())
