@@ -339,3 +339,45 @@ def fn_inet_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("addr").alias("min_addr"),
         inet_ntoa(F.min("addr")).alias("min_ip"),
     )
+
+
+@query(
+    "fn_excel_text",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey <= 100
+    )
+    SELECT o_orderkey,
+           CAST(cents // 100 AS VARCHAR) || '.'
+             || lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS plain2,
+           format('{:,}', CAST((cents + 50) // 100 AS BIGINT)) AS grouped0,
+           format('{:,}', CAST(cents // 100 AS BIGINT)) || '.'
+             || lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS grouped2,
+           CAST((cents + 50) // 100 AS VARCHAR) AS rounded0
+    FROM v
+    """,
+)
+def fn_excel_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excel-style number formatting (reference extension/excel:
+    text()/excel_text()) driven from exact integer cents — digit
+    grouping via format_number on BIGINT, fraction digits via modulus,
+    half-up integer rounding for the '0' code; the oracle rebuilds the
+    identical strings with DuckDB's format('{:,}') + lpad, so no double
+    ever reaches the formatter on either engine."""
+    from data_chunk_compaction_in_duckdb_spark.functions.excel import (
+        excel_text_cents,
+    )
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    v = o.select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return v.select(
+        "o_orderkey",
+        excel_text_cents("cents", "0.00").alias("plain2"),
+        excel_text_cents("cents", "#,##0").alias("grouped0"),
+        excel_text_cents("cents", "#,##0.00").alias("grouped2"),
+        excel_text_cents("cents", "0").alias("rounded0"),
+    )
