@@ -28,6 +28,23 @@ PREFIXES = {
     "tpch": ("tpch_",),
     "tpcds": ("tpcds_",),
     "job": ("job_like_",),
+    # the LLM-data-pipeline pillar: dedup, similarity, text analysis,
+    # multimodal, mixing/selection, packing, contamination, FTS
+    "llm": (
+        "dedup_",
+        "sim_",
+        "text_",
+        "multimodal_",
+        "mix_",
+        "select_",
+        "pipeline_",
+        "embed_",
+        "contamination_",
+        "quality_",
+        "curriculum_",
+        "sample_stratified",
+        "fts_",
+    ),
 }
 
 
