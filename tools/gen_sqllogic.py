@@ -1007,6 +1007,31 @@ corpus("misc_common_fns", "Shared scalar functions across engines (reference tes
     ("I", "", "SELECT bit_count(CAST(255 AS BIGINT))"),
 ])
 
+corpus("order_by_hidden", "ORDER BY expressions outside the select list (reference test/sql/order)")([
+    ("T", "", "SELECT r_name FROM region ORDER BY r_regionkey DESC"),
+    ("T", "", "SELECT n_name FROM nation ORDER BY n_regionkey, n_nationkey LIMIT 6"),
+    ("I", "", "SELECT n_nationkey FROM nation ORDER BY length(n_name), n_nationkey LIMIT 5"),
+    ("TI", "", "SELECT o_orderstatus AS st, count(*) AS c FROM orders GROUP BY o_orderstatus ORDER BY count(*) DESC, st"),
+    ("I", "", "SELECT r_regionkey + 1 AS k FROM region ORDER BY k DESC"),
+    ("T", "", "SELECT upper(r_name) FROM region ORDER BY r_name DESC LIMIT 2"),
+])
+
+corpus("agg_constants", "Aggregates of constants / empty inputs (reference test/sql/aggregate)")([
+    ("II", "", "SELECT count(1), CAST(sum(2) AS BIGINT) FROM region"),
+    ("T", "", "SELECT min('zz') FROM region"),
+    ("I", "", "SELECT count(*) FROM region WHERE 1 = 0"),
+    ("I", "", "SELECT CAST(sum(r_regionkey) AS BIGINT) FROM region WHERE r_regionkey > 99"),
+    ("IT", "rowsort", "SELECT n_regionkey, max('const') FROM nation GROUP BY n_regionkey"),
+    ("I", "", "SELECT count(DISTINCT 7) FROM nation"),
+])
+
+corpus("nested_agg_of_agg", "Aggregates over grouped subqueries (reference test/sql/subquery)")([
+    ("I", "", "SELECT CAST(max(c) AS BIGINT) FROM (SELECT o_custkey, count(*) AS c FROM orders GROUP BY o_custkey) t"),
+    ("I", "", "SELECT count(*) FROM (SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 3) t"),
+    ("II", "", "SELECT CAST(min(s) AS BIGINT), CAST(max(s) AS BIGINT) FROM (SELECT n_regionkey, CAST(sum(n_nationkey) AS BIGINT) AS s FROM nation GROUP BY n_regionkey) t"),
+    ("I", "", "SELECT CAST(sum(c * c) AS BIGINT) FROM (SELECT l_returnflag, count(*) AS c FROM lineitem GROUP BY l_returnflag) t"),
+])
+
 HEADER_NOTE = (
     "# GENERATED by tools/gen_sqllogic.py — golden rows validated on BOTH\n"
     "# engines (DuckDB + Spark) over /root/testdata/sf0.001 (the\n"
