@@ -42,3 +42,4 @@ from data_chunk_compaction_in_duckdb_spark.queries import tpcds_like2  # noqa: E
 from data_chunk_compaction_in_duckdb_spark.queries import tpcds_like3  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import job_variants2  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import job_variants3  # noqa: E402,F401
+from data_chunk_compaction_in_duckdb_spark.queries import job_variants4  # noqa: E402,F401

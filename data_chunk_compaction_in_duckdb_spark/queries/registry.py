@@ -58,6 +58,7 @@ _MODULE_PRIORITY = [
     "job_variants",    # JOB a/b/c selectivity variants
     "job_variants2",   # round-2 JOB variant tranche (7 more families)
     "job_variants3",   # round-2 JOB variant tranche (remaining families)
+    "job_variants4",   # round-2 fourth tranche: new topologies to 113
     "events_q",
     "compaction_q",
     "functions_agg",

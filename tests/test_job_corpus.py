@@ -16,9 +16,16 @@ def _names():
         job_variants,
         job_variants2,
         job_variants3,
+        job_variants4,
     )
 
-    mods = {job_like.__name__, job_variants.__name__, job_variants2.__name__, job_variants3.__name__}
+    mods = {
+        job_like.__name__,
+        job_variants.__name__,
+        job_variants2.__name__,
+        job_variants3.__name__,
+        job_variants4.__name__,
+    }
     return [n for n, q in REGISTRY.items() if q.builder.__module__ in mods]
 
 

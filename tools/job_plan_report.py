@@ -51,6 +51,7 @@ def main() -> None:
     from data_chunk_compaction_in_duckdb_spark.queries import (
         job_variants2,
         job_variants3,
+        job_variants4,
     )
 
     mods = {
@@ -58,6 +59,7 @@ def main() -> None:
         job_variants.__name__,
         job_variants2.__name__,
         job_variants3.__name__,
+        job_variants4.__name__,
     }
     names = [n for n, q in REGISTRY.items() if q.builder.__module__ in mods]
     spark = get_spark(app_name="job-plan-report")
