@@ -24,6 +24,8 @@ from data_chunk_compaction_in_duckdb_spark.pipeline.dedup import (  # noqa: F401
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    repeated_ngram_spans,
+    duplicate_gram_fraction,
     simhash,
 )
 from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (  # noqa: F401

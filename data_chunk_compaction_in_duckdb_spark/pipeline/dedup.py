@@ -384,3 +384,78 @@ def semantic_ivf_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup, detection stage (the distributed analog of
+    suffix-array exact-substring dedup a la Lee et al. 2022): word
+    n-gram spans that occur in >= ``min_docs`` distinct documents, with
+    occurrence counts and the first containing document.
+
+    Scale shape: one explode + one hash groupBy on the gram — map-side
+    partial aggregation collapses within-partition repeats before the
+    shuffle, and the result is bounded by corpus redundancy (distinct
+    repeated spans), not corpus size.  At 100 TB group on a 128-bit
+    digest of the gram instead of the gram text to shrink shuffle rows,
+    exactly as ``dedup_exact`` documents."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.text import word_ngrams
+
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(word_ngrams(text_col, n, distinct=False)).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("occurrences"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def duplicate_gram_fraction(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup, scoring stage: per document, the fraction
+    of its word n-gram spans (with multiplicity) that are cross-document
+    repeats — the actionable filter column (drop or trim documents whose
+    duplicated-span coverage exceeds a budget).
+
+    The repeated-span dictionary is the detection stage's output keyed
+    only by gram; candidates stream through one equi-join + one groupBy,
+    so the shape is identical to benchmark decontamination and holds at
+    100 TB.  The dictionary subtree shares the gram scan with the probe
+    side — Catalyst evaluates it twice (once to build, once to probe),
+    which beats persisting the exploded stream at scale."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.text import word_ngrams
+
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(word_ngrams(text_col, n, distinct=False)).alias("gram"),
+    )
+    rep = repeated_ngram_spans(docs, id_col, text_col, n, min_docs).select(
+        "gram", F.lit(1).alias("_hit")
+    )
+    return (
+        grams.join(rep, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("_hit").alias("n_dup"),
+            F.round(
+                F.count("_hit").cast("double") / F.count("*"), 6
+            ).alias("dup_fraction"),
+        )
+    )

@@ -512,3 +512,70 @@ def pipeline_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_training_windows(
         docs, "doc_id", F.size(tokenize("text")).cast("long"), capacity=2048
     )
+
+
+# Shared DuckDB fragment: word 6-gram spans WITH multiplicity (matches
+# pipeline.text.word_ngrams(distinct=False): short docs yield one
+# whole-text gram).
+_SPANS6 = """
+    sw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+           FROM documents),
+    sg AS (SELECT doc_id,
+                  UNNEST(list_transform(
+                    generate_series(1, GREATEST(len(words) - 5, 1)),
+                    i -> array_to_string(list_slice(words, i, i + 5), ' ')))
+                  AS gram
+           FROM sw)
+"""
+
+
+@query(
+    "dedup_repeated_ngram_spans",
+    oracle=f"""
+    WITH {_SPANS6}
+    SELECT gram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS occurrences,
+           MIN(doc_id) AS first_doc
+    FROM sg
+    GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, detection stage: word 6-gram spans shared
+    by >= 2 documents (the distributed analog of suffix-array
+    exact-substring dedup).  One explode + one gram-keyed groupBy with
+    map-side partial aggregation; output is bounded by corpus
+    redundancy, not corpus size."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        repeated_ngram_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_ngram_spans(docs, "doc_id", "text", n=6, min_docs=2)
+
+
+@query(
+    "text_duplicate_gram_fraction",
+    oracle=f"""
+    WITH {_SPANS6},
+    rep AS (SELECT gram FROM sg GROUP BY gram
+            HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT sg.doc_id, COUNT(*) AS n_grams, COUNT(rep.gram) AS n_dup,
+           ROUND(CAST(COUNT(rep.gram) AS DOUBLE) / COUNT(*), 6)
+             AS dup_fraction
+    FROM sg LEFT JOIN rep ON sg.gram = rep.gram
+    GROUP BY sg.doc_id
+    """,
+)
+def text_duplicate_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, scoring stage: per document, the fraction
+    of its 6-gram spans (with multiplicity) that are cross-document
+    repeats — the actionable drop/trim filter column.  The repeated-span
+    dictionary streams through one equi-join + one groupBy, the same
+    scale shape as benchmark decontamination."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        duplicate_gram_fraction,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_gram_fraction(docs, "doc_id", "text", n=6, min_docs=2)
