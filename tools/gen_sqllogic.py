@@ -1032,6 +1032,132 @@ corpus("nested_agg_of_agg", "Aggregates over grouped subqueries (reference test/
     ("I", "", "SELECT CAST(sum(c * c) AS BIGINT) FROM (SELECT l_returnflag, count(*) AS c FROM lineitem GROUP BY l_returnflag) t"),
 ])
 
+corpus("conjunction_folding", "AND/OR constant folding and NULL propagation (reference test/sql/conjunction)")([
+    ("I", "", "SELECT count(*) FROM nation WHERE TRUE AND n_regionkey = 2"),
+    ("I", "", "SELECT count(*) FROM nation WHERE FALSE OR n_regionkey = 2"),
+    ("I", "", "SELECT count(*) FROM nation WHERE NOT (n_regionkey = 2)"),
+    ("I", "", "SELECT count(*) FROM nation WHERE n_regionkey = 2 OR NULL"),
+    ("I", "", "SELECT count(*) FROM nation WHERE (n_regionkey = 2) AND NULL IS NULL"),
+    ("I", "", "SELECT count(*) FROM nation WHERE NOT (n_regionkey = 1 OR n_regionkey = 3)"),
+    ("I", "", "SELECT count(*) FROM nation WHERE NOT (n_regionkey = 1) AND NOT (n_regionkey = 3)"),
+    ("I", "", "SELECT count(*) FROM nation WHERE (n_regionkey < 2 AND n_nationkey < 10) OR (n_regionkey >= 2 AND n_nationkey >= 10)"),
+    ("IT", "", "SELECT n_nationkey, CASE WHEN n_regionkey = 0 AND NULL THEN 'x' ELSE 'y' END FROM nation ORDER BY n_nationkey LIMIT 4"),
+    ("I", "", "SELECT count(*) FROM nation WHERE (NULL AND FALSE) IS NULL"),
+    ("I", "", "SELECT count(*) FROM nation WHERE (NULL OR TRUE)"),
+])
+
+corpus("topn_ties", "ORDER BY + LIMIT tie and boundary semantics (reference test/sql/topn)")([
+    ("TI", "", "SELECT o_orderpriority, o_orderkey FROM orders WHERE o_orderkey < 60 ORDER BY o_orderpriority, o_orderkey LIMIT 7"),
+    ("I", "", "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5"),
+    ("I", "", "SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 100"),
+    ("I", "", "SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 2 OFFSET 4"),
+    ("I", "", "SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 3 OFFSET 99"),
+    ("II", "", "SELECT n_regionkey, n_nationkey FROM nation ORDER BY n_regionkey DESC, n_nationkey DESC LIMIT 6"),
+    ("I", "", "SELECT CAST(count(*) AS BIGINT) FROM (SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC LIMIT 10) t"),
+    ("TI", "", "SELECT l_returnflag, CAST(l_quantity AS BIGINT) FROM lineitem WHERE l_orderkey = 7 ORDER BY l_returnflag, l_linenumber LIMIT 4"),
+])
+
+corpus("window_value_fns", "first/last/nth_value and lead/lag defaults over frames (reference test/sql/window)")([
+    ("II", "", "SELECT n_nationkey, first_value(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) FROM nation ORDER BY n_nationkey"),
+    ("II", "", "SELECT n_nationkey, last_value(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) FROM nation ORDER BY n_nationkey"),
+    ("II", "", "SELECT n_nationkey, nth_value(n_nationkey, 2) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) FROM nation ORDER BY n_nationkey"),
+    ("II", "", "SELECT n_nationkey, lag(n_nationkey, 1, -1) OVER (ORDER BY n_nationkey) FROM nation ORDER BY n_nationkey LIMIT 5"),
+    ("II", "", "SELECT n_nationkey, lead(n_nationkey, 2, -99) OVER (ORDER BY n_nationkey) FROM nation ORDER BY n_nationkey DESC LIMIT 4"),
+    ("II", "", "SELECT n_nationkey, last_value(n_nationkey) OVER (ORDER BY n_nationkey ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) FROM nation ORDER BY n_nationkey LIMIT 6"),
+    ("II", "", "SELECT n_nationkey, first_value(n_nationkey) OVER (ORDER BY n_nationkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) FROM nation ORDER BY n_nationkey LIMIT 6"),
+])
+
+corpus("string_matrix2", "translate/ascii/left/right and string builders (reference test/sql/function/string)")([
+    ("T", "", "SELECT translate(r_name, 'AE', 'ae') FROM region ORDER BY r_regionkey"),
+    ("I", "", "SELECT ascii(substr(n_name, 1, 1)) FROM nation ORDER BY n_nationkey LIMIT 5"),
+    ("T", "", "SELECT chr(65 + CAST(r_regionkey AS INT)) FROM region ORDER BY r_regionkey"),
+    ("T", "", "SELECT left(n_name, 8) FROM nation ORDER BY n_nationkey LIMIT 5"),
+    ("T", "", "SELECT right(n_name, 2) FROM nation ORDER BY n_nationkey LIMIT 5"),
+    ("T", "", "SELECT substr(md5(r_name), 1, 8) FROM region ORDER BY r_regionkey"),
+    ("T", "", "SELECT repeat(right(r_name, 1), CAST(r_regionkey AS INT)) FROM region ORDER BY r_regionkey"),
+    ("I", "", "SELECT length(translate(n_name, '_', '')) FROM nation ORDER BY n_nationkey LIMIT 5"),
+    ("T", "", "SELECT upper(left(r_name, 1)) || lower(substr(r_name, 2)) FROM region ORDER BY r_regionkey"),
+])
+
+corpus("math_matrix2", "power/exp/log/trig identities (reference test/sql/function/numeric)")([
+    ("R", "", "SELECT round(power(2, n_regionkey), 3) FROM nation ORDER BY n_nationkey LIMIT 5"),
+    ("R", "", "SELECT round(exp(ln(CAST(n_nationkey + 1 AS DOUBLE))), 3) FROM nation ORDER BY n_nationkey LIMIT 5"),
+    ("R", "", "SELECT round(log10(CAST(power(10, r_regionkey) AS DOUBLE)), 3) FROM region ORDER BY r_regionkey"),
+    ("R", "", "SELECT round(pi() * r_regionkey, 3) FROM region ORDER BY r_regionkey"),
+    ("R", "", "SELECT round(cbrt(CAST(n_nationkey AS DOUBLE)), 3) FROM nation ORDER BY n_nationkey LIMIT 5"),
+    ("R", "", "SELECT round(atan2(1.0, CAST(r_regionkey AS DOUBLE)), 3) FROM region ORDER BY r_regionkey"),
+    ("R", "", "SELECT round(degrees(radians(CAST(n_nationkey * 10 AS DOUBLE))), 3) FROM nation ORDER BY n_nationkey LIMIT 5"),
+    ("II", "", "SELECT CAST(ceil(CAST(-n_nationkey AS DOUBLE) / 2) AS BIGINT), CAST(floor(CAST(-n_nationkey AS DOUBLE) / 2) AS BIGINT) FROM nation ORDER BY n_nationkey LIMIT 5"),
+    ("R", "", "SELECT round(sqrt(CAST(n_nationkey * n_nationkey AS DOUBLE)), 3) FROM nation ORDER BY n_nationkey LIMIT 5"),
+])
+
+corpus("exists_empty_corners", "EXISTS/IN/scalar subqueries over empty inputs (reference test/sql/subquery)")([
+    ("I", "", "SELECT count(*) FROM region WHERE EXISTS (SELECT 1 FROM nation WHERE n_nationkey > 999)"),
+    ("I", "", "SELECT count(*) FROM region WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey > 999)"),
+    ("I", "", "SELECT count(*) FROM region WHERE r_regionkey IN (SELECT n_regionkey FROM nation WHERE n_nationkey > 999)"),
+    ("I", "", "SELECT count(*) FROM region WHERE r_regionkey NOT IN (SELECT n_regionkey FROM nation WHERE n_nationkey > 999)"),
+    ("I", "", "SELECT CAST((SELECT sum(n_nationkey) FROM nation WHERE n_nationkey > 999) AS BIGINT)"),
+    ("I", "", "SELECT CAST(coalesce((SELECT max(n_nationkey) FROM nation WHERE FALSE), -1) AS BIGINT)"),
+    ("I", "", "SELECT count(*) FROM (SELECT r_regionkey FROM region WHERE FALSE) t"),
+    ("I", "", "SELECT CAST((SELECT count(*) FROM nation WHERE n_nationkey > 999) AS BIGINT)"),
+])
+
+corpus("rollup_grouping_fn", "ROLLUP/CUBE with GROUPING() markers (reference test/sql/aggregate/grouping_sets)")([
+    ("III", "rowsort", "SELECT n_regionkey, grouping(n_regionkey), count(*) FROM nation GROUP BY ROLLUP(n_regionkey)"),
+    ("IIII", "rowsort", "SELECT n_regionkey, n_nationkey % 2, grouping(n_regionkey), count(*) FROM nation GROUP BY ROLLUP(n_regionkey, n_nationkey % 2)"),
+    ("IIII", "rowsort", "SELECT n_regionkey, n_nationkey % 2, grouping(n_nationkey % 2), count(*) FROM nation GROUP BY CUBE(n_regionkey, n_nationkey % 2)"),
+    ("TII", "rowsort", "SELECT o_orderstatus, grouping(o_orderstatus), count(*) FROM orders GROUP BY ROLLUP(o_orderstatus)"),
+    ("III", "rowsort", "SELECT n_regionkey, grouping(n_regionkey), CAST(sum(n_nationkey) AS BIGINT) FROM nation GROUP BY GROUPING SETS ((n_regionkey), ())"),
+])
+
+corpus("agg_case_matrix", "Aggregates of CASE expressions (reference test/sql/aggregate)")([
+    ("I", "", "SELECT CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem"),
+    ("II", "", "SELECT count(CASE WHEN o_orderstatus = 'O' THEN 1 END), count(*) FROM orders"),
+    ("TI", "rowsort", "SELECT o_orderstatus, CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderkey ELSE 0 END) AS BIGINT) FROM orders WHERE o_orderkey < 100 GROUP BY o_orderstatus"),
+    ("T", "", "SELECT max(CASE WHEN n_regionkey = 0 THEN n_name END) FROM nation"),
+    ("T", "", "SELECT min(CASE WHEN n_regionkey = 9 THEN n_name END) FROM nation"),
+    ("I", "", "SELECT CAST(sum(CASE l_linestatus WHEN 'O' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) FROM lineitem WHERE l_orderkey < 50"),
+    ("II", "rowsort", "SELECT n_regionkey, count(CASE WHEN n_nationkey % 2 = 0 THEN 1 END) FROM nation GROUP BY n_regionkey"),
+])
+
+corpus("date_math2", "last_day/make_date/quarter arithmetic (reference test/sql/types/date)")([
+    ("T", "", "SELECT CAST(last_day(CAST(o_orderdate AS DATE)) AS STRING) FROM orders ORDER BY o_orderkey LIMIT 5"),
+    ("T", "", "SELECT CAST(make_date(2020 + CAST(r_regionkey AS INT), 1 + CAST(r_regionkey AS INT), 15) AS STRING) FROM region ORDER BY r_regionkey"),
+    ("I", "", "SELECT extract(quarter FROM o_orderdate) FROM orders ORDER BY o_orderkey LIMIT 6"),
+    # DATE + INTERVAL returns TIMESTAMP in DuckDB but DATE in Spark
+    # (validator-found) — normalize with an outer CAST to DATE.
+    ("T", "", "SELECT CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS STRING) FROM orders ORDER BY o_orderkey LIMIT 5"),
+    ("T", "", "SELECT CAST(CAST(date_trunc('year', o_orderdate) AS DATE) AS STRING) FROM orders ORDER BY o_orderkey LIMIT 4"),
+    ("II", "", "SELECT extract(year FROM o_orderdate), extract(day FROM o_orderdate) FROM orders ORDER BY o_orderkey LIMIT 5"),
+    ("I", "", "SELECT count(*) FROM orders WHERE extract(month FROM o_orderdate) = 2 AND o_orderkey < 500"),
+])
+
+corpus("multi_alias_self_join", "Same table in three-plus roles (reference test/sql/join)")([
+    ("I", "", "SELECT count(*) FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey"),
+    ("I", "", "SELECT count(*) FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey JOIN nation c ON b.n_regionkey = c.n_regionkey AND b.n_nationkey < c.n_nationkey"),
+    ("III", "", "SELECT a.n_nationkey, b.n_nationkey, c.n_nationkey FROM nation a JOIN nation b ON b.n_nationkey = a.n_nationkey + 5 JOIN nation c ON c.n_nationkey = b.n_nationkey + 5 ORDER BY a.n_nationkey LIMIT 5"),
+    ("II", "rowsort", "SELECT a.n_regionkey, count(*) FROM nation a JOIN nation b ON a.n_nationkey <> b.n_nationkey AND a.n_regionkey = b.n_regionkey GROUP BY a.n_regionkey"),
+    ("I", "", "SELECT count(*) FROM region a JOIN region b ON a.r_regionkey <> b.r_regionkey JOIN region c ON c.r_regionkey <> a.r_regionkey AND c.r_regionkey <> b.r_regionkey"),
+])
+
+corpus("scalar_subquery_corners", "Correlated scalar subqueries and empty-group NULLs (reference test/sql/subquery/scalar)")([
+    ("II", "", "SELECT r_regionkey, CAST((SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey) AS BIGINT) FROM region ORDER BY r_regionkey"),
+    ("II", "", "SELECT r_regionkey, CAST((SELECT max(n_nationkey) FROM nation WHERE n_regionkey = r_regionkey AND n_nationkey > 900) AS BIGINT) FROM region ORDER BY r_regionkey"),
+    ("I", "", "SELECT count(*) FROM nation WHERE n_nationkey > (SELECT avg(CAST(n_nationkey AS DOUBLE)) FROM nation)"),
+    ("II", "", "SELECT n_nationkey, CAST((SELECT r_regionkey FROM region WHERE r_regionkey = n_regionkey) AS BIGINT) FROM nation ORDER BY n_nationkey LIMIT 6"),
+    ("I", "", "SELECT count(*) FROM region WHERE (SELECT min(n_nationkey) FROM nation WHERE n_regionkey = r_regionkey) IS NULL"),
+])
+
+corpus("div_mod_matrix", "Division/modulo sign and type semantics (reference test/sql/types/numeric)")([
+    ("I", "", "SELECT mod(-7, 3)"),
+    ("I", "", "SELECT mod(7, -3)"),
+    ("R", "", "SELECT round(CAST(n_nationkey AS DOUBLE) / 4, 3) FROM nation ORDER BY n_nationkey LIMIT 5"),
+    ("I", "", "SELECT CAST(floor(CAST(n_nationkey AS DOUBLE) / 4) AS BIGINT) FROM nation ORDER BY n_nationkey LIMIT 6"),
+    ("I", "", "SELECT mod(n_nationkey * n_nationkey, 7) FROM nation ORDER BY n_nationkey LIMIT 8"),
+    ("I", "", "SELECT CAST(floor(CAST(-n_nationkey AS DOUBLE) / 4) AS BIGINT) FROM nation ORDER BY n_nationkey LIMIT 6"),
+    ("I", "", "SELECT count(*) FROM lineitem WHERE mod(l_orderkey, 10) = 0 AND l_orderkey < 200"),
+])
+
 HEADER_NOTE = (
     "# GENERATED by tools/gen_sqllogic.py — golden rows validated on BOTH\n"
     "# engines (DuckDB + Spark) over /root/testdata/sf0.001 (the\n"
