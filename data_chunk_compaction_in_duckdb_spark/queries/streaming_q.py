@@ -143,3 +143,28 @@ def stream_left_outer_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame
             "purchase_value"
         ),
     )
+
+
+@query(
+    "stream_dedup_parity",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked streaming dedup (streaming/events.py,
+    dropDuplicates state) drained to a memory sink — the streaming twin
+    of the corpus exact-dedup stage made driver-checkable.  The dedup
+    keys carry no event-time column, so state holds every fingerprint
+    and the drained stream equals batch DISTINCT exactly; the documented
+    scale path bounds state with dropDuplicatesWithinWatermark when the
+    key space is unbounded."""
+    from data_chunk_compaction_in_duckdb_spark.streaming import (
+        run_stream_to_memory,
+        streaming_dedup_events,
+    )
+
+    sink = f"stream_dd_{uuid.uuid4().hex[:8]}"
+    sdf = streaming_dedup_events(spark, sf_dir)
+    run_stream_to_memory(sdf, name=sink, mode="append")
+    return spark.table(sink)

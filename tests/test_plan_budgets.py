@@ -72,6 +72,16 @@ BUDGETS = {
     "tpcds_q99_latency_month_matrix": 1,  # orderkey join feeds month agg
     "job_like_deep_join_d": 2,  # dims broadcast; AQE owns orders/customer
     "job_like_linked_pair_subtrees_b": 1,  # custkey co-partitioned roles
+    # fourth JOB tranche (new topologies) + exact-substring dedup;
+    # measured identical at sf0.001 and sf0.1
+    "job_like_two_point_nation_codes": 1,  # point-coded roles broadcast
+    "job_like_co_supplied_parts": 1,  # both part roles broadcast; one
+    # suppkey link join feeds the agg
+    "job_like_person_double_bridge": 1,  # both bridges share the entity key
+    "job_like_diamond_clique": 1,  # cycle closes on the broadcast side
+    "job_like_dense_transitive_star_b": 1,  # 10-relation star: one shuffle
+    "dedup_repeated_ngram_spans": 2,  # gram groupBy + countDistinct expand
+    "text_duplicate_gram_fraction": 3,  # + dictionary probe join
 }
 
 
