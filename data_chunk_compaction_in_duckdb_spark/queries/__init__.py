@@ -43,3 +43,4 @@ from data_chunk_compaction_in_duckdb_spark.queries import tpcds_like3  # noqa: E
 from data_chunk_compaction_in_duckdb_spark.queries import job_variants2  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import job_variants3  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import job_variants4  # noqa: E402,F401
+from data_chunk_compaction_in_duckdb_spark.queries import clickbench_like  # noqa: E402,F401

@@ -59,6 +59,7 @@ _MODULE_PRIORITY = [
     "job_variants2",   # round-2 JOB variant tranche (7 more families)
     "job_variants3",   # round-2 JOB variant tranche (remaining families)
     "job_variants4",   # round-2 fourth tranche: new topologies to 113
+    "clickbench_like",  # ClickBench 43 (never driver-checked)
     "events_q",
     "compaction_q",
     "functions_agg",

@@ -28,6 +28,7 @@ PREFIXES = {
     "tpch": ("tpch_",),
     "tpcds": ("tpcds_",),
     "job": ("job_like_",),
+    "clickbench": ("clickbench_",),
     # the LLM-data-pipeline pillar: dedup, similarity, text analysis,
     # multimodal, mixing/selection, packing, contamination, FTS
     "llm": (
