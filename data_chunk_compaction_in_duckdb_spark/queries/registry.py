@@ -60,6 +60,7 @@ _MODULE_PRIORITY = [
     "job_variants3",   # round-2 JOB variant tranche (remaining families)
     "job_variants4",   # round-2 fourth tranche: new topologies to 113
     "clickbench_like",  # ClickBench 43 (never driver-checked)
+    "h2oai_like",       # H2O.ai db-benchmark 10+5 (never driver-checked)
     "events_q",
     "compaction_q",
     "functions_agg",
