@@ -46,3 +46,4 @@ from data_chunk_compaction_in_duckdb_spark.queries import job_variants4  # noqa:
 from data_chunk_compaction_in_duckdb_spark.queries import clickbench_like  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import h2oai_like  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import trainbenchmark_like  # noqa: E402,F401
+from data_chunk_compaction_in_duckdb_spark.queries import ldbc_like  # noqa: E402,F401

@@ -62,6 +62,7 @@ _MODULE_PRIORITY = [
     "clickbench_like",  # ClickBench 43 (never driver-checked)
     "h2oai_like",       # H2O.ai db-benchmark 10+5 (never driver-checked)
     "trainbenchmark_like",  # Train Benchmark 6 (never driver-checked)
+    "ldbc_like",        # LDBC SNB 31 (never driver-checked)
     "events_q",
     "compaction_q",
     "functions_agg",

@@ -1,0 +1,55 @@
+"""Oracle-parity + inventory tests for the LDBC SNB corpus
+(ldbc_like.py — all 31 reference benchmark/ldbc queries)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle_compare import assert_query_matches_oracle
+
+_EXPECTED = (
+    {f"ldbc_is{i:02d}" for i in range(1, 8)}
+    | {f"ldbc_ic{i:02d}" for i in range(2, 13)}
+    | {f"ldbc_bi{i:02d}" for i in range(1, 12)}
+    | {"ldbc_bi13", "ldbc_bi14"}
+)
+
+
+def _names():
+    from data_chunk_compaction_in_duckdb_spark.queries import (
+        REGISTRY,
+        ldbc_like,
+    )
+
+    return [
+        n
+        for n, q in REGISTRY.items()
+        if q.builder.__module__ == ldbc_like.__name__
+    ]
+
+
+def test_ldbc_inventory_is_complete():
+    # 31 queries: the full reference set (bi-12 does not exist there).
+    assert set(_names()) == _EXPECTED
+
+
+def test_knows_graph_contains_triangles(duck, sf_dir):
+    # bi-11 counts friend triangles; the (+1, +7, +8) edge offsets were
+    # chosen so 1 + 7 = 8 closes cycles — pin that structural property.
+    n = duck.execute(
+        f"""
+        WITH c AS (SELECT c_custkey AS k
+                   FROM read_parquet('{sf_dir}/customer.parquet')),
+        e AS (SELECT a.k AS x, b.k AS y FROM c a JOIN c b
+              ON b.k - a.k IN (1, 7, 8) OR a.k - b.k IN (1, 7, 8))
+        SELECT COUNT(*) FROM e e1 JOIN e e2 ON e1.y = e2.x
+        JOIN e e3 ON e2.y = e3.x AND e3.y = e1.x
+        WHERE e1.x < e2.x AND e2.x < e3.x
+        """
+    ).fetchone()[0]
+    assert n > 0
+
+
+@pytest.mark.parametrize("name", _names())
+def test_ldbc_query_matches_oracle(spark, duck, sf_dir, name):
+    assert_query_matches_oracle(spark, duck, sf_dir, name)

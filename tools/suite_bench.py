@@ -29,6 +29,9 @@ PREFIXES = {
     "tpcds": ("tpcds_",),
     "job": ("job_like_",),
     "clickbench": ("clickbench_",),
+    "h2oai": ("h2o_",),
+    "trainbenchmark": ("tb_",),
+    "ldbc": ("ldbc_",),
     # the LLM-data-pipeline pillar: dedup, similarity, text analysis,
     # multimodal, mixing/selection, packing, contamination, FTS
     "llm": (
