@@ -58,6 +58,12 @@ HEADLINE = [
     "tpcds_q99_latency_month_matrix",
     "job_like_deep_join_d",
     "dedup_semantic_ivf_pairs",
+    # this session's corpus additions: one representative per new suite
+    "clickbench_q10",        # ClickBench multi-aggregate per region
+    "h2o_group_q10",         # H2O.ai six-key sum+count
+    "tb_semaphoreneighbor",  # Train Benchmark 7-join neighbor pattern
+    "ldbc_bi10",             # LDBC recursive friend BFS + tag rollup
+    "dedup_repeated_ngram_spans",  # exact-substring dedup detection
 ]
 
 REPS = 3

@@ -80,8 +80,11 @@ BUDGETS = {
     "job_like_person_double_bridge": 1,  # both bridges share the entity key
     "job_like_diamond_clique": 1,  # cycle closes on the broadcast side
     "job_like_dense_transitive_star_b": 1,  # 10-relation star: one shuffle
-    "dedup_repeated_ngram_spans": 2,  # gram groupBy + countDistinct expand
-    "text_duplicate_gram_fraction": 3,  # + dictionary probe join
+    "dedup_repeated_ngram_spans": 3,  # fan_out widen + gram groupBy +
+    # countDistinct expand (the widen exchange is a no-op on cluster
+    # scans; it bought 4x on the 1-task local scan)
+    "text_duplicate_gram_fraction": 5,  # both gram subtrees widened +
+    # dictionary probe join
 }
 
 
