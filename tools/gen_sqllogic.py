@@ -1158,6 +1158,16 @@ corpus("div_mod_matrix", "Division/modulo sign and type semantics (reference tes
     ("I", "", "SELECT count(*) FROM lineitem WHERE mod(l_orderkey, 10) = 0 AND l_orderkey < 200"),
 ])
 
+corpus("recursive_cte", "Recursive CTE semantics — series, trees, closure (reference test/sql/cte/recursive; Spark requires UNION ALL inside recursion)")([
+    ("I", "", "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 10) SELECT CAST(sum(n) AS BIGINT) FROM t"),
+    ("I", "", "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n * 2 FROM t WHERE n < 100) SELECT max(n) FROM t"),
+    ("II", "", "WITH RECURSIVE fib(a, b) AS (SELECT 0, 1 UNION ALL SELECT b, a + b FROM fib WHERE b < 100) SELECT a, b FROM fib ORDER BY a"),
+    ("I", "", "WITH RECURSIVE up(k) AS (SELECT n_nationkey FROM nation WHERE n_nationkey = 23 UNION ALL SELECT k - 5 FROM up WHERE k >= 5) SELECT CAST(sum(k) AS BIGINT) FROM up"),
+    ("II", "rowsort", "WITH RECURSIVE reach(src, dst) AS (SELECT r_regionkey, r_regionkey + 1 FROM region WHERE r_regionkey < 4 UNION ALL SELECT r.src, r.dst + 1 FROM reach r WHERE r.dst < 4) SELECT src, count(*) FROM reach GROUP BY src"),
+    ("I", "", "WITH RECURSIVE t(n) AS (SELECT CAST(1 AS BIGINT) UNION ALL SELECT n + 1 FROM t WHERE n < 50) SELECT count(*) FROM (SELECT n FROM t WHERE n % 7 = 0) s"),
+    ("TI", "", "WITH RECURSIVE seq(s, n) AS (SELECT 'a', 1 UNION ALL SELECT s || 'a', n + 1 FROM seq WHERE n < 5) SELECT s, n FROM seq ORDER BY n"),
+])
+
 HEADER_NOTE = (
     "# GENERATED by tools/gen_sqllogic.py — golden rows validated on BOTH\n"
     "# engines (DuckDB + Spark) over /root/testdata/sf0.001 (the\n"
