@@ -56,6 +56,8 @@ from data_chunk_compaction_in_duckdb_spark.pipeline.components import (  # noqa:
 from data_chunk_compaction_in_duckdb_spark.pipeline.mixing import (  # noqa: F401
     mix_weighted_sources,
     select_within_token_budget,
+    assign_splits,
+    split_leakage,
 )
 from data_chunk_compaction_in_duckdb_spark.pipeline.fts import (  # noqa: F401
     bm25_scores,

@@ -70,3 +70,59 @@ def select_within_token_budget(
         .filter(F.col("_cum") <= budget_per_source)
         .drop("_cum")
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    splits: Mapping[str, float] | None = None,
+    key: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in a
+    split by its portable per-id hash against cumulative ratio bands
+    (insertion order of ``splits``).  A narrow projection — no shuffle,
+    no state, reproducible across engines and runs, and stable under
+    corpus growth (adding documents never moves an existing document's
+    split — the property random split columns lack)."""
+    if splits is None:
+        splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    h = hash32_expr(f"CAST({id_col} AS STRING)", key=key) % _DENOM
+    expr: Column | None = None
+    cum = 0
+    names = list(splits.items())
+    for name, ratio in names[:-1]:
+        cum += int(round(ratio * _DENOM))
+        cond = h < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = names[-1][0]
+    assigned = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, assigned)
+
+
+def split_leakage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str,
+) -> DataFrame:
+    """Cross-split contamination audit: exact-duplicate groups (by
+    normalized-text digest) whose members straddle more than one split —
+    the eval-set leakage a dedup-then-split pipeline must drive to zero.
+    One hash groupBy on the digest; output is bounded by the number of
+    leaking duplicate groups."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.dedup import (
+        normalize_text,
+    )
+
+    return (
+        df.withColumn("_key", F.md5(normalize_text(text_col)))
+        .groupBy("_key")
+        .agg(
+            F.countDistinct(split_col).alias("n_splits"),
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .filter(F.col("n_splits") > 1)
+        .drop("_key")
+    )

@@ -579,3 +579,84 @@ def text_duplicate_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicate_gram_fraction(docs, "doc_id", "text", n=6, min_docs=2)
+
+
+def _split_case_sql() -> str:
+    from data_chunk_compaction_in_duckdb_spark.functions.portable_hash import (
+        hash32_sql,
+    )
+
+    h = hash32_sql("CAST(doc_id AS STRING)", key="split")
+    return f"""
+    CASE WHEN ({h}) % 10000 < 9000 THEN 'train'
+         WHEN ({h}) % 10000 < 9500 THEN 'val'
+         ELSE 'test' END"""
+
+
+@query(
+    "pipeline_split_assign",
+    oracle=f"""
+    SELECT doc_id, {_split_case_sql()} AS split FROM documents
+    """,
+)
+def pipeline_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) by portable
+    per-id hash bands — reproducible across engines/runs and stable
+    under corpus growth (adding documents never reassigns existing
+    ones).  Narrow projection, no shuffle."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import assign_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_splits(docs, "doc_id").select("doc_id", "split")
+
+
+@query(
+    "pipeline_split_span_leakage",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, text, {_split_case_sql()} AS split FROM documents),
+    w AS (SELECT doc_id, split,
+                 string_split_regex(trim(text), '\\s+') AS words
+          FROM assigned),
+    g AS (SELECT doc_id, split,
+                 UNNEST(list_transform(
+                   generate_series(1, GREATEST(len(words) - 5, 1)),
+                   i -> array_to_string(list_slice(words, i, i + 5), ' ')))
+                 AS gram
+          FROM w),
+    spans AS (SELECT gram, COUNT(DISTINCT split) AS n_splits
+              FROM g GROUP BY gram)
+    SELECT COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaking,
+           ROUND(CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS leak_fraction
+    FROM spans
+    """,
+)
+def pipeline_split_span_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit at span granularity: word 6-gram
+    spans that occur in more than one split of the assigned corpus —
+    the eval-leakage signal a dedup-then-split pipeline must monitor.
+    One gram-keyed groupBy over the widened scan; output is one summary
+    row."""
+    from data_chunk_compaction_in_duckdb_spark.compaction import fan_out
+    from data_chunk_compaction_in_duckdb_spark.pipeline import assign_splits
+    from data_chunk_compaction_in_duckdb_spark.pipeline.text import word_ngrams
+
+    docs = assign_splits(load_table(spark, sf_dir, "documents"), "doc_id")
+    grams = fan_out(docs).select(
+        F.col("split"),
+        F.explode(word_ngrams("text", 6, distinct=False)).alias("gram"),
+    )
+    spans = grams.groupBy("gram").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    leak = F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+    return spans.agg(
+        F.count("*").alias("n_spans"),
+        leak.cast("bigint").alias("n_leaking"),
+        F.round(
+            leak.cast("double") / F.count("*"), 6
+        ).alias("leak_fraction"),
+    )

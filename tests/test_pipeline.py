@@ -451,3 +451,41 @@ def test_pack_windows_invariants(spark, sf_dir):
             r.n_tokens, cap - r.offset_in_window
         )
     assert all(m <= cap for m in mass.values())
+
+
+def test_assign_splits_deterministic_stable_and_ratioed(spark):
+    from data_chunk_compaction_in_duckdb_spark.pipeline import assign_splits
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(2000)], "doc_id BIGINT, text STRING"
+    )
+    a = {r.doc_id: r.split for r in assign_splits(df, "doc_id").collect()}
+    # ratios near 90/5/5
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.85 < c["train"] / n < 0.95
+    assert 0.02 < c["val"] / n < 0.08
+    assert 0.02 < c["test"] / n < 0.08
+    # stability under corpus growth: the first half's assignments are
+    # unchanged when computed over the half corpus alone
+    half = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1000)], "doc_id BIGINT, text STRING"
+    )
+    b = {r.doc_id: r.split for r in assign_splits(half, "doc_id").collect()}
+    assert all(a[i] == b[i] for i in b)
+
+
+def test_split_leakage_flags_planted_duplicates(spark):
+    from data_chunk_compaction_in_duckdb_spark.pipeline import split_leakage
+
+    rows = [(i, f"unique text {i}", "train") for i in range(50)]
+    # planted: identical text straddling train/test, and a same-split dup
+    rows += [(100, "LEAKED DOC", "train"), (101, "  leaked   doc ", "test")]
+    rows += [(200, "samesplit", "val"), (201, "samesplit", "val")]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, split STRING")
+    out = split_leakage(df, "doc_id", "text", "split").collect()
+    assert len(out) == 1  # only the cross-split group leaks
+    assert out[0].n_splits == 2 and out[0].n_docs == 2
+    assert out[0].first_doc == 100
