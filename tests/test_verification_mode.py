@@ -36,6 +36,13 @@ SAMPLE = [
     "text_tokens_quality_fingerprint",  # narrow text pipeline
     "limit_percent",                 # two-pass limit
     "sample_deterministic",          # deterministic sampling
+    # late round-2 suites: one representative each
+    "clickbench_q10",                # multi-agg + count-distinct top-K
+    "h2o_group_q06",                 # median + exact-sum dispersion
+    "tb_semaphoreneighbor",          # staged equi-join graph pattern
+    "ldbc_bi10",                     # recursive BFS + rollup
+    "dedup_repeated_ngram_spans",    # fan_out widen + gram groupBy
+    "pipeline_split_assign",         # hash-band split projection
 ]
 
 ALT_CONFS = {
