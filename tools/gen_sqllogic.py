@@ -17,6 +17,8 @@ Dialect-common notes learned by running both engines:
     the standard rewrites (IN / scalar min-max subqueries) instead.
   - date_trunc returns DATE in DuckDB but TIMESTAMP in Spark → CAST.
   - ceil/floor return DOUBLE in DuckDB, BIGINT in Spark → render I.
+  - CAST(DECIMAL AS BIGINT) rounds in DuckDB, truncates in Spark (same
+    divergence as double→BIGINT) → floor() first.
   - datediff has different signatures → avoid.
 
 Usage:  python tools/gen_sqllogic.py          # validate + regenerate all
@@ -1166,6 +1168,41 @@ corpus("recursive_cte", "Recursive CTE semantics — series, trees, closure (ref
     ("II", "rowsort", "WITH RECURSIVE reach(src, dst) AS (SELECT r_regionkey, r_regionkey + 1 FROM region WHERE r_regionkey < 4 UNION ALL SELECT r.src, r.dst + 1 FROM reach r WHERE r.dst < 4) SELECT src, count(*) FROM reach GROUP BY src"),
     ("I", "", "WITH RECURSIVE t(n) AS (SELECT CAST(1 AS BIGINT) UNION ALL SELECT n + 1 FROM t WHERE n < 50) SELECT count(*) FROM (SELECT n FROM t WHERE n % 7 = 0) s"),
     ("TI", "", "WITH RECURSIVE seq(s, n) AS (SELECT 'a', 1 UNION ALL SELECT s || 'a', n + 1 FROM seq WHERE n < 5) SELECT s, n FROM seq ORDER BY n"),
+])
+
+corpus("decimal_arith", "DECIMAL(p,s) arithmetic and casts (reference test/sql/types/decimal)")([
+    ("T", "", "SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING) FROM orders ORDER BY o_orderkey LIMIT 5"),
+    ("T", "", "SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) + CAST(1.5 AS DECIMAL(4,2)) AS STRING) FROM orders ORDER BY o_orderkey LIMIT 5"),
+    ("T", "", "SELECT CAST(CAST(n_nationkey AS DECIMAL(10,3)) AS STRING) FROM nation ORDER BY n_nationkey LIMIT 4"),
+    ("T", "", "SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS STRING) FROM lineitem WHERE l_orderkey < 50"),
+    # CAST(DECIMAL AS BIGINT) rounds in DuckDB but truncates in Spark —
+    # the same divergence as double->BIGINT (validator-found); floor()
+    # agrees in both engines.
+    ("I", "", "SELECT CAST(floor(CAST(o_totalprice AS DECIMAL(12,2))) AS BIGINT) FROM orders ORDER BY o_orderkey LIMIT 5"),
+    ("T", "", "SELECT CAST(CAST('123.456' AS DECIMAL(6,3)) AS STRING)"),
+    ("I", "", "SELECT count(*) FROM orders WHERE CAST(o_totalprice AS DECIMAL(12,2)) > CAST(200000 AS DECIMAL(12,2))"),
+])
+
+corpus("exists_in_projection", "EXISTS/IN inside SELECT-list CASE (reference test/sql/subquery)")([
+    ("II", "", "SELECT r_regionkey, CASE WHEN EXISTS (SELECT 1 FROM nation WHERE n_regionkey = r_regionkey AND n_nationkey > 20) THEN 1 ELSE 0 END FROM region ORDER BY r_regionkey"),
+    ("II", "", "SELECT r_regionkey, CASE WHEN r_regionkey IN (SELECT n_regionkey FROM nation WHERE n_nationkey < 3) THEN 1 ELSE 0 END FROM region ORDER BY r_regionkey"),
+    ("II", "", "SELECT n_nationkey, CASE WHEN EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_regionkey) THEN n_nationkey ELSE -1 END FROM nation ORDER BY n_nationkey LIMIT 6"),
+    ("I", "", "SELECT CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM nation WHERE n_regionkey = r_regionkey AND n_nationkey % 2 = 0) THEN 1 ELSE 0 END) AS BIGINT) FROM region"),
+])
+
+corpus("window_null_order_matrix", "NULLS FIRST/LAST inside window ORDER BY (reference test/sql/window)")([
+    ("II", "", "SELECT o_orderkey, row_number() OVER (ORDER BY nullif(o_orderkey % 3, 0) ASC NULLS FIRST, o_orderkey) FROM orders WHERE o_orderkey < 20 ORDER BY o_orderkey"),
+    ("II", "", "SELECT o_orderkey, row_number() OVER (ORDER BY nullif(o_orderkey % 3, 0) ASC NULLS LAST, o_orderkey) FROM orders WHERE o_orderkey < 20 ORDER BY o_orderkey"),
+    ("II", "", "SELECT o_orderkey, rank() OVER (ORDER BY nullif(o_orderkey % 5, 0) DESC NULLS FIRST) FROM orders WHERE o_orderkey < 20 ORDER BY o_orderkey"),
+    ("II", "", "SELECT o_orderkey, first_value(o_orderkey) OVER (ORDER BY nullif(o_orderkey % 4, 0) NULLS LAST, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM orders WHERE o_orderkey < 16 ORDER BY o_orderkey"),
+])
+
+corpus("epoch_day_extract", "day-of-year / epoch-free date part extraction (reference test/sql/function/date_part)")([
+    ("I", "", "SELECT extract(doy FROM o_orderdate) FROM orders ORDER BY o_orderkey LIMIT 5"),
+    ("I", "", "SELECT extract(week FROM o_orderdate) FROM orders ORDER BY o_orderkey LIMIT 5"),
+    ("II", "", "SELECT extract(hour FROM ts), extract(minute FROM ts) FROM events ORDER BY event_id LIMIT 5"),
+    ("I", "", "SELECT extract(second FROM date_trunc('minute', ts)) FROM events ORDER BY event_id LIMIT 4"),
+    ("I", "", "SELECT count(*) FROM orders WHERE extract(doy FROM o_orderdate) <= 31 AND o_orderkey < 1000"),
 ])
 
 HEADER_NOTE = (
