@@ -290,6 +290,45 @@ def window_select(rng: random.Random) -> str:
     )
 
 
+def subquery_select(rng: random.Random) -> str:
+    """Correlated EXISTS / uncorrelated IN predicates over a second
+    table (modulus-key correlation keeps both sides NULL-free, staying
+    clear of the documented NULL-lhs IN dialect divergence)."""
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    t2 = rng.choice(list(TABLES))
+    g2 = Gen(rng, t2)
+    k1 = rng.choice(TABLES[table]["int"])
+    k2 = rng.choice(TABLES[t2]["int"])
+    mod = rng.randint(2, 9)
+    neg = rng.choice(["", "NOT "])
+    if rng.random() < 0.5:
+        sub = (
+            f"{neg}EXISTS (SELECT 1 FROM {t2} WHERE "
+            f"{k2} % {mod} = {table}.{k1} % {mod} AND {g2.pred()})"
+        )
+    else:
+        sub = (
+            f"{k1} % {mod} {neg}IN (SELECT {k2} % {mod} FROM {t2} "
+            f"WHERE {g2.pred()})"
+        )
+    return f"SELECT count(*) AS c0 FROM {table} WHERE {sub} AND {g.pred()}"
+
+
+def recursive_select(rng: random.Random) -> str:
+    """Bounded recursive-CTE series (UNION ALL only — Spark rejects
+    recursive UNION)."""
+    start = rng.randint(0, 5)
+    inc = rng.randint(1, 3)
+    stop = start + inc * rng.randint(3, 40)
+    return (
+        f"WITH RECURSIVE t(n) AS (SELECT {start} UNION ALL "
+        f"SELECT n + {inc} FROM t WHERE n < {stop}) "
+        "SELECT CAST(sum(n) AS BIGINT) AS c0, count(*) AS c1, "
+        "max(n) AS c2 FROM t"
+    )
+
+
 def gen_query(rng: random.Random) -> str:
     table = rng.choice(list(TABLES))
     g = Gen(rng, table)
@@ -298,9 +337,13 @@ def gen_query(rng: random.Random) -> str:
         return join_select(rng)
     if roll < 0.25:
         return window_select(rng)
-    if roll < 0.45:
+    if roll < 0.32:
+        return subquery_select(rng)
+    if roll < 0.37:
+        return recursive_select(rng)
+    if roll < 0.50:
         return g.agg_select()
-    if roll < 0.55:
+    if roll < 0.58:
         # DISTINCT over a small projection
         e1, e2 = g.int_expr(), g.int_expr()
         return (
