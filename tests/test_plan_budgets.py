@@ -85,6 +85,18 @@ BUDGETS = {
     # scans; it bought 4x on the 1-task local scan)
     "text_duplicate_gram_fraction": 5,  # both gram subtrees widened +
     # dictionary probe join
+    # third-party suite representatives (identical SQL both engines;
+    # Catalyst owns the plan — budgets pin against silent regressions)
+    "clickbench_q10": 2,  # region agg + count-distinct expand
+    "clickbench_q30": 1,  # 90-wide ungrouped sum: one gather
+    "h2o_group_q01": 1,   # low-card groupBy: one shuffle
+    "h2o_join_q05": 1,    # fact-fact join: broadcast at fixture scale,
+    # at most one key shuffle beyond it
+    "tb_routesensor": 4,  # 4-join chain + anti; dims broadcast
+    "ldbc_ic09": 3,       # friends UNION + person/message joins
+    "ldbc_bi11": 10,      # triangle triple self-join over the derived
+    # per-country edge list (3 legs x distinct + closure)
+    "pipeline_split_assign": 0,  # hash-band projection: narrow, no shuffle
 }
 
 
