@@ -33,6 +33,7 @@ from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (  # noqa:
     ivf_ann_topk,
     lsh_ann_topk,
     topk_similar,
+    pq_codes,
     train_ivf_centroids,
 )
 from data_chunk_compaction_in_duckdb_spark.pipeline.text import (  # noqa: F401

@@ -392,3 +392,63 @@ def quantize_embeddings_int8(
             q, F.lit(0).cast("long"), lambda a, x: a + x * x
         ).alias("qdot"),
     )
+
+
+def _pq_centroid(sub: int, code: int, subdim: int) -> list[float]:
+    """Deterministic md5-derived PQ codebook entry (same scheme as
+    _centroid/_hyperplane — reproducible everywhere, SQL-replayable)."""
+    import hashlib
+
+    out = []
+    for i in range(subdim):
+        h = hashlib.md5(f"pq:{sub}:{code}:{i}".encode()).hexdigest()[:8]
+        out.append((int(h, 16) / 2**31) - 1.0)
+    return out
+
+
+def pq_codes(
+    embeds: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+) -> DataFrame:
+    """Product-quantization codes: split each vector into ``m``
+    subvectors and assign each to its best codebook entry of ``k`` —
+    the memory-compression layer under ADC-style ANN (codes are
+    m*log2(k) bits per vector instead of dim doubles; at 100 TB the
+    code table is what fits in executor memory while raw vectors stay
+    on disk for the final re-rank).
+
+    Codebooks are deterministic md5 directions and assignment maximizes
+    the subvector dot product via the proven struct(-dot, idx) ascending
+    sort — the one floating-point reduction shape already replayed
+    bit-for-bit by the DuckDB oracle (IVF cells use it).  Narrow
+    projection, zero shuffles."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    subdim = dim // m
+    cols = [F.col(id_col)]
+    packed: Column | None = None
+    for sub in range(m):
+        subv = F.slice(F.col(vec_col), sub * subdim + 1, subdim)
+        scored = []
+        for code in range(k):
+            cen = F.array(
+                *[F.lit(v) for v in _pq_centroid(sub, code, subdim)]
+            )
+            dot = F.aggregate(
+                F.zip_with(subv, cen, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            scored.append(
+                F.struct((-dot).alias("d"), F.lit(code).alias("i"))
+            )
+        best = F.sort_array(F.array(*scored))[0]["i"]
+        cols.append(best.alias(f"c{sub}"))
+        term = best.cast("long") * (k**sub)
+        packed = term if packed is None else packed + term
+    cols.append(packed.alias("pq_code"))
+    return embeds.select(*cols)

@@ -660,3 +660,46 @@ def pipeline_split_span_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             leak.cast("double") / F.count("*"), 6
         ).alias("leak_fraction"),
     )
+
+
+def _pq_oracle_sql(dim: int = 64, m: int = 4, k: int = 16) -> str:
+    """DuckDB replay of pq_codes: identical md5 codebook literals, the
+    same struct(-dot, idx) ascending sort per subspace."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
+        _pq_centroid,
+    )
+
+    subdim = dim // m
+    code_cols = []
+    packed = []
+    for sub in range(m):
+        structs = ", ".join(
+            "struct_pack(d := -list_dot_product("
+            f"list_slice(v, {sub * subdim + 1}, {(sub + 1) * subdim}), ["
+            + ",".join(repr(x) for x in _pq_centroid(sub, code, subdim))
+            + f"]), i := {code})"
+            for code in range(k)
+        )
+        code_cols.append(f"list_sort([{structs}])[1].i AS c{sub}")
+        packed.append(f"CAST(c{sub} AS BIGINT) * {k**sub}")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    coded AS (SELECT vec_id, {', '.join(code_cols)} FROM e)
+    SELECT vec_id, c0, c1, c2, c3,
+           {' + '.join(packed)} AS pq_code
+    FROM coded
+    """
+
+
+@query("embed_pq_codes", oracle=_pq_oracle_sql())
+def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (m=4 subspaces, k=16 entries): the
+    memory-compression layer under ADC-style ANN — 16 bits per vector
+    here vs 64 doubles.  md5 codebooks + the proven struct(-dot, idx)
+    assignment sort replay bit-for-bit in the DuckDB oracle; narrow
+    projection, zero shuffles."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import pq_codes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_codes(emb, "vec_id", "embedding", dim=64, m=4, k=16)

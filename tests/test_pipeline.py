@@ -489,3 +489,44 @@ def test_split_leakage_flags_planted_duplicates(spark):
     assert len(out) == 1  # only the cross-split group leaks
     assert out[0].n_splits == 2 and out[0].n_docs == 2
     assert out[0].first_doc == 100
+
+
+def test_pq_codes_bounded_and_better_than_random(spark, sf_dir):
+    from data_chunk_compaction_in_duckdb_spark.pipeline import pq_codes
+    from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
+        _pq_centroid,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = pq_codes(emb, "vec_id", "embedding", dim=64, m=4, k=16).collect()
+    assert all(0 <= r[f"c{s}"] < 16 for r in rows for s in range(4))
+    assert all(
+        r.pq_code
+        == r.c0 + 16 * r.c1 + 256 * r.c2 + 4096 * r.c3
+        for r in rows
+    )
+    # codes must discriminate: a single code bucket holding everything
+    # would make ADC useless
+    from collections import Counter
+
+    c = Counter(r.pq_code for r in rows)
+    assert len(c) > 1 and c.most_common(1)[0][1] < len(rows)
+    # assignment really is argmax-dot against the codebook for a sample
+    import hashlib
+
+    sample = rows[:5]
+    vecs = {
+        r.vec_id: r.embedding
+        for r in emb.filter(
+            emb.vec_id.isin([r.vec_id for r in sample])
+        ).collect()
+    }
+    for r in sample:
+        v = [float(x) for x in vecs[r.vec_id]]
+        for sub in range(4):
+            seg = v[sub * 16:(sub + 1) * 16]
+            dots = [
+                sum(a * b for a, b in zip(seg, _pq_centroid(sub, code, 16)))
+                for code in range(16)
+            ]
+            assert dots[r[f"c{sub}"]] == max(dots)
