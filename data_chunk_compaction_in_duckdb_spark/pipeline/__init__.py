@@ -34,6 +34,8 @@ from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (  # noqa:
     lsh_ann_topk,
     topk_similar,
     pq_codes,
+    pq_adc_topk,
+    train_pq_codebooks,
     train_ivf_centroids,
 )
 from data_chunk_compaction_in_duckdb_spark.pipeline.text import (  # noqa: F401

@@ -413,6 +413,7 @@ def pq_codes(
     dim: int,
     m: int = 4,
     k: int = 16,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Product-quantization codes: split each vector into ``m``
     subvectors and assign each to its best codebook entry of ``k`` —
@@ -421,34 +422,203 @@ def pq_codes(
     code table is what fits in executor memory while raw vectors stay
     on disk for the final re-rank).
 
-    Codebooks are deterministic md5 directions and assignment maximizes
-    the subvector dot product via the proven struct(-dot, idx) ascending
-    sort — the one floating-point reduction shape already replayed
-    bit-for-bit by the DuckDB oracle (IVF cells use it).  Narrow
-    projection, zero shuffles."""
+    Codebooks are deterministic md5 directions and assignment picks the
+    min-L2 entry via the replayable ``-2*dot + ||c||^2`` expansion (the
+    dot is the proven bit-replayable reduction; the centroid norm is a
+    Python-literal constant identical on both engines); pass
+    ``codebooks=train_pq_codebooks(...)`` for data-adapted entries.
+    Narrow projection, zero shuffles."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     subdim = dim // m
+    books = codebooks or [
+        [_pq_centroid(sub, code, subdim) for code in range(k)]
+        for sub in range(m)
+    ]
     cols = [F.col(id_col)]
     packed: Column | None = None
+    # the packed single-integer code only exists when m*log2(k) fits a
+    # signed 64-bit value; wider configurations keep the per-subspace
+    # code columns only
+    packable = m * max(k - 1, 1).bit_length() <= 62
     for sub in range(m):
         subv = F.slice(F.col(vec_col), sub * subdim + 1, subdim)
-        scored = []
-        for code in range(k):
-            cen = F.array(
-                *[F.lit(v) for v in _pq_centroid(sub, code, subdim)]
+        best = _pq_assign(subv, books[sub])
+        cols.append(best.alias(f"c{sub}"))
+        if packable:
+            term = best.cast("long") * (k**sub)
+            packed = term if packed is None else packed + term
+    cols.append(
+        (packed if packable else F.lit(None).cast("long")).alias("pq_code")
+    )
+    return embeds.select(*cols)
+
+
+def _pq_assign(subv: Column, book: list[list[float]]) -> Column:
+    """Code of the min-L2 codebook entry for a subvector expression.
+
+    L2 is the correct PQ assignment metric (subvectors are not unit
+    norm, so max-dot would just chase the largest centroid).  The
+    distance is expanded to ``-2*dot(q, c) + ||c||^2`` — the ``||q||^2``
+    term is constant across codes — with ``||c||^2`` precomputed in
+    Python and inlined as a literal, so the whole comparison replays
+    bit-for-bit in the DuckDB oracle via the proven dot-product
+    reduction; struct(d, idx) ascending sort keeps ties deterministic."""
+    scored = []
+    for code, cvals in enumerate(book):
+        cen = F.array(*[F.lit(v) for v in cvals])
+        dot = F.aggregate(
+            F.zip_with(subv, cen, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        c2 = sum(v * v for v in cvals)
+        scored.append(
+            F.struct(
+                (dot * F.lit(-2.0) + F.lit(c2)).alias("d"),
+                F.lit(code).alias("i"),
             )
+        )
+    return F.sort_array(F.array(*scored))[0]["i"]
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    codes: int = 16,
+    n_iter: int = 4,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd iterations adapting the PQ codebooks to the
+    data (Lloyd under the same L2 assignment the codes use) — the same
+    contract as ``train_ivf_centroids``: each
+    iteration is one distributed pass per subspace, and only the
+    ``m x codes x subdim`` means come back to the driver (model-bounded,
+    never data-bounded).  Init is the deterministic md5 directions, so
+    training is reproducible run-to-run on the same data."""
+    subdim = dim // m
+    books = [
+        [_pq_centroid(sub, code, subdim) for code in range(codes)]
+        for sub in range(m)
+    ]
+    for _ in range(n_iter):
+        for sub in range(m):
+            subv = F.slice(F.col(vec_col), sub * subdim + 1, subdim)
+            code = _pq_assign(subv, books[sub])
+            means = (
+                corpus.select(code.alias("_c"), subv.alias("_v"))
+                .groupBy("_c")
+                .agg(
+                    *[
+                        F.avg(F.col("_v")[i].cast("double")).alias(f"m{i}")
+                        for i in range(subdim)
+                    ]
+                )
+                .collect()
+            )
+            got = {
+                int(r["_c"]): [float(r[f"m{i}"]) for i in range(subdim)]
+                for r in means
+            }
+            books[sub] = [
+                got.get(c, books[sub][c]) for c in range(codes)
+            ]
+    return books
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    m: int = 4,
+    codes: int = 16,
+    rerank: int = 20,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query builds
+    an m x codes lookup table of subspace dot products against the
+    codebook (literals, computed once per query row), approximate score
+    = sum of table entries selected by the corpus row's codes, then the
+    top ``rerank`` candidates per query re-rank by exact cosine.
+
+    Scale shape: the corpus side carries only (id, m codes) — the
+    compressed representation that fits memory at 100 TB — through one
+    broadcast-able join against the (small) query set; raw vectors are
+    touched only for the rerank candidates (a k-bounded semi join back
+    to the corpus).  No shuffle before the per-query top-k window."""
+    subdim = dim // m
+    books = codebooks or [
+        [_pq_centroid(sub, code, subdim) for code in range(codes)]
+        for sub in range(m)
+    ]
+    cc = pq_codes(
+        corpus, id_col, vec_col, dim, m=m, k=codes, codebooks=books
+    ).select(
+        F.col(id_col).alias("match_id"),
+        *[F.col(f"c{s}").alias(f"_mc{s}") for s in range(m)],
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+    )
+    pairs = F.broadcast(q).crossJoin(cc)
+    score: Column | None = None
+    for sub in range(m):
+        subq = F.slice(F.col("_qv"), sub * subdim + 1, subdim)
+        # LUT as an array literal of per-code approximate L2 terms
+        # (-2*dot(q_sub, c) + ||c||^2; the ||q_sub||^2 constant drops
+        # out of the ranking), indexed by the corpus code (element_at
+        # is 1-based)
+        entries = []
+        for code in range(codes):
+            cvals = books[sub][code]
+            cen = F.array(*[F.lit(v) for v in cvals])
             dot = F.aggregate(
-                F.zip_with(subv, cen, lambda x, y: x.cast("double") * y),
+                F.zip_with(subq, cen, lambda x, y: x.cast("double") * y),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-            scored.append(
-                F.struct((-dot).alias("d"), F.lit(code).alias("i"))
-            )
-        best = F.sort_array(F.array(*scored))[0]["i"]
-        cols.append(best.alias(f"c{sub}"))
-        term = best.cast("long") * (k**sub)
-        packed = term if packed is None else packed + term
-    cols.append(packed.alias("pq_code"))
-    return embeds.select(*cols)
+            c2 = sum(v * v for v in cvals)
+            entries.append(dot * F.lit(-2.0) + F.lit(c2))
+        term = F.element_at(F.array(*entries), F.col(f"_mc{sub}") + 1)
+        score = term if score is None else score + term
+    pairs = pairs.select("query_id", "match_id", score.alias("_adc"))
+
+    # ascending: _adc approximates the L2 distance
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").asc(), F.col("match_id")
+    )
+    cands = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= rerank)
+        .select("query_id", "match_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv")
+    )
+    exact = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "match_id")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id")
+    )
+    return (
+        exact.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -664,7 +664,8 @@ def pipeline_split_span_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_oracle_sql(dim: int = 64, m: int = 4, k: int = 16) -> str:
     """DuckDB replay of pq_codes: identical md5 codebook literals, the
-    same struct(-dot, idx) ascending sort per subspace."""
+    same min-L2 struct(d, idx) ascending sort per subspace (d =
+    -2*dot + ||c||^2 with the centroid norm inlined as a literal)."""
     from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
         _pq_centroid,
     )
@@ -673,13 +674,17 @@ def _pq_oracle_sql(dim: int = 64, m: int = 4, k: int = 16) -> str:
     code_cols = []
     packed = []
     for sub in range(m):
-        structs = ", ".join(
-            "struct_pack(d := -list_dot_product("
-            f"list_slice(v, {sub * subdim + 1}, {(sub + 1) * subdim}), ["
-            + ",".join(repr(x) for x in _pq_centroid(sub, code, subdim))
-            + f"]), i := {code})"
-            for code in range(k)
-        )
+        def entry(code: int) -> str:
+            cvals = _pq_centroid(sub, code, subdim)
+            c2 = sum(v * v for v in cvals)
+            return (
+                "struct_pack(d := -2.0 * list_dot_product("
+                f"list_slice(v, {sub * subdim + 1}, {(sub + 1) * subdim}), ["
+                + ",".join(repr(x) for x in cvals)
+                + f"]) + {c2!r}, i := {code})"
+            )
+
+        structs = ", ".join(entry(code) for code in range(k))
         code_cols.append(f"list_sort([{structs}])[1].i AS c{sub}")
         packed.append(f"CAST(c{sub} AS BIGINT) * {k**sub}")
     return f"""
@@ -703,3 +708,28 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_codes(emb, "vec_id", "embedding", dim=64, m=4, k=16)
+
+
+@query("sim_ann_pq_adc_topk")  # approximate by design -> rows-only check
+def sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over product-quantization codes — the
+    compressed-in-memory ANN path (corpus side carries 16-bit codes,
+    raw vectors touched only for the bounded exact re-rank).  Recall vs
+    brute force is asserted in tests/test_pipeline.py."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        pq_adc_topk,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 97 == 0)
+    # m=16 (4-dim subspaces): isotropic synthetic embeddings need fine
+    # subspaces for the codes to carry direction (recall-measured)
+    books = train_pq_codebooks(emb, "embedding", dim=64, m=16, codes=16)
+    out = pq_adc_topk(
+        emb, queries_df, "vec_id", "embedding", dim=64, k=5, m=16, codes=16,
+        rerank=50, codebooks=books,
+    )
+    return out.select(
+        "query_id", "match_id", F.round("cosine", 4).alias("cosine")
+    )

@@ -511,9 +511,7 @@ def test_pq_codes_bounded_and_better_than_random(spark, sf_dir):
 
     c = Counter(r.pq_code for r in rows)
     assert len(c) > 1 and c.most_common(1)[0][1] < len(rows)
-    # assignment really is argmax-dot against the codebook for a sample
-    import hashlib
-
+    # assignment really is argmin-L2 against the codebook for a sample
     sample = rows[:5]
     vecs = {
         r.vec_id: r.embedding
@@ -525,8 +523,36 @@ def test_pq_codes_bounded_and_better_than_random(spark, sf_dir):
         v = [float(x) for x in vecs[r.vec_id]]
         for sub in range(4):
             seg = v[sub * 16:(sub + 1) * 16]
-            dots = [
-                sum(a * b for a, b in zip(seg, _pq_centroid(sub, code, 16)))
+            dists = [
+                sum(
+                    (a - b) ** 2
+                    for a, b in zip(seg, _pq_centroid(sub, code, 16))
+                )
                 for code in range(16)
             ]
-            assert dots[r[f"c{sub}"]] == max(dots)
+            assert dists[r[f"c{sub}"]] == min(dists)
+
+
+def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
+    from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        pq_adc_topk,
+        topk_similar,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = topk_similar(emb, queries, "vec_id", "embedding", k=5)
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(emb, "embedding", dim=64, m=16, codes=16)
+    approx = pq_adc_topk(
+        emb, queries, "vec_id", "embedding", dim=64, k=5, m=16, codes=16,
+        rerank=50, codebooks=books,
+    )
+    e = {(r.query_id, r.match_id) for r in exact.collect()}
+    a = {(r.query_id, r.match_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"PQ/ADC recall too low: {recall}"
