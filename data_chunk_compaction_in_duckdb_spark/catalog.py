@@ -61,9 +61,23 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+# applicationId -> (sf_dir, dfs) currently registered.  Every SQL-corpus
+# query builder calls register_views, and re-reading 10 parquet footers
+# + replacing 10 views per invocation is a measurable fixed cost per
+# query run — memoize per session until sf_dir changes.  (Fixture view
+# names are only ever written through this function.)
+_REGISTERED: dict[str, tuple[str, dict[str, DataFrame]]] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
-    """Register every fixture table as a temp view; returns the DataFrames."""
+    """Register every fixture table as a temp view (idempotent per
+    session + sf_dir); returns the DataFrames."""
+    app = spark.sparkContext.applicationId
+    cached = _REGISTERED.get(app)
+    if cached is not None and cached[0] == sf_dir:
+        return cached[1]
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
+    _REGISTERED[app] = (sf_dir, dfs)
     return dfs
