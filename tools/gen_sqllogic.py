@@ -1205,6 +1205,22 @@ corpus("epoch_day_extract", "day-of-year / epoch-free date part extraction (refe
     ("I", "", "SELECT count(*) FROM orders WHERE extract(doy FROM o_orderdate) <= 31 AND o_orderkey < 1000"),
 ])
 
+corpus("nan_infinity", "NaN / Infinity semantics — ordering, equality, aggregates (reference test/sql/types/float)")([
+    ("I", "", "SELECT CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE)"),
+    ("I", "", "SELECT CAST('NaN' AS DOUBLE) > CAST(1e308 AS DOUBLE)"),
+    ("I", "", "SELECT CAST('Infinity' AS DOUBLE) > CAST(1e308 AS DOUBLE)"),
+    ("I", "", "SELECT CAST('-Infinity' AS DOUBLE) < CAST(-1e308 AS DOUBLE)"),
+    ("R", "", "SELECT x FROM (VALUES (1.5), (CAST('NaN' AS DOUBLE)), (CAST('Infinity' AS DOUBLE)), (CAST('-Infinity' AS DOUBLE)), (0.0)) t(x) ORDER BY x"),
+    ("R", "", "SELECT max(x) FROM (VALUES (1.5), (CAST('NaN' AS DOUBLE)), (CAST('Infinity' AS DOUBLE))) t(x)"),
+    ("R", "", "SELECT min(x) FROM (VALUES (1.5), (CAST('NaN' AS DOUBLE)), (CAST('-Infinity' AS DOUBLE))) t(x)"),
+    ("R", "", "SELECT sum(x) FROM (VALUES (1.5), (CAST('NaN' AS DOUBLE))) t(x)"),
+    ("I", "", "SELECT count(*) FROM (VALUES (1.5), (CAST('NaN' AS DOUBLE)), (CAST('Infinity' AS DOUBLE))) t(x) WHERE isnan(x)"),
+    ("R", "", "SELECT CAST('Infinity' AS DOUBLE) + 1.0"),
+    ("R", "", "SELECT CAST('Infinity' AS DOUBLE) - CAST('Infinity' AS DOUBLE)"),
+    ("R", "", "SELECT greatest(1.0, CAST('NaN' AS DOUBLE))"),
+    ("I", "", "SELECT count(DISTINCT x) FROM (VALUES (CAST('NaN' AS DOUBLE)), (CAST('NaN' AS DOUBLE)), (1.0)) t(x)"),
+])
+
 HEADER_NOTE = (
     "# GENERATED by tools/gen_sqllogic.py — golden rows validated on BOTH\n"
     "# engines (DuckDB + Spark) over /root/testdata/sf0.001 (the\n"
