@@ -733,3 +733,82 @@ def sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "match_id", F.round("cosine", 4).alias("cosine")
     )
+
+
+def _cluster_split_case_sql() -> str:
+    from data_chunk_compaction_in_duckdb_spark.functions.portable_hash import (
+        hash32_sql,
+    )
+
+    h = hash32_sql("CAST(rep AS STRING)", key="split")
+    return f"""
+    CASE WHEN ({h}) % 10000 < 9000 THEN 'train'
+         WHEN ({h}) % 10000 < 9500 THEN 'val'
+         ELSE 'test' END"""
+
+
+@query(
+    "pipeline_split_by_cluster",
+    oracle=f"""
+    WITH RECURSIVE d AS (SELECT doc_id, source, text FROM documents
+                         WHERE doc_id % 5 = 0),
+    sh AS (SELECT doc_id, source,
+                  list_distinct(list_transform(
+                    generate_series(1, GREATEST(length(text) - 2, 1)),
+                    i -> substr(text, i, 3))) AS sh
+           FROM d),
+    edges AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS dd FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+      SELECT s, s AS r FROM sym
+      UNION
+      SELECT sym.s, reach.r FROM sym JOIN reach ON sym.dd = reach.s
+    ),
+    comp AS (SELECT s AS id, MIN(r) AS component FROM reach GROUP BY s),
+    withrep AS (
+      SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS rep
+      FROM d LEFT JOIN comp ON comp.id = d.doc_id)
+    SELECT doc_id, rep, {_cluster_split_case_sql()} AS split
+    FROM withrep
+    """,
+)
+def pipeline_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test assignment: split by the hash of the
+    document's near-dup CLUSTER representative (3-gram Jaccard >= 0.5
+    components), so every near-duplicate lands in the same split by
+    construction — the dedup-aware variant of pipeline_split_assign
+    (tests pin that no edge straddles splits).  The component stage is
+    the same bounded-rounds min-label propagation; everything after is
+    a narrow hash-band projection."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        assign_splits,
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    cands = a.join(
+        b, (F.col("_sa") == F.col("_sb")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    edges = ngram_jaccard_pairs(
+        cands, docs, "doc_id", "text", n=3, min_jaccard=0.5
+    )
+    comp = connected_components(edges)
+    withrep = docs.join(
+        comp, docs.doc_id == comp.id, "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("rep")
+    )
+    return assign_splits(withrep, "rep").select("doc_id", "rep", "split")

@@ -556,3 +556,27 @@ def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
     a = {(r.query_id, r.match_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.6, f"PQ/ADC recall too low: {recall}"
+
+
+def test_cluster_split_never_straddles_near_dup_edges(spark, sf_dir):
+    from data_chunk_compaction_in_duckdb_spark.queries import REGISTRY
+    from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        ngram_jaccard_pairs,
+    )
+
+    out = REGISTRY["pipeline_split_by_cluster"].builder(spark, sf_dir)
+    split_of = {r.doc_id: r.split for r in out.collect()}
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    cands = a.join(
+        b, (F.col("_sa") == F.col("_sb")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    edges = ngram_jaccard_pairs(
+        cands, docs, "doc_id", "text", n=3, min_jaccard=0.5
+    ).collect()
+    assert edges, "fixture should contain near-dup edges"
+    assert all(split_of[e.id_a] == split_of[e.id_b] for e in edges)
