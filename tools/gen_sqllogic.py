@@ -1221,6 +1221,17 @@ corpus("nan_infinity", "NaN / Infinity semantics — ordering, equality, aggrega
     ("I", "", "SELECT count(DISTINCT x) FROM (VALUES (CAST('NaN' AS DOUBLE)), (CAST('NaN' AS DOUBLE)), (1.0)) t(x)"),
 ])
 
+corpus("lateral_chains", "Chained / top-N / LEFT LATERAL derived tables (reference test/sql/subquery/lateral)")([
+    # Spark restricts outer references to WHERE/HAVING inside lateral
+    # subqueries (validator-found) — cross-lateral arithmetic and
+    # outer-dependent CASE stay in the outer projection.
+    ("TII", "", "SELECT r_name, t1.c, t1.c + t2.s2 AS s FROM region, LATERAL (SELECT count(*) AS c FROM nation WHERE n_regionkey = r_regionkey) t1, LATERAL (SELECT CAST(sum(n_nationkey) AS BIGINT) AS s2 FROM nation WHERE n_regionkey = r_regionkey) t2 ORDER BY r_name"),
+    ("II", "", "SELECT r_regionkey, t.n FROM region, LATERAL (SELECT n_nationkey AS n FROM nation WHERE n_regionkey = r_regionkey ORDER BY n_nationkey DESC LIMIT 2) t ORDER BY r_regionkey, t.n"),
+    ("II", "", "SELECT n_nationkey, t.k FROM nation LEFT JOIN LATERAL (SELECT r_regionkey AS k FROM region WHERE r_regionkey = n_regionkey AND r_regionkey < 2) t ON TRUE WHERE n_nationkey < 8 ORDER BY n_nationkey"),
+    ("TI", "", "SELECT r_name, CASE WHEN r_regionkey < 2 THEN t.mn ELSE t.mx END AS m FROM region, LATERAL (SELECT min(n_nationkey) AS mn, max(n_nationkey) AS mx FROM nation WHERE n_regionkey = r_regionkey) t ORDER BY r_name"),
+    ("I", "", "SELECT CAST(sum(t.c) AS BIGINT) FROM region, LATERAL (SELECT count(*) AS c FROM nation WHERE n_regionkey = r_regionkey AND n_nationkey % 2 = 0) t"),
+])
+
 HEADER_NOTE = (
     "# GENERATED by tools/gen_sqllogic.py — golden rows validated on BOTH\n"
     "# engines (DuckDB + Spark) over /root/testdata/sf0.001 (the\n"
