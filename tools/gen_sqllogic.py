@@ -1232,6 +1232,15 @@ corpus("lateral_chains", "Chained / top-N / LEFT LATERAL derived tables (referen
     ("I", "", "SELECT CAST(sum(t.c) AS BIGINT) FROM region, LATERAL (SELECT count(*) AS c FROM nation WHERE n_regionkey = r_regionkey AND n_nationkey % 2 = 0) t"),
 ])
 
+corpus("interval_compare", "Timestamp comparisons via interval windows (reference test/sql/types/interval)")([
+    ("I", "", "SELECT count(*) FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00' + INTERVAL 12 HOUR"),
+    ("I", "", "SELECT count(*) FROM events WHERE ts BETWEEN TIMESTAMP '2024-01-03 00:00:00' AND TIMESTAMP '2024-01-03 00:00:00' + INTERVAL 2 DAY"),
+    ("I", "", "SELECT count(*) FROM orders WHERE o_orderdate + INTERVAL 30 DAY < TIMESTAMP '1995-06-01 00:00:00'"),
+    ("I", "", "SELECT CAST(TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 90 MINUTE < TIMESTAMP '2024-01-01 02:00:00' AS INT)"),
+    ("I", "", "SELECT count(*) FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE WHERE e1.user_id < 10"),
+    ("T", "", "SELECT CAST(CAST(date_trunc('day', ts + INTERVAL 6 HOUR) AS DATE) AS STRING) FROM events ORDER BY event_id LIMIT 3"),
+])
+
 HEADER_NOTE = (
     "# GENERATED by tools/gen_sqllogic.py — golden rows validated on BOTH\n"
     "# engines (DuckDB + Spark) over /root/testdata/sf0.001 (the\n"
