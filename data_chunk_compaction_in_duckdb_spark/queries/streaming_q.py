@@ -168,3 +168,36 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = streaming_dedup_events(spark, sf_dir)
     run_stream_to_memory(sdf, name=sink, mode="append")
     return spark.table(sink)
+
+
+@query(
+    "stream_sliding_window_parity",
+    oracle="""
+    WITH starts AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+             event_type
+      FROM events
+      UNION ALL
+      SELECT CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP),
+             event_type
+      FROM events
+    )
+    SELECT win_start, event_type, COUNT(*) AS n
+    FROM starts GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked sliding-window stream (2 h window, 1 h slide)
+    drained to a memory sink in complete mode — every event lands in two
+    windows, and the oracle replays the expansion with a shifted UNION
+    over the static table (same scheme as the batch twin
+    events_sliding_window)."""
+    from data_chunk_compaction_in_duckdb_spark.streaming import (
+        run_stream_to_memory,
+        streaming_sliding_counts,
+    )
+
+    sink = f"stream_sw_{uuid.uuid4().hex[:8]}"
+    sdf = streaming_sliding_counts(spark, sf_dir)
+    run_stream_to_memory(sdf, name=sink, mode="complete")
+    return spark.table(sink)
