@@ -201,3 +201,43 @@ def stream_sliding_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = streaming_sliding_counts(spark, sf_dir)
     run_stream_to_memory(sdf, name=sink, mode="complete")
     return spark.table(sink)
+
+
+@query(
+    "stream_session_window_parity",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  OR ts - LAG(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS sid
+      FROM g)
+    SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS sess_start,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_window_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in session_window stream (30-min inactivity gap) drained
+    to a memory sink in complete mode; the oracle replays gap-islands
+    sessionization (new session when the gap >= 30 min, matching
+    session_window's half-open [start, last + gap) semantics)."""
+    from data_chunk_compaction_in_duckdb_spark.streaming import (
+        run_stream_to_memory,
+        streaming_session_windows,
+    )
+
+    sink = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    sdf = streaming_session_windows(spark, sf_dir)
+    run_stream_to_memory(sdf, name=sink, mode="complete")
+    return spark.table(sink)
