@@ -1241,6 +1241,14 @@ corpus("interval_compare", "Timestamp comparisons via interval windows (referenc
     ("T", "", "SELECT CAST(CAST(date_trunc('day', ts + INTERVAL 6 HOUR) AS DATE) AS STRING) FROM events ORDER BY event_id LIMIT 3"),
 ])
 
+corpus("union_branch_order", "ORDER BY / LIMIT inside parenthesized set-op branches (reference test/sql/setops)")([
+    ("I", "rowsort", "(SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 3) UNION ALL (SELECT n_nationkey FROM nation ORDER BY n_nationkey DESC LIMIT 3)"),
+    ("I", "", "SELECT count(*) FROM ((SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 2) UNION (SELECT n_regionkey FROM nation ORDER BY n_regionkey DESC LIMIT 2)) t"),
+    ("I", "", "(SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 5) INTERSECT (SELECT n_nationkey FROM nation WHERE n_nationkey < 3) ORDER BY 1"),
+    ("I", "", "(SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC LIMIT 10) EXCEPT (SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC LIMIT 5) ORDER BY 1"),
+    ("I", "rowsort", "(SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 3 OFFSET 1) UNION ALL (SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 1)"),
+])
+
 HEADER_NOTE = (
     "# GENERATED by tools/gen_sqllogic.py — golden rows validated on BOTH\n"
     "# engines (DuckDB + Spark) over /root/testdata/sf0.001 (the\n"
