@@ -1249,6 +1249,14 @@ corpus("union_branch_order", "ORDER BY / LIMIT inside parenthesized set-op branc
     ("I", "rowsort", "(SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 3 OFFSET 1) UNION ALL (SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 1)"),
 ])
 
+corpus("having_hidden_aggs", "HAVING on aggregates absent from the SELECT list (reference test/sql/aggregate/having)")([
+    ("I", "rowsort", "SELECT n_regionkey FROM nation GROUP BY n_regionkey HAVING CAST(sum(n_nationkey) AS BIGINT) > 50"),
+    ("T", "rowsort", "SELECT o_orderstatus FROM orders GROUP BY o_orderstatus HAVING count(DISTINCT o_custkey) > 100"),
+    ("I", "rowsort", "SELECT n_regionkey FROM nation GROUP BY n_regionkey HAVING min(n_nationkey) < 3 AND max(n_nationkey) > 20"),
+    ("II", "rowsort", "SELECT n_regionkey, count(*) FROM nation GROUP BY n_regionkey HAVING avg(CAST(n_nationkey AS DOUBLE)) > 11"),
+    ("I", "", "SELECT count(*) FROM (SELECT o_custkey FROM orders GROUP BY o_custkey HAVING max(o_totalprice) - min(o_totalprice) > 300000) t"),
+])
+
 HEADER_NOTE = (
     "# GENERATED by tools/gen_sqllogic.py — golden rows validated on BOTH\n"
     "# engines (DuckDB + Spark) over /root/testdata/sf0.001 (the\n"
