@@ -54,7 +54,7 @@ def edge_grouped_empty_is_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            COUNT(*) AS n_rows,
            COUNT(v) AS n_nonnull,
-           SUM(v) AS s,
+           CAST(SUM(v) AS BIGINT) AS s,
            ROUND(AVG(v), 6) AS av,
            COUNT(DISTINCT v) AS nd
     FROM (

@@ -43,7 +43,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT win_start, COUNT(*) AS n,
-           SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS total_milli
+           CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS total_milli
     FROM starts GROUP BY 1
     """,
 )
@@ -265,13 +265,13 @@ def events_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_hour_dow_matrix",
     oracle="""
     SELECT hour(ts) AS h,
-           SUM(CASE WHEN dow = 0 THEN 1 ELSE 0 END) AS sun,
-           SUM(CASE WHEN dow = 1 THEN 1 ELSE 0 END) AS mon,
-           SUM(CASE WHEN dow = 2 THEN 1 ELSE 0 END) AS tue,
-           SUM(CASE WHEN dow = 3 THEN 1 ELSE 0 END) AS wed,
-           SUM(CASE WHEN dow = 4 THEN 1 ELSE 0 END) AS thu,
-           SUM(CASE WHEN dow = 5 THEN 1 ELSE 0 END) AS fri,
-           SUM(CASE WHEN dow = 6 THEN 1 ELSE 0 END) AS sat
+           CAST(SUM(CASE WHEN dow = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sun,
+           CAST(SUM(CASE WHEN dow = 1 THEN 1 ELSE 0 END) AS BIGINT) AS mon,
+           CAST(SUM(CASE WHEN dow = 2 THEN 1 ELSE 0 END) AS BIGINT) AS tue,
+           CAST(SUM(CASE WHEN dow = 3 THEN 1 ELSE 0 END) AS BIGINT) AS wed,
+           CAST(SUM(CASE WHEN dow = 4 THEN 1 ELSE 0 END) AS BIGINT) AS thu,
+           CAST(SUM(CASE WHEN dow = 5 THEN 1 ELSE 0 END) AS BIGINT) AS fri,
+           CAST(SUM(CASE WHEN dow = 6 THEN 1 ELSE 0 END) AS BIGINT) AS sat
     FROM (SELECT ts,
                  date_diff('day', DATE '1970-01-04', CAST(ts AS DATE)) % 7
                    AS dow

@@ -347,7 +347,7 @@ def sample_stratified_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curriculum_quality_tiers",
     oracle="""
     SELECT source, tier, COUNT(*) AS n_docs,
-           SUM(n_chars) AS tier_chars
+           CAST(SUM(n_chars) AS BIGINT) AS tier_chars
     FROM (
       SELECT source, n_chars,
              NTILE(4) OVER (PARTITION BY source ORDER BY n_chars, doc_id)

@@ -341,7 +341,7 @@ def select_exclude_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_salted_skew_groupby",
     oracle="""
     SELECT l_returnflag,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rev_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c,
            COUNT(*) AS n,
            CAST(MAX(l_quantity) AS BIGINT) AS max_qty
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag

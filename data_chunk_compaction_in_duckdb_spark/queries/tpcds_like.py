@@ -258,14 +258,14 @@ def tpcds_q67_rank_over_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT o_custkey AS k, CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
-             SUM(COUNT(*)) OVER (PARTITION BY o_custkey
-                                 ORDER BY date_trunc('day', o_orderdate)) AS cum_orders
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY o_custkey
+                                 ORDER BY date_trunc('day', o_orderdate)) AS BIGINT) AS cum_orders
       FROM orders WHERE o_custkey < 60 GROUP BY o_custkey, date_trunc('day', o_orderdate)
     ),
     e AS (
       SELECT user_id AS k, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
-             SUM(COUNT(*)) OVER (PARTITION BY user_id
-                                 ORDER BY date_trunc('day', ts)) AS cum_events
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY user_id
+                                 ORDER BY date_trunc('day', ts)) AS BIGINT) AS cum_events
       FROM events WHERE user_id < 60 GROUP BY user_id, date_trunc('day', ts)
     )
     SELECT COALESCE(c.k, e.k) AS k, COALESCE(c.d, e.d) AS d,
@@ -455,12 +455,12 @@ def tpcds_q11_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT o_custkey FROM orders
       WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
     )
-    SELECT SUM(CASE WHEN u.o_custkey IS NOT NULL AND s.o_custkey IS NOT NULL
-                    THEN 1 ELSE 0 END) AS both_channels,
-           SUM(CASE WHEN u.o_custkey IS NOT NULL AND s.o_custkey IS NULL
-                    THEN 1 ELSE 0 END) AS urgent_only,
-           SUM(CASE WHEN u.o_custkey IS NULL AND s.o_custkey IS NOT NULL
-                    THEN 1 ELSE 0 END) AS slow_only
+    SELECT CAST(SUM(CASE WHEN u.o_custkey IS NOT NULL AND s.o_custkey IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS both_channels,
+           CAST(SUM(CASE WHEN u.o_custkey IS NOT NULL AND s.o_custkey IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS urgent_only,
+           CAST(SUM(CASE WHEN u.o_custkey IS NULL AND s.o_custkey IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS slow_only
     FROM urgent u FULL OUTER JOIN slow s ON u.o_custkey = s.o_custkey
     """,
 )
@@ -535,11 +535,11 @@ def tpcds_q38_intersect_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpcds_q9_case_buckets",
     oracle="""
-    SELECT SUM(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN 1 ELSE 0 END) AS b1,
-           SUM(CASE WHEN l_quantity BETWEEN 11 AND 20 THEN 1 ELSE 0 END) AS b2,
-           SUM(CASE WHEN l_quantity BETWEEN 21 AND 30 THEN 1 ELSE 0 END) AS b3,
-           SUM(CASE WHEN l_quantity BETWEEN 31 AND 40 THEN 1 ELSE 0 END) AS b4,
-           SUM(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS b5
+    SELECT CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+           CAST(SUM(CASE WHEN l_quantity BETWEEN 11 AND 20 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+           CAST(SUM(CASE WHEN l_quantity BETWEEN 21 AND 30 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+           CAST(SUM(CASE WHEN l_quantity BETWEEN 31 AND 40 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+           CAST(SUM(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS BIGINT) AS b5
     FROM lineitem
     """,
 )
@@ -1616,8 +1616,8 @@ def tpcds_q32_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpcds_q2_wow_share",
     oracle="""
     SELECT dow,
-           SUM(CASE WHEN y = 1996 THEN cents ELSE 0 END) AS c96,
-           SUM(CASE WHEN y = 1997 THEN cents ELSE 0 END) AS c97,
+           CAST(SUM(CASE WHEN y = 1996 THEN cents ELSE 0 END) AS BIGINT) AS c96,
+           CAST(SUM(CASE WHEN y = 1997 THEN cents ELSE 0 END) AS BIGINT) AS c97,
            ROUND(CAST(SUM(CASE WHEN y = 1996 THEN cents ELSE 0 END) AS DOUBLE)
                  / SUM(CASE WHEN y = 1997 THEN cents ELSE 0 END), 6) AS ratio
     FROM (SELECT date_diff('day', DATE '1992-01-05', o_orderdate) % 7 AS dow,
@@ -1660,7 +1660,7 @@ def tpcds_q2_wow_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpcds_q16_multi_supplier_clean",
     oracle="""
-    SELECT COUNT(*) AS n_orders, SUM(cents) AS total_c
+    SELECT COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS total_c
     FROM (
       SELECT o.o_orderkey, CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
       FROM orders o
@@ -1875,11 +1875,11 @@ def tpcds_q44_best_worst_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpcds_q50_latency_matrix",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN d <= 30 THEN 1 ELSE 0 END) AS d30,
-           SUM(CASE WHEN d > 30 AND d <= 60 THEN 1 ELSE 0 END) AS d60,
-           SUM(CASE WHEN d > 60 AND d <= 90 THEN 1 ELSE 0 END) AS d90,
-           SUM(CASE WHEN d > 90 AND d <= 120 THEN 1 ELSE 0 END) AS d120,
-           SUM(CASE WHEN d > 120 THEN 1 ELSE 0 END) AS dmore
+           CAST(SUM(CASE WHEN d <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(SUM(CASE WHEN d > 30 AND d <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+           CAST(SUM(CASE WHEN d > 60 AND d <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+           CAST(SUM(CASE WHEN d > 90 AND d <= 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+           CAST(SUM(CASE WHEN d > 120 THEN 1 ELSE 0 END) AS BIGINT) AS dmore
     FROM (SELECT l_returnflag,
                  date_diff('day', o_orderdate, l_shipdate) AS d
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
@@ -1945,12 +1945,12 @@ def tpcds_q87_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpcds_q66_month_matrix",
     oracle="""
     SELECT n.n_name,
-           SUM(CASE WHEN m = 1 THEN cents ELSE 0 END) AS jan_c,
-           SUM(CASE WHEN m = 2 THEN cents ELSE 0 END) AS feb_c,
-           SUM(CASE WHEN m = 3 THEN cents ELSE 0 END) AS mar_c,
-           SUM(CASE WHEN m = 4 THEN cents ELSE 0 END) AS apr_c,
-           SUM(CASE WHEN m = 5 THEN cents ELSE 0 END) AS may_c,
-           SUM(CASE WHEN m = 6 THEN cents ELSE 0 END) AS jun_c
+           CAST(SUM(CASE WHEN m = 1 THEN cents ELSE 0 END) AS BIGINT) AS jan_c,
+           CAST(SUM(CASE WHEN m = 2 THEN cents ELSE 0 END) AS BIGINT) AS feb_c,
+           CAST(SUM(CASE WHEN m = 3 THEN cents ELSE 0 END) AS BIGINT) AS mar_c,
+           CAST(SUM(CASE WHEN m = 4 THEN cents ELSE 0 END) AS BIGINT) AS apr_c,
+           CAST(SUM(CASE WHEN m = 5 THEN cents ELSE 0 END) AS BIGINT) AS may_c,
+           CAST(SUM(CASE WHEN m = 6 THEN cents ELSE 0 END) AS BIGINT) AS jun_c
     FROM (SELECT l_suppkey, EXTRACT(MONTH FROM l_shipdate) AS m,
                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
           FROM lineitem
@@ -2023,7 +2023,7 @@ def tpcds_q13_count_of_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpcds_q45_disjunctive_semi",
     oracle="""
-    SELECT COUNT(*) AS n, SUM(cents) AS total_c
+    SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_c
     FROM (
       SELECT o.o_orderkey, CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
@@ -2067,8 +2067,9 @@ def tpcds_q45_disjunctive_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH yearly AS (
       SELECT p.p_brand AS brand, EXTRACT(YEAR FROM l.l_shipdate) AS y,
-             SUM(CAST(l.l_quantity AS BIGINT)) AS qty,
-             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS rev_c
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       WHERE EXTRACT(YEAR FROM l.l_shipdate) IN (1996, 1997)
       GROUP BY p.p_brand, EXTRACT(YEAR FROM l.l_shipdate)
@@ -2122,8 +2123,8 @@ def tpcds_q75_yoy_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment,
            COUNT(*) AS n_cust,
-           SUM(CASE WHEN f.has_urgent = 1 THEN 1 ELSE 0 END) AS n_urgent,
-           SUM(CASE WHEN f.has_return = 1 THEN 1 ELSE 0 END) AS n_returned
+           CAST(SUM(CASE WHEN f.has_urgent = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+           CAST(SUM(CASE WHEN f.has_return = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
     FROM customer c
     JOIN (
       SELECT o.o_custkey,

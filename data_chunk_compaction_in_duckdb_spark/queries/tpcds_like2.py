@@ -746,7 +746,7 @@ def tpcds_q71_time_of_day_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN k7 IS NULL THEN 1 ELSE 0 END) AS n_null_key,
+           CAST(SUM(CASE WHEN k7 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_key,
            SUM(CASE WHEN k7 IS NULL THEN c ELSE 0 END) / 100.0
              AS null_key_value
     FROM (SELECT event_type,
@@ -889,7 +889,7 @@ def tpcds_q19_brand_geo_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_brand, wk,
            COUNT(*) AS n_late,
-           SUM(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS n_neg_supp
+           CAST(SUM(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_supp
     FROM (
       SELECT l_partkey, l_suppkey,
              CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS wk
@@ -987,10 +987,10 @@ def tpcds_q29_sale_return_resale(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpcds_q62_transit_band_matrix",
     oracle="""
     SELECT o_orderpriority, l_linestatus,
-           SUM(CASE WHEN d <= 30 THEN 1 ELSE 0 END) AS d30,
-           SUM(CASE WHEN d > 30 AND d <= 60 THEN 1 ELSE 0 END) AS d60,
-           SUM(CASE WHEN d > 60 AND d <= 90 THEN 1 ELSE 0 END) AS d90,
-           SUM(CASE WHEN d > 90 THEN 1 ELSE 0 END) AS d_over
+           CAST(SUM(CASE WHEN d <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(SUM(CASE WHEN d > 30 AND d <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+           CAST(SUM(CASE WHEN d > 60 AND d <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+           CAST(SUM(CASE WHEN d > 90 THEN 1 ELSE 0 END) AS BIGINT) AS d_over
     FROM (SELECT o_orderpriority, l_linestatus,
                  date_diff('day', o_orderdate, l_shipdate) AS d
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
