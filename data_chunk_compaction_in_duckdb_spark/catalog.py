@@ -64,20 +64,31 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
 # applicationId -> (sf_dir, dfs) currently registered.  Every SQL-corpus
 # query builder calls register_views, and re-reading 10 parquet footers
 # + replacing 10 views per invocation is a measurable fixed cost per
-# query run — memoize per session until sf_dir changes.  (Fixture view
-# names are only ever written through this function.)
+# query run — memoize per session until sf_dir changes.  Any code path
+# that replaces a fixture-named temp view through another route
+# (Engine.create_index, Engine.create_table_function) must call
+# invalidate_views so the next register_views rebinds the originals.
 _REGISTERED: dict[str, tuple[str, dict[str, DataFrame]]] = {}
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Register every fixture table as a temp view (idempotent per
-    session + sf_dir); returns the DataFrames."""
+    session + sf_dir); returns a fresh dict of the DataFrames (callers
+    mutate their copy — e.g. Engine.tables — without poisoning the
+    memo)."""
     app = spark.sparkContext.applicationId
     cached = _REGISTERED.get(app)
     if cached is not None and cached[0] == sf_dir:
-        return cached[1]
+        return dict(cached[1])
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     _REGISTERED[app] = (sf_dir, dfs)
-    return dfs
+    return dict(dfs)
+
+
+def invalidate_views(spark: SparkSession) -> None:
+    """Drop the register_views memo for this session: the next call will
+    re-register every fixture view.  Called by every code path that
+    binds a different DataFrame under a fixture table's name."""
+    _REGISTERED.pop(spark.sparkContext.applicationId, None)

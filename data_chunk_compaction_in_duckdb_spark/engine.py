@@ -121,6 +121,11 @@ class Engine:
         CREATE VIEW surface, table_function.hpp)."""
         df.createOrReplaceTempView(name)
         self.tables[name] = df
+        if name in _catalog.TABLES:
+            # a fixture view was rebound — drop the register_views memo so
+            # other callers re-register the originals instead of silently
+            # inheriting this engine's override
+            _catalog.invalidate_views(self.spark)
 
     def create_macro(
         self, name: str, params: str, body: str, returns: str = "DOUBLE"
@@ -206,6 +211,8 @@ class Engine:
         indexed = self.spark.table(f"{table}_idx")
         indexed.createOrReplaceTempView(table)
         self.tables[table] = indexed
+        if table in _catalog.TABLES:
+            _catalog.invalidate_views(self.spark)
 
     def close(self) -> None:
         self.spark.stop()

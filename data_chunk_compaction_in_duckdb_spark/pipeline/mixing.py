@@ -84,10 +84,23 @@ def assign_splits(
     (insertion order of ``splits``).  A narrow projection — no shuffle,
     no state, reproducible across engines and runs, and stable under
     corpus growth (adding documents never moves an existing document's
-    split — the property random split columns lack)."""
+    split — the property random split columns lack).
+
+    Rows with a NULL ``id_col`` have no stable hash; assigning them to
+    the catch-all final band would silently skew it, so they are
+    rejected up front.  Ratios must sum to 1 (within rounding) — a
+    short-summing mapping would silently overfill the final split."""
     if splits is None:
         splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"split ratios must sum to 1, got {total}")
     h = hash32_expr(f"CAST({id_col} AS STRING)", key=key) % _DENOM
+    # NULL ids: md5(NULL) is NULL, every band comparison is NULL, and the
+    # otherwise() branch would fire — fail loudly instead.
+    h = F.when(F.col(id_col).isNull(), F.raise_error(
+        F.lit(f"assign_splits: NULL {id_col} has no deterministic split")
+    ).cast("int")).otherwise(h)
     expr: Column | None = None
     cum = 0
     names = list(splits.items())

@@ -497,6 +497,8 @@ def train_pq_codebooks(
     ``m x codes x subdim`` means come back to the driver (model-bounded,
     never data-bounded).  Init is the deterministic md5 directions, so
     training is reproducible run-to-run on the same data."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
     subdim = dim // m
     books = [
         [_pq_centroid(sub, code, subdim) for code in range(codes)]
@@ -562,18 +564,15 @@ def pq_adc_topk(
         *[F.col(f"c{s}").alias(f"_mc{s}") for s in range(m)],
     )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-    )
-    pairs = F.broadcast(q).crossJoin(cc)
-    score: Column | None = None
+    # The m LUT columns are materialized on the (small) query side BEFORE
+    # the join: each is an array of per-code approximate L2 terms
+    # (-2*dot(q_sub, c) + ||c||^2; the ||q_sub||^2 constant drops out of
+    # the ranking), computed once per query row.  The per-pair work after
+    # the join is then just m element_at picks + a sum over the
+    # compressed code columns — the ADC compressed-scan advantage.
+    lut_cols = []
     for sub in range(m):
         subq = F.slice(F.col("_qv"), sub * subdim + 1, subdim)
-        # LUT as an array literal of per-code approximate L2 terms
-        # (-2*dot(q_sub, c) + ||c||^2; the ||q_sub||^2 constant drops
-        # out of the ranking), indexed by the corpus code (element_at
-        # is 1-based)
         entries = []
         for code in range(codes):
             cvals = books[sub][code]
@@ -585,9 +584,22 @@ def pq_adc_topk(
             )
             c2 = sum(v * v for v in cvals)
             entries.append(dot * F.lit(-2.0) + F.lit(c2))
-        term = F.element_at(F.array(*entries), F.col(f"_mc{sub}") + 1)
+        lut_cols.append(F.array(*entries).alias(f"_lut{sub}"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        *lut_cols,
+    )
+    pairs = F.broadcast(q).crossJoin(cc)
+    score: Column | None = None
+    for sub in range(m):
+        term = F.element_at(F.col(f"_lut{sub}"), F.col(f"_mc{sub}") + 1)
         score = term if score is None else score + term
-    pairs = pairs.select("query_id", "match_id", score.alias("_adc"))
+    # self-matches dropped BEFORE the rerank window so they never consume
+    # candidate slots
+    pairs = pairs.filter(F.col("query_id") != F.col("match_id")).select(
+        "query_id", "match_id", score.alias("_adc")
+    )
 
     # ascending: _adc approximates the L2 distance
     w = Window.partitionBy("query_id").orderBy(

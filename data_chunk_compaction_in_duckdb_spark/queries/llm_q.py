@@ -222,11 +222,71 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_lsh_topk")  # approximate by design → rows-only driver check
+def _lsh_ann_oracle_sql(
+    dim: int = 64, n_planes: int = 5, n_tables: int = 6, k: int = 5
+) -> str:
+    """DuckDB replay of lsh_ann_topk: the identical md5 hyperplane
+    literals drive the sign-bit bucket ids (list_dot_product is the
+    proven bit-replayable twin of the Spark fold), the query side probes
+    the exact bucket plus every hamming-1 neighbor (multiprobe), and the
+    exact-cosine re-rank uses the same (cosine DESC, match_id) total
+    order as the Spark window."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
+        _hyperplane,
+    )
+
+    def bucket(t: int) -> str:
+        bits = []
+        for p in range(n_planes):
+            plane = ",".join(repr(x) for x in _hyperplane(dim, t, p))
+            bits.append(
+                f"CASE WHEN list_dot_product(v, [{plane}]) >= 0 "
+                f"THEN {1 << p} ELSE 0 END"
+            )
+        return "(" + " + ".join(bits) + ")"
+
+    probes = lambda t: ", ".join(  # noqa: E731 - local SQL fragment helper
+        [f"bk{t}"] + [f"xor(bk{t}, {1 << p})" for p in range(n_planes)]
+    )
+    arms = "\n      UNION ALL\n".join(
+        f"""      SELECT qp.query_id, c.vec_id AS match_id
+      FROM (SELECT vec_id AS query_id,
+                   unnest([{probes(t)}]) AS b
+            FROM buckets WHERE vec_id % 97 = 0) qp
+      JOIN buckets c ON c.bk{t} = qp.b"""
+        for t in range(n_tables)
+    )
+    bucket_cols = ", ".join(f"{bucket(t)} AS bk{t}" for t in range(n_tables))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    buckets AS (SELECT vec_id, {bucket_cols} FROM e),
+    cand AS (
+      SELECT DISTINCT query_id, match_id FROM (
+{arms}
+      ) WHERE query_id <> match_id)
+    SELECT query_id, match_id, ROUND(c, 4) AS cosine
+    FROM (SELECT cand.query_id, cand.match_id,
+                 list_cosine_similarity(eq.v, ec.v) AS c,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY cand.query_id
+                   ORDER BY list_cosine_similarity(eq.v, ec.v) DESC,
+                            cand.match_id) AS rn
+          FROM cand
+          JOIN e eq ON eq.vec_id = cand.query_id
+          JOIN e ec ON ec.vec_id = cand.match_id) t
+    WHERE rn <= {k}
+    """
+
+
+@query("sim_ann_lsh_topk", oracle=_lsh_ann_oracle_sql())
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k — the 100 TB scale path (bucket
     equi-join instead of the full NL join).  Recall vs brute force is
-    asserted in tests/test_pipeline.py."""
+    asserted in tests/test_pipeline.py; the md5 hyperplanes make the
+    bucketing itself deterministic, so the oracle replays the whole
+    index bit-for-bit (the approximation is in WHICH pairs become
+    candidates, not in any randomness)."""
     from data_chunk_compaction_in_duckdb_spark.pipeline import lsh_ann_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -291,11 +351,61 @@ def text_tokens_quality_fingerprint(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@query("text_language_id")  # heuristic UDF → rows-only driver check
+def _language_id_oracle_sql() -> str:
+    """DuckDB replay of pipeline.text.language_id's heuristic: the CJK
+    character-ratio rule first, then per-language stopword hit-rate with
+    the UDF's exact tie-break (first language in _LANG_MARKERS order
+    wins a tied max; > 0.02 required, else 'und').  Scores are integer
+    hit counts divided as doubles, so both engines produce the same
+    bits and the argmax is deterministic."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.text import (
+        _LANG_MARKERS,
+    )
+
+    langs = [(lang, stops) for lang, stops in _LANG_MARKERS.items() if stops]
+    score_cols = []
+    for lang, stops in langs:
+        lst = ",".join(f"'{w}'" for w in stops)
+        score_cols.append(
+            f"CAST(len(list_filter(words, w -> list_contains([{lst}], w)))"
+            f" AS DOUBLE) / GREATEST(len(words), 1) AS s_{lang}"
+        )
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang, _ in langs) + ")"
+    pick = " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang, _ in langs[:-1]
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS words
+      FROM documents),
+    s AS (SELECT doc_id, lang, text, words, {', '.join(score_cols)} FROM w),
+    b AS (SELECT *, {best} AS best FROM s)
+    SELECT doc_id, lang,
+           CASE
+             WHEN text IS NULL THEN NULL
+             WHEN length(text) > 0
+                  AND CAST(len(regexp_extract_all(text,
+                        '[\\x{{4E00}}-\\x{{9FFF}}]')) AS DOUBLE)
+                      / length(text) > 0.2 THEN 'zh'
+             WHEN len(words) = 0 THEN 'und'
+             WHEN best <= 0.02 THEN 'und'
+             {pick}
+             ELSE '{langs[-1][0]}'
+           END AS lang_pred
+    FROM b
+    """
+
+
+@query("text_language_id", oracle=_language_id_oracle_sql())
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (stopword hit-rate + CJK char ratio) — the
     synthetic corpus carries a ground-truth lang column; accuracy is
-    asserted in tests/test_pipeline.py, structure here."""
+    asserted in tests/test_pipeline.py.  The heuristic is deterministic
+    (integer hit counts, fixed marker lists), so the oracle replays the
+    pandas_udf's decision procedure exactly in SQL — the vectorized UDF
+    is the execution vehicle, not a source of nondeterminism."""
     from data_chunk_compaction_in_duckdb_spark.pipeline import language_id
 
     docs = load_table(spark, sf_dir, "documents")
@@ -517,11 +627,59 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_ivf_topk")  # approximate by design → rows-only driver check
+def _ivf_ann_oracle_sql(
+    dim: int = 64, n_clusters: int = 16, n_probe: int = 8, k: int = 5
+) -> str:
+    """DuckDB replay of ivf_ann_topk: the same md5 centroid literals and
+    the proven struct(-dot, idx) ascending sort rank the cells (identical
+    to the dedup_semantic_ivf_pairs oracle), the corpus keeps its best
+    cell, queries probe their n_probe best, and the exact-cosine re-rank
+    shares the Spark window's (cosine DESC, match_id) total order."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
+        _centroid,
+    )
+
+    structs = ", ".join(
+        "struct_pack(d := -list_dot_product(v, ["
+        + ",".join(repr(x) for x in _centroid(dim, i))
+        + f"]), i := {i})"
+        for i in range(n_clusters)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    ranked AS (SELECT vec_id, v,
+                      list_transform(list_sort([{structs}]), x -> x.i)
+                        AS cells
+               FROM e),
+    corpus AS (SELECT vec_id AS match_id, cells[1] AS cell FROM ranked),
+    probes AS (SELECT vec_id AS query_id,
+                      unnest(cells[1:{n_probe}]) AS cell
+               FROM ranked WHERE vec_id % 97 = 0),
+    cand AS (SELECT DISTINCT query_id, match_id
+             FROM probes JOIN corpus USING (cell)
+             WHERE query_id <> match_id)
+    SELECT query_id, match_id, ROUND(c, 4) AS cosine
+    FROM (SELECT cand.query_id, cand.match_id,
+                 list_cosine_similarity(eq.v, ec.v) AS c,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY cand.query_id
+                   ORDER BY list_cosine_similarity(eq.v, ec.v) DESC,
+                            cand.match_id) AS rn
+          FROM cand
+          JOIN e eq ON eq.vec_id = cand.query_id
+          JOIN e ec ON ec.vec_id = cand.match_id) t
+    WHERE rn <= {k}
+    """
+
+
+@query("sim_ann_ivf_topk", oracle=_ivf_ann_oracle_sql())
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k — the partition-prune scale path
     (each query scans n_probe/n_clusters of the corpus).  Recall vs
-    brute force is asserted in tests/test_pipeline.py."""
+    brute force is asserted in tests/test_pipeline.py; the md5 centroids
+    make cell assignment deterministic, so the oracle replays the index
+    bit-for-bit (same scheme as dedup_semantic_ivf_pairs)."""
     from data_chunk_compaction_in_duckdb_spark.pipeline import ivf_ann_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

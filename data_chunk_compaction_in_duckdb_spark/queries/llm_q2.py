@@ -710,25 +710,102 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_codes(emb, "vec_id", "embedding", dim=64, m=4, k=16)
 
 
-@query("sim_ann_pq_adc_topk")  # approximate by design -> rows-only check
+def _pq_adc_oracle_sql(
+    dim: int = 64, m: int = 16, codes: int = 16, rerank: int = 50, k: int = 5
+) -> str:
+    """DuckDB replay of pq_adc_topk with the md5 codebooks: corpus codes
+    via the proven min-L2 struct sort (same as the embed_pq_codes
+    oracle), ADC distance re-derived per pair by computing the LUT term
+    the corpus code selects (-2*dot(q_sub, chosen centroid) + ||c||^2 —
+    identical arithmetic to the Spark element_at pick), top-``rerank``
+    candidates per query in (_adc ASC, match_id) order, then the exact
+    cosine re-rank in (cosine DESC, match_id) order."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
+        _pq_centroid,
+    )
+
+    subdim = dim // m
+    code_cols = []
+    adc_terms = []
+    for sub in range(m):
+        lo, hi = sub * subdim + 1, (sub + 1) * subdim
+        entries = []
+        for code in range(codes):
+            cvals = _pq_centroid(sub, code, subdim)
+            c2 = sum(v * v for v in cvals)
+            entries.append(
+                "struct_pack(d := -2.0 * list_dot_product("
+                f"list_slice(v, {lo}, {hi}), ["
+                + ",".join(repr(x) for x in cvals)
+                + f"]) + {c2!r}, i := {code})"
+            )
+        code_cols.append(
+            f"list_sort([{', '.join(entries)}])[1].i AS c{sub}"
+        )
+        books_lit = (
+            "[" + ",".join(
+                "[" + ",".join(repr(x) for x in _pq_centroid(sub, code, subdim))
+                + "]"
+                for code in range(codes)
+            ) + "]"
+        )
+        norms_lit = "[" + ",".join(
+            repr(sum(x * x for x in _pq_centroid(sub, code, subdim)))
+            for code in range(codes)
+        ) + "]"
+        adc_terms.append(
+            f"(-2.0 * list_dot_product(list_slice(q.v, {lo}, {hi}),"
+            f" ({books_lit})[cc.c{sub} + 1])"
+            f" + ({norms_lit})[cc.c{sub} + 1])"
+        )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    coded AS (SELECT vec_id, {', '.join(code_cols)} FROM e),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id % 97 = 0),
+    adc AS (
+      SELECT q.vec_id AS query_id, cc.vec_id AS match_id,
+             {' + '.join(adc_terms)} AS d
+      FROM q, coded cc WHERE q.vec_id <> cc.vec_id),
+    cand AS (
+      SELECT query_id, match_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY d ASC, match_id) AS rn
+            FROM adc) t
+      WHERE rn <= {rerank})
+    SELECT query_id, match_id, ROUND(c, 4) AS cosine
+    FROM (SELECT cand.query_id, cand.match_id,
+                 list_cosine_similarity(eq.v, ec.v) AS c,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY cand.query_id
+                   ORDER BY list_cosine_similarity(eq.v, ec.v) DESC,
+                            cand.match_id) AS rn
+          FROM cand
+          JOIN e eq ON eq.vec_id = cand.query_id
+          JOIN e ec ON ec.vec_id = cand.match_id) t
+    WHERE rn <= {k}
+    """
+
+
+@query("sim_ann_pq_adc_topk", oracle=_pq_adc_oracle_sql())
 def sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-k over product-quantization codes — the
     compressed-in-memory ANN path (corpus side carries 16-bit codes,
-    raw vectors touched only for the bounded exact re-rank).  Recall vs
-    brute force is asserted in tests/test_pipeline.py."""
-    from data_chunk_compaction_in_duckdb_spark.pipeline import (
-        pq_adc_topk,
-        train_pq_codebooks,
-    )
+    raw vectors touched only for the bounded exact re-rank).
+
+    This registry entry runs the md5 default codebooks (m=16 4-dim
+    subspaces) so the whole index — codes, ADC scan, rerank — replays
+    bit-for-bit in the DuckDB oracle; the Lloyd-trained-codebook variant
+    (train_pq_codebooks, data-adapted but with engine-dependent float
+    summation order in the means) keeps its recall assertions in
+    tests/test_pipeline.py."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import pq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 97 == 0)
-    # m=16 (4-dim subspaces): isotropic synthetic embeddings need fine
-    # subspaces for the codes to carry direction (recall-measured)
-    books = train_pq_codebooks(emb, "embedding", dim=64, m=16, codes=16)
     out = pq_adc_topk(
         emb, queries_df, "vec_id", "embedding", dim=64, k=5, m=16, codes=16,
-        rerank=50, codebooks=books,
+        rerank=50,
     )
     return out.select(
         "query_id", "match_id", F.round("cosine", 4).alias("cosine")

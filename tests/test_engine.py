@@ -179,3 +179,31 @@ def test_create_udtf_standalone_and_lateral(spark, sf_dir):
         " FROM documents WHERE doc_id < 10"
     ).first()["n"]
     assert lat == plain and lat > 0
+
+
+def test_view_override_invalidates_register_memo(spark, sf_dir, tmp_path):
+    """Replacing a fixture-named view through the Engine must invalidate
+    the register_views memo: a subsequent register_views call has to
+    rebind the original fixture table, not silently no-op on the stale
+    memo (round-2 advisory).  Engine.tables must also be a private copy —
+    mutating it must not leak into other register_views callers."""
+    import data_chunk_compaction_in_duckdb_spark.catalog as _c
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    nation_df = _c.register_views(spark, sf_dir)["nation"]
+    baseline = nation_df.count()
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+
+    # Engine.tables is a copy, not the memoized dict
+    eng.tables["nation"] = eng.tables["nation"].limit(1)
+    assert _c.register_views(spark, sf_dir)["nation"].count() == baseline
+
+    try:
+        eng.create_table_function("nation", nation_df.limit(2))
+        assert spark.table("nation").count() == 2
+        # the memo was invalidated, so this genuinely re-registers
+        assert _c.register_views(spark, sf_dir)["nation"].count() == baseline
+        assert spark.table("nation").count() == baseline
+    finally:
+        _c.invalidate_views(spark)
+        _c.register_views(spark, sf_dir)
