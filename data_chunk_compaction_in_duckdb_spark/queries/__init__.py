@@ -31,6 +31,7 @@ from data_chunk_compaction_in_duckdb_spark.queries import llm_q2  # noqa: E402,F
 from data_chunk_compaction_in_duckdb_spark.queries import streaming_q  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import events_q  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import tpch_more  # noqa: E402,F401
+from data_chunk_compaction_in_duckdb_spark.queries import tpch_partsupp  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import misc_q  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import edge_q  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import functions_more  # noqa: E402,F401

@@ -1,13 +1,13 @@
 """Extended TPC-H-shaped benchmark corpus (reference
 benchmark/tpch/sf1/*.benchmark, 22 queries) adapted to the fixture star
-schema (no partsupp table; lineitem carries the supplier link).
+schema (the four partsupp queries q2/q11/q16/q20 run their official text
+over the derived partsupp relation in tpch_partsupp.py).
 
 Together with relational.py's q1/q3/q5/q6 this covers the operator
-patterns of the full TPC-H suite: min-per-group dimension lookups (q2),
-EXISTS filters (q4), nation-pair matrices (q7), market-share ratios of
-conditional sums (q8), top-k revenue customers (q10), conditional
-bucket counts (q12), promo-share (q14), distinct-count exclusion (q16),
-large-order HAVING semi-joins (q18), OR-of-ANDs pushdown (q19),
+patterns of the full TPC-H suite: EXISTS filters (q4), nation-pair
+matrices (q7), market-share ratios of conditional sums (q8), top-k
+revenue customers (q10), conditional bucket counts (q12), promo-share
+(q14), large-order HAVING semi-joins (q18), OR-of-ANDs pushdown (q19),
 multi-EXISTS correlation (q21), and scalar-subquery + anti-join (q22).
 """
 
@@ -41,72 +41,6 @@ _VOL_UNITS_SQL = (
 
 def _vol_units() -> "F.Column":
     return _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
-
-
-@query(
-    "tpch_q2_cheapest_supplier",
-    oracle="""
-    WITH unit AS (
-      SELECT l_partkey, l_suppkey,
-             MIN(CAST((2 * CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 10000
-                       + CAST(ROUND(l_quantity * 100) AS BIGINT))
-                      // (2 * CAST(ROUND(l_quantity * 100) AS BIGINT))
-                      AS BIGINT)) AS unit_price_u
-      FROM lineitem GROUP BY l_partkey, l_suppkey
-    )
-    SELECT p_partkey, p_brand, s_name,
-           unit_price_u / 10000.0 AS best_unit_price
-    FROM (
-      SELECT l_partkey, l_suppkey, unit_price_u,
-             ROW_NUMBER() OVER (PARTITION BY l_partkey
-                                ORDER BY unit_price_u, l_suppkey) AS rn
-      FROM unit
-    ) u
-    JOIN part ON p_partkey = u.l_partkey
-    JOIN supplier ON s_suppkey = u.l_suppkey
-    WHERE rn = 1 AND p_size <= 10
-    """,
-)
-def tpch_q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q2 shape: min-per-group + dimension joins (the fixture schema's
-    lineitem stands in for partsupp).  Unit price is computed as half-up
-    integer 1e-4 units — price/quantity has up to 5 exact decimals
-    (price/8), the engine-divergent ROUND trap."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
-    supp = _t(spark, sf_dir, "supplier")
-    num = 2 * _cents("l_extendedprice") * 10000 + _cents("l_quantity")
-    den = 2 * _cents("l_quantity")
-    unit_u = ((num - num % den) / den).cast("long")
-    # One lexicographic struct-min per part replaces the oracle's
-    # min-per-(part,supplier) + rank-1 window: the global (unit, suppkey)
-    # minimum over raw rows is the same winner (any row's pair is >= its
-    # supplier's own (min_unit, suppkey) under the same tie order), so
-    # the plan is ONE partkey shuffle with map-side combine and no
-    # window sort — half the exchanges of the literal translation.
-    best = (
-        li.groupBy("l_partkey")
-        .agg(
-            F.min(
-                F.struct(unit_u.alias("u"), F.col("l_suppkey").alias("sk"))
-            ).alias("b")
-        )
-        .select(
-            "l_partkey",
-            F.col("b.u").alias("unit_price_u"),
-            F.col("b.sk").alias("l_suppkey"),
-        )
-    )
-    return (
-        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
-        .select(
-            "p_partkey",
-            "p_brand",
-            "s_name",
-            (F.col("unit_price_u") / 10000.0).alias("best_unit_price"),
-        )
-    )
 
 
 @query(
@@ -335,33 +269,6 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("promo_revenue_pct")
         )
-    )
-
-
-@query(
-    "tpch_q16_supplier_counts",
-    oracle="""
-    SELECT p_brand, p_type, p_size,
-           COUNT(DISTINCT l_suppkey) AS supplier_cnt
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE p_brand <> 'Brand#13'
-      AND p_type NOT IN ('PROMO', 'ECONOMY')
-      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
-    GROUP BY p_brand, p_type, p_size
-    """,
-)
-def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q16: distinct supplier counts with exclusion filters."""
-    part = _t(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#13")
-        & (~F.col("p_type").isin("PROMO", "ECONOMY"))
-        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
 
 

@@ -76,47 +76,6 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "tpch_q11_important_parts",
-    oracle="""
-    WITH val AS (
-      SELECT l_partkey,
-             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS v_c
-      FROM lineitem
-      JOIN supplier ON l_suppkey = s_suppkey
-      JOIN nation   ON s_nationkey = n_nationkey
-      WHERE n_regionkey = 2
-      GROUP BY l_partkey
-    )
-    SELECT l_partkey AS partkey, v_c / 100.0 AS part_value
-    FROM val
-    WHERE v_c * 1000 > (SELECT SUM(v_c) FROM val)
-    """,
-)
-def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q11 shape: per-part value with a HAVING threshold of 0.1% of the
-    ungrouped total — grouped agg + scalar-subquery crossjoin, compared in
-    exact integer cents (reference benchmark/tpch/sf1/q11)."""
-    li = _t(spark, sf_dir, "lineitem")
-    supp = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
-    val = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .groupBy("l_partkey")
-        .agg(F.sum(_cents("l_extendedprice")).alias("v_c"))
-    )
-    total = val.agg(F.sum("v_c").alias("total_c"))
-    return (
-        val.crossJoin(F.broadcast(total))
-        .filter(F.col("v_c") * 1000 > F.col("total_c"))
-        .select(
-            F.col("l_partkey").alias("partkey"),
-            (F.col("v_c") / 100.0).alias("part_value"),
-        )
-    )
-
-
-@query(
     "tpch_q13_customer_distribution",
     oracle="""
     SELECT c_count, COUNT(*) AS custdist
@@ -223,45 +182,3 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@query(
-    "tpch_q20_excess_shippers",
-    oracle="""
-    SELECT s_name, n_name
-    FROM supplier
-    JOIN nation ON s_nationkey = n_nationkey
-    WHERE n_regionkey = 0
-      AND s_suppkey IN (
-        SELECT l_suppkey
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE p_name LIKE 'small%'
-          AND l_shipdate >= TIMESTAMP '1998-01-01'
-          AND l_shipdate <  TIMESTAMP '1999-01-01'
-        GROUP BY l_suppkey, l_partkey
-        HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 4500
-      )
-    """,
-)
-def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q20: HAVING-filtered grouped subquery feeding an IN semi-join into
-    a dimension-filtered supplier list (reference
-    benchmark/tpch/sf1/q20; availqty threshold modeled as a constant
-    since the fixture schema has no partsupp)."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1999-01-01")
-    )
-    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
-    supp = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
-    heavy = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(_cents("l_quantity")).alias("q_c"))
-        .filter(F.col("q_c") > 4500)
-        .select("l_suppkey")
-        .distinct()
-    )
-    return (
-        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
-        .select("s_name", "n_name")
-    )

@@ -23,7 +23,7 @@ def test_tpch_tail_matches_oracle(spark, duck, sf_dir, name):
 def test_q20_nonempty(spark, sf_dir):
     from data_chunk_compaction_in_duckdb_spark.queries import REGISTRY
 
-    assert REGISTRY["tpch_q20_excess_shippers"].builder(spark, sf_dir).count() > 0
+    assert REGISTRY["tpch_q20_official"].builder(spark, sf_dir).count() > 0
 
 
 def test_q9_fact_side_single_shuffle(spark, sf_dir):
