@@ -58,3 +58,49 @@ def count_codegen_subtrees(df: DataFrame) -> int:
     plan = explain_str(df, "codegen")
     m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
     return int(m.group(1)) if m else 0
+
+
+def bnlj_build_scans(df: DataFrame) -> list[list[str]]:
+    """For each BroadcastNestedLoopJoin in the physical plan, the leaf
+    scan descriptions under its BROADCAST (build) side.
+
+    The iterative/graph queries (recursive BFS frontiers, transitive-
+    closure rounds) legitimately plan BNLJ — but only while the build
+    side is the bounded frontier/model relation.  A regression that
+    flips the build side onto a fact scan turns an O(frontier) probe
+    into an O(data²) disaster at scale; tests assert no fixture fact
+    file appears in any build subtree.
+    """
+
+    def leaves(node, out: list[str]) -> None:
+        try:
+            ch = node.children()
+            n = ch.size()
+        except Exception:  # noqa: BLE001 - py4j node without children()
+            n = 0
+        if n == 0:
+            out.append(node.simpleString(200))
+            return
+        for i in range(n):
+            leaves(ch.apply(i), out)
+
+    found: list[list[str]] = []
+
+    def walk(node) -> None:
+        name = node.nodeName()
+        if "BroadcastNestedLoopJoin" in name:
+            side = str(node.buildSide())
+            ch = node.children()
+            build = ch.apply(0) if "BuildLeft" in side else ch.apply(1)
+            acc: list[str] = []
+            leaves(build, acc)
+            found.append(acc)
+        try:
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+        except Exception:  # noqa: BLE001
+            pass
+
+    walk(df._jdf.queryExecution().sparkPlan())
+    return found

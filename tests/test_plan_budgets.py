@@ -117,3 +117,38 @@ def test_q5_dimensions_all_broadcast(spark, sf_dir):
     df = REGISTRY["tpch_q5_local_supplier_volume"].builder(spark, sf_dir)
     strats = join_strategies(df)
     assert len(strats) == 5 and set(strats) == {"BroadcastHashJoin"}, strats
+
+
+def test_ldbc_bi10_bnlj_build_side_is_bounded(spark, sf_dir):
+    """The recursive-BFS query legitimately plans BroadcastNestedLoopJoin
+    for its scalar-subquery frontier checks — but ONLY while the build
+    (broadcast) side is the bounded frontier/scalar relation.  A silent
+    flip onto a fact scan becomes O(data^2) at scale; pin both the BNLJ
+    count and that no fixture parquet file feeds any build side."""
+    from data_chunk_compaction_in_duckdb_spark.plans.inspect import (
+        bnlj_build_scans,
+        count_exchanges,
+    )
+    from data_chunk_compaction_in_duckdb_spark.queries import REGISTRY
+
+    df = REGISTRY["ldbc_bi10"].builder(spark, sf_dir)
+    builds = bnlj_build_scans(df)
+    assert len(builds) <= 2, f"BNLJ count grew: {len(builds)}"
+    facts = ("orders", "lineitem", "events", "customer", "documents",
+             "embeddings")
+    for leaves in builds:
+        for leaf in leaves:
+            assert not any(t in leaf for t in facts), leaf
+    assert count_exchanges(df) <= 5
+
+
+def test_components_transitive_final_plan_is_bounded(spark, sf_dir):
+    """Min-label propagation runs its O(diameter) rounds through
+    localCheckpoint, so the RESULT plan must be flat — a regression that
+    chains the per-round lineage into one giant plan would blow up both
+    planning time and executor memory at scale."""
+    from data_chunk_compaction_in_duckdb_spark.plans import count_exchanges
+    from data_chunk_compaction_in_duckdb_spark.queries import REGISTRY
+
+    df = REGISTRY["dedup_components_transitive"].builder(spark, sf_dir)
+    assert count_exchanges(df) <= 3
