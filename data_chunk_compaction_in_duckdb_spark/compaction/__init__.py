@@ -17,7 +17,15 @@ small-file problem.  This package provides:
                 (CompactingPhysicalOperator / PhysicalPipelineBreaker)
 - tuner.py      UCB1 multi-armed bandit learning target sizes per named
                 stage (CompactTuner/MultiArmedBandit)
+- auto.py       AutoCompactFrame — the operator-wrapper analog: filters/
+                joins mark compaction points, settled automatically
+                before the next consumer (Engine(auto_compact=True))
 """
+
+from data_chunk_compaction_in_duckdb_spark.compaction.auto import (  # noqa: F401
+    AutoCompactFrame,
+    unwrap,
+)
 
 from data_chunk_compaction_in_duckdb_spark.compaction.compact import (  # noqa: F401
     compact,

@@ -33,28 +33,50 @@ class Engine:
         spark: SparkSession | None = None,
         sf_dir: str = _catalog.DEFAULT_SF_DIR,
         register: bool = True,
+        auto_compact: bool = False,
+        compact_target_rows: int | None = None,
     ) -> None:
         self.spark = spark or get_spark()
         self.sf_dir = sf_dir
+        self.auto_compact = auto_compact
+        self.compact_target_rows = compact_target_rows
         self.tables: dict[str, DataFrame] = {}
         if register:
             self.tables = _catalog.register_views(self.spark, sf_dir)
+
+    def _wrap(self, df: DataFrame):
+        """With ``auto_compact`` on, hand out CompactingPhysicalOperator-
+        style handles (compaction/auto.py): filters/joins composed on the
+        result mark compaction points, settled by one dynamic compact()
+        before the next fragmentation-sensitive consumer.  Off (default):
+        the plain DataFrame, compaction left to the caller/AQE."""
+        if not self.auto_compact:
+            return df
+        from data_chunk_compaction_in_duckdb_spark.compaction.auto import (
+            AutoCompactFrame,
+        )
+
+        return AutoCompactFrame(df, target_rows=self.compact_target_rows)
 
     # -- entry point 1: SQL string (Connection::Query)
     def sql(self, query: str, **params: Any) -> DataFrame:
         """Run SQL against the registered catalog.  Named ``:param``
         placeholders make this the prepared-statement path (reference
         entry point 2, client_context.cpp:534-560): parameters are bound
-        by Spark's parameterized SQL, not string interpolation."""
+        by Spark's parameterized SQL, not string interpolation.
+
+        Inside the SQL text Catalyst+AQE own compaction (shuffle-read
+        coalescing); with ``auto_compact`` on, the returned handle also
+        auto-compacts anything composed on it at the DataFrame level."""
         if params:
-            return self.spark.sql(query, args=params)
-        return self.spark.sql(query)
+            return self._wrap(self.spark.sql(query, args=params))
+        return self._wrap(self.spark.sql(query))
 
     # -- entry point 3: programmatic DataFrame (embedded C++ driver)
     def table(self, name: str) -> DataFrame:
         if name not in self.tables:
             self.tables[name] = _catalog.load_table(self.spark, self.sf_dir, name)
-        return self.tables[name]
+        return self._wrap(self.tables[name])
 
     def explain(self, df: DataFrame, mode: str = "formatted") -> str:
         """EXPLAIN (the reference's EXPLAIN ANALYZE harvest point,
