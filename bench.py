@@ -64,6 +64,12 @@ HEADLINE = [
     "tb_semaphoreneighbor",  # Train Benchmark 7-join neighbor pattern
     "ldbc_bi10",             # LDBC recursive friend BFS + tag rollup
     "dedup_repeated_ngram_spans",  # exact-substring dedup detection
+    # round-3 additions: official partsupp TPC-H text + the now
+    # oracle-replayed ANN scale paths
+    "tpch_q2_official",      # derived partsupp, correlated-MIN
+    "tpch_q11_official",     # partsupp inventory value + HAVING total
+    "sim_ann_ivf_topk",      # IVF partition-prune ANN
+    "sim_ann_pq_adc_topk",   # PQ/ADC compressed-scan ANN
 ]
 
 REPS = 3

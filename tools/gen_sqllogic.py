@@ -1887,6 +1887,64 @@ corpus("values_inline_tables", "Inline VALUES relations (reference test/sql/tabl
 ])
 
 
+
+# --- SQLite legacy corpus analog (reference test/sqlite/select1.test_slow:
+# expression-permutation SELECTs over a tiny two-column table).  The
+# original generates hundreds of permutations of {f1, f2} expression
+# lists / WHERE forms / ORDER BY directions; these files encode one
+# representative slice per permutation axis over the same t1 shape.
+
+_T1 = "(VALUES (11, 22), (33, 44), (55, 66), (77, 88), (99, 110)) AS t1(f1, f2)"
+
+corpus("sqlite_select1_exprs", "select1.test expression-list permutations (reference test/sqlite/select1.test_slow)")([
+    ("I", "", f"SELECT f1 FROM {_T1} ORDER BY f1"),
+    ("II", "", f"SELECT f1, f2 FROM {_T1} ORDER BY f1"),
+    ("I", "", f"SELECT f1 + f2 FROM {_T1} ORDER BY f1"),
+    ("I", "", f"SELECT f1 - f2 FROM {_T1} ORDER BY f1"),
+    ("I", "", f"SELECT f1 * 2 + f2 FROM {_T1} ORDER BY f1"),
+    ("II", "", f"SELECT f1, f1 + f2 FROM {_T1} ORDER BY f1"),
+    ("R", "", f"SELECT round(CAST(f1 AS DOUBLE) / f2, 4) FROM {_T1} ORDER BY f1"),
+])
+
+corpus("sqlite_select1_aggs", "select1.test aggregate permutations (reference test/sqlite/select1.test_slow)")([
+    ("I", "", f"SELECT count(*) FROM {_T1}"),
+    ("I", "", f"SELECT min(f1) FROM {_T1}"),
+    ("I", "", f"SELECT max(f2) FROM {_T1}"),
+    ("I", "", f"SELECT sum(f1) + sum(f2) FROM {_T1}"),
+    ("R", "", f"SELECT round(avg(CAST(f1 AS DOUBLE)), 3) FROM {_T1}"),
+    ("II", "", f"SELECT min(f1), max(f1) FROM {_T1}"),
+    ("I", "", f"SELECT count(*) FROM {_T1} WHERE f1 > 33"),
+    ("I", "", f"SELECT max(f1 + f2) FROM {_T1}"),
+])
+
+corpus("sqlite_select1_where", "select1.test WHERE-form permutations (reference test/sqlite/select1.test_slow)")([
+    ("I", "", f"SELECT f1 FROM {_T1} WHERE f1 = 33"),
+    ("I", "", f"SELECT f1 FROM {_T1} WHERE f1 <> 33 ORDER BY f1"),
+    ("I", "", f"SELECT f1 FROM {_T1} WHERE f1 BETWEEN 33 AND 77 ORDER BY f1"),
+    ("I", "", f"SELECT f1 FROM {_T1} WHERE f1 IN (11, 55, 99) ORDER BY f1"),
+    ("I", "", f"SELECT f1 FROM {_T1} WHERE f2 > 50 AND f1 < 90 ORDER BY f1"),
+    ("I", "", f"SELECT f1 FROM {_T1} WHERE f1 > 100 OR f2 > 100 ORDER BY f1"),
+    ("I", "", f"SELECT f1 FROM {_T1} WHERE NOT (f1 < 50) ORDER BY f1"),
+])
+
+corpus("sqlite_select1_order", "select1.test ORDER BY direction/expression permutations (reference test/sqlite/select1.test_slow)")([
+    ("I", "", f"SELECT f1 FROM {_T1} ORDER BY f1 DESC"),
+    ("I", "", f"SELECT f1 FROM {_T1} ORDER BY f2 DESC"),
+    ("I", "", f"SELECT f1 FROM {_T1} ORDER BY f1 + f2"),
+    ("I", "", f"SELECT f1 FROM {_T1} ORDER BY -f1"),
+    ("II", "", f"SELECT f1, f2 FROM {_T1} ORDER BY f2 - f1, f1 DESC"),
+    ("I", "", f"SELECT f1 FROM {_T1} ORDER BY CASE WHEN f1 = 55 THEN 0 ELSE 1 END, f1"),
+])
+
+corpus("sqlite_select1_compound", "select1.test compound-select permutations (reference test/sqlite/select1.test_slow + select4.test_slow)")([
+    ("I", "", f"SELECT f1 FROM {_T1} UNION ALL SELECT f2 FROM {_T1} ORDER BY 1"),
+    ("I", "", f"SELECT f1 FROM {_T1} UNION SELECT f1 FROM {_T1} ORDER BY 1"),
+    ("I", "", f"SELECT f1 FROM {_T1} WHERE f1 < 50 INTERSECT SELECT f1 FROM {_T1} ORDER BY 1"),
+    ("I", "", f"SELECT f1 FROM {_T1} EXCEPT SELECT f1 FROM {_T1} WHERE f1 > 50 ORDER BY 1"),
+    ("I", "", f"SELECT max(x) FROM (SELECT f1 AS x FROM {_T1} UNION ALL SELECT f2 FROM {_T1}) u"),
+])
+
+
 def main() -> int:
     import duckdb
 
