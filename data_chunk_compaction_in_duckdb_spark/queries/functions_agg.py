@@ -292,15 +292,37 @@ def agg_product_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct")  # no oracle: HLL sketches differ by engine
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           CAST(abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
+                    - COUNT(DISTINCT l_partkey))
+                <= 0.05 * COUNT(DISTINCT l_partkey) AS STRING) AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL, function_list.cpp:66) — sketch values are
-    engine-specific so the driver records the rows-only check; the pytest
-    suite asserts <5% relative error against the exact count."""
+    """approx_count_distinct (HLL, function_list.cpp:66) — raw sketch
+    estimates are engine-specific, so the driver-checkable output is the
+    self-check each engine performs on its OWN sketch: the exact count
+    plus a within-5% boolean (the reference's documented HLL error bound;
+    both engines' HLL variants are well inside it at these cardinalities,
+    so the booleans agree even though the estimates differ).  pytest
+    additionally asserts the <5% relative error directly."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey").cast("double")
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.05 * F.countDistinct("l_partkey")
+        )
+        .cast("string")
+        .alias("within_5pct"),
     )
 
 

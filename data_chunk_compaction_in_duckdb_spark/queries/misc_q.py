@@ -193,15 +193,41 @@ def agg_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_quantile")  # sketch values differ by engine → rows-only
+@query(
+    "agg_approx_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5)
+             / 100.0 AS exact_med,
+           CAST(abs(approx_quantile(l_extendedprice, 0.5)
+                    - quantile_cont(l_extendedprice, 0.5))
+                <= 0.05 * quantile_cont(l_extendedprice, 0.5) AS STRING)
+             AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_quantile / reservoir_quantile (function_list.cpp:67,280) via
-    percentile_approx — sketch-based, so engine-exact parity is not
-    defined; pytest asserts closeness to the exact percentile."""
+    percentile_approx — sketch-based, so the driver-checkable output is
+    each engine's self-check on its OWN sketch: the exact interpolated
+    median computed over integer cents (interpolating two integers at
+    0.5 is exact in double, so both engines produce the same bits —
+    interpolating raw doubles drifts a last bit) plus a within-5%
+    boolean both engines' sketches satisfy.  pytest additionally asserts
+    the closeness bound directly."""
     li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    exact_raw = F.percentile("l_extendedprice", 0.5)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_med"),
-        F.percentile("l_extendedprice", 0.5).alias("exact_med"),
+        (F.percentile(cents, 0.5) / 100.0).alias("exact_med"),
+        (
+            F.abs(
+                F.percentile_approx("l_extendedprice", 0.5, 10000) - exact_raw
+            )
+            <= 0.05 * exact_raw
+        )
+        .cast("string")
+        .alias("within_5pct"),
     )
 
 

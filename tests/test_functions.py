@@ -28,7 +28,11 @@ def test_approx_count_distinct_plausible(spark, sf_dir):
     from data_chunk_compaction_in_duckdb_spark.queries import REGISTRY
 
     df = REGISTRY["agg_approx_count_distinct"].builder(spark, sf_dir)
-    for row in df.collect():
-        assert abs(row.approx_parts - row.exact_parts) <= max(
-            5, 0.05 * row.exact_parts
-        )
+    rows = df.collect()
+    assert rows
+    for row in rows:
+        assert row.exact_parts > 0
+        # the in-query self-check: Spark's own HLL within the reference's
+        # documented 5% bound (the driver hash-compares this boolean
+        # against DuckDB's own-sketch check)
+        assert row.within_5pct == "true"

@@ -24,8 +24,11 @@ def test_approx_quantile_close_to_exact(spark, sf_dir):
     from data_chunk_compaction_in_duckdb_spark.queries import REGISTRY
 
     df = REGISTRY["agg_approx_quantile"].builder(spark, sf_dir)
-    for r in df.collect():
-        assert abs(r.approx_med - r.exact_med) / max(r.exact_med, 1) < 0.05
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.exact_med > 0
+        assert r.within_5pct == "true"
 
 
 def test_reservoir_and_bernoulli_sampling(spark, sf_dir):
