@@ -48,12 +48,19 @@ def main() -> None:
     import duckdb
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master("local[8]")
+    builder = (
+        SparkSession.builder.master(
+            os.environ.get("SPARK_GRAFT_SIM_MASTER", "local[8]")
+        )
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    # sf1+ sweeps need driver heap beyond the 1g default (local-mode
+    # executors share it); unset = the driver's own bare-session defaults
+    mem = os.environ.get("SPARK_GRAFT_SIM_DRIVER_MEMORY")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as E
