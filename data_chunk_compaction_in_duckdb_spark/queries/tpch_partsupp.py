@@ -177,8 +177,11 @@ def tpch_q2_official(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_name") == "EUROPE"
     )
     ps = partsupp_df(spark, sf_dir)
+    # supplier and the per-part MIN grow with SF: no forced broadcast —
+    # AQE broadcasts at fixture scale and degrades to shuffle joins at
+    # 100 TB; only the fixed dims (nation/region) are hinted.
     eur = (
-        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
         .join(
             F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
         )
@@ -190,7 +193,7 @@ def tpch_q2_official(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ps_supplycost_c").alias("_min_c")
     )
     return (
-        eur.join(F.broadcast(min_cost), "ps_partkey")
+        eur.join(min_cost, "ps_partkey")
         .filter(F.col("ps_supplycost_c") == F.col("_min_c"))
         .join(part, F.col("ps_partkey") == part.p_partkey)
         .select(
@@ -247,13 +250,13 @@ def tpch_q11_official(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name") == "NATION_8"
     )
     ps = partsupp_df(spark, sf_dir)
+    # the one-nation supplier slice grows with SF — nation (fixed dim)
+    # is hinted, the slice join is AQE's choice
     sliced = ps.join(
-        F.broadcast(
-            supp.join(
-                F.broadcast(nation),
-                supp.s_nationkey == nation.n_nationkey,
-            ).select("s_suppkey")
-        ),
+        supp.join(
+            F.broadcast(nation),
+            supp.s_nationkey == nation.n_nationkey,
+        ).select("s_suppkey"),
         ps.ps_suppkey == F.col("s_suppkey"),
     )
     per_part = sliced.groupBy("ps_partkey").agg(
@@ -312,12 +315,14 @@ def tpch_q16_official(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     ps = partsupp_df(spark, sf_dir)
     return (
+        # part and the complained-supplier slice grow with SF — AQE picks
+        # broadcast at fixture scale, shuffle at 100 TB
         ps.join(
-            F.broadcast(complained),
+            complained,
             ps.ps_suppkey == F.col("s_suppkey"),
             "left_anti",
         )
-        .join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(part, ps.ps_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -377,8 +382,9 @@ def tpch_q20_official(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ps = partsupp_df(spark, sf_dir)
     excess = (
+        # the red-part key set grows with SF — semi join, AQE-chosen side
         ps.join(
-            F.broadcast(part_red), ps.ps_partkey == F.col("p_partkey"), "left_semi"
+            part_red, ps.ps_partkey == F.col("p_partkey"), "left_semi"
         )
         .join(
             shipped,
@@ -402,7 +408,7 @@ def tpch_q20_official(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
         )
         .join(
-            F.broadcast(excess),
+            excess,
             supp.s_suppkey == F.col("ps_suppkey"),
             "left_semi",
         )

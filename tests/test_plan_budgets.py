@@ -97,6 +97,13 @@ BUDGETS = {
     "ldbc_bi11": 10,      # triangle triple self-join over the derived
     # per-country edge list (3 legs x distinct + closure)
     "pipeline_split_assign": 0,  # hash-band projection: narrow, no shuffle
+    # round-3: official partsupp queries — the BNLJ in each plan is the
+    # derivation's crossJoin with the ONE-ROW supplier-count aggregate
+    # (bounded build side); per-part/per-nation joins are AQE's choice
+    "tpch_q2_official": 5,   # derive + EUROPE slice + per-part MIN + top-n
+    "tpch_q11_official": 6,  # derive + slice + per-part sum + grand total
+    "tpch_q16_official": 4,  # derive + anti + dim join + distinct agg
+    "tpch_q20_official": 4,  # derive + date-sliced fact agg + two semis
 }
 
 
