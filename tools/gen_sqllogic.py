@@ -21,7 +21,7 @@ Dialect-common notes learned by running both engines:
     divergence as double→BIGINT) → floor() first.
   - datediff has different signatures → avoid.
 
-Usage:  python tools/gen_sqllogic.py          # validate + regenerate all
+Usage:  python tools/gen_sqllogic.py [corpus...]  # validate + regenerate (all by default)
 """
 
 from __future__ import annotations
@@ -1383,9 +1383,12 @@ corpus("decimal_double_interop", "Decimal <-> double conversion boundaries (refe
 
 
 # --- collate analogs (reference test/sql/collate: NOCASE/NOACCENT) -------
-# Spark pre-4.0 collation is binary; the reference semantics are encoded
-# through explicit normalization (lower / translate), identically parsed
-# by both engines.
+# Two layers: (1) normalization rewrites (lower / translate) that encode
+# NOCASE/NOACCENT semantics in the dialect-common subset; (2) true ICU
+# locale collations (further below) — Spark 4 and DuckDB both bind ICU
+# collators through the identical `expr COLLATE locale` syntax, and the
+# probe in queries/collation_q.py found 13 locales with engine-identical
+# tertiary orderings (nb diverges; _CI variants use different strengths).
 
 _ACCENTS = "'áàâäéèêëíìîïóòôöúùûüñç', 'aaaaeeeeiiiioooouuuunc'"
 
@@ -1440,6 +1443,34 @@ corpus("collate_in_where_between", "Collation-normalized IN / BETWEEN predicates
     ("I", "", "SELECT count(*) FROM region WHERE lower(r_name) IN ('asia', 'europe')"),
     ("T", "", "SELECT CAST(lower('M') BETWEEN 'a' AND 'z' AS STRING)"),
     ("T", "rowsort", "SELECT r_name FROM region WHERE lower(r_name) BETWEEN 'a' AND 'e'"),
+])
+
+corpus("collate_icu_locale_order", "True ICU locale collation in ORDER BY (reference extension/icu collations; Spark 4 COLLATE)")([
+    # de folds umlauts next to their base letters; binary would put them past z
+    ("T", "", "SELECT x FROM (SELECT 'äpfel' AS x UNION ALL SELECT 'apfel' UNION ALL SELECT 'banane' UNION ALL SELECT 'zebra') t ORDER BY x COLLATE de, x"),
+    # sv keeps å/ö as distinct letters sorted AFTER z
+    ("T", "", "SELECT x FROM (SELECT 'ångström' AS x UNION ALL SELECT 'apple' UNION ALL SELECT 'örn' UNION ALL SELECT 'zebra') t ORDER BY x COLLATE sv, x"),
+    # fr accents break ties at secondary strength, base letters first
+    ("T", "", "SELECT x FROM (SELECT 'cote' AS x UNION ALL SELECT 'coté' UNION ALL SELECT 'côte' UNION ALL SELECT 'côté') t ORDER BY x COLLATE fr, x"),
+    # cs digraph: 'ch' is its own letter after h
+    ("T", "", "SELECT x FROM (SELECT 'chata' AS x UNION ALL SELECT 'cukr' UNION ALL SELECT 'hrad' UNION ALL SELECT 'ihla') t ORDER BY x COLLATE cs, x"),
+    # tr dotless ı sorts immediately before dotted i
+    ("T", "", "SELECT x FROM (SELECT 'ırmak' AS x UNION ALL SELECT 'irmak' UNION ALL SELECT 'hamak' UNION ALL SELECT 'jeton') t ORDER BY x COLLATE tr, x"),
+    # pl: ł is a distinct letter after l
+    ("T", "", "SELECT x FROM (SELECT 'łódź' AS x UNION ALL SELECT 'lodz' UNION ALL SELECT 'mosty' UNION ALL SELECT 'kra') t ORDER BY x COLLATE pl, x"),
+])
+
+corpus("collate_icu_rank_values", "ICU locale collation observable in rank values (reference extension/icu)")([
+    ("TI", "rowsort", "SELECT x, DENSE_RANK() OVER (ORDER BY x COLLATE de) FROM (SELECT 'äpfel' AS x UNION ALL SELECT 'apfel' UNION ALL SELECT 'zebra') t"),
+    ("TI", "rowsort", "SELECT x, DENSE_RANK() OVER (ORDER BY x COLLATE sv) FROM (SELECT 'ångström' AS x UNION ALL SELECT 'apple' UNION ALL SELECT 'zebra') t"),
+    ("TII", "rowsort", "SELECT x, DENSE_RANK() OVER (ORDER BY x COLLATE cs), DENSE_RANK() OVER (ORDER BY x) FROM (SELECT 'chata' AS x UNION ALL SELECT 'cukr' UNION ALL SELECT 'hrad' UNION ALL SELECT 'dub') t"),
+    ("TI", "rowsort", "SELECT x, ROW_NUMBER() OVER (ORDER BY x COLLATE tr, x) FROM (SELECT 'ırmak' AS x UNION ALL SELECT 'irmak' UNION ALL SELECT 'hamak') t"),
+])
+
+corpus("collate_icu_window_extremes", "first/last under ICU locale window order (reference extension/icu + test/sql/window)")([
+    ("T", "", "SELECT DISTINCT first_value(x) OVER (ORDER BY x COLLATE de, x ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) FROM (SELECT 'äpfel' AS x UNION ALL SELECT 'banane' UNION ALL SELECT 'apfel') t"),
+    ("T", "", "SELECT DISTINCT last_value(x) OVER (ORDER BY x COLLATE sv, x ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) FROM (SELECT 'örn' AS x UNION ALL SELECT 'zebra' UNION ALL SELECT 'apple') t"),
+    ("TT", "rowsort", "SELECT g, first_value(x) OVER (PARTITION BY g ORDER BY x COLLATE fr, x ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) FROM (SELECT 1 AS g, 'coté' AS x UNION ALL SELECT 1, 'cote' UNION ALL SELECT 2, 'côte' UNION ALL SELECT 2, 'côté') t"),
 ])
 
 corpus("collate_minmax_distinct", "MIN/MAX/DISTINCT under normalized collation (reference test/sql/collate)")([
@@ -1966,8 +1997,16 @@ def main() -> int:
 
     register_views(spark, SF_DIR)
 
+    only = set(sys.argv[1:])
+    unknown = only - set(SPECS)
+    if unknown:
+        print(f"unknown corpus names: {sorted(unknown)}")
+        return 1
+
     n_bad = 0
     for fname, (header, specs) in SPECS.items():
+        if only and fname not in only:
+            continue
         out = [HEADER_NOTE, f"# {header}\n"]
         file_ok = True
         for types, sortmode, sql in specs:
