@@ -2153,6 +2153,80 @@ corpus("distinct_forms", "DISTINCT variants (reference test/sql/select + aggrega
 ])
 
 
+# NOTE: an unaliased `CAST(x AS STRING)` output is auto-named `x` in
+# Spark but not DuckDB, so a trailing `ORDER BY x` binds to the STRING
+# output in Spark and the numeric inner column in DuckDB — always alias
+# the projection to a fresh name when ordering by the inner column.
+corpus("order_nulls_placement", "Explicit NULLS FIRST/LAST ordering (reference test/sql/order)")([
+    ("T", "", "SELECT CAST(x AS STRING) AS xs FROM (SELECT CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_nationkey END AS x FROM nation) t ORDER BY x NULLS FIRST"),
+    ("T", "", "SELECT CAST(x AS STRING) AS xs FROM (SELECT CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_nationkey END AS x FROM nation) t ORDER BY x DESC NULLS LAST"),
+    ("T", "", "SELECT CAST(x AS STRING) AS xs FROM (SELECT nullif(r_regionkey, 2) AS x FROM region) t ORDER BY x ASC NULLS LAST"),
+    ("TT", "", "SELECT CAST(a AS STRING) AS a_s, CAST(b AS STRING) AS b_s FROM (SELECT nullif(n_nationkey % 2, 0) AS a, n_nationkey AS b FROM nation) t ORDER BY a NULLS FIRST, b DESC LIMIT 6"),
+])
+
+corpus("cast_string_numeric_edges", "String-to-numeric cast edges (reference test/sql/cast)")([
+    ("I", "", "SELECT CAST('  42  ' AS INT)"),
+    ("II", "", "SELECT CAST('-7' AS INT), CAST('+7' AS INT)"),
+    # try_cast('4.9' AS INT) rounds to 5 in DuckDB but is NULL in Spark
+    # (string→int parse rejects the fraction) — keep to DOUBLE here
+    ("R", "", "SELECT try_cast('4.9' AS DOUBLE)"),
+    ("T", "", "SELECT CAST(try_cast('' AS INT) AS STRING)"),
+    ("T", "", "SELECT CAST(try_cast('12abc' AS INT) AS STRING)"),
+    ("R", "", "SELECT CAST('2.5e2' AS DOUBLE)"),
+    ("TT", "", "SELECT CAST(CAST('true' AS BOOLEAN) AS STRING), CAST(CAST('false' AS BOOLEAN) AS STRING)"),
+    ("I", "", "SELECT CAST(CAST('1995-06-17' AS DATE) - DATE '1995-06-01' AS INT)"),
+])
+
+corpus("not_in_null_trap", "NOT IN vs NOT EXISTS under NULLs (reference test/sql/subquery + conjunction)")([
+    ("I", "", "SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < -999999)"),
+    ("I", "", "SELECT count(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < -999999)"),
+    # a NULL in the NOT IN list annihilates every row — the classic trap
+    ("I", "", "SELECT count(*) FROM nation WHERE n_nationkey NOT IN (SELECT CASE WHEN r_regionkey = 0 THEN NULL ELSE r_regionkey END FROM region)"),
+    ("I", "", "SELECT count(*) FROM nation n WHERE NOT EXISTS (SELECT 1 FROM region r WHERE nullif(r.r_regionkey, 0) = n.n_nationkey)"),
+    ("T", "", "SELECT CAST(1 NOT IN (2, NULL) AS STRING)"),
+    ("T", "", "SELECT CAST(1 NOT IN (1, NULL) AS STRING)"),
+])
+
+corpus("having_ungrouped", "HAVING without GROUP BY (reference test/sql/aggregate/having)")([
+    ("I", "", "SELECT count(*) FROM orders HAVING count(*) > 0"),
+    ("I", "", "SELECT count(*) FROM orders WHERE o_totalprice < 0 HAVING count(*) = 0"),
+    ("T", "", "SELECT CAST(max(o_totalprice) > min(o_totalprice) AS STRING) FROM orders HAVING count(*) > 1"),
+    ("I", "", "SELECT CAST(sum(n_regionkey) AS BIGINT) FROM nation HAVING CAST(sum(n_regionkey) AS BIGINT) > 0"),
+])
+
+corpus("case_type_unification", "CASE branch type coercion (reference test/sql/cast + case)")([
+    ("R", "", "SELECT CASE WHEN r_regionkey < 2 THEN r_regionkey ELSE 2.5 END FROM region ORDER BY r_regionkey"),
+    ("T", "", "SELECT CAST(CASE WHEN n_nationkey % 2 = 0 THEN NULL ELSE n_nationkey END AS STRING) FROM nation ORDER BY n_nationkey LIMIT 4"),
+    ("R", "", "SELECT CASE r_regionkey WHEN 0 THEN 1 WHEN 1 THEN 1.5 ELSE 2 END FROM region ORDER BY r_regionkey"),
+    ("T", "", "SELECT CASE WHEN o_orderkey = 1 THEN 'one' END FROM orders WHERE o_orderkey <= 2 ORDER BY o_orderkey"),
+])
+
+corpus("window_ntile_lead_lag", "NTILE buckets and LEAD/LAG defaults (reference test/sql/window)")([
+    ("II", "rowsort", "SELECT n_nationkey, ntile(4) OVER (ORDER BY n_nationkey) FROM nation"),
+    ("II", "rowsort", "SELECT n_nationkey, ntile(3) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) FROM nation"),
+    ("IT", "rowsort", "SELECT n_nationkey, CAST(lead(n_nationkey) OVER (ORDER BY n_nationkey) AS STRING) FROM nation"),
+    ("IT", "rowsort", "SELECT n_nationkey, CAST(lag(n_nationkey, 2) OVER (ORDER BY n_nationkey) AS STRING) FROM nation"),
+    ("II", "rowsort", "SELECT n_nationkey, lag(n_nationkey, 1, -1) OVER (ORDER BY n_nationkey) FROM nation"),
+    ("II", "rowsort", "SELECT n_nationkey, lead(n_nationkey, 3, 999) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) FROM nation"),
+])
+
+corpus("between_boundary_types", "BETWEEN bound inclusivity across types (reference test/sql/filter + types)")([
+    ("I", "", "SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 1"),
+    ("I", "", "SELECT count(*) FROM orders WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-01'"),
+    ("I", "", "SELECT count(*) FROM region WHERE r_name BETWEEN 'REGION_0' AND 'REGION_2'"),
+    ("I", "", "SELECT count(*) FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07"),
+    ("T", "", "SELECT CAST(5 NOT BETWEEN 1 AND 4 AS STRING)"),
+    ("T", "", "SELECT CAST(DATE '2024-06-15' BETWEEN DATE '2024-06-01' AND DATE '2024-06-30' AS STRING)"),
+])
+
+corpus("setop_branch_coercion", "Set-op branch unification over fixture scans (reference test/sql/setops + cast)")([
+    ("T", "", "SELECT CAST(x AS STRING) FROM (SELECT r_regionkey AS x FROM region UNION ALL SELECT NULL) t ORDER BY x NULLS LAST"),
+    ("I", "", "SELECT count(*) FROM (SELECT o_orderkey FROM orders UNION SELECT l_orderkey FROM lineitem) t"),
+    ("R", "", "SELECT max(x) FROM (SELECT l_quantity AS x FROM lineitem UNION ALL SELECT CAST(l_linenumber AS DOUBLE) FROM lineitem) t"),
+    ("I", "", "SELECT count(*) FROM (SELECT n_nationkey FROM nation INTERSECT SELECT r_regionkey FROM region) t"),
+])
+
+
 def main() -> int:
     import duckdb
 
