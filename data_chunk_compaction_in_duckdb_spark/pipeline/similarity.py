@@ -17,6 +17,58 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _literal_dot(vec: Column, vals: list[float], offset: int = 0) -> Column:
+    """Dot of ``vec[offset+1 .. offset+len(vals)]`` with a Python-literal
+    vector: zip_with + left-fold aggregate, the bit-replayable reduction
+    every DuckDB oracle mirrors (``list_dot_product`` adds in the same
+    order for these lengths)."""
+    cen = F.array(*[F.lit(float(v)) for v in vals])
+    subv = F.slice(vec, offset + 1, len(vals)) if offset else vec
+    return F.aggregate(
+        F.zip_with(subv, cen, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _codebook_scores(
+    vec: Column, offset: int, subdim: int, book: list[list[float]]
+) -> Column:
+    """array<struct<d,i>> of ``-2*dot(subvec, c) + ||c||^2`` scores, one
+    per codebook entry, built as ONE transform over a literal
+    array-of-arrays instead of ``k`` separate expression trees.
+
+    Expression-count discipline learned at sf0.1: materializing m*k
+    separate dot expressions (256 for the ADC default) made Catalyst
+    analysis + codegen the bottleneck — ~10 s for 2,000 rows, with the
+    fully unrolled element_at variant breaking janino's method limit and
+    falling back to interpreted evaluation anyway.  One HOF per subspace
+    keeps the plan tree small; the inner arithmetic (zip_with dot,
+    left-fold sum) is unchanged, so the DuckDB oracle replay stays
+    bit-identical."""
+    books_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in book]
+    )
+    norms_lit = F.array(
+        *[F.lit(float(sum(v * v for v in c))) for c in book]
+    )
+    subv = F.slice(vec, offset + 1, subdim)
+
+    def entry(cen: Column, i: Column) -> Column:
+        dot = F.aggregate(
+            F.zip_with(subv, cen, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(
+            (dot * F.lit(-2.0) + F.element_at(norms_lit, i + 1)).alias("d"),
+            i.cast("int").alias("i"),
+        )
+
+    return F.transform(books_lit, entry)
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
@@ -134,14 +186,7 @@ def add_lsh_buckets(
     for t in range(n_tables):
         bits = []
         for p in range(n_planes):
-            plane = F.array(*[F.lit(v) for v in _hyperplane(dim, t, p)])
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col), plane, lambda x, y: x.cast("double") * y
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+            dot = _literal_dot(F.col(vec_col), _hyperplane(dim, t, p))
             bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
         out = out.withColumn(f"_lsh_t{t}", sum(bits).cast("int"))
     return out
@@ -170,7 +215,12 @@ def lsh_ann_topk(
     sharply raising recall on near-orthogonal embeddings where exact
     buckets starve.  Tests assert recall ≥ 0.5 vs brute-force at the
     defaults on random 64-dim vectors."""
+    from data_chunk_compaction_in_duckdb_spark.compaction import fan_out
+
     qid = query_id_col or id_col
+    # bucket dots + the per-candidate exact cosine are CPU-bound — widen
+    # a 1-task local scan (no-op on a many-partition cluster scan)
+    corpus = fan_out(corpus)
     cb = add_lsh_buckets(
         corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv")),
         "_cv",
@@ -241,16 +291,23 @@ def _nearest_clusters(
     centroids are the deterministic md5 directions; pass the output of
     ``train_ivf_centroids`` for data-adapted cells."""
     cents = centroids or [_centroid(dim, i) for i in range(n_clusters)]
-    scored = []
-    for cidx, cvals in enumerate(cents):
-        cen = F.array(*[F.lit(v) for v in cvals])
+    # one transform over the literal centroid matrix, not n_clusters
+    # separate dot expressions — see _codebook_scores for why
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
+    )
+
+    def entry(cen: Column, i: Column) -> Column:
         dot = F.aggregate(
-            F.zip_with(F.col(vec_col), cen, lambda x, y: x.cast("double") * y),
+            F.zip_with(
+                F.col(vec_col), cen, lambda x, y: x.cast("double") * y
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        scored.append(F.struct(dot.alias("dot"), F.lit(cidx).alias("idx")))
-    ranked = F.sort_array(F.array(*scored), asc=False)
+        return F.struct(dot.alias("dot"), i.cast("int").alias("idx"))
+
+    ranked = F.sort_array(F.transform(cents_lit, entry), asc=False)
     return F.transform(ranked, lambda s: s.idx)
 
 
@@ -323,6 +380,11 @@ def ivf_ann_topk(
     training is itself deterministic (fixed init + exact means), so
     reproducibility is kept.  Recall vs brute force is pinned by test."""
     qid = query_id_col or id_col
+    from data_chunk_compaction_in_duckdb_spark.compaction import fan_out
+
+    # cell-assignment dots are CPU-bound — widen a 1-task local scan
+    # (no-op on a many-partition cluster scan)
+    corpus = fan_out(corpus)
     cb = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("_cv"),
@@ -423,63 +485,92 @@ def pq_codes(
     on disk for the final re-rank).
 
     Codebooks are deterministic md5 directions and assignment picks the
-    min-L2 entry via the replayable ``-2*dot + ||c||^2`` expansion (the
-    dot is the proven bit-replayable reduction; the centroid norm is a
-    Python-literal constant identical on both engines); pass
+    min-L2 entry via the replayable ``-2*dot + ||c||^2`` expansion with
+    the dot summed as a strict left fold; pass
     ``codebooks=train_pq_codebooks(...)`` for data-adapted entries.
-    Narrow projection, zero shuffles."""
+
+    Execution is an Arrow-batched ``mapInPandas`` doing the same IEEE
+    arithmetic in numpy — elementwise ops in the identical order, so the
+    result (and the DuckDB oracle replay) is bit-for-bit the expression
+    version's.  This is the deliberate exception to "UDFs are the slow
+    path": Catalyst has no codegen for higher-order functions, so the
+    m*k codebook dots ran interpreted at ~200 µs/row-dot (m=16, k=16:
+    ~4 s for 2,000 rows even on 32 cores, plus ~1.5 s planning a
+    256-subtree projection); the numpy batch form is two orders of
+    magnitude faster per row and keeps the plan tree O(1).  Narrow
+    map-only op, zero shuffles beyond the fan_out widening of a 1-task
+    local scan."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    from data_chunk_compaction_in_duckdb_spark.compaction import fan_out
+
+    embeds = fan_out(embeds)
     subdim = dim // m
     books = codebooks or [
         [_pq_centroid(sub, code, subdim) for code in range(k)]
         for sub in range(m)
     ]
-    cols = [F.col(id_col)]
-    packed: Column | None = None
     # the packed single-integer code only exists when m*log2(k) fits a
     # signed 64-bit value; wider configurations keep the per-subspace
     # code columns only
     packable = m * max(k - 1, 1).bit_length() <= 62
-    for sub in range(m):
-        subv = F.slice(F.col(vec_col), sub * subdim + 1, subdim)
-        best = _pq_assign(subv, books[sub])
-        cols.append(best.alias(f"c{sub}"))
-        if packable:
-            term = best.cast("long") * (k**sub)
-            packed = term if packed is None else packed + term
-    cols.append(
-        (packed if packable else F.lit(None).cast("long")).alias("pq_code")
+    id_field = embeds.schema[id_col]
+    schema = T.StructType(
+        [T.StructField(id_col, id_field.dataType, id_field.nullable)]
+        + [T.StructField(f"c{s}", T.IntegerType(), False) for s in range(m)]
+        + [T.StructField("pq_code", T.LongType(), True)]
     )
-    return embeds.select(*cols)
+    in_cols = embeds.select(id_col, vec_col)
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            out = {id_col: pdf[id_col]}
+            packed_vals = np.zeros(len(pdf), dtype=np.int64)
+            for sub in range(m):
+                sl = vecs[:, sub * subdim : (sub + 1) * subdim]
+                dists = np.empty((len(pdf), len(books[sub])))
+                for code, cvals in enumerate(books[sub]):
+                    # strict left fold — same FP addition order as the
+                    # zip_with/aggregate expression and the oracle
+                    acc = np.zeros(len(pdf))
+                    for j, cj in enumerate(cvals):
+                        acc = acc + sl[:, j] * cj
+                    c2 = sum(v * v for v in cvals)
+                    dists[:, code] = acc * -2.0 + c2
+                # argmin returns the FIRST minimum — the struct(d, i)
+                # ascending-sort tiebreak
+                codes_arr = np.argmin(dists, axis=1).astype(np.int32)
+                out[f"c{sub}"] = codes_arr
+                if packable:
+                    packed_vals = packed_vals + codes_arr.astype(np.int64) * (
+                        k**sub
+                    )
+            out["pq_code"] = (
+                packed_vals if packable else np.full(len(pdf), None)
+            )
+            yield pd.DataFrame(out)
+
+    return in_cols.mapInPandas(assign, schema)
 
 
-def _pq_assign(subv: Column, book: list[list[float]]) -> Column:
-    """Code of the min-L2 codebook entry for a subvector expression.
+def _pq_assign(vec: Column, offset: int, book: list[list[float]]) -> Column:
+    """Code of the min-L2 codebook entry for the subvector starting at
+    ``offset`` of ``vec``.
 
     L2 is the correct PQ assignment metric (subvectors are not unit
     norm, so max-dot would just chase the largest centroid).  The
     distance is expanded to ``-2*dot(q, c) + ||c||^2`` — the ``||q||^2``
-    term is constant across codes — with ``||c||^2`` precomputed in
-    Python and inlined as a literal, so the whole comparison replays
-    bit-for-bit in the DuckDB oracle via the proven dot-product
-    reduction; struct(d, idx) ascending sort keeps ties deterministic."""
-    scored = []
-    for code, cvals in enumerate(book):
-        cen = F.array(*[F.lit(v) for v in cvals])
-        dot = F.aggregate(
-            F.zip_with(subv, cen, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        c2 = sum(v * v for v in cvals)
-        scored.append(
-            F.struct(
-                (dot * F.lit(-2.0) + F.lit(c2)).alias("d"),
-                F.lit(code).alias("i"),
-            )
-        )
-    return F.sort_array(F.array(*scored))[0]["i"]
+    term is constant across codes — with ``||c||^2`` a literal, so the
+    whole comparison replays bit-for-bit in the DuckDB oracle; the
+    struct(d, i) min keeps ties deterministic (same ordering as the
+    oracle's list_sort(...)[1])."""
+    return F.array_min(
+        _codebook_scores(vec, offset, len(book[0]), book)
+    )["i"]
 
 
 def train_pq_codebooks(
@@ -507,7 +598,7 @@ def train_pq_codebooks(
     for _ in range(n_iter):
         for sub in range(m):
             subv = F.slice(F.col(vec_col), sub * subdim + 1, subdim)
-            code = _pq_assign(subv, books[sub])
+            code = _pq_assign(F.col(vec_col), sub * subdim, books[sub])
             means = (
                 corpus.select(code.alias("_c"), subv.alias("_v"))
                 .groupBy("_c")
@@ -564,36 +655,54 @@ def pq_adc_topk(
         *[F.col(f"c{s}").alias(f"_mc{s}") for s in range(m)],
     )
 
-    # The m LUT columns are materialized on the (small) query side BEFORE
-    # the join: each is an array of per-code approximate L2 terms
+    # The LUT is materialized on the (small) query side BEFORE the join:
+    # an m x codes matrix of per-code approximate L2 terms
     # (-2*dot(q_sub, c) + ||c||^2; the ||q_sub||^2 constant drops out of
-    # the ranking), computed once per query row.  The per-pair work after
-    # the join is then just m element_at picks + a sum over the
-    # compressed code columns — the ADC compressed-scan advantage.
-    lut_cols = []
-    for sub in range(m):
-        subq = F.slice(F.col("_qv"), sub * subdim + 1, subdim)
-        entries = []
-        for code in range(codes):
-            cvals = books[sub][code]
-            cen = F.array(*[F.lit(v) for v in cvals])
+    # the ranking), computed once per query row.  ONE nested transform
+    # over the literal codebook tensor (not m separate columns — plan
+    # size discipline, see _codebook_scores).  The per-pair work after
+    # the join is just m element_at picks + a sum over the compressed
+    # code columns — the ADC compressed-scan advantage.
+    all_books_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in book])
+            for book in books
+        ]
+    )
+    all_norms_lit = F.array(
+        *[
+            F.array(*[F.lit(float(sum(v * v for v in c))) for c in book])
+            for book in books
+        ]
+    )
+
+    def lut_for_sub(bookmat: Column, sub_i: Column) -> Column:
+        subq = F.slice(F.col("_qv"), sub_i * subdim + 1, subdim)
+
+        def entry(cen: Column, code_i: Column) -> Column:
             dot = F.aggregate(
                 F.zip_with(subq, cen, lambda x, y: x.cast("double") * y),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-            c2 = sum(v * v for v in cvals)
-            entries.append(dot * F.lit(-2.0) + F.lit(c2))
-        lut_cols.append(F.array(*entries).alias(f"_lut{sub}"))
+            norm = F.element_at(
+                F.element_at(all_norms_lit, sub_i + 1), code_i + 1
+            )
+            return dot * F.lit(-2.0) + norm
+
+        return F.transform(bookmat, entry)
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        *lut_cols,
+        F.transform(all_books_lit, lut_for_sub).alias("_lut"),
     )
     pairs = F.broadcast(q).crossJoin(cc)
     score: Column | None = None
     for sub in range(m):
-        term = F.element_at(F.col(f"_lut{sub}"), F.col(f"_mc{sub}") + 1)
+        term = F.element_at(
+            F.element_at(F.col("_lut"), sub + 1), F.col(f"_mc{sub}") + 1
+        )
         score = term if score is None else score + term
     # self-matches dropped BEFORE the rerank window so they never consume
     # candidate slots
