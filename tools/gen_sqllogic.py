@@ -2227,6 +2227,41 @@ corpus("setop_branch_coercion", "Set-op branch unification over fixture scans (r
 ])
 
 
+corpus("agg_stats_family", "Statistical aggregates (reference test/sql/aggregate/aggregates: corr/covar/stddev)")([
+    ("R", "", "SELECT stddev_pop(l_quantity) FROM lineitem"),
+    ("R", "", "SELECT stddev_samp(l_quantity) FROM lineitem"),
+    ("R", "", "SELECT var_pop(l_discount) FROM lineitem"),
+    ("R", "", "SELECT var_samp(l_discount) FROM lineitem"),
+    ("R", "", "SELECT corr(l_quantity, l_extendedprice) FROM lineitem"),
+    ("R", "", "SELECT covar_pop(l_quantity, l_extendedprice) FROM lineitem"),
+    ("R", "", "SELECT covar_samp(l_quantity, l_discount) FROM lineitem"),
+    ("TR", "rowsort", "SELECT l_returnflag, stddev_pop(l_quantity) FROM lineitem GROUP BY l_returnflag"),
+])
+
+corpus("like_escape_explicit", "LIKE with an explicit ESCAPE character (reference test/sql/function/string/test_like.test)")([
+    ("T", "", "SELECT CAST('a_c' LIKE 'a!_c' ESCAPE '!' AS STRING)"),
+    ("T", "", "SELECT CAST('abc' LIKE 'a!_c' ESCAPE '!' AS STRING)"),
+    ("T", "", "SELECT CAST('50%' LIKE '50!%' ESCAPE '!' AS STRING)"),
+    ("T", "", "SELECT CAST('50x' LIKE '50!%' ESCAPE '!' AS STRING)"),
+    ("T", "", "SELECT CAST('a%b_c' LIKE 'a!%b!_c' ESCAPE '!' AS STRING)"),
+    ("I", "", "SELECT count(*) FROM nation WHERE n_name LIKE 'NATION!_1%' ESCAPE '!'"),
+])
+
+corpus("cte_chained_refs", "CTE chains referencing earlier CTEs (reference test/sql/cte)")([
+    ("I", "", "WITH a AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 10), b AS (SELECT k + 100 AS k FROM a), c AS (SELECT k FROM b WHERE k % 2 = 0) SELECT CAST(sum(k) AS BIGINT) FROM c"),
+    ("I", "", "WITH a AS (SELECT count(*) AS n FROM region), b AS (SELECT n * 2 AS n2 FROM a) SELECT n + n2 FROM a, b"),
+    ("II", "rowsort", "WITH sizes AS (SELECT p_size, count(*) AS n FROM part GROUP BY p_size) SELECT p_size, n FROM sizes WHERE n > (SELECT avg(n) FROM sizes)"),
+    ("I", "", "WITH t AS (SELECT 1 AS x) SELECT (SELECT x FROM t) + (SELECT max(x) FROM t)"),
+])
+
+corpus("full_outer_shapes", "FULL OUTER JOIN result shapes (reference test/sql/join/full_outer)")([
+    ("I", "", "SELECT count(*) FROM (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 5) a FULL OUTER JOIN (SELECT r_regionkey + 3 AS k FROM region) b ON a.k = b.k"),
+    ("TT", "rowsort", "SELECT CAST(a.k AS STRING), CAST(b.k AS STRING) FROM (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 4) a FULL OUTER JOIN (SELECT r_regionkey + 2 AS k FROM region) b ON a.k = b.k"),
+    ("I", "", "SELECT count(*) FROM (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 5) a FULL OUTER JOIN (SELECT r_regionkey + 3 AS k FROM region) b ON a.k = b.k WHERE a.k IS NULL"),
+    ("I", "", "SELECT count(*) FROM (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 5) a FULL OUTER JOIN (SELECT r_regionkey + 3 AS k FROM region) b ON a.k = b.k WHERE b.k IS NULL"),
+    ("T", "", "SELECT CAST(coalesce(a.k, b.k) AS STRING) AS k FROM (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 3) a FULL OUTER JOIN (SELECT r_regionkey + 1 AS k FROM region WHERE r_regionkey < 3) b ON a.k = b.k ORDER BY coalesce(a.k, b.k)"),
+])
+
 def main() -> int:
     import duckdb
 
