@@ -270,15 +270,31 @@ def window_select(rng: random.Random) -> str:
     g = Gen(r, table)
     part = r.choice(TABLES[table]["str"])
     key = TABLES[table]["int"][0]
+    lo, hi = r.randint(0, 3), r.randint(0, 3)
     fn = r.choice(
         [
             "row_number()",
             "rank()",
             "dense_rank()",
+            f"ntile({r.randint(2, 7)})",
             f"CAST(count(*) OVER (PARTITION BY {part}) AS BIGINT)",
             f"CAST(sum({key}) OVER (PARTITION BY {part} ORDER BY {key} "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)",
+            f"CAST(sum({key}) OVER (PARTITION BY {part} ORDER BY {key} "
+            f"ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING) AS BIGINT)",
+            f"CAST(min({key}) OVER (PARTITION BY {part} ORDER BY {key} "
+            f"RANGE BETWEEN {r.randint(1, 9)} PRECEDING AND CURRENT ROW) AS BIGINT)",
+            f"CAST(max({key}) OVER (PARTITION BY {part} ORDER BY {key} DESC "
+            "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT)",
             f"lag({key}, 1) OVER (PARTITION BY {part} ORDER BY {key})",
+            f"lag({key}, {r.randint(1, 4)}, -1) OVER (PARTITION BY {part} ORDER BY {key})",
+            f"lead({key}, {r.randint(1, 3)}, 999) OVER (PARTITION BY {part} ORDER BY {key})",
+            f"first_value({key}) OVER (PARTITION BY {part} ORDER BY {key} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+            # ICU locale collation inside a window order (verified-common
+            # locale set; ties broken by the unique key)
+            f"row_number() OVER (PARTITION BY {part} ORDER BY "
+            f"upper({part}) COLLATE {r.choice(['de', 'sv', 'fr', 'cs'])} DESC, {key})",
         ]
     )
     if "OVER" not in fn:
