@@ -2262,6 +2262,70 @@ corpus("full_outer_shapes", "FULL OUTER JOIN result shapes (reference test/sql/j
     ("T", "", "SELECT CAST(coalesce(a.k, b.k) AS STRING) AS k FROM (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 3) a FULL OUTER JOIN (SELECT r_regionkey + 1 AS k FROM region WHERE r_regionkey < 3) b ON a.k = b.k ORDER BY coalesce(a.k, b.k)"),
 ])
 
+# --- select2/select3-corpus analogs (reference test/sqlite/select2.test_slow,
+# select3.test_slow): expression-list permutations over a 5-int-column
+# relation with scattered NULLs.  The fixture is generated here (30 rows,
+# values 101..250, NULLs on a deterministic stride), not lifted from the
+# reference files; the *query shapes* are the public sqlite corpus
+# families: weighted sums, CASE chains, abs deltas, scalar-avg
+# comparisons, correlated counts, EXISTS guards.
+
+def _t2_values() -> str:
+    rows = []
+    v = 101
+    for i in range(30):
+        vals = []
+        for j in range(5):
+            if (i * 5 + j) % 7 == 3:  # deterministic NULL stride
+                vals.append("CAST(NULL AS INT)")
+            else:
+                vals.append(str(v))
+            v += 1
+        rows.append("(" + ", ".join(vals) + ")")
+    return "(VALUES " + ", ".join(rows) + ") AS t2(a, b, c, d, e)"
+
+
+_T2 = _t2_values()
+_CASE_BAND = (
+    "CASE WHEN a < b - 3 THEN 111 WHEN a <= b THEN 222 "
+    "WHEN a < b + 3 THEN 333 ELSE 444 END"
+)
+_CASE_SIMPLE = "CASE a + 1 WHEN b THEN 111 WHEN c THEN 222 ELSE 333 END"
+
+corpus("sqlite_select2_exprs", "select2-corpus expression permutations (reference test/sqlite/select2.test_slow)")([
+    ("T", "rowsort", f"SELECT CAST(a + b * 2 + c * 3 + d * 4 + e * 5 AS STRING) FROM {_T2}"),
+    ("TT", "rowsort", f"SELECT CAST(a + b * 2 AS STRING), CAST(abs(b - c) AS STRING) FROM {_T2}"),
+    ("T", "rowsort", f"SELECT CAST({_CASE_BAND} AS STRING) FROM {_T2}"),
+    ("T", "rowsort", f"SELECT CAST({_CASE_SIMPLE} AS STRING) FROM {_T2}"),
+    ("TR", "rowsort", f"SELECT CAST(e AS STRING), (a + b + c + d + e) / 5 FROM {_T2}"),
+    ("T", "rowsort", f"SELECT CAST(CASE WHEN c > (SELECT avg(c) FROM {_T2.replace('t2(', 'x2(')}) THEN a * 2 ELSE b * 10 END AS STRING) FROM {_T2}"),
+])
+
+corpus("sqlite_select2_where", "select2-corpus WHERE permutations (reference test/sqlite/select2.test_slow)")([
+    ("T", "rowsort", f"SELECT CAST(a + b * 2 AS STRING) FROM {_T2} WHERE d > e"),
+    ("T", "rowsort", f"SELECT CAST(abs(b - c) AS STRING) FROM {_T2} WHERE (e > c OR e < d)"),
+    ("T", "rowsort", f"SELECT CAST(a AS STRING) FROM {_T2} WHERE b IS NULL OR c IS NULL"),
+    ("T", "rowsort", f"SELECT CAST(a + b * 2 AS STRING) FROM {_T2} WHERE a BETWEEN 110 AND 200 AND d IS NOT NULL"),
+    ("T", "rowsort", f"SELECT CAST({_CASE_BAND} AS STRING) FROM {_T2} WHERE d > e AND (e > c OR e < d)"),
+    ("I", "", f"SELECT count(*) FROM {_T2} WHERE a IS NULL OR b IS NULL OR c IS NULL OR d IS NULL OR e IS NULL"),
+])
+
+corpus("sqlite_select3_subqueries", "select3-corpus correlated/scalar subquery permutations (reference test/sqlite/select3.test_slow)")([
+    ("TT", "rowsort", f"SELECT CAST((SELECT count(*) FROM {_T2.replace('t2(', 'x2(')} WHERE x2.c > t2.c AND x2.d < t2.d) AS STRING), CAST(t2.a AS STRING) FROM {_T2}"),
+    ("T", "rowsort", f"SELECT CAST(a + b * 2 AS STRING) FROM {_T2} WHERE EXISTS (SELECT 1 FROM {_T2.replace('t2(', 'x2(')} WHERE x2.b < t2.b)"),
+    ("T", "rowsort", f"SELECT CAST({_CASE_BAND} AS STRING) FROM {_T2} WHERE d > e AND EXISTS (SELECT 1 FROM {_T2.replace('t2(', 'x2(')} WHERE x2.b < t2.b)"),
+    ("I", "", f"SELECT count(*) FROM {_T2} WHERE c > (SELECT avg(c) FROM {_T2.replace('t2(', 'x2(')})"),
+])
+
+corpus("sqlite_select3_groupby", "select3-corpus GROUP BY matrix (reference test/sqlite/select3.test_slow)")([
+    ("TI", "rowsort", f"SELECT CAST(a % 5 AS STRING), count(*) FROM {_T2} GROUP BY a % 5"),
+    ("TT", "rowsort", f"SELECT CAST(b % 3 AS STRING), CAST(CAST(sum(c) AS BIGINT) AS STRING) FROM {_T2} GROUP BY b % 3"),
+    ("TI", "rowsort", f"SELECT CAST(d % 2 AS STRING), count(e) FROM {_T2} GROUP BY d % 2"),
+    ("TR", "rowsort", f"SELECT CAST(a % 4 AS STRING), avg(b) FROM {_T2} WHERE b IS NOT NULL GROUP BY a % 4"),
+    ("TI", "rowsort", f"SELECT CAST(c % 3 AS STRING), count(*) FROM {_T2} GROUP BY c % 3 HAVING count(*) > 2"),
+])
+
+
 def main() -> int:
     import duckdb
 
