@@ -2326,6 +2326,29 @@ corpus("sqlite_select3_groupby", "select3-corpus GROUP BY matrix (reference test
 ])
 
 
+corpus("agg_selector_family", "min_by/max_by/any_value/count_if/mode (reference test/sql/aggregate/aggregates)")([
+    ("TT", "", "SELECT min_by(n_name, n_nationkey), max_by(n_name, n_nationkey) FROM nation"),
+    ("TT", "", "SELECT min_by(r_name, r_regionkey), max_by(r_name, r_regionkey) FROM region"),
+    ("T", "", "SELECT any_value(x) FROM (SELECT 42 AS x) t"),
+    ("I", "", "SELECT CAST(count_if(l_quantity > 25) AS BIGINT) FROM lineitem"),
+    ("TT", "", "SELECT CAST(bool_and(o_totalprice > 0) AS STRING), CAST(bool_or(o_totalprice > 500000) AS STRING) FROM orders"),
+    ("R", "", "SELECT median(p_size) FROM part"),
+    ("T", "", "SELECT CAST(mode(x) AS STRING) FROM (SELECT 7 AS x UNION ALL SELECT 7 UNION ALL SELECT 3) t"),
+    ("III", "", "SELECT bit_and(n_nationkey), bit_or(n_nationkey), bit_xor(n_nationkey) FROM nation WHERE n_nationkey < 8"),
+    # tiny cardinalities where both HLL sketches are exact
+    ("I", "", "SELECT CAST(approx_count_distinct(n_regionkey) AS BIGINT) FROM nation"),
+])
+
+corpus("binary_base64_ops", "Binary casts, hex and base64 round-trips (reference test/sql/types/blob)")([
+    ("I", "", "SELECT octet_length(CAST('spark' AS BINARY))"),
+    ("T", "", "SELECT base64(unhex('4142'))"),
+    ("T", "", "SELECT CAST(unhex(hex('OK')) AS STRING)"),
+    ("T", "", "SELECT hex(CAST('Az' AS BINARY))"),
+    ("I", "", "SELECT octet_length(unhex('DEADBEEF'))"),
+    ("T", "", "SELECT base64(CAST('roundtrip' AS BINARY))"),
+])
+
+
 def main() -> int:
     import duckdb
 
