@@ -2349,6 +2349,65 @@ corpus("binary_base64_ops", "Binary casts, hex and base64 round-trips (reference
 ])
 
 
+# Per-locale collation file family (reference test/sql/collate has one
+# file per collation concern; these cover the probe-verified locale set,
+# one file per locale, same spec shapes so a divergence isolates to the
+# locale).  Strings exercise that locale's signature letters.
+_LOCALE_STRINGS = {
+    "de": ["äpfel", "apfel", "Ärger", "arg", "öl", "ohr", "über", "ufer", "zebra"],
+    "sv": ["ångström", "apple", "örn", "oxe", "ärta", "zebra", "Åka", "aska"],
+    "fr": ["cote", "coté", "côte", "côté", "élan", "elan", "zèbre", "zebre"],
+    "cs": ["chata", "cukr", "hrad", "ihla", "dub", "čaj", "car", "zima"],
+    "tr": ["ırmak", "irmak", "hamak", "jeton", "iğne", "izmir", "zeytin"],
+    "pl": ["łódka", "lodka", "mewa", "kra", "żaba", "zebra", "środa", "sok"],
+}
+for _loc, _strs in _LOCALE_STRINGS.items():
+    _vals = " UNION ALL SELECT ".join(f"'{s}'" for s in _strs)
+    _rel = f"(SELECT {_vals}) t(x)"
+    corpus(f"collate_icu_{_loc}", f"ICU {_loc} collation: order, ranks, extremes (reference extension/icu + test/sql/collate)")([
+        ("T", "", f"SELECT x FROM {_rel} ORDER BY x COLLATE {_loc}, x"),
+        ("TI", "rowsort", f"SELECT x, DENSE_RANK() OVER (ORDER BY x COLLATE {_loc}) FROM {_rel}"),
+        ("T", "", f"SELECT DISTINCT first_value(x) OVER (ORDER BY x COLLATE {_loc}, x ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) FROM {_rel}"),
+        ("T", "", f"SELECT DISTINCT last_value(x) OVER (ORDER BY x COLLATE {_loc}, x ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) FROM {_rel}"),
+        ("TII", "rowsort", f"SELECT x, ROW_NUMBER() OVER (ORDER BY x COLLATE {_loc}, x), ROW_NUMBER() OVER (ORDER BY x) FROM {_rel}"),
+    ])
+
+# Join-type matrix family: one file per join form over the same two
+# derived relations (reference test/sql/join has per-type files).
+_JA = "(SELECT n_nationkey AS k, n_regionkey AS g FROM nation WHERE n_nationkey < 12) a"
+_JB = "(SELECT r_regionkey + 2 AS k, r_name AS nm FROM region) b"
+_JOIN_FORMS = {
+    "inner": f"SELECT a.k, b.k FROM {_JA} JOIN {_JB} ON a.k = b.k",
+    "left": f"SELECT a.k, CAST(b.k AS STRING) FROM {_JA} LEFT JOIN {_JB} ON a.k = b.k",
+    "right": f"SELECT CAST(a.k AS STRING), b.k FROM {_JA} RIGHT JOIN {_JB} ON a.k = b.k",
+    "full": f"SELECT CAST(a.k AS STRING), CAST(b.k AS STRING) FROM {_JA} FULL OUTER JOIN {_JB} ON a.k = b.k",
+    "semi": f"SELECT a.k FROM {_JA} WHERE EXISTS (SELECT 1 FROM {_JB} WHERE b.k = a.k)",
+    "anti": f"SELECT a.k FROM {_JA} WHERE NOT EXISTS (SELECT 1 FROM {_JB} WHERE b.k = a.k)",
+}
+for _form, _base in _JOIN_FORMS.items():
+    _types = {"inner": "II", "left": "IT", "right": "TI", "full": "TT",
+              "semi": "I", "anti": "I"}[_form]
+    _extra = []
+    if _form in ("semi", "anti"):
+        _extra = [
+            ("I", "", f"SELECT count(*) FROM ({_base}) q"),
+            ("I", "", _base.replace("WHERE EXISTS", "WHERE a.g = 1 AND EXISTS")
+                           .replace("WHERE NOT EXISTS", "WHERE a.g = 1 AND NOT EXISTS")
+                      + " ORDER BY 1"),
+        ]
+    else:
+        _extra = [
+            ("I", "", f"SELECT count(*) FROM ({_base}) q(x, y)"),
+            ("I", "", f"SELECT count(*) FROM ({_base}) q(x, y) WHERE x IS NULL OR y IS NULL")
+            if _form == "full"
+            else (_types, "rowsort", _base + " WHERE a.g = 1"),
+        ]
+    corpus(f"join_matrix_{_form}", f"Join-type matrix: {_form} (reference test/sql/join)")([
+        (_types, "rowsort", _base),
+        *_extra,
+    ])
+
+
 def main() -> int:
     import duckdb
 
