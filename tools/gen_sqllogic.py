@@ -2408,6 +2408,53 @@ for _form, _base in _JOIN_FORMS.items():
     ])
 
 
+# Per-aggregate file family (reference test/sql/aggregate/aggregates has
+# one file per aggregate: test_sum.test, test_avg.test, ...).  Same five
+# shapes per file — plain, grouped, filtered, DISTINCT, empty-input —
+# so a divergence isolates to the aggregate.
+_AGG_FAMILY = {
+    "sum": ("CAST(sum(l_quantity) AS BIGINT)", "I"),
+    "avg": ("round(avg(l_quantity), 6)", "R"),
+    "min": ("CAST(min(l_quantity) AS BIGINT)", "I"),
+    "max": ("CAST(max(l_quantity) AS BIGINT)", "I"),
+    "count": ("count(l_quantity)", "I"),
+}
+for _name, (_expr, _ty) in _AGG_FAMILY.items():
+    _d_expr = {
+        "sum": "CAST(sum(DISTINCT l_linenumber) AS BIGINT)",
+        "avg": "round(avg(DISTINCT l_linenumber), 6)",
+        "min": "min(DISTINCT l_linenumber)",
+        "max": "max(DISTINCT l_linenumber)",
+        "count": "count(DISTINCT l_linenumber)",
+    }[_name]
+    _d_ty = "R" if _name == "avg" else "I"
+    corpus(f"agg_file_{_name}", f"Aggregate file: {_name} (reference test/sql/aggregate/aggregates/test_{_name}.test)")([
+        (_ty, "", f"SELECT {_expr} FROM lineitem"),
+        ("T" + _ty, "rowsort", f"SELECT l_returnflag, {_expr} FROM lineitem GROUP BY l_returnflag"),
+        (_ty, "", f"SELECT {_expr} FROM lineitem WHERE l_quantity > 25"),
+        (_d_ty, "", f"SELECT {_d_expr} FROM lineitem"),
+        ("T", "", f"SELECT CAST({_expr} AS STRING) FROM lineitem WHERE l_quantity < 0"),
+    ])
+
+# Per-date-part file family (reference test/sql/function/date has one
+# file per extraction function).
+_DATE_PARTS = {
+    "year": ("year(o_orderdate)", "year(DATE '2000-02-29')"),
+    "month": ("month(o_orderdate)", "month(DATE '1999-12-31')"),
+    "day": ("day(o_orderdate)", "day(DATE '2000-02-29')"),
+    "quarter": ("quarter(o_orderdate)", "quarter(DATE '1999-10-01')"),
+    "weekofyear": ("weekofyear(o_orderdate)", "weekofyear(DATE '2000-01-02')"),
+}
+for _name, (_col_expr, _lit_expr) in _DATE_PARTS.items():
+    corpus(f"date_file_{_name}", f"Date-part file: {_name} (reference test/sql/function/date)")([
+        ("I", "", f"SELECT {_lit_expr}"),
+        ("II", "rowsort", f"SELECT {_col_expr} AS p, count(*) FROM orders GROUP BY {_col_expr}"),
+        ("I", "", f"SELECT CAST(min({_col_expr}) AS INT) FROM orders"),
+        ("I", "", f"SELECT CAST(max({_col_expr}) AS INT) FROM orders"),
+        ("I", "", f"SELECT count(DISTINCT {_col_expr}) FROM orders"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
