@@ -71,29 +71,34 @@ def _codebook_scores(
     return F.transform(books_lit, entry)
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<numeric> columns, computed in
-    double.  zip_with + aggregate stay inside codegen; no UDF."""
-    dot = F.aggregate(
+def _vec_norm(col: Column) -> Column:
+    """sqrt of the left-fold sum of squares — exactly the na/nb term of
+    cosine_similarity, exposed so candidate-join reranks can hoist it to
+    once per vector instead of once per pair (the hoisted value is
+    bit-identical; only the evaluation count changes)."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _vec_dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product — the dot term of cosine_similarity."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    nb = F.sqrt(
-        F.aggregate(
-            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    return dot / (na * nb)
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, computed in
+    double.  Built-in expressions only; no UDF.  Candidate-join reranks
+    should hoist _vec_norm per side instead of calling this per pair."""
+    return _vec_dot(a, b) / (_vec_norm(a) * _vec_norm(b))
 
 
 def topk_similar(
@@ -235,9 +240,15 @@ def lsh_ann_topk(
         n_planes,
         n_tables,
     )
+    # norms hoisted to once per vector (bit-identical to the per-pair
+    # cosine_similarity terms; only the evaluation count changes)
+    cb = cb.withColumn("_cn", _vec_norm(F.col("_cv")))
+    qb = qb.withColumn("_qn", _vec_norm(F.col("_qv")))
     cands = None
     for t in range(n_tables):
-        c = cb.select("match_id", "_cv", F.col(f"_lsh_t{t}").alias("_bk"))
+        c = cb.select(
+            "match_id", "_cv", "_cn", F.col(f"_lsh_t{t}").alias("_bk")
+        )
         bucket = F.col(f"_lsh_t{t}")
         if multiprobe:
             probes = F.array(
@@ -246,7 +257,7 @@ def lsh_ann_topk(
         else:
             probes = F.array(bucket)
         q = qb.select(
-            "query_id", "_qv", F.explode(probes).alias("_bk")
+            "query_id", "_qv", "_qn", F.explode(probes).alias("_bk")
         )
         pairs = c.join(F.broadcast(q), "_bk").drop("_bk")
         cands = pairs if cands is None else cands.unionByName(pairs)
@@ -256,7 +267,10 @@ def lsh_ann_topk(
     scored = cands.select(
         "query_id",
         "match_id",
-        cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        (
+            _vec_dot(F.col("_qv"), F.col("_cv"))
+            / (F.col("_qn") * F.col("_cn"))
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("match_id")
@@ -388,11 +402,13 @@ def ivf_ann_topk(
     cb = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("_cv"),
+        _vec_norm(F.col(vec_col)).alias("_cn"),
         _nearest_clusters(vec_col, dim, n_clusters, centroids)[0].alias("_cell"),
     )
     qb = queries.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        _vec_norm(F.col(vec_col)).alias("_qn"),
         F.explode(
             F.slice(
                 _nearest_clusters(vec_col, dim, n_clusters, centroids),
@@ -401,16 +417,32 @@ def ivf_ann_topk(
             )
         ).alias("_cell"),
     )
+    # dedupe SLIM id pairs (multi-probe can hit the same pair through
+    # several cells), then rejoin the vectors for the rerank — the
+    # dropDuplicates shuffle moves 2 ids per row instead of 2 ids +
+    # 2 dim-length vectors
     cands = (
-        cb.join(F.broadcast(qb), "_cell")
+        cb.select("match_id", "_cell")
+        .join(F.broadcast(qb.select("query_id", "_cell")), "_cell")
         .drop("_cell")
         .filter(F.col("query_id") != F.col("match_id"))
         .dropDuplicates(["query_id", "match_id"])
     )
-    scored = cands.select(
-        "query_id",
-        "match_id",
-        cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    # norms hoisted to once per vector; bit-identical per-pair value
+    scored = (
+        cands.join(
+            F.broadcast(qb.select("query_id", "_qv", "_qn").dropDuplicates(["query_id"])),
+            "query_id",
+        )
+        .join(cb.select("match_id", "_cv", "_cn"), "match_id")
+        .select(
+            "query_id",
+            "match_id",
+            (
+                _vec_dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("match_id")
