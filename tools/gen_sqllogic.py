@@ -2455,6 +2455,34 @@ for _name, (_col_expr, _lit_expr) in _DATE_PARTS.items():
     ])
 
 
+# Per-window-function file family (reference test/sql/window has one
+# file per function: test_row_number.test, test_lag.test, ...).  Same
+# four shapes per file: global order, partitioned, filtered input,
+# windowed-vs-grouped cross-check.
+_WIN_FNS = {
+    "row_number": "row_number()",
+    "rank": "rank()",
+    "dense_rank": "dense_rank()",
+    "ntile": "ntile(3)",
+    "lag": "lag(n_nationkey, 1, -1)",
+    "lead": "lead(n_nationkey, 1, -1)",
+    "first_value": "first_value(n_nationkey)",
+    "last_value": "last_value(n_nationkey)",
+}
+for _name, _call in _WIN_FNS.items():
+    _frame = (
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+        if _name in ("first_value", "last_value")
+        else ""
+    )
+    corpus(f"window_file_{_name}", f"Window-function file: {_name} (reference test/sql/window/test_{_name}.test)")([
+        ("II", "rowsort", f"SELECT n_nationkey, {_call} OVER (ORDER BY n_nationkey{_frame}) FROM nation"),
+        ("II", "rowsort", f"SELECT n_nationkey, {_call} OVER (PARTITION BY n_regionkey ORDER BY n_nationkey{_frame}) FROM nation"),
+        ("II", "rowsort", f"SELECT n_nationkey, {_call} OVER (ORDER BY n_nationkey DESC{_frame}) FROM nation WHERE n_nationkey % 2 = 0"),
+        ("I", "", f"SELECT count(DISTINCT x) FROM (SELECT {_call} OVER (PARTITION BY n_regionkey ORDER BY n_nationkey{_frame}) AS x FROM nation) t"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
