@@ -2483,6 +2483,29 @@ for _name, _call in _WIN_FNS.items():
     ])
 
 
+# Per-string-function file family (reference test/sql/function/string
+# has one file per function).  Four shapes: literal, column, nested,
+# edge (empty/boundary input).
+_STR_FNS = {
+    "upper": ("upper('mIxEd')", "upper(r_name)", "upper(substr(r_name, 2, 3))", "upper('')"),
+    "lower": ("lower('MiXeD')", "lower(r_name)", "lower(concat(r_name, 'X'))", "lower('')"),
+    "substr": ("substr('abcdef', 3, 2)", "substr(r_name, 1, 4)", "substr(substr(r_name, 2), 2, 2)", "substr('ab', 5)"),
+    "replace": ("replace('aaa', 'a', 'bb')", "replace(r_name, '_', '-')", "replace(replace(r_name, '_', '.'), '.', '!')", "replace('', 'a', 'b')"),
+    "trim": ("trim('  pad  ')", "trim(concat('  ', r_name, ' '))", "ltrim(rtrim('  x  '))", "trim('')"),
+    "reverse": ("reverse('abc')", "reverse(r_name)", "reverse(reverse(r_name))", "reverse('')"),
+    "concat": ("concat('a', 'b', 'c')", "concat(r_name, '-', CAST(r_regionkey AS STRING))", "concat(substr(r_name, 1, 2), reverse(substr(r_name, 1, 2)))", "concat('', '')"),
+    "length_fn": ("length('abcde')", "length(r_name)", "length(concat(r_name, r_name))", "length('')"),
+}
+for _name, (_lit, _col, _nested, _edge) in _STR_FNS.items():
+    _ty = "I" if _name == "length_fn" else "T"
+    corpus(f"string_file_{_name}", f"String-function file: {_name} (reference test/sql/function/string)")([
+        (_ty, "", f"SELECT {_lit}"),
+        (_ty, "", f"SELECT {_col} FROM region ORDER BY r_regionkey"),
+        (_ty, "", f"SELECT {_nested} FROM region ORDER BY r_regionkey"),
+        (_ty if _name != "substr" else "T", "", f"SELECT {_edge}"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
