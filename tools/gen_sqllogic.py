@@ -2506,6 +2506,40 @@ for _name, (_lit, _col, _nested, _edge) in _STR_FNS.items():
     ])
 
 
+# Per-math-function file family (reference test/sql/function/numeric).
+_MATH_FNS = {
+    "abs": ("abs(-7)", "CAST(abs(p_size - 30) AS BIGINT)", "I"),
+    "ceil": ("CAST(ceil(1.2) AS BIGINT)", "CAST(ceil(p_retailprice / 100) AS BIGINT)", "I"),
+    "floor": ("CAST(floor(1.8) AS BIGINT)", "CAST(floor(p_retailprice / 100) AS BIGINT)", "I"),
+    "round": ("round(2.345, 2)", "round(p_retailprice / 7, 2)", "R"),
+    "sqrt": ("sqrt(144)", "round(sqrt(p_size), 6)", "R"),
+    "mod": ("mod(17, 5)", "CAST(mod(p_partkey, 7) AS BIGINT)", "I"),
+    "power": ("power(2, 8)", "round(power(p_size, 0.5), 6)", "R"),
+}
+for _name, (_lit, _col, _ty) in _MATH_FNS.items():
+    corpus(f"math_file_{_name}", f"Math-function file: {_name} (reference test/sql/function/numeric)")([
+        (_ty, "", f"SELECT {_lit}"),
+        (_ty, "", f"SELECT {_col} FROM part ORDER BY p_partkey LIMIT 6"),
+        (_ty, "", f"SELECT {_col} AS v FROM part ORDER BY p_partkey DESC LIMIT 3"),
+        ("I", "", f"SELECT count(DISTINCT {_col}) FROM part"),
+    ])
+
+# Per-set-op file family (reference test/sql/setops).
+_SETOPS = {
+    "union": "UNION",
+    "union_all": "UNION ALL",
+    "intersect": "INTERSECT",
+    "except": "EXCEPT",
+}
+for _name, _op in _SETOPS.items():
+    corpus(f"setop_file_{_name}", f"Set-op file: {_name} (reference test/sql/setops)")([
+        ("I", "", f"SELECT x FROM (SELECT n_nationkey AS x FROM nation WHERE n_nationkey < 8 {_op} SELECT r_regionkey FROM region) t ORDER BY x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT n_regionkey AS x FROM nation {_op} SELECT r_regionkey FROM region) t"),
+        ("I", "", f"SELECT x FROM (SELECT o_orderkey AS x FROM orders WHERE o_orderkey < 6 {_op} SELECT l_orderkey FROM lineitem WHERE l_orderkey < 4) t ORDER BY x"),
+        ("T", "", f"SELECT CAST(max(x) AS STRING) FROM (SELECT upper(r_name) AS x FROM region {_op} SELECT upper(c_mktsegment) FROM customer) t"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
