@@ -17,6 +17,12 @@ deterministically with translate()/concat (same semantics both engines),
 then makes the collation OBSERVABLE IN VALUES via dense_rank/row_number
 over the collated order — the driver hash sorts rows, so ordering alone
 would not be checked.
+
+Scale shape: every window here is over the DISTINCT of a bounded
+vocabulary (64 part-name combinations at any SF — the distinct is a
+map-side-partial shuffle of short strings), so the unpartitioned
+global-order windows see at most a few hundred rows regardless of data
+size; the grouped variant partitions by p_type.
 """
 
 from __future__ import annotations
