@@ -2540,6 +2540,57 @@ for _name, _op in _SETOPS.items():
     ])
 
 
+# Per-source-type cast file family (reference test/sql/cast has one
+# file per type pair; double→int deliberately goes through floor() —
+# DuckDB rounds, Spark truncates).
+_CAST_FILES = {
+    "tinyint": [
+        ("I", "SELECT CAST(CAST(100 AS TINYINT) AS SMALLINT)"),
+        ("I", "SELECT CAST(CAST(-128 AS TINYINT) AS INT)"),
+        ("I", "SELECT CAST(CAST(127 AS TINYINT) AS BIGINT)"),
+        ("T", "SELECT CAST(CAST(42 AS TINYINT) AS STRING)"),
+        ("R", "SELECT CAST(CAST(7 AS TINYINT) AS DOUBLE)"),
+    ],
+    "bigint": [
+        ("I", "SELECT CAST(CAST(9223372036854775807 AS BIGINT) AS BIGINT)"),
+        ("I", "SELECT CAST(CAST(100 AS BIGINT) AS TINYINT)"),
+        ("T", "SELECT CAST(CAST(-9223372036854775808 AS BIGINT) AS STRING)"),
+        ("R", "SELECT CAST(CAST(1000000 AS BIGINT) AS DOUBLE)"),
+        ("T", "SELECT CAST(try_cast(9223372036854775807 AS INT) AS STRING)"),
+    ],
+    "double": [
+        ("I", "SELECT CAST(floor(3.999) AS INT)"),
+        ("I", "SELECT CAST(floor(-2.5) AS BIGINT)"),
+        ("T", "SELECT CAST(CAST(0.5 AS DOUBLE) AS STRING)"),
+        ("R", "SELECT CAST('1.25' AS DOUBLE)"),
+        ("T", "SELECT CAST(try_cast('not-a-number' AS DOUBLE) AS STRING)"),
+    ],
+    "string": [
+        ("I", "SELECT CAST('123' AS INT)"),
+        ("I", "SELECT CAST('-45' AS BIGINT)"),
+        ("T", "SELECT CAST(CAST('2024-06-15' AS DATE) AS STRING)"),
+        ("T", "SELECT CAST(CAST('true' AS BOOLEAN) AS STRING)"),
+        ("T", "SELECT CAST(try_cast('2024-13-40' AS DATE) AS STRING)"),
+    ],
+    "boolean": [
+        ("T", "SELECT CAST(CAST(1 AS BOOLEAN) AS STRING)"),
+        ("T", "SELECT CAST(CAST(0 AS BOOLEAN) AS STRING)"),
+        ("I", "SELECT CAST(CAST('true' AS BOOLEAN) AS INT)"),
+        ("T", "SELECT CAST((1 < 2) AS STRING)"),
+    ],
+    "date": [
+        ("T", "SELECT CAST(DATE '2024-02-29' AS STRING)"),
+        ("I", "SELECT CAST(DATE '2024-03-01' - DATE '2024-02-01' AS INT)"),
+        ("T", "SELECT CAST(CAST(DATE '1970-01-01' AS TIMESTAMP) AS STRING)"),
+        ("I", "SELECT year(CAST('1999-12-31' AS DATE))"),
+    ],
+}
+for _name, _specs in _CAST_FILES.items():
+    corpus(f"cast_file_{_name}", f"Cast file: {_name} source (reference test/sql/cast)")([
+        (ty, "", sql) for ty, sql in _specs
+    ])
+
+
 def main() -> int:
     import duckdb
 
