@@ -321,17 +321,30 @@ def semantic_ivf_neardup_pairs(
     )
 
     cents = [_centroid(dim, i) for i in range(n_clusters)]
-    scored = []
-    for idx, cvals in enumerate(cents):
-        cen = F.array(*[F.lit(v) for v in cvals])
+    # ONE transform over the literal centroid matrix, not n_clusters
+    # separate dot expressions — with the documented cell-count rule
+    # (cells scale with the corpus) a per-centroid loop would rebuild
+    # the plan-size blowup fixed in similarity._codebook_scores.  The
+    # struct shape (-dot asc, idx asc) is kept bit-identical to the
+    # DuckDB oracle's list_sort replay.
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
+    )
+
+    def _cell_entry(cen: Column, i: Column) -> Column:
         dot = F.aggregate(
             F.zip_with(F.col(vec_col), cen, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        scored.append(F.struct((-dot).alias("d"), F.lit(idx).alias("i")))
+        return F.struct((-dot).alias("d"), i.cast("int").alias("i"))
+
     cells_expr = F.slice(
-        F.transform(F.sort_array(F.array(*scored)), lambda s: s.i), 1, n_assign
+        F.transform(
+            F.sort_array(F.transform(cents_lit, _cell_entry)), lambda s: s.i
+        ),
+        1,
+        n_assign,
     )
 
     cells = emb.select(
