@@ -416,7 +416,10 @@ def semantic_ivf_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            (dot / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+            # try_divide: a zero-norm vector makes the denominator 0 —
+            # DuckDB's x/0.0 is NULL (pair dropped by the >= filter) while
+            # Spark's ANSI Divide raises; try_divide restores the NULL
+            (F.try_divide(dot, F.col("_na") * F.col("_nb"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -471,8 +474,21 @@ def _cell_rerank_pairs(
         dots = np.zeros((n, n))
         for j in range(dim):
             dots = dots + vecs[:, j][:, None] * vecs[:, j][None, :]
-        cos = dots / (nrm[:, None] * nrm[None, :])
-        ia, ib = np.where((ids[:, None] < ids[None, :]) & (cos >= threshold))
+        den = nrm[:, None] * nrm[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots / den
+        # Degenerate-input semantics, pinned to the expression path and
+        # the DuckDB oracle (tests/test_dedup_rerank_ab.py):
+        #  - zero-norm vector -> denominator 0 -> DuckDB x/0.0 is NULL
+        #    (and the pair path uses try_divide) -> pair DROPPED;
+        #  - NaN element with nonzero norms -> cosine NaN -> both engines
+        #    order NaN greater than any double -> `>= threshold` KEEPS it.
+        # numpy's `>=` is False for NaN, so pass NaN explicitly, then
+        # mask out the zero-denominator pairs.
+        # mask the exact-zero denominator only: 0*NaN is NaN, which
+        # try_divide does NOT null out, so such pairs stay NaN-kept
+        keep = ((cos >= threshold) | np.isnan(cos)) & (den != 0.0)
+        ia, ib = np.where((ids[:, None] < ids[None, :]) & keep)
         return pd.DataFrame(
             {"id_a": ids[ia], "id_b": ids[ib], "cosine": cos[ia, ib]}
         )

@@ -26,7 +26,10 @@ def _literal_dot(vec: Column, vals: list[float], offset: int = 0) -> Column:
     every DuckDB oracle mirrors (``list_dot_product`` adds in the same
     order for these lengths)."""
     cen = F.array(*[F.lit(float(v)) for v in vals])
-    subv = F.slice(vec, offset + 1, len(vals)) if offset else vec
+    # slice unconditionally: at offset 0 a vals shorter than the vector
+    # would otherwise zip_with null-padding and collapse the fold to
+    # NULL instead of the dot over the first len(vals) elements
+    subv = F.slice(vec, offset + 1, len(vals))
     return F.aggregate(
         F.zip_with(subv, cen, lambda x, y: x.cast("double") * y),
         F.lit(0.0),
@@ -574,8 +577,13 @@ def pq_codes(
                     c2 = sum(v * v for v in cvals)
                     dists[:, code] = acc * -2.0 + c2
                 # argmin returns the FIRST minimum — the struct(d, i)
-                # ascending-sort tiebreak
-                codes_arr = np.argmin(dists, axis=1).astype(np.int32)
+                # ascending-sort tiebreak.  NaN distances are mapped to
+                # +inf first: Spark's struct sort puts NaN greatest, so
+                # the expression path (_pq_assign) never picks a NaN
+                # distance while np.argmin would return its index.
+                codes_arr = np.argmin(
+                    np.where(np.isnan(dists), np.inf, dists), axis=1
+                ).astype(np.int32)
                 out[f"c{sub}"] = codes_arr
                 if packable:
                     packed_vals = packed_vals + codes_arr.astype(np.int64) * (

@@ -270,6 +270,11 @@ def window_select(rng: random.Random) -> str:
     g = Gen(r, table)
     part = r.choice(TABLES[table]["str"])
     key = TABLES[table]["int"][0]
+    other_str = [c for c in TABLES[table]["str"] if c != part]
+    if other_str:
+        coll_col, coll_part = r.choice(other_str), f"PARTITION BY {part} "
+    else:
+        coll_col, coll_part = part, ""
     lo, hi = r.randint(0, 3), r.randint(0, 3)
     fn = r.choice(
         [
@@ -292,9 +297,13 @@ def window_select(rng: random.Random) -> str:
             f"first_value({key}) OVER (PARTITION BY {part} ORDER BY {key} "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
             # ICU locale collation inside a window order (verified-common
-            # locale set; ties broken by the unique key)
-            f"row_number() OVER (PARTITION BY {part} ORDER BY "
-            f"upper({part}) COLLATE {r.choice(['de', 'sv', 'fr', 'cs'])} DESC, {key})",
+            # locale set; ties broken by the unique key).  The collated
+            # column must DIFFER from the partition key — collating the
+            # partition column is constant per partition and never
+            # exercises the collator — so order over a second string
+            # column when one exists, else over the whole table
+            f"row_number() OVER ({coll_part}ORDER BY "
+            f"upper({coll_col}) COLLATE {r.choice(['de', 'sv', 'fr', 'cs'])} DESC, {key})",
         ]
     )
     if "OVER" not in fn:
