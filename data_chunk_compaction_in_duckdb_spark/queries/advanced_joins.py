@@ -92,7 +92,7 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     cust = load_table(spark, sf_dir, "customer")
     return cust.join(
-        F.broadcast(supp),
+        supp,
         (F.col("c_acctbal") >= F.col("s_acctbal") - 150)
         & (F.col("c_acctbal") <= F.col("s_acctbal") + 150),
     ).select("s_suppkey", "c_custkey")

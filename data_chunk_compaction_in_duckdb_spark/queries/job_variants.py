@@ -72,7 +72,7 @@ def _register_snowflake_variant(
             .join(c, o.o_custkey == c.c_custkey)
             .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
             .join(F.broadcast(cr), F.col("cn_region") == F.col("cr_key"))
-            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
             .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
             .join(F.broadcast(sr), F.col("sn_region") == F.col("sr_key"))
             .join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -120,7 +120,7 @@ def _register_star_variant(
         )
         return (
             li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
             .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
             .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
             .agg(
@@ -165,7 +165,7 @@ def _register_inlist_variant(
         )
         return (
             li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
             .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
             .agg(
                 F.min("p_name").alias("min_part"),

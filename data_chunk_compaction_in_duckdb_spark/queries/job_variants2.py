@@ -89,7 +89,7 @@ def _register_deep_join_variant(
         return (
             li.join(orders, li.l_orderkey == orders.o_orderkey)
             .join(cust, orders.o_custkey == cust.c_custkey)
-            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
             .join(F.broadcast(part), li.l_partkey == part.p_partkey)
             .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
             .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
@@ -316,7 +316,7 @@ def _register_long_chain_variant(
             .join(o, F.col("o_custkey") == c.c_custkey)
             .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
             .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
             .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
             .agg(
                 F.min("event_id").alias("min_event"),

@@ -232,7 +232,7 @@ def _register_dim_cross_variant(suffix: str, status: str, same: bool) -> None:
         return (
             li.join(o, li.l_orderkey == o.o_orderkey)
             .join(c, o.o_custkey == c.c_custkey)
-            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
             .filter(pred)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .groupBy("n_name")
@@ -308,7 +308,7 @@ def _register_fact_dim_fact_variant(
             F.col("o_totalprice") > price_min
         )
         return (
-            li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            li.join(s, li.l_suppkey == s.s_suppkey)
             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .join(o, li.l_orderkey == o.o_orderkey)
             .groupBy("o_orderpriority")

@@ -63,8 +63,8 @@ def _register_disjunctive_variant(suffix: str, left_sql: str, right_sql: str,
         s = load_table(spark, sf_dir, "supplier")
         n = load_table(spark, sf_dir, "nation")
         return (
-            li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+            .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
             .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
             .filter(left_col() | right_col())
             .agg(
@@ -206,7 +206,7 @@ def _register_dense_star_variant(
         return (
             li.join(o, li.l_orderkey == o.o_orderkey)
             .join(cust, o.o_custkey == cust.c_custkey)
-            .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+            .join(sup, li.l_suppkey == sup.s_suppkey)
             .join(F.broadcast(part), li.l_partkey == part.p_partkey)
             .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
             .join(F.broadcast(sn), sup.s_nationkey == F.col("sn_key"))
@@ -274,7 +274,7 @@ def _register_nation_codes_variant(suffix: str, cust_nation: str,
         return (
             li.join(o, li.l_orderkey == o.o_orderkey)
             .join(cust, o.o_custkey == cust.c_custkey)
-            .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+            .join(sup, li.l_suppkey == sup.s_suppkey)
             .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
             .join(F.broadcast(sn), sup.s_nationkey == F.col("sn_key"))
             .agg(
@@ -342,7 +342,7 @@ def _register_co_supplied_variant(suffix: str, brand: str, ptype: str,
         )
         return (
             l1.join(F.broadcast(p1), F.col("lp1") == F.col("pk1"))
-            .join(F.broadcast(sup), F.col("ls1") == F.col("s_suppkey"))
+            .join(sup, F.col("ls1") == F.col("s_suppkey"))
             .join(l2, F.col("ls2") == F.col("s_suppkey"))
             .join(F.broadcast(p2), F.col("lp2") == F.col("pk2"))
             .filter(F.col("pk1") < F.col("pk2"))
@@ -458,7 +458,7 @@ def _register_diamond_variant(suffix: str, where_sql: str, li_col,
             li.join(o, li.l_orderkey == o.o_orderkey)
             .join(cust, o.o_custkey == cust.c_custkey)
             .join(
-                F.broadcast(sup),
+                sup,
                 (li.l_suppkey == sup.s_suppkey)
                 & (cust.c_nationkey == sup.s_nationkey),
             )

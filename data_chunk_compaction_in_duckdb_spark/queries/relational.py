@@ -242,7 +242,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     region = _t(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(
             cust,
             (orders.o_custkey == cust.c_custkey)
@@ -451,7 +451,7 @@ def join_nonequi_nested_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     cust = _t(spark, sf_dir, "customer")
     return (
-        cust.join(F.broadcast(supp), cust.c_acctbal > supp.s_acctbal)
+        cust.join(supp, cust.c_acctbal > supp.s_acctbal)
         .groupBy("s_suppkey")
         .agg(F.count("*").alias("richer_customers"))
     )

@@ -625,7 +625,7 @@ def tpcds_q36_margin_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     g = (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .rollup("r_name", "n_name")
@@ -1079,7 +1079,7 @@ def tpcds_q6_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(typed), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.count("*").alias("n"))
@@ -1259,7 +1259,7 @@ def tpcds_q98_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     g = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type", "p_brand")
         .agg(F.sum(_cents("l_extendedprice")).alias("rev_c"))
     )
@@ -1303,7 +1303,7 @@ def tpcds_q33_triple_union_by_brand(spark: SparkSession, sf_dir: str) -> DataFra
     reuses the same broadcast part dimension; one shuffle on brand."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    base = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    base = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     q = F.col("l_quantity").cast("long")
 
     def branch(tag, cond):
@@ -1405,8 +1405,8 @@ def tpcds_q61_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     cents = _cents("l_extendedprice")
     g = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
@@ -1458,7 +1458,7 @@ def tpcds_q58_balanced_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _cents("l_extendedprice")
     m = F.month("l_shipdate")
     g = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             F.sum(F.when(m == 3, cents).otherwise(0)).alias("rev_a"),
@@ -1542,7 +1542,7 @@ def tpcds_q48_or_band_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (sz.between(26, 50) & q.between(36, 50))
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
             F.sum(q.cast("long")).alias("qty"),
@@ -1864,8 +1864,8 @@ def tpcds_q44_best_worst_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pw = p.select(F.col("p_partkey").alias("wk"), F.col("p_name").alias("worst_name"))
     return (
         b.join(w, "rk")
-        .join(F.broadcast(pb), "bk")
-        .join(F.broadcast(pw), "wk")
+        .join(pb, "bk")
+        .join(pw, "wk")
         .select("rk", "best_name", "worst_name")
         .orderBy("rk")
     )
@@ -1976,7 +1976,7 @@ def tpcds_q66_month_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.month("l_shipdate").alias("m"),
             _cents("l_extendedprice").alias("cents"),
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     aggs = [
@@ -2093,7 +2093,7 @@ def tpcds_q75_yoy_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = F.year("l_shipdate")
     yearly = (
         li.filter(y.isin(1996, 1997))
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy(F.col("p_brand").alias("brand"), y.alias("y"))
         .agg(
             F.sum(F.col("l_quantity").cast("long")).alias("qty"),

@@ -177,7 +177,7 @@ def tpcds_q12_windowed_class_share(spark: SparkSession, sf_dir: str) -> DataFram
     )
     part = _t(spark, sf_dir, "part")
     g = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_type", "p_brand")
         .agg(F.sum(_cents("l_extendedprice")).alias("c"))
     )
@@ -221,7 +221,7 @@ def tpcds_q14_cross_channel_intersect(spark: SparkSession, sf_dir: str) -> DataF
         keys = s if keys is None else keys.intersect(s)
     return (
         li.join(keys, "l_partkey", "left_semi")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_lines"),
@@ -375,7 +375,7 @@ def tpcds_q27_rollup_item_geo_avgs(spark: SparkSession, sf_dir: str) -> DataFram
     nat = _t(spark, sf_dir, "nation")
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     joined = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(
@@ -508,7 +508,7 @@ def tpcds_q46_nation_mismatch_orders(spark: SparkSession, sf_dir: str) -> DataFr
         o.join(cust, o.o_custkey == cust.c_custkey)
         .join(F.broadcast(hn), cust.c_nationkey == F.col("hn_key"))
         .join(li, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(sn), sup.s_nationkey == F.col("sn_key"))
         .filter(F.col("home_nation") != F.col("ship_nation"))
         .groupBy("o_orderkey", "c_name", "home_nation")
@@ -548,7 +548,7 @@ def tpcds_q57_outlier_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     m = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", F.date_trunc("month", "l_shipdate").alias("d"))
         .agg(F.sum(_cents("l_extendedprice")).alias("v"))
     )
@@ -685,7 +685,7 @@ def tpcds_q22_hierarchy_band_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.count("*")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select("p_brand", "p_type", "sz_band", _cents("l_quantity").alias("qc"))
         .rollup("p_brand", "p_type", "sz_band")
         .agg(
@@ -873,7 +873,7 @@ def tpcds_q19_brand_geo_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(cust, o.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .groupBy("p_brand")

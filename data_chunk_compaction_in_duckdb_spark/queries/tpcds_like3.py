@@ -65,7 +65,7 @@ def tpcds_q20_class_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = _t(spark, sf_dir, "part")
     g = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type", "p_brand")
         .agg(F.sum(_cents("l_extendedprice")).alias("s"))
     )
@@ -211,7 +211,7 @@ def tpcds_q40_netted_before_after(spark: SparkSession, sf_dir: str) -> DataFrame
         F.when(F.col("l_shipdate") >= "1998-07-01", net).otherwise(F.lit(0))
     )
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("n_name", "p_brand")
@@ -241,7 +241,7 @@ def tpcds_q42_year_category_report(spark: SparkSession, sf_dir: str) -> DataFram
     li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 2000)
     p = _t(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("l_shipdate").alias("y"), "p_type")
         .agg((F.sum(_cents("l_extendedprice")) / 100.0).alias("revenue"))
     )
@@ -269,7 +269,7 @@ def tpcds_q52_year_brand_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = _t(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("l_shipdate").alias("y"), "p_brand")
         .agg((F.sum(_cents("l_extendedprice")) / 100.0).alias("ext_price"))
     )
@@ -401,7 +401,7 @@ def tpcds_q56_channel_union_by_name_prefix(
     def leg(pred) -> DataFrame:
         return (
             li.filter(pred)
-            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .join(p, F.col("l_partkey") == F.col("p_partkey"))
             .groupBy(pfx)
             .agg(F.sum(_cents("l_extendedprice")).alias("s"))
         )
@@ -461,7 +461,7 @@ def tpcds_q60_channel_union_by_category(
     def leg(pred) -> DataFrame:
         return (
             li.filter(pred)
-            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .join(p, F.col("l_partkey") == F.col("p_partkey"))
             .groupBy("p_type")
             .agg(F.sum(_cents("l_extendedprice")).alias("s"))
         )
@@ -570,7 +570,7 @@ def tpcds_q68_cross_nation_order_detail(
     g = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("o_orderkey", "o_custkey")
         .agg(
             F.sum(_cents("l_extendedprice")).alias("ext"),
@@ -954,7 +954,7 @@ def tpcds_q86_geo_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     g = (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .rollup("r_name", "n_name")

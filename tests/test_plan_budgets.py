@@ -159,3 +159,45 @@ def test_components_transitive_final_plan_is_bounded(spark, sf_dir):
 
     df = REGISTRY["dedup_components_transitive"].builder(spark, sf_dir)
     assert count_exchanges(df) <= 3
+
+
+def test_no_forced_broadcast_of_unfiltered_growing_table():
+    """Zero-findings budget over the whole package: a forced
+    ``F.broadcast()`` hint is only allowed on relations bounded
+    independent of scale factor (region/nation, filtered/aggregated
+    slices, literal frames, model artifacts).  part/supplier/customer/
+    orders/... grow linearly with SF — a forced broadcast of the whole
+    table overrides AQE's size check and becomes an executor OOM at the
+    100 TB design point.  (Reference analog: the size-aware build-side
+    choice, plan_comparison_join.cpp:309-314.)"""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+    )
+    from broadcast_audit import audit_tree
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data_chunk_compaction_in_duckdb_spark",
+    )
+    findings = audit_tree(pkg)
+    assert not findings, "\n".join(
+        f"{p}:{ln}: {fn}: forced broadcast of unfiltered '{t}'"
+        for p, ln, fn, t in findings
+    )
+
+
+def test_unhinted_supplier_join_still_broadcasts_at_fixture_scale(spark, sf_dir):
+    """After dropping the forced hints, AQE/static size estimation must
+    still choose BroadcastHashJoin for the supplier dim at fixture scale
+    — i.e. removing the hint changed the scale story, not the plan."""
+    from data_chunk_compaction_in_duckdb_spark.plans import join_strategies
+    from data_chunk_compaction_in_duckdb_spark.queries import REGISTRY
+
+    df = REGISTRY["tpch_q9_product_type_profit"].builder(spark, sf_dir)
+    strats = join_strategies(df)
+    assert "BroadcastHashJoin" in strats, strats
+    assert "SortMergeJoin" not in strats, strats
