@@ -104,6 +104,105 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return _vec_dot(a, b) / (_vec_norm(a) * _vec_norm(b))
 
 
+def topk_per_query(
+    scored: DataFrame,
+    k: int,
+    value_col: str = "cosine",
+    ascending: bool = False,
+    key_col: str = "query_id",
+    tiebreak_col: str = "match_id",
+    drop_rank: bool = True,
+    rank_col: str = "_rn",
+) -> DataFrame:
+    """Scale-safe per-query top-k over a scored pair stream.
+
+    A plain ``Window.partitionBy(query_id)`` row_number ranks the FULL
+    pair stream in one task per query — with a small query set each task
+    receives the whole corpus's scores (the reference never has this
+    problem: its per-thread hash-join probe merges bounded chunks,
+    physical_hash_join.cpp).  Two phases restore bounded task input:
+
+    1. **partial**: per input partition, keep each query's local top-k
+       (``mapInArrow``; incremental merge across batches keeps state at
+       |Q|*k rows).  No shuffle — runs where the scores were produced.  Selection only: every surviving row's values are the
+       untouched upstream expressions, so oracle bit-identity holds.
+    2. **merge**: the exact row_number window over the survivor set,
+       now bounded by n_partitions * k per query.
+
+    The partial's ordering replicates Spark's total order exactly:
+    ``desc`` = NaN first (NaN is greatest), then values descending,
+    NULLs last; ``asc`` = NULLs first, values ascending, NaN last; ties
+    broken by ``tiebreak_col`` ascending — so partial-then-merge returns
+    the identical row set as the single window (pinned by
+    tests/test_similarity_topk_twophase.py).  The kernel runs on
+    ``mapInArrow`` rather than pandas because Arrow's validity mask is
+    the only thing that keeps NULL and NaN doubles distinguishable
+    across the Python boundary."""
+
+    def _local_topk(cur):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        vals = cur[value_col].combine_chunks()
+        null_mask = np.asarray(
+            pc.is_null(vals).to_numpy(zero_copy_only=False),
+            dtype=bool,
+        )
+        v = np.asarray(
+            vals.to_numpy(zero_copy_only=False), dtype=np.float64
+        )
+        if ascending:
+            nullk = np.where(null_mask, 0, 1)  # NULLS FIRST
+            vk = np.where(null_mask, 0.0, np.where(np.isnan(v), np.inf, v))
+        else:
+            nullk = np.where(null_mask, 1, 0)  # NULLS LAST
+            # negate so one ascending lexsort handles both directions;
+            # NaN (greatest under desc) maps to -inf -> first
+            vk = np.where(null_mask, 0.0, np.where(np.isnan(v), -np.inf, -v))
+        tie = cur[tiebreak_col].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        keys = cur[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, vk, nullk))
+        sk = keys[order]
+        n = len(order)
+        change = np.r_[True, sk[1:] != sk[:-1]] if n else np.array([], bool)
+        grp_start = np.maximum.accumulate(
+            np.where(change, np.arange(n), 0)
+        )
+        rank = np.arange(n) - grp_start
+        keep = np.sort(order[rank < k])
+        return cur.take(pa.array(keep))
+
+    def part_topk(batches):
+        import pyarrow as pa
+
+        state = None
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([batch])
+            cur = (
+                tbl
+                if state is None
+                else pa.concat_tables([state, tbl]).combine_chunks()
+            )
+            state = _local_topk(cur)
+        if state is not None and state.num_rows:
+            yield from state.to_batches()
+
+    survivors = scored.mapInArrow(part_topk, scored.schema)
+    order = (
+        F.col(value_col).asc() if ascending else F.col(value_col).desc()
+    )
+    w = Window.partitionBy(key_col).orderBy(order, F.col(tiebreak_col))
+    ranked = survivors.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+    return ranked.drop(rank_col) if drop_rank else ranked
+
+
 def topk_similar(
     corpus: DataFrame,
     queries: DataFrame,
@@ -158,14 +257,7 @@ def topk_similar(
             (dot / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("match_id")
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return topk_per_query(scored, k)
 
 
 def _hyperplane(dim: int, table: int, plane: int) -> list[float]:
@@ -275,14 +367,7 @@ def lsh_ann_topk(
             / (F.col("_qn") * F.col("_cn"))
         ).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("match_id")
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return topk_per_query(scored, k)
 
 
 def _centroid(dim: int, idx: int) -> list[float]:
@@ -447,14 +532,7 @@ def ivf_ann_topk(
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("match_id")
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return topk_per_query(scored, k)
 
 
 def quantize_embeddings_int8(
@@ -751,14 +829,9 @@ def pq_adc_topk(
     )
 
     # ascending: _adc approximates the L2 distance
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("_adc").asc(), F.col("match_id")
-    )
-    cands = (
-        pairs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= rerank)
-        .select("query_id", "match_id")
-    )
+    cands = topk_per_query(
+        pairs, rerank, value_col="_adc", ascending=True
+    ).select("query_id", "match_id")
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
@@ -775,11 +848,4 @@ def pq_adc_topk(
             cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cosine"),
         )
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("match_id")
-    )
-    return (
-        exact.withColumn("_rn", F.row_number().over(w2))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return topk_per_query(exact, k)

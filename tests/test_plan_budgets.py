@@ -201,3 +201,26 @@ def test_unhinted_supplier_join_still_broadcasts_at_fixture_scale(spark, sf_dir)
     strats = join_strategies(df)
     assert "BroadcastHashJoin" in strats, strats
     assert "SortMergeJoin" not in strats, strats
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["sim_ann_lsh_topk", "sim_ann_ivf_topk", "sim_ann_pq_adc_topk",
+     "sim_topk_bruteforce"],
+)
+def test_ann_topk_has_partial_before_merge_window(spark, sf_dir, name):
+    """The per-query top-k must be two-phase: the merge window's
+    exchange consumes the MapInArrow partial's bounded output, never the
+    raw scored pair stream (which would funnel a corpus-sized stream
+    into one task per query at scale)."""
+    from data_chunk_compaction_in_duckdb_spark.queries import REGISTRY
+
+    df = REGISTRY[name].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    win = plan.find("Window")
+    arrow = plan.find("MapInArrow")
+    assert arrow >= 0, f"{name}: no MapInArrow partial in plan"
+    assert 0 <= win < arrow, (
+        f"{name}: merge Window must sit above the Arrow partial "
+        f"(win={win}, arrow={arrow})"
+    )
