@@ -413,6 +413,17 @@ def _nearest_clusters(
     return F.transform(ranked, lambda s: s.idx)
 
 
+def _unit_vec(v: list[float], fallback: list[float] | None = None) -> list[float]:
+    """v / ||v||; zero-norm (or non-finite) vectors return ``fallback``
+    (or v itself when no fallback is given)."""
+    import math
+
+    n = math.sqrt(sum(x * x for x in v))
+    if not (n > 0.0 and math.isfinite(n)):
+        return fallback if fallback is not None else v
+    return [x / n for x in v]
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     vec_col: str,
@@ -431,8 +442,18 @@ def train_ivf_centroids(
     driver — bounded by the model size, never by the data, so the loop
     is cluster-scale safe (same contract as any ML fit).  Init is the
     deterministic md5 directions, so training is reproducible run-to-run
-    on the same data (the recall pytest pins it)."""
-    cents = [_centroid(dim, i) for i in range(n_clusters)]
+    on the same data (the recall pytest pins it).
+
+    This is *spherical* k-means (Dhillon & Modha 2001): centroids are
+    kept unit-norm (normalized init, normalized-mean update).  Over
+    unit centroids the normalized mean maximizes each cell's total dot,
+    so the total assignment dot is monotone non-decreasing per
+    iteration — the property the driver-checkable self-check query
+    (``sim_ivf_trained_selfcheck``) verifies on each engine's own
+    trained artifact.  A raw-mean update has no such guarantee under
+    max-dot assignment (measured: total dot *decreased*, because the
+    md5 directions have ~4.6x the norm of a data mean)."""
+    cents = [_unit_vec(_centroid(dim, i)) for i in range(n_clusters)]
     for _ in range(n_iter):
         cell = _nearest_clusters(vec_col, dim, n_clusters, cents)[0]
         means = (
@@ -450,8 +471,12 @@ def train_ivf_centroids(
             int(r["_cell"]): [float(r[f"m{i}"]) for i in range(dim)]
             for r in means
         }
-        # empty cells keep their previous direction (standard Lloyd fix)
-        cents = [got.get(i, cents[i]) for i in range(n_clusters)]
+        # empty or zero-norm cells keep their previous direction
+        # (standard Lloyd fix)
+        cents = [
+            _unit_vec(got[i], fallback=cents[i]) if i in got else cents[i]
+            for i in range(n_clusters)
+        ]
     return cents
 
 

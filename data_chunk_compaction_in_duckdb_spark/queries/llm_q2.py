@@ -889,3 +889,241 @@ def pipeline_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.coalesce("component", "doc_id").alias("rep")
     )
     return assign_splits(withrep, "rep").select("doc_id", "rep", "split")
+
+
+def _lit_list(vals: list[float]) -> str:
+    return "[" + ",".join(repr(float(x)) for x in vals) + "]"
+
+
+def _ivf_trained_oracle_sql(dim: int = 64, n_clusters: int = 4) -> str:
+    """DuckDB side of the trained-IVF self-check: run DuckDB's OWN
+    2-iteration spherical k-means (unrolled SQL: assign via the md5-
+    literal init, normalized-mean update, reassign, update, reassign)
+    and verify the monotonicity contract on its own artifact.  The
+    hash-crossing columns are engine-independent: the init-assignment
+    stats are bit-replayable (identical centroid literals, identical
+    left-fold dots, round-half-up integer sums), and ``improved`` is
+    'true' on both sides because the normalized-mean update provably
+    never decreases the total assignment dot (Dhillon & Modha 2001) —
+    each engine proves it on its own floats."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
+        _centroid,
+        _unit_vec,
+    )
+
+    init = [_unit_vec(_centroid(dim, i)) for i in range(n_clusters)]
+    init_rows = ", ".join(f"({i}, {_lit_list(c)})" for i, c in enumerate(init))
+    structs = ", ".join(
+        f"struct_pack(d := -list_dot_product(v, {_lit_list(c)}), i := {i})"
+        for i, c in enumerate(init)
+    )
+    avgs = ", ".join(f"avg(v[{j + 1}])" for j in range(dim))
+    renorm = (
+        "CASE WHEN m.c IS NULL OR list_dot_product(m.c, m.c) <= 0 THEN i.c "
+        "ELSE list_transform(m.c, x -> x / sqrt(list_dot_product(m.c, m.c))) "
+        "END AS c"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    a0 AS (SELECT vec_id, v, list_sort([{structs}])[1] AS b FROM e),
+    init(cell, c) AS (VALUES {init_rows}),
+    m1r AS (SELECT b.i AS cell, [{avgs}] AS c FROM a0 GROUP BY b.i),
+    m1 AS (SELECT i.cell, {renorm} FROM init i LEFT JOIN m1r m USING (cell)),
+    a1 AS (SELECT vec_id, v, cell, dot,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+           FROM (SELECT e.vec_id, e.v, m.cell, list_dot_product(e.v, m.c) AS dot
+                 FROM e CROSS JOIN m1 m)),
+    a1b AS (SELECT vec_id, v, cell FROM a1 WHERE rn = 1),
+    m2r AS (SELECT cell, [{avgs}] AS c FROM a1b GROUP BY cell),
+    m2 AS (SELECT i.cell, {renorm} FROM init i LEFT JOIN m2r m USING (cell)),
+    a2 AS (SELECT vec_id, dot,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+           FROM (SELECT e.vec_id, m.cell, list_dot_product(e.v, m.c) AS dot
+                 FROM e CROSS JOIN m2 m))
+    SELECT (SELECT COUNT(*) FROM e) AS n_vectors,
+           (SELECT COUNT(DISTINCT b.i) FROM a0) AS init_cells_used,
+           (SELECT CAST(SUM(CAST(FLOOR(-b.d * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+            FROM a0) AS init_dot_e4,
+           CAST((SELECT SUM(dot) FROM a2 WHERE rn = 1)
+                >= (SELECT SUM(-b.d) FROM a0) AS VARCHAR) AS improved
+    """
+
+
+@query("sim_ivf_trained_selfcheck", oracle=_ivf_trained_oracle_sql())
+def sim_ivf_trained_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable self-check for the Lloyd-trained IVF variant
+    (train_ivf_centroids): raw trained floats are engine-dependent
+    (distributed mean order), so the crossing columns are (a) the
+    bit-replayable init-assignment stats and (b) the spherical-k-means
+    monotonicity guarantee — total assignment dot after 2 train
+    iterations >= the init total — which each engine verifies on its
+    OWN trained artifact (same contract as agg_approx_count_distinct's
+    HLL self-check).  The oracle unrolls DuckDB's own 2-iteration
+    training in SQL."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
+        _centroid,
+        _unit_vec,
+        train_ivf_centroids,
+    )
+
+    dim, n_clusters = 64, 4
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def best_struct(cents: list[list[float]]):
+        cents_lit = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
+        )
+
+        def entry(cen, i):
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), cen, lambda x, y: x.cast("double") * y
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return F.struct((-dot).alias("d"), i.cast("int").alias("i"))
+
+        return F.array_min(F.transform(cents_lit, entry))
+
+    init = [_unit_vec(_centroid(dim, i)) for i in range(n_clusters)]
+    trained = train_ivf_centroids(
+        emb, "embedding", dim, n_clusters=n_clusters, n_iter=2
+    )
+    rows = emb.select(
+        best_struct(init).alias("_b0"), best_struct(trained).alias("_bt")
+    )
+    return (
+        rows.agg(
+            F.count("*").alias("n_vectors"),
+            F.countDistinct(F.col("_b0.i")).alias("init_cells_used"),
+            F.sum(
+                F.floor(-F.col("_b0.d") * 10000 + 0.5).cast("bigint")
+            ).alias("init_dot_e4"),
+            F.sum(-F.col("_b0.d")).alias("_t0"),
+            F.sum(-F.col("_bt.d")).alias("_tt"),
+        )
+        .select(
+            "n_vectors",
+            "init_cells_used",
+            "init_dot_e4",
+            (F.col("_tt") >= F.col("_t0")).cast("string").alias("improved"),
+        )
+    )
+
+
+def _pq_trained_oracle_sql(dim: int = 64, m: int = 2, codes: int = 4) -> str:
+    """DuckDB side of the trained-PQ self-check: per-subspace 2-iteration
+    L2 Lloyd unrolled in SQL; crossing columns are the bit-replayable
+    init-code assignment stats plus the textbook Lloyd guarantee (the
+    -2*dot+||c||^2 assignment total never increases under the mean
+    update, since ||q||^2 is constant per row), verified per engine on
+    its own codebooks."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
+        _pq_centroid,
+    )
+
+    subdim = dim // m
+    parts, sel = [], []
+    for sub in range(m):
+        lo, hi = sub * subdim + 1, (sub + 1) * subdim
+        books = [_pq_centroid(sub, code, subdim) for code in range(codes)]
+        init_rows = ", ".join(
+            f"({c}, {_lit_list(b)})" for c, b in enumerate(books)
+        )
+        structs = ", ".join(
+            f"struct_pack(d := -2*list_dot_product(sv, {_lit_list(b)}) "
+            f"+ {float(sum(v * v for v in b))!r}, i := {c})"
+            for c, b in enumerate(books)
+        )
+        avgs = ", ".join(f"avg(sv[{j + 1}])" for j in range(subdim))
+        parts.append(f"""
+    s{sub} AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM e),
+    b{sub}_0 AS (SELECT vec_id, sv, list_sort([{structs}])[1] AS b FROM s{sub}),
+    init{sub}(code, c) AS (VALUES {init_rows}),
+    m{sub}_1r AS (SELECT b.i AS code, [{avgs}] AS c FROM b{sub}_0 GROUP BY b.i),
+    m{sub}_1 AS (SELECT i.code, COALESCE(m.c, i.c) AS c
+                 FROM init{sub} i LEFT JOIN m{sub}_1r m USING (code)),
+    b{sub}_1 AS (SELECT vec_id, sv, code, d,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, code) AS rn
+                 FROM (SELECT s.vec_id, s.sv, m.code,
+                              -2*list_dot_product(s.sv, m.c)
+                              + list_dot_product(m.c, m.c) AS d
+                       FROM s{sub} s CROSS JOIN m{sub}_1 m)),
+    b{sub}_1b AS (SELECT vec_id, sv, code FROM b{sub}_1 WHERE rn = 1),
+    m{sub}_2r AS (SELECT code, [{avgs}] AS c FROM b{sub}_1b GROUP BY code),
+    m{sub}_2 AS (SELECT i.code, COALESCE(m.c, i.c) AS c
+                 FROM init{sub} i LEFT JOIN m{sub}_2r m USING (code)),
+    b{sub}_2 AS (SELECT vec_id, d,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, code) AS rn
+                 FROM (SELECT s.vec_id, m.code,
+                              -2*list_dot_product(s.sv, m.c)
+                              + list_dot_product(m.c, m.c) AS d
+                       FROM s{sub} s CROSS JOIN m{sub}_2 m))""")
+        sel.append(f"""
+    SELECT {sub} AS subspace,
+           (SELECT COUNT(*) FROM e) AS n_vectors,
+           (SELECT COUNT(DISTINCT b.i) FROM b{sub}_0) AS init_codes_used,
+           (SELECT CAST(SUM(CAST(FLOOR(b.d * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+            FROM b{sub}_0) AS init_score_e4,
+           CAST((SELECT SUM(d) FROM b{sub}_2 WHERE rn = 1)
+                <= (SELECT SUM(b.d) FROM b{sub}_0) AS VARCHAR) AS improved""")
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)," + ",".join(parts)
+        + " UNION ALL ".join(sel)
+        + " ORDER BY subspace"
+    )
+
+
+@query("sim_pq_trained_selfcheck", oracle=_pq_trained_oracle_sql())
+def sim_pq_trained_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable self-check for the Lloyd-trained PQ codebooks
+    (train_pq_codebooks), one row per subspace: bit-replayable init-code
+    assignment stats cross the hash; ``improved`` pins the textbook
+    Lloyd monotonicity (L2 inertia never increases under assign+mean
+    update) on each engine's own trained codebooks."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
+        _codebook_scores,
+        _pq_centroid,
+        train_pq_codebooks,
+    )
+
+    dim, m, codes = 64, 2, 4
+    subdim = dim // m
+    emb = load_table(spark, sf_dir, "embeddings")
+    trained = train_pq_codebooks(
+        emb, "embedding", dim, m=m, codes=codes, n_iter=2
+    )
+    out = None
+    for sub in range(m):
+        init_books = [_pq_centroid(sub, c, subdim) for c in range(codes)]
+        b0 = F.array_min(
+            _codebook_scores(F.col("embedding"), sub * subdim, subdim, init_books)
+        )
+        bt = F.array_min(
+            _codebook_scores(
+                F.col("embedding"), sub * subdim, subdim, trained[sub]
+            )
+        )
+        rows = emb.select(b0.alias("_b0"), bt.alias("_bt"))
+        part = (
+            rows.agg(
+                F.count("*").alias("n_vectors"),
+                F.countDistinct(F.col("_b0.i")).alias("init_codes_used"),
+                F.sum(
+                    F.floor(F.col("_b0.d") * 10000 + 0.5).cast("bigint")
+                ).alias("init_score_e4"),
+                F.sum(F.col("_b0.d")).alias("_t0"),
+                F.sum(F.col("_bt.d")).alias("_tt"),
+            )
+            .select(
+                F.lit(sub).cast("int").alias("subspace"),
+                "n_vectors",
+                "init_codes_used",
+                "init_score_e4",
+                (F.col("_tt") <= F.col("_t0")).cast("string").alias("improved"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("subspace")
