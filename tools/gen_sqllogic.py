@@ -2591,6 +2591,373 @@ for _name, _specs in _CAST_FILES.items():
     ])
 
 
+# ---------------------------------------------------------------------------
+# Round-4 expansion: select4-style GROUP BY matrix, LATERAL subquery
+# corners, FILTER-clause aggregates, binary/string/math/date function
+# files, list-HOF depth, ordered-set aggregates, ALL set-ops, and
+# per-table subquery corners.  Same discipline as every family above:
+# dialect-common text, two-engine validated, goldens only on agreement.
+
+# select4.test_slow analog (reference test/sqlite/select4.test_slow):
+# the GROUP BY permutation matrix — pairs of grouping expressions x
+# aggregate shapes over orders, each with plain/filtered/HAVING/global
+# variants.
+_S4_GROUPS = {
+    "a": ("o_orderstatus", "T"),
+    "b": ("o_orderpriority", "T"),
+    "c": ("year(o_orderdate)", "I"),
+    "d": ("o_custkey % 7", "I"),
+    "e": ("o_orderkey % 3", "I"),
+}
+_S4_AGGS = {
+    "cnt": ("count(*)", "I"),
+    "sum": ("CAST(sum(o_custkey) AS BIGINT)", "I"),
+    "avg": ("round(avg(o_custkey), 6)", "R"),
+    "mnmx": ("min(o_custkey), max(o_custkey)", "II"),
+    "cntd": ("count(DISTINCT o_custkey % 100)", "I"),
+}
+for _g1, _g2 in [
+    ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+    ("b", "e"), ("c", "d"), ("c", "e"), ("d", "e"), ("a", "e"),
+]:
+    _ge1, _t1 = _S4_GROUPS[_g1]
+    _ge2, _t2 = _S4_GROUPS[_g2]
+    for _an, (_aexpr, _aty) in _S4_AGGS.items():
+        corpus(
+            f"select4_groupby_{_g1}{_g2}_{_an}",
+            f"select4-matrix: GROUP BY {_ge1}, {_ge2} with {_an} "
+            "(reference test/sqlite/select4.test_slow)",
+        )([
+            (_t1 + _t2 + _aty, "rowsort",
+             f"SELECT {_ge1}, {_ge2}, {_aexpr} FROM orders GROUP BY {_ge1}, {_ge2}"),
+            (_t1 + _aty, "rowsort",
+             f"SELECT {_ge1}, {_aexpr} FROM orders WHERE o_totalprice > 50000 GROUP BY {_ge1}"),
+            (_t1 + _t2 + _aty, "rowsort",
+             f"SELECT {_ge1}, {_ge2}, {_aexpr} FROM orders GROUP BY {_ge1}, {_ge2} HAVING count(*) > 10"),
+            (_aty, "", f"SELECT {_aexpr} FROM orders"),
+        ])
+
+# LATERAL subquery corners (reference test/sql/subquery/lateral): both
+# engines accept the `, LATERAL (...)` and `JOIN LATERAL ... ON true`
+# spellings with outer references in the lateral SELECT list.
+corpus("lateral_scalar_projection", "LATERAL with outer refs in its SELECT list (reference test/sql/subquery/lateral)")([
+    ("II", "", "SELECT r.r_regionkey, u.v FROM region r, LATERAL (SELECT r.r_regionkey * 2 + 1 AS v) u ORDER BY r.r_regionkey"),
+    ("IT", "", "SELECT n.n_nationkey, u.s FROM nation n, LATERAL (SELECT concat(n.n_name, '!') AS s) u ORDER BY n.n_nationkey LIMIT 6"),
+    ("III", "", "SELECT r.r_regionkey, u.a, u.b FROM region r, LATERAL (SELECT r.r_regionkey + 1 AS a, r.r_regionkey * 10 AS b) u ORDER BY r.r_regionkey"),
+])
+corpus("lateral_join_on_true", "JOIN LATERAL ... ON true spelling (reference test/sql/subquery/lateral)")([
+    ("II", "", "SELECT r.r_regionkey, u.v FROM region r JOIN LATERAL (SELECT r.r_regionkey * 3 AS v) u ON true ORDER BY r.r_regionkey"),
+    ("II", "", "SELECT n.n_nationkey, u.v FROM nation n JOIN LATERAL (SELECT n.n_regionkey + 100 AS v) u ON true ORDER BY n.n_nationkey LIMIT 7"),
+])
+corpus("lateral_correlated_agg", "Correlated aggregate inside LATERAL (reference test/sql/subquery/lateral)")([
+    ("II", "", "SELECT n.n_nationkey, u.c FROM nation n, LATERAL (SELECT count(*) AS c FROM supplier s WHERE s.s_nationkey = n.n_nationkey) u ORDER BY n.n_nationkey"),
+    ("II", "", "SELECT r.r_regionkey, u.c FROM region r, LATERAL (SELECT count(*) AS c FROM nation n WHERE n.n_regionkey = r.r_regionkey) u ORDER BY r.r_regionkey"),
+])
+corpus("lateral_chained_refs", "A second LATERAL referencing the first (reference test/sql/subquery/lateral)")([
+    ("III", "", "SELECT r.r_regionkey, u.a, w.b FROM region r, LATERAL (SELECT r.r_regionkey + 1 AS a) u, LATERAL (SELECT u.a * 2 AS b) w ORDER BY r.r_regionkey"),
+])
+corpus("lateral_filtered_outer", "LATERAL under an outer filter (reference test/sql/subquery/lateral)")([
+    ("II", "", "SELECT n.n_nationkey, u.v FROM nation n, LATERAL (SELECT n.n_nationkey % 5 AS v) u WHERE n.n_regionkey = 2 ORDER BY n.n_nationkey"),
+])
+corpus("lateral_in_aggregate", "Aggregating over a LATERAL product (reference test/sql/subquery/lateral)")([
+    ("I", "", "SELECT CAST(sum(u.v) AS BIGINT) FROM region r, LATERAL (SELECT r.r_regionkey * 2 AS v) u"),
+    ("TI", "rowsort", "SELECT n.n_name, CAST(sum(u.v) AS BIGINT) FROM nation n, LATERAL (SELECT n.n_nationkey + 1 AS v) u GROUP BY n.n_name"),
+])
+
+# FILTER-clause aggregate files (reference test/sql/aggregate/aggregates
+# FILTER coverage) — one file per aggregate.
+_FILTER_AGGS = {
+    "count": ("count(*) FILTER (WHERE l_quantity > 25)", "I"),
+    "sum": ("CAST(sum(l_linenumber) FILTER (WHERE l_discount > 0.05) AS BIGINT)", "I"),
+    "avg": ("round(avg(l_quantity) FILTER (WHERE l_tax < 0.04), 6)", "R"),
+    "min": ("min(l_quantity) FILTER (WHERE l_quantity > 30)", "R"),
+    "max": ("max(l_quantity) FILTER (WHERE l_quantity < 20)", "R"),
+    "bool_and": ("bool_and(l_quantity > 0) FILTER (WHERE l_linenumber = 1)", "T"),
+    "bool_or": ("bool_or(l_quantity > 49) FILTER (WHERE l_linenumber = 1)", "T"),
+    "count_distinct": ("count(DISTINCT l_linenumber) FILTER (WHERE l_quantity > 10)", "I"),
+}
+for _name, (_expr, _ty) in _FILTER_AGGS.items():
+    _sel = _expr if _ty != "T" else f"CAST({_expr} AS STRING)"
+    corpus(f"aggfilter_file_{_name}", f"FILTER-clause aggregate: {_name} (reference test/sql/aggregate/aggregates)")([
+        (_ty, "", f"SELECT {_sel} FROM lineitem"),
+        ("T" + _ty, "rowsort", f"SELECT l_returnflag, {_sel} FROM lineitem GROUP BY l_returnflag"),
+        (_ty, "", f"SELECT {_sel} FROM lineitem WHERE l_orderkey < 0"),
+    ])
+
+# Remaining window distribution functions as per-function files.
+_WIN_FNS2 = {
+    "cume_dist": ("cume_dist()", "R", ""),
+    "percent_rank": ("percent_rank()", "R", ""),
+    "nth_value": ("nth_value(n_nationkey, 3)", "I",
+                  " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"),
+}
+for _name, (_call, _ty, _frame) in _WIN_FNS2.items():
+    def _w(call, over, ty=_ty):
+        full = f"{call} OVER ({over})"
+        return full if ty == "I" else f"round({full}, 6)"
+    corpus(f"window_file_{_name}", f"Window-function file: {_name} (reference test/sql/window/test_{_name}.test)")([
+        ("I" + _ty, "rowsort", f"SELECT n_nationkey, {_w(_call, f'ORDER BY n_nationkey{_frame}')} FROM nation"),
+        ("I" + _ty, "rowsort", f"SELECT n_nationkey, {_w(_call, f'PARTITION BY n_regionkey ORDER BY n_nationkey{_frame}')} FROM nation"),
+        ("I", "", f"SELECT count(DISTINCT x) FROM (SELECT {_call} OVER (PARTITION BY n_regionkey ORDER BY n_nationkey{_frame}) AS x FROM nation) t"),
+    ])
+
+# Binary / blob function files (reference test/sql/types/blob).
+_BIN_FNS = {
+    "hex": ("hex('abc')", "hex(r_name)", "T"),
+    "unhex": ("CAST(unhex('53504152') AS STRING)", "CAST(unhex(hex(r_name)) AS STRING)", "T"),
+    "base64_roundtrip": ("base64(CAST('abc' AS BINARY))", "base64(CAST(r_name AS BINARY))", "T"),
+    "octet_length": ("octet_length(CAST('abc' AS BINARY))", "octet_length(CAST(r_name AS BINARY))", "I"),
+    "bit_length": ("bit_length('abc')", "bit_length(r_name)", "I"),
+    "binary_compare": ("CAST(CAST('ab' AS BINARY) = CAST('ab' AS BINARY) AS STRING)",
+                       "CAST(CAST(r_name AS BINARY) = CAST(r_name AS BINARY) AS STRING)", "T"),
+    "md5_digest": ("md5('abc')", "md5(r_name)", "T"),
+}
+for _name, (_lit, _col, _ty) in _BIN_FNS.items():
+    corpus(f"blob_file_{_name}", f"Binary/blob function: {_name} (reference test/sql/types/blob)")([
+        (_ty, "", f"SELECT {_lit}"),
+        (_ty, "", f"SELECT {_col} FROM region ORDER BY r_regionkey"),
+        ("I", "", f"SELECT count(DISTINCT {_col}) FROM region"),
+    ])
+
+# Second string-function file tranche (reference test/sql/function/string).
+_STR_FNS2 = {
+    "translate": ("translate('abcab', 'ab', 'xy')", "translate(r_name, 'AE', '43')", "T"),
+    "instr": ("instr('hello', 'll')", "instr(r_name, 'A')", "I"),
+    "left_right": ("left('hello', 2) || '|' || right('hello', 2)", "left(r_name, 3) || right(r_name, 2)", "T"),
+    "ascii_chr": ("CAST(ascii('A') AS STRING) || chr(66)", "chr(ascii(r_name) + 1)", "T"),
+    "split_part": ("split_part('a|b|c', '|', 2)", "split_part(r_name, 'A', 1)", "T"),
+    "levenshtein": ("levenshtein('kitten', 'sitting')", "levenshtein(r_name, 'EUROPE')", "I"),
+    "contains_fn": ("CAST(contains('hello', 'ell') AS STRING)", "CAST(contains(r_name, 'A') AS STRING)", "T"),
+    "repeat_fn": ("repeat('ab', 3)", "repeat(substr(r_name, 1, 1), r_regionkey + 1)", "T"),
+    "printf_fn": ("printf('%d-%s', 5, 'x')", "printf('%s#%d', r_name, r_regionkey)", "T"),
+    "substring_from_for": ("substring('abcdef' FROM 2 FOR 3)", "substring(r_name FROM 2 FOR 4)", "T"),
+}
+for _name, (_lit, _col, _ty) in _STR_FNS2.items():
+    corpus(f"strfn_file_{_name}", f"String-function file: {_name} (reference test/sql/function/string)")([
+        (_ty, "", f"SELECT {_lit}"),
+        (_ty, "", f"SELECT {_col} FROM region ORDER BY r_regionkey"),
+        ("I", "", f"SELECT count(DISTINCT ({_col})) FROM region"),
+    ])
+
+# Second math-function file tranche (reference test/sql/function/numeric).
+_MATH_FNS2 = {
+    "log2": ("log2(8.0)", "round(log2(CAST(p_size AS DOUBLE)), 6)", "R"),
+    "log10": ("log10(1000.0)", "round(log10(CAST(p_size AS DOUBLE)), 6)", "R"),
+    "ln": ("ln(1.0)", "round(ln(CAST(p_size AS DOUBLE)), 6)", "R"),
+    "exp": ("exp(0.0)", "round(exp(CAST(p_size AS DOUBLE) / 50), 6)", "R"),
+    "trig": ("round(sin(0.0) + cos(0.0) + tan(0.0), 6)", "round(sin(CAST(p_size AS DOUBLE) / 10) + cos(CAST(p_size AS DOUBLE) / 10), 6)", "R"),
+    "degrees_radians": ("round(degrees(pi()), 6)", "round(radians(CAST(p_size AS DOUBLE)), 6)", "R"),
+    "factorial_fn": ("CAST(factorial(6) AS BIGINT)", "CAST(factorial(p_size % 7) AS BIGINT)", "I"),
+    "isnan_fn": ("CAST(isnan(CAST('NaN' AS DOUBLE)) AS STRING)", "CAST(isnan(p_retailprice / 100) AS STRING)", "T"),
+    "bit_count_fn": ("bit_count(255)", "bit_count(p_size)", "I"),
+}
+for _name, (_lit, _col, _ty) in _MATH_FNS2.items():
+    corpus(f"mathfn_file_{_name}", f"Math-function file: {_name} (reference test/sql/function/numeric)")([
+        (_ty, "", f"SELECT {_lit}"),
+        (_ty, "rowsort", f"SELECT {_col} FROM part WHERE p_partkey <= 20"),
+        ("I", "", f"SELECT count(*) FROM part WHERE ({_col}) IS NOT NULL AND p_partkey <= 50"),
+    ])
+
+# Second date/time-function file tranche (reference test/sql/function/date).
+_DATE_FNS2 = {
+    "last_day": ("CAST(last_day(DATE '2024-02-05') AS STRING)", "CAST(last_day(o_orderdate) AS STRING)", "T"),
+    "make_date": ("CAST(make_date(2024, 2, 29) AS STRING)", "CAST(make_date(year(o_orderdate), 1, 1) AS STRING)", "T"),
+    "hour_minute": ("CAST(hour(TIMESTAMP '2024-01-01 10:11:12') * 100 + minute(TIMESTAMP '2024-01-01 10:11:12') AS INT)", "CAST(hour(ts) * 100 + minute(ts) AS INT)", "I"),
+    "date_part_time": ("CAST(date_part('hour', TIMESTAMP '2024-06-01 23:59:58') AS INT)", "CAST(date_part('minute', ts) AS INT)", "I"),
+    "extract_parts": ("extract(month FROM DATE '2024-03-01') + extract(day FROM DATE '2024-03-09')", "extract(month FROM o_orderdate)", "I"),
+    "date_add_n": ("CAST(date_add(DATE '2024-01-01', 45) AS STRING)", "CAST(date_add(CAST(o_orderdate AS DATE), CAST(o_orderkey % 30 AS INT) + 7) AS STRING)", "T"),
+}
+for _name, (_lit, _col, _ty) in _DATE_FNS2.items():
+    _tbl, _ord = ("events", "event_id") if "ts" in _col else ("orders", "o_orderkey")
+    corpus(f"datefn_file_{_name}", f"Date-function file: {_name} (reference test/sql/function/date)")([
+        (_ty, "", f"SELECT {_lit}"),
+        (_ty, "", f"SELECT {_col} FROM {_tbl} ORDER BY {_ord} LIMIT 6"),
+        ("I", "", f"SELECT count(DISTINCT ({_col})) FROM {_tbl}"),
+    ])
+
+# GROUP BY ALL / ORDER BY ALL shorthand per table (reference
+# test/sql/aggregate + order: DuckDB popularized, Spark adopted).
+for _tbl, _gcol, _gty, _ocol in [
+    ("nation", "n_regionkey", "I", "n_nationkey"),
+    ("orders", "o_orderstatus", "T", "o_orderkey"),
+    ("lineitem", "l_returnflag", "T", "l_orderkey"),
+    ("part", "p_brand", "T", "p_partkey"),
+    ("customer", "c_mktsegment", "T", "c_custkey"),
+]:
+    corpus(f"group_order_all_{_tbl}", f"GROUP BY ALL / ORDER BY ALL over {_tbl} (reference test/sql/aggregate/group_by_all)")([
+        (_gty + "I", "rowsort", f"SELECT {_gcol}, count(*) FROM {_tbl} GROUP BY ALL"),
+        (_gty + "I", "", f"SELECT {_gcol}, count(*) AS c FROM {_tbl} GROUP BY ALL ORDER BY ALL"),
+        (_gty, "", f"SELECT DISTINCT {_gcol} FROM {_tbl} ORDER BY ALL"),
+    ])
+
+# List depth via the proven dialect-common subset: split() arrays with
+# the filter() HOF and array_contains (reference test/sql/types/list).
+corpus("list_filter_hof", "filter() higher-order function over split arrays (reference test/sql/types/list/lambdas)")([
+    ("I", "", "SELECT size_out FROM (SELECT count(*) AS size_out FROM region WHERE array_contains(split(r_name, 'R'), 'AF'))"),
+    ("T", "rowsort", "SELECT CAST(filter(split(r_name, 'A'), x -> length(x) > 1) AS STRING) FROM region"),
+    ("T", "rowsort", "SELECT CAST(filter(split(n_name, 'A'), x -> x <> '') AS STRING) FROM nation WHERE n_nationkey < 6"),
+])
+corpus("list_contains_matrix", "array_contains over split arrays per table (reference test/sql/types/list)")([
+    ("I", "", "SELECT count(*) FROM region WHERE array_contains(split(r_name, 'I'), 'AS')"),
+    ("I", "", "SELECT count(*) FROM nation WHERE array_contains(split(n_name, 'AN'), 'JAP')"),
+    ("I", "", "SELECT count(*) FROM part WHERE array_contains(split(p_name, ' '), 'green')"),
+    ("TI", "rowsort", "SELECT l_returnflag, count(*) FROM lineitem WHERE array_contains(split(l_linestatus, ''), 'O') GROUP BY l_returnflag"),
+])
+corpus("list_filter_then_agg", "Aggregates over HOF-filtered split arrays (reference test/sql/types/list/lambdas)")([
+    ("I", "", "SELECT CAST(sum(CASE WHEN array_contains(split(p_name, ' '), 'red') THEN 1 ELSE 0 END) AS BIGINT) FROM part"),
+    ("II", "rowsort", "SELECT p_size, count(*) FROM part WHERE array_contains(split(p_type, ' '), 'BRASS') GROUP BY p_size"),
+])
+
+# Ordered-set aggregates (reference test/sql/aggregate/aggregates:
+# median/quantile family).
+_PCTS = {"p25": "0.25", "p50": "0.5", "p75": "0.75", "p90": "0.9"}
+for _name, _p in _PCTS.items():
+    corpus(f"percentile_file_{_name}", f"percentile_cont({_p}) WITHIN GROUP (reference test/sql/aggregate/aggregates)")([
+        ("R", "", f"SELECT round(percentile_cont({_p}) WITHIN GROUP (ORDER BY l_quantity), 6) FROM lineitem"),
+        ("TR", "rowsort", f"SELECT l_returnflag, round(percentile_cont({_p}) WITHIN GROUP (ORDER BY l_quantity), 6) FROM lineitem GROUP BY l_returnflag"),
+        ("R", "", f"SELECT round(percentile_cont({_p}) WITHIN GROUP (ORDER BY l_quantity), 6) FROM lineitem WHERE l_orderkey < 0"),
+    ])
+corpus("median_file", "median aggregate (reference test/sql/aggregate/aggregates/median.test)")([
+    ("R", "", "SELECT round(median(l_quantity), 6) FROM lineitem"),
+    ("TR", "rowsort", "SELECT l_returnflag, round(median(l_quantity), 6) FROM lineitem GROUP BY l_returnflag"),
+    ("I", "", "SELECT CAST(median(n_nationkey) AS INT) FROM nation"),
+])
+
+# INTERSECT ALL / EXCEPT ALL over fixture scans (reference
+# test/sql/setops: bag semantics, not set semantics).
+corpus("setop_all_intersect", "INTERSECT ALL bag semantics (reference test/sql/setops)")([
+    ("I", "rowsort", "SELECT n_regionkey FROM nation INTERSECT ALL SELECT r_regionkey FROM region"),
+    ("I", "rowsort", "SELECT l_linenumber FROM lineitem WHERE l_orderkey < 100 INTERSECT ALL SELECT l_linenumber FROM lineitem WHERE l_orderkey < 200"),
+])
+corpus("setop_all_except", "EXCEPT ALL bag semantics (reference test/sql/setops)")([
+    ("I", "rowsort", "SELECT n_regionkey FROM nation EXCEPT ALL SELECT r_regionkey FROM region"),
+    ("I", "rowsort", "SELECT o_orderkey % 5 FROM orders WHERE o_orderkey < 300 EXCEPT ALL SELECT o_orderkey % 5 FROM orders WHERE o_orderkey < 100"),
+])
+corpus("setop_all_mixed_chain", "Chained ALL set-ops (reference test/sql/setops)")([
+    ("I", "rowsort", "SELECT n_regionkey FROM nation INTERSECT ALL SELECT n_regionkey FROM nation WHERE n_nationkey < 10 EXCEPT ALL SELECT r_regionkey FROM region"),
+])
+
+# Per-table scalar/EXISTS subquery corner files (reference
+# test/sql/subquery/scalar + exists).
+for _tbl, _key, _dim, _dimkey, _fk in [
+    ("nation", "n_nationkey", "region", "r_regionkey", "n_regionkey"),
+    ("supplier", "s_suppkey", "nation", "n_nationkey", "s_nationkey"),
+    ("customer", "c_custkey", "nation", "n_nationkey", "c_nationkey"),
+]:
+    corpus(f"subq_corner_{_tbl}", f"Scalar/EXISTS subquery corners over {_tbl} (reference test/sql/subquery)")([
+        ("I", "", f"SELECT count(*) FROM {_tbl} t WHERE EXISTS (SELECT 1 FROM {_dim} d WHERE d.{_dimkey} = t.{_fk} AND d.{_dimkey} % 2 = 0)"),
+        ("I", "", f"SELECT count(*) FROM {_tbl} t WHERE NOT EXISTS (SELECT 1 FROM {_dim} d WHERE d.{_dimkey} = t.{_fk})"),
+        ("I", "", f"SELECT count(*) FROM {_tbl} t WHERE t.{_fk} = (SELECT min({_dimkey}) FROM {_dim})"),
+        ("I", "", f"SELECT count(*) FROM {_tbl} t WHERE t.{_fk} IN (SELECT {_dimkey} FROM {_dim} WHERE {_dimkey} > 1)"),
+        ("II", "rowsort", f"SELECT t.{_fk}, count(*) FROM {_tbl} t WHERE EXISTS (SELECT 1 FROM {_dim} d WHERE d.{_dimkey} = t.{_fk}) GROUP BY t.{_fk}"),
+    ])
+
+# VALUES-backed inline relations (reference test/sql/select +
+# expression_scan): typed literal frames joined/set-opped with scans.
+corpus("values_inline_join", "VALUES inline relation joined to a scan (reference COLUMN_DATA_SCAN)")([
+    ("TI", "", "SELECT v.lbl, count(*) FROM nation n JOIN (VALUES (0, 'a'), (1, 'b'), (2, 'c')) AS v(k, lbl) ON n.n_regionkey = v.k GROUP BY v.lbl ORDER BY v.lbl"),
+    ("II", "", "SELECT v.k, v.k * 10 FROM (VALUES (3), (1), (2)) AS v(k) ORDER BY v.k"),
+])
+corpus("values_inline_setops", "VALUES inline relations through set-ops (reference test/sql/setops)")([
+    ("I", "rowsort", "SELECT r_regionkey FROM region UNION SELECT k FROM (VALUES (7), (8)) v(k)"),
+    ("I", "rowsort", "SELECT k FROM (VALUES (1), (2), (2), (3)) v(k) INTERSECT ALL SELECT k FROM (VALUES (2), (2), (4)) u(k)"),
+])
+corpus("values_inline_aggregate", "Aggregates straight over VALUES (reference expression_scan)")([
+    ("IRI", "", "SELECT CAST(sum(k) AS BIGINT), round(avg(k), 6), count(DISTINCT k) FROM (VALUES (1), (2), (2), (5)) v(k)"),
+    ("TI", "rowsort", "SELECT lbl, CAST(sum(k) AS BIGINT) FROM (VALUES ('a', 1), ('b', 2), ('a', 3)) v(lbl, k) GROUP BY lbl"),
+])
+
+# string_agg / listagg determinism via WITHIN GROUP-equivalent ordered
+# inputs (reference test/sql/aggregate/aggregates/string_agg.test).
+corpus("stringagg_ordered_inputs", "string_agg over pre-ordered single-row groups (reference string_agg.test)")([
+    ("T", "", "SELECT string_agg(r_name, ',') FROM (SELECT r_name FROM region WHERE r_regionkey = 0) t"),
+    ("TT", "rowsort", "SELECT n_name, string_agg(n_name, '|') FROM nation GROUP BY n_name"),
+    ("T", "", "SELECT listagg(r_name, ';') FROM (SELECT r_name FROM region WHERE r_regionkey = 4) t"),
+])
+
+# regr_* linear-regression aggregate files (reference
+# test/sql/aggregate/aggregates regression family).
+_REGR_FNS = ["regr_slope", "regr_intercept", "regr_r2", "regr_avgx", "regr_avgy", "regr_count"]
+for _name in _REGR_FNS:
+    _ty = "I" if _name == "regr_count" else "R"
+    _expr = (
+        f"{_name}(CAST(l_quantity AS DOUBLE), CAST(l_linenumber AS DOUBLE))"
+    )
+    _sel = _expr if _ty == "I" else f"round({_expr}, 6)"
+    if _name == "regr_count":
+        _sel = f"CAST({_expr} AS BIGINT)"
+    corpus(f"regr_file_{_name}", f"Regression aggregate: {_name} (reference test/sql/aggregate/aggregates)")([
+        (_ty, "", f"SELECT {_sel} FROM lineitem"),
+        ("T" + _ty, "rowsort", f"SELECT l_returnflag, {_sel} FROM lineitem GROUP BY l_returnflag"),
+    ])
+
+# Per-table composite-predicate filter matrix (reference test/sql/filter).
+for _tbl, _preds, _ordcol in [
+    ("orders", "o_totalprice > 100000 AND o_orderstatus <> 'F' OR o_orderpriority LIKE '1%'", "o_orderkey"),
+    ("lineitem", "l_quantity BETWEEN 10 AND 20 AND (l_returnflag = 'R' OR l_linestatus = 'O')", "l_orderkey"),
+    ("part", "p_size IN (5, 10, 15) AND p_name LIKE '%green%'", "p_partkey"),
+    ("customer", "c_acctbal < 0 OR c_mktsegment IN ('BUILDING', 'MACHINERY')", "c_custkey"),
+    ("supplier", "s_acctbal > 0 AND NOT (s_nationkey = 3)", "s_suppkey"),
+]:
+    corpus(f"filter_matrix_{_tbl}", f"Composite predicate matrix over {_tbl} (reference test/sql/filter)")([
+        ("I", "", f"SELECT count(*) FROM {_tbl} WHERE {_preds}"),
+        ("I", "", f"SELECT count(*) FROM {_tbl} WHERE NOT ({_preds})"),
+        ("I", "", f"SELECT count(*) FROM {_tbl} WHERE ({_preds}) IS NULL"),
+        ("I", "", f"SELECT min({_ordcol}) FROM {_tbl} WHERE {_preds}"),
+    ])
+
+
+# LIMIT/OFFSET pagination matrix per table (reference test/sql/limit).
+for _tbl, _key in [
+    ("region", "r_regionkey"), ("nation", "n_nationkey"),
+    ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+    ("part", "p_partkey"), ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey"), ("events", "event_id"),
+]:
+    corpus(f"limitoffset_file_{_tbl}", f"LIMIT/OFFSET over ordered {_tbl} (reference test/sql/limit)")([
+        ("I", "", f"SELECT {_key} FROM {_tbl} ORDER BY {_key} LIMIT 4"),
+        ("I", "", f"SELECT {_key} FROM {_tbl} ORDER BY {_key} LIMIT 3 OFFSET 2"),
+        ("I", "", f"SELECT {_key} FROM {_tbl} ORDER BY {_key} DESC LIMIT 3"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_key} FROM {_tbl} ORDER BY {_key} LIMIT 10 OFFSET 5) t"),
+        ("I", "", f"SELECT {_key} FROM {_tbl} ORDER BY {_key} LIMIT 0"),
+    ])
+
+# CASE projection + aggregation matrix per table (reference
+# test/sql/case).
+for _tbl, _key, _num in [
+    ("region", "r_regionkey", "r_regionkey"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("customer", "c_custkey", "c_nationkey"),
+    ("supplier", "s_suppkey", "s_nationkey"),
+    ("part", "p_partkey", "p_size"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("lineitem", "l_orderkey, l_linenumber", "l_linenumber"),
+    ("events", "event_id", "user_id"),
+]:
+    _case = f"CASE WHEN {_num} % 3 = 0 THEN 'z' WHEN {_num} % 3 = 1 THEN 'o' ELSE 't' END"
+    corpus(f"casewhen_file_{_tbl}", f"CASE projection and aggregation over {_tbl} (reference test/sql/case)")([
+        ("TI", "rowsort", f"SELECT {_case}, count(*) FROM {_tbl} GROUP BY {_case}"),
+        ("I", "", f"SELECT count(*) FROM {_tbl} WHERE ({_case}) = 'z'"),
+        ("T", "", f"SELECT {_case} FROM {_tbl} ORDER BY {_key} LIMIT 5"),
+        ("I", "", f"SELECT CAST(sum(CASE WHEN {_num} % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM {_tbl}"),
+    ])
+
+# NULLS FIRST/LAST x direction matrix over nullable expressions
+# (reference test/sql/order).
+for _tbl, _expr, _key in [
+    ("orders", "nullif(o_orderkey % 4, 0)", "o_orderkey"),
+    ("nation", "nullif(n_regionkey, 2)", "n_nationkey"),
+    ("part", "nullif(p_size % 5, 1)", "p_partkey"),
+    ("lineitem", "nullif(l_linenumber, 3)", "l_orderkey"),
+]:
+    corpus(f"ordernulls_file_{_tbl}", f"NULLS FIRST/LAST ordering matrix over {_tbl} (reference test/sql/order)")([
+        ("I", "", f"SELECT {_expr} FROM {_tbl} ORDER BY {_expr} ASC NULLS FIRST, {_key} LIMIT 6"),
+        ("I", "", f"SELECT {_expr} FROM {_tbl} ORDER BY {_expr} ASC NULLS LAST, {_key} LIMIT 6"),
+        ("I", "", f"SELECT {_expr} FROM {_tbl} ORDER BY {_expr} DESC NULLS FIRST, {_key} LIMIT 6"),
+        ("I", "", f"SELECT {_expr} FROM {_tbl} ORDER BY {_expr} DESC NULLS LAST, {_key} LIMIT 6"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
