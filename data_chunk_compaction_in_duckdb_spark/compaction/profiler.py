@@ -15,14 +15,20 @@ from pyspark.sql import functions as F
 
 
 def partition_row_counts(df: DataFrame) -> list[int]:
-    """Rows per partition, index-aligned (empty partitions report 0)."""
+    """Rows per partition, index-aligned (empty partitions report 0).
+
+    ``df.rdd.getNumPartitions()`` and the pids observed inside the
+    groupBy can disagree: each is its own query execution, and AQE may
+    coalesce them differently (observed: pid 34 from a 32-partition
+    rdd view).  Size by whichever is larger so an AQE mismatch degrades
+    to extra trailing zeros instead of an IndexError."""
     n = df.rdd.getNumPartitions()
     rows = (
         df.groupBy(F.spark_partition_id().alias("_pid"))
         .agg(F.count(F.lit(1)).alias("_n"))
         .collect()
     )
-    out = [0] * n
+    out = [0] * max([n] + [r["_pid"] + 1 for r in rows])
     for r in rows:
         out[r["_pid"]] = r["_n"]
     return out

@@ -415,15 +415,26 @@ def dedup_semantic_ivf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing is compact enough to replay bit-for-bit in SQL: the oracle
     recomputes the md5 centroids, the multi-assignment, and the exact
     cosine re-rank (threshold calibrated to the synthetic data like the
-    brute-force twin)."""
+    brute-force twin).
+
+    Cell count follows SCALE.md's measured rule — one cell per ~250
+    vectors (hold n/cells constant, floor 8), since per-cell candidate
+    volume grows as (n*n_assign)^2/cells: at sf1 the fixed 8-cell
+    setting degraded to 35x the sf0.1 time (round-4 bench) while the
+    rule keeps scaling linear.  The static DuckDB oracle inlines 8
+    centroid literals, which the rule reproduces at every driver SF
+    (<= 2000 vectors); beyond that there is no oracle run, only the
+    bench.  The count() is one scalar job — model-sized driver state,
+    same budget class as the ANN trainers' collects."""
     from data_chunk_compaction_in_duckdb_spark.pipeline import (
         semantic_ivf_neardup_pairs,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n_clusters = max(8, emb.count() // 250)
     out = semantic_ivf_neardup_pairs(
-        emb, "vec_id", "embedding", dim=64, n_clusters=8, n_assign=2,
-        threshold=0.25,
+        emb, "vec_id", "embedding", dim=64, n_clusters=n_clusters,
+        n_assign=2, threshold=0.25,
     )
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
