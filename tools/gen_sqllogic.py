@@ -2957,6 +2957,57 @@ for _tbl, _expr, _key in [
         ("I", "", f"SELECT {_expr} FROM {_tbl} ORDER BY {_expr} DESC NULLS LAST, {_key} LIMIT 6"),
     ])
 
+# Standard PIVOT clause — the `FROM ... PIVOT (agg FOR col IN (...))`
+# spelling parses identically in DuckDB and Spark, including multi-agg
+# + per-value aliases and the `value_aggalias` output-column naming
+# (reference test/sql/pivot).  Aggregates kept integer-valued (count /
+# min / max / sum of ints) so the goldens are exact.
+corpus("pivot_std_orders", "Standard PIVOT over orders status (reference test/sql/pivot)")([
+    ("TIII", "", "SELECT * FROM (SELECT o_orderpriority, o_orderstatus, o_orderkey FROM orders) PIVOT (count(o_orderkey) FOR o_orderstatus IN ('O', 'F', 'P')) ORDER BY o_orderpriority"),
+    ("TII", "", "SELECT * FROM (SELECT o_orderpriority, o_orderstatus, o_orderkey FROM orders WHERE o_orderkey < 2000) PIVOT (max(o_orderkey) FOR o_orderstatus IN ('O' AS open_max, 'F' AS done_max)) ORDER BY o_orderpriority"),
+])
+corpus("pivot_std_lineitem", "Standard PIVOT over lineitem flags (reference test/sql/pivot)")([
+    ("III", "", "SELECT * FROM (SELECT l_linenumber, l_returnflag, l_orderkey FROM lineitem) PIVOT (count(l_orderkey) FOR l_returnflag IN ('A', 'N')) ORDER BY l_linenumber"),
+    ("TIIII", "", "SELECT * FROM (SELECT l_linestatus, l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem) PIVOT (count(q) AS c, sum(q) AS s FOR l_returnflag IN ('A' AS ra, 'R' AS rr)) ORDER BY l_linestatus"),
+])
+corpus("pivot_std_nation", "Standard PIVOT with missing pivot values yielding NULL cells (reference test/sql/pivot)")([
+    ("IIII", "", "SELECT * FROM (SELECT n_nationkey % 3 AS grp, n_regionkey, n_nationkey FROM nation) PIVOT (count(n_nationkey) FOR n_regionkey IN (0, 2, 4)) ORDER BY grp"),
+    ("III", "", "SELECT * FROM (SELECT n_regionkey, n_name, n_nationkey FROM nation WHERE n_regionkey < 2) PIVOT (min(n_nationkey) FOR n_name IN ('NATION_0' AS n0, 'NATION_1' AS n1)) ORDER BY n_regionkey"),
+])
+
+# Standard UNPIVOT clause — `FROM ... UNPIVOT [INCLUDE NULLS] (val FOR
+# name IN (cols...))` is shared syntax; default excludes NULL cells in
+# both engines (reference test/sql/pivot + Spark UNPIVOT).
+corpus("unpivot_std_matrix", "Standard UNPIVOT incl. INCLUDE NULLS (reference test/sql/pivot)")([
+    ("TTI", "", "SELECT * FROM (SELECT l_returnflag, CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_cnt, CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS done_cnt FROM lineitem GROUP BY l_returnflag) UNPIVOT (cnt FOR status IN (open_cnt, done_cnt)) ORDER BY l_returnflag, status"),
+    ("TTI", "", "SELECT * FROM (SELECT r_name, CAST(r_regionkey AS BIGINT) AS key_col, CAST(nullif(r_regionkey, 2) AS BIGINT) AS nullable_col FROM region) UNPIVOT (v FOR src IN (key_col, nullable_col)) ORDER BY r_name, src"),
+    ("TTI", "", "SELECT * FROM (SELECT r_name, CAST(r_regionkey AS BIGINT) AS key_col, CAST(nullif(r_regionkey, 2) AS BIGINT) AS nullable_col FROM region) UNPIVOT INCLUDE NULLS (v FOR src IN (key_col, nullable_col)) ORDER BY r_name, src"),
+])
+
+# Second list-function tranche: names that resolve in BOTH engines over
+# split() arrays (DuckDB's array_* aliases) — sort/distinct/intersect
+# wrapped in array_sort where one engine leaves order unspecified
+# (reference test/sql/types/list).
+corpus("list_fn_extra", "array_sort/distinct/intersect/append/prepend/position shared surface (reference test/sql/types/list)")([
+    ("T", "rowsort", "SELECT CAST(array_sort(split(r_name, 'R')) AS STRING) FROM region"),
+    ("T", "rowsort", "SELECT CAST(array_sort(array_distinct(split(l_linestatus || ',' || l_returnflag || ',' || l_linestatus, ','))) AS STRING) FROM lineitem WHERE l_orderkey < 40"),
+    ("T", "rowsort", "SELECT CAST(array_sort(array_intersect(split(n_name, 'A'), split(n_name, 'I'))) AS STRING) FROM nation WHERE n_nationkey < 6"),
+    ("T", "", "SELECT CAST(array_append(split(r_name, 'E'), 'tail') AS STRING) FROM region ORDER BY r_regionkey"),
+    # NOTE array_prepend is NOT dialect-common: Spark takes (array, elem),
+    # DuckDB (elem, list) — validator-caught; append agrees in both.
+    ("T", "", "SELECT CAST(array_append(array_append(split(r_name, 'E'), 'x'), 'y') AS STRING) FROM region ORDER BY r_regionkey"),
+    ("II", "rowsort", "SELECT CAST(array_position(split(p_name, ' '), 'widget') AS BIGINT), count(*) FROM part GROUP BY 1"),
+    ("I", "", "SELECT count(*) FROM part WHERE array_position(split(p_name, ' '), 'blue') = 1"),
+])
+
+# json_array_length is the one JSON scalar shared by name and semantics
+# (reference test/sql/json).
+corpus("json_shared_surface", "json_array_length over literal and built JSON (reference test/sql/json)")([
+    ("I", "", "SELECT CAST(json_array_length('[1,2,3]') AS BIGINT)"),
+    ("I", "", "SELECT CAST(json_array_length('[]') AS BIGINT)"),
+    ("II", "rowsort", "SELECT CAST(json_array_length('[' || repeat('1,', r_regionkey) || '9]') AS BIGINT), count(*) FROM region GROUP BY 1"),
+])
+
 
 def main() -> int:
     import duckdb
