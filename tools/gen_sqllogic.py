@@ -3002,6 +3002,20 @@ corpus("list_fn_extra", "array_sort/distinct/intersect/append/prepend/position s
 
 # json_array_length is the one JSON scalar shared by name and semantics
 # (reference test/sql/json).
+# Third misc scalar tranche: names probed shared this round.  NOT
+# shared (validator/probe-caught): starts_with (DuckDB) vs startswith
+# (Spark), strpos/sha256 (DuckDB-only), sha2/crc32 (Spark-only), hash
+# (different algorithms), ^ (power in DuckDB, xor in Spark!).
+corpus("misc_shared_fns3", "printf/make_timestamp/cot/shift-operator shared surface (reference test/sql/function)")([
+    ("T", "", "SELECT printf('%d|%s', r_regionkey, r_name) FROM region ORDER BY r_regionkey"),
+    ("T", "", "SELECT CAST(make_timestamp(2024, 2, 29, 23, 59, 58.5) AS STRING)"),
+    ("T", "", "SELECT CAST(make_timestamp(2000, 1, n_nationkey % 12 + 1, n_nationkey, 0, 0) AS STRING) FROM nation WHERE n_nationkey < 5 ORDER BY n_nationkey"),
+    ("R", "", "SELECT round(cot(1.0), 6)"),
+    ("II", "", "SELECT 1 << 10, 4096 >> 5"),
+    ("II", "rowsort", "SELECT n_regionkey << 2, count(*) FROM nation GROUP BY n_regionkey"),
+    ("I", "", "SELECT CAST(position('ION' IN n_name) AS BIGINT) FROM nation ORDER BY n_nationkey LIMIT 5"),
+])
+
 corpus("json_shared_surface", "json_array_length over literal and built JSON (reference test/sql/json)")([
     ("I", "", "SELECT CAST(json_array_length('[1,2,3]') AS BIGINT)"),
     ("I", "", "SELECT CAST(json_array_length('[]') AS BIGINT)"),
