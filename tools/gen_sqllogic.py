@@ -2975,6 +2975,30 @@ corpus("pivot_std_nation", "Standard PIVOT with missing pivot values yielding NU
     ("III", "", "SELECT * FROM (SELECT n_regionkey, n_name, n_nationkey FROM nation WHERE n_regionkey < 2) PIVOT (min(n_nationkey) FOR n_name IN ('NATION_0' AS n0, 'NATION_1' AS n1)) ORDER BY n_regionkey"),
 ])
 
+# Per-table PIVOT matrix over each fixture table's low-cardinality
+# dimension (reference test/sql/pivot) — count + integer-sum forms,
+# grouped and global.
+for _tbl, _grp, _gty, _dim, _vals, _cnt in [
+    ("customer", "c_nationkey % 4", "I", "c_mktsegment",
+     "'MACHINERY' AS mach, 'BUILDING' AS bld, 'HOUSEHOLD' AS hh", "c_custkey"),
+    ("events", "user_id % 3", "I", "event_type",
+     "'click' AS clicks, 'view' AS views, 'purchase' AS buys", "event_id"),
+    ("documents", "n_chars % 2", "I", "lang",
+     "'en' AS en, 'fr' AS fr, 'zh' AS zh", "doc_id"),
+    # NOTE empty pivot cells diverge for count(): DuckDB fills 0, Spark
+    # NULL — validator-caught on part at p_size % 5.  Specs below keep
+    # every (group, value) cell occupied; the NULL-cell behavior is
+    # pinned (as NULL) by the min() specs in pivot_std_nation instead.
+    ("part", "p_size % 2", "I", "p_brand",
+     "'Brand#1' AS b1, 'Brand#2' AS b2", "p_partkey"),
+]:
+    corpus(f"pivot_matrix_{_tbl}", f"Standard PIVOT matrix over {_tbl} (reference test/sql/pivot)")([
+        (_gty + "I" * (_vals.count(",") + 1), "rowsort",
+         f"SELECT * FROM (SELECT {_grp} AS grp, {_dim}, {_cnt} FROM {_tbl}) PIVOT (count({_cnt}) FOR {_dim} IN ({_vals}))"),
+        ("I" * (_vals.count(",") + 1), "",
+         f"SELECT * FROM (SELECT {_dim}, {_cnt} FROM {_tbl}) PIVOT (count({_cnt}) FOR {_dim} IN ({_vals}))"),
+    ])
+
 # Standard UNPIVOT clause — `FROM ... UNPIVOT [INCLUDE NULLS] (val FOR
 # name IN (cols...))` is shared syntax; default excludes NULL cells in
 # both engines (reference test/sql/pivot + Spark UNPIVOT).
