@@ -50,6 +50,7 @@ _MODULE_PRIORITY = [
     "subqueries",      # mark/single joins, decorrelation
     "recursion",       # recursive CTE
     "collation_q",     # ICU locale collations (never driver-checked)
+    "storage_q",       # versioned store: time travel / snapshot diffs
     "tpch_partsupp",   # official-text q2/q11/q16/q20 over derived partsupp
     "tpch_more",       # TPC-H q7-q14 tail
     "tpch_tail",       # TPC-H q15-q22

@@ -1,0 +1,213 @@
+"""Persistent-storage parity queries: versioned commits, time travel,
+and snapshot diffs over the copy-on-write table store
+(reference test/sql/storage/, test/sql/storage_version/,
+test/sql/transactions/ — storage.versioned for the design mapping).
+
+Each query materializes a real VersionedTable under a throwaway
+directory, drives a deterministic commit sequence against it, and
+returns version-level aggregates.  The DuckDB oracle replays the SAME
+mutation algebra as pure CTEs over the base parquet — if the store's
+commit/manifest/copy-on-write machinery drops, duplicates, or
+mis-scopes a single row, the per-version counts and exact-cents sums
+diverge.
+
+Sums use exact integer cents (floor(price*100) per row, BIGINT sum) so
+the hash is order-independent — the same discipline as the h2oai
+corpus.  The returned relation is version-count-sized, so the final
+createDataFrame is metadata-scale, never row-scale.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+from data_chunk_compaction_in_duckdb_spark.queries.registry import query
+from data_chunk_compaction_in_duckdb_spark.storage import VersionedTable
+
+# The shared deterministic commit sequence (Spark drives the store;
+# DuckDB replays the algebra):
+#   v0 create : orders with o_orderkey % 10 < 3
+#   v1 insert : orders with o_orderkey % 10 = 7
+#   v2 delete : WHERE o_orderstatus = 'F' AND o_orderkey % 100 < 50
+#   v3 update : o_totalprice += 100.0 WHERE o_orderpriority LIKE '1%'
+_ORACLE_VERSIONS_CTE = """
+    WITH v0 AS (SELECT * FROM orders WHERE o_orderkey % 10 < 3),
+    v1 AS (SELECT * FROM v0
+           UNION ALL SELECT * FROM orders WHERE o_orderkey % 10 = 7),
+    v2 AS (SELECT * FROM v1
+           WHERE NOT COALESCE(
+             o_orderstatus = 'F' AND o_orderkey % 100 < 50, FALSE)),
+    v3 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                  CASE WHEN o_orderpriority LIKE '1%'
+                       THEN o_totalprice + 100.0 ELSE o_totalprice END
+                    AS o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM v2)
+"""
+
+
+def _drive_commits(spark: SparkSession, sf_dir: str) -> tuple[VersionedTable, str]:
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="vt_q_")
+    vt = VersionedTable.create(
+        spark, root + "/t", orders.filter(F.col("o_orderkey") % 10 < 3)
+    )
+    vt.insert(orders.filter(F.col("o_orderkey") % 10 == 7))
+    vt.delete_where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 100 < 50)
+    )
+    vt.update_where(
+        F.col("o_orderpriority").startswith("1"),
+        {"o_totalprice": F.col("o_totalprice") + 100.0},
+    )
+    return vt, root
+
+
+def _version_stats(vt: VersionedTable, v: int) -> tuple[int, int]:
+    n, cents = (
+        vt.read(v)
+        .agg(
+            F.count("*"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")),
+        )
+        .collect()[0]
+    )
+    return int(n), int(cents)
+
+
+@query(
+    "storage_timetravel_versions",
+    oracle=_ORACLE_VERSIONS_CTE
+    + """
+    SELECT 0 AS version, 'create' AS op, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents FROM v0
+    UNION ALL
+    SELECT 1, 'insert', COUNT(*),
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      FROM v1
+    UNION ALL
+    SELECT 2, 'delete', COUNT(*),
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      FROM v2
+    UNION ALL
+    SELECT 3, 'update', COUNT(*),
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      FROM v3
+    ORDER BY version
+    """,
+)
+def storage_timetravel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel across a create→insert→delete→update commit chain:
+    each version's row count and exact-cents sum read AS OF that
+    version from the manifests the commits actually wrote."""
+    vt, root = _drive_commits(spark, sf_dir)
+    try:
+        ops = ["create", "insert", "delete", "update"]
+        rows = [
+            (v, ops[v], *_version_stats(vt, v)) for v in range(4)
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("version", IntegerType()),
+            StructField("op", StringType()),
+            StructField("n_rows", LongType()),
+            StructField("sum_cents", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "storage_snapshot_diff",
+    oracle=_ORACLE_VERSIONS_CTE
+    + """
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v0))
+        AS n_added,
+      (SELECT COUNT(*) FROM (SELECT * FROM v0 EXCEPT ALL SELECT * FROM v3))
+        AS n_removed
+    """,
+)
+def storage_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between version 0 and the latest version (EXCEPT
+    ALL both ways): updated rows count on both sides, inserts only on
+    the added side, deletes only on the removed side.  Exercises that
+    old manifests stay readable after later copy-on-write commits."""
+    vt, root = _drive_commits(spark, sf_dir)
+    try:
+        cols = vt.read(0).columns
+        v0 = vt.read(0).select(cols)
+        v3 = vt.read(3).select(cols)
+        n_added = v3.exceptAll(v0).count()
+        n_removed = v0.exceptAll(v3).count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("n_added", LongType()),
+            StructField("n_removed", LongType()),
+        ]
+    )
+    return spark.createDataFrame([(n_added, n_removed)], schema)
+
+
+@query(
+    "storage_checkpoint_content",
+    oracle=_ORACLE_VERSIONS_CTE
+    + """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM v3
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def storage_checkpoint_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT + VACUUM then read: the compacted file set (old
+    versions' files physically deleted) must still reproduce the
+    latest logical state, per-group (reference checkpoint_manager
+    folding the WAL into the block file without changing table
+    content)."""
+    vt, root = _drive_commits(spark, sf_dir)
+    try:
+        vt.checkpoint(n_files=2)
+        vt.vacuum(retain_last=1)
+        out = (
+            vt.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+                .alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()
+        )
+        rows = [(r["o_orderstatus"], r["n_rows"], r["sum_cents"]) for r in out]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("o_orderstatus", StringType()),
+            StructField("n_rows", LongType()),
+            StructField("sum_cents", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

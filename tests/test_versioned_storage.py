@@ -1,0 +1,140 @@
+"""Versioned table store: commits, time travel, copy-on-write scope,
+checkpoint, vacuum, and optimistic-concurrency conflicts
+(reference test/sql/storage/, test/sql/transactions/,
+test/sql/storage_version/)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_chunk_compaction_in_duckdb_spark.storage import (
+    CommitConflictError,
+    VersionedTable,
+)
+
+
+@pytest.fixture()
+def vt(spark, sf_dir, tmp_path):
+    base = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .filter(F.col("o_orderkey") % 10 < 3)
+    )
+    return VersionedTable.create(spark, str(tmp_path / "t"), base)
+
+
+def test_create_and_read_roundtrip(vt):
+    assert vt.latest_version() == 0
+    base_count = vt.read().count()
+    assert base_count > 0
+    assert vt.read(0).count() == base_count
+
+
+def test_insert_is_append_only_and_time_travels(vt, spark, sf_dir):
+    v0_count = vt.read().count()
+    v0_files = set(vt._manifest(0)["files"])
+    extra = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .filter(F.col("o_orderkey") % 10 == 7)
+    )
+    v = vt.insert(extra)
+    assert v == 1
+    # append-only: every v0 file carried forward by reference
+    assert v0_files <= set(vt._manifest(1)["files"])
+    assert vt.read().count() == v0_count + extra.count()
+    assert vt.read(0).count() == v0_count  # snapshot isolation
+
+
+def test_delete_rewrites_only_affected_files(vt):
+    cond = F.col("o_orderstatus") == "F"
+    n_match = vt.read().filter(cond).count()
+    assert n_match > 0
+    before = vt.read().count()
+    affected = vt._affected_files(cond)
+    v = vt.delete_where(cond)
+    m = vt._manifest(v)
+    untouched = set(vt._manifest(0)["files"]) - affected
+    assert untouched <= set(m["files"])  # untouched files by reference
+    assert vt.read().count() == before - n_match
+    assert vt.read().filter(cond).count() == 0
+    assert vt.read(0).filter(cond).count() == n_match  # old version intact
+
+
+def test_update_where_changes_only_matching_rows(vt):
+    cond = F.col("o_orderpriority").startswith("1")
+    n_match = vt.read().filter(cond).count()
+    total_before = vt.read().agg(F.sum("o_totalprice")).collect()[0][0]
+    vt.update_where(cond, {"o_totalprice": F.col("o_totalprice") + 1000.0})
+    total_after = vt.read().agg(F.sum("o_totalprice")).collect()[0][0]
+    assert total_after == pytest.approx(total_before + 1000.0 * n_match)
+    assert vt.read().count() == vt.read(0).count()
+
+
+def test_merge_upserts_by_key(vt, spark):
+    sample = vt.read().limit(5).withColumn("o_orderpriority", F.lit("MERGED"))
+    new_rows = sample.withColumn(
+        "o_orderkey", -F.col("o_orderkey") - 1
+    )  # keys not present
+    updates = sample.unionByName(new_rows)
+    before = vt.read().count()
+    vt.merge(updates, "o_orderkey")
+    after = vt.read()
+    assert after.count() == before + new_rows.count()
+    merged = after.filter(F.col("o_orderpriority") == "MERGED")
+    assert merged.count() == updates.count()
+
+
+def test_checkpoint_compacts_and_preserves_content(vt, spark, sf_dir):
+    extra = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .filter(F.col("o_orderkey") % 10 == 7)
+    )
+    vt.insert(extra)
+    pre = vt.read()
+    pre_count, pre_sum = pre.agg(
+        F.count("*"), F.round(F.sum("o_totalprice"), 2)
+    ).collect()[0]
+    v = vt.checkpoint(n_files=2)
+    m = vt._manifest(v)
+    assert len(m["files"]) <= 2
+    post_count, post_sum = vt.read().agg(
+        F.count("*"), F.round(F.sum("o_totalprice"), 2)
+    ).collect()[0]
+    assert (post_count, post_sum) == (pre_count, pre_sum)
+
+
+def test_vacuum_drops_unreferenced_files_keeps_retained(vt):
+    vt.delete_where(F.col("o_orderstatus") == "F")
+    vt.checkpoint(n_files=1)
+    latest_count = vt.read().count()
+    removed = vt.vacuum(retain_last=1)
+    assert removed  # the pre-checkpoint files are gone
+    assert vt.read().count() == latest_count  # latest still readable
+    with pytest.raises(FileNotFoundError):
+        vt._manifest(0)  # pre-horizon manifest dropped
+
+
+def test_concurrent_commit_conflict(vt, spark):
+    rows = vt.read().limit(1)
+    vt.insert(rows)
+    # a second writer racing to the same version number loses with
+    # CommitConflictError (O_EXCL manifest create)
+    files = vt._write_data(rows)
+    with pytest.raises(CommitConflictError):
+        vt._commit(vt.latest_version(), "insert", files, rows.schema)
+
+
+def test_empty_table_after_full_delete_keeps_schema(vt):
+    vt.delete_where(F.lit(True))
+    out = vt.read()
+    assert out.count() == 0
+    assert "o_orderkey" in out.columns
+
+
+def test_history_records_ops(vt):
+    vt.insert(vt.read(0).limit(1))
+    vt.delete_where(F.col("o_orderkey") < 0)  # no-op delete still commits
+    ops = [h["op"] for h in vt.history()]
+    assert ops == ["create", "insert", "delete"]
