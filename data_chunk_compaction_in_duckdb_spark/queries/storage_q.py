@@ -211,3 +211,76 @@ def storage_checkpoint_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "storage_schema_evolution",
+    oracle="""
+    WITH s0 AS (SELECT * FROM orders WHERE o_orderkey % 10 < 3),
+    s1 AS (SELECT *, 'N' AS flag FROM s0),
+    s2 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderpriority,
+                  CASE WHEN o_orderstatus = 'O' THEN 'Y' ELSE flag END AS flag
+           FROM s1),
+    s5 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice AS price, o_orderpriority, flag FROM s2
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderpriority, 'I'
+           FROM orders WHERE o_orderkey % 10 = 7)
+    SELECT flag, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(floor(price * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM s5
+    GROUP BY flag
+    ORDER BY flag
+    """,
+)
+def storage_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE chain over live data: ADD COLUMN DEFAULT (eager
+    backfill), UPDATE through the new column, metadata-only RENAME and
+    DROP (zero files rewritten — pinned by the module tests), then an
+    INSERT under the evolved schema.  The oracle replays the schema
+    algebra as projections; any mapping slip (resurrected dropped
+    column, stale physical name) shifts the per-flag sums."""
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="vt_q_")
+    try:
+        vt = VersionedTable.create(
+            spark, root + "/t", orders.filter(F.col("o_orderkey") % 10 < 3)
+        )
+        vt.add_column("flag", "string", default=F.lit("N"))
+        vt.update_where(
+            F.col("o_orderstatus") == "O", {"flag": F.lit("Y")}
+        )
+        vt.rename_column("o_totalprice", "price")
+        vt.drop_column("o_orderdate")
+        incoming = (
+            orders.filter(F.col("o_orderkey") % 10 == 7)
+            .withColumn("flag", F.lit("I"))
+            .withColumnRenamed("o_totalprice", "price")
+            .drop("o_orderdate")
+        )
+        vt.insert(incoming)
+        out = (
+            vt.read()
+            .groupBy("flag")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.floor(F.col("price") * 100).cast("long"))
+                .alias("sum_cents"),
+            )
+            .orderBy("flag")
+            .collect()
+        )
+        rows = [(r["flag"], r["n_rows"], r["sum_cents"]) for r in out]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("flag", StringType()),
+            StructField("n_rows", LongType()),
+            StructField("sum_cents", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

@@ -1,4 +1,5 @@
-"""Copy-on-write versioned parquet tables with time travel.
+"""Copy-on-write versioned parquet tables with time travel and
+metadata-only schema evolution.
 
 Reference parity (SURVEY.md §2.1 storage rows):
   - durable table data + per-commit metadata  → data files + JSON
@@ -21,13 +22,26 @@ Reference parity (SURVEY.md §2.1 storage rows):
     test/sql/transactions/) → two writers racing to the same next
     version: exactly one O_EXCL manifest create wins, the loser gets
     CommitConflictError and must rebase (retry on the new latest).
+  - ALTER TABLE (test/sql/alter/, src/catalog/ alter paths) →
+    ``add_column`` / ``drop_column`` / ``rename_column``.  The manifest
+    keeps a LOGICAL→PHYSICAL column mapping (the Iceberg field-ID idea
+    expressed with names): files always carry physical names, readers
+    project physical→logical, so RENAME and DROP are metadata-only
+    commits — zero data rewritten at any table size.  A dropped-then-
+    re-added column gets a FRESH physical name (``used_physical``
+    ledger), so old files can never resurrect the dropped values.
 
 Scale shape (100 TB): mutations never rewrite the table — DELETE /
 UPDATE / MERGE first find the AFFECTED files (a distributed
 semi-search collecting only distinct file NAMES, bounded by file
 count, never rows), carry every untouched file forward by reference,
 and rewrite only the touched ones.  The driver-side state is manifest
-metadata: O(files), not O(rows).
+metadata: O(files), not O(rows).  The one O(rows) ALTER is
+``add_column`` with a non-null default, which backfills eagerly to
+match the reference's ALTER ADD COLUMN DEFAULT semantics exactly
+(DuckDB also materializes the default column; an explicit NULL
+inserted later must stay NULL, which a read-time COALESCE would
+repaint).
 """
 
 from __future__ import annotations
@@ -41,7 +55,7 @@ from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import DataType, StructField, StructType
 
 
 class CommitConflictError(RuntimeError):
@@ -54,8 +68,9 @@ def _strip_uri(name: str) -> str:
 
 
 class VersionedTable:
-    """A table rooted at ``path`` with ``data/`` (immutable parquet)
-    and ``_log/`` (one ``<version>.json`` manifest per commit)."""
+    """A table rooted at ``path`` with ``data/`` (immutable parquet,
+    physical column names) and ``_log/`` (one ``<version>.json``
+    manifest per commit)."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -69,12 +84,21 @@ class VersionedTable:
     def create(
         cls, spark: SparkSession, path: str, df: DataFrame
     ) -> "VersionedTable":
-        """CREATE TABLE AS: version 0 holds df's rows."""
+        """CREATE TABLE AS: version 0 holds df's rows (identity
+        logical→physical mapping)."""
         t = cls(spark, path)
         os.makedirs(t.log_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
-        files = t._write_data(df)
-        t._commit(0, "create", files, df.schema)
+        mapping = {f.name: f.name for f in df.schema.fields}
+        files = t._write_data(df, mapping)
+        t._commit(
+            0,
+            "create",
+            files,
+            schema=df.schema,
+            mapping=mapping,
+            used_physical=sorted(mapping.values()),
+        )
         return t
 
     def latest_version(self) -> int:
@@ -92,13 +116,21 @@ class VersionedTable:
             return json.load(f)
 
     def _commit(
-        self, version: int, op: str, files: list[str], schema: StructType
+        self,
+        version: int,
+        op: str,
+        files: list[str],
+        schema: StructType,
+        mapping: dict[str, str],
+        used_physical: list[str],
     ) -> None:
         manifest = {
             "version": version,
             "op": op,
             "files": sorted(files),
             "schema": schema.json(),
+            "mapping": mapping,
+            "used_physical": used_physical,
         }
         p = os.path.join(self.log_dir, f"{version:08d}.json")
         try:
@@ -110,11 +142,14 @@ class VersionedTable:
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
 
-    def _write_data(self, df: DataFrame) -> list[str]:
-        """Write df as fresh immutable parquet; return file names
-        relative to the table root."""
+    def _write_data(self, df: DataFrame, mapping: dict[str, str]) -> list[str]:
+        """Write df (logical column names) as fresh immutable parquet
+        under physical names; return file names relative to the root."""
+        renamed = df.select(
+            *[F.col(lg).alias(ph) for lg, ph in mapping.items()]
+        )
         sub = os.path.join(self.data_dir, uuid.uuid4().hex)
-        df.write.parquet(sub)
+        renamed.write.parquet(sub)
         return [
             os.path.relpath(p, self.path)
             for p in glob.glob(os.path.join(sub, "*.parquet"))
@@ -122,15 +157,34 @@ class VersionedTable:
 
     # ---------------------------------------------------------- reads
 
+    @staticmethod
+    def _logical_schema(m: dict) -> StructType:
+        return StructType.fromJson(json.loads(m["schema"]))
+
+    def _physical_schema(self, m: dict) -> StructType:
+        schema = self._logical_schema(m)
+        mapping = m["mapping"]
+        return StructType(
+            [
+                StructField(mapping[f.name], f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+
     def read(self, version: int | None = None) -> DataFrame:
-        """SELECT * FROM t [AS OF version]."""
+        """SELECT * FROM t [AS OF version]: read physical columns,
+        project to the version's logical names.  A column added after
+        a file was written is absent there — parquet yields NULL."""
         v = self.latest_version() if version is None else version
         m = self._manifest(v)
-        schema = StructType.fromJson(json.loads(m["schema"]))
+        schema = self._logical_schema(m)
         if not m["files"]:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.path, f) for f in m["files"]]
-        return self.spark.read.schema(schema).parquet(*paths)
+        raw = self.spark.read.schema(self._physical_schema(m)).parquet(*paths)
+        return raw.select(
+            *[F.col(ph).alias(lg) for lg, ph in m["mapping"].items()]
+        )
 
     def history(self) -> list[dict]:
         """Commit log, oldest first: version / op / file count."""
@@ -154,6 +208,13 @@ class VersionedTable:
             for r in rows
         }
 
+    def _read_files_logical(self, m: dict, files: set[str]) -> DataFrame:
+        paths = [os.path.join(self.path, f) for f in files]
+        raw = self.spark.read.schema(self._physical_schema(m)).parquet(*paths)
+        return raw.select(
+            *[F.col(ph).alias(lg) for lg, ph in m["mapping"].items()]
+        )
+
     def _cow_commit(
         self,
         op: str,
@@ -165,22 +226,26 @@ class VersionedTable:
         extras.  Untouched files move by reference."""
         v = self.latest_version()
         m = self._manifest(v)
-        schema = (
-            rewrite.schema
-            if rewrite is not None
-            else StructType.fromJson(json.loads(m["schema"]))
-        )
         keep = [f for f in m["files"] if f not in affected]
         new_files = list(extra_files or [])
         if rewrite is not None:
-            new_files += self._write_data(rewrite)
-        self._commit(v + 1, op, keep + new_files, schema)
+            new_files += self._write_data(rewrite, m["mapping"])
+        self._commit(
+            v + 1,
+            op,
+            keep + new_files,
+            schema=self._logical_schema(m),
+            mapping=m["mapping"],
+            used_physical=m["used_physical"],
+        )
         return v + 1
 
     def insert(self, rows: DataFrame) -> int:
-        """INSERT INTO: append-only — zero rewrites, one manifest."""
+        """INSERT INTO: append-only — zero rewrites, one manifest.
+        ``rows`` uses logical column names."""
+        m = self._manifest(self.latest_version())
         return self._cow_commit(
-            "insert", set(), None, self._write_data(rows)
+            "insert", set(), None, self._write_data(rows, m["mapping"])
         )
 
     def delete_where(self, cond: Column) -> int:
@@ -190,8 +255,8 @@ class VersionedTable:
         affected = self._affected_files(cond)
         if not affected:
             return self._cow_commit("delete", set(), None)
-        paths = [os.path.join(self.path, f) for f in affected]
-        survivors = self.spark.read.parquet(*paths).filter(
+        m = self._manifest(self.latest_version())
+        survivors = self._read_files_logical(m, affected).filter(
             ~cond | cond.isNull()
         )
         return self._cow_commit("delete", affected, survivors)
@@ -204,8 +269,8 @@ class VersionedTable:
         affected = self._affected_files(cond)
         if not affected:
             return self._cow_commit("update", set(), None)
-        paths = [os.path.join(self.path, f) for f in affected]
-        updated = self.spark.read.parquet(*paths)
+        m = self._manifest(self.latest_version())
+        updated = self._read_files_logical(m, affected)
         for col, expr in assignments.items():
             updated = updated.withColumn(
                 col, F.when(cond, expr).otherwise(F.col(col))
@@ -229,14 +294,104 @@ class VersionedTable:
             os.path.relpath(_strip_uri(r["_vt_file"]), self.path)
             for r in hits
         }
-        extra = self._write_data(updates)
+        m = self._manifest(self.latest_version())
+        extra = self._write_data(updates, m["mapping"])
         if not affected:
             return self._cow_commit("merge", set(), None, extra)
-        paths = [os.path.join(self.path, f) for f in affected]
-        survivors = self.spark.read.parquet(*paths).join(
+        survivors = self._read_files_logical(m, affected).join(
             updates.select(key_col), key_col, "left_anti"
         )
         return self._cow_commit("merge", affected, survivors, extra)
+
+    # ------------------------------------------------------ schema DDL
+
+    def _fresh_physical(self, name: str, used: list[str]) -> str:
+        ph = name
+        n = 1
+        while ph in used:
+            ph = f"{name}__v{n}"
+            n += 1
+        return ph
+
+    def add_column(
+        self, name: str, data_type, default: Column | None = None
+    ) -> int:
+        """ALTER TABLE ADD COLUMN.  NULL default: metadata-only (old
+        files simply lack the physical column and read as NULL).
+        Non-null default: eager backfill rewrite, matching the
+        reference's materialized ALTER ADD COLUMN DEFAULT — a read-time
+        COALESCE would repaint explicit NULLs inserted later."""
+        if isinstance(data_type, str):
+            data_type = DataType.fromDDL(data_type)
+        v = self.latest_version()
+        m = self._manifest(v)
+        schema = self._logical_schema(m)
+        if name in [f.name for f in schema.fields]:
+            raise ValueError(f"column {name} already exists")
+        ph = self._fresh_physical(name, m["used_physical"])
+        new_schema = StructType(
+            [*schema.fields, StructField(name, data_type, True)]
+        )
+        mapping = {**m["mapping"], name: ph}
+        used = sorted([*m["used_physical"], ph])
+        if default is None:
+            self._commit(
+                v + 1, "add_column", m["files"], new_schema, mapping, used
+            )
+            return v + 1
+        backfilled = self.read().withColumn(
+            name, default.cast(data_type)
+        )
+        files = self._write_data(backfilled, mapping)
+        self._commit(v + 1, "add_column", files, new_schema, mapping, used)
+        return v + 1
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN: metadata-only — the physical column
+        stays in the files (and in the ``used_physical`` ledger, so a
+        later ADD COLUMN of the same name cannot resurrect it)."""
+        v = self.latest_version()
+        m = self._manifest(v)
+        schema = self._logical_schema(m)
+        if name not in [f.name for f in schema.fields]:
+            raise ValueError(f"no such column: {name}")
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        mapping = {k: p for k, p in m["mapping"].items() if k != name}
+        self._commit(
+            v + 1, "drop_column", m["files"], new_schema, mapping,
+            m["used_physical"],
+        )
+        return v + 1
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN: metadata-only — only the
+        logical→physical mapping changes; zero bytes rewritten."""
+        v = self.latest_version()
+        m = self._manifest(v)
+        schema = self._logical_schema(m)
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old}")
+        if new in names:
+            raise ValueError(f"column {new} already exists")
+        new_schema = StructType(
+            [
+                StructField(new, f.dataType, f.nullable)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        )
+        mapping = {
+            (new if lg == old else lg): ph for lg, ph in m["mapping"].items()
+        }
+        self._commit(
+            v + 1, "rename_column", m["files"], new_schema, mapping,
+            m["used_physical"],
+        )
+        return v + 1
 
     # ------------------------------------------------------ maintenance
 

@@ -121,9 +121,13 @@ def test_concurrent_commit_conflict(vt, spark):
     vt.insert(rows)
     # a second writer racing to the same version number loses with
     # CommitConflictError (O_EXCL manifest create)
-    files = vt._write_data(rows)
+    m = vt._manifest(vt.latest_version())
+    files = vt._write_data(rows, m["mapping"])
     with pytest.raises(CommitConflictError):
-        vt._commit(vt.latest_version(), "insert", files, rows.schema)
+        vt._commit(
+            vt.latest_version(), "insert", files, rows.schema,
+            m["mapping"], m["used_physical"],
+        )
 
 
 def test_empty_table_after_full_delete_keeps_schema(vt):
@@ -138,3 +142,66 @@ def test_history_records_ops(vt):
     vt.delete_where(F.col("o_orderkey") < 0)  # no-op delete still commits
     ops = [h["op"] for h in vt.history()]
     assert ops == ["create", "insert", "delete"]
+
+
+# ------------------------------------------------------ schema evolution
+
+
+def test_add_column_null_default_is_metadata_only(vt):
+    files_before = set(vt._manifest(vt.latest_version())["files"])
+    vt.add_column("note", "string")
+    m = vt._manifest(vt.latest_version())
+    assert set(m["files"]) == files_before  # zero rewrite
+    out = vt.read()
+    assert "note" in out.columns
+    assert out.filter(F.col("note").isNotNull()).count() == 0
+
+
+def test_add_column_default_backfills(vt):
+    n = vt.read().count()
+    vt.add_column("flag", "string", default=F.lit("N"))
+    assert vt.read().filter(F.col("flag") == "N").count() == n
+    # an explicit NULL inserted later must STAY null (no read-time repaint)
+    row = vt.read().limit(1).withColumn("flag", F.lit(None).cast("string"))
+    vt.insert(row)
+    assert vt.read().filter(F.col("flag").isNull()).count() == 1
+
+
+def test_rename_column_is_metadata_only(vt):
+    files_before = set(vt._manifest(vt.latest_version())["files"])
+    total = vt.read().agg(F.sum("o_totalprice")).collect()[0][0]
+    vt.rename_column("o_totalprice", "price")
+    m = vt._manifest(vt.latest_version())
+    assert set(m["files"]) == files_before
+    out = vt.read()
+    assert "price" in out.columns and "o_totalprice" not in out.columns
+    assert out.agg(F.sum("price")).collect()[0][0] == total
+    # old version still sees the old name (schema time travel)
+    assert "o_totalprice" in vt.read(0).columns
+
+
+def test_drop_then_readd_does_not_resurrect(vt):
+    vt.drop_column("o_orderpriority")
+    assert "o_orderpriority" not in vt.read().columns
+    vt.add_column("o_orderpriority", "string")
+    out = vt.read()
+    # fresh physical name: all NULL, never the dropped values
+    assert out.filter(F.col("o_orderpriority").isNotNull()).count() == 0
+    # the dropped values remain visible via time travel
+    v_drop = vt.latest_version() - 1
+    assert (
+        vt.read(v_drop - 1)
+        .filter(F.col("o_orderpriority").isNotNull())
+        .count()
+        > 0
+    )
+
+
+def test_mutations_after_rename_use_logical_names(vt):
+    vt.rename_column("o_totalprice", "price")
+    n_hit = vt.read().filter(F.col("price") > 100000.0).count()
+    vt.delete_where(F.col("price") > 100000.0)
+    assert vt.read().filter(F.col("price") > 100000.0).count() == 0
+    assert vt.read().count() == vt.read(0).count() - n_hit
+    vt.checkpoint(n_files=1)
+    assert "price" in vt.read().columns
