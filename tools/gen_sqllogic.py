@@ -3047,6 +3047,114 @@ corpus("json_shared_surface", "json_array_length over literal and built JSON (re
 ])
 
 
+
+# TIME type matrix (reference test/sql/types/time/test_time.test) — the
+# dialect-common subset: Spark 4 supports TIME literals, comparisons,
+# ordering, grouping and min/max, but not yet extract()/arithmetic on
+# TIME (UNSUPPORTED_TIME_TYPE — probed), so those reference cases stay
+# out.
+corpus("time_type_literals", "TIME literals and comparisons (reference test/sql/types/time)")([
+    ("T", "", "SELECT TIME '11:30:05'"),
+    ("T", "", "SELECT TIME '23:59:59.123456'"),
+    ("T", "", "SELECT TIME '00:00:00'"),
+    ("I", "", "SELECT TIME '11:30:05' < TIME '12:00:00'"),
+    ("I", "", "SELECT TIME '11:30:05' = TIME '11:30:05'"),
+    ("I", "", "SELECT TIME '22:00:00' <= TIME '21:59:59'"),
+    ("T", "", "SELECT greatest(TIME '10:00:00', TIME '11:00:00')"),
+    ("T", "", "SELECT least(TIME '10:00:00', TIME '11:00:00')"),
+    ("T", "", "SELECT CASE WHEN TIME '10:00:00' BETWEEN TIME '09:00:00' AND TIME '11:00:00' THEN 'in' ELSE 'out' END"),
+    ("T", "", "SELECT CAST(TIME '11:30:05' AS STRING)"),
+    # coalesce(NULL, TIME) hits Spark's UNSUPPORTED_TIME_TYPE in the
+    # null-type unifier — kept out (probed).
+    ("T", "", "SELECT nullif(TIME '07:45:00', TIME '07:45:00')"),
+])
+
+corpus("time_type_ordering", "TIME ordering, windows, min/max (reference test/sql/types/time)")([
+    ("T", "", "SELECT x FROM (VALUES (TIME '12:00:01'),(TIME '03:15:00'),(TIME '23:59:59')) t(x) ORDER BY x"),
+    ("T", "", "SELECT x FROM (VALUES (TIME '12:00:01'),(TIME '03:15:00'),(TIME '23:59:59')) t(x) ORDER BY x DESC"),
+    ("TT", "", "SELECT min(x), max(x) FROM (VALUES (TIME '12:00:01'),(TIME '03:15:00')) t(x)"),
+    ("TT", "", "SELECT x, lead(x) OVER (ORDER BY x) FROM (VALUES (TIME '01:00:00'),(TIME '02:00:00')) t(x) ORDER BY x"),
+    ("IT", "", "SELECT row_number() OVER (ORDER BY x DESC), x FROM (VALUES (TIME '05:00:00'),(TIME '04:00:00'),(TIME '06:30:00')) t(x) ORDER BY x"),
+    ("T", "", "SELECT first_value(x) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) FROM (VALUES (TIME '09:00:00'),(TIME '08:00:00')) t(x) LIMIT 1"),
+])
+
+corpus("time_type_grouping", "TIME grouping and DISTINCT (reference test/sql/types/time)")([
+    ("I", "", "SELECT count(DISTINCT x) FROM (VALUES (TIME '01:00:00'),(TIME '01:00:00'),(TIME '02:00:00')) t(x)"),
+    ("TI", "", "SELECT x, count(*) FROM (VALUES (TIME '01:00:00'),(TIME '01:00:00'),(TIME '02:00:00')) t(x) GROUP BY x ORDER BY x"),
+    ("T", "rowsort", "SELECT DISTINCT x FROM (VALUES (TIME '01:00:00'),(TIME '01:00:00'),(TIME '02:00:00')) t(x)"),
+    ("TI", "", "SELECT max(x), count(*) FROM (VALUES (TIME '01:00:00'),(TIME '02:00:00')) t(x) HAVING count(*) > 1"),
+])
+
+# IEEE float specials (reference test/sql/types/float/nan_*.test,
+# test_boundary_value.test): both engines agree NaN sorts greatest,
+# NaN==NaN in grouping/DISTINCT, inf arithmetic produces nan/inf the
+# same way.  Probed divergences kept OUT: floor/ceil(inf) (DuckDB
+# returns inf, Spark saturates to BIGINT bounds), CAST(inf AS STRING)
+# ('inf' vs 'Infinity'), stddev with inf (DuckDB raises), bare ASC
+# NULL placement (NULLS LAST vs FIRST default).
+corpus("float_special_arith", "IEEE inf/nan arithmetic (reference test/sql/types/float)")([
+    ("RRR", "", "SELECT CAST('inf' AS DOUBLE), CAST('-inf' AS DOUBLE), CAST('nan' AS DOUBLE)"),
+    ("R", "", "SELECT CAST('Infinity' AS DOUBLE)"),
+    ("R", "", "SELECT CAST('inf' AS DOUBLE) * 0.0"),
+    ("R", "", "SELECT CAST('inf' AS DOUBLE) - CAST('inf' AS DOUBLE)"),
+    ("R", "", "SELECT CAST('inf' AS FLOAT) + 1.0"),
+    ("R", "", "SELECT CAST(CAST('inf' AS DOUBLE) AS FLOAT)"),
+    ("RR", "", "SELECT abs(CAST('-inf' AS DOUBLE)), abs(CAST('nan' AS DOUBLE))"),
+    ("R", "", "SELECT exp(1000.0)"),
+    ("II", "", "SELECT isnan(CAST('nan' AS DOUBLE)), isnan(1.0)"),
+    ("RR", "", "SELECT try_cast('inf' AS DOUBLE), try_cast('oops' AS DOUBLE)"),
+    ("R", "", "SELECT nullif(CAST('nan' AS DOUBLE), CAST('nan' AS DOUBLE))"),
+    ("R", "", "SELECT coalesce(NULL, CAST('nan' AS DOUBLE))"),
+])
+
+corpus("float_special_compare", "NaN total order: comparisons (reference test/sql/types/float/nan_cast.test)")([
+    ("I", "", "SELECT CAST('nan' AS DOUBLE) = CAST('nan' AS DOUBLE)"),
+    ("I", "", "SELECT CAST('nan' AS DOUBLE) > CAST('inf' AS DOUBLE)"),
+    ("I", "", "SELECT -CAST('inf' AS DOUBLE) < CAST(-1e308 AS DOUBLE)"),
+    ("RR", "", "SELECT least(CAST('nan' AS DOUBLE), 1.0), greatest(CAST('nan' AS DOUBLE), 1.0)"),
+    ("I", "", "SELECT x BETWEEN 0.0 AND CAST('inf' AS DOUBLE) FROM (VALUES (5.0)) t(x)"),
+    ("I", "", "SELECT CAST('nan' AS DOUBLE) BETWEEN CAST('inf' AS DOUBLE) AND CAST('nan' AS DOUBLE)"),
+])
+
+corpus("float_special_order", "NaN ordering and windows (reference test/sql/types/float/nan_ordering.test)")([
+    ("R", "", "SELECT x FROM (VALUES (CAST('inf' AS DOUBLE)),(CAST('nan' AS DOUBLE)),(1.0),(CAST('-inf' AS DOUBLE))) t(x) ORDER BY x"),
+    ("R", "", "SELECT x FROM (VALUES (CAST('inf' AS DOUBLE)),(CAST('nan' AS DOUBLE)),(1.0),(NULL),(CAST('-inf' AS DOUBLE))) t(x) ORDER BY x DESC"),
+    ("R", "", "SELECT x FROM (VALUES (CAST('inf' AS DOUBLE)),(CAST('nan' AS DOUBLE)),(NULL),(1.0)) t(x) ORDER BY x ASC NULLS FIRST"),
+    ("R", "", "SELECT x FROM (VALUES (CAST('inf' AS DOUBLE)),(CAST('nan' AS DOUBLE)),(NULL),(1.0)) t(x) ORDER BY x ASC NULLS LAST"),
+    ("IR", "", "SELECT rank() OVER (ORDER BY x), x FROM (VALUES (CAST('nan' AS DOUBLE)),(CAST('inf' AS DOUBLE)),(1.0)) t(x) ORDER BY x"),
+    ("R", "", "SELECT x FROM (VALUES (CAST('nan' AS DOUBLE)),(2.0),(1.0)) t(x) ORDER BY x LIMIT 2"),
+])
+
+corpus("float_special_agg", "NaN/inf in aggregates and grouping (reference test/sql/types/float/nan_aggregate.test)")([
+    ("RR", "", "SELECT max(x), min(x) FROM (VALUES (CAST('inf' AS DOUBLE)),(CAST('nan' AS DOUBLE)),(1.0)) t(x)"),
+    ("R", "", "SELECT sum(x) FROM (VALUES (CAST('inf' AS DOUBLE)),(CAST('-inf' AS DOUBLE))) t(x)"),
+    ("R", "", "SELECT sum(x) FROM (VALUES (CAST('inf' AS DOUBLE)),(1.0)) t(x)"),
+    ("R", "", "SELECT avg(x) FROM (VALUES (CAST('nan' AS DOUBLE)),(1.0)) t(x)"),
+    ("I", "", "SELECT count(DISTINCT x) FROM (VALUES (CAST('nan' AS DOUBLE)),(CAST('nan' AS DOUBLE)),(1.0)) t(x)"),
+    ("RI", "", "SELECT x, count(*) FROM (VALUES (CAST('nan' AS DOUBLE)),(CAST('nan' AS DOUBLE)),(1.0)) t(x) GROUP BY x ORDER BY x"),
+    ("R", "rowsort", "SELECT DISTINCT x FROM (VALUES (CAST('nan' AS DOUBLE)),(CAST('nan' AS DOUBLE)),(CAST('inf' AS DOUBLE))) t(x)"),
+])
+
+# Shared scalar/aggregate tranche 4 — thin-coverage names from the
+# round-4 dual-engine probe (each agreed verbatim in both engines).
+corpus("fn_shared_misc4", "Shared-name functions, 4th tranche (probe-verified)")([
+    ("I", "", "SELECT dayofyear(DATE '2024-03-01')"),
+    ("I", "", "SELECT dayofyear(o_orderdate) FROM orders ORDER BY o_orderkey LIMIT 5"),
+    ("I", "", "SELECT count_if(o_totalprice > 100000) FROM orders"),
+    ("I", "rowsort", "SELECT count_if(l_quantity > 25) FROM lineitem GROUP BY l_returnflag"),
+    ("T", "", "SELECT CAST(make_timestamp(2024, 2, 29, 13, 30, 12.5) AS STRING)"),
+    ("R", "", "SELECT round(cot(1.0), 6)"),
+    ("I", "", "SELECT bit_length(r_name) FROM region ORDER BY r_regionkey"),
+    ("II", "", "SELECT ifnull(NULL, 9), ifnull(r_regionkey, 9) FROM region ORDER BY r_regionkey LIMIT 1"),
+    ("R", "", "SELECT round(covar_samp(l_quantity, l_linenumber), 6) FROM lineitem"),
+    ("R", "", "SELECT round(covar_pop(l_quantity, l_linenumber), 6) FROM lineitem"),
+    ("R", "", "SELECT round(stddev(l_quantity) FILTER (WHERE l_quantity > 25), 6) FROM lineitem"),
+    ("I", "", "SELECT mode(l_linenumber) FROM lineitem"),
+    ("I", "", "SELECT weekofyear(DATE '2024-01-04')"),
+    ("I", "", "SELECT factorial(6) + bit_count(CAST(255 AS BIGINT))"),
+])
+
+
 def main() -> int:
     import duckdb
 
