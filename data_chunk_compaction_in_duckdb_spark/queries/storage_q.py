@@ -284,3 +284,65 @@ def storage_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "storage_constraint_quarantine",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM orders),
+    w AS (SELECT *, COUNT(*) OVER (PARTITION BY o_custkey) AS n_key
+          FROM base),
+    r AS (SELECT CASE
+            WHEN o_orderstatus IS NULL THEN 'not_null:o_orderstatus'
+            WHEN NOT (o_totalprice < 300000.0)
+              THEN 'check:o_totalprice < 300000.0'
+            WHEN o_custkey IS NULL OR n_key > 1
+              THEN 'primary_key:o_custkey'
+          END AS reject_reason FROM w)
+    SELECT coalesce(reject_reason, 'accepted') AS reason,
+           COUNT(*) AS n_rows
+    FROM r
+    GROUP BY reason
+    ORDER BY reason
+    """,
+)
+def storage_constraint_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint quarantine (reference test/sql/constraints/ violation
+    errors, recast as the dead-letter split a pipeline load needs):
+    tag every row with the FIRST violated constraint — NOT NULL, then
+    CHECK, then within-batch PRIMARY KEY uniqueness — and count per
+    reason.  One projection + one key-partitioned count window; no
+    driver state."""
+    from data_chunk_compaction_in_duckdb_spark.storage.versioned import (
+        quarantine,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    tagged = quarantine(
+        orders,
+        [
+            {"type": "not_null", "column": "o_orderstatus"},
+            {"type": "check", "expr": "o_totalprice < 300000.0"},
+            {"type": "primary_key", "columns": ["o_custkey"]},
+        ],
+    )
+    return (
+        tagged.groupBy(
+            F.coalesce(F.col("_reject_reason"), F.lit("accepted")).alias(
+                "reason"
+            )
+        )
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("reason")
+    )

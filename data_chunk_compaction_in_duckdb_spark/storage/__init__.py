@@ -15,7 +15,8 @@ out of immutability instead of an MVCC chain.
 
 from data_chunk_compaction_in_duckdb_spark.storage.versioned import (
     CommitConflictError,
+    ConstraintViolation,
     VersionedTable,
 )
 
-__all__ = ["CommitConflictError", "VersionedTable"]
+__all__ = ["CommitConflictError", "ConstraintViolation", "VersionedTable"]

@@ -63,6 +63,12 @@ class CommitConflictError(RuntimeError):
     concurrency, reference transaction conflict errors)."""
 
 
+class ConstraintViolation(ValueError):
+    """A NOT NULL / CHECK / PRIMARY KEY constraint rejected a commit
+    (reference test/sql/constraints/, src/storage/table/ constraint
+    verification)."""
+
+
 def _strip_uri(name: str) -> str:
     return name[7:] if name.startswith("file://") else name
 
@@ -82,11 +88,19 @@ class VersionedTable:
 
     @classmethod
     def create(
-        cls, spark: SparkSession, path: str, df: DataFrame
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        constraints: list[dict] | None = None,
     ) -> "VersionedTable":
         """CREATE TABLE AS: version 0 holds df's rows (identity
-        logical→physical mapping)."""
+        logical→physical mapping).  ``constraints`` entries:
+        ``{"type": "not_null", "column": c}``,
+        ``{"type": "check", "expr": sql}`` (NULL passes, like SQL
+        CHECK), ``{"type": "primary_key", "columns": [...]}``."""
         t = cls(spark, path)
+        t._validate(df, constraints or [], current=None)
         os.makedirs(t.log_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
         mapping = {f.name: f.name for f in df.schema.fields}
@@ -98,6 +112,7 @@ class VersionedTable:
             schema=df.schema,
             mapping=mapping,
             used_physical=sorted(mapping.values()),
+            constraints=constraints or [],
         )
         return t
 
@@ -123,6 +138,7 @@ class VersionedTable:
         schema: StructType,
         mapping: dict[str, str],
         used_physical: list[str],
+        constraints: list[dict] | None = None,
     ) -> None:
         manifest = {
             "version": version,
@@ -131,6 +147,7 @@ class VersionedTable:
             "schema": schema.json(),
             "mapping": mapping,
             "used_physical": used_physical,
+            "constraints": constraints or [],
         }
         p = os.path.join(self.log_dir, f"{version:08d}.json")
         try:
@@ -196,6 +213,93 @@ class VersionedTable:
             )
         return out
 
+    # -------------------------------------------------------- constraints
+
+    def constraints(self) -> list[dict]:
+        return self._manifest(self.latest_version()).get("constraints", [])
+
+    def _validate(
+        self,
+        rows: DataFrame,
+        constraints: list[dict],
+        current: DataFrame | None,
+    ) -> None:
+        """Enforce constraints on ``rows`` before a commit — every check
+        is a distributed count (the driver sees violation COUNTS, never
+        rows).  ``current`` is the relation new primary keys must also
+        not collide with (None for create / whole-table validation).
+        CHECK follows SQL semantics: NULL passes, only FALSE rejects."""
+        for c in constraints:
+            kind = c["type"]
+            if kind == "not_null":
+                n = rows.filter(F.col(c["column"]).isNull()).count()
+                if n:
+                    raise ConstraintViolation(
+                        f"NOT NULL {c['column']}: {n} null row(s)"
+                    )
+            elif kind == "check":
+                n = rows.filter(F.expr(f"NOT ({c['expr']})")).count()
+                if n:
+                    raise ConstraintViolation(
+                        f"CHECK ({c['expr']}): {n} violating row(s)"
+                    )
+            elif kind == "primary_key":
+                cols = c["columns"]
+                for k in cols:
+                    n = rows.filter(F.col(k).isNull()).count()
+                    if n:
+                        raise ConstraintViolation(
+                            f"PRIMARY KEY {cols}: {n} null {k} row(s)"
+                        )
+                dups = (
+                    rows.groupBy(*cols)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .count()
+                )
+                if dups:
+                    raise ConstraintViolation(
+                        f"PRIMARY KEY {cols}: {dups} duplicated key(s)"
+                    )
+                if current is not None:
+                    hits = rows.join(
+                        current.select(*cols), cols, "semi"
+                    ).count()
+                    if hits:
+                        raise ConstraintViolation(
+                            f"PRIMARY KEY {cols}: {hits} row(s) collide "
+                            "with existing keys"
+                        )
+            else:
+                raise ValueError(f"unknown constraint type: {kind}")
+
+    def add_constraint(self, constraint: dict) -> int:
+        """ALTER TABLE ADD CONSTRAINT: validate the WHOLE current table,
+        then commit the constraint as metadata."""
+        self._validate(self.read(), [constraint], current=None)
+        v = self.latest_version()
+        m = self._manifest(v)
+        self._commit(
+            v + 1, "add_constraint", m["files"],
+            self._logical_schema(m), m["mapping"], m["used_physical"],
+            [*m.get("constraints", []), constraint],
+        )
+        return v + 1
+
+    def drop_constraint(self, constraint: dict) -> int:
+        """ALTER TABLE DROP CONSTRAINT (metadata-only)."""
+        v = self.latest_version()
+        m = self._manifest(v)
+        remaining = [
+            c for c in m.get("constraints", []) if c != constraint
+        ]
+        self._commit(
+            v + 1, "drop_constraint", m["files"],
+            self._logical_schema(m), m["mapping"], m["used_physical"],
+            remaining,
+        )
+        return v + 1
+
     # ---------------------------------------------------------- mutations
 
     def _affected_files(self, cond: Column) -> set[str]:
@@ -237,13 +341,16 @@ class VersionedTable:
             schema=self._logical_schema(m),
             mapping=m["mapping"],
             used_physical=m["used_physical"],
+            constraints=m.get("constraints", []),
         )
         return v + 1
 
     def insert(self, rows: DataFrame) -> int:
         """INSERT INTO: append-only — zero rewrites, one manifest.
-        ``rows`` uses logical column names."""
+        ``rows`` uses logical column names.  Constraints are enforced
+        on the incoming batch (PRIMARY KEY also against the table)."""
         m = self._manifest(self.latest_version())
+        self._validate(rows, m.get("constraints", []), current=self.read())
         return self._cow_commit(
             "insert", set(), None, self._write_data(rows, m["mapping"])
         )
@@ -275,6 +382,28 @@ class VersionedTable:
             updated = updated.withColumn(
                 col, F.when(cond, expr).otherwise(F.col(col))
             )
+        cons = m.get("constraints", [])
+        self._validate(
+            updated,
+            [c for c in cons if c["type"] in ("not_null", "check")],
+            current=None,
+        )
+        # a key-touching UPDATE must stay unique vs the untouched files
+        pk_touched = [
+            c
+            for c in cons
+            if c["type"] == "primary_key"
+            and set(c["columns"]) & set(assignments)
+        ]
+        if pk_touched:
+            untouched = set(m["files"]) - affected
+            self._validate(
+                updated,
+                pk_touched,
+                current=self._read_files_logical(m, untouched)
+                if untouched
+                else None,
+            )
         return self._cow_commit("update", affected, updated)
 
     def merge(self, updates: DataFrame, key_col: str) -> int:
@@ -282,7 +411,15 @@ class VersionedTable:
         append otherwise (physical_insert.cpp ON CONFLICT DO UPDATE).
         Only files containing a matched key are rewritten.  Affected
         files come from a distributed semi-join (collects file names,
-        not keys — the updates side never reaches the driver)."""
+        not keys — the updates side never reaches the driver).
+        Constraints validate the incoming batch; same-key collisions
+        with the table are the point of MERGE, so PRIMARY KEY checks
+        only within the batch."""
+        self._validate(
+            updates,
+            self._manifest(self.latest_version()).get("constraints", []),
+            current=None,
+        )
         cur = self.read().withColumn("_vt_file", F.input_file_name())
         hits = (
             cur.join(updates.select(key_col).distinct(), key_col, "semi")
@@ -334,34 +471,58 @@ class VersionedTable:
         )
         mapping = {**m["mapping"], name: ph}
         used = sorted([*m["used_physical"], ph])
+        cons = m.get("constraints", [])
         if default is None:
             self._commit(
-                v + 1, "add_column", m["files"], new_schema, mapping, used
+                v + 1, "add_column", m["files"], new_schema, mapping, used,
+                cons,
             )
             return v + 1
         backfilled = self.read().withColumn(
             name, default.cast(data_type)
         )
         files = self._write_data(backfilled, mapping)
-        self._commit(v + 1, "add_column", files, new_schema, mapping, used)
+        self._commit(
+            v + 1, "add_column", files, new_schema, mapping, used, cons
+        )
         return v + 1
+
+    @staticmethod
+    def _constraint_references(c: dict, column: str) -> bool:
+        if c["type"] == "not_null":
+            return c["column"] == column
+        if c["type"] == "primary_key":
+            return column in c["columns"]
+        # CHECK exprs are SQL strings; a word-boundary match is the
+        # conservative dependency test (may over-match, never under-).
+        import re
+
+        return re.search(rf"\b{re.escape(column)}\b", c["expr"]) is not None
 
     def drop_column(self, name: str) -> int:
         """ALTER TABLE DROP COLUMN: metadata-only — the physical column
         stays in the files (and in the ``used_physical`` ledger, so a
-        later ADD COLUMN of the same name cannot resurrect it)."""
+        later ADD COLUMN of the same name cannot resurrect it).
+        Refused while a constraint references the column (reference
+        dependency errors in test/sql/alter/)."""
         v = self.latest_version()
         m = self._manifest(v)
         schema = self._logical_schema(m)
         if name not in [f.name for f in schema.fields]:
             raise ValueError(f"no such column: {name}")
+        cons = m.get("constraints", [])
+        blocking = [c for c in cons if self._constraint_references(c, name)]
+        if blocking:
+            raise ValueError(
+                f"cannot drop {name}: referenced by constraints {blocking}"
+            )
         new_schema = StructType(
             [f for f in schema.fields if f.name != name]
         )
         mapping = {k: p for k, p in m["mapping"].items() if k != name}
         self._commit(
             v + 1, "drop_column", m["files"], new_schema, mapping,
-            m["used_physical"],
+            m["used_physical"], cons,
         )
         return v + 1
 
@@ -387,9 +548,26 @@ class VersionedTable:
         mapping = {
             (new if lg == old else lg): ph for lg, ph in m["mapping"].items()
         }
+        # NOT NULL / PRIMARY KEY constraints follow the rename; a CHECK
+        # expression referencing the column cannot be rewritten safely
+        # and blocks the rename (reference dependency error).
+        cons = []
+        for c in m.get("constraints", []):
+            if c["type"] == "not_null" and c["column"] == old:
+                c = {**c, "column": new}
+            elif c["type"] == "primary_key" and old in c["columns"]:
+                c = {
+                    **c,
+                    "columns": [new if k == old else k for k in c["columns"]],
+                }
+            elif c["type"] == "check" and self._constraint_references(c, old):
+                raise ValueError(
+                    f"cannot rename {old}: referenced by CHECK ({c['expr']})"
+                )
+            cons.append(c)
         self._commit(
             v + 1, "rename_column", m["files"], new_schema, mapping,
-            m["used_physical"],
+            m["used_physical"], cons,
         )
         return v + 1
 
@@ -426,3 +604,39 @@ class VersionedTable:
             if os.path.exists(mp):
                 os.remove(mp)
         return removed
+
+
+def quarantine(df: DataFrame, constraints: list[dict]) -> DataFrame:
+    """Constraint quarantine for pipeline loads: instead of rejecting a
+    whole commit (``ConstraintViolation``), tag each row with the FIRST
+    constraint it violates (``_reject_reason``, NULL = accepted), so a
+    load can route rejects to a dead-letter table and commit the rest —
+    the ON CONFLICT/constraint-error split of an INSERT in the
+    reference, expressed as one distributed projection.
+
+    PRIMARY KEY is checked within ``df`` (a count window over the key —
+    one shuffle on the key, no driver state); NOT NULL and CHECK are
+    per-row expressions.  Constraint order is priority order."""
+    from pyspark.sql import Window
+
+    reason = F.lit(None).cast("string")
+    for c in reversed(constraints):
+        if c["type"] == "not_null":
+            hit = F.col(c["column"]).isNull()
+            tag = f"not_null:{c['column']}"
+        elif c["type"] == "check":
+            hit = ~F.expr(c["expr"]) & F.expr(c["expr"]).isNotNull()
+            tag = f"check:{c['expr']}"
+        elif c["type"] == "primary_key":
+            cols = c["columns"]
+            n = F.count("*").over(Window.partitionBy(*cols))
+            null_key = None
+            for k in cols:
+                cond = F.col(k).isNull()
+                null_key = cond if null_key is None else (null_key | cond)
+            hit = null_key | (n > 1)
+            tag = f"primary_key:{','.join(cols)}"
+        else:
+            raise ValueError(f"unknown constraint type: {c['type']}")
+        reason = F.when(hit, F.lit(tag)).otherwise(reason)
+    return df.withColumn("_reject_reason", reason)

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from data_chunk_compaction_in_duckdb_spark.storage import (
     CommitConflictError,
+    ConstraintViolation,
     VersionedTable,
 )
 
@@ -205,3 +206,114 @@ def test_mutations_after_rename_use_logical_names(vt):
     assert vt.read().count() == vt.read(0).count() - n_hit
     vt.checkpoint(n_files=1)
     assert "price" in vt.read().columns
+
+
+# ------------------------------------------------------ constraints
+
+
+@pytest.fixture()
+def cvt(spark, sf_dir, tmp_path):
+    base = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .filter(F.col("o_orderkey") % 10 < 3)
+    )
+    return VersionedTable.create(
+        spark,
+        str(tmp_path / "ct"),
+        base,
+        constraints=[
+            {"type": "primary_key", "columns": ["o_orderkey"]},
+            {"type": "not_null", "column": "o_orderstatus"},
+            {"type": "check", "expr": "o_totalprice > 0"},
+        ],
+    )
+
+
+def test_create_rejects_violating_data(spark, sf_dir, tmp_path):
+    base = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    dup = base.limit(1).unionByName(base.limit(1))  # duplicated key
+    with pytest.raises(ConstraintViolation, match="PRIMARY KEY"):
+        VersionedTable.create(
+            spark,
+            str(tmp_path / "bad"),
+            dup,
+            constraints=[{"type": "primary_key", "columns": ["o_orderkey"]}],
+        )
+
+
+def test_insert_pk_collision_rejected(cvt):
+    before = cvt.latest_version()
+    with pytest.raises(ConstraintViolation, match="collide"):
+        cvt.insert(cvt.read().limit(1))
+    assert cvt.latest_version() == before  # nothing committed
+
+
+def test_insert_check_violation_rejected(cvt):
+    bad = cvt.read().limit(1).withColumn(
+        "o_orderkey", F.lit(-1).cast("long")
+    ).withColumn("o_totalprice", F.lit(-5.0))
+    with pytest.raises(ConstraintViolation, match="CHECK"):
+        cvt.insert(bad)
+
+
+def test_insert_null_pk_and_not_null_rejected(cvt):
+    null_status = cvt.read().limit(1).withColumn(
+        "o_orderkey", F.lit(-2).cast("long")
+    ).withColumn("o_orderstatus", F.lit(None).cast("string"))
+    with pytest.raises(ConstraintViolation, match="NOT NULL"):
+        cvt.insert(null_status)
+    null_key = cvt.read().limit(1).withColumn(
+        "o_orderkey", F.lit(None).cast("long")
+    )
+    with pytest.raises(ConstraintViolation, match="null o_orderkey"):
+        cvt.insert(null_key)
+
+
+def test_valid_insert_and_merge_pass(cvt):
+    ok = cvt.read().limit(2).withColumn(
+        "o_orderkey", -F.col("o_orderkey") - 1
+    )
+    cvt.insert(ok)
+    # merge may collide with existing keys (that's the upsert), but not
+    # within its own batch
+    cvt.merge(cvt.read().limit(3), "o_orderkey")
+    dup_batch = cvt.read().limit(1).unionByName(cvt.read().limit(1))
+    with pytest.raises(ConstraintViolation, match="duplicated"):
+        cvt.merge(dup_batch, "o_orderkey")
+
+
+def test_update_check_and_pk_enforced(cvt):
+    with pytest.raises(ConstraintViolation, match="CHECK"):
+        cvt.update_where(
+            F.col("o_orderstatus") == "F",
+            {"o_totalprice": F.lit(-1.0)},
+        )
+    # updating keys into an existing key collides with untouched files
+    existing = [r["o_orderkey"] for r in cvt.read().limit(2).collect()]
+    with pytest.raises(ConstraintViolation, match="PRIMARY KEY"):
+        cvt.update_where(
+            F.col("o_orderkey") == existing[0],
+            {"o_orderkey": F.lit(existing[1]).cast("long")},
+        )
+
+
+def test_add_constraint_validates_existing_data(cvt):
+    with pytest.raises(ConstraintViolation):
+        cvt.add_constraint({"type": "check", "expr": "o_totalprice > 1e12"})
+    v = cvt.add_constraint({"type": "check", "expr": "o_totalprice < 1e12"})
+    assert {"type": "check", "expr": "o_totalprice < 1e12"} in cvt.constraints()
+    cvt.drop_constraint({"type": "check", "expr": "o_totalprice < 1e12"})
+    assert {"type": "check", "expr": "o_totalprice < 1e12"} not in cvt.constraints()
+    assert cvt.latest_version() == v + 1
+
+
+def test_ddl_respects_constraint_dependencies(cvt):
+    with pytest.raises(ValueError, match="cannot drop"):
+        cvt.drop_column("o_totalprice")  # referenced by CHECK
+    with pytest.raises(ValueError, match="cannot rename"):
+        cvt.rename_column("o_totalprice", "price")
+    # pk/not_null columns follow a rename
+    cvt.rename_column("o_orderkey", "okey")
+    assert {"type": "primary_key", "columns": ["okey"]} in cvt.constraints()
+    with pytest.raises(ConstraintViolation, match="collide"):
+        cvt.insert(cvt.read().limit(1))
