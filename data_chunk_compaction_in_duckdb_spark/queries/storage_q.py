@@ -25,6 +25,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -346,3 +347,72 @@ def storage_constraint_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").alias("n_rows"))
         .orderBy("reason")
     )
+
+
+@query(
+    "storage_generated_columns",
+    oracle="""
+    WITH g0 AS (
+      SELECT *,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents,
+             o_orderpriority LIKE '1%' AS is_urgent
+      FROM orders WHERE o_orderkey % 10 < 3),
+    g1 AS (SELECT * FROM g0
+           WHERE NOT COALESCE(is_urgent AND o_orderstatus = 'F', FALSE)),
+    g2 AS (SELECT * FROM g1
+           UNION ALL
+           SELECT *,
+                  CAST(floor(o_totalprice * 100) AS BIGINT),
+                  o_orderpriority LIKE '1%'
+           FROM orders WHERE o_orderkey % 10 = 7)
+    SELECT is_urgent,
+           COUNT(*) AS n_rows,
+           CAST(SUM(total_cents) AS BIGINT) AS sum_cents
+    FROM g2
+    GROUP BY is_urgent
+    ORDER BY is_urgent
+    """,
+)
+def storage_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIRTUAL generated columns (reference test/sql/generated_columns/):
+    declared once in the manifest, computed at read, usable in mutation
+    predicates (the DELETE filters on one), never stored — the oracle
+    recomputes the same expressions inline and must agree after a
+    delete + insert under the generated schema."""
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="vt_q_")
+    try:
+        vt = VersionedTable.create(
+            spark,
+            root + "/t",
+            orders.filter(F.col("o_orderkey") % 10 < 3),
+            generated={
+                "total_cents": "CAST(floor(o_totalprice * 100) AS BIGINT)",
+                "is_urgent": "o_orderpriority LIKE '1%'",
+            },
+        )
+        vt.delete_where(
+            F.col("is_urgent") & (F.col("o_orderstatus") == "F")
+        )
+        vt.insert(orders.filter(F.col("o_orderkey") % 10 == 7))
+        out = (
+            vt.read()
+            .groupBy("is_urgent")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("total_cents").alias("sum_cents"),
+            )
+            .orderBy("is_urgent")
+            .collect()
+        )
+        rows = [(r["is_urgent"], r["n_rows"], r["sum_cents"]) for r in out]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("is_urgent", BooleanType()),
+            StructField("n_rows", LongType()),
+            StructField("sum_cents", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

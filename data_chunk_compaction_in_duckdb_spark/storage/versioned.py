@@ -93,12 +93,18 @@ class VersionedTable:
         path: str,
         df: DataFrame,
         constraints: list[dict] | None = None,
+        generated: dict[str, str] | None = None,
     ) -> "VersionedTable":
         """CREATE TABLE AS: version 0 holds df's rows (identity
         logical→physical mapping).  ``constraints`` entries:
         ``{"type": "not_null", "column": c}``,
         ``{"type": "check", "expr": sql}`` (NULL passes, like SQL
-        CHECK), ``{"type": "primary_key", "columns": [...]}``."""
+        CHECK), ``{"type": "primary_key", "columns": [...]}``.
+        ``generated`` maps VIRTUAL column names to SQL expressions over
+        the stored columns (reference test/sql/generated_columns/ —
+        the reference's VIRTUAL kind: computed at read, never stored,
+        zero bytes at any scale).  Later entries may reference earlier
+        ones; constraints apply to STORED columns only."""
         t = cls(spark, path)
         t._validate(df, constraints or [], current=None)
         os.makedirs(t.log_dir, exist_ok=True)
@@ -113,6 +119,7 @@ class VersionedTable:
             mapping=mapping,
             used_physical=sorted(mapping.values()),
             constraints=constraints or [],
+            generated=generated or {},
         )
         return t
 
@@ -139,6 +146,7 @@ class VersionedTable:
         mapping: dict[str, str],
         used_physical: list[str],
         constraints: list[dict] | None = None,
+        generated: dict[str, str] | None = None,
     ) -> None:
         manifest = {
             "version": version,
@@ -148,6 +156,7 @@ class VersionedTable:
             "mapping": mapping,
             "used_physical": used_physical,
             "constraints": constraints or [],
+            "generated": generated or {},
         }
         p = os.path.join(self.log_dir, f"{version:08d}.json")
         try:
@@ -188,20 +197,30 @@ class VersionedTable:
             ]
         )
 
+    @staticmethod
+    def _apply_generated(df: DataFrame, m: dict) -> DataFrame:
+        for name, expr in m.get("generated", {}).items():
+            df = df.withColumn(name, F.expr(expr))
+        return df
+
     def read(self, version: int | None = None) -> DataFrame:
         """SELECT * FROM t [AS OF version]: read physical columns,
-        project to the version's logical names.  A column added after
-        a file was written is absent there — parquet yields NULL."""
+        project to the version's logical names, then compute VIRTUAL
+        generated columns.  A column added after a file was written is
+        absent there — parquet yields NULL."""
         v = self.latest_version() if version is None else version
         m = self._manifest(v)
         schema = self._logical_schema(m)
         if not m["files"]:
-            return self.spark.createDataFrame([], schema)
+            return self._apply_generated(
+                self.spark.createDataFrame([], schema), m
+            )
         paths = [os.path.join(self.path, f) for f in m["files"]]
         raw = self.spark.read.schema(self._physical_schema(m)).parquet(*paths)
-        return raw.select(
+        projected = raw.select(
             *[F.col(ph).alias(lg) for lg, ph in m["mapping"].items()]
         )
+        return self._apply_generated(projected, m)
 
     def history(self) -> list[dict]:
         """Commit log, oldest first: version / op / file count."""
@@ -283,6 +302,7 @@ class VersionedTable:
             v + 1, "add_constraint", m["files"],
             self._logical_schema(m), m["mapping"], m["used_physical"],
             [*m.get("constraints", []), constraint],
+            m.get("generated", {}),
         )
         return v + 1
 
@@ -296,7 +316,7 @@ class VersionedTable:
         self._commit(
             v + 1, "drop_constraint", m["files"],
             self._logical_schema(m), m["mapping"], m["used_physical"],
-            remaining,
+            remaining, m.get("generated", {}),
         )
         return v + 1
 
@@ -313,11 +333,15 @@ class VersionedTable:
         }
 
     def _read_files_logical(self, m: dict, files: set[str]) -> DataFrame:
+        """Like read() but over a file subset — generated columns ARE
+        computed so mutation predicates may reference them; _write_data
+        projects them away again (they are never stored)."""
         paths = [os.path.join(self.path, f) for f in files]
         raw = self.spark.read.schema(self._physical_schema(m)).parquet(*paths)
-        return raw.select(
+        projected = raw.select(
             *[F.col(ph).alias(lg) for lg, ph in m["mapping"].items()]
         )
+        return self._apply_generated(projected, m)
 
     def _cow_commit(
         self,
@@ -342,6 +366,7 @@ class VersionedTable:
             mapping=m["mapping"],
             used_physical=m["used_physical"],
             constraints=m.get("constraints", []),
+            generated=m.get("generated", {}),
         )
         return v + 1
 
@@ -463,7 +488,9 @@ class VersionedTable:
         v = self.latest_version()
         m = self._manifest(v)
         schema = self._logical_schema(m)
-        if name in [f.name for f in schema.fields]:
+        if name in [f.name for f in schema.fields] or name in m.get(
+            "generated", {}
+        ):
             raise ValueError(f"column {name} already exists")
         ph = self._fresh_physical(name, m["used_physical"])
         new_schema = StructType(
@@ -475,7 +502,7 @@ class VersionedTable:
         if default is None:
             self._commit(
                 v + 1, "add_column", m["files"], new_schema, mapping, used,
-                cons,
+                cons, m.get("generated", {}),
             )
             return v + 1
         backfilled = self.read().withColumn(
@@ -483,7 +510,8 @@ class VersionedTable:
         )
         files = self._write_data(backfilled, mapping)
         self._commit(
-            v + 1, "add_column", files, new_schema, mapping, used, cons
+            v + 1, "add_column", files, new_schema, mapping, used, cons,
+            m.get("generated", {}),
         )
         return v + 1
 
@@ -499,22 +527,72 @@ class VersionedTable:
 
         return re.search(rf"\b{re.escape(column)}\b", c["expr"]) is not None
 
+    @staticmethod
+    def _expr_references(expr: str, column: str) -> bool:
+        import re
+
+        return re.search(rf"\b{re.escape(column)}\b", expr) is not None
+
+    def add_generated_column(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD COLUMN ... GENERATED ALWAYS AS (expr)
+        VIRTUAL: metadata-only at any table size."""
+        v = self.latest_version()
+        m = self._manifest(v)
+        taken = [f.name for f in self._logical_schema(m).fields] + list(
+            m.get("generated", {})
+        )
+        if name in taken:
+            raise ValueError(f"column {name} already exists")
+        self._commit(
+            v + 1, "add_generated_column", m["files"],
+            self._logical_schema(m), m["mapping"], m["used_physical"],
+            m.get("constraints", []), {**m.get("generated", {}), name: expr},
+        )
+        return v + 1
+
     def drop_column(self, name: str) -> int:
         """ALTER TABLE DROP COLUMN: metadata-only — the physical column
         stays in the files (and in the ``used_physical`` ledger, so a
         later ADD COLUMN of the same name cannot resurrect it).
-        Refused while a constraint references the column (reference
-        dependency errors in test/sql/alter/)."""
+        Dropping a GENERATED column just removes its expression.
+        Refused while a constraint or generated column references the
+        column (reference dependency errors in test/sql/alter/,
+        test/sql/generated_columns/)."""
         v = self.latest_version()
         m = self._manifest(v)
         schema = self._logical_schema(m)
+        gen = m.get("generated", {})
+        cons = m.get("constraints", [])
+        if name in gen:
+            remaining = {k: e for k, e in gen.items() if k != name}
+            dependents = [
+                k for k, e in remaining.items()
+                if self._expr_references(e, name)
+            ]
+            if dependents:
+                raise ValueError(
+                    f"cannot drop {name}: generated columns {dependents} "
+                    "reference it"
+                )
+            self._commit(
+                v + 1, "drop_column", m["files"], schema, m["mapping"],
+                m["used_physical"], cons, remaining,
+            )
+            return v + 1
         if name not in [f.name for f in schema.fields]:
             raise ValueError(f"no such column: {name}")
-        cons = m.get("constraints", [])
         blocking = [c for c in cons if self._constraint_references(c, name)]
         if blocking:
             raise ValueError(
                 f"cannot drop {name}: referenced by constraints {blocking}"
+            )
+        gen_refs = [
+            k for k, e in gen.items() if self._expr_references(e, name)
+        ]
+        if gen_refs:
+            raise ValueError(
+                f"cannot drop {name}: generated columns {gen_refs} "
+                "reference it"
             )
         new_schema = StructType(
             [f for f in schema.fields if f.name != name]
@@ -522,7 +600,7 @@ class VersionedTable:
         mapping = {k: p for k, p in m["mapping"].items() if k != name}
         self._commit(
             v + 1, "drop_column", m["files"], new_schema, mapping,
-            m["used_physical"], cons,
+            m["used_physical"], cons, gen,
         )
         return v + 1
 
@@ -535,7 +613,7 @@ class VersionedTable:
         names = [f.name for f in schema.fields]
         if old not in names:
             raise ValueError(f"no such column: {old}")
-        if new in names:
+        if new in names or new in m.get("generated", {}):
             raise ValueError(f"column {new} already exists")
         new_schema = StructType(
             [
@@ -565,9 +643,18 @@ class VersionedTable:
                     f"cannot rename {old}: referenced by CHECK ({c['expr']})"
                 )
             cons.append(c)
+        gen = m.get("generated", {})
+        gen_refs = [
+            k for k, e in gen.items() if self._expr_references(e, old)
+        ]
+        if gen_refs:
+            raise ValueError(
+                f"cannot rename {old}: generated columns {gen_refs} "
+                "reference it"
+            )
         self._commit(
             v + 1, "rename_column", m["files"], new_schema, mapping,
-            m["used_physical"], cons,
+            m["used_physical"], cons, gen,
         )
         return v + 1
 

@@ -317,3 +317,69 @@ def test_ddl_respects_constraint_dependencies(cvt):
     assert {"type": "primary_key", "columns": ["okey"]} in cvt.constraints()
     with pytest.raises(ConstraintViolation, match="collide"):
         cvt.insert(cvt.read().limit(1))
+
+
+# ------------------------------------------------------ generated columns
+
+
+@pytest.fixture()
+def gvt(spark, sf_dir, tmp_path):
+    base = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .filter(F.col("o_orderkey") % 10 < 3)
+    )
+    return VersionedTable.create(
+        spark,
+        str(tmp_path / "gt"),
+        base,
+        generated={
+            "total_cents": "CAST(floor(o_totalprice * 100) AS BIGINT)",
+            "is_urgent": "o_orderpriority LIKE '1%'",
+        },
+    )
+
+
+def test_generated_columns_computed_at_read(gvt):
+    out = gvt.read()
+    assert "total_cents" in out.columns and "is_urgent" in out.columns
+    row = out.filter(F.col("o_totalprice") > 0).limit(1).collect()[0]
+    assert row["total_cents"] == int(row["o_totalprice"] * 100)
+    # never stored: the manifest mapping has no physical slot for them
+    m = gvt._manifest(gvt.latest_version())
+    assert "total_cents" not in m["mapping"]
+
+
+def test_generated_columns_usable_in_mutation_predicates(gvt):
+    n_urgent = gvt.read().filter(F.col("is_urgent")).count()
+    assert n_urgent > 0
+    gvt.delete_where(F.col("is_urgent"))
+    assert gvt.read().filter(F.col("is_urgent")).count() == 0
+    assert gvt.read().count() == gvt.read(0).count() - n_urgent
+    # rewrite did not accidentally materialize the virtual columns
+    m = gvt._manifest(gvt.latest_version())
+    assert "is_urgent" not in m["mapping"]
+
+
+def test_add_and_drop_generated_column_metadata_only(gvt):
+    files = set(gvt._manifest(gvt.latest_version())["files"])
+    gvt.add_generated_column("cents_sq", "total_cents * total_cents")
+    m = gvt._manifest(gvt.latest_version())
+    assert set(m["files"]) == files  # zero rewrite
+    row = gvt.read().limit(1).collect()[0]
+    assert row["cents_sq"] == row["total_cents"] ** 2
+    # chained dependency blocks dropping the upstream generated column
+    with pytest.raises(ValueError, match="cents_sq"):
+        gvt.drop_column("total_cents")
+    gvt.drop_column("cents_sq")
+    assert "cents_sq" not in gvt.read().columns
+    gvt.drop_column("total_cents")  # now unblocked
+    assert "total_cents" not in gvt.read().columns
+
+
+def test_stored_column_guards_against_generated_refs(gvt):
+    with pytest.raises(ValueError, match="generated columns"):
+        gvt.drop_column("o_totalprice")
+    with pytest.raises(ValueError, match="generated columns"):
+        gvt.rename_column("o_totalprice", "price")
+    with pytest.raises(ValueError, match="already exists"):
+        gvt.add_column("is_urgent", "string")
