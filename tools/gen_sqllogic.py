@@ -3155,6 +3155,61 @@ corpus("fn_shared_misc4", "Shared-name functions, 4th tranche (probe-verified)")
 ])
 
 
+
+# Per-table boolean/selective aggregate family (reference
+# test/sql/aggregate/aggregates/test_{bool_and,count_if,any_value}.test)
+# — count_if / bool_and / bool_or probed shared-name this round; one
+# file per fixture table with a table-appropriate predicate and group.
+_BOOLAGG = {
+    "region":    ("r_regionkey >= 2",        "r_name",        "r_regionkey"),
+    "nation":    ("n_nationkey % 2 = 0",     "n_regionkey",   "n_nationkey"),
+    "customer":  ("c_acctbal > 0",           "c_mktsegment",  "c_custkey"),
+    "supplier":  ("s_acctbal > 0",           "s_nationkey",   "s_suppkey"),
+    "part":      ("p_size > 25",             "p_brand",       "p_partkey"),
+    "orders":    ("o_totalprice > 100000",   "o_orderstatus", "o_orderkey"),
+    "lineitem":  ("l_quantity > 25",         "l_returnflag",  "l_orderkey"),
+    "events":    ("value > 0",               "event_type",    "event_id"),
+    "documents": ("n_chars > 200",           "lang",          "doc_id"),
+    "embeddings": ("label >= 5",             "label % 3",     "vec_id"),
+}
+for _t, (_pred, _grp, _key) in _BOOLAGG.items():
+    corpus(f"boolagg_file_{_t}", f"count_if/bool_and/bool_or over {_t} (reference test/sql/aggregate)")([
+        ("I", "", f"SELECT count_if({_pred}) FROM {_t}"),
+        ("II", "", f"SELECT count_if({_pred}), count(*) FROM {_t}"),
+        ("I", "rowsort", f"SELECT count_if({_pred}) FROM {_t} GROUP BY {_grp}"),
+        ("II", "rowsort", f"SELECT count_if({_pred}), count(*) FROM {_t} GROUP BY {_grp}"),
+        ("I", "", f"SELECT bool_and({_pred}) FROM {_t}"),
+        ("I", "", f"SELECT bool_or({_pred}) FROM {_t}"),
+        ("II", "rowsort", f"SELECT bool_and({_pred}), bool_or({_pred}) FROM {_t} GROUP BY {_grp}"),
+        ("I", "", f"SELECT count_if(NOT ({_pred})) + count_if({_pred}) = count({_key}) FROM {_t} WHERE {_key} IS NOT NULL"),
+    ])
+
+
+
+# Per-table covariance/correlation pair family (reference
+# test/sql/aggregate/aggregates/test_covar.test, test_corr.test) —
+# covar_samp/covar_pop had single-file coverage before this tranche.
+_COVAR_PAIRS = {
+    "customer":  ("c_acctbal",       "CAST(c_nationkey AS DOUBLE)", "c_mktsegment"),
+    # supplier excluded: 10 rows at sf0.001 put a grouped covar_pop
+    # exactly on a .3f rounding boundary (-4441.6625) where the two
+    # engines' summation orders disagree in the last ulp.
+    "part":      ("p_retailprice",   "CAST(p_size AS DOUBLE)",      "p_brand"),
+    "orders":    ("o_totalprice",    "CAST(o_orderkey % 97 AS DOUBLE)", "o_orderstatus"),
+    "lineitem":  ("l_extendedprice", "l_quantity",                  "l_returnflag"),
+    "events":    ("value",           "CAST(user_id % 101 AS DOUBLE)", "event_type"),
+    "documents": ("CAST(n_chars AS DOUBLE)", "CAST(doc_id % 89 AS DOUBLE)", "lang"),
+}
+for _t, (_x, _y, _grp) in _COVAR_PAIRS.items():
+    corpus(f"covar_file_{_t}", f"covar/corr pair over {_t} (reference test/sql/aggregate)")([
+        ("R", "", f"SELECT covar_samp({_x}, {_y}) FROM {_t}"),
+        ("R", "", f"SELECT covar_pop({_x}, {_y}) FROM {_t}"),
+        ("R", "", f"SELECT corr({_x}, {_y}) FROM {_t}"),
+        ("R", "rowsort", f"SELECT covar_pop({_x}, {_y}) FROM {_t} GROUP BY {_grp}"),
+        ("R", "", f"SELECT covar_samp({_x}, {_y}) FILTER (WHERE {_y} IS NOT NULL) FROM {_t}"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
