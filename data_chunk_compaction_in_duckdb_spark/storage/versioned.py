@@ -148,6 +148,22 @@ class VersionedTable:
         constraints: list[dict] | None = None,
         generated: dict[str, str] | None = None,
     ) -> None:
+        # Per-file zone maps ride in the manifest (reference row-group
+        # statistics, src/storage/statistics/, lifted to file grain):
+        # carried-forward files reuse the previous manifest's entry, new
+        # files get one parquet-footer read each — O(new files), local.
+        prev_stats: dict = {}
+        if version > 0:
+            try:
+                prev_stats = self._manifest(version - 1).get("stats", {})
+            except FileNotFoundError:
+                pass
+        stats = {}
+        for f in files:
+            entry = prev_stats.get(f)
+            if entry is None:
+                entry = _file_stats(os.path.join(self.path, f))
+            stats[f] = entry
         manifest = {
             "version": version,
             "op": op,
@@ -157,6 +173,7 @@ class VersionedTable:
             "used_physical": used_physical,
             "constraints": constraints or [],
             "generated": generated or {},
+            "stats": stats,
         }
         p = os.path.join(self.log_dir, f"{version:08d}.json")
         try:
@@ -203,19 +220,41 @@ class VersionedTable:
             df = df.withColumn(name, F.expr(expr))
         return df
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        filters: list[tuple[str, str, object]] | None = None,
+    ) -> DataFrame:
         """SELECT * FROM t [AS OF version]: read physical columns,
         project to the version's logical names, then compute VIRTUAL
         generated columns.  A column added after a file was written is
-        absent there — parquet yields NULL."""
+        absent there — parquet yields NULL.
+
+        ``filters`` — conjunctive ``(logical_col, op, value)`` with op
+        in {=, <, <=, >, >=} — prunes files by the manifest zone maps
+        BEFORE any scan is planned; pruning is conservative (a file
+        with no recorded range survives), so the caller still applies
+        the full predicate.  At 100 TB this is the difference between
+        opening every object-store file and opening the few whose
+        [min,max] can match."""
         v = self.latest_version() if version is None else version
         m = self._manifest(v)
         schema = self._logical_schema(m)
-        if not m["files"]:
+        files = m["files"]
+        if filters:
+            mapping = m["mapping"]
+            phys_filters = [
+                (mapping[col], op, val)
+                for col, op, val in filters
+                if col in mapping
+            ]
+            stats = {f: m.get("stats", {}).get(f, {}) for f in files}
+            files = prune_by_stats(stats, phys_filters)
+        if not files:
             return self._apply_generated(
                 self.spark.createDataFrame([], schema), m
             )
-        paths = [os.path.join(self.path, f) for f in m["files"]]
+        paths = [os.path.join(self.path, f) for f in files]
         raw = self.spark.read.schema(self._physical_schema(m)).parquet(*paths)
         projected = raw.select(
             *[F.col(ph).alias(lg) for lg, ph in m["mapping"].items()]
@@ -727,3 +766,68 @@ def quarantine(df: DataFrame, constraints: list[dict]) -> DataFrame:
             raise ValueError(f"unknown constraint type: {c['type']}")
         reason = F.when(hit, F.lit(tag)).otherwise(reason)
     return df.withColumn("_reject_reason", reason)
+
+
+# ------------------------------------------------------- file skipping
+
+
+def _file_stats(path: str) -> dict[str, list]:
+    """Per-file zone map from the parquet footer: physical column →
+    [min, max] across row groups (None when the writer recorded no
+    stats, e.g. for binary/nested columns).  Footer-only — never reads
+    data pages."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        grp = md.row_group(rg)
+        for ci in range(grp.num_columns):
+            col = grp.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            name = col.path_in_schema
+            if name in out:
+                out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
+            else:
+                out[name] = [lo, hi]
+    return {
+        k: v
+        for k, v in out.items()
+        if isinstance(v[0], (int, float, str, bool))
+    }
+
+
+def prune_by_stats(
+    stats: dict[str, dict[str, list]],
+    filters: list[tuple[str, str, object]],
+) -> list[str]:
+    """Zone-map pruning: keep the files whose [min, max] range MAY
+    satisfy every conjunct ``(column, op, value)`` with op in
+    {=, <, <=, >, >=}.  Conservative: a file with no recorded range for
+    the column always survives.  This is the reference's row-group
+    zone-map skip (src/storage/statistics/) lifted to manifest-file
+    granularity — the driver prunes on metadata, executors never open
+    skipped files."""
+    keep = []
+    for fname, cols in stats.items():
+        ok = True
+        for col, op, val in filters:
+            rng = cols.get(col)
+            if rng is None:
+                continue
+            lo, hi = rng
+            if (
+                (op == "=" and not (lo <= val <= hi))
+                or (op == "<" and not (lo < val))
+                or (op == "<=" and not (lo <= val))
+                or (op == ">" and not (hi > val))
+                or (op == ">=" and not (hi >= val))
+            ):
+                ok = False
+                break
+        if ok:
+            keep.append(fname)
+    return keep

@@ -383,3 +383,41 @@ def test_stored_column_guards_against_generated_refs(gvt):
         gvt.rename_column("o_totalprice", "price")
     with pytest.raises(ValueError, match="already exists"):
         gvt.add_column("is_urgent", "string")
+
+
+# ------------------------------------------------------ zone-map skipping
+
+
+def test_zone_map_file_skipping(spark, sf_dir, tmp_path):
+    base = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    vt = VersionedTable.create(spark, str(tmp_path / "zt"), base)
+    m = vt._manifest(0)
+    assert len(m["files"]) >= 3
+    # every file carries a recorded o_orderkey range in the manifest
+    assert all("o_orderkey" in m["stats"][f] for f in m["files"])
+    lo_key = base.agg(F.min("o_orderkey")).collect()[0][0]
+    pruned = vt.read(filters=[("o_orderkey", "<=", lo_key)])
+    full = vt.read()
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # conservative: pruned scan still contains every matching row
+    n_expected = full.filter(F.col("o_orderkey") <= lo_key).count()
+    assert (
+        pruned.filter(F.col("o_orderkey") <= lo_key).count() == n_expected
+    )
+
+
+def test_zone_map_follows_rename(spark, sf_dir, tmp_path):
+    base = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    vt = VersionedTable.create(spark, str(tmp_path / "zr"), base)
+    vt.rename_column("o_orderkey", "okey")
+    lo_key = vt.read().agg(F.min("okey")).collect()[0][0]
+    pruned = vt.read(filters=[("okey", "<=", lo_key)])
+    assert len(pruned.inputFiles()) < len(vt.read().inputFiles())
