@@ -36,11 +36,41 @@ def read_csv(
     infer_schema: bool = False,
     schema: str | None = None,
     delimiter: str = ",",
+    quote: str = '"',
+    escape: str = '"',
+    null_str: str | None = None,
+    comment: str | None = None,
+    multi_line: bool = False,
+    encoding: str | None = None,
+    date_format: str | None = None,
+    timestamp_format: str | None = None,
 ) -> DataFrame:
-    """CSV reader.  infer_schema mirrors the reference's auto-sniffer
-    (csv_reader_options.cpp) — explicit opt-in because inference costs an
-    extra full scan at scale; prefer passing `schema`."""
-    reader = spark.read.option("header", header).option("sep", delimiter)
+    """CSV reader with the reference's dialect surface
+    (csv_reader_options.cpp: DELIM/QUOTE/ESCAPE/NULLSTR/HEADER/
+    dateformat — test/sql/copy/csv/ exercises each).  The default
+    escape is the quote character itself, i.e. RFC-4180 ``""``
+    doubling, which is also the reference's default.  infer_schema
+    mirrors the auto-sniffer — explicit opt-in because inference costs
+    an extra full scan at scale; prefer passing `schema`.  Compressed
+    files (.gz/.zst) decode transparently in both engines."""
+    reader = (
+        spark.read.option("header", header)
+        .option("sep", delimiter)
+        .option("quote", quote)
+        .option("escape", escape)
+    )
+    if null_str is not None:
+        reader = reader.option("nullValue", null_str)
+    if comment is not None:
+        reader = reader.option("comment", comment)
+    if multi_line:
+        reader = reader.option("multiLine", True)
+    if encoding is not None:
+        reader = reader.option("encoding", encoding)
+    if date_format is not None:
+        reader = reader.option("dateFormat", date_format)
+    if timestamp_format is not None:
+        reader = reader.option("timestampFormat", timestamp_format)
     if schema is not None:
         reader = reader.schema(schema)
     elif infer_schema:
