@@ -2444,6 +2444,7 @@ _DATE_PARTS = {
     "day": ("day(o_orderdate)", "day(DATE '2000-02-29')"),
     "quarter": ("quarter(o_orderdate)", "quarter(DATE '1999-10-01')"),
     "weekofyear": ("weekofyear(o_orderdate)", "weekofyear(DATE '2000-01-02')"),
+    "dayofyear": ("dayofyear(o_orderdate)", "dayofyear(DATE '2000-03-01')"),
 }
 for _name, (_col_expr, _lit_expr) in _DATE_PARTS.items():
     corpus(f"date_file_{_name}", f"Date-part file: {_name} (reference test/sql/function/date)")([
