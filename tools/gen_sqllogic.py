@@ -3211,6 +3211,33 @@ for _t, (_x, _y, _grp) in _COVAR_PAIRS.items():
     ])
 
 
+
+# Per-table DISTINCT-aggregate matrix (reference
+# test/sql/aggregate/distinct/ — one file per table: single/multiple
+# DISTINCT aggregates, DISTINCT over expressions, grouped DISTINCT).
+_DISTINCT_COLS = {
+    "region":    ("r_name",        "r_regionkey % 2",  "r_regionkey"),
+    "nation":    ("n_name",        "n_regionkey",      "n_nationkey"),
+    "customer":  ("c_mktsegment",  "c_nationkey",      "c_custkey"),
+    "supplier":  ("s_name",        "s_nationkey",      "s_suppkey"),
+    "part":      ("p_brand",       "p_size % 10",      "p_partkey"),
+    "orders":    ("o_orderstatus", "o_custkey % 50",   "o_orderkey"),
+    "lineitem":  ("l_returnflag",  "l_linenumber",     "l_orderkey"),
+    "events":    ("event_type",    "user_id % 25",     "event_id"),
+    "documents": ("lang",          "source",           "doc_id"),
+    "embeddings": ("label",        "label % 4",        "vec_id"),
+}
+for _t, (_c1, _c2, _key) in _DISTINCT_COLS.items():
+    corpus(f"cntdist_file_{_t}", f"DISTINCT aggregates over {_t} (reference test/sql/aggregate/distinct)")([
+        ("I", "", f"SELECT count(DISTINCT {_c1}) FROM {_t}"),
+        ("II", "", f"SELECT count(DISTINCT {_c1}), count(DISTINCT {_c2}) FROM {_t}"),
+        ("I", "", f"SELECT count(DISTINCT {_c2}) FROM {_t} WHERE {_key} % 3 = 0"),
+        ("II", "rowsort", f"SELECT count(DISTINCT {_c2}), count(*) FROM {_t} GROUP BY {_c1}"),
+        ("I", "", f"SELECT count(DISTINCT CAST({_key} % 5 AS INT)) FROM {_t}"),
+        ("I", "", f"SELECT count(DISTINCT {_c1} IS NOT NULL) FROM {_t}"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
