@@ -3238,6 +3238,30 @@ for _t, (_c1, _c2, _key) in _DISTINCT_COLS.items():
     ])
 
 
+
+# Per-table ROLLUP/CUBE/GROUPING SETS matrix (reference
+# test/sql/aggregate/group/test_{rollup,cube,groupingsets}.test —
+# one file per table over two table-appropriate dimensions).
+_GSETS_DIMS = {
+    "nation":    ("n_regionkey",     "n_nationkey % 3"),
+    "customer":  ("c_mktsegment",    "c_nationkey % 5"),
+    "supplier":  ("s_nationkey % 5", "s_suppkey % 2"),
+    "part":      ("p_brand",         "p_size % 5"),
+    "orders":    ("o_orderstatus",   "o_orderpriority"),
+    "lineitem":  ("l_returnflag",    "l_linestatus"),
+    "events":    ("event_type",      "user_id % 7"),
+    "documents": ("lang",            "source"),
+}
+for _t, (_d1, _d2) in _GSETS_DIMS.items():
+    corpus(f"gsets_file_{_t}", f"ROLLUP/CUBE/GROUPING SETS over {_t} (reference test/sql/aggregate/group)")([
+        ("TTI", "rowsort", f"SELECT CAST({_d1} AS STRING), CAST({_d2} AS STRING), count(*) FROM {_t} GROUP BY ROLLUP({_d1}, {_d2})"),
+        ("TTI", "rowsort", f"SELECT CAST({_d1} AS STRING), CAST({_d2} AS STRING), count(*) FROM {_t} GROUP BY CUBE({_d1}, {_d2})"),
+        ("TTI", "rowsort", f"SELECT CAST({_d1} AS STRING), CAST({_d2} AS STRING), count(*) FROM {_t} GROUP BY GROUPING SETS(({_d1}), ({_d2}), ())"),
+        ("TII", "rowsort", f"SELECT CAST({_d1} AS STRING), grouping({_d1}), count(*) FROM {_t} GROUP BY ROLLUP({_d1})"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_d1}, {_d2} FROM {_t} GROUP BY CUBE({_d1}, {_d2})) s"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
