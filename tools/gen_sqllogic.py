@@ -3262,6 +3262,29 @@ for _t, (_d1, _d2) in _GSETS_DIMS.items():
     ])
 
 
+
+# Per-table window-frame file family (reference test/sql/window/
+# test_window_range.test etc. — one file per table: running sum over
+# ROWS frame, partitioned rank, lag with default, RANGE cumulative).
+_WINFRAME = {
+    "nation":    ("n_nationkey", "n_regionkey",   "n_nationkey"),
+    "customer":  ("c_custkey",   "c_mktsegment",  "c_nationkey"),
+    "supplier":  ("s_suppkey",   "s_nationkey",   "s_suppkey"),
+    "part":      ("p_partkey",   "p_brand",       "p_size"),
+    "orders":    ("o_orderkey",  "o_orderstatus", "o_custkey"),
+    "events":    ("event_id",    "event_type",    "user_id"),
+    "documents": ("doc_id",      "lang",          "n_chars"),
+}
+for _t, (_key, _grp, _val) in _WINFRAME.items():
+    corpus(f"winframe_file_{_t}", f"Window frames over {_t} (reference test/sql/window)")([
+        ("II", "", f"SELECT {_key}, CAST(sum({_val}) OVER (ORDER BY {_key} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) FROM {_t} ORDER BY {_key} LIMIT 8"),
+        ("II", "", f"SELECT {_key}, CAST(sum({_val}) OVER (ORDER BY {_key} ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS BIGINT) FROM {_t} ORDER BY {_key} LIMIT 8"),
+        ("II", "", f"SELECT {_key}, rank() OVER (PARTITION BY {_grp} ORDER BY {_key}) FROM {_t} ORDER BY {_key} LIMIT 8"),
+        ("II", "", f"SELECT {_key}, CAST(lag({_val}, 1, -1) OVER (ORDER BY {_key}) AS BIGINT) FROM {_t} ORDER BY {_key} LIMIT 8"),
+        ("II", "", f"SELECT {_key}, CAST(count(*) OVER (ORDER BY {_key} RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) FROM {_t} ORDER BY {_key} LIMIT 8"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
