@@ -3285,6 +3285,30 @@ for _t, (_key, _grp, _val) in _WINFRAME.items():
     ])
 
 
+
+# Per-unit interval arithmetic family (reference
+# test/sql/types/interval/, test/sql/function/operator/
+# test_date_arithmetic.test).  DATE + INTERVAL yields TIMESTAMP in
+# DuckDB but DATE/TIMESTAMP by unit in Spark -> all results CAST to a
+# common type (the validator enforces the remaining agreement).
+_INTERVAL_UNITS = {
+    "day":    ("INTERVAL 10 DAY",    "1"),
+    "month":  ("INTERVAL 2 MONTH",   "2"),
+    "year":   ("INTERVAL 1 YEAR",    "3"),
+    "hour":   ("INTERVAL 36 HOUR",   "4"),
+    "minute": ("INTERVAL 90 MINUTE", "5"),
+    "second": ("INTERVAL 3661 SECOND", "6"),
+}
+for _u, (_iv, _mod) in _INTERVAL_UNITS.items():
+    corpus(f"interval_file_{_u}", f"INTERVAL {_u} arithmetic (reference test/sql/types/interval)")([
+        ("T", "", f"SELECT CAST(TIMESTAMP '2024-02-28 23:30:00' + {_iv} AS STRING)"),
+        ("T", "", f"SELECT CAST(TIMESTAMP '2024-03-01 00:15:30' - {_iv} AS STRING)"),
+        ("T", "", f"SELECT CAST(CAST(o_orderdate AS TIMESTAMP) + {_iv} AS STRING) FROM orders ORDER BY o_orderkey LIMIT 4"),
+        ("I", "", f"SELECT count(*) FROM orders WHERE CAST(o_orderdate AS TIMESTAMP) + {_iv} > TIMESTAMP '1997-06-01 00:00:00'"),
+        ("I", "", f"SELECT count(*) FROM orders WHERE o_orderkey % 7 = {_mod} AND CAST(o_orderdate AS TIMESTAMP) - {_iv} < CAST(o_orderdate AS TIMESTAMP)"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
