@@ -431,3 +431,49 @@ def streaming_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_versioned_sink(
+    spark: SparkSession, sf_dir: str, table_path: str
+) -> "VersionedTable":
+    """foreachBatch sink into the versioned table store — the lakehouse
+    ingestion pattern: each micro-batch becomes ONE transactional
+    commit (append for the raw stream here; `merge` for keyed upserts),
+    so downstream readers only ever see whole batches, a crash between
+    batches loses nothing already committed, and the commit log records
+    the ingestion history batch-by-batch.  Exactly-once composition:
+    the streaming checkpoint dedups replayed batches on restart via the
+    batch_id guard (a replayed micro-batch sees its version already in
+    the log and skips), the store's O_EXCL manifests serialize
+    concurrent writers.
+
+    Synchronous (processAllAvailable) for tests; the identical graph
+    runs against Kafka + checkpoint on a cluster."""
+    import os as _os
+
+    from data_chunk_compaction_in_duckdb_spark.storage import VersionedTable
+
+    ev = _event_stream(spark, sf_dir)
+    if _os.path.isdir(_os.path.join(table_path, "_log")):
+        vt = VersionedTable(spark, table_path)  # restart: resume the log
+    else:
+        empty = spark.createDataFrame([], ev.schema)
+        vt = VersionedTable.create(spark, table_path, empty)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotence guard: version k+1 corresponds to batch k; a
+        # replayed batch after checkpoint recovery is already committed
+        if vt.latest_version() >= batch_id + 1:
+            return
+        vt.insert(batch_df)
+
+    q = (
+        ev.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", table_path + "_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return vt

@@ -421,3 +421,24 @@ def test_zone_map_follows_rename(spark, sf_dir, tmp_path):
     lo_key = vt.read().agg(F.min("okey")).collect()[0][0]
     pruned = vt.read(filters=[("okey", "<=", lo_key)])
     assert len(pruned.inputFiles()) < len(vt.read().inputFiles())
+
+
+# ------------------------------------------------------ streaming sink
+
+
+def test_streaming_versioned_sink(spark, sf_dir, tmp_path):
+    from data_chunk_compaction_in_duckdb_spark.streaming.events import (
+        streaming_versioned_sink,
+    )
+
+    vt = streaming_versioned_sink(spark, sf_dir, str(tmp_path / "st"))
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    assert vt.read().count() == batch.count()
+    ops = [h["op"] for h in vt.history()]
+    assert ops[0] == "create" and all(o == "insert" for o in ops[1:])
+    # restart with the same checkpoint: no duplicate commits, no
+    # duplicate rows (checkpoint + batch_id idempotence guard)
+    v = vt.latest_version()
+    vt2 = streaming_versioned_sink(spark, sf_dir, vt.path)
+    assert vt2.latest_version() == v
+    assert vt2.read().count() == batch.count()
