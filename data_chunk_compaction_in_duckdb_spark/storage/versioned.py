@@ -706,6 +706,23 @@ class VersionedTable:
         compacted = self.read().repartition(n_files)
         return self._cow_commit("checkpoint", set(m["files"]), compacted)
 
+    def cluster_by(self, cols: list[str], n_files: int = 8) -> int:
+        """OPTIMIZE ... CLUSTER BY: rewrite the live set range-
+        partitioned and sorted on ``cols`` — the compaction that makes
+        the manifest zone maps SELECTIVE (after clustering, each file
+        owns a disjoint key range, so ``read(filters=...)`` prunes to
+        the few files whose range matches; before it, every file spans
+        the whole domain and nothing prunes).  The lakehouse OPTIMIZE /
+        Z-ORDER analog of the reference's clustered row-group layout;
+        one shuffle, same content, new version."""
+        m = self._manifest(self.latest_version())
+        clustered = (
+            self.read()
+            .repartitionByRange(n_files, *cols)
+            .sortWithinPartitions(*cols)
+        )
+        return self._cow_commit("cluster", set(m["files"]), clustered)
+
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Drop data files referenced by NO retained manifest (and the
         pre-retention manifests themselves).  Time travel before the

@@ -442,3 +442,24 @@ def test_streaming_versioned_sink(spark, sf_dir, tmp_path):
     vt2 = streaming_versioned_sink(spark, sf_dir, vt.path)
     assert vt2.latest_version() == v
     assert vt2.read().count() == batch.count()
+
+
+def test_cluster_by_makes_zone_maps_selective(spark, sf_dir, tmp_path):
+    # un-clustered: round-robin partitions -> every file spans the full
+    # key domain -> zone maps prune nothing
+    base = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .repartition(4)
+    )
+    vt = VersionedTable.create(spark, str(tmp_path / "cl"), base)
+    mid = base.approxQuantile("o_orderkey", [0.5], 0.0)[0]
+    mid = int(mid)
+    # round-robin files all span the key domain: a mid-range point
+    # lookup cannot prune
+    before = len(vt.read(filters=[("o_orderkey", "=", mid)]).inputFiles())
+    assert before == len(vt.read().inputFiles())
+    vt.cluster_by(["o_orderkey"], n_files=4)
+    after = len(vt.read(filters=[("o_orderkey", "=", mid)]).inputFiles())
+    assert after < before  # disjoint ranges -> pruning works
+    # content unchanged by clustering
+    assert vt.read().count() == base.count()
