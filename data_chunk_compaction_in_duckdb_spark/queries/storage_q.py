@@ -416,3 +416,64 @@ def storage_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "storage_cluster_readback",
+    oracle="""
+    WITH v0 AS (SELECT * FROM orders WHERE o_orderkey % 10 < 3)
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM v0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def storage_cluster_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER BY then read back through a zone-map-pruned scan: the
+    range-clustering rewrite (and the file skipping it enables) must be
+    a pure physical reorganization — per-group counts, exact-cents sums
+    and key extrema all unchanged.  The read uses filters spanning the
+    full key domain, so pruning logic runs but must keep every file
+    that can match."""
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="vt_q_")
+    try:
+        vt = VersionedTable.create(
+            spark, root + "/t", orders.filter(F.col("o_orderkey") % 10 < 3)
+        )
+        vt.cluster_by(["o_orderkey"], n_files=4)
+        out = (
+            vt.read(filters=[("o_orderkey", ">=", 0)])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+                .alias("sum_cents"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .orderBy("o_orderpriority")
+            .collect()
+        )
+        rows = [
+            (r["o_orderpriority"], r["n_rows"], r["sum_cents"],
+             r["min_key"], r["max_key"])
+            for r in out
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("o_orderpriority", StringType()),
+            StructField("n_rows", LongType()),
+            StructField("sum_cents", LongType()),
+            StructField("min_key", LongType()),
+            StructField("max_key", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
