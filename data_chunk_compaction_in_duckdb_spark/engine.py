@@ -236,5 +236,29 @@ class Engine:
         if table in _catalog.TABLES:
             _catalog.invalidate_views(self.spark)
 
+    # -- durable tables (reference CREATE TABLE + storage layer)
+    def create_versioned_table(
+        self, name: str, df: DataFrame, path: str, **kwargs: Any
+    ):
+        """CREATE TABLE backed by the durable store (storage/versioned):
+        creates the table at ``path`` and registers its latest state as
+        temp view ``name`` so `sql()` sees it.  Re-register with
+        ``refresh_versioned_view`` after mutations (view re-binding is
+        the engine's commit-visibility rule, operators/mutations.py)."""
+        from data_chunk_compaction_in_duckdb_spark.storage import (
+            VersionedTable,
+        )
+
+        vt = VersionedTable.create(self.spark, path, df, **kwargs)
+        vt.read().createOrReplaceTempView(name)
+        return vt
+
+    def refresh_versioned_view(
+        self, name: str, vt, version: int | None = None
+    ) -> None:
+        """Re-bind temp view ``name`` to the table's state AS OF
+        ``version`` (default latest) — time travel at the SQL layer."""
+        vt.read(version).createOrReplaceTempView(name)
+
     def close(self) -> None:
         self.spark.stop()

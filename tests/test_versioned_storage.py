@@ -463,3 +463,25 @@ def test_cluster_by_makes_zone_maps_selective(spark, sf_dir, tmp_path):
     assert after < before  # disjoint ranges -> pruning works
     # content unchanged by clustering
     assert vt.read().count() == base.count()
+
+
+def test_engine_versioned_table_sql_visibility(spark, sf_dir, tmp_path):
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir, register=False)
+    base = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).limit(
+        100
+    )
+    vt = eng.create_versioned_table("vt_orders", base, str(tmp_path / "ev"))
+    assert eng.sql("SELECT count(*) AS n FROM vt_orders").collect()[0][
+        "n"
+    ] == 100
+    vt.delete_where(F.col("o_orderkey") % 2 == 0)
+    eng.refresh_versioned_view("vt_orders", vt)
+    n_after = eng.sql("SELECT count(*) AS n FROM vt_orders").collect()[0]["n"]
+    assert n_after < 100
+    # time travel at the SQL layer
+    eng.refresh_versioned_view("vt_orders", vt, version=0)
+    assert eng.sql("SELECT count(*) AS n FROM vt_orders").collect()[0][
+        "n"
+    ] == 100
