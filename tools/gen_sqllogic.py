@@ -3309,6 +3309,30 @@ for _u, (_iv, _mod) in _INTERVAL_UNITS.items():
     ])
 
 
+
+# Per-table HAVING matrix (reference test/sql/aggregate/having/ — one
+# file per table: HAVING on count/sum/avg, HAVING with expression not
+# in SELECT, HAVING + WHERE composition).
+_HAVING = {
+    "nation":    ("n_regionkey",   "n_nationkey",  "2"),
+    "customer":  ("c_mktsegment",  "c_acctbal",    "50"),
+    "supplier":  ("s_nationkey",   "s_acctbal",    "1"),
+    "part":      ("p_brand",       "p_size",       "5"),
+    "orders":    ("o_orderstatus", "o_totalprice", "100"),
+    "lineitem":  ("l_returnflag",  "l_quantity",   "500"),
+    "events":    ("event_type",    "value",        "20"),
+    "documents": ("lang",          "n_chars",      "10"),
+}
+for _t, (_grp, _val, _n) in _HAVING.items():
+    corpus(f"having_file_{_t}", f"HAVING matrix over {_t} (reference test/sql/aggregate/having)")([
+        ("TI", "rowsort", f"SELECT CAST({_grp} AS STRING), count(*) FROM {_t} GROUP BY {_grp} HAVING count(*) >= {_n}"),
+        ("TI", "rowsort", f"SELECT CAST({_grp} AS STRING), count(*) FROM {_t} GROUP BY {_grp} HAVING CAST(sum({_val}) AS DOUBLE) > 0"),
+        ("TR", "rowsort", f"SELECT CAST({_grp} AS STRING), round(avg({_val}), 3) FROM {_t} GROUP BY {_grp} HAVING avg({_val}) > (SELECT avg({_val}) FROM {_t}) * 0.5"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_grp} FROM {_t} GROUP BY {_grp} HAVING min({_val}) < max({_val})) s"),
+        ("TI", "rowsort", f"SELECT CAST({_grp} AS STRING), count(*) FROM {_t} WHERE {_val} IS NOT NULL GROUP BY {_grp} HAVING count(*) > {_n} AND count(*) < 100000"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
