@@ -3333,6 +3333,34 @@ for _t, (_grp, _val, _n) in _HAVING.items():
     ])
 
 
+
+# Per-table IN/EXISTS subquery matrix (reference test/sql/subquery/ —
+# one file per table, self-contained: IN, NOT IN over a null-free key,
+# EXISTS, NOT EXISTS, and the scalar-subquery comparison).
+_SUBQ = {
+    "nation":    ("n_nationkey",  "n_regionkey = 2"),
+    "customer":  ("c_custkey",    "c_acctbal < 0"),
+    "supplier":  ("s_suppkey",    "s_acctbal > 5000"),
+    "part":      ("p_partkey",    "p_size > 40"),
+    "orders":    ("o_orderkey",   "o_orderstatus = 'F'"),
+    "lineitem":  ("l_orderkey",   "l_quantity > 45"),
+    "events":    ("event_id",     "value > 90"),
+    "documents": ("doc_id",       "n_chars > 400"),
+}
+for _t, (_key, _pred) in _SUBQ.items():
+    corpus(f"insubq_file_{_t}", f"IN/EXISTS subqueries over {_t} (reference test/sql/subquery)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_key} IN (SELECT {_key} FROM {_t} WHERE {_pred})"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_key} NOT IN (SELECT {_key} FROM {_t} WHERE {_pred})"),
+        ("I", "", f"SELECT count(*) FROM {_t} a WHERE EXISTS (SELECT 1 FROM {_t} b WHERE b.{_key} = a.{_key} AND {_pred.replace('(', '(').replace(_pred.split()[0], 'b.' + _pred.split()[0], 1)})"),
+        ("I", "", f"SELECT count(*) FROM {_t} a WHERE NOT EXISTS (SELECT 1 FROM {_t} b WHERE b.{_key} = a.{_key} AND b.{_key} % 2 = 0)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_key} > (SELECT min({_key}) FROM {_t})"),
+        # floor() before the BIGINT cast: CAST(DOUBLE AS BIGINT) rounds
+        # in DuckDB and truncates in Spark (the header's documented
+        # divergence).
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_key} <= (SELECT CAST(floor(avg({_key})) AS BIGINT) FROM {_t})"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
