@@ -3361,6 +3361,29 @@ for _t, (_key, _pred) in _SUBQ.items():
     ])
 
 
+
+# Per-table percentile/median file family (reference
+# test/sql/aggregate/aggregates/test_{median,quantile}.test — extends
+# the 4-file percentile_file_p* tranche to every numeric table).
+_PCTL = {
+    "customer":  ("c_acctbal",       "c_mktsegment"),
+    "supplier":  ("s_acctbal",       "s_nationkey % 5"),
+    "part":      ("p_retailprice",   "p_brand"),
+    "orders":    ("o_totalprice",    "o_orderstatus"),
+    "lineitem":  ("l_extendedprice", "l_returnflag"),
+    "events":    ("value",           "event_type"),
+    "documents": ("CAST(n_chars AS DOUBLE)", "lang"),
+}
+for _t, (_v, _grp) in _PCTL.items():
+    corpus(f"pctl_file_{_t}", f"percentile/median over {_t} (reference test/sql/aggregate)")([
+        ("R", "", f"SELECT round(median({_v}), 3) FROM {_t}"),
+        ("R", "", f"SELECT round(percentile_cont(0.25) WITHIN GROUP (ORDER BY {_v}), 3) FROM {_t}"),
+        ("R", "", f"SELECT round(percentile_cont(0.9) WITHIN GROUP (ORDER BY {_v}), 3) FROM {_t}"),
+        ("R", "rowsort", f"SELECT round(median({_v}), 3) FROM {_t} GROUP BY {_grp}"),
+        ("R", "", f"SELECT round(percentile_cont(0.5) WITHIN GROUP (ORDER BY {_v}), 3) - round(median({_v}), 3) FROM {_t}"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
