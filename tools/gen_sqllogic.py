@@ -2950,6 +2950,12 @@ for _tbl, _expr, _key in [
     ("nation", "nullif(n_regionkey, 2)", "n_nationkey"),
     ("part", "nullif(p_size % 5, 1)", "p_partkey"),
     ("lineitem", "nullif(l_linenumber, 3)", "l_orderkey"),
+    ("region", "nullif(r_regionkey, 2)", "r_regionkey"),
+    ("customer", "nullif(c_nationkey % 6, 1)", "c_custkey"),
+    ("supplier", "nullif(s_nationkey % 4, 0)", "s_suppkey"),
+    ("events", "nullif(user_id % 5, 2)", "event_id"),
+    ("documents", "nullif(n_chars % 7, 3)", "doc_id"),
+    ("embeddings", "nullif(label % 3, 0)", "vec_id"),
 ]:
     corpus(f"ordernulls_file_{_tbl}", f"NULLS FIRST/LAST ordering matrix over {_tbl} (reference test/sql/order)")([
         ("I", "", f"SELECT {_expr} FROM {_tbl} ORDER BY {_expr} ASC NULLS FIRST, {_key} LIMIT 6"),
