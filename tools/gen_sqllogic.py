@@ -3390,6 +3390,28 @@ for _t, (_v, _grp) in _PCTL.items():
     ])
 
 
+
+# Per-pair natural-join file family (reference test/sql/join/inner/,
+# joins each fact/dim to its natural partner on the real FK).
+_JOIN_PAIRS = {
+    "nation_region":     ("nation a",   "region b",   "a.n_regionkey = b.r_regionkey",  "b.r_name"),
+    "customer_nation":   ("customer a", "nation b",   "a.c_nationkey = b.n_nationkey",  "b.n_name"),
+    "supplier_nation":   ("supplier a", "nation b",   "a.s_nationkey = b.n_nationkey",  "b.n_name"),
+    "orders_customer":   ("orders a",   "customer b", "a.o_custkey = b.c_custkey",      "b.c_mktsegment"),
+    "lineitem_orders":   ("lineitem a", "orders b",   "a.l_orderkey = b.o_orderkey",    "b.o_orderstatus"),
+    "lineitem_part":     ("lineitem a", "part b",     "a.l_partkey = b.p_partkey",      "b.p_brand"),
+    "events_customer":   ("events a",   "customer b", "a.user_id = b.c_custkey",        "b.c_mktsegment"),
+}
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    corpus(f"joinpair_file_{_n}", f"Natural-FK join pair {_n} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_l} JOIN {_r} ON {_on}"),
+        ("I", "", f"SELECT count(*) FROM {_l} LEFT JOIN {_r} ON {_on} WHERE {_on.split(' = ')[1]} IS NULL"),
+        ("I", "", f"SELECT count(*) FROM {_l} WHERE EXISTS (SELECT 1 FROM {_r} WHERE {_on})"),
+        ("I", "", f"SELECT count(*) FROM {_l} WHERE NOT EXISTS (SELECT 1 FROM {_r} WHERE {_on})"),
+        ("TI", "rowsort", f"SELECT {_grp}, count(*) FROM {_l} JOIN {_r} ON {_on} GROUP BY {_grp}"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
