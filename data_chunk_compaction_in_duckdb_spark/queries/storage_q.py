@@ -477,3 +477,76 @@ def storage_cluster_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "storage_dedup_rewrite",
+    oracle="""
+    WITH base AS (SELECT * FROM documents),
+    fp AS (SELECT doc_id, source, n_chars,
+                  md5(regexp_replace(lower(trim(regexp_replace(text,
+                      '\\s+', ' ', 'g'))), '[^a-z0-9_ ]', '', 'g'))
+                    AS fprint
+           FROM base),
+    keep AS (SELECT doc_id FROM (
+               SELECT doc_id,
+                      row_number() OVER (PARTITION BY fprint
+                                         ORDER BY doc_id) AS rn
+               FROM fp) r WHERE rn = 1)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM fp
+    WHERE doc_id IN (SELECT doc_id FROM keep)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def storage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-layer dedup rewrite: exact-duplicate documents (normalized
+    md5 fingerprint, keep lowest doc_id) are DELETED from a versioned
+    documents table via the anti-join delete_keys path — the durable
+    form of a corpus dedup pass.  The loser set flows keys-only through
+    a distributed semi-join; the oracle replays fingerprint + keep
+    policy + deletion as pure SQL over the base parquet."""
+    from pyspark.sql import Window
+
+    from data_chunk_compaction_in_duckdb_spark.pipeline.text import (
+        text_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="vt_q_")
+    try:
+        vt = VersionedTable.create(spark, root + "/t", docs)
+        fp = vt.read().select(
+            "doc_id", text_fingerprint("text", hex_chars=32).alias("fprint")
+        )
+        w = Window.partitionBy("fprint").orderBy("doc_id")
+        losers = (
+            fp.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select("doc_id")
+        )
+        vt.delete_keys(losers, "doc_id")
+        out = (
+            vt.read()
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .orderBy("source")
+            .collect()
+        )
+        rows = [(r["source"], r["n_docs"], r["sum_chars"]) for r in out]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("source", StringType()),
+            StructField("n_docs", LongType()),
+            StructField("sum_chars", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

@@ -504,6 +504,32 @@ class VersionedTable:
         )
         return self._cow_commit("merge", affected, survivors, extra)
 
+    def delete_keys(self, keys: DataFrame, key_col: str) -> int:
+        """DELETE WHERE key IN (SELECT ...) — the anti-join form
+        (reference physical_delete over a semi-join plan).  Affected
+        files come from a distributed semi-join (file names only);
+        survivors anti-join the key set.  The keys side never reaches
+        the driver — this is how a dedup pass deletes its losers from
+        a 100 TB table."""
+        cur = self.read().withColumn("_vt_file", F.input_file_name())
+        hits = (
+            cur.join(keys.select(key_col).distinct(), key_col, "semi")
+            .select("_vt_file")
+            .distinct()
+            .collect()
+        )
+        affected = {
+            os.path.relpath(_strip_uri(r["_vt_file"]), self.path)
+            for r in hits
+        }
+        if not affected:
+            return self._cow_commit("delete", set(), None)
+        m = self._manifest(self.latest_version())
+        survivors = self._read_files_logical(m, affected).join(
+            keys.select(key_col).distinct(), key_col, "left_anti"
+        )
+        return self._cow_commit("delete", affected, survivors)
+
     # ------------------------------------------------------ schema DDL
 
     def _fresh_physical(self, name: str, used: list[str]) -> str:

@@ -485,3 +485,16 @@ def test_engine_versioned_table_sql_visibility(spark, sf_dir, tmp_path):
     assert eng.sql("SELECT count(*) AS n FROM vt_orders").collect()[0][
         "n"
     ] == 100
+
+
+def test_delete_keys_anti_join(vt):
+    losers = vt.read().filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    n_losers = losers.count()
+    before = vt.read().count()
+    vt.delete_keys(losers, "o_orderkey")
+    assert vt.read().count() == before - n_losers
+    assert (
+        vt.read().filter(F.col("o_orderstatus") == "F").count() == 0
+    )
