@@ -269,7 +269,15 @@ def window_select(rng: random.Random) -> str:
     table = r.choice([t for t, c in TABLES.items() if c["str"]])
     g = Gen(r, table)
     part = r.choice(TABLES[table]["str"])
-    key = TABLES[table]["int"][0]
+    # the tiebreak must be UNIQUE per row or row_number among ties is
+    # engine-arbitrary (seed-31337 find: lineitem's l_orderkey repeats
+    # per line, so rank ties and the ORDER BY ... LIMIT cut both
+    # diverged legitimately)
+    key = (
+        "(l_orderkey * 10 + l_linenumber)"
+        if table == "lineitem"
+        else TABLES[table]["int"][0]
+    )
     other_str = [c for c in TABLES[table]["str"] if c != part]
     if other_str:
         coll_col, coll_part = r.choice(other_str), f"PARTITION BY {part} "
@@ -354,10 +362,36 @@ def recursive_select(rng: random.Random) -> str:
     )
 
 
+def float_special_select(rng: random.Random) -> str:
+    """IEEE-specials arm (round-4 probe: both engines agree NaN sorts
+    greatest, NaN==NaN groups, inf arithmetic) — inject nan/inf/-inf
+    literals into aggregates, DISTINCT, grouping and min/max over a
+    VALUES relation.  Probed divergences stay out: floor/ceil(inf),
+    CAST(inf AS STRING), stddev over inf, bare-ASC NULL placement."""
+    specials = ["CAST('nan' AS DOUBLE)", "CAST('inf' AS DOUBLE)",
+                "CAST('-inf' AS DOUBLE)", "1.5", "-2.25", "0.0", "NULL"]
+    vals = ",".join(f"({rng.choice(specials)})" for _ in range(rng.randint(4, 8)))
+    rel = f"(VALUES {vals}) t(x)"
+    shape = rng.random()
+    if shape < 0.3:
+        return (f"SELECT max(x) AS c0, min(x) AS c1, count(x) AS c2, "
+                f"count(DISTINCT x) AS c3 FROM {rel}")
+    if shape < 0.55:
+        return (f"SELECT x AS c0, count(*) AS c1 FROM {rel} "
+                f"GROUP BY x ORDER BY x DESC, c1")
+    if shape < 0.8:
+        return f"SELECT x AS c0 FROM {rel} ORDER BY x DESC"
+    return (f"SELECT CASE WHEN x > 0.0 THEN 'pos' WHEN x = x THEN 'other' "
+            f"ELSE 'nan_or_null' END AS c0, count(*) AS c1 FROM {rel} "
+            f"GROUP BY 1 ORDER BY c0")
+
+
 def gen_query(rng: random.Random) -> str:
     table = rng.choice(list(TABLES))
     g = Gen(rng, table)
     roll = rng.random()
+    if roll < 0.05:
+        return float_special_select(rng)
     if roll < 0.15:
         return join_select(rng)
     if roll < 0.25:
@@ -393,7 +427,7 @@ def run_fuzz(
     """Returns list of (sql, reason) divergences."""
     import duckdb
 
-    from tests.oracle_compare import normalize
+    from tests.oracle_compare import _cells_equal, normalize
 
     if duck is None:
         duck = duckdb.connect()
@@ -430,10 +464,15 @@ def run_fuzz(
             continue
         sn = normalize(s_cols, s_rows)
         on = normalize(o_cols, o_rows)
-        if sn != on:
+        # NaN-aware compare (_cells_equal treats NaN == NaN; plain tuple
+        # != would flag every NaN cell as a divergence)
+        same = len(sn) == len(on) and all(
+            _cells_equal(a, b) for a, b in zip(sn, on)
+        )
+        if not same:
             detail = f"rows {len(sn)}/{len(on)}"
             for a, b in zip(sn, on):
-                if a != b:
+                if not _cells_equal(a, b):
                     detail += f"; first diff {a} vs {b}"
                     break
             bad.append((sql, f"result mismatch: {detail}"))
