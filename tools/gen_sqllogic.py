@@ -3412,6 +3412,34 @@ for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
     ])
 
 
+
+# Per-table LIKE/pattern matrix (reference test/sql/function/string/
+# test_like.test, like_escape.test — per-table: %/_ wildcards, NOT
+# LIKE, ESCAPE, patterns inside CASE and aggregates).
+_LIKECOLS = {
+    "region":    ("r_name",        "r_regionkey"),
+    "nation":    ("n_name",        "n_nationkey"),
+    "customer":  ("c_name",        "c_custkey"),
+    "supplier":  ("s_name",        "s_suppkey"),
+    "part":      ("p_type",        "p_partkey"),
+    "orders":    ("o_orderpriority", "o_orderkey"),
+    "lineitem":  ("l_returnflag",  "l_orderkey"),
+    "events":    ("event_type",    "event_id"),
+    "documents": ("source",        "doc_id"),
+}
+for _t, (_c, _key) in _LIKECOLS.items():
+    corpus(f"like_file_{_t}", f"LIKE pattern matrix over {_t} (reference test/sql/function/string)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_c} LIKE '%a%'"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_c} NOT LIKE '%e%'"),
+        # '!' escape char: a literal backslash inside a quoted pattern
+        # parses differently across the engines (probed); '!' is neutral
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_c} LIKE '_!_%' ESCAPE '!'"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE upper({_c}) LIKE '%A%' OR lower({_c}) LIKE '%o%'"),
+        ("II", "", f"SELECT count_if({_c} LIKE '%r%'), count_if({_c} LIKE 'X%') FROM {_t}"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE CASE WHEN {_c} LIKE '%_%' THEN {_key} % 2 = 0 ELSE FALSE END"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
