@@ -339,23 +339,51 @@ def lsh_ann_topk(
     # cosine_similarity terms; only the evaluation count changes)
     cb = cb.withColumn("_cn", _vec_norm(F.col("_cv")))
     qb = qb.withColumn("_qn", _vec_norm(F.col("_qv")))
-    cands = None
-    for t in range(n_tables):
-        c = cb.select(
-            "match_id", "_cv", "_cn", F.col(f"_lsh_t{t}").alias("_bk")
-        )
-        bucket = F.col(f"_lsh_t{t}")
-        if multiprobe:
-            probes = F.array(
-                bucket, *[bucket.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    # ONE melted (table_id, bucket) join instead of a per-table
+    # join+union: the union form re-executed the corpus scan and bucket
+    # computation once per table (no subtree reuse across union
+    # branches) — melting via explode buckets the corpus exactly once,
+    # and the candidate set is identical (same-bucket-in-same-table,
+    # deduped after).  The explode multiplies ROWS by n_tables but the
+    # corpus is scanned and hashed once — at 100 TB that halves (for
+    # n_tables=2) the dominant cost.
+    c_long = cb.select(
+        "match_id",
+        "_cv",
+        "_cn",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("_t"),
+                        F.col(f"_lsh_t{t}").alias("_bk"),
+                    )
+                    for t in range(n_tables)
+                ]
             )
-        else:
-            probes = F.array(bucket)
-        q = qb.select(
-            "query_id", "_qv", "_qn", F.explode(probes).alias("_bk")
+        ).alias("_tb"),
+    ).select("match_id", "_cv", "_cn", "_tb._t", "_tb._bk")
+    q_probe_structs = []
+    for t in range(n_tables):
+        bucket = F.col(f"_lsh_t{t}")
+        probes = (
+            [bucket]
+            + [bucket.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+            if multiprobe
+            else [bucket]
         )
-        pairs = c.join(F.broadcast(q), "_bk").drop("_bk")
-        cands = pairs if cands is None else cands.unionByName(pairs)
+        q_probe_structs += [
+            F.struct(F.lit(t).alias("_t"), pb.alias("_bk")) for pb in probes
+        ]
+    q_long = qb.select(
+        "query_id",
+        "_qv",
+        "_qn",
+        F.explode(F.array(*q_probe_structs)).alias("_tb"),
+    ).select("query_id", "_qv", "_qn", "_tb._t", "_tb._bk")
+    cands = c_long.join(F.broadcast(q_long), ["_t", "_bk"]).drop(
+        "_t", "_bk"
+    )
     cands = cands.filter(F.col("query_id") != F.col("match_id")).dropDuplicates(
         ["query_id", "match_id"]
     )
