@@ -3249,6 +3249,8 @@ for _t, (_c1, _c2, _key) in _DISTINCT_COLS.items():
 # test/sql/aggregate/group/test_{rollup,cube,groupingsets}.test —
 # one file per table over two table-appropriate dimensions).
 _GSETS_DIMS = {
+    "region":    ("r_name",          "r_regionkey % 2"),
+    "embeddings": ("label % 4",      "label % 2"),
     "nation":    ("n_regionkey",     "n_nationkey % 3"),
     "customer":  ("c_mktsegment",    "c_nationkey % 5"),
     "supplier":  ("s_nationkey % 5", "s_suppkey % 2"),
@@ -3273,6 +3275,9 @@ for _t, (_d1, _d2) in _GSETS_DIMS.items():
 # test_window_range.test etc. — one file per table: running sum over
 # ROWS frame, partitioned rank, lag with default, RANGE cumulative).
 _WINFRAME = {
+    "region":    ("r_regionkey", "r_name",        "r_regionkey"),
+    "lineitem":  ("(l_orderkey * 10 + l_linenumber)", "l_returnflag", "l_linenumber"),
+    "embeddings": ("vec_id",     "label % 3",     "label"),
     "nation":    ("n_nationkey", "n_regionkey",   "n_nationkey"),
     "customer":  ("c_custkey",   "c_mktsegment",  "c_nationkey"),
     "supplier":  ("s_suppkey",   "s_nationkey",   "s_suppkey"),
