@@ -3197,6 +3197,8 @@ for _t, (_pred, _grp, _key) in _BOOLAGG.items():
 # test/sql/aggregate/aggregates/test_covar.test, test_corr.test) —
 # covar_samp/covar_pop had single-file coverage before this tranche.
 _COVAR_PAIRS = {
+    "nation":    ("CAST(n_nationkey AS DOUBLE)", "CAST(n_regionkey AS DOUBLE)", "n_regionkey"),
+    "embeddings": ("CAST(label AS DOUBLE)", "CAST(vec_id % 13 AS DOUBLE)", "label % 3"),
     "customer":  ("c_acctbal",       "CAST(c_nationkey AS DOUBLE)", "c_mktsegment"),
     # supplier excluded: 10 rows at sf0.001 put a grouped covar_pop
     # exactly on a .3f rounding boundary (-4441.6625) where the two
@@ -3377,6 +3379,8 @@ for _t, (_key, _pred) in _SUBQ.items():
 # test/sql/aggregate/aggregates/test_{median,quantile}.test — extends
 # the 4-file percentile_file_p* tranche to every numeric table).
 _PCTL = {
+    "nation":    ("CAST(n_nationkey AS DOUBLE)", "n_regionkey"),
+    "embeddings": ("CAST(label AS DOUBLE)",      "label % 3"),
     "customer":  ("c_acctbal",       "c_mktsegment"),
     "supplier":  ("s_acctbal",       "s_nationkey % 5"),
     "part":      ("p_retailprice",   "p_brand"),
