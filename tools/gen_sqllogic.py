@@ -3449,6 +3449,95 @@ for _t, (_c, _key) in _LIKECOLS.items():
     ])
 
 
+# Shared per-table column map for the round-4 gap-fill families below:
+# (unique key expr, string col, numeric col, group expr, predicate).
+# The key expr is unique per row (lineitem composes its compound key),
+# making min_by/max_by and ORDER BY ... LIMIT deterministic without ties.
+_TCOLS = {
+    "region":    ("r_regionkey", "r_name",          "r_regionkey",   "r_regionkey % 2", "r_regionkey < 3"),
+    "nation":    ("n_nationkey", "n_name",          "n_nationkey",   "n_regionkey",     "n_nationkey < 12"),
+    "customer":  ("c_custkey",   "c_name",          "c_acctbal",     "c_mktsegment",    "c_acctbal > 0"),
+    "supplier":  ("s_suppkey",   "s_name",          "s_acctbal",     "s_nationkey % 5", "s_acctbal > 0"),
+    "part":      ("p_partkey",   "p_name",          "p_retailprice", "p_brand",         "p_size > 25"),
+    "orders":    ("o_orderkey",  "o_orderpriority", "o_totalprice",  "o_orderstatus",   "o_totalprice > 100000"),
+    "lineitem":  ("l_orderkey * 10 + l_linenumber", "l_returnflag", "l_extendedprice", "l_linestatus", "l_quantity > 25"),
+    "events":    ("event_id",    "event_type",      "value",         "event_type",      "value > 50"),
+    "documents": ("doc_id",      "source",          "n_chars",       "lang",            "n_chars > 400"),
+    "embeddings": ("vec_id",     "CAST(label AS STRING)", "label",   "label % 3",       "label % 2 = 0"),
+}
+
+# Per-table min_by/max_by selector family (reference
+# test/sql/aggregate/aggregates/test_arg_min_max.test — the single
+# agg_selector_family file extended to every table; the unique key as
+# the ordering argument keeps every selector deterministic).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"selector_file_{_t}", f"min_by/max_by selectors over {_t} (reference test/sql/aggregate arg_min/arg_max)")([
+        ("TT", "", f"SELECT min_by({_s}, {_k}), max_by({_s}, {_k}) FROM {_t}"),
+        ("T", "", f"SELECT min_by(CAST({_k} AS STRING), {_k}) FROM {_t}"),
+        ("T", "", f"SELECT max_by({_s}, {_k}) FROM {_t} WHERE {_p}"),
+        ("TT", "rowsort", f"SELECT min_by({_s}, {_k}), max_by({_s}, {_k}) FROM {_t} GROUP BY {_g}"),
+        ("T", "", f"SELECT any_value({_s}) FROM {_t} WHERE {_k} = (SELECT min({_k}) FROM {_t})"),
+    ])
+
+# Per-table dispersion family (reference test/sql/aggregate/aggregates/
+# test_stddev.test — stddev/var pop+samp over every numeric column,
+# rounded so both engines' float merge orders agree at fixture scale).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"spread_file_{_t}", f"stddev/variance over {_t} (reference test/sql/aggregate test_stddev)")([
+        ("R", "", f"SELECT round(stddev_samp({_v}), 3) FROM {_t}"),
+        ("R", "", f"SELECT round(stddev_pop({_v}), 3) FROM {_t}"),
+        ("R", "", f"SELECT round(var_samp({_v}), 3) FROM {_t}"),
+        ("R", "", f"SELECT round(var_pop({_v}), 3) FROM {_t}"),
+        ("R", "rowsort", f"SELECT round(stddev_pop({_v}), 3) FROM {_t} GROUP BY {_g}"),
+        ("R", "", f"SELECT round(stddev_samp({_v}), 3) FROM {_t} WHERE {_p}"),
+    ])
+
+# Per-table DISTINCT-forms family (reference test/sql/aggregate/distinct
+# — the single distinct_forms file extended to every table).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"distinctf_file_{_t}", f"DISTINCT forms over {_t} (reference test/sql/aggregate/distinct)")([
+        ("I", "", f"SELECT count(DISTINCT {_s}) FROM {_t}"),
+        ("I", "", f"SELECT count(*) FROM (SELECT DISTINCT {_g} AS g, {_s} AS s FROM {_t}) x"),
+        ("I", "", f"SELECT count(DISTINCT {_k}) - count(*) FROM {_t}"),
+        ("I", "", f"SELECT count(DISTINCT {_s}) FILTER (WHERE {_p}) FROM {_t}"),
+        ("II", "rowsort", f"SELECT count(DISTINCT {_s}), count(*) FROM {_t} GROUP BY {_g}"),
+    ])
+
+# Per-table ORDER BY + LIMIT/OFFSET top-n family (reference
+# test/sql/topn — deterministic through the unique key tiebreak).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"topn_file_{_t}", f"top-n ORDER BY/LIMIT over {_t} (reference test/sql/topn)")([
+        ("T", "", f"SELECT CAST({_k} AS STRING) AS ks FROM {_t} ORDER BY {_k} LIMIT 5"),
+        ("T", "", f"SELECT CAST({_k} AS STRING) AS ks FROM {_t} ORDER BY {_k} DESC LIMIT 3"),
+        ("T", "", f"SELECT CAST({_k} AS STRING) AS ks FROM {_t} ORDER BY {_k} LIMIT 4 OFFSET 3"),
+        ("TT", "", f"SELECT {_s} AS sv, CAST({_k} AS STRING) AS ks FROM {_t} ORDER BY {_v} DESC, {_k} LIMIT 5"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_k} AS kk FROM {_t} ORDER BY {_v} DESC, {_k} LIMIT 10) x"),
+    ])
+
+# Per-table self set-op family (reference test/sql/setops — INTERSECT/
+# EXCEPT/UNION between two predicate slices of the same table).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _p2 = f"({_k}) % 2 = 0"
+    corpus(f"setopself_file_{_t}", f"self set-ops over {_t} (reference test/sql/setops)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT {_k} AS kk FROM {_t} WHERE {_p} INTERSECT SELECT {_k} AS kk FROM {_t} WHERE {_p2}) x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_k} AS kk FROM {_t} WHERE {_p} EXCEPT SELECT {_k} AS kk FROM {_t} WHERE {_p2}) x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_k} AS kk FROM {_t} WHERE {_p} UNION SELECT {_k} AS kk FROM {_t} WHERE {_p2}) x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_k} AS kk FROM {_t} WHERE {_p} UNION ALL SELECT {_k} AS kk FROM {_t} WHERE {_p2}) x"),
+        ("T", "rowsort", f"SELECT {_s} AS sv FROM {_t} WHERE {_p} INTERSECT SELECT {_s} AS sv FROM {_t} WHERE {_p2}"),
+    ])
+
+# Per-table CTE family (reference test/sql/cte — chained and twice-
+# referenced WITH clauses over every table).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"cte_file_{_t}", f"WITH-clause shapes over {_t} (reference test/sql/cte)")([
+        ("I", "", f"WITH a AS (SELECT * FROM {_t} WHERE {_p}), b AS (SELECT {_k} AS kk FROM a) SELECT count(*) FROM b"),
+        ("I", "", f"WITH a AS (SELECT {_k} AS kk FROM {_t}) SELECT count(*) FROM a x JOIN a y ON x.kk = y.kk"),
+        ("I", "", f"WITH a AS (SELECT {_k} AS kk FROM {_t} WHERE {_p}), b AS (SELECT kk FROM a WHERE kk % 2 = 0), c AS (SELECT kk FROM b WHERE kk % 3 = 0) SELECT count(*) FROM c"),
+        ("I", "", f"WITH a AS (SELECT {_k} AS kk FROM {_t} WHERE {_p}) SELECT count(*) FROM (SELECT kk FROM a UNION ALL SELECT kk FROM a) x"),
+        ("T", "", f"WITH a AS (SELECT {_s} AS sv, {_k} AS kk FROM {_t}) SELECT sv FROM a ORDER BY kk LIMIT 3"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
