@@ -292,6 +292,60 @@ def keep_representatives(
     return df.join(losers, id_col, "left_anti")
 
 
+def _assign_cells_arrow(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[list[float]],
+    n_assign: int,
+) -> DataFrame:
+    """IVF cell assignment as ONE Arrow pass: each batch of vectors is
+    scored against the full centroid matrix in numpy with a
+    dim-sequential left fold — ((0 + t0) + t1) + ... per (row, cell) —
+    the exact IEEE evaluation order of the zip_with/aggregate expression
+    form, so the chosen cells (and thus every downstream pair and the
+    DuckDB oracle replay) are bit-identical.  Ranking replicates the
+    expression's sort_array(struct(-dot, idx)): np.argsort(-dots,
+    kind="stable") ascending orders NaN last (Spark's NaN-greatest) and
+    breaks exact ties by centroid index (stability == the struct's idx
+    tiebreak).  This removes the n*cells*dim interpreted-lambda cost
+    that made the assignment the sf1 bottleneck (BENCH_sf1: 9.3x)."""
+    from pyspark.sql import types as T
+
+    id_field = emb.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", id_field.dataType, True),
+            T.StructField("_cell", T.IntegerType(), True),
+        ]
+    )
+    cmat = [list(map(float, c)) for c in cents]
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        cm = np.asarray(cmat, dtype=np.float64)
+        k, dim = cm.shape
+        take = min(n_assign, k)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            dots = np.zeros((len(pdf), k))
+            for j in range(dim):
+                dots = dots + vecs[:, j][:, None] * cm[:, j][None, :]
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :take]
+            yield pd.DataFrame(
+                {
+                    "_id": pdf[id_col].to_numpy().repeat(take),
+                    "_cell": order.reshape(-1).astype("int32"),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
 def semantic_ivf_neardup_pairs(
     emb: DataFrame,
     id_col: str,
@@ -301,6 +355,7 @@ def semantic_ivf_neardup_pairs(
     n_assign: int = 2,
     threshold: float = 0.9,
     rerank: str = "cell",
+    assign: str = "arrow",
 ) -> DataFrame:
     """Semantic near-dup pairs via IVF cell bucketing — the 100 TB scale
     path for ``embedding_neardup_pairs``: each vector is assigned to its
@@ -331,7 +386,14 @@ def semantic_ivf_neardup_pairs(
       cells ∝ corpus rule and both memory and parallelism stay flat.
     - ``"pair"``: the pure-expression path (id-pair distinct + per-pair
       zip_with dot).  Kept for A/B verification; right choice only when
-      Arrow is unavailable."""
+      Arrow is unavailable.
+
+    ``assign`` picks the cell-assignment kernel the same way:
+    ``"arrow"`` (default) scores each vector batch against the centroid
+    matrix in numpy with the expression path's exact fold order (see
+    ``_assign_cells_arrow``); ``"expr"`` keeps the sort_array/transform
+    expression form for A/B verification.  Both produce identical cells
+    (pinned by tests/test_dedup_rerank_ab.py)."""
     from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
         _centroid,
         cosine_similarity,
@@ -356,17 +418,21 @@ def semantic_ivf_neardup_pairs(
         )
         return F.struct((-dot).alias("d"), i.cast("int").alias("i"))
 
-    cells_expr = F.slice(
-        F.transform(
-            F.sort_array(F.transform(cents_lit, _cell_entry)), lambda s: s.i
-        ),
-        1,
-        n_assign,
-    )
-
-    cells = emb.select(
-        F.col(id_col).alias("_id"), F.explode(cells_expr).alias("_cell")
-    )
+    if assign == "arrow":
+        cells = _assign_cells_arrow(emb, id_col, vec_col, cents, n_assign)
+    elif assign == "expr":
+        cells_expr = F.slice(
+            F.transform(
+                F.sort_array(F.transform(cents_lit, _cell_entry)), lambda s: s.i
+            ),
+            1,
+            n_assign,
+        )
+        cells = emb.select(
+            F.col(id_col).alias("_id"), F.explode(cells_expr).alias("_cell")
+        )
+    else:
+        raise ValueError(f"assign must be 'arrow' or 'expr', got {assign!r}")
 
     if rerank == "cell":
         return _cell_rerank_pairs(emb, cells, id_col, vec_col, threshold)

@@ -57,6 +57,33 @@ def test_cell_equals_pair(spark, emb):
     assert pa, "fixture must produce at least one near-dup pair"
 
 
+def test_arrow_assign_equals_expr_assign(spark, emb):
+    """The Arrow cell-assignment kernel must pick the identical cells as
+    the sort_array/transform expression form — pinned through the final
+    pair sets of both rerank kernels, on the clean fixture and with a
+    NaN-element vector (exercising argsort's NaN-last == Spark's
+    NaN-greatest struct sort) and a zero vector (all dots 0, ties broken
+    by centroid index in both paths)."""
+    bad = _mk(
+        spark,
+        [
+            (300, [0.0] * DIM),
+            (301, [float("nan")] + [1.0] * (DIM - 1)),
+        ],
+    )
+    full = emb.unionAll(bad)
+    for rerank in ("cell", "pair"):
+        a = semantic_ivf_neardup_pairs(
+            full, "id", "emb", DIM, n_clusters=4, threshold=0.9,
+            rerank=rerank, assign="arrow",
+        )
+        b = semantic_ivf_neardup_pairs(
+            full, "id", "emb", DIM, n_clusters=4, threshold=0.9,
+            rerank=rerank, assign="expr",
+        )
+        assert _pairs(a) == _pairs(b), f"assign kernels diverge ({rerank})"
+
+
 def test_cell_equals_pair_degenerate(spark, emb):
     """Degenerate vectors, aligned with DuckDB's oracle semantics:
 
