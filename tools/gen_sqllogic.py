@@ -3538,6 +3538,57 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Per-pair RIGHT/FULL OUTER family (reference test/sql/join/right,
+# /full_outer — the joinpair family covered inner/left/semi/anti only).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _lk = _on.split(" = ")[0]
+    _rk = _on.split(" = ")[1]
+    corpus(f"outerpair_file_{_n}", f"RIGHT/FULL OUTER join pair {_n} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_l} RIGHT JOIN {_r} ON {_on}"),
+        ("I", "", f"SELECT count(*) FROM {_l} FULL JOIN {_r} ON {_on}"),
+        ("I", "", f"SELECT count(*) FROM {_l} RIGHT JOIN {_r} ON {_on} WHERE {_lk} IS NULL"),
+        ("I", "", f"SELECT count(*) FROM {_l} FULL JOIN {_r} ON {_on} WHERE {_lk} IS NULL OR {_rk} IS NULL"),
+        ("I", "", f"SELECT count(coalesce({_lk}, {_rk})) FROM {_l} FULL JOIN {_r} ON {_on}"),
+    ])
+
+# Per-table arithmetic/rounding family (reference test/sql/function/
+# numeric — round/floor/ceil/abs/mod over every numeric column; floor
+# before BIGINT casts per the header's rounding-divergence note).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"arith_file_{_t}", f"arithmetic/rounding over {_t} (reference test/sql/function/numeric)")([
+        ("R", "", f"SELECT round(sum(round({_v}, 1)), 1) FROM {_t}"),
+        ("I", "", f"SELECT CAST(sum(CAST(floor({_v}) AS BIGINT)) AS BIGINT) FROM {_t}"),
+        ("I", "", f"SELECT CAST(sum(CAST(ceil({_v}) AS BIGINT)) AS BIGINT) FROM {_t}"),
+        ("R", "", f"SELECT round(avg(abs({_v})), 3) FROM {_t}"),
+        ("I", "rowsort", f"SELECT CAST(floor({_v}) AS BIGINT) % 7 FROM {_t} GROUP BY 1"),
+        ("R", "", f"SELECT round(max({_v}) - min({_v}), 3) FROM {_t}"),
+    ])
+
+# Per-table GROUP BY expression/ordinal family (reference
+# test/sql/aggregate/group — grouping on computed expressions, ordinal
+# references, and expression+HAVING combinations).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"gbexpr_file_{_t}", f"GROUP BY expressions over {_t} (reference test/sql/aggregate/group)")([
+        ("II", "rowsort", f"SELECT ({_k}) % 5 AS b, count(*) FROM {_t} GROUP BY ({_k}) % 5"),
+        ("II", "rowsort", f"SELECT ({_k}) % 4 AS b, count(*) FROM {_t} GROUP BY 1"),
+        ("TI", "rowsort", f"SELECT substr({_s}, 1, 1) AS c, count(*) FROM {_t} GROUP BY substr({_s}, 1, 1)"),
+        ("II", "rowsort", f"SELECT ({_k}) % 3 AS b, count(*) FROM {_t} GROUP BY ({_k}) % 3 HAVING count(*) > 1"),
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) % 6 AS b, length({_s}) AS ln FROM {_t} GROUP BY ({_k}) % 6, length({_s})) x"),
+    ])
+
+# Per-table partitioned window-aggregate family (reference
+# test/sql/window — whole-partition aggregates + counts, complementing
+# the winframe_file ROWS-frame family which orders globally).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"winagg_file_{_t}", f"partitioned window aggregates over {_t} (reference test/sql/window)")([
+        ("TR", "", f"SELECT CAST({_k} AS STRING) AS ks, round(avg({_v}) OVER (PARTITION BY {_g}), 3) AS pavg FROM {_t} ORDER BY {_k} LIMIT 8"),
+        ("TI", "", f"SELECT CAST({_k} AS STRING) AS ks, count(*) OVER (PARTITION BY {_g}) AS pc FROM {_t} ORDER BY {_k} LIMIT 8"),
+        ("TR", "", f"SELECT CAST({_k} AS STRING) AS ks, round(max({_v}) OVER (PARTITION BY {_g}) - {_v}, 3) AS gap FROM {_t} ORDER BY {_k} LIMIT 8"),
+        ("TI", "", f"SELECT CAST({_k} AS STRING) AS ks, CAST(rank() OVER (PARTITION BY {_g} ORDER BY {_k}) AS BIGINT) AS rk FROM {_t} ORDER BY {_k} LIMIT 8"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_g} AS g, round(sum({_v}) OVER (PARTITION BY {_g}), 2) AS ps FROM {_t}) x WHERE ps IS NOT NULL"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
