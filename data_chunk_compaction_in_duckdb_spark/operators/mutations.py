@@ -49,3 +49,54 @@ def upsert(df: DataFrame, updates: DataFrame, key_col: str) -> DataFrame:
     on-conflict path): new rows win on key collision."""
     survivors = df.join(updates.select(key_col), key_col, "left_anti")
     return survivors.unionByName(updates)
+
+
+# --- RETURNING clause analogs (reference test/sql/returning/,
+# physical_insert.cpp / physical_delete.cpp / physical_update.cpp
+# return_collection paths).  Each returns (post_mutation_relation,
+# returned_rows); RETURNING projects the POST-image of the affected
+# rows — the same rows DuckDB's `... RETURNING *` emits (pinned against
+# real DuckDB DML by tests/test_mutations_returning.py).  Both outputs
+# are plain DataFrames, so RETURNING expressions are ordinary .select()
+# compositions on the second element.
+
+
+def delete_returning(
+    df: DataFrame, cond: Column
+) -> tuple[DataFrame, DataFrame]:
+    """DELETE FROM df WHERE cond RETURNING * — returned rows are the
+    deleted ones (their pre-image: DELETE has no post-image)."""
+    return delete_where(df, cond), df.filter(cond)
+
+
+def update_returning(
+    df: DataFrame, cond: Column, assignments: Mapping[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """UPDATE df SET ... WHERE cond RETURNING * — returned rows are the
+    updated rows with the assignments APPLIED (DuckDB returns the
+    post-update image)."""
+    post = update_where(df, cond, assignments)
+    updated = df.filter(cond)
+    for col, expr in assignments.items():
+        updated = updated.withColumn(col, expr)
+    return post, updated
+
+
+def insert_returning(
+    df: DataFrame, rows: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """INSERT INTO df ... RETURNING * — returned rows are the inserted
+    ones (column-aligned to the target's schema, as the reference
+    binds RETURNING against the target table)."""
+    aligned = rows.selectExpr(*df.columns)
+    return insert_into(df, aligned), aligned
+
+
+def upsert_returning(
+    df: DataFrame, updates: DataFrame, key_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """INSERT ... ON CONFLICT DO UPDATE ... RETURNING * — every
+    proposed row is returned (inserted or conflict-updated, both carry
+    the update's post-image values)."""
+    aligned = updates.selectExpr(*df.columns)
+    return upsert(df, aligned, key_col), aligned

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from data_chunk_compaction_in_duckdb_spark.catalog import load_table
 from data_chunk_compaction_in_duckdb_spark.operators.mutations import (
     delete_where_in,
+    update_returning,
     update_where,
     upsert,
 )
@@ -92,6 +93,38 @@ def mutation_upsert_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_regionkey INT, r_name STRING",
     )
     return upsert(region, updates, "r_regionkey")
+
+
+@query(
+    "mutation_update_returning",
+    oracle="""
+    SELECT o_orderkey,
+           'X' AS o_orderstatus,
+           o_totalprice + 10.0 AS o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'P' AND o_totalprice > 150000
+    """,
+)
+def mutation_update_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... RETURNING (reference test/sql/returning/,
+    physical_update.cpp return_collection): the RETURNING stream is the
+    post-update image of the affected rows — pinned against real DuckDB
+    `UPDATE ... RETURNING` in tests/test_mutations_returning.py; the
+    oracle here replays the post-image as a SELECT because the driver's
+    fixture views are read-only.  The assignment is one exact IEEE add
+    (a `ROUND(x * 1.05, 2)` form diverged on half-ulp boundaries
+    between the engines' round implementations)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (F.col("o_orderstatus") == "P") & (F.col("o_totalprice") > 150000)
+    _post, ret = update_returning(
+        orders,
+        cond,
+        {
+            "o_orderstatus": F.lit("X"),
+            "o_totalprice": F.col("o_totalprice") + 10.0,
+        },
+    )
+    return ret.select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
 @query(
