@@ -372,7 +372,7 @@ def semantic_ivf_neardup_pairs(
 
     ``rerank`` picks the confirmation kernel:
 
-    - ``"cell"`` (default): groupBy(_cell).applyInPandas — each cell's
+    - ``"cell"`` (default): groupBy(_cell).applyInArrow — each cell's
       vectors cross the Arrow boundary ONCE (n*n_assign rows total, not
       once per candidate pair) and the pairwise cosine matrix is
       computed in numpy with a dim-sequential left fold, i.e. the exact
@@ -523,15 +523,22 @@ def _cell_rerank_pairs(
         "_id",
     )
 
-    def pairs_in_cell(pdf):
+    def pairs_in_cell(tbl):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        n = len(pdf)
+        n = tbl.num_rows
+        empty = pa.table(
+            {
+                "id_a": pa.array([], tbl.schema.field("_id").type),
+                "id_b": pa.array([], tbl.schema.field("_id").type),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
         if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        ids = pdf["_id"].to_numpy()
-        vecs = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            return empty
+        ids = tbl.column("_id").to_numpy(zero_copy_only=False)
+        vecs = np.array(tbl.column("_v").to_pylist(), dtype=np.float64)
         dim = vecs.shape[1]
         nrm = np.zeros(n)
         for j in range(dim):
@@ -555,15 +562,23 @@ def _cell_rerank_pairs(
         # try_divide does NOT null out, so such pairs stay NaN-kept
         keep = ((cos >= threshold) | np.isnan(cos)) & (den != 0.0)
         ia, ib = np.where((ids[:, None] < ids[None, :]) & keep)
-        return pd.DataFrame(
-            {"id_a": ids[ia], "id_b": ids[ib], "cosine": cos[ia, ib]}
+        # Arrow, not pandas: the pandas->Arrow conversion turns float
+        # NaN into NULL, which would silently rewrite the kept
+        # NaN-cosine pairs to NULL cosine (diverging from the
+        # expression path and DuckDB, both of which emit NaN).
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ia]),
+                "id_b": pa.array(ids[ib]),
+                "cosine": pa.array(cos[ia, ib], pa.float64()),
+            }
         )
 
     # a pair sharing several assigned cells appears once per shared
     # cell with the identical cosine — dropDuplicates on the ids alone
     return (
         cv.groupBy("_cell")
-        .applyInPandas(pairs_in_cell, out_schema)
+        .applyInArrow(pairs_in_cell, out_schema)
         .dropDuplicates(["id_a", "id_b"])
     )
 

@@ -25,7 +25,15 @@ def _pairs(df):
     out = set()
     for r in df.collect():
         c = r["cosine"]
-        key = "nan" if (c is None or math.isnan(c)) else round(c, 9)
+        # NULL and NaN are distinct: both engines emit true NaN for a
+        # NaN-element pair (the applyInArrow kernel preserves it; a
+        # pandas kernel would silently turn NaN into NULL)
+        if c is None:
+            key = "null"
+        elif math.isnan(c):
+            key = "nan"
+        else:
+            key = round(c, 9)
         out.add((r["id_a"], r["id_b"], key))
     return out
 
