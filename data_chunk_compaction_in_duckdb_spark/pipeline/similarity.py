@@ -165,6 +165,14 @@ def topk_per_query(
         )
         keys = cur[key_col].combine_chunks().to_numpy(zero_copy_only=False)
         order = np.lexsort((tie, vk, nullk))
+        # regroup the value-ordered rows by key (stable, so within-key
+        # value order survives) — without this, keys interleaved in
+        # value order reset the run-based rank at every row and the
+        # partial keeps EVERYTHING (measured: zero pruning on a
+        # multi-query stream, i.e. the merge window degenerated back
+        # into the single-partition funnel this two-phase exists to
+        # avoid)
+        order = order[np.argsort(keys[order], kind="stable")]
         sk = keys[order]
         n = len(order)
         change = np.r_[True, sk[1:] != sk[:-1]] if n else np.array([], bool)
@@ -519,6 +527,7 @@ def ivf_ann_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     centroids: list[list[float]] | None = None,
+    rerank: str = "cell",
 ) -> DataFrame:
     """IVF-style ANN (the other scale path next to lsh_ann_topk):
     partition the corpus into ``n_clusters`` Voronoi cells of fixed
@@ -533,7 +542,17 @@ def ivf_ann_topk(
     deterministic md5 directions (reproducible with zero training);
     pass ``centroids=train_ivf_centroids(...)`` for data-adapted cells —
     training is itself deterministic (fixed init + exact means), so
-    reproducibility is kept.  Recall vs brute force is pinned by test."""
+    reproducibility is kept.  Recall vs brute force is pinned by test.
+
+    ``rerank`` picks the scoring kernel (same contract as
+    ``dedup.semantic_ivf_neardup_pairs``): ``"cell"`` (default) cogroups
+    corpus cells with query probes and computes each cell's query x
+    corpus cosine matrix in one Arrow batch — vectors cross the Arrow
+    boundary once per cell membership / probe, never once per pair, and
+    the numpy kernel reproduces the expression path's dim-sequential
+    IEEE fold, NULL on a zero denominator (both engines' x/0.0) and NaN
+    pass-through, so results are bit-identical; ``"pair"`` keeps the
+    per-pair expression form for A/B verification."""
     qid = query_id_col or id_col
     from data_chunk_compaction_in_duckdb_spark.compaction import fan_out
 
@@ -558,34 +577,157 @@ def ivf_ann_topk(
             )
         ).alias("_cell"),
     )
-    # dedupe SLIM id pairs (multi-probe can hit the same pair through
-    # several cells), then rejoin the vectors for the rerank — the
-    # dropDuplicates shuffle moves 2 ids per row instead of 2 ids +
-    # 2 dim-length vectors
-    cands = (
-        cb.select("match_id", "_cell")
-        .join(F.broadcast(qb.select("query_id", "_cell")), "_cell")
-        .drop("_cell")
-        .filter(F.col("query_id") != F.col("match_id"))
-        .dropDuplicates(["query_id", "match_id"])
-    )
-    # norms hoisted to once per vector; bit-identical per-pair value
-    scored = (
-        cands.join(
-            F.broadcast(qb.select("query_id", "_qv", "_qn").dropDuplicates(["query_id"])),
-            "query_id",
+    if rerank == "cell":
+        scored = _ivf_cogroup_rerank(
+            cb.select("_cell", "match_id", "_cv"),
+            qb.select("_cell", "query_id", "_qv"),
+            corpus.schema[id_col].dataType,
+            k,
         )
-        .join(cb.select("match_id", "_cv", "_cn"), "match_id")
-        .select(
-            "query_id",
-            "match_id",
-            (
-                _vec_dot(F.col("_qv"), F.col("_cv"))
-                / (F.col("_qn") * F.col("_cn"))
-            ).alias("cosine"),
+    elif rerank == "pair":
+        # dedupe SLIM id pairs (multi-probe can hit the same pair
+        # through several cells), then rejoin the vectors for the
+        # rerank — the dropDuplicates shuffle moves 2 ids per row
+        # instead of 2 ids + 2 dim-length vectors
+        cands = (
+            cb.select("match_id", "_cell")
+            .join(F.broadcast(qb.select("query_id", "_cell")), "_cell")
+            .drop("_cell")
+            .filter(F.col("query_id") != F.col("match_id"))
+            .dropDuplicates(["query_id", "match_id"])
         )
-    )
+        # norms hoisted to once per vector; bit-identical per-pair value
+        scored = (
+            cands.join(
+                F.broadcast(
+                    qb.select("query_id", "_qv", "_qn").dropDuplicates(
+                        ["query_id"]
+                    )
+                ),
+                "query_id",
+            )
+            .join(cb.select("match_id", "_cv", "_cn"), "match_id")
+            .select(
+                "query_id",
+                "match_id",
+                # try_divide: zero-norm vector -> denominator 0 ->
+                # NULL, matching DuckDB's x/0.0 and the cell kernel's
+                # validity mask (ANSI Divide would raise)
+                F.try_divide(
+                    _vec_dot(F.col("_qv"), F.col("_cv")),
+                    F.col("_qn") * F.col("_cn"),
+                ).alias("cosine"),
+            )
+        )
+    else:
+        raise ValueError(f"rerank must be 'cell' or 'pair', got {rerank!r}")
     return topk_per_query(scored, k)
+
+
+def _ivf_cogroup_rerank(
+    corpus_cells: DataFrame, probe_cells: DataFrame, id_type, k: int
+) -> DataFrame:
+    """Cogrouped per-cell scoring for ``ivf_ann_topk``: each Voronoi
+    cell's corpus vectors meet the queries probing that cell in ONE
+    Arrow batch and the full query x corpus cosine matrix is computed
+    in numpy with the expression path's exact FP semantics:
+
+    - dots and norms accumulate dim-sequentially — ((0 + t0) + t1) + …
+      — the zip_with/aggregate left-fold order;
+    - a zero denominator yields NULL (Spark's non-ANSI ``/`` and
+      DuckDB's ``x/0.0`` both return NULL), carried through Arrow's
+      validity mask;
+    - a NaN cosine with a nonzero denominator stays a true NaN value
+      (``applyInArrow``; a pandas kernel would rewrite NaN to NULL).
+
+    A (query, match) pair appears in exactly one cell (the corpus side
+    carries each vector's single top-1 cell), so no dedup pass is
+    needed; self-matches are dropped in the kernel.  The kernel also
+    keeps only each query's per-cell top-``k`` under the exact
+    ``topk_per_query`` total order (NaN first, values desc, NULLs
+    last, match-id tiebreak) — the global top-k is a subset of the
+    union of per-cell top-ks, so this is selection-only and the
+    downstream merge returns the identical rows while only
+    |queries probing cell| * k rows ever leave each cell."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type, True),
+            T.StructField("match_id", id_type, True),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
+    )
+
+    def score_cell(corpus_tbl, probe_tbl):
+        import numpy as np
+        import pyarrow as pa
+
+        id_pa = corpus_tbl.schema.field("match_id").type
+        empty = pa.table(
+            {
+                "query_id": pa.array([], id_pa),
+                "match_id": pa.array([], id_pa),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if corpus_tbl.num_rows == 0 or probe_tbl.num_rows == 0:
+            return empty
+        mids = corpus_tbl.column("match_id").to_numpy(zero_copy_only=False)
+        qids = probe_tbl.column("query_id").to_numpy(zero_copy_only=False)
+
+        def mat(col, n):
+            # zero-copy list flatten (uniform-length, non-null vectors)
+            # instead of to_pylist — boxing 20M floats per cell was
+            # slower than the matrix math it fed
+            arr = col.combine_chunks()
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64, copy=False).reshape(n, -1)
+
+        cv = mat(corpus_tbl.column("_cv"), corpus_tbl.num_rows)
+        qv = mat(probe_tbl.column("_qv"), probe_tbl.num_rows)
+        dim = cv.shape[1]
+        dots = np.zeros((len(qids), len(mids)))
+        qn = np.zeros(len(qids))
+        cn = np.zeros(len(mids))
+        for j in range(dim):
+            dots = dots + qv[:, j][:, None] * cv[:, j][None, :]
+            qn = qn + qv[:, j] * qv[:, j]
+            cn = cn + cv[:, j] * cv[:, j]
+        den = np.sqrt(qn)[:, None] * np.sqrt(cn)[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots / den
+        iq, im = np.where(qids[:, None] != mids[None, :])
+        vals = cos[iq, im]
+        null_mask = den[iq, im] == 0.0
+        # per-cell per-query top-k prune under topk_per_query's exact
+        # total order (see docstring) — selection only
+        nullk = np.where(null_mask, 1, 0)
+        vk = np.where(
+            null_mask, 0.0, np.where(np.isnan(vals), -np.inf, -vals)
+        )
+        order = np.lexsort((mids[im], vk, nullk))
+        order = order[np.argsort(iq[order], kind="stable")]
+        sq = iq[order]
+        n = len(order)
+        change = np.r_[True, sq[1:] != sq[:-1]] if n else np.array([], bool)
+        grp_start = np.maximum.accumulate(np.where(change, np.arange(n), 0))
+        keep = order[(np.arange(n) - grp_start) < k]
+        return pa.table(
+            {
+                "query_id": pa.array(qids[iq[keep]]),
+                "match_id": pa.array(mids[im[keep]]),
+                "cosine": pa.array(
+                    vals[keep], pa.float64(), mask=null_mask[keep]
+                ),
+            }
+        )
+
+    return (
+        corpus_cells.groupBy("_cell")
+        .cogroup(probe_cells.groupBy("_cell"))
+        .applyInArrow(score_cell, out_schema)
+    )
 
 
 def quantize_embeddings_int8(

@@ -212,6 +212,45 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_ivf_cell_rerank_equals_pair_rerank(spark, sf_dir):
+    """The cogrouped Arrow rerank (default) must produce the identical
+    (query, match, cosine) result as the per-pair expression form —
+    including on degenerate inputs: a zero-norm vector (NULL cosine in
+    both: try_divide / validity mask) and a NaN-element vector (true
+    NaN cosine in both, ranked first by the desc top-k)."""
+    import math
+
+    from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+    from data_chunk_compaction_in_duckdb_spark.pipeline import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    bad = spark.createDataFrame(
+        [(900001, [0.0] * 64), (900002, [float("nan")] + [1.0] * 63)],
+        "vec_id bigint, embedding array<double>",
+    )
+    full = emb.select("vec_id", F.col("embedding").cast("array<double>")).unionAll(bad)
+    queries = full.filter(F.col("vec_id") % 50 == 0)
+
+    def rows(rerank):
+        out = set()
+        for r in ivf_ann_topk(
+            full, queries, "vec_id", "embedding", dim=64, k=5,
+            n_clusters=8, n_probe=4, rerank=rerank,
+        ).collect():
+            c = r["cosine"]
+            key = (
+                "null" if c is None
+                else "nan" if math.isnan(c)
+                else round(c, 12)
+            )
+            out.add((r["query_id"], r["match_id"], key))
+        return out
+
+    a, b = rows("cell"), rows("pair")
+    assert a == b
+    assert a, "fixture must produce matches"
+
+
 def test_ivf_trained_centroids_deterministic_and_competitive(spark, sf_dir):
     """Lloyd-trained centroids must be reproducible (fixed init + exact
     means) and must not lose recall vs the untrained md5 directions."""
