@@ -3589,6 +3589,160 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# ---------------------------------------------------------------------------
+# Round-4 continuation, part 5: eight more probe-verified families.
+# Candidates were probed in BOTH engines first (names AND result shape);
+# known divergences excluded with notes:
+#   - dayname/monthname: DuckDB returns full names, Spark 3-letter
+#     abbreviations -> substr(x, 1, 3) is the shared spelling.
+#   - dayofweek: DuckDB Sunday=0..6, Spark Sunday=1..7 -> excluded.
+#   - xor(a,b): scalar in DuckDB, missing in Spark (Spark's ^ is XOR but
+#     DuckDB's ^ is power) -> only & and | are shared infix bit ops.
+#   - (a,b) IN (subquery): DuckDB rejects multi-column IN -> excluded.
+#   - sinh/cosh/tanh, initcap, regexp_like/count, format, to_hex,
+#     sequence/array literals: missing on one side -> excluded.
+
+# Per-table row-value (tuple) comparison family (reference
+# test/sql/filter, parser row-value tests — both engines implement
+# SQL-standard tuple comparison with identical lexicographic+NULL
+# semantics; probed above).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"rowvalue_file_{_t}", f"row-value tuple comparisons over {_t} (reference test/sql/filter)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE (({_k}) % 7, ({_k}) % 3) > (3, 1)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE (({_k}) % 7, ({_k}) % 3) <= (2, 2)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE (substr({_s}, 1, 1), ({_k}) % 5) > ('C', 2)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE (({_k}) % 7, ({_k}) % 3) = (1, 1)"),
+        # tuple '=' must equal the expanded conjunction
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ((({_k}) % 7, ({_k}) % 3) = (1, 1)) <> (({_k}) % 7 = 1 AND ({_k}) % 3 = 1)"),
+    ])
+
+# Per-table GROUPING()-metadata family (reference
+# test/sql/aggregate/group/grouping_sets — grouping() bits across
+# ROLLUP/CUBE/GROUPING SETS; rowsort because default NULL ordering
+# differs between the engines).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"grouping_file_{_t}", f"grouping() metadata over {_t} (reference test/sql/aggregate/group)")([
+        ("II", "rowsort", f"SELECT grouping({_g}), count(*) FROM {_t} GROUP BY ROLLUP({_g})"),
+        ("III", "rowsort", f"SELECT grouping({_g}), grouping(substr({_s}, 1, 1)), count(*) FROM {_t} GROUP BY CUBE({_g}, substr({_s}, 1, 1))"),
+        ("II", "rowsort", f"SELECT grouping({_g}) + grouping(substr({_s}, 1, 1)), count(*) FROM {_t} GROUP BY GROUPING SETS (({_g}), (substr({_s}, 1, 1)), ())"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_g} AS g FROM {_t} GROUP BY ROLLUP({_g})) x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT grouping({_g}) AS gb FROM {_t} GROUP BY CUBE({_g})) x WHERE gb = 1"),
+    ])
+
+# Per-table regexp family (reference test/sql/function/string/regex —
+# regexp_extract group capture shares name/order/RE2 subset.  Validator
+# finding: DuckDB regexp_replace is FIRST-match-only (global needs a 'g'
+# flag Spark does not accept) while Spark replaces ALL matches, so every
+# replace pattern below is anchored to match at most once.
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"regexp_file_{_t}", f"regexp extract/replace over {_t} (reference test/sql/function/string/regex)")([
+        ("T", "", f"SELECT regexp_extract({_s}, '([A-Za-z]+)', 1) AS x FROM {_t} ORDER BY {_k} LIMIT 5"),
+        ("T", "", f"SELECT regexp_replace({_s}, '^[A-Za-z]+', 'X') AS x FROM {_t} ORDER BY {_k} LIMIT 5"),
+        ("I", "rowsort", f"SELECT length(regexp_replace({_s}, '[0-9]+$', '')) FROM {_t} WHERE {_p}"),
+        ("T", "", f"SELECT regexp_extract(CAST({_k} AS STRING), '([0-9])', 1) AS d FROM {_t} ORDER BY {_k} LIMIT 5"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE regexp_replace({_s}, '^.', '') <> {_s}"),
+    ])
+
+# Per-table string tranche 3 (reference test/sql/function/string —
+# translate/levenshtein/chr/md5/hex, all probe-verified shared).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"strfn3_file_{_t}", f"translate/levenshtein/chr/md5/hex over {_t} (reference test/sql/function/string)")([
+        ("T", "", f"SELECT translate({_s}, 'AEIOU', 'aeiou') FROM {_t} ORDER BY {_k} LIMIT 5"),
+        ("I", "rowsort", f"SELECT levenshtein(substr({_s}, 1, 8), 'STANDARD') FROM {_t} WHERE {_p}"),
+        ("T", "", f"SELECT chr(65 + CAST(({_k}) % 26 AS INT)) FROM {_t} ORDER BY {_k} LIMIT 6"),
+        ("T", "", f"SELECT substr(md5({_s}), 1, 8) FROM {_t} ORDER BY {_k} LIMIT 4"),
+        ("T", "", f"SELECT hex(({_k}) % 4096) FROM {_t} ORDER BY {_k} LIMIT 6"),
+    ])
+
+# Per-table conditional-function family (reference test/sql/conjunction,
+# test/sql/function/generic — if/ifnull/nullif/try_cast chains).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"condfn_file_{_t}", f"if/ifnull/nullif/try_cast over {_t} (reference test/sql/conjunction)")([
+        ("T", "", f"SELECT if({_p}, 'yes', 'no') FROM {_t} ORDER BY {_k} LIMIT 6"),
+        ("T", "", f"SELECT ifnull(nullif({_s}, {_s}), 'was-null') FROM {_t} ORDER BY {_k} LIMIT 3"),
+        ("I", "", f"SELECT count(try_cast({_s} AS INT)) FROM {_t}"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE nullif(({_k}) % 3, 0) IS NULL"),
+        ("T", "", f"SELECT coalesce(try_cast('x' AS STRING), {_s}, 'z') FROM {_t} ORDER BY {_k} LIMIT 3"),
+        ("I", "", f"SELECT sum(if(({_k}) % 2 = 0, 1, 0)) FROM {_t}"),
+    ])
+
+# Per-table math tranche 2 (reference test/sql/function/numeric —
+# atan2/cbrt/log2/log10/degrees/radians/factorial/pi, probe-verified).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"mathfn2_file_{_t}", f"atan2/cbrt/logs/trig-units over {_t} (reference test/sql/function/numeric)")([
+        ("R", "", f"SELECT round(atan2(1.0, CAST(({_k}) % 9 + 1 AS DOUBLE)), 4) FROM {_t} ORDER BY {_k} LIMIT 5"),
+        ("R", "", f"SELECT round(cbrt(abs({_v}) + 1.0), 4) FROM {_t} ORDER BY {_k} LIMIT 5"),
+        ("R", "", f"SELECT round(log2(CAST(({_k}) % 15 + 2 AS DOUBLE)), 4) FROM {_t} ORDER BY {_k} LIMIT 5"),
+        ("R", "", f"SELECT round(log10(abs({_v}) + 10.0), 4) FROM {_t} ORDER BY {_k} LIMIT 5"),
+        ("R", "", f"SELECT round(degrees(radians(CAST(({_k}) % 360 AS DOUBLE))), 3) FROM {_t} ORDER BY {_k} LIMIT 5"),
+        ("I", "", f"SELECT CAST(factorial(CAST(({_k}) % 6 AS INT)) AS BIGINT) FROM {_t} ORDER BY {_k} LIMIT 6"),
+    ])
+
+# Per-table bit ops family (reference test/sql/function/bit — shared
+# infix & and |, bit_and/bit_or/bit_xor aggregates; ^ and xor() are NOT
+# shared, see the header note).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"bitops_file_{_t}", f"bit ops and bit aggregates over {_t} (reference test/sql/function/bit)")([
+        ("I", "", f"SELECT ({_k}) & 5 FROM {_t} ORDER BY {_k} LIMIT 6"),
+        ("I", "", f"SELECT ({_k}) | 9 FROM {_t} ORDER BY {_k} LIMIT 6"),
+        ("I", "", f"SELECT bit_and(({_k}) % 16 + 16) FROM {_t}"),
+        ("I", "", f"SELECT bit_or(({_k}) % 8) FROM {_t}"),
+        ("I", "", f"SELECT bit_xor(({_k}) % 32) FROM {_t}"),
+        ("II", "rowsort", f"SELECT {_g}, bit_xor(({_k}) % 64) FROM {_t} GROUP BY {_g}" if _t in ("region", "nation", "supplier", "embeddings") else f"SELECT count(*), bit_xor(({_k}) % 64) FROM {_t}"),
+    ])
+
+# Per-source date tranche 2 (reference test/sql/function/date —
+# quarter/weekofyear/last_day/datepart + the substr(3) spelling that
+# reconciles full vs abbreviated day/month names).
+_DATE_SRC = {
+    "orders": ("o_orderdate", "o_orderkey"),
+    "lineitem": ("l_shipdate", "l_orderkey * 10 + l_linenumber"),
+    "events": ("CAST(ts AS DATE)", "event_id"),
+}
+for _t, (_d, _dk) in _DATE_SRC.items():
+    corpus(f"datefn2_file_{_t}", f"date tranche 2 over {_t} (reference test/sql/function/date)")([
+        ("I", "", f"SELECT quarter({_d}) FROM {_t} ORDER BY {_dk} LIMIT 6"),
+        ("I", "", f"SELECT weekofyear({_d}) FROM {_t} ORDER BY {_dk} LIMIT 6"),
+        ("T", "", f"SELECT CAST(last_day({_d}) AS STRING) FROM {_t} ORDER BY {_dk} LIMIT 4"),
+        ("T", "", f"SELECT substr(dayname({_d}), 1, 3) FROM {_t} ORDER BY {_dk} LIMIT 6"),
+        ("T", "", f"SELECT substr(monthname({_d}), 1, 3) FROM {_t} ORDER BY {_dk} LIMIT 6"),
+        ("II", "", f"SELECT CAST(datepart('year', {_d}) AS INT), CAST(datepart('month', {_d}) AS INT) FROM {_t} ORDER BY {_dk} LIMIT 5"),
+        ("II", "rowsort", f"SELECT quarter({_d}), count(*) FROM {_t} GROUP BY quarter({_d})"),
+    ])
+
+# Three-table FK join-chain family (reference test/sql/join — the
+# joinpair/outerpair families covered two tables; these chain the
+# natural FK paths three deep).
+_CHAINS = {
+    "region_nation_customer": (
+        "region r JOIN nation n ON n.n_regionkey = r.r_regionkey JOIN customer c ON c.c_nationkey = n.n_nationkey",
+        "r.r_name", "c.c_acctbal"),
+    "region_nation_supplier": (
+        "region r JOIN nation n ON n.n_regionkey = r.r_regionkey JOIN supplier s ON s.s_nationkey = n.n_nationkey",
+        "r.r_name", "s.s_acctbal"),
+    "nation_customer_orders": (
+        "nation n JOIN customer c ON c.c_nationkey = n.n_nationkey JOIN orders o ON o.o_custkey = c.c_custkey",
+        "n.n_name", "o.o_totalprice"),
+    "customer_orders_lineitem": (
+        "customer c JOIN orders o ON o.o_custkey = c.c_custkey JOIN lineitem l ON l.l_orderkey = o.o_orderkey",
+        "c.c_mktsegment", "l.l_extendedprice"),
+    "part_lineitem_orders": (
+        "part p JOIN lineitem l ON l.l_partkey = p.p_partkey JOIN orders o ON o.o_orderkey = l.l_orderkey",
+        "p.p_brand", "l.l_quantity"),
+    "supplier_lineitem_orders": (
+        "supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey JOIN orders o ON o.o_orderkey = l.l_orderkey",
+        "s.s_name", "l.l_discount"),
+}
+for _n, (_from, _gcol, _mcol) in _CHAINS.items():
+    corpus(f"joinchain_file_{_n}", f"3-table FK chain {_n} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_from}"),
+        ("TI", "rowsort", f"SELECT {_gcol}, count(*) FROM {_from} GROUP BY {_gcol}"),
+        ("R", "", f"SELECT round(sum({_mcol}), 2) FROM {_from}"),
+        ("TR", "rowsort", f"SELECT {_gcol}, round(avg({_mcol}), 3) FROM {_from} GROUP BY {_gcol}"),
+        ("I", "", f"SELECT count(DISTINCT {_gcol}) FROM {_from}"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
