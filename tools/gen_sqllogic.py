@@ -3743,6 +3743,53 @@ for _n, (_from, _gcol, _mcol) in _CHAINS.items():
     ])
 
 
+# Per-table scalar-subquery family (reference test/sql/subquery/scalar —
+# uncorrelated and correlated scalar subqueries in SELECT list and WHERE;
+# EXISTS as a scalar boolean is also shared).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"scalarsubq_file_{_t}", f"scalar subqueries over {_t} (reference test/sql/subquery/scalar)")([
+        ("I", "", f"SELECT (SELECT count(*) FROM {_t}) + CAST(({_k}) % 3 AS BIGINT) FROM {_t} ORDER BY {_k} LIMIT 4"),
+        ("T", "", f"SELECT (SELECT min({_s}) FROM {_t}) FROM {_t} ORDER BY {_k} LIMIT 2"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_v} > (SELECT avg({_v}) FROM {_t})"),
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) % 4 AS g, {_v} AS m FROM {_t}) o WHERE o.m >= (SELECT max(i.m) FROM (SELECT ({_k}) % 4 AS g, {_v} AS m FROM {_t}) i WHERE i.g = o.g)"),
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) AS kk FROM {_t}) o WHERE EXISTS (SELECT 1 FROM (SELECT ({_k}) AS kk FROM {_t} WHERE {_p}) i WHERE i.kk = o.kk)"),
+    ])
+
+# Per-table lag/lead value-window family (reference test/sql/window —
+# offsets, defaults, nth_value/first_value frames; every window fully
+# ordered by the unique key so both engines agree without ties).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"winlag_file_{_t}", f"lag/lead/nth_value windows over {_t} (reference test/sql/window)")([
+        ("T", "", f"SELECT lag({_s}, 2, 'none') OVER (ORDER BY {_k}) FROM {_t} ORDER BY {_k} LIMIT 6"),
+        ("T", "", f"SELECT lead({_s}, 1, 'end') OVER (ORDER BY {_k}) FROM {_t} ORDER BY {_k} DESC LIMIT 4"),
+        ("T", "", f"SELECT first_value({_s}) OVER (ORDER BY {_k} ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) FROM {_t} ORDER BY {_k} LIMIT 5"),
+        ("T", "", f"SELECT nth_value({_s}, 2) OVER (ORDER BY {_k} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM {_t} ORDER BY {_k} LIMIT 5"),
+        ("R", "", f"SELECT round(percent_rank() OVER (ORDER BY {_k}), 4) FROM {_t} ORDER BY {_k} LIMIT 5"),
+        ("I", "", f"SELECT count(*) FROM (SELECT lag(({_k}), 1) OVER (ORDER BY {_k}) AS pk, ({_k}) AS kk FROM {_t}) x WHERE pk IS NOT NULL AND pk >= kk"),
+    ])
+
+# Per-table self-join family (reference test/sql/join — equi self pair
+# on the group key with a key inequality, plus lagged-neighbor shapes).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"selfjoin_file_{_t}", f"self joins over {_t} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_g}) AS g, ({_k}) AS kk FROM {_t}) a JOIN (SELECT ({_g}) AS g, ({_k}) AS kk FROM {_t}) b ON a.g = b.g AND a.kk < b.kk"),
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) AS kk FROM {_t}) a JOIN (SELECT ({_k}) AS kk FROM {_t}) b ON a.kk = b.kk"),
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) AS kk FROM {_t} WHERE {_p}) a LEFT JOIN (SELECT ({_k}) AS kk FROM {_t} WHERE NOT ({_p})) b ON a.kk = b.kk WHERE b.kk IS NULL"),
+        ("II", "rowsort", f"SELECT a.g, count(*) FROM (SELECT ({_k}) % 4 AS g, ({_k}) AS kk FROM {_t}) a JOIN (SELECT ({_k}) % 4 AS g FROM {_t}) b ON a.g = b.g GROUP BY a.g"),
+    ])
+
+# Per-table IS [NOT] DISTINCT FROM family (reference test/sql/filter —
+# the null-safe comparator is spelled identically in both engines).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"distinctfrom_file_{_t}", f"IS [NOT] DISTINCT FROM over {_t} (reference test/sql/filter)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE nullif(({_k}) % 3, 0) IS NOT DISTINCT FROM NULL"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE nullif(({_k}) % 3, 0) IS DISTINCT FROM 1"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE nullif({_s}, {_s}) IS NOT DISTINCT FROM nullif({_s}, {_s})"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE (({_k}) % 2) IS DISTINCT FROM (({_k}) % 4)"),
+        ("I", "", f"SELECT sum(CASE WHEN nullif(({_k}) % 5, 2) IS DISTINCT FROM nullif(({_k}) % 5, 3) THEN 1 ELSE 0 END) FROM {_t}"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
