@@ -3790,6 +3790,70 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Per-table lateral-column-alias family (reference test/sql/binder —
+# both engines resolve SELECT-list aliases in later SELECT items).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"lateralalias_file_{_t}", f"lateral column aliases over {_t} (reference test/sql/binder)")([
+        ("II", "", f"SELECT ({_k}) % 9 + 1 AS x, x * 2 AS y FROM {_t} ORDER BY {_k} LIMIT 5"),
+        ("TI", "", f"SELECT substr({_s}, 1, 4) AS pre, length(pre) AS ln FROM {_t} ORDER BY {_k} LIMIT 4"),
+        # integer-only lateral math: double*2/4 lands on half-ulp rounding
+        # boundaries that differ between the engines (validator finding)
+        ("II", "", f"SELECT CAST(({_k}) % 50 AS BIGINT) * 2 AS dbl, dbl + 3 AS plus FROM {_t} ORDER BY {_k} LIMIT 4"),
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) % 7 AS a, a + 1 AS b, b * b AS c FROM {_t}) x WHERE c > 20"),
+    ])
+
+# Per-table NOT IN + NULL 3VL family (reference test/sql/subquery —
+# a NULL in the NOT IN subquery must empty the result; the NULL-free
+# twin must not).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"notinnull_file_{_t}", f"NOT IN with NULLs over {_t} (reference test/sql/subquery)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 11 NOT IN (SELECT ({_k}) % 7 FROM {_t} WHERE {_p})"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 11 NOT IN (SELECT nullif(({_k}) % 7, 3) FROM {_t} WHERE {_p})"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 5 NOT IN (6, 7)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 5 NOT IN (6, NULL)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 3 IN (SELECT nullif(({_k}) % 3, 1) FROM {_t})"),
+    ])
+
+# Per-table implicit-coercion family (reference test/sql/cast — integer
+# columns compared against double/decimal literals, mixed-type IN lists,
+# string-literal arithmetic through explicit CAST).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"coercion_file_{_t}", f"implicit type coercion over {_t} (reference test/sql/cast)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 10 = 3.0"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 10 IN (1, 2.0, 3)"),
+        ("I", "", f"SELECT CAST('123' AS BIGINT) + ({_k}) % 5 FROM {_t} ORDER BY {_k} LIMIT 4"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_v} > 1"),
+        ("R", "", f"SELECT round(sum(({_k}) % 7 + 0.5), 1) FROM {_t}"),
+        ("I", "", f"SELECT count(try_cast(CAST(({_k}) % 1000 * 999 AS STRING) AS TINYINT)) FROM {_t}"),
+    ])
+
+# Per-table ORDER BY expression family (reference test/sql/order —
+# CASE keys, computed keys, alias references, mixed directions).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"orderexpr_file_{_t}", f"ORDER BY expressions over {_t} (reference test/sql/order)")([
+        ("T", "", f"SELECT {_s} FROM {_t} ORDER BY CASE WHEN ({_k}) % 4 = 2 THEN -1 ELSE ({_k}) END, {_k} LIMIT 5"),
+        ("TI", "", f"SELECT {_s}, length({_s}) AS ln FROM {_t} ORDER BY ln DESC, {_k} LIMIT 4"),
+        # the cast MUST be aliased: unaliased, Spark binds the ORDER BY's
+        # base-column reference to the projected STRING output (lexicographic
+        # sort) while DuckDB binds to the base column (validator finding)
+        ("T", "", f"SELECT CAST(({_k}) AS STRING) AS ks FROM {_t} ORDER BY ({_k}) % 3, {_k} DESC LIMIT 6"),
+        ("T", "", f"SELECT {_s} FROM {_t} ORDER BY substr({_s}, 2, 3), {_k} LIMIT 4"),
+        ("I", "", f"SELECT ({_k}) % 100 FROM {_t} ORDER BY abs(({_k}) % 100 - 50) DESC, {_k} LIMIT 5"),
+    ])
+
+# Per-table HAVING-without-GROUP-BY family (reference
+# test/sql/aggregate/having — global aggregates gated by HAVING, plus
+# CASE over aggregates).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"havingglobal_file_{_t}", f"HAVING without GROUP BY over {_t} (reference test/sql/aggregate/having)")([
+        ("I", "", f"SELECT CAST(sum(({_k}) % 5) AS BIGINT) FROM {_t} HAVING count(*) > 3"),
+        ("I", "", f"SELECT count(*) FROM {_t} HAVING count(*) < 2"),
+        ("T", "", f"SELECT CASE WHEN count(*) > 5 THEN 'many' ELSE 'few' END FROM {_t}"),
+        ("I", "", f"SELECT count(*) FROM {_t} HAVING min({_v}) IS NOT NULL"),
+        ("R", "", f"SELECT round(avg({_v}), 3) FROM {_t} HAVING avg({_v}) > 0"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
