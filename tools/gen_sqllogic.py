@@ -3854,6 +3854,53 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Per-FK-pair correlated-subquery family (reference test/sql/subquery —
+# correlated scalar counts/max and NOT EXISTS with extra predicates over
+# the natural FK paths; complements the per-table subquery families).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _lk = _on.split(" = ")[0]
+    corpus(f"corrpair_file_{_n}", f"correlated subqueries over pair {_n} (reference test/sql/subquery)")([
+        ("I", "", f"SELECT count(*) FROM {_l} WHERE (SELECT count(*) FROM {_r} WHERE {_on}) = 1"),
+        ("I", "", f"SELECT count(*) FROM {_l} WHERE (SELECT count(*) FROM {_r} WHERE {_on}) = 0"),
+        ("I", "", f"SELECT count(*) FROM {_r} WHERE (SELECT count(*) FROM {_l} WHERE {_on}) > 1"),
+        ("I", "", f"SELECT CAST(sum(cnt) AS BIGINT) FROM (SELECT (SELECT count(*) FROM {_r} WHERE {_on}) AS cnt FROM {_l}) x"),
+        ("I", "", f"SELECT count(*) FROM {_l} WHERE NOT EXISTS (SELECT 1 FROM {_r} WHERE {_on} AND {_lk} % 2 = 0)"),
+    ])
+
+# Per-table UNION type-coercion family (reference test/sql/setops,
+# test/sql/cast — branches of different numeric widths must unify).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"unioncoerce_file_{_t}", f"UNION type coercion over {_t} (reference test/sql/setops)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) % 5 AS x FROM {_t} UNION SELECT CAST(({_k}) % 5 AS DOUBLE) AS x FROM {_t}) u"),
+        ("I", "", f"SELECT count(*) FROM (SELECT CAST(({_k}) % 3 AS INT) AS x FROM {_t} UNION ALL SELECT CAST(({_k}) % 3 AS BIGINT) FROM {_t}) u"),
+        ("R", "rowsort", f"SELECT x FROM (SELECT CAST(({_k}) % 4 AS DOUBLE) AS x FROM {_t} UNION SELECT ({_k}) % 4 + 0.5 FROM {_t}) u"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_s} AS x FROM {_t} UNION SELECT CAST(({_k}) AS STRING) FROM {_t}) u"),
+        ("I", "", f"SELECT count(*) FROM (SELECT NULL AS x FROM {_t} UNION SELECT ({_k}) % 2 FROM {_t}) u"),
+    ])
+
+# Per-table CASE-with-aggregates family (reference test/sql/aggregate —
+# sum(CASE), CASE over aggregate results, nested CASE branches).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"caseagg_file_{_t}", f"CASE with aggregates over {_t} (reference test/sql/aggregate)")([
+        ("I", "", f"SELECT CAST(sum(CASE WHEN {_p} THEN 1 ELSE 0 END) AS BIGINT) FROM {_t}"),
+        ("I", "", f"SELECT CAST(sum(CASE WHEN ({_k}) % 3 = 0 THEN ({_k}) % 10 WHEN ({_k}) % 3 = 1 THEN -(({_k}) % 10) ELSE 0 END) AS BIGINT) FROM {_t}"),
+        ("T", "", f"SELECT CASE WHEN avg({_v}) > 100 THEN 'big' WHEN avg({_v}) > 1 THEN 'mid' ELSE 'small' END FROM {_t}"),
+        ("I", "", f"SELECT count(CASE WHEN {_p} THEN 1 END) FROM {_t}"),
+        ("II", "rowsort", f"SELECT ({_k}) % 3, CAST(sum(CASE WHEN {_p} THEN 2 ELSE 1 END) AS BIGINT) FROM {_t} GROUP BY ({_k}) % 3"),
+    ])
+
+# Per-table concat family (reference test/sql/function/string — || with
+# NULL propagation vs concat_ws's NULL skipping, both shared spellings).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"concatfn_file_{_t}", f"|| and concat_ws over {_t} (reference test/sql/function/string)")([
+        ("T", "", f"SELECT {_s} || '/' || CAST(({_k}) % 100 AS STRING) FROM {_t} ORDER BY {_k} LIMIT 4"),
+        ("I", "", f"SELECT count({_s} || nullif({_s}, {_s})) FROM {_t}"),
+        ("T", "", f"SELECT concat_ws('-', {_s}, nullif('x', 'x'), CAST(({_k}) % 9 AS STRING)) FROM {_t} ORDER BY {_k} LIMIT 4"),
+        ("T", "", f"SELECT concat_ws('', substr({_s}, 1, 2), substr({_s}, 3, 2)) FROM {_t} ORDER BY {_k} LIMIT 4"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE length({_s} || {_s}) = 2 * length({_s})"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
