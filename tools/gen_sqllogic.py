@@ -3901,6 +3901,119 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# ---------------------------------------------------------------------
+# Round-4 continuation part 5: date-RANGE interval frames, skewness,
+# EXISTS-in-projection, window-after-aggregate, coalesce/nullif chains,
+# string compositions, agg-of-agg derived tables, windows over FK pairs.
+
+# RANGE frames with INTERVAL bounds over date/timestamp ordering
+# (reference test/sql/window/test_window_range.test — probed: the
+# `RANGE BETWEEN INTERVAL n DAY PRECEDING AND CURRENT ROW` spelling
+# parses and agrees in both engines over DATE and TIMESTAMP order keys).
+_RANGEIV = {
+    "orders":   ("o_orderkey", "o_orderdate", "o_custkey"),
+    "lineitem": ("l_orderkey * 10 + l_linenumber", "l_shipdate", "l_partkey"),
+    "events":   ("event_id", "ts", "user_id"),
+}
+for _t, (_k, _d, _i) in _RANGEIV.items():
+    corpus(f"winrangeiv_file_{_t}", f"RANGE frames with INTERVAL bounds over {_t} (reference test/sql/window)")([
+        ("II", "", f"SELECT CAST({_k} AS BIGINT) AS kk, CAST(sum({_i}) OVER (ORDER BY {_d} RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS s FROM {_t} ORDER BY {_d}, kk LIMIT 8"),
+        ("II", "", f"SELECT CAST({_k} AS BIGINT) AS kk, count(*) OVER (ORDER BY {_d} RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND INTERVAL 7 DAY FOLLOWING) AS c FROM {_t} ORDER BY {_d}, kk LIMIT 8"),
+        ("II", "", f"SELECT CAST({_k} AS BIGINT) AS kk, CAST(min({_i}) OVER (ORDER BY {_d} RANGE BETWEEN CURRENT ROW AND INTERVAL 90 DAY FOLLOWING) AS BIGINT) AS m FROM {_t} ORDER BY {_d}, kk LIMIT 8"),
+        ("II", "", f"SELECT CAST({_k} AS BIGINT) AS kk, CAST(max({_i}) OVER (ORDER BY {_d} RANGE BETWEEN INTERVAL 365 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS m FROM {_t} ORDER BY {_d}, kk LIMIT 8"),
+        ("I", "", f"SELECT count(*) FROM (SELECT count(*) OVER (ORDER BY {_d} RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW) AS c FROM {_t}) x WHERE c > 1"),
+    ])
+
+# skewness EXCLUDED (probe-verified divergence, like kurtosis): DuckDB
+# computes bias-corrected SAMPLE skewness (×n²/((n-1)(n-2))) while Spark
+# computes POPULATION skewness — e.g. 17-bucket modulo over nation gives
+# 0.481 vs 0.452; Spark also returns 0.0 where DuckDB returns NULL for
+# n<3 groups.  Same class of definitional gap as kurtosis (see
+# float_special notes); the registry's agg_stats_spread query covers the
+# moment family through exact-moment oracles instead.
+
+# Per-table EXISTS-in-projection family (reference test/sql/subquery/
+# exists — correlated self-EXISTS through derived-table aliases so the
+# correlation columns are unambiguous in both binders).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _dt = f"(SELECT {_k} AS kk, {_g} AS gg FROM {_t})"
+    corpus(f"existsproj_file_{_t}", f"EXISTS in projection/CASE over {_t} (reference test/sql/subquery/exists)")([
+        ("I", "", f"SELECT count(*) FROM {_dt} x WHERE EXISTS (SELECT 1 FROM {_dt} y WHERE y.gg = x.gg AND y.kk < x.kk)"),
+        ("I", "", f"SELECT count(*) FROM {_dt} x WHERE NOT EXISTS (SELECT 1 FROM {_dt} y WHERE y.gg = x.gg AND y.kk < x.kk)"),
+        ("I", "", f"SELECT CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM {_t} WHERE {_p}) THEN 1 ELSE 0 END) AS BIGINT) FROM region"),
+        ("TI", "rowsort", f"SELECT e, count(*) FROM (SELECT CAST(EXISTS (SELECT 1 FROM {_dt} y WHERE y.gg = x.gg AND y.kk < x.kk) AS STRING) AS e FROM {_dt} x) z GROUP BY e"),
+        ("I", "", f"SELECT count(*) FROM {_dt} x WHERE EXISTS (SELECT 1 FROM {_dt} y WHERE y.gg = x.gg AND y.kk < x.kk) AND x.kk % 2 = 0"),
+    ])
+
+# Per-table window-after-aggregate family (the classic TPC-DS shape:
+# rank groups by their aggregate; reference test/sql/window over
+# grouped inputs).  count(*) as the ranked measure keeps it exact.
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"grouprank_file_{_t}", f"rank over grouped aggregates of {_t} (reference test/sql/window)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT {_g} AS gg, count(*) AS c FROM {_t} GROUP BY {_g}) x WHERE c > 0"),
+        ("II", "", f"SELECT rnk, c FROM (SELECT rank() OVER (ORDER BY c DESC, gg) AS rnk, c FROM (SELECT {_g} AS gg, count(*) AS c FROM {_t} GROUP BY {_g}) x) y ORDER BY rnk LIMIT 5"),
+        ("I", "", f"SELECT c FROM (SELECT row_number() OVER (ORDER BY c DESC, gg) AS rn, c FROM (SELECT {_g} AS gg, count(*) AS c FROM {_t} GROUP BY {_g}) x) y WHERE rn = 1"),
+        ("II", "", f"SELECT rn, CAST(mn AS BIGINT) AS mnb FROM (SELECT row_number() OVER (ORDER BY gg) AS rn, mn FROM (SELECT {_g} AS gg, min({_k}) AS mn FROM {_t} GROUP BY {_g}) x) y ORDER BY rn LIMIT 4"),
+        ("I", "", f"SELECT count(*) FROM (SELECT gg, c, CAST(sum(c) OVER () AS BIGINT) AS tot FROM (SELECT {_g} AS gg, count(*) AS c FROM {_t} GROUP BY {_g}) x) y WHERE c * 2 < tot"),
+    ])
+
+# Per-table coalesce/nullif chain family (reference test/sql/function/
+# generic — NULL-injecting nullif composed back through coalesce).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"coalnull_file_{_t}", f"coalesce/nullif chains over {_t} (reference test/sql/function)")([
+        ("T", "", f"SELECT coalesce(nullif({_s}, {_s}), 'folded') FROM {_t} ORDER BY {_k} LIMIT 3"),
+        ("I", "", f"SELECT count(nullif(({_k}) % 3, 0)) FROM {_t}"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE coalesce(nullif(({_k}) % 4, 2), 99) = 99"),
+        ("T", "", f"SELECT coalesce(CAST(NULL AS STRING), nullif(substr({_s}, 1, 1), 'Z'), 'zfall') FROM {_t} ORDER BY {_k} LIMIT 4"),
+        ("I", "", f"SELECT CAST(sum(coalesce(nullif(({_k}) % 5, 1), 0)) AS BIGINT) FROM {_t}"),
+    ])
+
+# Per-table string-composition family (reference test/sql/function/
+# string — nested upper/lower/substr/replace/translate/lpad/reverse).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"strcomp_file_{_t}", f"nested string compositions over {_t} (reference test/sql/function/string)")([
+        ("T", "", f"SELECT translate(upper(substr({_s}, 1, 4)), 'AEIOU', 'aeiou') FROM {_t} ORDER BY {_k} LIMIT 4"),
+        ("T", "", f"SELECT replace(lower(reverse({_s})), 'a', '@') FROM {_t} ORDER BY {_k} LIMIT 4"),
+        ("T", "", f"SELECT lpad(trim(substr({_s}, 2, 3)), 6, '.') FROM {_t} ORDER BY {_k} LIMIT 4"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE length(replace({_s}, 'a', '')) < length({_s})"),
+        ("T", "", f"SELECT rpad(upper(substr({_s}, 1, 2)), 4, '-') || lower(substr({_s}, 1, 1)) FROM {_t} ORDER BY {_k} LIMIT 4"),
+    ])
+
+# Per-table agg-of-agg derived-table family (reference
+# test/sql/subquery/test_nested — aggregate over grouped aggregates).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _inner = f"(SELECT {_g} AS gg, count(*) AS c, min({_k}) AS mn FROM {_t} GROUP BY {_g})"
+    corpus(f"aggofagg_file_{_t}", f"aggregates over grouped aggregates of {_t} (reference test/sql/subquery)")([
+        ("I", "", f"SELECT CAST(max(c) AS BIGINT) FROM {_inner} x"),
+        ("I", "", f"SELECT CAST(sum(c) AS BIGINT) FROM {_inner} x"),
+        ("I", "", f"SELECT count(*) FROM {_inner} x WHERE c > (SELECT CAST(avg(c) AS DOUBLE) FROM {_inner} y)"),
+        ("I", "", f"SELECT CAST(min(mn) AS BIGINT) FROM {_inner} x WHERE c >= 1"),
+        ("II", "", f"SELECT count(*), count(DISTINCT c) FROM {_inner} x"),
+    ])
+
+# Windows over FK join pairs (reference test/sql/window + test/sql/join
+# — rank rows within a joined dimension group, deterministic through
+# the left table's unique key).
+_PAIR_KEYS = {
+    "nation_region":   "a.n_nationkey",
+    "customer_nation": "a.c_custkey",
+    "supplier_nation": "a.s_suppkey",
+    "orders_customer": "a.o_orderkey",
+    "lineitem_orders": "a.l_orderkey * 10 + a.l_linenumber",
+    "lineitem_part":   "a.l_orderkey * 10 + a.l_linenumber",
+    "events_customer": "a.event_id",
+}
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _ak = _PAIR_KEYS[_n]
+    corpus(f"winjoin_file_{_n}", f"windows over FK join pair {_n} (reference test/sql/window)")([
+        ("TI", "rowsort", f"SELECT g, CAST(max(rn) AS BIGINT) AS mx FROM (SELECT {_grp} AS g, row_number() OVER (PARTITION BY {_grp} ORDER BY {_ak}) AS rn FROM {_l} JOIN {_r} ON {_on}) x GROUP BY g"),
+        ("I", "", f"SELECT count(*) FROM (SELECT rank() OVER (PARTITION BY {_grp} ORDER BY {_ak}) AS rk FROM {_l} JOIN {_r} ON {_on}) x WHERE rk = 1"),
+        ("TI", "", f"SELECT g, CAST(kk AS BIGINT) AS kb FROM (SELECT {_grp} AS g, {_ak} AS kk, row_number() OVER (PARTITION BY {_grp} ORDER BY {_ak}) AS rn FROM {_l} JOIN {_r} ON {_on}) x WHERE rn = 1 ORDER BY g LIMIT 5"),
+        ("I", "", f"SELECT count(*) FROM (SELECT count(*) OVER (PARTITION BY {_grp}) AS c FROM {_l} JOIN {_r} ON {_on}) x WHERE c > 1"),
+        ("II", "", f"SELECT CAST(kk AS BIGINT) AS kb, rn FROM (SELECT {_ak} AS kk, row_number() OVER (ORDER BY {_grp}, {_ak}) AS rn FROM {_l} JOIN {_r} ON {_on}) x ORDER BY rn LIMIT 6"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
