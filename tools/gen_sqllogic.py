@@ -4014,6 +4014,123 @@ for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
     ])
 
 
+# Per-table NULL-aware aggregate family (reference test/sql/aggregate —
+# aggregates over CASE-nulled inputs; NULL-only groups; count vs count(col)).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _nulled = f"CASE WHEN ({_k}) % 3 = 0 THEN NULL ELSE ({_k}) % 7 END"
+    corpus(f"nullagg_file_{_t}", f"aggregates over CASE-nulled inputs of {_t} (reference test/sql/aggregate)")([
+        ("II", "", f"SELECT count(*), count({_nulled}) FROM {_t}"),
+        ("I", "", f"SELECT CAST(sum({_nulled}) AS BIGINT) FROM {_t}"),
+        ("R", "", f"SELECT round(avg({_nulled}), 3) FROM {_t}"),
+        ("II", "", f"SELECT CAST(min({_nulled}) AS BIGINT), CAST(max({_nulled}) AS BIGINT) FROM {_t}"),
+        ("T", "", f"SELECT CAST(sum(CASE WHEN FALSE THEN ({_k}) END) AS STRING) FROM {_t}"),
+    ])
+
+# Per-table DISTINCT-aggregate arithmetic family (reference
+# test/sql/aggregate/distinct — sum/avg/min over DISTINCT inputs;
+# cntdist_file covers the count forms).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"distagg2_file_{_t}", f"sum/avg DISTINCT over {_t} (reference test/sql/aggregate/distinct)")([
+        ("I", "", f"SELECT CAST(sum(DISTINCT ({_k}) % 10) AS BIGINT) FROM {_t}"),
+        ("R", "", f"SELECT round(avg(DISTINCT ({_k}) % 8), 3) FROM {_t}"),
+        ("II", "", f"SELECT CAST(min(DISTINCT ({_k}) % 6) AS BIGINT), CAST(max(DISTINCT ({_k}) % 6) AS BIGINT) FROM {_t}"),
+        ("II", "rowsort", f"SELECT ({_k}) % 2, CAST(sum(DISTINCT ({_k}) % 9) AS BIGINT) FROM {_t} GROUP BY ({_k}) % 2"),
+        ("I", "", f"SELECT CAST(sum(DISTINCT ({_k}) % 5) + sum(DISTINCT ({_k}) % 4) AS BIGINT) FROM {_t}"),
+    ])
+
+# Per-table IN-subquery shapes (reference test/sql/subquery — IN over
+# aggregate / LIMIT / set-op subqueries; insubq_file covers the basics).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"subqin2_file_{_t}", f"IN-subquery shapes over {_t} (reference test/sql/subquery)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) IN (SELECT max({_k}) FROM {_t})"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) IN (SELECT min({_k}) FROM {_t} UNION SELECT max({_k}) FROM {_t})"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 10 IN (SELECT r_regionkey FROM region)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) IN (SELECT kk FROM (SELECT {_k} AS kk FROM {_t} ORDER BY {_k} LIMIT 5) x)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 7 NOT IN (SELECT r_regionkey FROM region WHERE r_regionkey < 3)"),
+    ])
+
+# Per-table numeric-edge family (reference test/sql/types/numeric —
+# negatives through abs/sign/mod/div, least/greatest chains).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _neg = f"(({_k}) % 5) - 2"
+    corpus(f"numedge_file_{_t}", f"numeric edges over {_t} (reference test/sql/types/numeric)")([
+        ("II", "", f"SELECT CAST(sum(abs({_neg})) AS BIGINT), CAST(sum(sign({_neg})) AS BIGINT) FROM {_t}"),
+        ("I", "", f"SELECT CAST(sum(CAST({_neg} AS BIGINT) % 3) AS BIGINT) FROM {_t}"),
+        ("I", "", f"SELECT CAST(sum(least({_neg}, 0) + greatest({_neg}, 0)) AS BIGINT) FROM {_t}"),
+        ("II", "rowsort", f"SELECT CAST({_neg} AS BIGINT), count(*) FROM {_t} GROUP BY {_neg}"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE abs({_neg}) = 2 AND sign({_neg}) = -1"),
+    ])
+
+# Per-table window-over-window family (reference test/sql/window —
+# ranking running aggregates through nested derived tables).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"nestwin_file_{_t}", f"window over window results of {_t} (reference test/sql/window)")([
+        ("II", "", f"SELECT CAST(kk AS BIGINT) AS kb, rnk FROM (SELECT kk, rank() OVER (ORDER BY rs DESC, kk) AS rnk FROM (SELECT {_k} AS kk, count(*) OVER (ORDER BY {_k} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs FROM {_t}) x) y ORDER BY rnk LIMIT 5"),
+        ("I", "", f"SELECT count(*) FROM (SELECT row_number() OVER (ORDER BY kk) AS rn2 FROM (SELECT {_k} AS kk, row_number() OVER (ORDER BY {_k} DESC) AS rn FROM {_t}) x WHERE rn <= 10) y WHERE rn2 <= 5"),
+        ("II", "", f"SELECT rn, CAST(kk AS BIGINT) AS kb FROM (SELECT kk, row_number() OVER (ORDER BY mx DESC, kk) AS rn FROM (SELECT {_k} AS kk, max({_k}) OVER (PARTITION BY {_g}) AS mx FROM {_t}) x) y ORDER BY rn LIMIT 4"),
+        ("I", "", f"SELECT CAST(max(rs) AS BIGINT) FROM (SELECT count(*) OVER (ORDER BY {_k} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs FROM {_t}) x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT lag(kk) OVER (ORDER BY kk) AS pk, kk FROM (SELECT {_k} AS kk FROM {_t}) x) y WHERE pk IS NOT NULL AND pk >= kk"),
+    ])
+
+# Per-table VALUES-join family (reference COLUMN_DATA_SCAN joined to a
+# real scan — the inline relation as a lookup side).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"valuesjoin_file_{_t}", f"VALUES relation joined to {_t} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_t} JOIN (VALUES (0), (1), (2)) v(x) ON ({_k}) % 5 = v.x"),
+        ("II", "rowsort", f"SELECT v.x, count(*) FROM {_t} JOIN (VALUES (0), (1), (2), (3), (4)) v(x) ON ({_k}) % 5 = v.x GROUP BY v.x"),
+        ("I", "", f"SELECT count(*) FROM {_t} LEFT JOIN (VALUES (0)) v(x) ON ({_k}) % 2 = v.x WHERE v.x IS NULL"),
+        ("TI", "rowsort", f"SELECT v.nm, count(*) FROM {_t} JOIN (VALUES (0, 'even'), (1, 'odd')) v(x, nm) ON ({_k}) % 2 = v.x GROUP BY v.nm"),
+        ("I", "", f"SELECT count(*) FROM (VALUES (0), (1)) v(x) JOIN {_t} ON ({_k}) % 2 = v.x"),
+    ])
+
+# FK-pair aggregate family (reference test/sql/join + aggregate — the
+# joinpair family's count-only shapes widened to sum/min/max/distinct).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _ak = _PAIR_KEYS[_n]
+    corpus(f"aggjoin_file_{_n}", f"aggregates over FK join pair {_n} (reference test/sql/join)")([
+        ("TI", "rowsort", f"SELECT {_grp} AS g, CAST(sum(({_ak}) % 100) AS BIGINT) AS s FROM {_l} JOIN {_r} ON {_on} GROUP BY {_grp}"),
+        ("TII", "rowsort", f"SELECT {_grp} AS g, CAST(min({_ak}) AS BIGINT) AS mn, CAST(max({_ak}) AS BIGINT) AS mx FROM {_l} JOIN {_r} ON {_on} GROUP BY {_grp}"),
+        ("TI", "rowsort", f"SELECT {_grp} AS g, count(DISTINCT ({_ak}) % 50) AS cd FROM {_l} JOIN {_r} ON {_on} GROUP BY {_grp}"),
+        ("I", "", f"SELECT count(DISTINCT {_grp}) FROM {_l} JOIN {_r} ON {_on}"),
+        ("TR", "rowsort", f"SELECT {_grp} AS g, round(avg(({_ak}) % 13), 3) AS a FROM {_l} JOIN {_r} ON {_on} GROUP BY {_grp}"),
+    ])
+
+# FK-pair semi/anti equivalence family (reference test/sql/join/semi_anti
+# — IN, EXISTS, and DISTINCT-join forms must all agree).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _lk, _rk = _on.split(" = ")
+    _ak = _PAIR_KEYS[_n]
+    corpus(f"semiantij_file_{_n}", f"semi/anti equivalences for {_n} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_l} WHERE {_lk} IN (SELECT {_rk.split('.')[1]} FROM {_r.split(' ')[0]} b)"),
+        ("I", "", f"SELECT count(*) FROM {_l} WHERE {_lk} NOT IN (SELECT {_rk.split('.')[1]} FROM {_r.split(' ')[0]} b WHERE {_rk.split('.')[1]} IS NOT NULL)"),
+        ("II", "", f"SELECT count(*), count({_rk.split('.')[1]}) FROM {_l} LEFT JOIN {_r} ON {_on}"),
+        ("I", "", f"SELECT count(*) FROM (SELECT DISTINCT {_lk} AS k FROM {_l} JOIN {_r} ON {_on}) x"),
+        ("I", "", f"SELECT count(*) FROM {_l} WHERE EXISTS (SELECT 1 FROM {_r} WHERE {_on}) AND ({_ak}) % 2 = 0"),
+    ])
+
+# FK-pair HAVING family (reference test/sql/aggregate/having over joins).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _ak = _PAIR_KEYS[_n]
+    corpus(f"havingjoin_file_{_n}", f"HAVING over FK join pair {_n} (reference test/sql/aggregate/having)")([
+        ("TI", "rowsort", f"SELECT {_grp} AS g, count(*) AS c FROM {_l} JOIN {_r} ON {_on} GROUP BY {_grp} HAVING count(*) > 1"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_grp} AS g FROM {_l} JOIN {_r} ON {_on} GROUP BY {_grp} HAVING count(*) >= 2 AND min({_ak}) >= 0) x"),
+        ("TI", "rowsort", f"SELECT {_grp} AS g, CAST(max(({_ak}) % 40) AS BIGINT) AS m FROM {_l} JOIN {_r} ON {_on} GROUP BY {_grp} HAVING max(({_ak}) % 40) > 10"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_grp} AS g FROM {_l} JOIN {_r} ON {_on} GROUP BY {_grp} HAVING count(DISTINCT ({_ak}) % 25) > 3) x"),
+        ("TI", "rowsort", f"SELECT {_grp} AS g, count(*) AS c FROM {_l} LEFT JOIN {_r} ON {_on} GROUP BY {_grp} HAVING count(*) > 0"),
+    ])
+
+# FK-pair set-op family (reference test/sql/setops over join results).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _ak = _PAIR_KEYS[_n]
+    corpus(f"unionjoin_file_{_n}", f"set-ops between join slices of {_n} (reference test/sql/setops)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_ak}) % 2 AS x FROM {_l} JOIN {_r} ON {_on} UNION SELECT ({_ak}) % 3 FROM {_l} JOIN {_r} ON {_on}) u"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_grp} AS g FROM {_l} JOIN {_r} ON {_on} INTERSECT SELECT {_grp} FROM {_l} LEFT JOIN {_r} ON {_on}) u"),
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_ak}) AS k FROM {_l} JOIN {_r} ON {_on} EXCEPT SELECT ({_ak}) FROM {_l} JOIN {_r} ON {_on} WHERE ({_ak}) % 2 = 0) u"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_grp} AS g FROM {_l} JOIN {_r} ON {_on} UNION ALL SELECT {_grp} FROM {_l} JOIN {_r} ON {_on}) u"),
+        ("TI", "rowsort", f"SELECT g, count(*) FROM (SELECT {_grp} AS g FROM {_l} JOIN {_r} ON {_on} UNION ALL SELECT {_grp} FROM {_l} JOIN {_r} ON {_on}) u GROUP BY g"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
