@@ -4131,6 +4131,90 @@ for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
     ])
 
 
+# Per-table first/last/nth_value with explicit frames (reference
+# test/sql/window — the value functions need full frames to see the
+# whole partition; unique-key ordering keeps them deterministic).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"winfirstlast_file_{_t}", f"first/last/nth_value frames over {_t} (reference test/sql/window)")([
+        ("TT", "", f"SELECT first_value({_s}) OVER (ORDER BY {_k} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS f, last_value({_s}) OVER (ORDER BY {_k} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS l FROM {_t} ORDER BY {_k} LIMIT 1"),
+        ("I", "", f"SELECT count(*) FROM (SELECT first_value({_s}) OVER (PARTITION BY {_g} ORDER BY {_k}) AS f, {_s} AS s FROM {_t}) x WHERE f = s"),
+        ("T", "", f"SELECT nth_value({_s}, 2) OVER (ORDER BY {_k} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) FROM {_t} ORDER BY {_k} LIMIT 1"),
+        ("I", "", f"SELECT count(*) FROM (SELECT last_value({_s}) OVER (PARTITION BY {_g} ORDER BY {_k} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS l, {_s} AS s FROM {_t}) x WHERE l = s"),
+        ("TT", "", f"SELECT first_value({_s}) OVER (ORDER BY {_k} DESC) AS f, nth_value({_s}, 3) OVER (ORDER BY {_k} DESC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n3 FROM {_t} ORDER BY {_k} DESC LIMIT 1"),
+    ])
+
+# Per-table correlated-scalar-projection family (reference
+# test/sql/subquery/scalar — running counts / group shares computed by
+# correlated scalar subqueries through derived-table aliases).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _dt = f"(SELECT {_k} AS kk, {_g} AS gg FROM {_t})"
+    corpus(f"scalarproj_file_{_t}", f"correlated scalar projections over {_t} (reference test/sql/subquery/scalar)")([
+        ("I", "", f"SELECT CAST(sum(rc) AS BIGINT) FROM (SELECT (SELECT count(*) FROM {_dt} y WHERE y.gg = x.gg AND y.kk <= x.kk) AS rc FROM {_dt} x) z"),
+        ("I", "", f"SELECT count(*) FROM (SELECT (SELECT count(*) FROM {_dt} y WHERE y.gg = x.gg) AS gc FROM {_dt} x) z WHERE gc = 1"),
+        ("II", "", f"SELECT CAST(kk AS BIGINT) AS kb, CAST((SELECT min(y.kk) FROM {_dt} y WHERE y.gg = x.gg) AS BIGINT) AS gm FROM {_dt} x ORDER BY kk LIMIT 4"),
+        ("I", "", f"SELECT count(*) FROM {_dt} x WHERE x.kk = (SELECT max(y.kk) FROM {_dt} y WHERE y.gg = x.gg)"),
+        ("I", "", f"SELECT CAST(max(d) AS BIGINT) FROM (SELECT x.kk - (SELECT min(y.kk) FROM {_dt} y WHERE y.gg = x.gg) AS d FROM {_dt} x) z"),
+    ])
+
+# Date/timestamp arithmetic over the real temporal columns (reference
+# test/sql/types/date, /timestamp — interval shifts, trunc buckets,
+# month-boundary behavior on actual data).
+_DTCOLS = {
+    "orders":   ("o_orderkey", "o_orderdate"),
+    "lineitem": ("l_orderkey * 10 + l_linenumber", "l_shipdate"),
+    "events":   ("event_id", "ts"),
+}
+for _t, (_k, _d) in _DTCOLS.items():
+    corpus(f"dtarith_file_{_t}", f"temporal arithmetic over {_t}.{_d.split()[0]} (reference test/sql/types/date)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_d} + INTERVAL 30 DAY > CAST('1997-06-01' AS DATE)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_d} - INTERVAL 2 MONTH >= CAST('1995-01-01' AS DATE)"),
+        ("T", "", f"SELECT CAST(min(CAST(date_trunc('month', {_d}) AS DATE)) AS STRING) FROM {_t}"),
+        ("II", "rowsort", f"SELECT EXTRACT(YEAR FROM {_d}), count(*) FROM {_t} GROUP BY EXTRACT(YEAR FROM {_d})"),
+        ("T", "", f"SELECT CAST(CAST({_d} + INTERVAL 1 DAY AS DATE) AS STRING) FROM {_t} ORDER BY {_d}, {_k} LIMIT 3"),
+        ("I", "", f"SELECT count(DISTINCT CAST(date_trunc('week', {_d}) AS DATE)) FROM {_t}"),
+    ])
+
+# Four-table FK chains (reference test/sql/join — one hop deeper than
+# the joinchain_file_* three-table chains).
+_CHAINS4 = {
+    "r_n_c_o": ("region r JOIN nation n ON r.r_regionkey = n.n_regionkey JOIN customer c ON n.n_nationkey = c.c_nationkey JOIN orders o ON c.c_custkey = o.o_custkey", "r.r_name", "o.o_orderkey"),
+    "n_c_o_l": ("nation n JOIN customer c ON n.n_nationkey = c.c_nationkey JOIN orders o ON c.c_custkey = o.o_custkey JOIN lineitem l ON o.o_orderkey = l.l_orderkey", "n.n_name", "l.l_orderkey * 10 + l.l_linenumber"),
+    "r_n_s_l": ("region r JOIN nation n ON r.r_regionkey = n.n_regionkey JOIN supplier s ON n.n_nationkey = s.s_nationkey JOIN lineitem l ON s.s_suppkey = l.l_suppkey", "r.r_name", "l.l_orderkey * 10 + l.l_linenumber"),
+    "p_l_o_c": ("part p JOIN lineitem l ON p.p_partkey = l.l_partkey JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey", "p.p_brand", "l.l_orderkey * 10 + l.l_linenumber"),
+}
+for _n, (_from, _gcol, _kcol) in _CHAINS4.items():
+    corpus(f"joinchain4_file_{_n}", f"four-table FK chain {_n} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_from}"),
+        ("TI", "rowsort", f"SELECT {_gcol} AS g, count(*) FROM {_from} GROUP BY {_gcol}"),
+        ("I", "", f"SELECT count(DISTINCT {_gcol}) FROM {_from}"),
+        ("II", "", f"SELECT CAST(min({_kcol}) AS BIGINT), CAST(max({_kcol}) AS BIGINT) FROM {_from}"),
+        ("TI", "rowsort", f"SELECT {_gcol} AS g, CAST(sum(({_kcol}) % 20) AS BIGINT) FROM {_from} GROUP BY {_gcol} HAVING count(*) > 2"),
+    ])
+
+# ROLLUP + grouping() over FK join pairs (reference test/sql/aggregate/
+# grouping_sets over joins).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _ak = _PAIR_KEYS[_n]
+    corpus(f"rollupjoin_file_{_n}", f"ROLLUP over FK join pair {_n} (reference test/sql/aggregate/grouping_sets)")([
+        ("TII", "rowsort", f"SELECT coalesce({_grp}, 'ALL') AS g, grouping({_grp}) AS gr, count(*) AS c FROM {_l} JOIN {_r} ON {_on} GROUP BY ROLLUP({_grp})"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_grp} AS g FROM {_l} JOIN {_r} ON {_on} GROUP BY ROLLUP({_grp})) x"),
+        ("TI", "rowsort", f"SELECT coalesce({_grp}, 'ALL') AS g, CAST(sum(({_ak}) % 10) AS BIGINT) AS s FROM {_l} JOIN {_r} ON {_on} GROUP BY ROLLUP({_grp})"),
+        ("II", "rowsort", f"SELECT grouping({_grp}), count(*) FROM {_l} JOIN {_r} ON {_on} GROUP BY ROLLUP({_grp})"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_grp} AS g, count(*) AS c FROM {_l} JOIN {_r} ON {_on} GROUP BY ROLLUP({_grp}) HAVING count(*) > 1) x"),
+    ])
+
+# Per-table window-distribution family (reference test/sql/window —
+# percent_rank / cume_dist / ntile over unique-key orderings).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"windist_file_{_t}", f"percent_rank/cume_dist/ntile over {_t} (reference test/sql/window)")([
+        ("R", "", f"SELECT round(percent_rank() OVER (ORDER BY {_k}), 3) FROM {_t} ORDER BY {_k} LIMIT 5"),
+        ("R", "", f"SELECT round(cume_dist() OVER (ORDER BY {_k}), 3) FROM {_t} ORDER BY {_k} LIMIT 5"),
+        ("II", "rowsort", f"SELECT nt, count(*) FROM (SELECT ntile(4) OVER (ORDER BY {_k}) AS nt FROM {_t}) x GROUP BY nt"),
+        ("I", "", f"SELECT count(*) FROM (SELECT percent_rank() OVER (PARTITION BY {_g} ORDER BY {_k}) AS pr FROM {_t}) x WHERE pr = 0.0"),
+        ("II", "", f"SELECT CAST(kk AS BIGINT) AS kb, nt FROM (SELECT {_k} AS kk, ntile(3) OVER (ORDER BY {_k}) AS nt FROM {_t}) x ORDER BY kk LIMIT 6"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
