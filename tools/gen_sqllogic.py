@@ -4215,6 +4215,62 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Per-table boolean-mix family (reference test/sql/conjunction —
+# AND/OR/NOT nesting with IS NULL and parenthesization differences).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"boolmix_file_{_t}", f"AND/OR/NOT nesting over {_t} (reference test/sql/conjunction)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_p} AND ({_k}) % 2 = 0) OR (NOT {_p} AND ({_k}) % 3 = 0)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE NOT ({_p} OR ({_k}) % 5 = 1)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_p} OR ({_k}) % 2 = 0) AND ({_p} OR ({_k}) % 2 = 1)"),
+        ("II", "", f"SELECT count_if({_p} AND NOT (({_k}) % 4 = 0)), count_if(NOT {_p} OR ({_k}) % 4 = 0) FROM {_t}"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE CASE WHEN {_p} THEN ({_k}) % 2 = 0 ELSE ({_k}) % 3 = 0 END AND {_s} IS NOT NULL"),
+    ])
+
+# Per-table projection-alias-scope family (reference test/sql/projection
+# — aliases reused in ORDER BY / GROUP BY / HAVING positions).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"projalias_file_{_t}", f"alias reuse in ORDER/GROUP BY over {_t} (reference test/sql/projection)")([
+        ("T", "", f"SELECT substr({_s}, 1, 3) AS pre FROM {_t} ORDER BY pre, {_k} LIMIT 4"),
+        ("II", "rowsort", f"SELECT ({_k}) % 4 AS bucket, count(*) AS c FROM {_t} GROUP BY bucket"),
+        ("II", "", f"SELECT ({_k}) % 6 AS bucket, count(*) AS c FROM {_t} GROUP BY bucket ORDER BY c DESC, bucket LIMIT 3"),
+        ("I", "", f"SELECT count(*) FROM (SELECT length({_s}) AS ln FROM {_t} ORDER BY ln DESC LIMIT 10) x"),
+        ("TI", "rowsort", f"SELECT upper(substr({_s}, 1, 1)) AS ini, count(*) AS c FROM {_t} GROUP BY ini"),
+    ])
+
+# Per-table named-WINDOW-clause family (reference test/sql/window —
+# one WINDOW definition shared by several functions).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"namedwin_file_{_t}", f"WINDOW clause over {_t} (reference test/sql/window)")([
+        ("III", "", f"SELECT CAST({_k} AS BIGINT) AS kb, row_number() OVER w AS rn, rank() OVER w AS rk FROM {_t} WINDOW w AS (ORDER BY {_k}) ORDER BY kb LIMIT 5"),
+        ("II", "", f"SELECT CAST({_k} AS BIGINT) AS kb, count(*) OVER w AS c FROM {_t} WINDOW w AS (PARTITION BY {_g}) ORDER BY kb LIMIT 5"),
+        ("I", "", f"SELECT count(*) FROM (SELECT row_number() OVER w AS rn, rank() OVER w AS rk FROM {_t} WINDOW w AS (PARTITION BY {_g} ORDER BY {_k})) x WHERE rn = rk"),
+        ("II", "", f"SELECT CAST({_k} AS BIGINT) AS kb, CAST(min({_k}) OVER w AS BIGINT) AS mn FROM {_t} WINDOW w AS (ORDER BY {_k} ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) ORDER BY kb LIMIT 5"),
+        ("I", "", f"SELECT CAST(max(rn) AS BIGINT) FROM (SELECT row_number() OVER w AS rn FROM {_t} WINDOW w AS (ORDER BY {_k} DESC)) x"),
+    ])
+
+# Per-table multiple-windows-in-one-SELECT family (reference
+# test/sql/window — different partitionings evaluated side by side).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"winmixed_file_{_t}", f"mixed windows in one SELECT over {_t} (reference test/sql/window)")([
+        ("III", "", f"SELECT CAST({_k} AS BIGINT) AS kb, row_number() OVER (ORDER BY {_k}) AS rn, row_number() OVER (ORDER BY {_k} DESC) AS rd FROM {_t} ORDER BY kb LIMIT 4"),
+        ("I", "", f"SELECT count(*) FROM (SELECT count(*) OVER (PARTITION BY {_g}) AS cg, count(*) OVER () AS ct FROM {_t}) x WHERE cg = ct"),
+        ("II", "", f"SELECT rn, rg FROM (SELECT row_number() OVER (ORDER BY {_k}) AS rn, rank() OVER (PARTITION BY {_g} ORDER BY {_k}) AS rg FROM {_t}) x ORDER BY rn LIMIT 5"),
+        ("I", "", f"SELECT count(*) FROM (SELECT rank() OVER (PARTITION BY {_g} ORDER BY {_k}) AS a, dense_rank() OVER (PARTITION BY {_g} ORDER BY {_k}) AS b FROM {_t}) x WHERE a <> b"),
+        ("II", "", f"SELECT CAST(sum(c1) AS BIGINT), CAST(sum(c2) AS BIGINT) FROM (SELECT count(*) OVER (PARTITION BY {_g}) AS c1, count(*) OVER (PARTITION BY ({_k}) % 2) AS c2 FROM {_t}) x"),
+    ])
+
+# Per-table set-op ORDER BY/LIMIT family (reference test/sql/setops +
+# test/sql/order — ordering applied to the combined result).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"unionorder_file_{_t}", f"ORDER BY/LIMIT over set-ops of {_t} (reference test/sql/setops)")([
+        ("I", "", f"SELECT kk FROM (SELECT CAST(({_k}) % 10 AS BIGINT) AS kk FROM {_t} UNION SELECT CAST(({_k}) % 7 AS BIGINT) FROM {_t}) u ORDER BY kk LIMIT 5"),
+        ("I", "", f"SELECT count(*) FROM (SELECT CAST({_k} AS BIGINT) AS kk FROM {_t} WHERE {_p} UNION ALL SELECT CAST({_k} AS BIGINT) FROM {_t} WHERE NOT {_p}) u"),
+        ("T", "", f"SELECT sv FROM (SELECT {_s} AS sv FROM {_t} UNION SELECT upper({_s}) FROM {_t}) u ORDER BY sv LIMIT 4"),
+        ("I", "", f"SELECT kk FROM (SELECT CAST(min({_k}) AS BIGINT) AS kk FROM {_t} UNION ALL SELECT CAST(max({_k}) AS BIGINT) FROM {_t}) u ORDER BY kk DESC LIMIT 1"),
+        ("I", "", f"SELECT count(*) FROM (SELECT CAST(({_k}) % 3 AS BIGINT) AS kk FROM {_t} INTERSECT SELECT CAST(({_k}) % 4 AS BIGINT) FROM {_t}) u"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
