@@ -4271,6 +4271,69 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# CUBE over FK join pairs (reference test/sql/aggregate/grouping_sets —
+# the rollupjoin family's lattice completed with a second dimension).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _ak = _PAIR_KEYS[_n]
+    _d2 = f"({_ak}) % 2"
+    corpus(f"cubejoin_file_{_n}", f"CUBE over FK join pair {_n} (reference test/sql/aggregate/grouping_sets)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT {_grp} AS g, {_d2} AS m FROM {_l} JOIN {_r} ON {_on} GROUP BY CUBE({_grp}, {_d2})) x"),
+        ("TII", "rowsort", f"SELECT coalesce({_grp}, 'ALL') AS g, grouping({_d2}) AS gm, count(*) AS c FROM {_l} JOIN {_r} ON {_on} GROUP BY CUBE({_grp}, {_d2})"),
+        ("II", "rowsort", f"SELECT grouping({_grp}) + grouping({_d2}), count(*) FROM {_l} JOIN {_r} ON {_on} GROUP BY CUBE({_grp}, {_d2})"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_grp} AS g FROM {_l} JOIN {_r} ON {_on} GROUP BY GROUPING SETS (({_grp}), ())) x"),
+        ("TI", "rowsort", f"SELECT coalesce({_grp}, 'ALL') AS g, count(*) AS c FROM {_l} JOIN {_r} ON {_on} GROUP BY GROUPING SETS (({_grp}), ())"),
+    ])
+
+# Outer-join ON-clause vs WHERE semantics per FK pair (reference
+# test/sql/join/left_outer — a non-key predicate in ON keeps unmatched
+# left rows; the same predicate in WHERE filters them out).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _ak = _PAIR_KEYS[_n]
+    _rk = _on.split(" = ")[1]
+    corpus(f"onclause_file_{_n}", f"ON vs WHERE predicates for outer join {_n} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_l} LEFT JOIN {_r} ON {_on} AND {_grp} IS NOT NULL"),
+        ("II", "", f"SELECT count(*), count({_grp}) FROM {_l} LEFT JOIN {_r} ON {_on} AND ({_ak}) % 2 = 0"),
+        ("I", "", f"SELECT count(*) FROM {_l} LEFT JOIN {_r} ON {_on} WHERE {_grp} IS NULL"),
+        ("II", "", f"SELECT count(*), count({_rk}) FROM {_l} LEFT JOIN {_r} ON {_on} AND length({_grp}) > 3"),
+        ("I", "", f"SELECT count(*) FROM {_l} LEFT JOIN {_r} ON {_on} AND 1 = 0"),
+    ])
+
+# Per-table binary string-ordering family (reference test/sql/order —
+# codepoint comparisons, mixed-case sorts, min/max agreement).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"strorder_file_{_t}", f"binary string ordering over {_t} (reference test/sql/order)")([
+        ("T", "", f"SELECT {_s} FROM {_t} ORDER BY {_s}, {_k} LIMIT 4"),
+        ("T", "", f"SELECT {_s} FROM {_t} ORDER BY {_s} DESC, {_k} LIMIT 4"),
+        ("TT", "", f"SELECT min({_s}), max({_s}) FROM {_t}"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_s} < upper({_s})"),
+        ("T", "", f"SELECT sv FROM (SELECT DISTINCT substr({_s}, 1, 1) AS sv FROM {_t}) x ORDER BY sv LIMIT 6"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_s} BETWEEN 'A' AND 'Nzzzz'"),
+    ])
+
+# Date-predicate matrix over the real temporal columns (reference
+# test/sql/filter + types/date — IN lists of dates, BETWEEN windows,
+# year boundaries).
+for _t, (_k, _d) in _DTCOLS.items():
+    corpus(f"datefilter_file_{_t}", f"date predicates over {_t} (reference test/sql/filter)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE CAST({_d} AS DATE) IN (CAST('1995-06-15' AS DATE), CAST('1996-01-01' AS DATE))"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE CAST({_d} AS DATE) BETWEEN CAST('1995-01-01' AS DATE) AND CAST('1995-12-31' AS DATE)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE EXTRACT(MONTH FROM {_d}) IN (1, 2, 12)"),
+        ("II", "rowsort", f"SELECT EXTRACT(QUARTER FROM {_d}), count(*) FROM {_t} GROUP BY EXTRACT(QUARTER FROM {_d})"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE CAST({_d} AS DATE) >= CAST('1996-01-01' AS DATE) OR CAST({_d} AS DATE) < CAST('1994-01-01' AS DATE)"),
+    ])
+
+# Per-table windows-over-filtered-input family (reference
+# test/sql/window — ranks computed after a WHERE, then re-filtered).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"winfilter_file_{_t}", f"windows over filtered {_t} (reference test/sql/window)")([
+        ("II", "", f"SELECT CAST(kk AS BIGINT) AS kb, rn FROM (SELECT {_k} AS kk, row_number() OVER (ORDER BY {_k}) AS rn FROM {_t} WHERE {_p}) x ORDER BY rn LIMIT 5"),
+        ("I", "", f"SELECT count(*) FROM (SELECT row_number() OVER (PARTITION BY {_g} ORDER BY {_k}) AS rn FROM {_t} WHERE {_p}) x WHERE rn <= 2"),
+        ("I", "", f"SELECT CAST(max(rn) AS BIGINT) FROM (SELECT row_number() OVER (ORDER BY {_k}) AS rn FROM {_t} WHERE NOT ({_p})) x"),
+        ("II", "", f"SELECT CAST(kk AS BIGINT) AS kb, CAST(rs AS BIGINT) AS rsb FROM (SELECT {_k} AS kk, count(*) OVER (ORDER BY {_k} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs FROM {_t} WHERE {_p}) x ORDER BY kb LIMIT 4"),
+        ("I", "", f"SELECT count(*) FROM (SELECT rank() OVER (PARTITION BY {_g} ORDER BY {_k}) AS rk FROM {_t} WHERE ({_k}) % 2 = 0) x WHERE rk = 1"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
