@@ -4334,6 +4334,54 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Per-table multi-column set-op family (reference test/sql/setops —
+# row-wise distinct/except semantics over 2-column tuples).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"setopmc_file_{_t}", f"multi-column set-ops over {_t} (reference test/sql/setops)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) % 4 AS a, ({_k}) % 6 AS b FROM {_t} UNION SELECT ({_k}) % 4, ({_k}) % 6 FROM {_t} WHERE {_p}) x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) % 3 AS a, substr({_s}, 1, 1) AS b FROM {_t} INTERSECT SELECT ({_k}) % 3, substr({_s}, 1, 1) FROM {_t} WHERE {_p}) x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) % 5 AS a, ({_k}) % 2 AS b FROM {_t} EXCEPT SELECT ({_k}) % 5, ({_k}) % 2 FROM {_t} WHERE NOT ({_p})) x"),
+        ("II", "rowsort", f"SELECT a, count(*) FROM (SELECT ({_k}) % 3 AS a, ({_k}) % 7 AS b FROM {_t} UNION SELECT ({_k}) % 3, ({_k}) % 7 FROM {_t}) x GROUP BY a"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_g} AS a, {_s} AS b FROM {_t} UNION ALL SELECT {_g}, {_s} FROM {_t} WHERE {_p}) x"),
+    ])
+
+# Per-table multi-key GROUP BY family (reference test/sql/aggregate —
+# two and three grouping keys, HAVING on one, mixed types).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"gbmulti_file_{_t}", f"multi-key GROUP BY over {_t} (reference test/sql/aggregate)")([
+        ("III", "rowsort", f"SELECT ({_k}) % 2 AS a, ({_k}) % 3 AS b, count(*) FROM {_t} GROUP BY ({_k}) % 2, ({_k}) % 3"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_g} AS a, ({_k}) % 4 AS b, substr({_s}, 1, 1) AS c FROM {_t} GROUP BY {_g}, ({_k}) % 4, substr({_s}, 1, 1)) x"),
+        ("TII", "rowsort", f"SELECT substr({_s}, 1, 1) AS a, ({_k}) % 2 AS b, CAST(min({_k}) AS BIGINT) AS mn FROM {_t} GROUP BY substr({_s}, 1, 1), ({_k}) % 2 HAVING count(*) > 1"),
+        ("II", "rowsort", f"SELECT ({_k}) % 3 AS a, count(DISTINCT substr({_s}, 1, 2)) AS cd FROM {_t} GROUP BY ({_k}) % 3"),
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) % 2 AS a, ({_k}) % 5 AS b FROM {_t} GROUP BY ({_k}) % 2, ({_k}) % 5 HAVING CAST(sum(({_k}) % 11) AS BIGINT) > 5) x"),
+    ])
+
+# Expression join keys per FK pair (reference test/sql/join — joins on
+# computed keys rather than bare columns).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _lk, _rk = _on.split(" = ")
+    corpus(f"exprjoin_file_{_n}", f"expression join keys for {_n} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_l} JOIN {_r} ON {_lk} + 0 = {_rk}"),
+        ("I", "", f"SELECT count(*) FROM {_l} JOIN {_r} ON CAST({_lk} AS BIGINT) = CAST({_rk} AS BIGINT) AND length({_grp}) > 0"),
+        ("I", "", f"SELECT count(*) FROM {_l} JOIN {_r} ON {_lk} * 2 = {_rk} * 2"),
+        ("II", "rowsort", f"SELECT ({_rk}) % 2, count(*) FROM {_l} JOIN {_r} ON {_on} GROUP BY ({_rk}) % 2"),
+        ("I", "", f"SELECT count(*) FROM {_l.split(' ')[0]} a2 JOIN {_r.split(' ')[0]} b2 ON {_lk.replace('a.', 'a2.')} = {_rk.replace('b.', 'b2.')} AND ({_lk.replace('a.', 'a2.')}) % 2 = ({_rk.replace('b.', 'b2.')}) % 2"),
+    ])
+
+corpus("math_edges2", "round negative scale / two-arg log / signed mod (probe-verified, reference test/sql/function/math)")([
+    ("R", "", "SELECT round(1234.5678, -2)"),
+    ("R", "", "SELECT round(log(2.0, 8.0), 6)"),
+    ("R", "", "SELECT round(log(10.0, 1000.0), 6)"),
+    ("II", "", "SELECT mod(-7, 3), mod(7, -3)"),
+    ("R", "", "SELECT round(cbrt(27.0) + pi(), 6)"),
+    ("R", "", "SELECT round(cot(1.0), 6)"),
+    ("R", "", "SELECT round(asin(0.5) + acos(0.5) + atan(0.5), 6)"),
+    ("I", "", "SELECT factorial(6)"),
+    ("II", "", "SELECT 3 << 5, 1024 >> 3"),
+    ("T", "", "SELECT CAST((1, 2) < (1, 3) AS STRING)"),
+])
+
+
 def main() -> int:
     import duckdb
 
