@@ -4382,6 +4382,83 @@ corpus("math_edges2", "round negative scale / two-arg log / signed mod (probe-ve
 ])
 
 
+# Per-table numeric-RANGE frame family (reference test/sql/window —
+# value-offset frames over low-cardinality keys exercise peer groups).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"winrangenum_file_{_t}", f"numeric RANGE frames over {_t} (reference test/sql/window)")([
+        ("I", "", f"SELECT CAST(max(c) AS BIGINT) FROM (SELECT count(*) OVER (ORDER BY ({_k}) % 10 RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS c FROM {_t}) x"),
+        ("II", "rowsort", f"SELECT b, CAST(max(s) AS BIGINT) FROM (SELECT ({_k}) % 5 AS b, CAST(sum(({_k}) % 3) OVER (ORDER BY ({_k}) % 5 RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS s FROM {_t}) x GROUP BY b"),
+        ("I", "", f"SELECT count(*) FROM (SELECT count(*) OVER (ORDER BY ({_k}) % 4 RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS c FROM {_t}) x WHERE c > 1"),
+        ("I", "", f"SELECT CAST(min(m) AS BIGINT) FROM (SELECT min(({_k}) % 9) OVER (ORDER BY ({_k}) % 6 RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS m FROM {_t}) x"),
+        ("I", "", f"SELECT count(DISTINCT c) FROM (SELECT count(*) OVER (ORDER BY ({_k}) % 7 RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS c FROM {_t}) x"),
+    ])
+
+# Per-table quantified-comparison rewrite family (reference
+# test/sql/subquery/any_all — the standard min/max rewrites, since
+# Spark lacks ANY/ALL syntax; both sides must agree on the rewrite).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"quantrw_file_{_t}", f"ANY/ALL rewrites over {_t} (reference test/sql/subquery/any_all)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) > (SELECT min({_k}) FROM {_t})"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) >= (SELECT max({_k}) FROM {_t})"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 11 < (SELECT max(({_k}) % 11) FROM {_t} WHERE {_p})"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE length({_s}) = (SELECT max(length({_s})) FROM {_t})"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 13 > (SELECT CAST(avg(({_k}) % 13) AS DOUBLE) FROM {_t})"),
+    ])
+
+# Per-table ordinal GROUP/ORDER BY family (reference test/sql/order —
+# positional references in both clauses).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"gbordinal_file_{_t}", f"ordinal GROUP/ORDER BY over {_t} (reference test/sql/order)")([
+        ("II", "rowsort", f"SELECT ({_k}) % 3, count(*) FROM {_t} GROUP BY 1"),
+        ("II", "", f"SELECT ({_k}) % 4 AS b, count(*) FROM {_t} GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 3"),
+        ("TI", "rowsort", f"SELECT substr({_s}, 1, 1), CAST(sum(({_k}) % 5) AS BIGINT) FROM {_t} GROUP BY 1"),
+        ("T", "", f"SELECT {_s} FROM {_t} ORDER BY 1, {_k} LIMIT 4"),
+        ("II", "", f"SELECT ({_k}) % 2 AS a, ({_k}) % 3 AS b FROM {_t} GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 4"),
+    ])
+
+# Per-table correlated-IN family (reference test/sql/subquery — IN
+# subqueries whose inner query references the outer row).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _dt = f"(SELECT {_k} AS kk, {_g} AS gg FROM {_t})"
+    corpus(f"insubqcorr_file_{_t}", f"correlated IN subqueries over {_t} (reference test/sql/subquery)")([
+        ("I", "", f"SELECT count(*) FROM {_dt} x WHERE x.kk IN (SELECT y.kk FROM {_dt} y WHERE y.gg = x.gg AND y.kk <= x.kk)"),
+        ("I", "", f"SELECT count(*) FROM {_dt} x WHERE x.kk NOT IN (SELECT y.kk FROM {_dt} y WHERE y.gg = x.gg AND y.kk < x.kk)"),
+        ("I", "", f"SELECT count(*) FROM {_dt} x WHERE x.kk IN (SELECT min(y.kk) FROM {_dt} y WHERE y.gg = x.gg)"),
+        ("I", "", f"SELECT count(*) FROM {_dt} x WHERE x.kk % 2 IN (SELECT y.kk % 2 FROM {_dt} y WHERE y.gg = x.gg)"),
+        ("I", "", f"SELECT count(*) FROM {_dt} x WHERE x.kk IN (SELECT max(y.kk) FROM {_dt} y WHERE y.gg = x.gg) AND x.kk % 2 = 0"),
+    ])
+
+# Per-table mixed DISTINCT/plain aggregate family (reference
+# test/sql/aggregate/distinct — several DISTINCT aggregates beside
+# plain ones in a single SELECT stresses both engines' expand paths).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"mixdist_file_{_t}", f"mixed DISTINCT aggregates over {_t} (reference test/sql/aggregate/distinct)")([
+        ("III", "", f"SELECT count(DISTINCT ({_k}) % 6), count(*), CAST(sum(({_k}) % 3) AS BIGINT) FROM {_t}"),
+        ("II", "", f"SELECT count(DISTINCT ({_k}) % 4), count(DISTINCT substr({_s}, 1, 1)) FROM {_t}"),
+        ("IIR", "rowsort", f"SELECT ({_k}) % 2, count(DISTINCT ({_k}) % 7), round(avg(({_k}) % 5), 3) FROM {_t} GROUP BY ({_k}) % 2"),
+        ("II", "", f"SELECT count(DISTINCT {_g}), CAST(max(({_k}) % 8) AS BIGINT) FROM {_t} WHERE {_p}"),
+        ("III", "rowsort", f"SELECT ({_k}) % 3, CAST(sum(DISTINCT ({_k}) % 9) AS BIGINT), count({_s}) FROM {_t} GROUP BY ({_k}) % 3"),
+    ])
+
+# Two-hop nested EXISTS chains (reference test/sql/subquery/exists —
+# EXISTS whose inner query itself contains a correlated EXISTS).
+_EXISTS2 = {
+    "customer": ("customer c", "EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey AND EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey AND r.r_regionkey < 3))", "c.c_custkey"),
+    "supplier": ("supplier s", "EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey AND EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey AND r.r_name LIKE 'A%'))", "s.s_suppkey"),
+    "orders":   ("orders o", "EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey AND n.n_nationkey % 2 = 0))", "o.o_orderkey"),
+    "lineitem": ("lineitem l", "EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 3 = 0))", "l.l_orderkey"),
+    "events":   ("events e", "EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id AND EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey AND n.n_regionkey < 2))", "e.event_id"),
+}
+for _t, (_frm, _ex, _kc) in _EXISTS2.items():
+    corpus(f"exists2hop_file_{_t}", f"two-hop nested EXISTS from {_t} (reference test/sql/subquery/exists)")([
+        ("I", "", f"SELECT count(*) FROM {_frm} WHERE {_ex}"),
+        ("I", "", f"SELECT count(*) FROM {_frm} WHERE NOT ({_ex})"),
+        ("I", "", f"SELECT count(*) FROM {_frm} WHERE {_ex} AND ({_kc}) % 2 = 0"),
+        ("I", "", f"SELECT CAST(sum(CASE WHEN {_ex} THEN 1 ELSE 0 END) AS BIGINT) FROM {_frm}"),
+        ("I", "", f"SELECT count(*) FROM {_frm} WHERE {_ex} OR ({_kc}) % 7 = 0"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
