@@ -4459,6 +4459,54 @@ for _t, (_frm, _ex, _kc) in _EXISTS2.items():
     ])
 
 
+# Per-table nested-CASE family (reference test/sql/case — three levels
+# deep, branches unifying across types via explicit casts).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"casenest_file_{_t}", f"nested CASE over {_t} (reference test/sql/case)")([
+        ("T", "", f"SELECT CASE WHEN {_p} THEN CASE WHEN ({_k}) % 2 = 0 THEN 'pe' ELSE 'po' END ELSE CASE WHEN ({_k}) % 2 = 0 THEN 'ne' ELSE 'no' END END FROM {_t} ORDER BY {_k} LIMIT 6"),
+        ("II", "rowsort", f"SELECT CASE WHEN ({_k}) % 4 < 2 THEN CASE WHEN ({_k}) % 2 = 0 THEN 0 ELSE 1 END ELSE CASE WHEN ({_k}) % 2 = 0 THEN 2 ELSE 3 END END AS q, count(*) FROM {_t} GROUP BY CASE WHEN ({_k}) % 4 < 2 THEN CASE WHEN ({_k}) % 2 = 0 THEN 0 ELSE 1 END ELSE CASE WHEN ({_k}) % 2 = 0 THEN 2 ELSE 3 END END"),
+        ("I", "", f"SELECT CAST(sum(CASE WHEN {_p} THEN CASE WHEN ({_k}) % 3 = 0 THEN 10 ELSE 1 END ELSE 0 END) AS BIGINT) FROM {_t}"),
+        ("T", "", f"SELECT CASE ({_k}) % 3 WHEN 0 THEN CASE ({_k}) % 2 WHEN 0 THEN 'a' ELSE 'b' END WHEN 1 THEN 'c' ELSE 'd' END FROM {_t} ORDER BY {_k} LIMIT 6"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE CASE WHEN {_p} THEN CASE WHEN ({_k}) % 5 = 0 THEN TRUE ELSE FALSE END ELSE FALSE END"),
+    ])
+
+# Per-table windows-inside-set-op-branches family (reference
+# test/sql/window + setops — each branch ranks independently).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"windowsetop_file_{_t}", f"windows in set-op branches over {_t} (reference test/sql/window)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT row_number() OVER (ORDER BY {_k}) AS rn FROM {_t} WHERE {_p} UNION ALL SELECT row_number() OVER (ORDER BY {_k} DESC) FROM {_t} WHERE NOT ({_p})) x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT row_number() OVER (ORDER BY {_k}) AS rn FROM {_t} UNION SELECT row_number() OVER (ORDER BY {_k} DESC) FROM {_t}) x"),
+        ("I", "", f"SELECT CAST(max(rn) AS BIGINT) FROM (SELECT rank() OVER (PARTITION BY {_g} ORDER BY {_k}) AS rn FROM {_t} UNION ALL SELECT 0 FROM region) x"),
+        ("II", "rowsort", f"SELECT rn % 3, count(*) FROM (SELECT row_number() OVER (ORDER BY {_k}) AS rn FROM {_t} INTERSECT SELECT row_number() OVER (ORDER BY {_k} DESC) AS rn FROM {_t}) x GROUP BY rn % 3"),
+        ("I", "", f"SELECT count(*) FROM (SELECT ntile(3) OVER (ORDER BY {_k}) AS nt FROM {_t} EXCEPT SELECT 99 AS nt FROM region) x"),
+    ])
+
+# Per-table set-ops-inside-subquery family (reference test/sql/subquery
+# — UNION/INTERSECT feeding IN and scalar positions).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"subqsetop_file_{_t}", f"set-ops inside subqueries over {_t} (reference test/sql/subquery)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 6 IN (SELECT ({_k}) % 6 FROM {_t} WHERE {_p} INTERSECT SELECT ({_k}) % 6 FROM {_t} WHERE ({_k}) % 2 = 0)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 8 IN (SELECT ({_k}) % 8 FROM {_t} WHERE {_p} EXCEPT SELECT ({_k}) % 8 FROM {_t} WHERE ({_k}) % 3 = 0)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) IN (SELECT min({_k}) FROM {_t} UNION ALL SELECT max({_k}) FROM {_t})"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE EXISTS (SELECT ({_k}) % 2 FROM {_t} WHERE {_p} INTERSECT SELECT 0 FROM region)"),
+        ("I", "", f"SELECT CAST((SELECT count(*) FROM (SELECT ({_k}) % 4 FROM {_t} UNION SELECT ({_k}) % 5 FROM {_t}) u) AS BIGINT)"),
+    ])
+
+# NULL-key join behavior per FK pair (reference test/sql/join/
+# test_join_null.test — nullif-manufactured NULL keys never match; the
+# anti side counts them back in).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _lk, _rk = _on.split(" = ")
+    _nullk = f"nullif({_lk}, 0)"
+    corpus(f"nulljoin_file_{_n}", f"NULL join keys for {_n} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_l} JOIN {_r} ON {_nullk} = {_rk}"),
+        ("II", "", f"SELECT count(*), count({_rk}) FROM {_l} LEFT JOIN {_r} ON {_nullk} = {_rk}"),
+        ("I", "", f"SELECT count(*) FROM {_l} LEFT JOIN {_r} ON {_nullk} = {_rk} WHERE {_rk} IS NULL"),
+        ("I", "", f"SELECT count(*) FROM {_l} WHERE {_nullk} IS NULL OR EXISTS (SELECT 1 FROM {_r} WHERE {_nullk} = {_rk})"),
+        ("I", "", f"SELECT count(*) FROM {_l} JOIN {_r} ON coalesce({_nullk}, -1) = {_rk}"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
