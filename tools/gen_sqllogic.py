@@ -4507,6 +4507,54 @@ for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
     ])
 
 
+# Per-table greatest/least family (reference test/sql/function/generic
+# — multi-arg with NULL branches; both engines skip NULLs).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"gl_file_{_t}", f"greatest/least over {_t} (reference test/sql/function)")([
+        ("II", "", f"SELECT CAST(sum(greatest(({_k}) % 7, ({_k}) % 5, 3)) AS BIGINT), CAST(sum(least(({_k}) % 7, ({_k}) % 5, 3)) AS BIGINT) FROM {_t}"),
+        ("I", "", f"SELECT CAST(sum(greatest(({_k}) % 4, nullif(({_k}) % 4, 2))) AS BIGINT) FROM {_t}"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE greatest(({_k}) % 6, 2) = least(({_k}) % 6 + 2, 7)"),
+        ("T", "", f"SELECT greatest({_s}, upper({_s})) FROM {_t} ORDER BY {_k} LIMIT 4"),
+        ("II", "rowsort", f"SELECT greatest(({_k}) % 3, 1), count(*) FROM {_t} GROUP BY greatest(({_k}) % 3, 1)"),
+    ])
+
+# Per-table gaps-and-islands family (reference test/sql/window — the
+# lag-flag / running-sum island idiom over modulo sequences).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _flag = f"CASE WHEN lag(gv) OVER (ORDER BY kk) = gv THEN 0 ELSE 1 END"
+    _inner = f"(SELECT {_k} AS kk, ({_k}) % 3 AS gv FROM {_t})"
+    corpus(f"gapisland_file_{_t}", f"gaps-and-islands over {_t} (reference test/sql/window)")([
+        ("I", "", f"SELECT CAST(sum(f) AS BIGINT) FROM (SELECT {_flag} AS f FROM {_inner} x) y"),
+        ("I", "", f"SELECT count(DISTINCT isl) FROM (SELECT CAST(sum(f) OVER (ORDER BY kk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS isl FROM (SELECT kk, {_flag} AS f FROM {_inner} x) y) z"),
+        ("I", "", f"SELECT CAST(max(c) AS BIGINT) FROM (SELECT isl, count(*) AS c FROM (SELECT CAST(sum(f) OVER (ORDER BY kk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS isl FROM (SELECT kk, {_flag} AS f FROM {_inner} x) y) z GROUP BY isl) w"),
+        ("I", "", f"SELECT count(*) FROM (SELECT kk, gv, lag(gv) OVER (ORDER BY kk) AS pg FROM {_inner} x) y WHERE pg IS NOT NULL AND pg <> gv"),
+        ("II", "", f"SELECT CAST(kk AS BIGINT) AS kb, CAST(gv AS BIGINT) AS gb FROM (SELECT kk, gv, lag(gv) OVER (ORDER BY kk) AS pg FROM {_inner} x) y WHERE pg IS NULL OR pg <> gv ORDER BY kk LIMIT 5"),
+    ])
+
+# Per-table share-of-total family (reference test/sql/window +
+# subquery — group share computed both by window and by scalar
+# subquery; the two forms must agree).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"sharecalc_file_{_t}", f"share-of-total over {_t} (reference test/sql/window)")([
+        ("IR", "rowsort", f"SELECT c, round(c * 1.0 / t, 3) FROM (SELECT count(*) AS c, CAST(sum(count(*)) OVER () AS BIGINT) AS t FROM {_t} GROUP BY {_g}) x"),
+        ("IR", "rowsort", f"SELECT c, round(c * 1.0 / (SELECT count(*) FROM {_t}), 3) FROM (SELECT count(*) AS c FROM {_t} GROUP BY {_g}) x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT count(*) AS c, CAST(sum(count(*)) OVER () AS BIGINT) AS t FROM {_t} GROUP BY {_g}) x WHERE c * 2 > t"),
+        ("R", "", f"SELECT round(max(c * 1.0 / t), 3) FROM (SELECT count(*) AS c, CAST(sum(count(*)) OVER () AS BIGINT) AS t FROM {_t} GROUP BY {_g}) x"),
+        ("I", "", f"SELECT CAST(sum(c) AS BIGINT) FROM (SELECT count(*) AS c FROM {_t} GROUP BY {_g}) x"),
+    ])
+
+# Per-table parenthesized branch-LIMIT set-op family (reference
+# test/sql/setops — ORDER BY/LIMIT scoped to a branch by parentheses).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"unionbranchlim_file_{_t}", f"branch-scoped LIMIT set-ops over {_t} (reference test/sql/setops)")([
+        ("I", "", f"SELECT count(*) FROM ((SELECT {_k} AS kk FROM {_t} ORDER BY {_k} LIMIT 3) UNION ALL (SELECT {_k} FROM {_t} ORDER BY {_k} DESC LIMIT 2)) u"),
+        ("I", "", f"SELECT CAST(max(kk) AS BIGINT) FROM ((SELECT {_k} AS kk FROM {_t} ORDER BY {_k} LIMIT 5) UNION (SELECT {_k} FROM {_t} ORDER BY {_k} LIMIT 2)) u"),
+        ("I", "", f"SELECT count(*) FROM ((SELECT {_k} AS kk FROM {_t} ORDER BY {_k} LIMIT 4) INTERSECT (SELECT {_k} FROM {_t} ORDER BY {_k} LIMIT 6)) u"),
+        ("I", "", f"SELECT count(*) FROM ((SELECT {_k} AS kk FROM {_t} ORDER BY {_k} LIMIT 6) EXCEPT (SELECT {_k} FROM {_t} ORDER BY {_k} LIMIT 2)) u"),
+        ("T", "", f"SELECT sv FROM ((SELECT {_s} AS sv, {_k} AS kk FROM {_t} ORDER BY {_k} LIMIT 3) UNION ALL (SELECT {_s}, {_k} FROM {_t} ORDER BY {_k} DESC LIMIT 1)) u ORDER BY kk LIMIT 2"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
