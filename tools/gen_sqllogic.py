@@ -4555,6 +4555,55 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Per-table neighbor self-join family (reference test/sql/join —
+# offset-key equi-joins; the lag() equivalence is asserted by pairing
+# the join count with the window count in one file).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"neighborjoin_file_{_t}", f"offset-key self-joins over {_t} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT {_k} AS kk FROM {_t}) a JOIN (SELECT {_k} AS kk FROM {_t}) b ON a.kk + 1 = b.kk"),
+        ("I", "", f"SELECT count(*) FROM (SELECT kk, lag(kk) OVER (ORDER BY kk) AS pk FROM (SELECT {_k} AS kk FROM {_t}) x) y WHERE pk = kk - 1"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_k} AS kk FROM {_t}) a JOIN (SELECT {_k} AS kk FROM {_t}) b ON a.kk + 2 = b.kk WHERE a.kk % 2 = 0"),
+        ("I", "", f"SELECT CAST(sum(b.kk - a.kk) AS BIGINT) FROM (SELECT {_k} AS kk FROM {_t}) a JOIN (SELECT {_k} AS kk FROM {_t}) b ON a.kk + 1 = b.kk"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_k} AS kk FROM {_t}) a LEFT JOIN (SELECT {_k} AS kk FROM {_t}) b ON a.kk + 1 = b.kk WHERE b.kk IS NULL"),
+    ])
+
+# Per-table anti-join triple-agreement family (reference test/sql/join
+# — NOT EXISTS, NOT IN (null-safe), and EXCEPT must all agree).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _a = f"(SELECT {_k} AS kk FROM {_t})"
+    _b = f"(SELECT {_k} AS kk FROM {_t} WHERE {_p})"
+    corpus(f"antitriple_file_{_t}", f"anti-join formulations agree over {_t} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_a} a WHERE NOT EXISTS (SELECT 1 FROM {_b} b WHERE b.kk = a.kk)"),
+        ("I", "", f"SELECT count(*) FROM {_a} a WHERE a.kk NOT IN (SELECT kk FROM {_b} b)"),
+        ("I", "", f"SELECT count(*) FROM (SELECT kk FROM {_a} a EXCEPT SELECT kk FROM {_b} b) x"),
+        ("I", "", f"SELECT count(*) FROM {_a} a LEFT JOIN {_b} b ON a.kk = b.kk WHERE b.kk IS NULL"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_a} a WHERE NOT EXISTS (SELECT 1 FROM {_b} b WHERE b.kk = a.kk)) = (SELECT count(*) FROM (SELECT kk FROM {_a} c EXCEPT SELECT kk FROM {_b} d) x) AS STRING)"),
+    ])
+
+# Per-table tagged-union aggregation family (reference test/sql/setops
+# + aggregate — branch tags grouped after UNION ALL).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _u = f"(SELECT 'hit' AS tag, {_k} AS kk FROM {_t} WHERE {_p} UNION ALL SELECT 'miss' AS tag, {_k} FROM {_t} WHERE NOT ({_p}))"
+    corpus(f"unionagg_file_{_t}", f"aggregation over tagged unions of {_t} (reference test/sql/setops)")([
+        ("TI", "rowsort", f"SELECT tag, count(*) FROM {_u} u GROUP BY tag"),
+        ("I", "", f"SELECT count(*) FROM {_u} u"),
+        ("TI", "rowsort", f"SELECT tag, CAST(sum(kk % 10) AS BIGINT) FROM {_u} u GROUP BY tag"),
+        ("TI", "rowsort", f"SELECT tag, count(DISTINCT kk % 6) FROM {_u} u GROUP BY tag HAVING count(*) > 0"),
+        ("I", "", f"SELECT count(DISTINCT tag) FROM {_u} u"),
+    ])
+
+# Per-table empty-input propagation family (reference test/sql/filter +
+# aggregate — WHERE FALSE / LIMIT 0 through aggregates and joins).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"empty0_file_{_t}", f"empty-input propagation over {_t} (reference test/sql/filter)")([
+        ("IT", "", f"SELECT count(*), CAST(sum(({_k}) % 5) AS STRING) FROM {_t} WHERE 1 = 0"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_k} AS kk FROM {_t} LIMIT 0) x"),
+        ("T", "", f"SELECT CAST(max({_s}) AS STRING) FROM {_t} WHERE FALSE"),
+        ("I", "", f"SELECT count(*) FROM {_t} a JOIN (SELECT {_k} AS kk FROM {_t} WHERE 1 = 0) b ON ({_k}) = b.kk"),
+        ("II", "", f"SELECT count(*), count(b.kk % 2) FROM {_t} LEFT JOIN (SELECT {_k} AS kk FROM {_t} WHERE FALSE) b ON 1 = 1"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
