@@ -4604,6 +4604,59 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Reporting-pipeline compositions per FK pair (reference test/sql —
+# CTE chain: filter -> join -> group -> window -> filter, the shape of
+# real dashboard queries).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _ak = _PAIR_KEYS[_n]
+    _cte = (
+        f"WITH j AS (SELECT {_grp} AS g, ({_ak}) % 20 AS m FROM {_l} JOIN {_r} ON {_on}), "
+        f"a AS (SELECT g, count(*) AS c, CAST(sum(m) AS BIGINT) AS s FROM j GROUP BY g), "
+        f"w AS (SELECT g, c, s, rank() OVER (ORDER BY c DESC, g) AS rk FROM a)"
+    )
+    corpus(f"pipelineq_file_{_n}", f"filter-join-group-window pipeline over {_n} (reference test/sql)")([
+        ("TII", "", f"{_cte} SELECT g, c, rk FROM w ORDER BY rk LIMIT 3"),
+        ("I", "", f"{_cte} SELECT count(*) FROM w WHERE rk <= 2"),
+        ("TI", "rowsort", f"{_cte} SELECT g, CAST(s AS BIGINT) FROM w WHERE c > 1"),
+        ("I", "", f"{_cte} SELECT CAST(sum(c) AS BIGINT) FROM w"),
+        ("T", "", f"{_cte} SELECT g FROM w WHERE rk = 1"),
+    ])
+
+# Per-table HAVING-with-subquery family (reference test/sql/aggregate/
+# having — group predicates referencing scalar subqueries).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"havingsubq_file_{_t}", f"HAVING with subqueries over {_t} (reference test/sql/aggregate/having)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT {_g} AS gg FROM {_t} GROUP BY {_g} HAVING count(*) > (SELECT count(*) FROM {_t}) / 10) x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_g} AS gg FROM {_t} GROUP BY {_g} HAVING CAST(min({_k}) AS BIGINT) > (SELECT CAST(min({_k}) AS BIGINT) FROM {_t})) x"),
+        ("TI", "rowsort", f"SELECT {_g} AS gg, count(*) AS c FROM {_t} GROUP BY {_g} HAVING count(*) >= (SELECT max(c) FROM (SELECT count(*) AS c FROM {_t} GROUP BY {_g}) y)"),
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) % 4 AS b FROM {_t} GROUP BY ({_k}) % 4 HAVING count(*) > (SELECT count(*) FROM region)) x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_g} AS gg FROM {_t} GROUP BY {_g} HAVING count(DISTINCT ({_k}) % 5) = (SELECT count(DISTINCT r_regionkey) FROM region)) x"),
+    ])
+
+# Per-table NULL-predicate distribution family (reference
+# test/sql/filter — IS [NOT] NULL over computed expressions).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _ne = f"nullif(({_k}) % 4, 1)"
+    corpus(f"nullpred_file_{_t}", f"IS NULL over computed expressions of {_t} (reference test/sql/filter)")([
+        ("II", "", f"SELECT count_if({_ne} IS NULL), count_if({_ne} IS NOT NULL) FROM {_t}"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_ne} + 1 IS NULL"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_ne} * 0) IS NOT NULL"),
+        ("II", "rowsort", f"SELECT CAST({_ne} IS NULL AS INT), count(*) FROM {_t} GROUP BY {_ne} IS NULL"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE CASE WHEN {_ne} IS NULL THEN {_p} ELSE NOT ({_p}) END"),
+    ])
+
+# Per-table expression-BETWEEN family (reference test/sql/filter —
+# computed bounds on both sides, NOT BETWEEN, BETWEEN inside CASE).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"betweenexpr_file_{_t}", f"expression BETWEEN over {_t} (reference test/sql/filter)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 10 BETWEEN ({_k}) % 3 AND ({_k}) % 3 + 5"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 7 NOT BETWEEN 2 AND 4"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE length({_s}) BETWEEN 3 AND 15"),
+        ("I", "", f"SELECT CAST(sum(CASE WHEN ({_k}) % 9 BETWEEN 3 AND 6 THEN 1 ELSE 0 END) AS BIGINT) FROM {_t}"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 5 BETWEEN 1 AND 3 AND {_p}"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
