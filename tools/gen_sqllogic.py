@@ -4657,6 +4657,58 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Per-table rank-gap family (reference test/sql/window — rank vs
+# dense_rank vs row_number over TIED orderings; modulo keys create the
+# big peer groups the distinction needs).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _tied = f"(SELECT {_k} AS kk, ({_k}) % 3 AS tv FROM {_t})"
+    corpus(f"rankgap_file_{_t}", f"rank vs dense_rank over ties in {_t} (reference test/sql/window)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT rank() OVER (ORDER BY tv) AS rk, dense_rank() OVER (ORDER BY tv) AS dr FROM {_tied} x) y WHERE rk <> dr"),
+        ("II", "", f"SELECT CAST(max(rk) AS BIGINT), CAST(max(dr) AS BIGINT) FROM (SELECT rank() OVER (ORDER BY tv) AS rk, dense_rank() OVER (ORDER BY tv) AS dr FROM {_tied} x) y"),
+        ("I", "", f"SELECT count(DISTINCT rk) FROM (SELECT rank() OVER (ORDER BY tv) AS rk FROM {_tied} x) y"),
+        ("II", "rowsort", f"SELECT rk, count(*) FROM (SELECT rank() OVER (ORDER BY tv) AS rk FROM {_tied} x) y GROUP BY rk"),
+        ("I", "", f"SELECT count(*) FROM (SELECT row_number() OVER (ORDER BY tv, kk) AS rn, rank() OVER (ORDER BY tv, kk) AS rk FROM {_tied} x) y WHERE rn <> rk"),
+    ])
+
+# Per-table CTE-mix family (reference test/sql/cte — CTEs containing
+# windows and set-ops, referenced multiple times downstream).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"ctemix_file_{_t}", f"CTEs with windows and set-ops over {_t} (reference test/sql/cte)")([
+        ("I", "", f"WITH w AS (SELECT {_k} AS kk, row_number() OVER (ORDER BY {_k}) AS rn FROM {_t}) SELECT count(*) FROM w a JOIN w b ON a.rn = b.rn + 1 WHERE a.kk >= b.kk"),
+        ("I", "", f"WITH s AS (SELECT {_k} AS kk FROM {_t} WHERE {_p} UNION SELECT {_k} FROM {_t} WHERE ({_k}) % 2 = 0) SELECT count(*) FROM s"),
+        ("II", "", f"WITH w AS (SELECT ({_k}) % 4 AS b, count(*) AS c FROM {_t} GROUP BY ({_k}) % 4), t AS (SELECT b, c, rank() OVER (ORDER BY c DESC, b) AS rk FROM w) SELECT CAST(b AS BIGINT), CAST(c AS BIGINT) FROM t WHERE rk = 1"),
+        ("I", "", f"WITH a AS (SELECT {_k} AS kk FROM {_t}), b AS (SELECT kk FROM a WHERE kk % 2 = 0), c AS (SELECT kk FROM a EXCEPT SELECT kk FROM b) SELECT count(*) FROM c"),
+        ("I", "", f"WITH w AS (SELECT {_k} AS kk, ntile(4) OVER (ORDER BY {_k}) AS q FROM {_t}) SELECT count(*) FROM w WHERE q IN (1, 4)"),
+    ])
+
+# Two-dimension star joins per fact table (reference test/sql/join —
+# a fact joined to two dimensions, grouped by both).
+_STARS = {
+    "orders":   ("orders f JOIN customer d1 ON f.o_custkey = d1.c_custkey JOIN nation d2 ON d1.c_nationkey = d2.n_nationkey", "d1.c_mktsegment", "d2.n_name", "f.o_orderkey"),
+    "lineitem": ("lineitem f JOIN orders d1 ON f.l_orderkey = d1.o_orderkey JOIN part d2 ON f.l_partkey = d2.p_partkey", "d1.o_orderstatus", "d2.p_brand", "f.l_orderkey * 10 + f.l_linenumber"),
+    "events":   ("events f JOIN customer d1 ON f.user_id = d1.c_custkey JOIN nation d2 ON d1.c_nationkey = d2.n_nationkey", "f.event_type", "d2.n_name", "f.event_id"),
+}
+for _t, (_frm, _d1, _d2, _fk) in _STARS.items():
+    corpus(f"startwo_file_{_t}", f"two-dimension star join over {_t} (reference test/sql/join)")([
+        ("TTI", "rowsort", f"SELECT {_d1} AS a, {_d2} AS b, count(*) FROM {_frm} GROUP BY {_d1}, {_d2} HAVING count(*) > 1"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_d1} AS a, {_d2} AS b FROM {_frm} GROUP BY {_d1}, {_d2}) x"),
+        ("TI", "rowsort", f"SELECT {_d1} AS a, count(DISTINCT {_d2}) FROM {_frm} GROUP BY {_d1}"),
+        ("II", "", f"SELECT CAST(min({_fk}) AS BIGINT), CAST(max({_fk}) AS BIGINT) FROM {_frm}"),
+        ("TI", "rowsort", f"SELECT {_d2} AS b, CAST(sum(({_fk}) % 10) AS BIGINT) FROM {_frm} GROUP BY {_d2} HAVING count(*) > 2"),
+    ])
+
+# Per-table scalar-subquery-in-CASE family (reference test/sql/case +
+# subquery — scalar subqueries in the condition and in branches).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"casescalar_file_{_t}", f"scalar subqueries inside CASE over {_t} (reference test/sql/case)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE CASE WHEN ({_k}) > (SELECT CAST(avg({_k}) AS DOUBLE) FROM {_t}) THEN TRUE ELSE FALSE END"),
+        ("I", "", f"SELECT CAST(sum(CASE WHEN ({_k}) % 2 = 0 THEN (SELECT count(*) FROM region) ELSE 1 END) AS BIGINT) FROM {_t}"),
+        ("T", "", f"SELECT CASE WHEN (SELECT count(*) FROM {_t}) > 3 THEN 'many' ELSE 'few' END"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 6 = CASE WHEN (SELECT count(*) FROM region) = 5 THEN 0 ELSE 1 END"),
+        ("I", "", f"SELECT CAST(sum(CASE WHEN ({_k}) < (SELECT CAST(max({_k}) AS BIGINT) FROM {_t} WHERE {_p}) THEN 1 ELSE 0 END) AS BIGINT) FROM {_t}"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
