@@ -4709,6 +4709,38 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Multi-column IN-subquery `(a, b) IN (SELECT x, y ...)` EXCLUDED:
+# Spark accepts it but DuckDB's binder rejects the row-value subquery
+# IN form (probe-verified on every table) — the tuple_in / rowvalue
+# families cover the literal-tuple spellings both engines share.
+
+# Per-table DISTINCT + ORDER BY interplay (reference test/sql/distinct
+# + order — ordering keys restricted to the distinct select list).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"distinctorder_file_{_t}", f"DISTINCT with ORDER BY over {_t} (reference test/sql/distinct)")([
+        ("I", "", f"SELECT b FROM (SELECT DISTINCT ({_k}) % 5 AS b FROM {_t}) x ORDER BY b LIMIT 3"),
+        ("T", "", f"SELECT DISTINCT substr({_s}, 1, 1) AS c1 FROM {_t} ORDER BY c1 DESC LIMIT 4"),
+        ("II", "", f"SELECT DISTINCT ({_k}) % 3 AS a, ({_k}) % 2 AS b FROM {_t} ORDER BY a, b LIMIT 4"),
+        ("I", "", f"SELECT count(*) FROM (SELECT DISTINCT ({_k}) % 7 AS a, substr({_s}, 1, 1) AS b FROM {_t} WHERE {_p}) x"),
+        ("T", "", f"SELECT DISTINCT upper(substr({_s}, 1, 2)) AS u FROM {_t} ORDER BY u LIMIT 5"),
+    ])
+
+# Correlated LATERAL subqueries per FK pair (reference
+# test/sql/subquery/lateral — per-dim aggregates computed laterally).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _lk, _rk = _on.split(" = ")
+    _lt, _rt = _l.split(" ")[0], _r.split(" ")[0]
+    _rkc = _rk.split(".")[1]
+    _lkc = _lk.split(".")[1]
+    corpus(f"lateralpair_file_{_n}", f"LATERAL per-dim aggregates for {_n} (reference test/sql/subquery/lateral)")([
+        ("I", "", f"SELECT CAST(sum(x.c) AS BIGINT) FROM {_rt} b, LATERAL (SELECT count(*) AS c FROM {_lt} a WHERE a.{_lkc} = b.{_rkc}) x"),
+        ("I", "", f"SELECT count(*) FROM {_rt} b, LATERAL (SELECT count(*) AS c FROM {_lt} a WHERE a.{_lkc} = b.{_rkc}) x WHERE x.c = 0"),
+        ("I", "", f"SELECT CAST(max(x.c) AS BIGINT) FROM {_rt} b, LATERAL (SELECT count(*) AS c FROM {_lt} a WHERE a.{_lkc} = b.{_rkc} AND a.{_lkc} % 2 = 0) x"),
+        ("I", "", f"SELECT count(*) FROM {_rt} b, LATERAL (SELECT CAST(min(a.{_lkc}) AS BIGINT) AS mn FROM {_lt} a WHERE a.{_lkc} = b.{_rkc}) x WHERE x.mn IS NOT NULL"),
+        ("I", "", f"SELECT CAST(sum(x.c * x.c) AS BIGINT) FROM {_rt} b, LATERAL (SELECT count(*) AS c FROM {_lt} a WHERE a.{_lkc} = b.{_rkc}) x"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
