@@ -550,3 +550,60 @@ def storage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "storage_restore_readback",
+    oracle=_ORACLE_VERSIONS_CTE
+    + """
+    SELECT 0 AS version, 'create' AS op, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents FROM v0
+    UNION ALL
+    SELECT 1, 'insert', COUNT(*),
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      FROM v1
+    UNION ALL
+    SELECT 2, 'delete', COUNT(*),
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      FROM v2
+    UNION ALL
+    SELECT 3, 'update', COUNT(*),
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      FROM v3
+    UNION ALL
+    SELECT 4, 'restore(1)', COUNT(*),
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      FROM v1
+    UNION ALL
+    SELECT 5, 'restore(3)', COUNT(*),
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      FROM v3
+    ORDER BY version
+    """,
+)
+def storage_restore_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE as a commit (storage/versioned.py restore; reference
+    test/sql/storage_version rollback): after the shared
+    create→insert→delete→update chain, restore(1) rolls the table back
+    to the post-insert state by reference and restore(3) rolls the
+    rollback away — the oracle replays both as re-reads of the v1/v3
+    CTEs, so a restore that rewrote, dropped, or duplicated one row
+    diverges in the exact-cents sum."""
+    vt, root = _drive_commits(spark, sf_dir)
+    try:
+        vt.restore(1)
+        vt.restore(3)
+        ops = ["create", "insert", "delete", "update", "restore(1)", "restore(3)"]
+        rows = [(v, ops[v], *_version_stats(vt, v)) for v in range(6)]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("version", IntegerType()),
+            StructField("op", StringType()),
+            StructField("n_rows", LongType()),
+            StructField("sum_cents", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

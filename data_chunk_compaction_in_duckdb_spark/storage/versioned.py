@@ -749,6 +749,48 @@ class VersionedTable:
         )
         return self._cow_commit("cluster", set(m["files"]), clustered)
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF v (reference
+        test/sql/storage_version rollback semantics, expressed in the
+        lakehouse RESTORE shape): commit a NEW version whose file set,
+        schema, column mapping, constraints, and generated columns are
+        exactly those of ``version``, carrying every file by reference
+        — zero bytes rewritten at any table size.  History is
+        preserved (restore is itself a commit, not a log rewrite), so
+        a mistaken restore can itself be restored away.  The
+        used-physical ledger keeps the superset of both manifests so a
+        column re-added after the restore still gets a fresh physical
+        identity and cannot resurrect pre-restore values.  Raises
+        FileNotFoundError if ``vacuum()`` already dropped one of the
+        target version's data files."""
+        m = self._manifest(version)
+        latest = self.latest_version()
+        cur = self._manifest(latest)
+        missing = [
+            f
+            for f in m["files"]
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore to version {version}: {len(missing)} "
+                f"data file(s) already vacuumed, e.g. {missing[0]}"
+            )
+        used = list(
+            dict.fromkeys([*cur["used_physical"], *m["used_physical"]])
+        )
+        self._commit(
+            latest + 1,
+            f"restore({version})",
+            m["files"],
+            self._logical_schema(m),
+            m["mapping"],
+            used,
+            constraints=m["constraints"],
+            generated=m.get("generated", {}),
+        )
+        return latest + 1
+
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Drop data files referenced by NO retained manifest (and the
         pre-retention manifests themselves).  Time travel before the

@@ -498,3 +498,46 @@ def test_delete_keys_anti_join(vt):
     assert (
         vt.read().filter(F.col("o_orderstatus") == "F").count() == 0
     )
+
+
+def test_restore_rolls_back_as_new_commit(vt):
+    v0_count = vt.read(0).count()
+    v0_files = vt._manifest(0)["files"]
+    vt.delete_where(F.col("o_orderstatus") == "F")
+    assert vt.read().count() < v0_count
+    v = vt.restore(0)
+    assert v == 2
+    # Restored content matches version 0 exactly; files carried by
+    # reference, zero bytes rewritten.
+    assert vt.read().count() == v0_count
+    assert vt._manifest(v)["files"] == sorted(v0_files)
+    # History preserved: the deleted state is still time-travelable.
+    assert vt.read(1).count() < v0_count
+
+
+def test_restore_away_a_restore(vt):
+    vt.delete_where(F.col("o_orderkey") % 2 == 0)
+    v1_count = vt.read(1).count()
+    vt.restore(0)
+    v = vt.restore(1)
+    assert vt.read().count() == v1_count
+    assert vt._manifest(v)["op"] == "restore(1)"
+
+
+def test_restore_carries_schema_and_generated(vt):
+    vt.add_generated_column("pri_class", "substr(o_orderpriority, 1, 1)")
+    vt.drop_column("o_custkey")
+    v_dropped = vt.latest_version()
+    assert "o_custkey" not in [f.name for f in vt.read().schema.fields]
+    vt.restore(1)  # back to: generated present, o_custkey present
+    cols = [f.name for f in vt.read().schema.fields]
+    assert "o_custkey" in cols and "pri_class" in cols
+    vt.restore(v_dropped)
+    assert "o_custkey" not in [f.name for f in vt.read().schema.fields]
+
+
+def test_restore_after_vacuum_raises(vt):
+    vt.checkpoint(2)  # v1 rewrites the live set into fresh files
+    vt.vacuum(retain_last=1)  # v0's files dropped
+    with pytest.raises(FileNotFoundError):
+        vt.restore(0)
