@@ -4741,6 +4741,59 @@ for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
     ])
 
 
+# Per-table running-average family (reference test/sql/window —
+# cumulative avg/min/max over integer sequences; avg of small ints is
+# exact in double, rounded to 3 for rendering).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"winrunavg_file_{_t}", f"running averages over {_t} (reference test/sql/window)")([
+        ("R", "", f"SELECT round(avg(({_k}) % 10) OVER (ORDER BY {_k} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) FROM {_t} ORDER BY {_k} LIMIT 6"),
+        ("I", "", f"SELECT count(*) FROM (SELECT avg(({_k}) % 4) OVER (ORDER BY {_k} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ra FROM {_t}) x WHERE ra > 1.5"),
+        ("II", "", f"SELECT CAST(min(({_k}) % 7) OVER (ORDER BY {_k} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rm, CAST(max(({_k}) % 7) OVER (ORDER BY {_k} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rx FROM {_t} ORDER BY {_k} LIMIT 6"),
+        ("R", "", f"SELECT round(avg(({_k}) % 5) OVER (PARTITION BY {_g} ORDER BY {_k} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 3) FROM {_t} ORDER BY {_k} LIMIT 6"),
+        ("R", "", f"SELECT round(max(ra), 3) FROM (SELECT avg(({_k}) % 9) OVER (ORDER BY {_k} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ra FROM {_t}) x"),
+    ])
+
+# CTE-defined join sides per FK pair (reference test/sql/cte + join —
+# both relations filtered/projected in CTEs before the join).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _ak = _PAIR_KEYS[_n]
+    _lk, _rk = _on.split(" = ")
+    _lt, _rt = _l.split(" ")[0], _r.split(" ")[0]
+    _lkc, _rkc = _lk.split(".")[1], _rk.split(".")[1]
+    _gc = _grp.split(".")[1]
+    corpus(f"multictejoin_file_{_n}", f"CTE-defined join sides for {_n} (reference test/sql/cte)")([
+        ("I", "", f"WITH lhs AS (SELECT {_lkc} AS fk FROM {_lt}), rhs AS (SELECT {_rkc} AS pk, {_gc} AS g FROM {_rt}) SELECT count(*) FROM lhs JOIN rhs ON lhs.fk = rhs.pk"),
+        ("TI", "rowsort", f"WITH lhs AS (SELECT {_lkc} AS fk FROM {_lt} WHERE {_lkc} % 2 = 0), rhs AS (SELECT {_rkc} AS pk, {_gc} AS g FROM {_rt}) SELECT g, count(*) FROM lhs JOIN rhs ON lhs.fk = rhs.pk GROUP BY g"),
+        ("I", "", f"WITH rhs AS (SELECT {_rkc} AS pk FROM {_rt} WHERE {_rkc} % 3 <> 1) SELECT count(*) FROM {_lt} a JOIN rhs ON a.{_lkc} = rhs.pk"),
+        ("I", "", f"WITH lhs AS (SELECT {_lkc} AS fk, count(*) AS c FROM {_lt} GROUP BY {_lkc}) SELECT CAST(sum(lhs.c) AS BIGINT) FROM lhs JOIN {_rt} b ON lhs.fk = b.{_rkc}"),
+        ("I", "", f"WITH lhs AS (SELECT {_lkc} AS fk FROM {_lt}), rhs AS (SELECT {_rkc} AS pk FROM {_rt}) SELECT count(*) FROM lhs LEFT JOIN rhs ON lhs.fk = rhs.pk WHERE rhs.pk IS NULL"),
+    ])
+
+# Per-table manual-crosstab family (reference test/sql/pivot — the
+# sum(CASE) wide-pivot idiom, grouped one way and spread another).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"crosstab_file_{_t}", f"sum(CASE) crosstab over {_t} (reference test/sql/pivot)")([
+        ("IIII", "rowsort", f"SELECT ({_k}) % 2 AS r, CAST(sum(CASE WHEN ({_k}) % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0, CAST(sum(CASE WHEN ({_k}) % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1, CAST(sum(CASE WHEN ({_k}) % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2 FROM {_t} GROUP BY ({_k}) % 2"),
+        ("TII", "rowsort", f"SELECT CAST({_g} AS STRING) AS r, count_if({_p}) AS hits, count_if(NOT ({_p})) AS misses FROM {_t} GROUP BY {_g}"),
+        ("II", "", f"SELECT CAST(sum(CASE WHEN {_p} THEN ({_k}) % 5 END) AS BIGINT), CAST(sum(CASE WHEN NOT ({_p}) THEN ({_k}) % 5 END) AS BIGINT) FROM {_t}"),
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) % 4 AS r, count_if(({_k}) % 2 = 0) AS e FROM {_t} GROUP BY ({_k}) % 4 HAVING count_if(({_k}) % 2 = 0) > 0) x"),
+        ("TII", "rowsort", f"SELECT substr({_s}, 1, 1) AS r, CAST(min(CASE WHEN {_p} THEN ({_k}) % 9 END) AS BIGINT) AS mn, CAST(max(CASE WHEN {_p} THEN ({_k}) % 9 END) AS BIGINT) AS mx FROM {_t} GROUP BY substr({_s}, 1, 1)"),
+    ])
+
+# Per-table within-group share family (reference test/sql/window —
+# partitioned window sums as denominators; integer counts keep it
+# exact before the final rounding).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _cell = f"(SELECT {_g} AS gg, ({_k}) % 3 AS sub, count(*) AS c FROM {_t} GROUP BY {_g}, ({_k}) % 3)"
+    corpus(f"groupshare_file_{_t}", f"within-group shares over {_t} (reference test/sql/window)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT c, CAST(sum(c) OVER (PARTITION BY gg) AS BIGINT) AS gt FROM {_cell} x) y WHERE c * 2 > gt"),
+        ("R", "", f"SELECT round(max(c * 1.0 / gt), 3) FROM (SELECT c, CAST(sum(c) OVER (PARTITION BY gg) AS BIGINT) AS gt FROM {_cell} x) y"),
+        ("I", "", f"SELECT CAST(sum(gt) AS BIGINT) FROM (SELECT CAST(sum(c) OVER (PARTITION BY gg) AS BIGINT) AS gt FROM {_cell} x) y"),
+        ("I", "", f"SELECT count(DISTINCT gt) FROM (SELECT CAST(sum(c) OVER (PARTITION BY gg) AS BIGINT) AS gt FROM {_cell} x) y"),
+        ("I", "", f"SELECT count(*) FROM (SELECT gg, c, rank() OVER (PARTITION BY gg ORDER BY c DESC, sub) AS rk FROM {_cell} x) y WHERE rk = 1"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
