@@ -4794,6 +4794,59 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Dual-dimension EXISTS predicates per star fact (reference
+# test/sql/subquery/exists — conjunctions and negations of EXISTS
+# against two different dimensions of the same fact row).
+_DUALS = {
+    "orders":   ("orders f", "EXISTS (SELECT 1 FROM customer d WHERE d.c_custkey = f.o_custkey AND d.c_acctbal > 0)", "EXISTS (SELECT 1 FROM customer d2 WHERE d2.c_custkey = f.o_custkey AND d2.c_mktsegment = 'BUILDING')", "f.o_orderkey"),
+    "lineitem": ("lineitem f", "EXISTS (SELECT 1 FROM orders d WHERE d.o_orderkey = f.l_orderkey AND d.o_totalprice > 100000)", "EXISTS (SELECT 1 FROM part d2 WHERE d2.p_partkey = f.l_partkey AND d2.p_size > 25)", "f.l_orderkey * 10 + f.l_linenumber"),
+    "events":   ("events f", "EXISTS (SELECT 1 FROM customer d WHERE d.c_custkey = f.user_id AND d.c_acctbal > 0)", "EXISTS (SELECT 1 FROM customer d2 WHERE d2.c_custkey = f.user_id AND d2.c_nationkey % 2 = 0)", "f.event_id"),
+}
+for _t, (_frm, _e1, _e2, _fk) in _DUALS.items():
+    corpus(f"dualexists_file_{_t}", f"two-dimension EXISTS over {_t} (reference test/sql/subquery/exists)")([
+        ("I", "", f"SELECT count(*) FROM {_frm} WHERE {_e1} AND {_e2}"),
+        ("I", "", f"SELECT count(*) FROM {_frm} WHERE {_e1} AND NOT ({_e2})"),
+        ("I", "", f"SELECT count(*) FROM {_frm} WHERE {_e1} OR {_e2}"),
+        ("I", "", f"SELECT count(*) FROM {_frm} WHERE NOT ({_e1}) AND NOT ({_e2})"),
+        ("II", "", f"SELECT count_if({_e1}), count_if({_e2}) FROM {_frm}"),
+    ])
+
+# Per-table group-size histogram family (reference test/sql/aggregate —
+# the two-level "histogram of group sizes" idiom).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _sizes = f"(SELECT {_g} AS gg, count(*) AS c FROM {_t} GROUP BY {_g})"
+    corpus(f"gsizehist_file_{_t}", f"group-size histogram over {_t} (reference test/sql/aggregate)")([
+        ("II", "rowsort", f"SELECT c, count(*) FROM {_sizes} x GROUP BY c"),
+        ("I", "", f"SELECT count(*) FROM {_sizes} x WHERE c = (SELECT max(c) FROM {_sizes} y)"),
+        ("II", "", f"SELECT CAST(min(c) AS BIGINT), CAST(max(c) AS BIGINT) FROM {_sizes} x"),
+        ("I", "", f"SELECT count(DISTINCT c) FROM {_sizes} x"),
+        ("II", "rowsort", f"SELECT CAST(c % 2 AS BIGINT), CAST(sum(c) AS BIGINT) FROM {_sizes} x GROUP BY c % 2"),
+    ])
+
+# Per-table split_part family (reference test/sql/function/string —
+# both engines share split_part incl. out-of-range index -> '').
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"splitpart_file_{_t}", f"split_part over {_t} (reference test/sql/function/string)")([
+        ("T", "", f"SELECT split_part({_s}, 'a', 1) FROM {_t} ORDER BY {_k} LIMIT 4"),
+        ("T", "", f"SELECT split_part({_s}, 'e', 2) FROM {_t} ORDER BY {_k} LIMIT 4"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE split_part({_s}, 'a', 2) = ''"),
+        ("T", "", f"SELECT split_part(concat({_s}, '|', CAST(({_k}) % 10 AS STRING)), '|', 2) FROM {_t} ORDER BY {_k} LIMIT 5"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE length(split_part({_s}, ' ', 1)) > 0"),
+    ])
+
+# Modulo-bucket (non-FK) equi-joins per pair (reference test/sql/join —
+# many-to-many equi-joins on computed buckets, bounded by the modulus).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _lk, _rk = _on.split(" = ")
+    corpus(f"modjoin_file_{_n}", f"modulo-bucket joins for {_n} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_l} JOIN {_r} ON ({_lk}) % 5 = ({_rk}) % 5"),
+        ("II", "rowsort", f"SELECT ({_rk}) % 3, count(*) FROM {_l} JOIN {_r} ON ({_lk}) % 3 = ({_rk}) % 3 GROUP BY ({_rk}) % 3"),
+        ("I", "", f"SELECT count(*) FROM {_l} JOIN {_r} ON ({_lk}) % 4 = ({_rk}) % 4 AND {_on}"),
+        ("I", "", f"SELECT count(*) FROM {_l} LEFT JOIN {_r} ON ({_lk}) % 7 = ({_rk}) % 7 AND ({_rk}) % 2 = 1 WHERE {_rk} IS NULL"),
+        ("I", "", f"SELECT count(DISTINCT ({_lk}) % 6) FROM {_l} JOIN {_r} ON ({_lk}) % 6 = ({_rk}) % 6"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
