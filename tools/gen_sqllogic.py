@@ -4847,6 +4847,42 @@ for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
     ])
 
 
+# Per-table two-key window partitioning (reference test/sql/window —
+# composite PARTITION BY with per-partition ranks and counts).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"winpartmulti_file_{_t}", f"two-key window partitions over {_t} (reference test/sql/window)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT row_number() OVER (PARTITION BY {_g}, ({_k}) % 2 ORDER BY {_k}) AS rn FROM {_t}) x WHERE rn = 1"),
+        ("I", "", f"SELECT CAST(max(c) AS BIGINT) FROM (SELECT count(*) OVER (PARTITION BY {_g}, ({_k}) % 3) AS c FROM {_t}) x"),
+        ("II", "", f"SELECT CAST(kk AS BIGINT) AS kb, rn FROM (SELECT {_k} AS kk, row_number() OVER (PARTITION BY {_g}, ({_k}) % 2 ORDER BY {_k} DESC) AS rn FROM {_t}) x WHERE rn = 1 ORDER BY kb LIMIT 5"),
+        ("I", "", f"SELECT count(DISTINCT c) FROM (SELECT count(*) OVER (PARTITION BY {_g}, ({_k}) % 4) AS c FROM {_t}) x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT rank() OVER (PARTITION BY ({_k}) % 2, ({_k}) % 3 ORDER BY ({_k}) % 5, {_k}) AS rk FROM {_t}) x WHERE rk <= 2"),
+    ])
+
+# COALESCE over outer-join results per FK pair (reference
+# test/sql/join — NULL-filling the unmatched side before grouping).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _ak = _PAIR_KEYS[_n]
+    corpus(f"coalescejoin_file_{_n}", f"COALESCE over outer join {_n} (reference test/sql/join)")([
+        ("TI", "rowsort", f"SELECT coalesce({_grp}, '(none)') AS g, count(*) FROM {_l} LEFT JOIN {_r} ON {_on} AND ({_ak}) % 2 = 0 GROUP BY coalesce({_grp}, '(none)')"),
+        ("I", "", f"SELECT count(*) FROM {_l} LEFT JOIN {_r} ON {_on} AND ({_ak}) % 3 = 0 WHERE coalesce({_grp}, 'x') = 'x'"),
+        ("I", "", f"SELECT count(DISTINCT coalesce({_grp}, CAST(({_ak}) % 2 AS STRING))) FROM {_l} LEFT JOIN {_r} ON {_on} AND ({_ak}) % 2 = 1"),
+        ("I", "", f"SELECT CAST(sum(CASE WHEN {_grp} IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM {_l} LEFT JOIN {_r} ON {_on} AND ({_ak}) % 5 = 0"),
+        ("TI", "rowsort", f"SELECT coalesce(substr({_grp}, 1, 2), '--') AS g, count(*) FROM {_l} LEFT JOIN {_r} ON {_on} AND ({_ak}) % 4 < 2 GROUP BY coalesce(substr({_grp}, 1, 2), '--')"),
+    ])
+
+# Per-table multi-FILTER-clause family (reference test/sql/aggregate/
+# filter — several FILTER predicates beside each other and vs the
+# sum(CASE) equivalents).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"filtermix_file_{_t}", f"multiple FILTER clauses over {_t} (reference test/sql/aggregate)")([
+        ("III", "", f"SELECT count(*) FILTER (WHERE {_p}), count(*) FILTER (WHERE ({_k}) % 2 = 0), count(*) FILTER (WHERE ({_k}) % 3 = 0) FROM {_t}"),
+        ("II", "", f"SELECT CAST(sum(({_k}) % 7) FILTER (WHERE {_p}) AS BIGINT), CAST(sum(({_k}) % 7) FILTER (WHERE NOT ({_p})) AS BIGINT) FROM {_t}"),
+        ("T", "", f"SELECT CAST(count(*) FILTER (WHERE {_p}) = CAST(sum(CASE WHEN {_p} THEN 1 ELSE 0 END) AS BIGINT) AS STRING) FROM {_t}"),
+        ("II", "rowsort", f"SELECT ({_k}) % 2, count(*) FILTER (WHERE ({_k}) % 3 = 1) FROM {_t} GROUP BY ({_k}) % 2"),
+        ("II", "", f"SELECT CAST(min({_k}) FILTER (WHERE ({_k}) % 2 = 1) AS BIGINT), CAST(max({_k}) FILTER (WHERE ({_k}) % 2 = 0) AS BIGINT) FROM {_t}"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
