@@ -4883,6 +4883,46 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Per-table local-extrema family (reference test/sql/window — rows
+# compared against both lag and lead neighbors).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _seq = f"(SELECT {_k} AS kk, ({_k} * {_k}) % 17 AS mv FROM {_t})"
+    corpus(f"localmax_file_{_t}", f"local extrema via lag/lead over {_t} (reference test/sql/window)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT mv, lag(mv) OVER (ORDER BY kk) AS pv, lead(mv) OVER (ORDER BY kk) AS nv FROM {_seq} x) y WHERE pv IS NOT NULL AND nv IS NOT NULL AND mv > pv AND mv > nv"),
+        ("I", "", f"SELECT count(*) FROM (SELECT mv, lag(mv) OVER (ORDER BY kk) AS pv, lead(mv) OVER (ORDER BY kk) AS nv FROM {_seq} x) y WHERE coalesce(pv, -1) < mv AND coalesce(nv, -1) < mv"),
+        ("II", "", f"SELECT CAST(kk AS BIGINT) AS kb, CAST(mv AS BIGINT) AS mb FROM (SELECT kk, mv, lag(mv) OVER (ORDER BY kk) AS pv, lead(mv) OVER (ORDER BY kk) AS nv FROM {_seq} x) y WHERE pv IS NOT NULL AND nv IS NOT NULL AND mv < pv AND mv < nv ORDER BY kk LIMIT 4"),
+        ("I", "", f"SELECT count(*) FROM (SELECT mv, lag(mv, 2) OVER (ORDER BY kk) AS p2 FROM {_seq} x) y WHERE p2 = mv"),
+        ("I", "", f"SELECT CAST(sum(CASE WHEN mv > coalesce(pv, mv) THEN 1 ELSE 0 END) AS BIGINT) FROM (SELECT mv, lag(mv) OVER (ORDER BY kk) AS pv FROM {_seq} x) y"),
+    ])
+
+# Per-table top-k-per-group family (reference test/sql/window — the
+# row_number <= k idiom, checked against group-size aggregates).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _rn = f"(SELECT {_k} AS kk, {_g} AS gg, row_number() OVER (PARTITION BY {_g} ORDER BY {_k}) AS rn FROM {_t})"
+    corpus(f"topkpergrp_file_{_t}", f"top-k per group over {_t} (reference test/sql/window)")([
+        ("I", "", f"SELECT count(*) FROM {_rn} x WHERE rn <= 2"),
+        ("I", "", f"SELECT count(*) FROM {_rn} x WHERE rn <= 3 AND kk % 2 = 0"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_rn} x WHERE rn = 1) = (SELECT count(*) FROM (SELECT {_g} AS gg FROM {_t} GROUP BY {_g}) y) AS STRING)"),
+        ("I", "", f"SELECT CAST(sum(kk % 10) AS BIGINT) FROM {_rn} x WHERE rn <= 2"),
+        ("I", "", f"SELECT count(*) FROM {_rn} x JOIN (SELECT {_g} AS gg, count(*) AS c FROM {_t} GROUP BY {_g}) s ON x.gg = s.gg WHERE x.rn = s.c"),
+    ])
+
+# Join-fanout histograms per FK pair (reference test/sql/join — the
+# distribution of per-key match counts, a join-cardinality check).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _lk, _rk = _on.split(" = ")
+    _lt = _l.split(" ")[0]
+    _lkc = _lk.split(".")[1]
+    _fan = f"(SELECT {_lkc} AS fk, count(*) AS c FROM {_lt} GROUP BY {_lkc})"
+    corpus(f"fanouthist_file_{_n}", f"join-fanout histogram for {_n} (reference test/sql/join)")([
+        ("II", "rowsort", f"SELECT c, count(*) FROM {_fan} x GROUP BY c"),
+        ("I", "", f"SELECT CAST(max(c) AS BIGINT) FROM {_fan} x"),
+        ("I", "", f"SELECT count(*) FROM {_fan} x WHERE c = 1"),
+        ("I", "", f"SELECT CAST(sum(c) AS BIGINT) FROM {_fan} x"),
+        ("T", "", f"SELECT CAST((SELECT CAST(sum(c) AS BIGINT) FROM {_fan} x) = (SELECT count(*) FROM {_lt}) AS STRING)"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
