@@ -4923,6 +4923,61 @@ for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
     ])
 
 
+# Per-table three-way set-op chains with parenthesization (reference
+# test/sql/setops — precedence made explicit on every chain).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _a = f"SELECT ({_k}) % 6 AS x FROM {_t}"
+    _b = f"SELECT ({_k}) % 4 AS x FROM {_t} WHERE {_p}"
+    _c = f"SELECT ({_k}) % 3 AS x FROM {_t} WHERE ({_k}) % 2 = 0"
+    corpus(f"setopchain_file_{_t}", f"three-way set-op chains over {_t} (reference test/sql/setops)")([
+        ("I", "", f"SELECT count(*) FROM (({_a}) UNION (({_b}) INTERSECT ({_c}))) u"),
+        ("I", "", f"SELECT count(*) FROM ((({_a}) UNION ({_b})) INTERSECT ({_c})) u"),
+        ("I", "", f"SELECT count(*) FROM ((({_a}) EXCEPT ({_b})) EXCEPT ({_c})) u"),
+        ("I", "", f"SELECT count(*) FROM (({_a}) EXCEPT (({_b}) EXCEPT ({_c}))) u"),
+        ("I", "", f"SELECT count(*) FROM ((({_a}) UNION ALL ({_b})) UNION ALL ({_c})) u"),
+    ])
+
+# Aggregate-to-aggregate joins per FK pair (reference test/sql/join —
+# two differently-filtered aggregations of the fact joined on the key).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _lk = _on.split(" = ")[0]
+    _lt = _l.split(" ")[0]
+    _lkc = _lk.split(".")[1]
+    _ga = f"(SELECT {_lkc} AS fk, count(*) AS c FROM {_lt} GROUP BY {_lkc})"
+    _gb = f"(SELECT {_lkc} AS fk, count(*) AS c FROM {_lt} WHERE {_lkc} % 2 = 0 GROUP BY {_lkc})"
+    corpus(f"aggjoin2_file_{_n}", f"aggregate-to-aggregate join for {_n} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_ga} a JOIN {_gb} b ON a.fk = b.fk"),
+        ("I", "", f"SELECT count(*) FROM {_ga} a LEFT JOIN {_gb} b ON a.fk = b.fk WHERE b.fk IS NULL"),
+        ("I", "", f"SELECT CAST(sum(a.c - coalesce(b.c, 0)) AS BIGINT) FROM {_ga} a LEFT JOIN {_gb} b ON a.fk = b.fk"),
+        ("I", "", f"SELECT count(*) FROM {_ga} a JOIN {_gb} b ON a.fk = b.fk WHERE a.c = b.c"),
+        ("II", "", f"SELECT CAST(max(a.c) AS BIGINT), CAST(max(coalesce(b.c, 0)) AS BIGINT) FROM {_ga} a LEFT JOIN {_gb} b ON a.fk = b.fk"),
+    ])
+
+# Per-table expression-ordered windows (reference test/sql/window —
+# ORDER BY computed expressions inside OVER, unique-key tie-broken).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"winorderexpr_file_{_t}", f"expression-ordered windows over {_t} (reference test/sql/window)")([
+        ("II", "", f"SELECT CAST(kk AS BIGINT) AS kb, rn FROM (SELECT {_k} AS kk, row_number() OVER (ORDER BY substr({_s}, 2, 2), {_k}) AS rn FROM {_t}) x ORDER BY rn LIMIT 5"),
+        ("I", "", f"SELECT count(*) FROM (SELECT rank() OVER (ORDER BY length({_s}), ({_k}) % 3) AS rk FROM {_t}) x WHERE rk = 1"),
+        ("II", "", f"SELECT CAST(kk AS BIGINT) AS kb, rn FROM (SELECT {_k} AS kk, row_number() OVER (ORDER BY CASE WHEN {_p} THEN 0 ELSE 1 END, {_k}) AS rn FROM {_t}) x WHERE rn <= 4 ORDER BY rn"),
+        ("I", "", f"SELECT CAST(max(rn) AS BIGINT) FROM (SELECT row_number() OVER (ORDER BY ({_k}) % 7 DESC, {_k} DESC) AS rn FROM {_t}) x"),
+        ("II", "", f"SELECT CAST(kk AS BIGINT) AS kb, rn FROM (SELECT {_k} AS kk, row_number() OVER (ORDER BY abs(({_k}) % 9 - 4), {_k}) AS rn FROM {_t}) x ORDER BY rn LIMIT 4"),
+    ])
+
+# Per-table NULL-group GROUP BY family (reference test/sql/aggregate —
+# CASE ... END with no ELSE creates a NULL grouping key; both engines
+# must put all NULLs in one group).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _nk = f"CASE WHEN {_p} THEN ({_k}) % 3 END"
+    corpus(f"gbnullgroup_file_{_t}", f"NULL grouping keys over {_t} (reference test/sql/aggregate)")([
+        ("II", "rowsort", f"SELECT CAST({_nk} AS BIGINT), count(*) FROM {_t} GROUP BY {_nk}"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_nk} AS nk FROM {_t} GROUP BY {_nk}) x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_nk} AS nk FROM {_t} GROUP BY {_nk}) x WHERE nk IS NULL"),
+        ("II", "rowsort", f"SELECT CAST({_nk} AS BIGINT), CAST(sum(({_k}) % 5) AS BIGINT) FROM {_t} GROUP BY {_nk}"),
+        ("I", "", f"SELECT count(*) FROM {_t} GROUP BY {_nk} HAVING {_nk} IS NULL"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
