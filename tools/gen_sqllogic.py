@@ -4978,6 +4978,54 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Per-table HAVING-on-CASE-aggregate family (reference
+# test/sql/aggregate/having — conditional sums as group predicates).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"havingcase_file_{_t}", f"HAVING on CASE aggregates over {_t} (reference test/sql/aggregate/having)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT {_g} AS gg FROM {_t} GROUP BY {_g} HAVING CAST(sum(CASE WHEN {_p} THEN 1 ELSE 0 END) AS BIGINT) > 1) x"),
+        ("II", "rowsort", f"SELECT ({_k}) % 3, count(*) FROM {_t} GROUP BY ({_k}) % 3 HAVING CAST(sum(CASE WHEN ({_k}) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) * 2 >= count(*)"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_g} AS gg FROM {_t} GROUP BY {_g} HAVING count(CASE WHEN {_p} THEN 1 END) = count(*)) x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) % 5 AS b FROM {_t} GROUP BY ({_k}) % 5 HAVING CAST(max(CASE WHEN {_p} THEN ({_k}) % 7 END) AS BIGINT) > 2) x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_g} AS gg FROM {_t} GROUP BY {_g} HAVING CAST(sum(CASE WHEN {_p} THEN 1 ELSE -1 END) AS BIGINT) > 0) x"),
+    ])
+
+# Inner-join predicate-placement invariance per FK pair (reference
+# test/sql/join + optimizer — for INNER joins, ON-extra vs WHERE vs
+# pre-filtered derived tables must all give the same count).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _ak = _PAIR_KEYS[_n]
+    _pred = f"({_ak}) % 3 = 0"
+    corpus(f"innerpredinv_file_{_n}", f"inner-join predicate placement invariance for {_n} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_l} JOIN {_r} ON {_on} AND {_pred}"),
+        ("I", "", f"SELECT count(*) FROM {_l} JOIN {_r} ON {_on} WHERE {_pred}"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_l} JOIN {_r} ON {_on} AND {_pred}) = (SELECT count(*) FROM {_l} JOIN {_r} ON {_on} WHERE {_pred}) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM (SELECT * FROM {_l.split(' ')[0]} a WHERE ({_ak}) % 3 = 0) a JOIN {_r} ON {_on}"),
+        ("I", "", f"SELECT count(*) FROM {_l} JOIN {_r} ON {_on} AND length({_grp}) >= 0 WHERE {_pred} AND {_grp} IS NOT NULL"),
+    ])
+
+# Per-table multi-aggregate ORDER BY family (reference test/sql/order —
+# grouped results ordered by several aggregates with a key tiebreak).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"multiaggord_file_{_t}", f"ORDER BY multiple aggregates over {_t} (reference test/sql/order)")([
+        ("II", "", f"SELECT ({_k}) % 4 AS b, count(*) AS c FROM {_t} GROUP BY ({_k}) % 4 ORDER BY count(*) DESC, CAST(sum(({_k}) % 7) AS BIGINT), b LIMIT 3"),
+        ("I", "", f"SELECT b FROM (SELECT ({_k}) % 6 AS b, count(*) AS c, CAST(min({_k}) AS BIGINT) AS mn FROM {_t} GROUP BY ({_k}) % 6 ORDER BY c DESC, mn, b LIMIT 1) x"),
+        ("II", "", f"SELECT b, CAST(s AS BIGINT) FROM (SELECT ({_k}) % 3 AS b, sum(({_k}) % 11) AS s FROM {_t} GROUP BY ({_k}) % 3 ORDER BY sum(({_k}) % 11) DESC, b LIMIT 2) x"),
+        ("T", "", f"SELECT gg FROM (SELECT CAST({_g} AS STRING) AS gg, count(*) AS c FROM {_t} GROUP BY {_g} ORDER BY count(*) DESC, CAST({_g} AS STRING) LIMIT 1) x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) % 8 AS b FROM {_t} GROUP BY ({_k}) % 8 ORDER BY max({_k}) DESC LIMIT 4) x"),
+    ])
+
+# Per-table CROSS JOIN VALUES-grid family (reference test/sql/join —
+# a small literal grid crossed with the table, filtered per cell).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"crossvalues_file_{_t}", f"CROSS JOIN VALUES grid over {_t} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_t} CROSS JOIN (VALUES (0), (1), (2)) v(m)"),
+        ("II", "rowsort", f"SELECT v.m, count(*) FROM {_t} CROSS JOIN (VALUES (0), (1), (2)) v(m) WHERE ({_k}) % 3 = v.m GROUP BY v.m"),
+        ("I", "", f"SELECT count(*) FROM {_t} CROSS JOIN (VALUES (1), (2)) v(m) WHERE ({_k}) % (v.m + 1) = 0"),
+        ("II", "rowsort", f"SELECT v.m, count_if(({_k}) % 2 = v.m % 2) FROM {_t} CROSS JOIN (VALUES (0), (1), (2), (3)) v(m) GROUP BY v.m"),
+        ("I", "", f"SELECT CAST(sum(v.m) AS BIGINT) FROM {_t} CROSS JOIN (VALUES (0), (1)) v(m) WHERE {_p}"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
