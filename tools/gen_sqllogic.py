@@ -5026,6 +5026,31 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Per-table windowed-distinct-count emulation (reference
+# test/sql/window — COUNT(DISTINCT) OVER is unsupported in both
+# engines; the max(dense_rank) trick must agree with count(DISTINCT)).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _dr = f"(SELECT ({_k}) % 7 AS dv, dense_rank() OVER (ORDER BY ({_k}) % 7) AS dr FROM {_t})"
+    corpus(f"distinctover_file_{_t}", f"windowed distinct-count emulation over {_t} (reference test/sql/window)")([
+        ("I", "", f"SELECT CAST(max(dr) AS BIGINT) FROM {_dr} x"),
+        ("T", "", f"SELECT CAST((SELECT CAST(max(dr) AS BIGINT) FROM {_dr} x) = (SELECT count(DISTINCT ({_k}) % 7) FROM {_t}) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM {_dr} x WHERE dr = 1"),
+        ("II", "rowsort", f"SELECT CAST(dv AS BIGINT), CAST(max(dr) AS BIGINT) FROM {_dr} x GROUP BY dv"),
+        ("I", "", f"SELECT CAST(max(dr2) AS BIGINT) FROM (SELECT dense_rank() OVER (PARTITION BY ({_k}) % 2 ORDER BY ({_k}) % 5) AS dr2 FROM {_t}) y"),
+    ])
+
+# Per-table cume_dist/percent_rank over TIED orderings (reference
+# test/sql/window — peer groups change both functions' denominators).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"pctties_file_{_t}", f"distribution fns over ties in {_t} (reference test/sql/window)")([
+        ("R", "rowsort", f"SELECT round(max(cd), 3) FROM (SELECT ({_k}) % 3 AS tv, cume_dist() OVER (ORDER BY ({_k}) % 3) AS cd FROM {_t}) x GROUP BY tv"),
+        ("R", "rowsort", f"SELECT round(min(pr), 3) FROM (SELECT ({_k}) % 4 AS tv, percent_rank() OVER (ORDER BY ({_k}) % 4) AS pr FROM {_t}) x GROUP BY tv"),
+        ("I", "", f"SELECT count(DISTINCT cd) FROM (SELECT cume_dist() OVER (ORDER BY ({_k}) % 5) AS cd FROM {_t}) x"),
+        ("T", "", f"SELECT CAST(max(cd) = 1.0 AS STRING) FROM (SELECT cume_dist() OVER (ORDER BY ({_k}) % 6) AS cd FROM {_t}) x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT percent_rank() OVER (ORDER BY ({_k}) % 2) AS pr FROM {_t}) x WHERE pr = 0.0"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
