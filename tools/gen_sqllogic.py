@@ -5051,6 +5051,23 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Per-table standard-TRIM-form family (reference test/sql/function/
+# string — TRIM(BOTH/LEADING/TRAILING 'c' FROM s) is the shared
+# spelling; the two-arg ltrim(s, chars)/rtrim(s, chars) are EXCLUDED:
+# probe-verified REVERSED semantics (DuckDB takes a char set as arg 2,
+# Spark takes the trim string as arg 1 — ltrim('xxabcxx','x') gives
+# 'abcxx' vs '').  EXTRACT(DOW) likewise excluded: DuckDB counts
+# Sunday=0, Spark Sunday=1.
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"trimstd_file_{_t}", f"standard TRIM forms over {_t} (reference test/sql/function/string)")([
+        ("T", "", f"SELECT trim(BOTH 'A' FROM upper({_s})) FROM {_t} ORDER BY {_k} LIMIT 4"),
+        ("T", "", f"SELECT trim(LEADING 'a' FROM lower({_s})) FROM {_t} ORDER BY {_k} LIMIT 4"),
+        ("T", "", f"SELECT trim(TRAILING 'e' FROM lower({_s})) FROM {_t} ORDER BY {_k} LIMIT 4"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE length(trim(BOTH 'a' FROM lower({_s}))) < length({_s})"),
+        ("T", "", f"SELECT trim(BOTH ' ' FROM concat('  ', {_s}, '  ')) FROM {_t} ORDER BY {_k} LIMIT 3"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
