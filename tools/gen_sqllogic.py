@@ -5068,6 +5068,30 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Per-table DESC-ordered frame family (reference test/sql/window —
+# PRECEDING/FOLLOWING flip meaning under DESC ordering).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"windesc_file_{_t}", f"frames under DESC ordering over {_t} (reference test/sql/window)")([
+        ("II", "", f"SELECT CAST({_k} AS BIGINT) AS kb, CAST(sum(({_k}) % 5) OVER (ORDER BY {_k} DESC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS s FROM {_t} ORDER BY kb DESC LIMIT 6"),
+        ("I", "", f"SELECT CAST(max(c) AS BIGINT) FROM (SELECT count(*) OVER (ORDER BY {_k} DESC ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c FROM {_t}) x"),
+        ("II", "", f"SELECT CAST({_k} AS BIGINT) AS kb, CAST(min(({_k}) % 8) OVER (ORDER BY {_k} DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m FROM {_t} ORDER BY kb LIMIT 5"),
+        ("T", "", f"SELECT CAST((SELECT CAST(sum(c1) AS BIGINT) FROM (SELECT count(*) OVER (ORDER BY {_k} ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c1 FROM {_t}) x) = (SELECT CAST(sum(c2) AS BIGINT) FROM (SELECT count(*) OVER (ORDER BY {_k} DESC ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS c2 FROM {_t}) y) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM (SELECT first_value({_k}) OVER (ORDER BY {_k} DESC) AS fv FROM {_t}) x WHERE fv = (SELECT max({_k}) FROM {_t})"),
+    ])
+
+# CASE predicates inside join conditions per FK pair (reference
+# test/sql/join — conditional join logic evaluated at match time).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _ak = _PAIR_KEYS[_n]
+    corpus(f"joincasepred_file_{_n}", f"CASE inside join ON for {_n} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_l} JOIN {_r} ON {_on} AND CASE WHEN ({_ak}) % 2 = 0 THEN TRUE ELSE ({_ak}) % 3 = 0 END"),
+        ("I", "", f"SELECT count(*) FROM {_l} LEFT JOIN {_r} ON {_on} AND CASE WHEN length({_grp}) > 5 THEN TRUE ELSE FALSE END WHERE {_grp} IS NULL"),
+        ("I", "", f"SELECT count(*) FROM {_l} JOIN {_r} ON {_on} AND CASE ({_ak}) % 3 WHEN 0 THEN TRUE WHEN 1 THEN TRUE ELSE FALSE END"),
+        ("II", "", f"SELECT count(*), count({_grp}) FROM {_l} LEFT JOIN {_r} ON {_on} AND CASE WHEN ({_ak}) % 5 < 3 THEN TRUE ELSE FALSE END"),
+        ("I", "", f"SELECT count(*) FROM {_l} JOIN {_r} ON {_on} AND coalesce(CASE WHEN ({_ak}) % 4 = 0 THEN TRUE END, FALSE)"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
