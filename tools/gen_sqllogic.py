@@ -5092,6 +5092,33 @@ for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
     ])
 
 
+# Ordered-LIMIT derived tables joined per FK pair (reference
+# test/sql/limit + join — LIMIT scoped below the join).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _lk, _rk = _on.split(" = ")
+    _lt, _rt = _l.split(" ")[0], _r.split(" ")[0]
+    _lkc, _rkc = _lk.split(".")[1], _rk.split(".")[1]
+    _ak = _PAIR_KEYS[_n].replace("a.", "")
+    corpus(f"joinlimit_file_{_n}", f"LIMIT below the join for {_n} (reference test/sql/limit)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT {_lkc} AS fk FROM {_lt} ORDER BY {_ak} LIMIT 10) x JOIN {_rt} b ON x.fk = b.{_rkc}"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_lkc} AS fk FROM {_lt} ORDER BY {_ak} DESC LIMIT 7) x JOIN {_rt} b ON x.fk = b.{_rkc}"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_lkc} AS fk FROM {_lt} ORDER BY {_ak} LIMIT 5 OFFSET 5) x JOIN {_rt} b ON x.fk = b.{_rkc}"),
+        ("I", "", f"SELECT count(DISTINCT b.{_rkc}) FROM (SELECT {_lkc} AS fk FROM {_lt} ORDER BY {_ak} LIMIT 20) x JOIN {_rt} b ON x.fk = b.{_rkc}"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_lkc} AS fk FROM {_lt} ORDER BY {_ak} LIMIT 15) x LEFT JOIN {_rt} b ON x.fk = b.{_rkc} AND b.{_rkc} % 2 = 0 WHERE b.{_rkc} IS NULL"),
+    ])
+
+# Per-table nested scalar subqueries (reference test/sql/subquery/
+# scalar — a scalar subquery whose predicate contains another).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"nestscalar_file_{_t}", f"nested scalar subqueries over {_t} (reference test/sql/subquery/scalar)")([
+        ("I", "", f"SELECT CAST((SELECT max({_k}) FROM {_t} WHERE ({_k}) < (SELECT CAST(avg({_k}) AS DOUBLE) FROM {_t})) AS BIGINT)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) > (SELECT CAST(min({_k}) AS BIGINT) FROM {_t} WHERE ({_k}) > (SELECT CAST(min({_k}) AS BIGINT) FROM {_t}))"),
+        ("I", "", f"SELECT CAST((SELECT count(*) FROM {_t} WHERE ({_k}) % 7 = (SELECT CAST(max({_k}) AS BIGINT) FROM {_t}) % 7) AS BIGINT)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 11 < (SELECT CAST(avg(kk) AS DOUBLE) FROM (SELECT ({_k}) % 11 AS kk FROM {_t} WHERE {_p}) x)"),
+        ("T", "", f"SELECT CAST((SELECT CAST(max({_k}) AS BIGINT) FROM {_t}) > (SELECT CAST(min({_k}) AS BIGINT) FROM {_t}) AS STRING)"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
