@@ -5119,6 +5119,30 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Per-table GROUP BY ALL family (reference test/sql/aggregate/
+# group_by_all — every non-aggregate select item becomes a key).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"groupbyall_file_{_t}", f"GROUP BY ALL over {_t} (reference test/sql/aggregate/group_by_all)")([
+        ("III", "rowsort", f"SELECT ({_k}) % 2 AS a, ({_k}) % 3 AS b, count(*) AS c FROM {_t} GROUP BY ALL"),
+        ("TI", "rowsort", f"SELECT substr({_s}, 1, 1) AS a, count(*) AS c FROM {_t} GROUP BY ALL"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_g} AS a, ({_k}) % 4 AS b, CAST(sum(({_k}) % 5) AS BIGINT) AS s FROM {_t} GROUP BY ALL) x"),
+        ("II", "rowsort", f"SELECT ({_k}) % 5 AS a, count(DISTINCT ({_k}) % 3) AS cd FROM {_t} WHERE {_p} GROUP BY ALL"),
+        ("TI", "rowsort", f"SELECT CAST({_g} AS STRING) AS a, CAST(min({_k}) AS BIGINT) AS mn FROM {_t} GROUP BY ALL"),
+    ])
+
+# Per-table ORDER BY ALL family (reference test/sql/order/order_by_all
+# — lexicographic over the whole select list; the unique key in the
+# list keeps it total).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"orderbyall_file_{_t}", f"ORDER BY ALL over {_t} (reference test/sql/order/order_by_all)")([
+        ("IT", "", f"SELECT CAST({_k} AS BIGINT) AS a, {_s} AS b FROM {_t} ORDER BY ALL LIMIT 5"),
+        ("II", "", f"SELECT ({_k}) % 3 AS a, CAST({_k} AS BIGINT) AS b FROM {_t} ORDER BY ALL LIMIT 6"),
+        ("TI", "", f"SELECT substr({_s}, 1, 2) AS a, CAST({_k} AS BIGINT) AS b FROM {_t} ORDER BY ALL DESC LIMIT 4"),
+        ("II", "", f"SELECT a, c FROM (SELECT ({_k}) % 4 AS a, count(*) AS c FROM {_t} GROUP BY ALL ORDER BY ALL LIMIT 3) x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) % 2 AS a, ({_k}) % 3 AS b FROM {_t} ORDER BY ALL LIMIT 10) x"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
