@@ -5143,6 +5143,30 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Mixed-unit interval chains over real temporal columns (reference
+# test/sql/types/interval — additive chains of different units).
+for _t, (_k, _d) in _DTCOLS.items():
+    corpus(f"intervalmix_file_{_t}", f"mixed-unit interval chains over {_t} (reference test/sql/types/interval)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_d} + INTERVAL 1 YEAR + INTERVAL 2 MONTH > CAST('1997-01-01' AS DATE)"),
+        ("T", "", f"SELECT CAST(CAST({_d} + INTERVAL 1 MONTH + INTERVAL 10 DAY AS DATE) AS STRING) FROM {_t} ORDER BY {_d}, {_k} LIMIT 3"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_d} - INTERVAL 1 YEAR < CAST('1995-01-01' AS DATE) AND {_d} + INTERVAL 6 MONTH >= CAST('1995-01-01' AS DATE)"),
+        ("T", "", f"SELECT CAST(min(CAST({_d} + INTERVAL 2 YEAR AS DATE)) AS STRING) FROM {_t}"),
+        ("II", "rowsort", f"SELECT EXTRACT(YEAR FROM {_d} + INTERVAL 6 MONTH), count(*) FROM {_t} GROUP BY EXTRACT(YEAR FROM {_d} + INTERVAL 6 MONTH)"),
+    ])
+
+# Per-table lag/lead with expression defaults (reference
+# test/sql/window — the third argument as a column, not a literal).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _seq = f"(SELECT {_k} AS kk, ({_k}) % 9 AS mv FROM {_t})"
+    corpus(f"lagdefexpr_file_{_t}", f"lag/lead with expression defaults over {_t} (reference test/sql/window)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT mv, lag(mv, 1, mv) OVER (ORDER BY kk) AS pv FROM {_seq} x) y WHERE pv = mv"),
+        ("I", "", f"SELECT CAST(sum(nv - mv) AS BIGINT) FROM (SELECT mv, lead(mv, 1, mv) OVER (ORDER BY kk) AS nv FROM {_seq} x) y"),
+        ("I", "", f"SELECT count(*) FROM (SELECT lag(mv, 2, mv + 100) OVER (ORDER BY kk) AS pv, mv FROM {_seq} x) y WHERE pv = mv + 100"),
+        ("II", "", f"SELECT CAST(kk AS BIGINT) AS kb, CAST(lead(mv, 3, -1) OVER (ORDER BY kk) AS BIGINT) AS nv FROM {_seq} x ORDER BY kk DESC LIMIT 4"),
+        ("I", "", f"SELECT count(*) FROM (SELECT lag(mv, 1, 0) OVER (PARTITION BY mv % 2 ORDER BY kk) AS pv FROM {_seq} x) y WHERE pv = 0"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
