@@ -5167,6 +5167,41 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Full EXTRACT part matrix over real temporal columns (reference
+# test/sql/types/date/date_part — every probe-shared part at once).
+for _t, (_k, _d) in _DTCOLS.items():
+    corpus(f"dateparts2_file_{_t}", f"EXTRACT part matrix over {_t} (reference test/sql/types/date)")([
+        ("IIII", "", f"SELECT EXTRACT(YEAR FROM {_d}), EXTRACT(QUARTER FROM {_d}), EXTRACT(MONTH FROM {_d}), EXTRACT(DAY FROM {_d}) FROM {_t} ORDER BY {_d}, {_k} LIMIT 3"),
+        ("I", "", f"SELECT count(DISTINCT EXTRACT(DOY FROM {_d})) FROM {_t}"),
+        ("II", "rowsort", f"SELECT EXTRACT(MONTH FROM {_d}), count(*) FROM {_t} GROUP BY EXTRACT(MONTH FROM {_d})"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE EXTRACT(DAY FROM {_d}) = 1"),
+        ("I", "", f"SELECT CAST(sum(EXTRACT(QUARTER FROM {_d})) AS BIGINT) FROM {_t}"),
+    ])
+
+# Per-table conditional running sums (reference test/sql/window —
+# sum(CASE) through ROWS frames, the funnel/retention idiom).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _cond = f"CASE WHEN {_p} THEN 1 ELSE 0 END"
+    corpus(f"wincondsum_file_{_t}", f"conditional running sums over {_t} (reference test/sql/window)")([
+        ("II", "", f"SELECT CAST({_k} AS BIGINT) AS kb, CAST(sum({_cond}) OVER (ORDER BY {_k} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rs FROM {_t} ORDER BY kb LIMIT 6"),
+        ("I", "", f"SELECT CAST(max(rs) AS BIGINT) FROM (SELECT sum({_cond}) OVER (ORDER BY {_k} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs FROM {_t}) x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT sum({_cond}) OVER (ORDER BY {_k} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ws FROM {_t}) x WHERE ws = 5"),
+        ("T", "", f"SELECT CAST((SELECT CAST(max(rs) AS BIGINT) FROM (SELECT sum({_cond}) OVER (ORDER BY {_k} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs FROM {_t}) x) = (SELECT count(*) FROM {_t} WHERE {_p}) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM (SELECT sum({_cond}) OVER (PARTITION BY {_g} ORDER BY {_k} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs, {_cond} AS c FROM {_t}) x WHERE c = 1 AND rs = 1"),
+    ])
+
+# Per-table grouped string min/max (reference test/sql/aggregate —
+# lexicographic extremes of computed strings per group).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"strminmax_file_{_t}", f"grouped string extremes over {_t} (reference test/sql/aggregate)")([
+        ("TT", "rowsort", f"SELECT min(upper({_s})), max(lower({_s})) FROM {_t} GROUP BY {_g}"),
+        ("T", "", f"SELECT min(substr({_s}, 2, 3)) FROM {_t}"),
+        ("TT", "rowsort", f"SELECT min(reverse({_s})), max(reverse({_s})) FROM {_t} GROUP BY ({_k}) % 2"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_g} AS gg FROM {_t} GROUP BY {_g} HAVING min({_s}) < max({_s})) x"),
+        ("TT", "", f"SELECT min({_s} || 'z'), max('a' || {_s}) FROM {_t} WHERE {_p}"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
