@@ -5202,6 +5202,45 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Anti-joins with extra predicates per FK pair (reference
+# test/sql/join + subquery — the decorrelation shapes: inner-side and
+# outer-side predicates around NOT EXISTS).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _ak = _PAIR_KEYS[_n]
+    corpus(f"antijoin2_file_{_n}", f"anti-joins with extra predicates for {_n} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_l} WHERE NOT EXISTS (SELECT 1 FROM {_r} WHERE {_on} AND length({_grp}) > 6)"),
+        ("I", "", f"SELECT count(*) FROM {_l} WHERE ({_ak}) % 2 = 0 AND NOT EXISTS (SELECT 1 FROM {_r} WHERE {_on})"),
+        ("I", "", f"SELECT count(*) FROM {_l} WHERE NOT EXISTS (SELECT 1 FROM {_r} WHERE {_on} AND ({_ak}) % 3 = 0)"),
+        ("I", "", f"SELECT count(*) FROM {_l} WHERE NOT EXISTS (SELECT 1 FROM {_r} WHERE {_on}) OR ({_ak}) % 5 = 0"),
+        ("I", "", f"SELECT count(*) FROM {_l} WHERE NOT EXISTS (SELECT 1 FROM {_r} WHERE {_on} AND {_grp} LIKE '%a%')"),
+    ])
+
+# Per-table long-IN-list family (reference test/sql/filter +
+# optimizer/in_clause — lists long enough to trigger the hash-set
+# rewrite in both engines).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _longlist = ", ".join(str(x) for x in range(0, 97, 5))
+    corpus(f"inlarge_file_{_t}", f"long IN lists over {_t} (reference test/sql/filter)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 97 IN ({_longlist})"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 97 NOT IN ({_longlist})"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE substr({_s}, 1, 1) IN ('A', 'B', 'C', 'D', 'E', 'F', 'G', 'H', 'I', 'J', 'a', 'b', 'c', 'd', 'e', 'f', 'g', 'h', 'i', 'j')"),
+        ("II", "rowsort", f"SELECT CAST(({_k}) % 97 IN ({_longlist}) AS INT), count(*) FROM {_t} GROUP BY ({_k}) % 97 IN ({_longlist})"),
+        ("I", "", f"SELECT CAST(sum(CASE WHEN ({_k}) % 50 IN (1, 3, 5, 7, 9, 11, 13, 15, 17, 19, 21, 23, 25) THEN 1 ELSE 0 END) AS BIGINT) FROM {_t}"),
+    ])
+
+# Band (range) joins per FK pair (reference test/sql/join — BETWEEN
+# conditions around the key, the piecewise-merge shape in miniature).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _lk, _rk = _on.split(" = ")
+    corpus(f"bandjoin_file_{_n}", f"band joins around the key for {_n} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_l} JOIN {_r} ON {_lk} BETWEEN {_rk} - 1 AND {_rk} + 1"),
+        ("I", "", f"SELECT count(*) FROM {_l} JOIN {_r} ON {_lk} >= {_rk} - 2 AND {_lk} < {_rk}"),
+        ("I", "", f"SELECT count(*) FROM {_l} JOIN {_r} ON {_lk} BETWEEN {_rk} AND {_rk} + 3 AND length({_grp}) > 3"),
+        ("II", "", f"SELECT count(*), count(DISTINCT {_rk}) FROM {_l} JOIN {_r} ON abs({_lk} - {_rk}) <= 1"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_l} JOIN {_r} ON {_lk} BETWEEN {_rk} AND {_rk}) = (SELECT count(*) FROM {_l} JOIN {_r} ON {_on}) AS STRING)"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
