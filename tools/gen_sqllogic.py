@@ -5241,6 +5241,47 @@ for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
     ])
 
 
+# Per-table window-vs-subquery invariance (reference test/sql/window +
+# subquery — row_number must equal the correlated running count).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _dt = f"(SELECT {_k} AS kk, {_g} AS gg FROM {_t})"
+    corpus(f"wininv_file_{_t}", f"window vs correlated-count invariance over {_t} (reference test/sql/window)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT kk, row_number() OVER (ORDER BY kk) AS rn, (SELECT count(*) FROM {_dt} y WHERE y.kk <= x.kk) AS rc FROM {_dt} x) z WHERE rn <> rc"),
+        ("I", "", f"SELECT count(*) FROM (SELECT gg, kk, row_number() OVER (PARTITION BY gg ORDER BY kk) AS rn, (SELECT count(*) FROM {_dt} y WHERE y.gg = x.gg AND y.kk <= x.kk) AS rc FROM {_dt} x) z WHERE rn <> rc"),
+        ("T", "", f"SELECT CAST((SELECT CAST(max(rn) AS BIGINT) FROM (SELECT row_number() OVER (ORDER BY kk) AS rn FROM {_dt} x) z) = (SELECT count(*) FROM {_t}) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM (SELECT kk, rank() OVER (ORDER BY gg) AS rk, (SELECT count(*) FROM {_dt} y WHERE y.gg < x.gg) + 1 AS rc FROM {_dt} x) z WHERE rk <> rc"),
+        ("I", "", f"SELECT count(*) FROM (SELECT CAST(sum(kk % 3) OVER (ORDER BY kk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ws, (SELECT CAST(sum(y.kk % 3) AS BIGINT) FROM {_dt} y WHERE y.kk <= x.kk) AS sc, kk FROM {_dt} x) z WHERE ws <> sc"),
+    ])
+
+# Group-then-join vs join-then-group associativity per FK pair
+# (reference test/sql/aggregate + optimizer — FK-unique dim keys make
+# the two plans equal; both engines must agree on both).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _lk, _rk = _on.split(" = ")
+    _lt, _rt = _l.split(" ")[0], _r.split(" ")[0]
+    _lkc, _rkc = _lk.split(".")[1], _rk.split(".")[1]
+    _gc = _grp.split(".")[1]
+    corpus(f"pregroup_file_{_n}", f"pre-aggregation associativity for {_n} (reference test/sql/aggregate)")([
+        ("TI", "rowsort", f"SELECT {_gc} AS g, count(*) AS c FROM {_lt} a JOIN {_rt} b ON a.{_lkc} = b.{_rkc} GROUP BY {_gc}"),
+        ("TI", "rowsort", f"SELECT {_gc} AS g, CAST(sum(f.c) AS BIGINT) AS c FROM (SELECT {_lkc} AS fk, count(*) AS c FROM {_lt} GROUP BY {_lkc}) f JOIN {_rt} b ON f.fk = b.{_rkc} GROUP BY {_gc}"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_lt} a JOIN {_rt} b ON a.{_lkc} = b.{_rkc}) = (SELECT CAST(sum(f.c) AS BIGINT) FROM (SELECT {_lkc} AS fk, count(*) AS c FROM {_lt} GROUP BY {_lkc}) f JOIN {_rt} b ON f.fk = b.{_rkc}) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_lkc} AS fk, count(*) AS c FROM {_lt} GROUP BY {_lkc}) f JOIN {_rt} b ON f.fk = b.{_rkc}"),
+        ("TI", "rowsort", f"SELECT {_gc} AS g, count(DISTINCT a.{_lkc}) AS cd FROM {_lt} a JOIN {_rt} b ON a.{_lkc} = b.{_rkc} GROUP BY {_gc}"),
+    ])
+
+# Per-table set-op idempotence invariants (reference test/sql/setops —
+# self UNION = DISTINCT, self INTERSECT = DISTINCT, self EXCEPT = 0).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _sel = f"SELECT ({_k}) % 12 AS x FROM {_t}"
+    corpus(f"setopinv_file_{_t}", f"set-op idempotence over {_t} (reference test/sql/setops)")([
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM (({_sel}) UNION ({_sel})) u) = (SELECT count(DISTINCT ({_k}) % 12) FROM {_t}) AS STRING)"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM (({_sel}) INTERSECT ({_sel})) u) = (SELECT count(DISTINCT ({_k}) % 12) FROM {_t}) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM (({_sel}) EXCEPT ({_sel})) u"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM (({_sel}) UNION ALL ({_sel})) u) = 2 * (SELECT count(*) FROM {_t}) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM (SELECT x FROM (({_sel}) UNION ({_sel})) u GROUP BY x HAVING count(*) > 1) y"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
