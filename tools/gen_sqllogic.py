@@ -5282,6 +5282,56 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Per-table aggregates-of-window-results (reference test/sql/window —
+# sum of row_numbers is n(n+1)/2; rank sums respect tie plateaus).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"aggofwin_file_{_t}", f"aggregates of window results over {_t} (reference test/sql/window)")([
+        ("T", "", f"SELECT CAST((SELECT CAST(sum(rn) AS BIGINT) FROM (SELECT row_number() OVER (ORDER BY {_k}) AS rn FROM {_t}) x) = (SELECT count(*) * (count(*) + 1) / 2 FROM {_t}) AS STRING)"),
+        ("I", "", f"SELECT CAST(sum(rk) AS BIGINT) FROM (SELECT rank() OVER (ORDER BY ({_k}) % 4) AS rk FROM {_t}) x"),
+        ("R", "", f"SELECT round(avg(dr), 3) FROM (SELECT dense_rank() OVER (ORDER BY ({_k}) % 6) AS dr FROM {_t}) x"),
+        ("II", "rowsort", f"SELECT CAST(g2 AS BIGINT), CAST(sum(rn) AS BIGINT) FROM (SELECT ({_k}) % 2 AS g2, row_number() OVER (PARTITION BY ({_k}) % 2 ORDER BY {_k}) AS rn FROM {_t}) x GROUP BY g2"),
+        ("I", "", f"SELECT count(DISTINCT nt) FROM (SELECT ntile(5) OVER (ORDER BY {_k}) AS nt FROM {_t}) x"),
+    ])
+
+# Per-table floor/ceil/round trio over scaled expressions (reference
+# test/sql/function/math — the three rounding modes side by side).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _x = f"(({_k}) % 13) * 0.75"
+    corpus(f"roundtrio_file_{_t}", f"floor/ceil/round trio over {_t} (reference test/sql/function/math)")([
+        ("III", "", f"SELECT CAST(sum(CAST(floor({_x}) AS BIGINT)) AS BIGINT), CAST(sum(CAST(ceil({_x}) AS BIGINT)) AS BIGINT), CAST(sum(CAST(round({_x}, 0) AS BIGINT)) AS BIGINT) FROM {_t}"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE floor({_x}) = ceil({_x})"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ceil({_x}) - floor({_x}) = 1"),
+        ("R", "", f"SELECT round(sum(round({_x}, 1)), 1) FROM {_t}"),
+        ("II", "rowsort", f"SELECT CAST(floor({_x}) AS BIGINT), count(*) FROM {_t} GROUP BY floor({_x})"),
+    ])
+
+# Per-table composite-key self-joins (reference test/sql/join —
+# two-column equi-join keys).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _pairs_dt = f"(SELECT {_k} AS kk, ({_k}) % 5 AS k1, ({_k}) % 3 AS k2 FROM {_t})"
+    corpus(f"compkeyjoin_file_{_t}", f"composite-key self-joins over {_t} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_pairs_dt} a JOIN {_pairs_dt} b ON a.k1 = b.k1 AND a.k2 = b.k2"),
+        ("I", "", f"SELECT count(*) FROM {_pairs_dt} a JOIN {_pairs_dt} b ON a.k1 = b.k1 AND a.k2 = b.k2 AND a.kk < b.kk"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_pairs_dt} a JOIN {_pairs_dt} b ON a.k1 = b.k1 AND a.k2 = b.k2 AND a.kk = b.kk) = (SELECT count(*) FROM {_t}) AS STRING)"),
+        ("II", "rowsort", f"SELECT a.k1, count(*) FROM {_pairs_dt} a JOIN {_pairs_dt} b ON a.k1 = b.k1 AND a.k2 = b.k2 GROUP BY a.k1"),
+        ("I", "", f"SELECT count(*) FROM {_pairs_dt} a LEFT JOIN {_pairs_dt} b ON a.k1 = b.k1 AND a.k2 = b.k2 AND b.kk % 2 = 0 WHERE b.kk IS NULL"),
+    ])
+
+# Three-hop nested EXISTS (reference test/sql/subquery/exists — one
+# level deeper than the exists2hop family).
+_EXISTS3 = {
+    "lineitem": ("lineitem l", "EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey AND n.n_regionkey < 2)))", "l.l_orderkey"),
+    "events":   ("events e", "EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id AND EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey AND EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey AND r.r_name LIKE 'A%')))", "e.event_id"),
+}
+for _t, (_frm, _ex, _kc) in _EXISTS3.items():
+    corpus(f"exists3hop_file_{_t}", f"three-hop nested EXISTS from {_t} (reference test/sql/subquery/exists)")([
+        ("I", "", f"SELECT count(*) FROM {_frm} WHERE {_ex}"),
+        ("I", "", f"SELECT count(*) FROM {_frm} WHERE NOT ({_ex})"),
+        ("I", "", f"SELECT count(*) FROM {_frm} WHERE {_ex} AND ({_kc}) % 2 = 1"),
+        ("I", "", f"SELECT CAST(sum(CASE WHEN {_ex} THEN 1 ELSE 0 END) AS BIGINT) FROM {_frm}"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
