@@ -5332,6 +5332,44 @@ for _t, (_frm, _ex, _kc) in _EXISTS3.items():
     ])
 
 
+# Per-table three-way OR predicate mixes (reference test/sql/filter +
+# conjunction — IN, LIKE, and BETWEEN branches under one OR).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"predor3_file_{_t}", f"three-way OR predicate mixes over {_t} (reference test/sql/filter)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 10 IN (1, 2) OR {_s} LIKE '%a%' OR ({_k}) % 7 BETWEEN 5 AND 6"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE NOT (({_k}) % 10 IN (1, 2) OR {_s} LIKE '%a%' OR ({_k}) % 7 BETWEEN 5 AND 6)"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_t} WHERE ({_k}) % 10 IN (1, 2) OR {_s} LIKE '%a%') + (SELECT count(*) FROM {_t} WHERE NOT (({_k}) % 10 IN (1, 2) OR {_s} LIKE '%a%')) = (SELECT count(*) FROM {_t}) AS STRING)"),
+        ("II", "", f"SELECT count_if(({_k}) % 10 IN (1, 2) OR {_s} LIKE '%e%'), count_if(({_k}) % 7 BETWEEN 2 AND 4 OR {_p}) FROM {_t}"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE (({_k}) % 10 IN (1, 2) OR {_s} LIKE '%a%') AND ({_p} OR ({_k}) % 3 = 0)"),
+    ])
+
+# Per-table empty-scalar-subquery semantics (reference test/sql/
+# subquery/scalar — an empty scalar subquery is NULL, not an error).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"scalarempty_file_{_t}", f"empty scalar subqueries over {_t} (reference test/sql/subquery/scalar)")([
+        ("T", "", f"SELECT CAST((SELECT max({_k}) FROM {_t} WHERE 1 = 0) IS NULL AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) > coalesce((SELECT CAST(max({_k}) AS BIGINT) FROM {_t} WHERE FALSE), -1)"),
+        ("T", "", f"SELECT CAST(coalesce((SELECT {_s} FROM {_t} WHERE 1 = 0), '(none)') AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 5 = (SELECT CAST(min({_k}) AS BIGINT) % 5 FROM {_t} WHERE FALSE)"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_t} WHERE FALSE) = 0 AS STRING)"),
+    ])
+
+# Cross-fact aggregate joins (reference test/sql/join — two different
+# fact tables pre-aggregated onto a shared bucket key).
+_FACTPAIRS = {
+    "lineitem_events": ("(SELECT l_suppkey % 10 AS bk, count(*) AS c FROM lineitem GROUP BY l_suppkey % 10)", "(SELECT user_id % 10 AS bk, count(*) AS c FROM events GROUP BY user_id % 10)"),
+    "orders_events":   ("(SELECT o_custkey % 8 AS bk, count(*) AS c FROM orders GROUP BY o_custkey % 8)", "(SELECT user_id % 8 AS bk, count(*) AS c FROM events GROUP BY user_id % 8)"),
+}
+for _n, (_fa, _fb) in _FACTPAIRS.items():
+    corpus(f"factfact_file_{_n}", f"cross-fact aggregate join {_n} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_fa} a JOIN {_fb} b ON a.bk = b.bk"),
+        ("II", "", f"SELECT CAST(sum(a.c) AS BIGINT), CAST(sum(b.c) AS BIGINT) FROM {_fa} a JOIN {_fb} b ON a.bk = b.bk"),
+        ("II", "rowsort", f"SELECT CAST(a.bk AS BIGINT), CAST(a.c - b.c AS BIGINT) FROM {_fa} a JOIN {_fb} b ON a.bk = b.bk"),
+        ("I", "", f"SELECT count(*) FROM {_fa} a FULL JOIN {_fb} b ON a.bk = b.bk"),
+        ("I", "", f"SELECT count(*) FROM {_fa} a JOIN {_fb} b ON a.bk = b.bk WHERE a.c > b.c"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
