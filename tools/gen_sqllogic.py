@@ -5370,6 +5370,34 @@ for _n, (_fa, _fb) in _FACTPAIRS.items():
     ])
 
 
+# Fact joined to a UNION of dimension slices per FK pair (reference
+# test/sql/join + setops — the dim side assembled from set-ops).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _lk, _rk = _on.split(" = ")
+    _lt, _rt = _l.split(" ")[0], _r.split(" ")[0]
+    _lkc, _rkc = _lk.split(".")[1], _rk.split(".")[1]
+    _dim = f"(SELECT {_rkc} AS pk FROM {_rt} WHERE {_rkc} % 2 = 0 UNION SELECT {_rkc} FROM {_rt} WHERE {_rkc} % 3 = 0)"
+    corpus(f"uniondimjoin_file_{_n}", f"fact joined to unioned dim slices for {_n} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_lt} a JOIN {_dim} d ON a.{_lkc} = d.pk"),
+        ("I", "", f"SELECT count(*) FROM {_lt} a LEFT JOIN {_dim} d ON a.{_lkc} = d.pk WHERE d.pk IS NULL"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_lt} a JOIN {_dim} d ON a.{_lkc} = d.pk) = (SELECT count(*) FROM {_lt} a WHERE a.{_lkc} % 2 = 0 OR a.{_lkc} % 3 = 0) AS STRING)"),
+        ("I", "", f"SELECT count(DISTINCT d.pk) FROM {_lt} a JOIN {_dim} d ON a.{_lkc} = d.pk"),
+        ("I", "", f"SELECT count(*) FROM {_lt} a JOIN {_dim} d ON a.{_lkc} = d.pk WHERE a.{_lkc} % 6 = 0"),
+    ])
+
+# Per-table functional-dependency grouping (reference
+# test/sql/aggregate — grouping by the unique key makes every
+# aggregate an identity).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"fdgroup_file_{_t}", f"unique-key grouping identities over {_t} (reference test/sql/aggregate)")([
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM (SELECT {_k} AS kk FROM {_t} GROUP BY {_k}) x) = (SELECT count(*) FROM {_t}) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_k} AS kk, min({_s}) AS mn, max({_s}) AS mx FROM {_t} GROUP BY {_k}) x WHERE mn <> mx"),
+        ("T", "", f"SELECT CAST((SELECT CAST(sum(c) AS BIGINT) FROM (SELECT count(*) AS c FROM {_t} GROUP BY {_k}) x) = (SELECT count(*) FROM {_t}) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_k} AS kk FROM {_t} GROUP BY {_k} HAVING count(*) > 1) x"),
+        ("II", "", f"SELECT CAST(min(kk) AS BIGINT), CAST(max(kk) AS BIGINT) FROM (SELECT {_k} AS kk FROM {_t} GROUP BY {_k}) x"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
