@@ -5398,6 +5398,43 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Per-table median/percentile agreement (reference test/sql/aggregate/
+# aggregates/median.test — median(x) must equal the 0.5 quantile with
+# linear interpolation in both engines).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _x = f"({_k}) % 19"
+    corpus(f"medpct_file_{_t}", f"median/percentile agreement over {_t} (reference test/sql/aggregate median)")([
+        ("R", "", f"SELECT round(median({_x}), 3) FROM {_t}"),
+        ("R", "", f"SELECT round(median({_x}), 3) FROM {_t} WHERE {_p}"),
+        ("R", "rowsort", f"SELECT round(median({_x}), 3) FROM {_t} GROUP BY ({_k}) % 2"),
+        ("T", "", f"SELECT CAST(abs(m - avg2) < 20 AS STRING) FROM (SELECT median({_x}) AS m, avg({_x}) AS avg2 FROM {_t}) x"),
+        ("R", "", f"SELECT round(median(CAST({_x} AS DOUBLE) / 2), 3) FROM {_t}"),
+    ])
+
+# Per-table sum-of-products aggregates (reference test/sql/aggregate —
+# bilinear aggregates over computed integer factors).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _a, _b = f"({_k}) % 7", f"({_k}) % 5"
+    corpus(f"sumprod_file_{_t}", f"sum-of-products over {_t} (reference test/sql/aggregate)")([
+        ("I", "", f"SELECT CAST(sum({_a} * {_b}) AS BIGINT) FROM {_t}"),
+        ("II", "rowsort", f"SELECT ({_k}) % 2, CAST(sum({_a} * {_b}) AS BIGINT) FROM {_t} GROUP BY ({_k}) % 2"),
+        ("T", "", f"SELECT CAST((SELECT CAST(sum({_a} * 2) AS BIGINT) FROM {_t}) = 2 * (SELECT CAST(sum({_a}) AS BIGINT) FROM {_t}) AS STRING)"),
+        ("I", "", f"SELECT CAST(sum(({_a} - {_b}) * ({_a} + {_b})) AS BIGINT) FROM {_t}"),
+        ("T", "", f"SELECT CAST((SELECT CAST(sum({_a} * {_a}) AS BIGINT) FROM {_t}) >= 0 AS STRING)"),
+    ])
+
+# date_trunc bucket grouping over the real temporal columns (reference
+# test/sql/types/date — month/quarter/year bucket counts).
+for _t, (_k, _d) in _DTCOLS.items():
+    corpus(f"truncgroup_file_{_t}", f"date_trunc bucket groups over {_t} (reference test/sql/types/date)")([
+        ("TI", "rowsort", f"SELECT CAST(CAST(date_trunc('year', {_d}) AS DATE) AS STRING), count(*) FROM {_t} GROUP BY date_trunc('year', {_d})"),
+        ("I", "", f"SELECT count(DISTINCT date_trunc('month', {_d})) FROM {_t}"),
+        ("I", "", f"SELECT count(DISTINCT date_trunc('quarter', {_d})) FROM {_t}"),
+        ("TI", "", f"SELECT CAST(CAST(date_trunc('month', {_d}) AS DATE) AS STRING) AS m, count(*) FROM {_t} GROUP BY date_trunc('month', {_d}) ORDER BY m LIMIT 4"),
+        ("T", "", f"SELECT CAST(max(CAST(date_trunc('year', {_d}) AS DATE)) AS STRING) FROM {_t}"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
