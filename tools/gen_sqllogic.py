@@ -5435,6 +5435,84 @@ for _t, (_k, _d) in _DTCOLS.items():
     ])
 
 
+# Chained LEFT JOINs through two dimensions per star fact (reference
+# test/sql/join — NULL propagation across consecutive outer joins).
+for _t, (_frm0, _d1, _d2, _fk) in _STARS.items():
+    _parts = _frm0.split(" JOIN ")
+    _fact = _parts[0]
+    _j1 = _parts[1]
+    _j2 = _parts[2]
+    _chain = f"{_fact} LEFT JOIN {_j1} LEFT JOIN {_j2}"
+    corpus(f"outerchain_file_{_t}", f"chained LEFT JOINs over {_t} (reference test/sql/join)")([
+        ("II", "", f"SELECT count(*), count({_d2}) FROM {_chain}"),
+        ("I", "", f"SELECT count(*) FROM {_chain} WHERE {_d2} IS NULL"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_chain}) >= (SELECT count(*) FROM {_frm0}) AS STRING)"),
+        ("II", "", f"SELECT count({_d1}), count(DISTINCT {_d2}) FROM {_chain}"),
+        ("I", "", f"SELECT count(*) FROM {_chain} WHERE {_d1} IS NOT NULL AND {_d2} IS NULL"),
+    ])
+
+# Per-table distinct-pair counting equivalences (reference
+# test/sql/aggregate/distinct — pair-distinct via concat vs grouping).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _a, _b = f"({_k}) % 4", f"({_k}) % 3"
+    corpus(f"distinctpair_file_{_t}", f"distinct-pair counting over {_t} (reference test/sql/aggregate/distinct)")([
+        ("I", "", f"SELECT count(DISTINCT concat(CAST({_a} AS STRING), '|', CAST({_b} AS STRING))) FROM {_t}"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_a} AS a, {_b} AS b FROM {_t} GROUP BY {_a}, {_b}) x"),
+        ("T", "", f"SELECT CAST((SELECT count(DISTINCT concat(CAST({_a} AS STRING), '|', CAST({_b} AS STRING))) FROM {_t}) = (SELECT count(*) FROM (SELECT {_a} AS a, {_b} AS b FROM {_t} GROUP BY {_a}, {_b}) x) AS STRING)"),
+        ("II", "rowsort", f"SELECT a, count(DISTINCT b) FROM (SELECT {_a} AS a, {_b} AS b FROM {_t}) x GROUP BY a"),
+        ("I", "", f"SELECT count(DISTINCT concat({_s}, CAST({_a} AS STRING))) FROM {_t} WHERE {_p}"),
+    ])
+
+# Per-table consecutive-triple self-joins (reference test/sql/join —
+# the neighborjoin family one hop deeper).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _kk = f"(SELECT {_k} AS kk FROM {_t})"
+    corpus(f"neighbor3_file_{_t}", f"consecutive-triple self-joins over {_t} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_kk} a JOIN {_kk} b ON a.kk + 1 = b.kk JOIN {_kk} c ON b.kk + 1 = c.kk"),
+        ("I", "", f"SELECT count(*) FROM (SELECT kk, lag(kk, 1) OVER (ORDER BY kk) AS p1, lag(kk, 2) OVER (ORDER BY kk) AS p2 FROM {_kk} x) y WHERE p1 = kk - 1 AND p2 = kk - 2"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_kk} a JOIN {_kk} b ON a.kk + 1 = b.kk JOIN {_kk} c ON b.kk + 1 = c.kk) = (SELECT count(*) FROM (SELECT kk, lag(kk, 1) OVER (ORDER BY kk) AS p1, lag(kk, 2) OVER (ORDER BY kk) AS p2 FROM {_kk} x) y WHERE p1 = kk - 1 AND p2 = kk - 2) AS STRING)"),
+        ("I", "", f"SELECT CAST(max(c.kk) AS BIGINT) FROM {_kk} a JOIN {_kk} b ON a.kk + 1 = b.kk JOIN {_kk} c ON b.kk + 1 = c.kk"),
+        ("I", "", f"SELECT count(*) FROM {_kk} a JOIN {_kk} b ON a.kk + 2 = b.kk JOIN {_kk} c ON a.kk + 4 = c.kk WHERE a.kk % 2 = 0"),
+    ])
+
+# Per-table beyond-the-end LIMIT/OFFSET (reference test/sql/limit —
+# LIMIT larger than the table; OFFSET past the last row).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"limitbeyond_file_{_t}", f"beyond-end LIMIT/OFFSET over {_t} (reference test/sql/limit)")([
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM (SELECT {_k} AS kk FROM {_t} LIMIT 1000000) x) = (SELECT count(*) FROM {_t}) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_k} AS kk FROM {_t} ORDER BY {_k} LIMIT 5 OFFSET 1000000) x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_k} AS kk FROM {_t} ORDER BY {_k} LIMIT 1000000 OFFSET 3) x"),
+        ("T", "", f"SELECT CAST((SELECT CAST(max(kk) AS BIGINT) FROM (SELECT {_k} AS kk FROM {_t} ORDER BY {_k} DESC LIMIT 1) x) = (SELECT CAST(max({_k}) AS BIGINT) FROM {_t}) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_k} AS kk FROM {_t} ORDER BY {_k} LIMIT 0 OFFSET 2) x"),
+    ])
+
+# Per-table HAVING-IN on the group key (reference test/sql/aggregate/
+# having — membership predicates on grouping keys after aggregation).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"havingin_file_{_t}", f"HAVING IN on group keys over {_t} (reference test/sql/aggregate/having)")([
+        ("II", "rowsort", f"SELECT ({_k}) % 6 AS b, count(*) FROM {_t} GROUP BY ({_k}) % 6 HAVING ({_k}) % 6 IN (0, 2, 4)"),
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) % 8 AS b FROM {_t} GROUP BY ({_k}) % 8 HAVING ({_k}) % 8 IN (SELECT r_regionkey FROM region)) x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) % 5 AS b FROM {_t} GROUP BY ({_k}) % 5 HAVING ({_k}) % 5 NOT IN (1, 3)) x"),
+        ("TI", "rowsort", f"SELECT substr({_s}, 1, 1) AS b, count(*) FROM {_t} GROUP BY substr({_s}, 1, 1) HAVING substr({_s}, 1, 1) IN ('A', 'B', 'C', 'a', 'b', 'c') AND count(*) > 0"),
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) % 7 AS b FROM {_t} GROUP BY ({_k}) % 7 HAVING ({_k}) % 7 IN (2, 4, 6) AND count(*) > 1) x"),
+    ])
+
+# Filtered-dim join vs semi-join-with-filter equivalence per FK pair
+# (reference test/sql/join — dim filters push through both forms).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _lk, _rk = _on.split(" = ")
+    _lt, _rt = _l.split(" ")[0], _r.split(" ")[0]
+    _lkc, _rkc = _lk.split(".")[1], _rk.split(".")[1]
+    _gc = _grp.split(".")[1]
+    corpus(f"dimfilter_file_{_n}", f"filtered-dim equivalences for {_n} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_lt} a JOIN (SELECT {_rkc} AS pk FROM {_rt} WHERE length({_gc}) > 4) d ON a.{_lkc} = d.pk"),
+        ("I", "", f"SELECT count(*) FROM {_lt} a WHERE EXISTS (SELECT 1 FROM {_rt} b WHERE b.{_rkc} = a.{_lkc} AND length(b.{_gc}) > 4)"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_lt} a JOIN (SELECT {_rkc} AS pk FROM {_rt} WHERE length({_gc}) > 4) d ON a.{_lkc} = d.pk) = (SELECT count(*) FROM {_lt} a WHERE EXISTS (SELECT 1 FROM {_rt} b WHERE b.{_rkc} = a.{_lkc} AND length(b.{_gc}) > 4)) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM {_lt} a JOIN {_rt} b ON a.{_lkc} = b.{_rkc} WHERE length(b.{_gc}) <= 4"),
+        ("I", "", f"SELECT count(*) FROM {_lt} a WHERE a.{_lkc} IN (SELECT {_rkc} FROM {_rt} WHERE length({_gc}) > 4) AND a.{_lkc} % 2 = 0"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
