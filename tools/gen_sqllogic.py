@@ -3410,6 +3410,10 @@ _JOIN_PAIRS = {
     "lineitem_orders":   ("lineitem a", "orders b",   "a.l_orderkey = b.o_orderkey",    "b.o_orderstatus"),
     "lineitem_part":     ("lineitem a", "part b",     "a.l_partkey = b.p_partkey",      "b.p_brand"),
     "events_customer":   ("events a",   "customer b", "a.user_id = b.c_custkey",        "b.c_mktsegment"),
+    # Added in round-4 part 6: the one natural FK pair the map was
+    # missing (lineitem.l_suppkey -> supplier.s_suppkey); every
+    # per-pair family below picks it up automatically.
+    "lineitem_supplier": ("lineitem a", "supplier b", "a.l_suppkey = b.s_suppkey",      "b.s_name"),
 }
 for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
     corpus(f"joinpair_file_{_n}", f"Natural-FK join pair {_n} (reference test/sql/join)")([
@@ -4002,6 +4006,7 @@ _PAIR_KEYS = {
     "lineitem_orders": "a.l_orderkey * 10 + a.l_linenumber",
     "lineitem_part":   "a.l_orderkey * 10 + a.l_linenumber",
     "events_customer": "a.event_id",
+    "lineitem_supplier": "a.l_orderkey * 10 + a.l_linenumber",
 }
 for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
     _ak = _PAIR_KEYS[_n]
