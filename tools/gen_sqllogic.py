@@ -5518,6 +5518,22 @@ for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
     ])
 
 
+# Five-table FK chains (reference test/sql/join — the longest natural
+# path the fixture schema supports).
+_CHAINS5 = {
+    "r_n_c_o_l": ("region r JOIN nation n ON r.r_regionkey = n.n_regionkey JOIN customer c ON n.n_nationkey = c.c_nationkey JOIN orders o ON c.c_custkey = o.o_custkey JOIN lineitem l ON o.o_orderkey = l.l_orderkey", "r.r_name", "l.l_orderkey * 10 + l.l_linenumber"),
+    "r_n_s_l_o": ("region r JOIN nation n ON r.r_regionkey = n.n_regionkey JOIN supplier s ON n.n_nationkey = s.s_nationkey JOIN lineitem l ON s.s_suppkey = l.l_suppkey JOIN orders o ON l.l_orderkey = o.o_orderkey", "r.r_name", "o.o_orderkey"),
+}
+for _n, (_from, _gcol, _kcol) in _CHAINS5.items():
+    corpus(f"joinchain5_file_{_n}", f"five-table FK chain {_n} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_from}"),
+        ("TI", "rowsort", f"SELECT {_gcol} AS g, count(*) FROM {_from} GROUP BY {_gcol}"),
+        ("II", "", f"SELECT CAST(min({_kcol}) AS BIGINT), CAST(max({_kcol}) AS BIGINT) FROM {_from}"),
+        ("I", "", f"SELECT count(DISTINCT {_gcol}) FROM {_from}"),
+        ("TI", "rowsort", f"SELECT {_gcol} AS g, CAST(sum(({_kcol}) % 10) AS BIGINT) FROM {_from} GROUP BY {_gcol} HAVING count(*) > 3"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
