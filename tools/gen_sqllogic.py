@@ -5534,6 +5534,67 @@ for _n, (_from, _gcol, _kcol) in _CHAINS5.items():
     ])
 
 
+# Per-table math identity family (reference test/sql/function/math —
+# exp/ln, sqrt/square, abs/sign identities that must hold exactly
+# after rounding).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _x = f"CAST(({_k}) % 11 + 1 AS DOUBLE)"
+    corpus(f"mathident_file_{_t}", f"math identities over {_t} (reference test/sql/function/math)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE round(exp(ln({_x})), 6) <> round({_x}, 6)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE round(sqrt({_x} * {_x}), 6) <> round({_x}, 6)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE abs(-{_x}) <> {_x} OR sign(-{_x}) <> -1"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE round(power({_x}, 2), 6) <> round({_x} * {_x}, 6)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE round(log10({_x}) * ln(10.0), 9) <> round(ln({_x}), 9)"),
+    ])
+
+# Per-table string identity family (reference test/sql/function/string
+# — involutions and idempotents).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"strident_file_{_t}", f"string identities over {_t} (reference test/sql/function/string)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE reverse(reverse({_s})) <> {_s}"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE upper(upper({_s})) <> upper({_s}) OR lower(lower({_s})) <> lower({_s})"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE length(concat({_s}, {_s})) <> 2 * length({_s})"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE substr({_s}, 1, length({_s})) <> {_s}"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE trim(BOTH ' ' FROM {_s}) <> trim(BOTH ' ' FROM trim(BOTH ' ' FROM {_s}))"),
+    ])
+
+# Per-table aggregate duality family (reference test/sql/aggregate —
+# min/max duality, sum linearity, count complements).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _x = f"({_k}) % 9"
+    corpus(f"aggident_file_{_t}", f"aggregate dualities over {_t} (reference test/sql/aggregate)")([
+        ("T", "", f"SELECT CAST((SELECT CAST(min({_x}) AS BIGINT) FROM {_t}) = -(SELECT CAST(max(-({_x})) AS BIGINT) FROM {_t}) AS STRING)"),
+        ("T", "", f"SELECT CAST((SELECT CAST(sum({_x} + 1) AS BIGINT) FROM {_t}) = (SELECT CAST(sum({_x}) + count(*) AS BIGINT) FROM {_t}) AS STRING)"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_t} WHERE {_p}) + (SELECT count(*) FROM {_t} WHERE NOT ({_p})) = (SELECT count(*) FROM {_t}) AS STRING)"),
+        ("T", "", f"SELECT CAST((SELECT CAST(sum(3 * ({_x})) AS BIGINT) FROM {_t}) = 3 * (SELECT CAST(sum({_x}) AS BIGINT) FROM {_t}) AS STRING)"),
+        ("T", "", f"SELECT CAST((SELECT count({_s}) FROM {_t}) <= (SELECT count(*) FROM {_t}) AS STRING)"),
+    ])
+
+# Per-table ROLLUP-total identity (reference test/sql/aggregate/
+# grouping_sets — the () row equals the ungrouped aggregate).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"rollupid_file_{_t}", f"ROLLUP total-row identity over {_t} (reference test/sql/aggregate/grouping_sets)")([
+        ("T", "", f"SELECT CAST((SELECT CAST(max(c) AS BIGINT) FROM (SELECT count(*) AS c FROM {_t} GROUP BY ROLLUP({_g})) x) >= (SELECT CAST(max(c) AS BIGINT) FROM (SELECT count(*) AS c FROM {_t} GROUP BY {_g}) y) AS STRING)"),
+        ("I", "", f"SELECT CAST(c AS BIGINT) FROM (SELECT grouping({_g}) AS gr, count(*) AS c FROM {_t} GROUP BY ROLLUP({_g})) x WHERE gr = 1"),
+        ("T", "", f"SELECT CAST((SELECT CAST(c AS BIGINT) FROM (SELECT grouping({_g}) AS gr, count(*) AS c FROM {_t} GROUP BY ROLLUP({_g})) x WHERE gr = 1) = (SELECT count(*) FROM {_t}) AS STRING)"),
+        ("T", "", f"SELECT CAST((SELECT CAST(sum(c) AS BIGINT) FROM (SELECT grouping({_g}) AS gr, count(*) AS c FROM {_t} GROUP BY ROLLUP({_g})) x WHERE gr = 0) = (SELECT count(*) FROM {_t}) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM (SELECT grouping({_g}) AS gr FROM {_t} GROUP BY ROLLUP({_g})) x WHERE gr = 1"),
+    ])
+
+# Per-table sum-distributivity over UNION ALL (reference
+# test/sql/setops + aggregate — aggregates distribute over disjoint
+# branch unions).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _x = f"({_k}) % 13"
+    corpus(f"distrib_file_{_t}", f"aggregate distributivity over {_t} (reference test/sql/setops)")([
+        ("T", "", f"SELECT CAST((SELECT CAST(sum(x) AS BIGINT) FROM (SELECT {_x} AS x FROM {_t} WHERE {_p} UNION ALL SELECT {_x} FROM {_t} WHERE NOT ({_p})) u) = (SELECT CAST(sum({_x}) AS BIGINT) FROM {_t}) AS STRING)"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM (SELECT {_x} AS x FROM {_t} UNION ALL SELECT {_x} FROM {_t}) u) = 2 * (SELECT count(*) FROM {_t}) AS STRING)"),
+        ("T", "", f"SELECT CAST((SELECT CAST(min(x) AS BIGINT) FROM (SELECT {_x} AS x FROM {_t} WHERE {_p} UNION ALL SELECT {_x} FROM {_t} WHERE NOT ({_p})) u) = (SELECT CAST(min({_x}) AS BIGINT) FROM {_t}) AS STRING)"),
+        ("I", "", f"SELECT CAST(sum(x) AS BIGINT) FROM (SELECT {_x} AS x FROM {_t} WHERE {_p} UNION ALL SELECT {_x} FROM {_t} WHERE NOT ({_p})) u"),
+        ("T", "", f"SELECT CAST((SELECT CAST(max(x) AS BIGINT) FROM (SELECT {_x} AS x FROM {_t} UNION ALL SELECT {_x} - 100 FROM {_t}) u) = (SELECT CAST(max({_x}) AS BIGINT) FROM {_t}) AS STRING)"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
