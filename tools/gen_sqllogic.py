@@ -5595,6 +5595,41 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Per-table CASE-with-NULL-branches family (reference test/sql/case —
+# NULL conditions are falsy; NULL results propagate through aggregates).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"casewhennull_file_{_t}", f"CASE with NULL branches over {_t} (reference test/sql/case)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE CASE WHEN CAST(NULL AS BOOLEAN) THEN TRUE ELSE {_p} END = ({_p})"),
+        ("I", "", f"SELECT count(CASE WHEN {_p} THEN NULL ELSE 1 END) FROM {_t}"),
+        ("T", "", f"SELECT CAST(sum(CASE WHEN {_p} THEN NULL ELSE ({_k}) % 3 END) IS NOT NULL AS STRING) FROM {_t}"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE coalesce(CASE WHEN ({_k}) % 4 = 1 THEN NULL WHEN ({_k}) % 4 = 2 THEN TRUE END, FALSE)"),
+        ("II", "rowsort", f"SELECT CAST(CASE WHEN ({_k}) % 3 = 0 THEN NULL ELSE ({_k}) % 3 END AS BIGINT), count(*) FROM {_t} GROUP BY CASE WHEN ({_k}) % 3 = 0 THEN NULL ELSE ({_k}) % 3 END"),
+    ])
+
+# Per-table GROUP-BY-length family (reference test/sql/aggregate —
+# grouping on derived string measures).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"groupbylen_file_{_t}", f"GROUP BY string length over {_t} (reference test/sql/aggregate)")([
+        ("II", "rowsort", f"SELECT length({_s}), count(*) FROM {_t} GROUP BY length({_s})"),
+        ("I", "", f"SELECT count(DISTINCT length({_s})) FROM {_t}"),
+        ("II", "", f"SELECT length({_s}) AS ln, count(*) AS c FROM {_t} GROUP BY length({_s}) ORDER BY c DESC, ln LIMIT 3"),
+        ("II", "rowsort", f"SELECT length(concat({_s}, CAST(({_k}) % 10 AS STRING))), count(*) FROM {_t} GROUP BY length(concat({_s}, CAST(({_k}) % 10 AS STRING)))"),
+        ("I", "", f"SELECT count(*) FROM (SELECT length({_s}) AS ln FROM {_t} GROUP BY length({_s}) HAVING count(*) > 2) x"),
+    ])
+
+# Null-safe equality joins per FK pair (reference test/sql/join —
+# IS NOT DISTINCT FROM as the join condition over nullif'd keys).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _lk, _rk = _on.split(" = ")
+    corpus(f"nullsafejoin_file_{_n}", f"null-safe equality join for {_n} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_l} JOIN {_r} ON {_lk} IS NOT DISTINCT FROM {_rk}"),
+        ("I", "", f"SELECT count(*) FROM {_l} JOIN {_r} ON nullif({_lk}, 0) IS NOT DISTINCT FROM nullif({_rk}, 0)"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_l} JOIN {_r} ON {_lk} IS NOT DISTINCT FROM {_rk}) = (SELECT count(*) FROM {_l} JOIN {_r} ON {_on}) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM {_l} LEFT JOIN {_r} ON nullif({_lk}, 1) IS NOT DISTINCT FROM nullif({_rk}, 1) WHERE {_rk} IS NULL"),
+        ("I", "", f"SELECT count(*) FROM {_l} JOIN {_r} ON {_lk} IS NOT DISTINCT FROM {_rk} AND ({_PAIR_KEYS[_n]}) % 2 = 0"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
