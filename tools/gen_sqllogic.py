@@ -5630,6 +5630,43 @@ for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
     ])
 
 
+# CASE-based era bucketing over real dates (reference test/sql/case +
+# types/date — date range branches grouped and counted).
+for _t, (_k, _d) in _DTCOLS.items():
+    _era = f"CASE WHEN {_d} < CAST('1994-01-01' AS DATE) THEN 'early' WHEN {_d} < CAST('1996-01-01' AS DATE) THEN 'mid' ELSE 'late' END"
+    corpus(f"datecase_file_{_t}", f"date-range CASE buckets over {_t} (reference test/sql/case)")([
+        ("TI", "rowsort", f"SELECT {_era} AS era, count(*) FROM {_t} GROUP BY {_era}"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_era} = 'mid'"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_t} WHERE {_era} = 'early') + (SELECT count(*) FROM {_t} WHERE {_era} <> 'early') = (SELECT count(*) FROM {_t}) AS STRING)"),
+        ("TI", "rowsort", f"SELECT {_era} AS era, count(DISTINCT EXTRACT(MONTH FROM {_d})) FROM {_t} GROUP BY {_era}"),
+        ("T", "", f"SELECT min({_era}) FROM {_t}"),
+    ])
+
+# Per-table BIGINT-scale arithmetic (reference test/sql/types/numeric
+# — sums in the 10^12 range stay exact in 64-bit in both engines).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _big = f"CAST(({_k}) % 5 AS BIGINT) * 1000000000000"
+    corpus(f"bigintarith_file_{_t}", f"BIGINT-scale arithmetic over {_t} (reference test/sql/types/numeric)")([
+        ("I", "", f"SELECT CAST(sum({_big}) AS BIGINT) FROM {_t}"),
+        ("II", "", f"SELECT CAST(min({_big}) AS BIGINT), CAST(max({_big}) AS BIGINT) FROM {_t}"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_big} > 2000000000000"),
+        ("II", "rowsort", f"SELECT CAST(({_big}) / 1000000000000 AS BIGINT), count(*) FROM {_t} GROUP BY {_big}"),
+        ("T", "", f"SELECT CAST((SELECT CAST(sum({_big}) AS BIGINT) FROM {_t}) = 1000000000000 * (SELECT CAST(sum(({_k}) % 5) AS BIGINT) FROM {_t}) AS STRING)"),
+    ])
+
+# Per-table double-negation / De Morgan identities (reference
+# test/sql/conjunction — NOT(NOT p) = p and both De Morgan forms).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _q = f"({_k}) % 3 = 0"
+    corpus(f"doubleneg_file_{_t}", f"negation identities over {_t} (reference test/sql/conjunction)")([
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_t} WHERE NOT (NOT ({_p}))) = (SELECT count(*) FROM {_t} WHERE {_p}) AS STRING)"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_t} WHERE NOT ({_p} AND {_q})) = (SELECT count(*) FROM {_t} WHERE NOT ({_p}) OR NOT ({_q})) AS STRING)"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_t} WHERE NOT ({_p} OR {_q})) = (SELECT count(*) FROM {_t} WHERE NOT ({_p}) AND NOT ({_q})) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE NOT (NOT ({_p} AND NOT ({_q})))"),
+        ("II", "", f"SELECT count_if(NOT ({_p})), count_if({_p}) FROM {_t}"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
