@@ -5667,6 +5667,81 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Per-table IN-subquery-with-join family (reference test/sql/subquery
+# — the IN list produced by a join).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"insubqjoin_file_{_t}", f"IN subqueries containing joins over {_t} (reference test/sql/subquery)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 25 IN (SELECT n.n_nationkey FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_regionkey < 3)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 25 IN (SELECT n.n_nationkey FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name LIKE 'A%')"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 25 NOT IN (SELECT n.n_nationkey FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_regionkey >= 3)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 5 IN (SELECT DISTINCT n.n_regionkey FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_k}) % 25 IN (SELECT c.c_nationkey FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY c.c_nationkey HAVING count(*) > 2)"),
+    ])
+
+# Cross-table set-ops per FK pair (reference test/sql/setops — fact
+# keys vs dim keys projected onto a shared domain).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _lk, _rk = _on.split(" = ")
+    _lt, _rt = _l.split(" ")[0], _r.split(" ")[0]
+    _lkc, _rkc = _lk.split(".")[1], _rk.split(".")[1]
+    corpus(f"xtableset_file_{_n}", f"cross-table set-ops for {_n} (reference test/sql/setops)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT {_lkc} % 25 AS x FROM {_lt} INTERSECT SELECT {_rkc} % 25 FROM {_rt}) u"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_lkc} % 25 AS x FROM {_lt} EXCEPT SELECT {_rkc} % 25 FROM {_rt}) u"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_rkc} % 25 AS x FROM {_rt} EXCEPT SELECT {_lkc} % 25 FROM {_lt}) u"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_lkc} AS x FROM {_lt} UNION SELECT {_rkc} FROM {_rt}) u"),
+        ("I", "", f"SELECT CAST(max(x) AS BIGINT) FROM (SELECT {_lkc} % 25 AS x FROM {_lt} INTERSECT SELECT {_rkc} % 25 FROM {_rt}) u"),
+    ])
+
+# Per-table table-UNION-VALUES family (reference test/sql/setops +
+# COLUMN_DATA_SCAN — scans unioned with literal relations).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"valunion_file_{_t}", f"table UNION VALUES over {_t} (reference test/sql/setops)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) % 6 AS x FROM {_t} UNION SELECT x FROM (VALUES (100), (101)) v(x)) u"),
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) % 6 AS x FROM {_t} UNION ALL SELECT x FROM (VALUES (0), (1)) v(x)) u"),
+        ("I", "", f"SELECT CAST(max(x) AS BIGINT) FROM (SELECT ({_k}) % 6 AS x FROM {_t} UNION SELECT x FROM (VALUES (99)) v(x)) u"),
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) % 6 AS x FROM {_t} INTERSECT SELECT x FROM (VALUES (0), (1), (2), (100)) v(x)) u"),
+        ("T", "", f"SELECT sv FROM (SELECT {_s} AS sv FROM {_t} UNION SELECT sv FROM (VALUES ('zzz-sentinel')) v(sv)) u ORDER BY sv DESC LIMIT 1"),
+    ])
+
+# Zero-count dimension groups per FK pair (reference test/sql/join —
+# LEFT JOIN preserves dims with no facts; count(fact col) is 0 there).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _lk, _rk = _on.split(" = ")
+    _lt, _rt = _l.split(" ")[0], _r.split(" ")[0]
+    _lkc, _rkc = _lk.split(".")[1], _rk.split(".")[1]
+    corpus(f"zerogroups_file_{_n}", f"zero-count dim groups for {_n} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT b.{_rkc} AS pk, count(a.{_lkc}) AS c FROM {_rt} b LEFT JOIN {_lt} a ON a.{_lkc} = b.{_rkc} GROUP BY b.{_rkc}) x WHERE c = 0"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM (SELECT b.{_rkc} AS pk, count(a.{_lkc}) AS c FROM {_rt} b LEFT JOIN {_lt} a ON a.{_lkc} = b.{_rkc} GROUP BY b.{_rkc}) x WHERE c = 0) = (SELECT count(*) FROM {_rt} b WHERE NOT EXISTS (SELECT 1 FROM {_lt} a WHERE a.{_lkc} = b.{_rkc})) AS STRING)"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM (SELECT b.{_rkc} AS pk FROM {_rt} b LEFT JOIN {_lt} a ON a.{_lkc} = b.{_rkc} GROUP BY b.{_rkc}) x) = (SELECT count(DISTINCT {_rkc}) FROM {_rt}) AS STRING)"),
+        ("I", "", f"SELECT CAST(sum(c) AS BIGINT) FROM (SELECT count(a.{_lkc}) AS c FROM {_rt} b LEFT JOIN {_lt} a ON a.{_lkc} = b.{_rkc} GROUP BY b.{_rkc}) x"),
+        ("II", "", f"SELECT CAST(min(c) AS BIGINT), CAST(max(c) AS BIGINT) FROM (SELECT count(a.{_lkc}) AS c FROM {_rt} b LEFT JOIN {_lt} a ON a.{_lkc} = b.{_rkc} GROUP BY b.{_rkc}) x"),
+    ])
+
+# Per-table whitespace token counting via length arithmetic (reference
+# test/sql/function/string — the split-free token-count idiom).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _toks = f"length({_s}) - length(replace({_s}, ' ', '')) + 1"
+    corpus(f"tokencount_file_{_t}", f"token counting via length arithmetic over {_t} (reference test/sql/function/string)")([
+        ("I", "", f"SELECT CAST(sum({_toks}) AS BIGINT) FROM {_t}"),
+        ("II", "rowsort", f"SELECT {_toks}, count(*) FROM {_t} GROUP BY {_toks}"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_toks} > 1"),
+        ("II", "", f"SELECT CAST(min({_toks}) AS BIGINT), CAST(max({_toks}) AS BIGINT) FROM {_t}"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE length(replace({_s}, 'a', '')) + length(replace({_s}, 'e', '')) < 2 * length({_s})"),
+    ])
+
+# Per-table character-class counting via translate deletion (reference
+# test/sql/function/string — translate with a shorter 'to' deletes).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _vow = f"length(lower({_s})) - length(translate(lower({_s}), 'aeiou', ''))"
+    corpus(f"charclass_file_{_t}", f"character-class counts via translate over {_t} (reference test/sql/function/string)")([
+        ("I", "", f"SELECT CAST(sum({_vow}) AS BIGINT) FROM {_t}"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_vow} = 0"),
+        ("II", "rowsort", f"SELECT {_vow}, count(*) FROM {_t} GROUP BY {_vow}"),
+        ("I", "", f"SELECT CAST(max({_vow}) AS BIGINT) FROM {_t}"),
+        ("T", "", f"SELECT CAST((SELECT CAST(sum({_vow}) AS BIGINT) FROM {_t}) <= (SELECT CAST(sum(length({_s})) AS BIGINT) FROM {_t}) AS STRING)"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
