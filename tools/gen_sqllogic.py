@@ -5742,6 +5742,56 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Per-table ntile bucket-size invariants (reference test/sql/window —
+# bucket sizes differ by at most one, earlier buckets are the larger).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _nt = f"(SELECT ntile(7) OVER (ORDER BY {_k}) AS nt FROM {_t})"
+    corpus(f"ntilebounds_file_{_t}", f"ntile bucket-size invariants over {_t} (reference test/sql/window)")([
+        ("T", "", f"SELECT CAST(max(c) - min(c) <= 1 AS STRING) FROM (SELECT count(*) AS c FROM {_nt} x GROUP BY nt) y"),
+        ("I", "", f"SELECT count(*) FROM (SELECT nt, count(*) AS c FROM {_nt} x GROUP BY nt) y"),
+        ("T", "", f"SELECT CAST((SELECT CAST(sum(c) AS BIGINT) FROM (SELECT count(*) AS c FROM {_nt} x GROUP BY nt) y) = (SELECT count(*) FROM {_t}) AS STRING)"),
+        ("II", "", f"SELECT nt, count(*) FROM {_nt} x GROUP BY nt ORDER BY nt LIMIT 3"),
+        ("T", "", f"SELECT CAST((SELECT c FROM (SELECT nt, count(*) AS c FROM {_nt} x GROUP BY nt) y ORDER BY nt LIMIT 1) >= (SELECT c FROM (SELECT nt, count(*) AS c FROM {_nt} x GROUP BY nt) z ORDER BY nt DESC LIMIT 1) AS STRING)"),
+    ])
+
+# Correlated EXISTS over aggregated-HAVING subqueries per FK pair
+# (reference test/sql/subquery/exists — EXISTS of a grouped inner).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _lk, _rk = _on.split(" = ")
+    _lt, _rt = _l.split(" ")[0], _r.split(" ")[0]
+    _lkc, _rkc = _lk.split(".")[1], _rk.split(".")[1]
+    corpus(f"existshaving_file_{_n}", f"EXISTS over grouped HAVING subqueries for {_n} (reference test/sql/subquery)")([
+        ("I", "", f"SELECT count(*) FROM {_rt} b WHERE EXISTS (SELECT a.{_lkc} FROM {_lt} a WHERE a.{_lkc} = b.{_rkc} GROUP BY a.{_lkc} HAVING count(*) > 1)"),
+        ("I", "", f"SELECT count(*) FROM {_rt} b WHERE NOT EXISTS (SELECT a.{_lkc} FROM {_lt} a WHERE a.{_lkc} = b.{_rkc} GROUP BY a.{_lkc} HAVING count(*) >= 1)"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_rt} b WHERE NOT EXISTS (SELECT a.{_lkc} FROM {_lt} a WHERE a.{_lkc} = b.{_rkc} GROUP BY a.{_lkc} HAVING count(*) >= 1)) = (SELECT count(*) FROM {_rt} b WHERE NOT EXISTS (SELECT 1 FROM {_lt} a WHERE a.{_lkc} = b.{_rkc})) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM {_rt} b WHERE EXISTS (SELECT a.{_lkc} FROM {_lt} a WHERE a.{_lkc} = b.{_rkc} GROUP BY a.{_lkc} HAVING count(*) > 3)"),
+        ("I", "", f"SELECT count(*) FROM {_rt} b WHERE EXISTS (SELECT a.{_lkc} FROM {_lt} a WHERE a.{_lkc} = b.{_rkc} AND a.{_lkc} % 2 = 0 GROUP BY a.{_lkc} HAVING CAST(sum(a.{_lkc} % 5) AS BIGINT) > 0)"),
+    ])
+
+# Per-table cast round-trip identities (reference test/sql/cast —
+# value -> STRING -> value must be lossless for integers and dates).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"castrt_file_{_t}", f"cast round-trips over {_t} (reference test/sql/cast)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE CAST(CAST({_k} AS STRING) AS BIGINT) <> CAST({_k} AS BIGINT)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE CAST(CAST(({_k}) % 100 AS STRING) AS INT) <> CAST(({_k}) % 100 AS INT)"),
+        ("T", "", f"SELECT CAST((SELECT count(DISTINCT CAST({_k} AS STRING)) FROM {_t}) = (SELECT count(DISTINCT {_k}) FROM {_t}) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE length(CAST(({_k}) % 1000 AS STRING)) > 3"),
+        ("I", "", f"SELECT CAST(sum(CAST(CAST(({_k}) % 7 AS STRING) AS BIGINT)) AS BIGINT) FROM {_t}"),
+    ])
+
+# Per-table lexicographic-vs-numeric ordering (reference test/sql/order
+# — string-cast keys order differently from their numeric source).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _pairrn = f"(SELECT {_k} AS kk, row_number() OVER (ORDER BY {_k}) AS rn_num, row_number() OVER (ORDER BY CAST({_k} AS STRING), {_k}) AS rn_lex FROM {_t})"
+    corpus(f"lexorder_file_{_t}", f"lexicographic vs numeric ordering over {_t} (reference test/sql/order)")([
+        ("I", "", f"SELECT count(*) FROM {_pairrn} x WHERE rn_num <> rn_lex"),
+        ("T", "", f"SELECT CAST((SELECT CAST(max(rn_lex) AS BIGINT) FROM {_pairrn} x) = (SELECT count(*) FROM {_t}) AS STRING)"),
+        ("T", "", f"SELECT CAST(kk AS STRING) FROM (SELECT kk, rn_lex FROM {_pairrn} x) y ORDER BY rn_lex LIMIT 3"),
+        ("I", "", f"SELECT count(*) FROM {_pairrn} x WHERE rn_num = rn_lex AND kk % 2 = 0"),
+        ("T", "", f"SELECT min(CAST({_k} AS STRING)) FROM {_t}"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
