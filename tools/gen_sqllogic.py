@@ -5792,6 +5792,46 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Mixed EXISTS+IN predicates per FK pair (reference test/sql/subquery
+# — both subquery forms conjoined and disjoined in one WHERE).
+for _n, (_l, _r, _on, _grp) in _JOIN_PAIRS.items():
+    _lk, _rk = _on.split(" = ")
+    _lt, _rt = _l.split(" ")[0], _r.split(" ")[0]
+    _lkc, _rkc = _lk.split(".")[1], _rk.split(".")[1]
+    corpus(f"mixsemi_file_{_n}", f"mixed EXISTS and IN predicates for {_n} (reference test/sql/subquery)")([
+        ("I", "", f"SELECT count(*) FROM {_lt} a WHERE EXISTS (SELECT 1 FROM {_rt} b WHERE b.{_rkc} = a.{_lkc}) AND a.{_lkc} IN (SELECT {_rkc} FROM {_rt} WHERE {_rkc} % 2 = 0)"),
+        ("I", "", f"SELECT count(*) FROM {_lt} a WHERE EXISTS (SELECT 1 FROM {_rt} b WHERE b.{_rkc} = a.{_lkc}) OR a.{_lkc} % 10 IN (SELECT r_regionkey FROM region)"),
+        ("I", "", f"SELECT count(*) FROM {_lt} a WHERE NOT EXISTS (SELECT 1 FROM {_rt} b WHERE b.{_rkc} = a.{_lkc}) AND a.{_lkc} % 3 IN (0, 1)"),
+        ("I", "", f"SELECT count(*) FROM {_lt} a WHERE a.{_lkc} IN (SELECT {_rkc} FROM {_rt}) AND NOT (a.{_lkc} % 4 IN (SELECT r_regionkey FROM region WHERE r_regionkey < 2))"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_lt} a WHERE EXISTS (SELECT 1 FROM {_rt} b WHERE b.{_rkc} = a.{_lkc})) = (SELECT count(*) FROM {_lt} a WHERE a.{_lkc} IN (SELECT {_rkc} FROM {_rt})) AS STRING)"),
+    ])
+
+# Per-table integer-division-to-double semantics (reference
+# test/sql/function/math — `/` on integers yields double in both
+# engines; floor() recovers the integral quotient).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _x = f"({_k}) % 17"
+    corpus(f"divdouble_file_{_t}", f"integer / returning double over {_t} (reference test/sql/function/math)")([
+        ("R", "", f"SELECT round(sum({_x} / 4), 3) FROM {_t}"),
+        ("I", "", f"SELECT CAST(sum(CAST(floor({_x} / 4) AS BIGINT)) AS BIGINT) FROM {_t}"),
+        ("T", "", f"SELECT CAST((SELECT CAST(sum(CAST(floor({_x} / 4) AS BIGINT)) AS BIGINT) FROM {_t}) <= (SELECT CAST(sum({_x}) AS BIGINT) FROM {_t}) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_x} / 2 = CAST({_x} AS DOUBLE) / 2"),
+        ("T", "", f"SELECT CAST((SELECT CAST(sum(CAST(floor({_x} / 3) AS BIGINT)) * 3 + sum(CAST({_x} AS BIGINT) % 3) AS BIGINT) FROM {_t}) = (SELECT CAST(sum({_x}) AS BIGINT) FROM {_t}) AS STRING)"),
+    ])
+
+# Per-table NULLS ordering inside window ORDER BY (reference
+# test/sql/window — NULLS FIRST/LAST changes which rows rank first).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _nv = f"nullif(({_k}) % 4, 0)"
+    corpus(f"winnullord_file_{_t}", f"NULLS ordering in windows over {_t} (reference test/sql/window)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT {_nv} AS nv, row_number() OVER (ORDER BY {_nv} ASC NULLS FIRST, {_k}) AS rn FROM {_t}) x WHERE rn = 1 AND nv IS NULL"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_nv} AS nv, row_number() OVER (ORDER BY {_nv} ASC NULLS LAST, {_k}) AS rn FROM {_t}) x WHERE rn = 1 AND nv IS NULL"),
+        ("T", "", f"SELECT CAST((SELECT CAST(max(rn) AS BIGINT) FROM (SELECT row_number() OVER (ORDER BY {_nv} DESC NULLS FIRST, {_k}) AS rn FROM {_t}) x) = (SELECT count(*) FROM {_t}) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_nv} AS nv, rank() OVER (ORDER BY {_nv} ASC NULLS FIRST) AS rk FROM {_t}) x WHERE rk = 1"),
+        ("II", "", f"SELECT CAST(kk AS BIGINT) AS kb, rn FROM (SELECT {_k} AS kk, row_number() OVER (ORDER BY {_nv} DESC NULLS LAST, {_k}) AS rn FROM {_t}) x ORDER BY rn LIMIT 4"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
