@@ -4692,6 +4692,8 @@ _STARS = {
     "orders":   ("orders f JOIN customer d1 ON f.o_custkey = d1.c_custkey JOIN nation d2 ON d1.c_nationkey = d2.n_nationkey", "d1.c_mktsegment", "d2.n_name", "f.o_orderkey"),
     "lineitem": ("lineitem f JOIN orders d1 ON f.l_orderkey = d1.o_orderkey JOIN part d2 ON f.l_partkey = d2.p_partkey", "d1.o_orderstatus", "d2.p_brand", "f.l_orderkey * 10 + f.l_linenumber"),
     "events":   ("events f JOIN customer d1 ON f.user_id = d1.c_custkey JOIN nation d2 ON d1.c_nationkey = d2.n_nationkey", "f.event_type", "d2.n_name", "f.event_id"),
+    # Added in round-4 part 6: lineitem's OTHER two dimensions.
+    "lineitem2": ("lineitem f JOIN supplier d1 ON f.l_suppkey = d1.s_suppkey JOIN part d2 ON f.l_partkey = d2.p_partkey", "d1.s_name", "d2.p_brand", "f.l_orderkey * 10 + f.l_linenumber"),
 }
 for _t, (_frm, _d1, _d2, _fk) in _STARS.items():
     corpus(f"startwo_file_{_t}", f"two-dimension star join over {_t} (reference test/sql/join)")([
@@ -5829,6 +5831,32 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
         ("T", "", f"SELECT CAST((SELECT CAST(max(rn) AS BIGINT) FROM (SELECT row_number() OVER (ORDER BY {_nv} DESC NULLS FIRST, {_k}) AS rn FROM {_t}) x) = (SELECT count(*) FROM {_t}) AS STRING)"),
         ("I", "", f"SELECT count(*) FROM (SELECT {_nv} AS nv, rank() OVER (ORDER BY {_nv} ASC NULLS FIRST) AS rk FROM {_t}) x WHERE rk = 1"),
         ("II", "", f"SELECT CAST(kk AS BIGINT) AS kb, rn FROM (SELECT {_k} AS kk, row_number() OVER (ORDER BY {_nv} DESC NULLS LAST, {_k}) AS rn FROM {_t}) x ORDER BY rn LIMIT 4"),
+    ])
+
+
+# Per-table dynamic-offset substr (reference test/sql/function/string
+# — computed start/length arguments).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"substrdyn_file_{_t}", f"computed-offset substr over {_t} (reference test/sql/function/string)")([
+        ("T", "", f"SELECT substr({_s}, 1 + CAST(({_k}) % 3 AS INT), 2) FROM {_t} ORDER BY {_k} LIMIT 5"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE length(substr({_s}, 1, CAST(({_k}) % 5 AS INT))) = least(CAST(({_k}) % 5 AS INT), length({_s}))"),
+        ("T", "", f"SELECT substr({_s}, CAST(length({_s}) AS INT), 1) FROM {_t} ORDER BY {_k} LIMIT 4"),
+        ("I", "", f"SELECT count(DISTINCT substr({_s}, 1 + CAST(({_k}) % 2 AS INT), 3)) FROM {_t}"),
+        ("T", "", f"SELECT concat(substr({_s}, 1, 2), substr({_s}, 3 + CAST(({_k}) % 2 AS INT), 2)) FROM {_t} ORDER BY {_k} LIMIT 4"),
+    ])
+
+# Per-table ratio aggregates (reference test/sql/aggregate —
+# proportion-of-rows measures via count_if over count(*)).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"ratioagg_file_{_t}", f"ratio aggregates over {_t} (reference test/sql/aggregate)")([
+        ("R", "", f"SELECT round(count_if({_p}) * 1.0 / count(*), 3) FROM {_t}"),
+        ("R", "rowsort", f"SELECT round(count_if(({_k}) % 2 = 0) * 1.0 / count(*), 3) FROM {_t} GROUP BY {_g}"),
+        ("T", "", f"SELECT CAST(count_if({_p}) + count_if(NOT ({_p})) = count(*) AS STRING) FROM {_t}"),
+        ("R", "", f"SELECT round(avg(CASE WHEN {_p} THEN 1.0 ELSE 0.0 END), 3) FROM {_t}"),
+        # avg over DECIMAL literals is EXCLUDED from the identity: the
+        # engines assign different result scales to avg(DECIMAL(2,1))
+        # (probe-found .6f divergence); CAST to DOUBLE first agrees.
+        ("T", "", f"SELECT CAST((SELECT round(count_if({_p}) * 1.0 / count(*), 6) FROM {_t}) = (SELECT round(avg(CASE WHEN {_p} THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) FROM {_t}) AS STRING)"),
     ])
 
 
