@@ -5860,6 +5860,40 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Per-table LIKE with scalar-subquery patterns (reference
+# test/sql/function/string — the pattern itself computed by a query).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"likedyn_file_{_t}", f"scalar-subquery LIKE patterns over {_t} (reference test/sql/function/string)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_s} LIKE (SELECT concat('%', substr(min({_s}), 1, 1), '%') FROM {_t})"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_s} LIKE concat(substr((SELECT min({_s}) FROM {_t}), 1, 1), '%')"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_s} NOT LIKE (SELECT concat(max(substr({_s}, 1, 1)), '%') FROM {_t})"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_t} WHERE {_s} LIKE '%') = (SELECT count(*) FROM {_t} WHERE {_s} IS NOT NULL) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_s} LIKE CASE WHEN (SELECT count(*) FROM region) = 5 THEN '%a%' ELSE '%zzz%' END"),
+    ])
+
+# Per-table EXISTS over literal VALUES relations (reference
+# test/sql/subquery — semi-joins against inline data).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"existsvalues_file_{_t}", f"EXISTS over VALUES relations for {_t} (reference test/sql/subquery)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE EXISTS (SELECT 1 FROM (VALUES (0), (1), (2)) v(x) WHERE v.x = ({_k}) % 5)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE NOT EXISTS (SELECT 1 FROM (VALUES (0), (1)) v(x) WHERE v.x = ({_k}) % 4)"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_t} WHERE EXISTS (SELECT 1 FROM (VALUES (0), (1), (2)) v(x) WHERE v.x = ({_k}) % 5)) = (SELECT count(*) FROM {_t} WHERE ({_k}) % 5 IN (0, 1, 2)) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE EXISTS (SELECT 1 FROM (VALUES ('A'), ('B')) v(x) WHERE v.x = upper(substr({_s}, 1, 1)))"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE EXISTS (SELECT 1 FROM (VALUES (0), (2), (4)) v(x) WHERE v.x = ({_k}) % 6 AND {_p})"),
+    ])
+
+# Per-table four-level derived-table nesting (reference
+# test/sql/subquery — filters and projections at every level).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"deepnest_file_{_t}", f"four-level derived nesting over {_t} (reference test/sql/subquery)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT kk FROM (SELECT kk, gg FROM (SELECT {_k} AS kk, {_g} AS gg FROM (SELECT * FROM {_t} WHERE {_p}) l1) l2 WHERE kk % 2 = 0) l3 WHERE kk % 3 = 0) l4"),
+        ("I", "", f"SELECT CAST(max(kk) AS BIGINT) FROM (SELECT kk + 1 AS kk FROM (SELECT kk - 1 AS kk FROM (SELECT {_k} AS kk FROM {_t}) a) b) c"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM (SELECT kk FROM (SELECT kk FROM (SELECT {_k} AS kk FROM {_t}) a) b) c) = (SELECT count(*) FROM {_t}) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM (SELECT kk, sv FROM (SELECT kk, upper(sv) AS sv FROM (SELECT {_k} AS kk, {_s} AS sv FROM {_t}) a WHERE length(sv) > 2) b WHERE sv LIKE '%A%') c"),
+        ("II", "", f"SELECT CAST(mn AS BIGINT), CAST(mx AS BIGINT) FROM (SELECT min(kk) AS mn, max(kk) AS mx FROM (SELECT kk FROM (SELECT {_k} AS kk FROM {_t} WHERE {_p}) a WHERE kk % 2 = 1) b) c"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
