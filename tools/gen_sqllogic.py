@@ -5894,6 +5894,44 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Per-table wide aggregate rows (reference test/sql/aggregate — every
+# basic aggregate of one expression in a single SELECT).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _x = f"({_k}) % 15"
+    corpus(f"allaggs_file_{_t}", f"wide aggregate rows over {_t} (reference test/sql/aggregate)")([
+        ("IIIII", "", f"SELECT count(*), count(DISTINCT {_x}), CAST(sum({_x}) AS BIGINT), CAST(min({_x}) AS BIGINT), CAST(max({_x}) AS BIGINT) FROM {_t}"),
+        ("IR", "", f"SELECT count(*), round(avg({_x}), 3) FROM {_t} WHERE {_p}"),
+        ("IIIII", "rowsort", f"SELECT count(*), count(DISTINCT {_x}), CAST(sum({_x}) AS BIGINT), CAST(min({_x}) AS BIGINT), CAST(max({_x}) AS BIGINT) FROM {_t} GROUP BY {_g}"),
+        ("T", "", f"SELECT CAST((SELECT CAST(min({_x}) AS BIGINT) FROM {_t}) <= (SELECT CAST(max({_x}) AS BIGINT) FROM {_t}) AS STRING)"),
+        ("II", "", f"SELECT count({_s}), count(DISTINCT substr({_s}, 1, 1)) FROM {_t}"),
+    ])
+
+# Mixed INNER+LEFT joins per star fact (reference test/sql/join —
+# an inner first hop with an outer second hop).
+for _t, (_frm0, _d1, _d2, _fk) in _STARS.items():
+    _parts = _frm0.split(" JOIN ")
+    _mixed = f"{_parts[0]} JOIN {_parts[1]} LEFT JOIN {_parts[2]}"
+    corpus(f"mixedjoin_file_{_t}", f"mixed INNER+LEFT joins over {_t} (reference test/sql/join)")([
+        ("II", "", f"SELECT count(*), count({_d2}) FROM {_mixed}"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_mixed}) >= (SELECT count(*) FROM {_frm0}) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM {_mixed} WHERE {_d2} IS NULL"),
+        ("TI", "rowsort", f"SELECT coalesce({_d2}, '(none)') AS g, count(*) FROM {_mixed} GROUP BY coalesce({_d2}, '(none)') HAVING count(*) > 2"),
+        ("I", "", f"SELECT count(DISTINCT {_d1}) FROM {_mixed} WHERE {_d2} IS NOT NULL"),
+    ])
+
+# Per-table repeated derived tables joined (reference test/sql/join —
+# the same derived text appearing twice under different aliases).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _dtab = f"(SELECT ({_k}) % 7 AS b, count(*) AS c FROM {_t} GROUP BY ({_k}) % 7)"
+    corpus(f"dupderived_file_{_t}", f"repeated derived tables over {_t} (reference test/sql/join)")([
+        ("I", "", f"SELECT count(*) FROM {_dtab} a JOIN {_dtab} b ON a.b = b.b"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_dtab} a JOIN {_dtab} b ON a.b = b.b AND a.c = b.c) = (SELECT count(*) FROM {_dtab} x) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM {_dtab} a JOIN {_dtab} b ON a.b = (b.b + 1) % 7"),
+        ("I", "", f"SELECT CAST(sum(a.c * b.c) AS BIGINT) FROM {_dtab} a JOIN {_dtab} b ON a.b = b.b"),
+        ("I", "", f"SELECT count(*) FROM {_dtab} a CROSS JOIN {_dtab} b WHERE a.b < b.b"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
