@@ -4182,6 +4182,8 @@ for _t, (_k, _d) in _DTCOLS.items():
 # Four-table FK chains (reference test/sql/join — one hop deeper than
 # the joinchain_file_* three-table chains).
 _CHAINS4 = {
+    "c_o_l_p": ("customer c JOIN orders o ON c.c_custkey = o.o_custkey JOIN lineitem l ON o.o_orderkey = l.l_orderkey JOIN part p ON l.l_partkey = p.p_partkey", "c.c_mktsegment", "l.l_orderkey * 10 + l.l_linenumber"),
+    "n_s_l_o": ("nation n JOIN supplier s ON n.n_nationkey = s.s_nationkey JOIN lineitem l ON s.s_suppkey = l.l_suppkey JOIN orders o ON l.l_orderkey = o.o_orderkey", "n.n_name", "o.o_orderkey"),
     "r_n_c_o": ("region r JOIN nation n ON r.r_regionkey = n.n_regionkey JOIN customer c ON n.n_nationkey = c.c_nationkey JOIN orders o ON c.c_custkey = o.o_custkey", "r.r_name", "o.o_orderkey"),
     "n_c_o_l": ("nation n JOIN customer c ON n.n_nationkey = c.c_nationkey JOIN orders o ON c.c_custkey = o.o_custkey JOIN lineitem l ON o.o_orderkey = l.l_orderkey", "n.n_name", "l.l_orderkey * 10 + l.l_linenumber"),
     "r_n_s_l": ("region r JOIN nation n ON r.r_regionkey = n.n_regionkey JOIN supplier s ON n.n_nationkey = s.s_nationkey JOIN lineitem l ON s.s_suppkey = l.l_suppkey", "r.r_name", "l.l_orderkey * 10 + l.l_linenumber"),
@@ -5929,6 +5931,76 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
         ("I", "", f"SELECT count(*) FROM {_dtab} a JOIN {_dtab} b ON a.b = (b.b + 1) % 7"),
         ("I", "", f"SELECT CAST(sum(a.c * b.c) AS BIGINT) FROM {_dtab} a JOIN {_dtab} b ON a.b = b.b"),
         ("I", "", f"SELECT count(*) FROM {_dtab} a CROSS JOIN {_dtab} b WHERE a.b < b.b"),
+    ])
+
+
+# Per-table four-key grouping (reference test/sql/aggregate — wide
+# grouping keys with mixed expression types).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _keys = f"({_k}) % 2, ({_k}) % 3, substr({_s}, 1, 1), CAST({_p} AS INT)"
+    corpus(f"widegroup_file_{_t}", f"four-key grouping over {_t} (reference test/sql/aggregate)")([
+        ("I", "", f"SELECT count(*) FROM (SELECT {_keys} FROM {_t} GROUP BY {_keys}) x"),
+        ("IITII", "rowsort", f"SELECT ({_k}) % 2 AS a, ({_k}) % 3 AS b, substr({_s}, 1, 1) AS c, CAST({_p} AS INT) AS d, count(*) FROM {_t} GROUP BY {_keys} HAVING count(*) > 1"),
+        ("T", "", f"SELECT CAST((SELECT CAST(sum(c) AS BIGINT) FROM (SELECT count(*) AS c FROM {_t} GROUP BY {_keys}) x) = (SELECT count(*) FROM {_t}) AS STRING)"),
+        ("I", "", f"SELECT CAST(max(c) AS BIGINT) FROM (SELECT count(*) AS c FROM {_t} GROUP BY {_keys}) x"),
+        ("I", "", f"SELECT count(*) FROM (SELECT count(*) AS c FROM {_t} GROUP BY {_keys}) x WHERE c = 1"),
+    ])
+
+# Per-table aggregates over all-NULL inputs (reference
+# test/sql/aggregate — sum/avg/min/max are NULL, count is 0).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _nul = "CASE WHEN FALSE THEN 1 END"
+    corpus(f"aggnullall_file_{_t}", f"aggregates over all-NULL inputs of {_t} (reference test/sql/aggregate)")([
+        ("TTTT", "", f"SELECT CAST(sum({_nul}) AS STRING), CAST(avg({_nul}) AS STRING), CAST(min({_nul}) AS STRING), CAST(max({_nul}) AS STRING) FROM {_t}"),
+        ("II", "", f"SELECT count({_nul}), count(*) FROM {_t}"),
+        ("I", "", f"SELECT count(DISTINCT {_nul}) FROM {_t}"),
+        ("T", "", f"SELECT CAST(coalesce(CAST(sum({_nul}) AS BIGINT), -1) = -1 AS STRING) FROM {_t}"),
+        ("TI", "rowsort", f"SELECT CAST(max({_nul}) AS STRING), count(*) FROM {_t} GROUP BY {_g}"),
+    ])
+
+# Per-table absolute-difference identities (reference
+# test/sql/function/math — |a-b| symmetry and triangle bounds).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _a, _b = f"({_k}) % 11", f"({_k}) % 6"
+    corpus(f"absdiff_file_{_t}", f"absolute-difference identities over {_t} (reference test/sql/function/math)")([
+        ("T", "", f"SELECT CAST((SELECT CAST(sum(abs({_a} - {_b})) AS BIGINT) FROM {_t}) = (SELECT CAST(sum(abs({_b} - {_a})) AS BIGINT) FROM {_t}) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE abs({_a} - {_b}) > {_a} + {_b}"),
+        ("I", "", f"SELECT CAST(sum(greatest({_a}, {_b}) - least({_a}, {_b})) AS BIGINT) FROM {_t}"),
+        ("T", "", f"SELECT CAST((SELECT CAST(sum(abs({_a} - {_b})) AS BIGINT) FROM {_t}) = (SELECT CAST(sum(greatest({_a}, {_b}) - least({_a}, {_b})) AS BIGINT) FROM {_t}) AS STRING)"),
+        ("II", "rowsort", f"SELECT CAST(abs({_a} - {_b}) AS BIGINT) % 3, count(*) FROM {_t} GROUP BY CAST(abs({_a} - {_b}) AS BIGINT) % 3"),
+    ])
+
+# Per-table multi-direction window ordering (reference test/sql/window
+# — mixed ASC/DESC keys inside one OVER clause).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"winmultiord_file_{_t}", f"mixed-direction window ordering over {_t} (reference test/sql/window)")([
+        ("II", "", f"SELECT CAST(kk AS BIGINT) AS kb, rn FROM (SELECT {_k} AS kk, row_number() OVER (ORDER BY ({_k}) % 3 ASC, {_k} DESC) AS rn FROM {_t}) x ORDER BY rn LIMIT 5"),
+        ("I", "", f"SELECT count(*) FROM (SELECT rank() OVER (ORDER BY ({_k}) % 2 DESC, substr({_s}, 1, 1) ASC, {_k}) AS rk FROM {_t}) x WHERE rk <= 3"),
+        ("T", "", f"SELECT CAST((SELECT CAST(max(rn) AS BIGINT) FROM (SELECT row_number() OVER (ORDER BY ({_k}) % 5 DESC, {_k} ASC) AS rn FROM {_t}) x) = (SELECT count(*) FROM {_t}) AS STRING)"),
+        ("II", "", f"SELECT CAST(kk AS BIGINT) AS kb, rn FROM (SELECT {_k} AS kk, row_number() OVER (ORDER BY length({_s}) DESC, {_k} ASC) AS rn FROM {_t}) x WHERE rn <= 4 ORDER BY rn"),
+        ("I", "", f"SELECT count(*) FROM (SELECT row_number() OVER (ORDER BY ({_k}) % 4 ASC, ({_k}) % 7 DESC, {_k}) AS rn, ({_k}) % 4 AS m FROM {_t}) x WHERE rn = 1 AND m = 0"),
+    ])
+
+# Quarter-level aggregates over the real temporal columns (reference
+# test/sql/types/date — quarter buckets as first-class group keys).
+for _t, (_k, _d) in _DTCOLS.items():
+    corpus(f"quarteragg_file_{_t}", f"quarter-level aggregates over {_t} (reference test/sql/types/date)")([
+        ("III", "rowsort", f"SELECT EXTRACT(YEAR FROM {_d}), EXTRACT(QUARTER FROM {_d}), count(*) FROM {_t} GROUP BY EXTRACT(YEAR FROM {_d}), EXTRACT(QUARTER FROM {_d})"),
+        ("I", "", f"SELECT count(DISTINCT concat(CAST(EXTRACT(YEAR FROM {_d}) AS STRING), '-', CAST(EXTRACT(QUARTER FROM {_d}) AS STRING))) FROM {_t}"),
+        ("T", "", f"SELECT CAST(min(CAST(date_trunc('quarter', {_d}) AS DATE)) AS STRING) FROM {_t} WHERE EXTRACT(QUARTER FROM {_d}) = 2"),
+        ("II", "", f"SELECT EXTRACT(QUARTER FROM {_d}) AS q, count(*) AS c FROM {_t} GROUP BY EXTRACT(QUARTER FROM {_d}) ORDER BY c DESC, q LIMIT 1"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE EXTRACT(QUARTER FROM {_d}) IN (1, 4)"),
+    ])
+
+# Per-table constant-folding shapes (reference test/sql/conjunction +
+# optimizer — tautologies and contradictions mixed with real predicates).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"constfold_file_{_t}", f"constant folding over {_t} (reference test/sql/conjunction)")([
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_t} WHERE 1 = 1 AND {_p}) = (SELECT count(*) FROM {_t} WHERE {_p}) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE 1 = 2 AND {_p}"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_t} WHERE {_p} OR 2 + 2 = 4) = (SELECT count(*) FROM {_t}) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE ({_p} AND TRUE) OR (NOT ({_p}) AND FALSE)"),
+        ("I", "", f"SELECT CAST(sum(CASE WHEN 3 > 2 THEN ({_k}) % 4 ELSE 999 END) AS BIGINT) FROM {_t}"),
     ])
 
 
