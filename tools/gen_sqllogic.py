@@ -6004,6 +6004,32 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Per-table nested-modulo chains (reference test/sql/function/math —
+# composition of % operators and its distribution over grouping).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _c = f"((({_k}) % 97) % 13) % 7"
+    corpus(f"modchain_file_{_t}", f"nested modulo chains over {_t} (reference test/sql/function/math)")([
+        ("I", "", f"SELECT CAST(sum({_c}) AS BIGINT) FROM {_t}"),
+        ("II", "rowsort", f"SELECT {_c}, count(*) FROM {_t} GROUP BY {_c}"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_t} WHERE {_c} >= 7) = 0 AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_c} = ({_k}) % 7 AND ({_k}) % 97 < 13"),
+        ("II", "", f"SELECT CAST(min({_c}) AS BIGINT), CAST(max({_c}) AS BIGINT) FROM {_t}"),
+    ])
+
+# Per-table numeric-string concatenation (reference
+# test/sql/function/string — numbers rendered into strings, grouped
+# and ordered as text).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _ns = f"concat('k', CAST(({_k}) % 12 AS STRING))"
+    corpus(f"concatnum_file_{_t}", f"numeric-string concatenation over {_t} (reference test/sql/function/string)")([
+        ("TI", "rowsort", f"SELECT {_ns}, count(*) FROM {_t} GROUP BY {_ns}"),
+        ("T", "", f"SELECT min({_ns}) FROM {_t}"),
+        ("T", "", f"SELECT max({_ns}) FROM {_t}"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE length({_ns}) = 3"),
+        ("I", "", f"SELECT count(DISTINCT {_ns}) FROM {_t}"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
