@@ -6030,6 +6030,42 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# Per-table ILIKE matrix (reference test/sql/function/string/
+# test_ilike.test — case-insensitive LIKE is a shared spelling).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"ilike2_file_{_t}", f"ILIKE matrix over {_t} (reference test/sql/function/string)")([
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_s} ILIKE '%a%'"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_t} WHERE {_s} ILIKE '%e%') = (SELECT count(*) FROM {_t} WHERE lower({_s}) LIKE '%e%') AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE {_s} NOT ILIKE 'z%'"),
+        ("II", "", f"SELECT count_if({_s} ILIKE '%o%'), count_if({_s} LIKE '%o%') FROM {_t}"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM {_t} WHERE {_s} ILIKE '%A%') >= (SELECT count(*) FROM {_t} WHERE {_s} LIKE '%A%') AS STRING)"),
+    ])
+
+# Per-table EXISTS with ORDER BY/LIMIT inside (reference
+# test/sql/subquery — ordering inside EXISTS is semantically inert,
+# LIMIT 0 makes it empty).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"existslimit_file_{_t}", f"EXISTS with ORDER BY/LIMIT over {_t} (reference test/sql/subquery)")([
+        ("I", "", f"SELECT count(*) FROM region WHERE EXISTS (SELECT 1 FROM {_t} ORDER BY {_k} LIMIT 1)"),
+        ("I", "", f"SELECT count(*) FROM region WHERE EXISTS (SELECT 1 FROM {_t} LIMIT 0)"),
+        ("T", "", f"SELECT CAST((SELECT count(*) FROM region WHERE EXISTS (SELECT 1 FROM {_t} WHERE {_p} LIMIT 3)) = (SELECT CASE WHEN EXISTS (SELECT 1 FROM {_t} WHERE {_p}) THEN (SELECT count(*) FROM region) ELSE 0 END) AS STRING)"),
+        ("I", "", f"SELECT count(*) FROM {_t} WHERE EXISTS (SELECT 1 FROM region ORDER BY r_regionkey DESC LIMIT 2) AND {_p}"),
+        ("I", "", f"SELECT count(*) FROM region r WHERE EXISTS (SELECT 1 FROM {_t} WHERE ({_k}) % 5 = r.r_regionkey ORDER BY {_k} LIMIT 1)"),
+    ])
+
+# Per-table concatenated grouping keys (reference test/sql/aggregate —
+# composite string keys built at group time).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _ck = f"concat(substr({_s}, 1, 1), '-', CAST(({_k}) % 3 AS STRING))"
+    corpus(f"concatkey_file_{_t}", f"concatenated grouping keys over {_t} (reference test/sql/aggregate)")([
+        ("TI", "rowsort", f"SELECT {_ck}, count(*) FROM {_t} GROUP BY {_ck}"),
+        ("I", "", f"SELECT count(DISTINCT {_ck}) FROM {_t}"),
+        ("T", "", f"SELECT CAST((SELECT count(DISTINCT {_ck}) FROM {_t}) = (SELECT count(*) FROM (SELECT substr({_s}, 1, 1) AS a, ({_k}) % 3 AS b FROM {_t} GROUP BY substr({_s}, 1, 1), ({_k}) % 3) x) AS STRING)"),
+        ("TI", "", f"SELECT {_ck} AS ck, count(*) AS c FROM {_t} GROUP BY {_ck} ORDER BY c DESC, ck LIMIT 3"),
+        ("I", "", f"SELECT count(*) FROM (SELECT {_ck} AS ck FROM {_t} GROUP BY {_ck} HAVING count(*) > 1) x"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
