@@ -118,10 +118,23 @@ def _ordered_names() -> list[str]:
         except ValueError:
             return len(_MODULE_PRIORITY)
 
+    # Round-robin the never-checked tier across modules: the driver checks a
+    # bounded 50-name prefix per round, so a per-module wave index makes each
+    # round sample EVERY remaining family (clickbench/h2oai/ldbc/job-variant/
+    # tpcds/function heads together) instead of draining one module per round.
+    wave: dict[str, int] = {}
+    counts: dict[str, int] = {}
+    for name in REGISTRY:
+        if name in green or name in red:
+            continue
+        mod = REGISTRY[name].builder.__module__.rsplit(".", 1)[-1]
+        wave[name] = counts.get(mod, 0)
+        counts[mod] = wave[name] + 1
+
     def key(name: str) -> tuple:
         # red (known-divergent, now fixed) first, then never-checked, then green
         tier = 0 if name in red else (2 if name in green else 1)
-        return (tier, mod_rank(name), reg_index[name])
+        return (tier, wave.get(name, 0), mod_rank(name), reg_index[name])
 
     return sorted(REGISTRY, key=key)
 
