@@ -951,82 +951,177 @@ def pq_adc_topk(
     = sum of table entries selected by the corpus row's codes, then the
     top ``rerank`` candidates per query re-rank by exact cosine.
 
-    Scale shape: the corpus side carries only (id, m codes) — the
-    compressed representation that fits memory at 100 TB — through one
-    broadcast-able join against the (small) query set; raw vectors are
-    touched only for the rerank candidates (a k-bounded semi join back
-    to the corpus).  No shuffle before the per-query top-k window."""
+    Scale shape: ONE fused ``mapInArrow`` pass over the corpus assigns
+    the PQ codes and gathers each query's LUT terms in the same numpy
+    batch, keeping only a running per-query top-``rerank`` selection —
+    the |Q| x |corpus| scored pair stream never materializes as Spark
+    rows (r4's crossJoin + separate partial paid ~1.5x for exactly that
+    materialization).  The LUTs are computed driver-side from the
+    collected query set (|Q| x m x codes doubles — bounded by the
+    documented small-query-set contract, the same model-sized class as
+    the k-means means collects), with the identical strict-left-fold
+    IEEE arithmetic as the expression/oracle form, so every surviving
+    ``_adc`` is bit-for-bit the pair-algebra value.  An exact
+    row_number merge window over the <= partitions x rerank survivors
+    restores the global candidate set; raw vectors are touched only for
+    the rerank candidates (a k-bounded join back to the corpus)."""
     subdim = dim // m
     books = codebooks or [
         [_pq_centroid(sub, code, subdim) for code in range(codes)]
         for sub in range(m)
     ]
-    cc = pq_codes(
-        corpus, id_col, vec_col, dim, m=m, k=codes, codebooks=books
-    ).select(
-        F.col(id_col).alias("match_id"),
-        *[F.col(f"c{s}").alias(f"_mc{s}") for s in range(m)],
-    )
+    # ||c||^2 computed once, same Python-float arithmetic as the
+    # F.lit literals / oracle repr()s
+    norms2 = [
+        [float(sum(v * v for v in c)) for c in book] for book in books
+    ]
 
-    # The LUT is materialized on the (small) query side BEFORE the join:
-    # an m x codes matrix of per-code approximate L2 terms
-    # (-2*dot(q_sub, c) + ||c||^2; the ||q_sub||^2 constant drops out of
-    # the ranking), computed once per query row.  ONE nested transform
-    # over the literal codebook tensor (not m separate columns — plan
-    # size discipline, see _codebook_scores).  The per-pair work after
-    # the join is just m element_at picks + a sum over the compressed
-    # code columns — the ADC compressed-scan advantage.
-    all_books_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in book])
-            for book in books
+    # Driver-side LUT build: for each query row, lut[sub][code] =
+    # -2*dot(q_sub, centroid) + ||c||^2 with the dot as a strict left
+    # fold — the exact arithmetic the previous expression form (and the
+    # DuckDB oracle's list_dot_product replay) produces.
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    import numpy as np
+
+    n_q = len(qrows)
+    qids = [r[0] for r in qrows]
+    luts = np.empty((n_q, m, codes), dtype=np.float64)
+    for qi, r in enumerate(qrows):
+        qv = [float(x) for x in (r[1] or [])]
+        for sub in range(m):
+            sq = qv[sub * subdim : (sub + 1) * subdim]
+            for code in range(codes):
+                acc = 0.0
+                for x, y in zip(sq, books[sub][code]):
+                    acc = acc + x * float(y)
+                luts[qi, sub, code] = acc * -2.0 + norms2[sub][code]
+
+    id_field = corpus.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_field.dataType, True),
+            T.StructField("match_id", id_field.dataType, id_field.nullable),
+            T.StructField("_adc", T.DoubleType(), True),
         ]
     )
-    all_norms_lit = F.array(
-        *[
-            F.array(*[F.lit(float(sum(v * v for v in c))) for c in book])
-            for book in books
-        ]
-    )
+    qid_arr = list(qids)
 
-    def lut_for_sub(bookmat: Column, sub_i: Column) -> Column:
-        subq = F.slice(F.col("_qv"), sub_i * subdim + 1, subdim)
+    def adc_partial(batches):
+        import numpy as np
+        import pyarrow as pa
 
-        def entry(cen: Column, code_i: Column) -> Column:
-            dot = F.aggregate(
-                F.zip_with(subq, cen, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+        if not n_q:
+            return
+        # running per-query survivor state: (match_ids, adc, null_mask)
+        st_mid: list | None = None
+        id_type = None
+
+        def prune(mid, adc, nullm):
+            # replicate topk_per_query's ascending total order per
+            # query: NULLs FIRST, values ascending with NaN mapped to
+            # +inf (greatest), ties by match_id ascending
+            keep_m, keep_a, keep_n = [], [], []
+            for qi in range(n_q):
+                a, nm = adc[qi], nullm[qi]
+                vk = np.where(nm, 0.0, np.where(np.isnan(a), np.inf, a))
+                nk = np.where(nm, 0, 1)
+                order = np.lexsort((mid[qi], vk, nk))[:rerank]
+                keep_m.append(mid[qi][order])
+                keep_a.append(a[order])
+                keep_n.append(nm[order])
+            return keep_m, keep_a, keep_n
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if id_type is None:
+                id_type = batch.schema.field(id_col).type
+            ids_col = batch.column(id_col)
+            mids = np.asarray(ids_col.to_numpy(zero_copy_only=False))
+            vec_col_arr = batch.column(vec_col)
+            vnull = np.asarray(
+                vec_col_arr.is_null().to_numpy(zero_copy_only=False),
+                dtype=bool,
             )
-            norm = F.element_at(
-                F.element_at(all_norms_lit, sub_i + 1), code_i + 1
+            n = batch.num_rows
+            # scores: (n_q, n); null-vec rows carry a NULL score (the
+            # expression form's null codes -> null sum), NULLS FIRST
+            scores = np.zeros((n_q, n), dtype=np.float64)
+            snull = np.broadcast_to(vnull, (n_q, n)).copy()
+            good = ~vnull
+            if good.any():
+                flat = np.asarray(
+                    vec_col_arr.flatten().to_numpy(zero_copy_only=False),
+                    dtype=np.float64,
+                )
+                vecs = flat.reshape(int(good.sum()), dim)
+                gscore = None
+                for sub in range(m):
+                    sl = vecs[:, sub * subdim : (sub + 1) * subdim]
+                    dists = np.empty((len(vecs), codes))
+                    for code, cvals in enumerate(books[sub]):
+                        # strict left fold — same FP order as the
+                        # expression path and the oracle
+                        acc = np.zeros(len(vecs))
+                        for j, cj in enumerate(cvals):
+                            acc = acc + sl[:, j] * float(cj)
+                        dists[:, code] = acc * -2.0 + norms2[sub][code]
+                    code_arr = np.argmin(
+                        np.where(np.isnan(dists), np.inf, dists), axis=1
+                    )
+                    term = luts[:, sub, :][:, code_arr]  # (n_q, n_good)
+                    gscore = term if gscore is None else gscore + term
+                scores[:, good] = gscore
+            # self-matches dropped so they never consume candidate slots
+            self_m = mids[None, :] == np.asarray(qid_arr)[:, None]
+            bm = np.broadcast_to(mids, (n_q, n))
+            keep_mask = ~self_m
+            cur_m = [bm[qi][keep_mask[qi]] for qi in range(n_q)]
+            cur_a = [scores[qi][keep_mask[qi]] for qi in range(n_q)]
+            cur_n = [snull[qi][keep_mask[qi]] for qi in range(n_q)]
+            if st_mid is None:
+                st_mid, st_adc, st_null = prune(cur_m, cur_a, cur_n)
+            else:
+                st_mid, st_adc, st_null = prune(
+                    [np.concatenate([st_mid[qi], cur_m[qi]]) for qi in range(n_q)],
+                    [np.concatenate([st_adc[qi], cur_a[qi]]) for qi in range(n_q)],
+                    [np.concatenate([st_null[qi], cur_n[qi]]) for qi in range(n_q)],
+                )
+        if st_mid is None:
+            return
+        out_q, out_m, out_a = [], [], []
+        for qi in range(n_q):
+            for j in range(len(st_mid[qi])):
+                out_q.append(qid_arr[qi])
+                out_m.append(st_mid[qi][j])
+                out_a.append(
+                    None if st_null[qi][j] else float(st_adc[qi][j])
+                )
+        if out_q:
+            yield pa.record_batch(
+                [
+                    pa.array(out_q, type=id_type),
+                    pa.array(out_m, type=id_type),
+                    pa.array(out_a, type=pa.float64()),
+                ],
+                names=["query_id", "match_id", "_adc"],
             )
-            return dot * F.lit(-2.0) + norm
 
-        return F.transform(bookmat, entry)
+    from data_chunk_compaction_in_duckdb_spark.compaction import fan_out
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.transform(all_books_lit, lut_for_sub).alias("_lut"),
+    survivors = fan_out(corpus.select(id_col, vec_col)).mapInArrow(
+        adc_partial, out_schema
     )
-    pairs = F.broadcast(q).crossJoin(cc)
-    score: Column | None = None
-    for sub in range(m):
-        term = F.element_at(
-            F.element_at(F.col("_lut"), sub + 1), F.col(f"_mc{sub}") + 1
-        )
-        score = term if score is None else score + term
-    # self-matches dropped BEFORE the rerank window so they never consume
-    # candidate slots
-    pairs = pairs.filter(F.col("query_id") != F.col("match_id")).select(
-        "query_id", "match_id", score.alias("_adc")
+    # exact merge over the <= partitions x rerank survivor set
+    # (ascending: _adc approximates the L2 distance)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").asc(), F.col("match_id")
     )
-
-    # ascending: _adc approximates the L2 distance
-    cands = topk_per_query(
-        pairs, rerank, value_col="_adc", ascending=True
-    ).select("query_id", "match_id")
+    cands = (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= rerank)
+        .select("query_id", "match_id")
+    )
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
