@@ -607,3 +607,67 @@ def storage_restore_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "storage_sequence_allocation",
+    oracle="""
+    SELECT c_custkey,
+           1014 + 7 * (ROW_NUMBER() OVER (ORDER BY c_custkey) - 1)
+             AS seq_id,
+           1098 - 1 * (ROW_NUMBER() OVER (ORDER BY c_custkey DESC) - 1)
+             AS rev_id
+    FROM customer WHERE c_custkey % 100 = 0
+    ORDER BY c_custkey
+    """,
+)
+def storage_sequence_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE SEQUENCE / nextval parity (storage/sequence.py; reference
+    src/catalog/catalog_entry/sequence_catalog_entry.cpp,
+    test/sql/catalog/sequence/test_sequence.test): an ascending sequence
+    (START 1000 INCREMENT 7) takes two driver-side nextval() calls then
+    one distributed ``with_sequence`` range claim over the customer
+    subset, and a descending sequence (START 1098 INCREMENT -1) numbers
+    the same rows in reverse key order.  The oracle replays the
+    allocation algebra — two nextvals advance the head to 1014, then
+    value(i) = first + i*increment in claim order — so an allocator that
+    skipped, duplicated, or misordered one value diverges."""
+    import tempfile
+
+    from data_chunk_compaction_in_duckdb_spark.storage import (
+        Sequence,
+        with_sequence,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 100 == 0
+    )
+    root = tempfile.mkdtemp(prefix="seq_q_")
+    try:
+        seq = Sequence.create(spark, root + "/s", start=1000, increment=7)
+        assert seq.nextval() == 1000 and seq.nextval() == 1007
+        assert seq.currval() == 1007
+        fwd = with_sequence(cust, seq, "seq_id", order=["c_custkey"])
+        rev = Sequence.create(
+            spark,
+            root + "/r",
+            start=1098,
+            increment=-1,
+            minvalue=-(10**9),
+            maxvalue=1098,
+        )
+        both = with_sequence(
+            fwd.select(
+                "c_custkey", "seq_id", (-F.col("c_custkey")).alias("_neg")
+            ),
+            rev,
+            "rev_id",
+            order=["_neg"],
+        )
+        out = both.select("c_custkey", "seq_id", "rev_id").orderBy(
+            "c_custkey"
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

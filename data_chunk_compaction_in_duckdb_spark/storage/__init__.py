@@ -13,10 +13,22 @@ or AS OF an older version — so snapshot isolation and time travel fall
 out of immutability instead of an MVCC chain.
 """
 
+from data_chunk_compaction_in_duckdb_spark.storage.sequence import (
+    Sequence,
+    SequenceExhausted,
+    with_sequence,
+)
 from data_chunk_compaction_in_duckdb_spark.storage.versioned import (
     CommitConflictError,
     ConstraintViolation,
     VersionedTable,
 )
 
-__all__ = ["CommitConflictError", "ConstraintViolation", "VersionedTable"]
+__all__ = [
+    "CommitConflictError",
+    "ConstraintViolation",
+    "Sequence",
+    "SequenceExhausted",
+    "VersionedTable",
+    "with_sequence",
+]
