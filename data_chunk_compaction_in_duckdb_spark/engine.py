@@ -260,5 +260,29 @@ class Engine:
         ``version`` (default latest) — time travel at the SQL layer."""
         vt.read(version).createOrReplaceTempView(name)
 
+    # -- introspection (reference SHOW TABLES / DESCRIBE /
+    # duckdb_columns(); test/sql/show_select/, test/sql/pg_catalog/)
+    def show_tables(self) -> DataFrame:
+        from data_chunk_compaction_in_duckdb_spark import introspect
+
+        return introspect.show_tables(self.spark)
+
+    def describe(self, name_or_table) -> DataFrame:
+        """DESCRIBE: accepts a view name or a VersionedTable (the latter
+        is read manifest-only — no data scan)."""
+        from data_chunk_compaction_in_duckdb_spark import introspect
+        from data_chunk_compaction_in_duckdb_spark.storage import (
+            VersionedTable,
+        )
+
+        if isinstance(name_or_table, VersionedTable):
+            return introspect.describe_versioned(name_or_table)
+        return introspect.describe_table(self.spark, name_or_table)
+
+    def duckdb_columns(self, tables: list[str] | None = None) -> DataFrame:
+        from data_chunk_compaction_in_duckdb_spark import introspect
+
+        return introspect.duckdb_columns(self.spark, tables)
+
     def close(self) -> None:
         self.spark.stop()

@@ -500,3 +500,60 @@ def scan_pyds_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", 5)
         .load()
     )
+
+
+@query(
+    "introspect_columns",
+    oracle="""
+    SELECT table_name,
+           CAST(ordinal_position AS INTEGER) AS column_index,
+           column_name, data_type, is_nullable
+    FROM information_schema.columns
+    WHERE table_name IN ('region','nation','customer','supplier','part',
+                         'orders','lineitem','events','documents',
+                         'embeddings')
+    ORDER BY table_name, column_index
+    """,
+)
+def introspect_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duckdb_columns() / information_schema readback (introspect.py;
+    reference test/sql/pg_catalog/, src/function/table/system/): the
+    engine's catalog metadata for all ten fixture tables — DuckDB-named
+    types, 1-based ordinals, YES/NO nullability — must equal what
+    DuckDB's own information_schema reports over the same parquet.  A
+    wrong type mapping (e.g. timestamp_ntz vs TIMESTAMP, array<float>
+    vs FLOAT[]) or ordinal drift diverges the hash.  Schemas come from
+    the named fixture loads, not listTables(), so unrelated session
+    temp views never leak in."""
+    from pyspark.sql.types import (
+        IntegerType as _Int,
+        StringType as _Str,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    from data_chunk_compaction_in_duckdb_spark.introspect import (
+        duckdb_type_name,
+    )
+
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    rows = []
+    for t in sorted(tables):
+        for i, f in enumerate(load_table(spark, sf_dir, t).schema.fields):
+            rows.append(
+                (t, i + 1, f.name, duckdb_type_name(f.dataType),
+                 "YES" if f.nullable else "NO")
+            )
+    schema = _ST(
+        [
+            _SF("table_name", _Str()),
+            _SF("column_index", _Int()),
+            _SF("column_name", _Str()),
+            _SF("data_type", _Str()),
+            _SF("is_nullable", _Str()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

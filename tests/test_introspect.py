@@ -1,0 +1,120 @@
+"""SHOW TABLES / DESCRIBE / duckdb_columns analog (introspect.py;
+reference test/sql/show_select/, test/sql/pg_catalog/)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_chunk_compaction_in_duckdb_spark import introspect
+from data_chunk_compaction_in_duckdb_spark.storage import VersionedTable
+
+
+def test_duckdb_type_names():
+    f = introspect.duckdb_type_name
+    assert f(T.LongType()) == "BIGINT"
+    assert f(T.StringType()) == "VARCHAR"
+    assert f(T.TimestampNTZType()) == "TIMESTAMP"
+    assert f(T.ArrayType(T.FloatType())) == "FLOAT[]"
+    assert f(T.DecimalType(12, 2)) == "DECIMAL(12,2)"
+    assert f(T.MapType(T.StringType(), T.LongType())) == "MAP(VARCHAR, BIGINT)"
+    assert (
+        f(T.StructType([T.StructField("a", T.IntegerType())]))
+        == "STRUCT(a INTEGER)"
+    )
+    assert f(T.BinaryType()) == "BLOB"
+
+
+def test_show_tables_lists_fixture_views(spark, sf_dir):
+    from data_chunk_compaction_in_duckdb_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    names = [r["name"] for r in introspect.show_tables(spark).collect()]
+    for t in ("lineitem", "orders", "embeddings"):
+        assert t in names
+    assert names == sorted(names)
+
+
+def test_describe_table_shape(spark, sf_dir):
+    from data_chunk_compaction_in_duckdb_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    rows = introspect.describe_table(spark, "nation").collect()
+    assert [r["column_name"] for r in rows] == [
+        "n_nationkey", "n_name", "n_regionkey",
+    ]
+    assert rows[0]["column_type"] == "INTEGER"
+    assert rows[1]["column_type"] == "VARCHAR"
+    assert all(r["null"] == "YES" for r in rows)
+
+
+def test_duckdb_columns_scoped(spark, sf_dir):
+    from data_chunk_compaction_in_duckdb_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    df = introspect.duckdb_columns(spark, tables=["region", "nation"])
+    rows = df.collect()
+    assert {r["table_name"] for r in rows} == {"region", "nation"}
+    nat = [r for r in rows if r["table_name"] == "nation"]
+    assert [r["column_index"] for r in nat] == [1, 2, 3]
+
+
+def test_describe_versioned_manifest_only(spark, sf_dir):
+    """DESCRIBE over a VersionedTable reads manifests, not data: PK
+    columns marked PRI/NO, NOT NULL folded into null, generated columns
+    carrying their expression."""
+    nat = spark.read.parquet(sf_dir + "/nation.parquet")
+    root = tempfile.mkdtemp(prefix="introspect_")
+    vt = VersionedTable.create(
+        spark,
+        root + "/t",
+        nat,
+        constraints=[
+            {"type": "primary_key", "columns": ["n_nationkey"]},
+            {"type": "not_null", "column": "n_name"},
+        ],
+        generated={"key2": "n_nationkey * 2"},
+    )
+    rows = {r["column_name"]: r for r in introspect.describe_versioned(vt).collect()}
+    assert rows["n_nationkey"]["key"] == "PRI"
+    assert rows["n_nationkey"]["null"] == "NO"
+    assert rows["n_name"]["null"] == "NO"
+    assert rows["n_regionkey"]["null"] == "YES"
+    assert "n_nationkey * 2" in rows["key2"]["extra"]
+
+    info = introspect.versioned_table_info(vt).collect()[0]
+    assert info["version"] == 0
+    assert info["n_columns"] == 3
+    assert info["n_generated"] == 1
+    assert info["n_constraints"] == 2
+
+
+def test_describe_versioned_tracks_schema_evolution(spark, sf_dir):
+    nat = spark.read.parquet(sf_dir + "/nation.parquet")
+    root = tempfile.mkdtemp(prefix="introspect_")
+    vt = VersionedTable.create(spark, root + "/t", nat)
+    vt.add_column("note", "string", F.lit("x"))
+    vt.rename_column("n_name", "name")
+    cols_now = [
+        r["column_name"] for r in introspect.describe_versioned(vt).collect()
+    ]
+    assert cols_now == ["n_nationkey", "name", "n_regionkey", "note"]
+    cols_v0 = [
+        r["column_name"]
+        for r in introspect.describe_versioned(vt, version=0).collect()
+    ]
+    assert cols_v0 == ["n_nationkey", "n_name", "n_regionkey"]
+
+
+def test_engine_facade(spark, sf_dir):
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    assert "orders" in [r["name"] for r in eng.show_tables().collect()]
+    d = eng.describe("region").collect()
+    assert d[0]["column_name"] == "r_regionkey"
+    cols = eng.duckdb_columns(tables=["part"]).collect()
+    assert all(r["table_name"] == "part" for r in cols)
