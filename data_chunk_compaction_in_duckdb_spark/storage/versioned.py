@@ -124,6 +124,22 @@ class VersionedTable:
         return t
 
     def latest_version(self) -> int:
+        """O(1) head lookup: the ``_last`` pointer file hints at the
+        newest version and a forward existence-probe makes it exact (a
+        racing commit may have advanced past the hint; the pointer is
+        written after the manifest so it never runs ahead).  Missing or
+        stale-beyond-vacuum pointers fall back to one directory glob —
+        the previous O(versions) path, now the cold path only."""
+        hint = self._read_last_pointer()
+        if hint is not None and os.path.exists(
+            os.path.join(self.log_dir, f"{hint:08d}.json")
+        ):
+            v = hint
+            while os.path.exists(
+                os.path.join(self.log_dir, f"{v + 1:08d}.json")
+            ):
+                v += 1
+            return v
         versions = [
             int(os.path.basename(p)[:-5])
             for p in glob.glob(os.path.join(self.log_dir, "*.json"))
@@ -131,6 +147,27 @@ class VersionedTable:
         if not versions:
             raise FileNotFoundError(f"no manifests under {self.log_dir}")
         return max(versions)
+
+    def _read_last_pointer(self) -> int | None:
+        try:
+            with open(os.path.join(self.log_dir, "_last")) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _write_last_pointer(self, version: int) -> None:
+        """Best-effort monotonic hint, published atomically (torn reads
+        impossible; a lost race just leaves a slightly stale hint that
+        the forward probe corrects)."""
+        p = os.path.join(self.log_dir, "_last")
+        tmp = f"{p}.tmp.{os.getpid()}.{version}"
+        try:
+            with open(tmp, "w") as f:
+                f.write(str(version))
+            os.replace(tmp, p)
+        except OSError:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     def _manifest(self, version: int) -> dict:
         p = os.path.join(self.log_dir, f"{version:08d}.json")
@@ -175,15 +212,24 @@ class VersionedTable:
             "generated": generated or {},
             "stats": stats,
         }
+        # write-then-link publish: the manifest appears under its final
+        # name fully written AND exclusively (os.link fails atomically on
+        # a racing commit of the same version) — a bare O_EXCL+write
+        # would let a concurrent latest_version()/read() glob a created-
+        # but-not-yet-written file and fail parsing it
         p = os.path.join(self.log_dir, f"{version:08d}.json")
+        tmp = f"{p}.tmp.{os.getpid()}.{id(manifest)}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
         try:
-            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, p)
         except FileExistsError:
             raise CommitConflictError(
                 f"version {version} already committed under {self.log_dir}"
             ) from None
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
+        finally:
+            os.unlink(tmp)
+        self._write_last_pointer(version)
 
     def _write_data(self, df: DataFrame, mapping: dict[str, str]) -> list[str]:
         """Write df (logical column names) as fresh immutable parquet
@@ -262,10 +308,16 @@ class VersionedTable:
         return self._apply_generated(projected, m)
 
     def history(self) -> list[dict]:
-        """Commit log, oldest first: version / op / file count."""
+        """Commit log, oldest first: version / op / file count.
+        Versions whose manifests ``vacuum()`` already folded away are
+        skipped — the log is O(retained versions), mirroring the
+        reference's WAL truncation at checkpoint."""
         out = []
         for v in range(self.latest_version() + 1):
-            m = self._manifest(v)
+            try:
+                m = self._manifest(v)
+            except FileNotFoundError:
+                continue
             out.append(
                 {"version": v, "op": m["op"], "n_files": len(m["files"])}
             )
@@ -361,10 +413,10 @@ class VersionedTable:
 
     # ---------------------------------------------------------- mutations
 
-    def _affected_files(self, cond: Column) -> set[str]:
-        """Distinct files containing rows matching cond — collects file
-        NAMES only (metadata-sized), never rows."""
-        cur = self.read().withColumn("_vt_file", F.input_file_name())
+    def _affected_files(self, cond: Column, version: int) -> set[str]:
+        """Distinct files of ``version`` containing rows matching cond —
+        collects file NAMES only (metadata-sized), never rows."""
+        cur = self.read(version).withColumn("_vt_file", F.input_file_name())
         rows = cur.filter(cond).select("_vt_file").distinct().collect()
         return {
             os.path.relpath(_strip_uri(r["_vt_file"]), self.path)
@@ -388,10 +440,22 @@ class VersionedTable:
         affected: set[str],
         rewrite: DataFrame | None,
         extra_files: list[str] | None = None,
+        base: int | None = None,
     ) -> int:
-        """Commit = (current files − affected) + rewrite(affected) +
-        extras.  Untouched files move by reference."""
-        v = self.latest_version()
+        """Commit = (``base``'s files − affected) + rewrite(affected) +
+        extras.  Untouched files move by reference.
+
+        ``base`` is the version the caller PLANNED against (read its
+        manifest, scanned its files) and the commit lands at base+1 —
+        never on whatever is latest at commit time.  Re-resolving
+        latest here would silently merge a plan computed on one state
+        into another (e.g. a delete whose survivors re-add rows a
+        racing checkpoint already folded in, duplicating them with no
+        conflict); with the base pinned, any interleaved writer makes
+        base+1 collide and the O_EXCL link raises CommitConflictError
+        for the caller to retry on fresh state — the reference's
+        optimistic write-write conflict (transaction_manager.cpp)."""
+        v = self.latest_version() if base is None else base
         m = self._manifest(v)
         keep = [f for f in m["files"] if f not in affected]
         new_files = list(extra_files or [])
@@ -413,34 +477,38 @@ class VersionedTable:
         """INSERT INTO: append-only — zero rewrites, one manifest.
         ``rows`` uses logical column names.  Constraints are enforced
         on the incoming batch (PRIMARY KEY also against the table)."""
-        m = self._manifest(self.latest_version())
-        self._validate(rows, m.get("constraints", []), current=self.read())
+        base = self.latest_version()
+        m = self._manifest(base)
+        self._validate(rows, m.get("constraints", []), current=self.read(base))
         return self._cow_commit(
-            "insert", set(), None, self._write_data(rows, m["mapping"])
+            "insert", set(), None, self._write_data(rows, m["mapping"]),
+            base=base,
         )
 
     def delete_where(self, cond: Column) -> int:
         """DELETE WHERE: rewrite only files containing matches, keeping
         their non-matching rows (reference physical_delete.cpp row-id
         deletes; file granularity here)."""
-        affected = self._affected_files(cond)
+        base = self.latest_version()
+        affected = self._affected_files(cond, base)
         if not affected:
-            return self._cow_commit("delete", set(), None)
-        m = self._manifest(self.latest_version())
+            return self._cow_commit("delete", set(), None, base=base)
+        m = self._manifest(base)
         survivors = self._read_files_logical(m, affected).filter(
             ~cond | cond.isNull()
         )
-        return self._cow_commit("delete", affected, survivors)
+        return self._cow_commit("delete", affected, survivors, base=base)
 
     def update_where(
         self, cond: Column, assignments: Mapping[str, Column]
     ) -> int:
         """UPDATE SET ... WHERE: rewrite only affected files with the
         conditional projection (physical_update.cpp analog)."""
-        affected = self._affected_files(cond)
+        base = self.latest_version()
+        affected = self._affected_files(cond, base)
         if not affected:
-            return self._cow_commit("update", set(), None)
-        m = self._manifest(self.latest_version())
+            return self._cow_commit("update", set(), None, base=base)
+        m = self._manifest(base)
         updated = self._read_files_logical(m, affected)
         for col, expr in assignments.items():
             updated = updated.withColumn(
@@ -468,7 +536,7 @@ class VersionedTable:
                 if untouched
                 else None,
             )
-        return self._cow_commit("update", affected, updated)
+        return self._cow_commit("update", affected, updated, base=base)
 
     def merge(self, updates: DataFrame, key_col: str) -> int:
         """MERGE / upsert: rows in ``updates`` replace same-key rows and
@@ -479,12 +547,10 @@ class VersionedTable:
         Constraints validate the incoming batch; same-key collisions
         with the table are the point of MERGE, so PRIMARY KEY checks
         only within the batch."""
-        self._validate(
-            updates,
-            self._manifest(self.latest_version()).get("constraints", []),
-            current=None,
-        )
-        cur = self.read().withColumn("_vt_file", F.input_file_name())
+        base = self.latest_version()
+        m = self._manifest(base)
+        self._validate(updates, m.get("constraints", []), current=None)
+        cur = self.read(base).withColumn("_vt_file", F.input_file_name())
         hits = (
             cur.join(updates.select(key_col).distinct(), key_col, "semi")
             .select("_vt_file")
@@ -495,14 +561,13 @@ class VersionedTable:
             os.path.relpath(_strip_uri(r["_vt_file"]), self.path)
             for r in hits
         }
-        m = self._manifest(self.latest_version())
         extra = self._write_data(updates, m["mapping"])
         if not affected:
-            return self._cow_commit("merge", set(), None, extra)
+            return self._cow_commit("merge", set(), None, extra, base=base)
         survivors = self._read_files_logical(m, affected).join(
             updates.select(key_col), key_col, "left_anti"
         )
-        return self._cow_commit("merge", affected, survivors, extra)
+        return self._cow_commit("merge", affected, survivors, extra, base=base)
 
     def delete_keys(self, keys: DataFrame, key_col: str) -> int:
         """DELETE WHERE key IN (SELECT ...) — the anti-join form
@@ -511,7 +576,8 @@ class VersionedTable:
         survivors anti-join the key set.  The keys side never reaches
         the driver — this is how a dedup pass deletes its losers from
         a 100 TB table."""
-        cur = self.read().withColumn("_vt_file", F.input_file_name())
+        base = self.latest_version()
+        cur = self.read(base).withColumn("_vt_file", F.input_file_name())
         hits = (
             cur.join(keys.select(key_col).distinct(), key_col, "semi")
             .select("_vt_file")
@@ -523,12 +589,12 @@ class VersionedTable:
             for r in hits
         }
         if not affected:
-            return self._cow_commit("delete", set(), None)
-        m = self._manifest(self.latest_version())
+            return self._cow_commit("delete", set(), None, base=base)
+        m = self._manifest(base)
         survivors = self._read_files_logical(m, affected).join(
             keys.select(key_col).distinct(), key_col, "left_anti"
         )
-        return self._cow_commit("delete", affected, survivors)
+        return self._cow_commit("delete", affected, survivors, base=base)
 
     # ------------------------------------------------------ schema DDL
 
@@ -728,9 +794,12 @@ class VersionedTable:
     def checkpoint(self, n_files: int = 4) -> int:
         """Fold the live file set into n_files compacted files (the
         reference CHECKPOINT folds the WAL into the block file)."""
-        m = self._manifest(self.latest_version())
-        compacted = self.read().repartition(n_files)
-        return self._cow_commit("checkpoint", set(m["files"]), compacted)
+        base = self.latest_version()
+        m = self._manifest(base)
+        compacted = self.read(base).repartition(n_files)
+        return self._cow_commit(
+            "checkpoint", set(m["files"]), compacted, base=base
+        )
 
     def cluster_by(self, cols: list[str], n_files: int = 8) -> int:
         """OPTIMIZE ... CLUSTER BY: rewrite the live set range-
@@ -741,13 +810,16 @@ class VersionedTable:
         the whole domain and nothing prunes).  The lakehouse OPTIMIZE /
         Z-ORDER analog of the reference's clustered row-group layout;
         one shuffle, same content, new version."""
-        m = self._manifest(self.latest_version())
+        base = self.latest_version()
+        m = self._manifest(base)
         clustered = (
-            self.read()
+            self.read(base)
             .repartitionByRange(n_files, *cols)
             .sortWithinPartitions(*cols)
         )
-        return self._cow_commit("cluster", set(m["files"]), clustered)
+        return self._cow_commit(
+            "cluster", set(m["files"]), clustered, base=base
+        )
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF v (reference
@@ -762,7 +834,14 @@ class VersionedTable:
         column re-added after the restore still gets a fresh physical
         identity and cannot resurrect pre-restore values.  Raises
         FileNotFoundError if ``vacuum()`` already dropped one of the
-        target version's data files."""
+        target version's data files; the existence check is re-run
+        AFTER the commit because a concurrent ``vacuum()`` is not
+        serialized through the commit log (it deletes files the target
+        manifest references but no retained one did) — on post-commit
+        loss this raises instead of silently publishing a manifest that
+        points at deleted files.  Writers coordinate through
+        CommitConflictError; vacuum is the one maintenance op the
+        caller must not run concurrently with restore."""
         m = self._manifest(version)
         latest = self.latest_version()
         cur = self._manifest(latest)
@@ -786,9 +865,21 @@ class VersionedTable:
             self._logical_schema(m),
             m["mapping"],
             used,
-            constraints=m["constraints"],
+            constraints=m.get("constraints", []),
             generated=m.get("generated", {}),
         )
+        lost = [
+            f
+            for f in m["files"]
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if lost:
+            raise RuntimeError(
+                f"restore({version}) committed version {latest + 1} but a "
+                f"concurrent vacuum() deleted {len(lost)} of its data "
+                f"file(s) (e.g. {lost[0]}); restore the previous version "
+                "and re-run with vacuum quiesced"
+            )
         return latest + 1
 
     def vacuum(self, retain_last: int = 1) -> list[str]:

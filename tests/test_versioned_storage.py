@@ -53,7 +53,7 @@ def test_delete_rewrites_only_affected_files(vt):
     n_match = vt.read().filter(cond).count()
     assert n_match > 0
     before = vt.read().count()
-    affected = vt._affected_files(cond)
+    affected = vt._affected_files(cond, vt.latest_version())
     v = vt.delete_where(cond)
     m = vt._manifest(v)
     untouched = set(vt._manifest(0)["files"]) - affected
@@ -538,6 +538,20 @@ def test_restore_carries_schema_and_generated(vt):
 
 def test_restore_after_vacuum_raises(vt):
     vt.checkpoint(2)  # v1 rewrites the live set into fresh files
-    vt.vacuum(retain_last=1)  # v0's files dropped
+    vt.vacuum(retain_last=1)  # v0's files AND manifest dropped
     with pytest.raises(FileNotFoundError):
+        vt.restore(0)
+
+
+def test_restore_missing_data_file_guard(vt):
+    """The descriptive pre-commit guard itself (vacuum alone can't reach
+    it — any retained manifest's files are retained, so exercise the
+    external-deletion case it protects against: a data file of a
+    still-manifested version vanishing out from under the log)."""
+    import os
+
+    vt.checkpoint(2)  # v1: fresh live set
+    victim = vt._manifest(0)["files"][0]
+    os.remove(os.path.join(vt.path, victim))
+    with pytest.raises(FileNotFoundError, match="already vacuumed"):
         vt.restore(0)
