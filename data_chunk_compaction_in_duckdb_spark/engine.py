@@ -260,6 +260,30 @@ class Engine:
         ``version`` (default latest) — time travel at the SQL layer."""
         vt.read(version).createOrReplaceTempView(name)
 
+    # -- sequences (reference CREATE SEQUENCE / nextval,
+    # test/sql/catalog/sequence/)
+    def create_sequence(self, name: str, path: str, **kwargs: Any):
+        """CREATE SEQUENCE backed by the commit log at ``path``; handle
+        cached on the engine so nextval('name')-style lookups resolve."""
+        from data_chunk_compaction_in_duckdb_spark.storage import Sequence
+
+        seq = Sequence.create(self.spark, path, **kwargs)
+        self._sequences = getattr(self, "_sequences", {})
+        self._sequences[name] = seq
+        return seq
+
+    def sequence(self, name: str):
+        return getattr(self, "_sequences", {})[name]
+
+    def nextval(self, name: str) -> int:
+        """nextval('seq') — driver-side single allocation; for per-row
+        assignment use storage.with_sequence (one range claim per
+        DataFrame, never a per-row counter bottleneck)."""
+        return self.sequence(name).nextval()
+
+    def currval(self, name: str) -> int:
+        return self.sequence(name).currval()
+
     # -- introspection (reference SHOW TABLES / DESCRIBE /
     # duckdb_columns(); test/sql/show_select/, test/sql/pg_catalog/)
     def show_tables(self) -> DataFrame:

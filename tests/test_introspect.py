@@ -118,3 +118,34 @@ def test_engine_facade(spark, sf_dir):
     assert d[0]["column_name"] == "r_regionkey"
     cols = eng.duckdb_columns(tables=["part"]).collect()
     assert all(r["table_name"] == "part" for r in cols)
+
+
+def test_sql_statement_surface(spark, sf_dir):
+    """The reference's SHOW/DESCRIBE STATEMENTS also work as SQL text
+    through the engine (Catalyst parses them natively) — the statement
+    form and the introspect.py function form must agree."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    shown = {
+        r["tableName"] for r in eng.sql("SHOW TABLES").collect()
+    }
+    listed = {r["name"] for r in eng.show_tables().collect()}
+    assert listed <= shown
+    desc_sql = {
+        r["col_name"]: r["data_type"]
+        for r in eng.sql("DESCRIBE nation").collect()
+    }
+    for r in eng.describe("nation").collect():
+        assert r["column_name"] in desc_sql
+
+
+def test_engine_sequence_facade(spark, tmp_path):
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, register=False)
+    eng.create_sequence("ids", str(tmp_path / "ids"), start=5, increment=5)
+    assert eng.nextval("ids") == 5
+    assert eng.nextval("ids") == 10
+    assert eng.currval("ids") == 10
+    assert eng.sequence("ids").peek() == 15
