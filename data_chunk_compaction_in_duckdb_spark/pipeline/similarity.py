@@ -555,16 +555,30 @@ def ivf_ann_topk(
     per-pair expression form for A/B verification."""
     qid = query_id_col or id_col
     from data_chunk_compaction_in_duckdb_spark.compaction import fan_out
+    from data_chunk_compaction_in_duckdb_spark.pipeline.dedup import (
+        _assign_cells_arrow,
+    )
 
     # cell-assignment dots are CPU-bound — widen a 1-task local scan
     # (no-op on a many-partition cluster scan)
     corpus = fan_out(corpus)
+    cents = centroids or [_centroid(dim, i) for i in range(n_clusters)]
+    # Corpus-side assignment rides the numpy Arrow kernel (same reason
+    # as pq_codes/dedup: Catalyst has no HOF codegen, so the
+    # rows x cells x dim interpreted fold was the sf1 bottleneck); its
+    # (-dot asc, idx asc, NaN last) ranking IS the oracle's
+    # list_sort(struct(-dot, i)) order.  The id join-back is
+    # co-partitioned narrow traffic; at 100 TB the assignment is
+    # materialized at ingest (the partition-prune layout) and this
+    # branch never recomputes it per query.
+    cells = _assign_cells_arrow(
+        corpus, id_col, vec_col, cents, 1
+    ).withColumnRenamed("_id", "match_id")
     cb = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("_cv"),
         _vec_norm(F.col(vec_col)).alias("_cn"),
-        _nearest_clusters(vec_col, dim, n_clusters, centroids)[0].alias("_cell"),
-    )
+    ).join(cells, "match_id")
     qb = queries.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("_qv"),
