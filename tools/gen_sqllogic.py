@@ -6294,6 +6294,18 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# select1-style five-expression matrix per table (reference
+# test/sqlite/select1.test_slow: the a,b,c,d,e column-expression grid).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"sqlite_select1b_file_{_t}", f"select1 expression grid over {_t} (reference test/sqlite/select1.test_slow)")([
+        ("IIIII", "", f"SELECT ({_k}) % 9, abs(({_k}) % 9 - 4), (({_k}) % 9) * (({_k}) % 3), CASE WHEN ({_k}) % 2 = 0 THEN ({_k}) % 5 ELSE -(({_k}) % 5) END, greatest(({_k}) % 7, ({_k}) % 4) FROM {_t} ORDER BY {_k} LIMIT 5"),
+        ("III", "", f"SELECT least(({_k}) % 8, 3), coalesce(nullif(({_k}) % 4, 0), 9), (({_k}) % 6 + 1) * 2 FROM {_t} ORDER BY {_k} DESC LIMIT 5"),
+        ("II", "rowsort", f"SELECT ({_k}) % 5 AS a, count(*) FROM {_t} WHERE ({_k}) % 9 <> 4 GROUP BY ({_k}) % 5"),
+        ("I", "", f"SELECT sum((({_k}) % 9) * (({_k}) % 3)) FROM {_t} WHERE {_p}"),
+        ("IT", "", f"SELECT ({_k}) % 10, CASE WHEN ({_k}) % 10 < 5 THEN 'lo' ELSE 'hi' END FROM {_t} ORDER BY ({_k}) % 10, {_k} LIMIT 6"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
