@@ -619,3 +619,48 @@ def test_cluster_split_never_straddles_near_dup_edges(spark, sf_dir):
     ).collect()
     assert edges, "fixture should contain near-dup edges"
     assert all(split_of[e.id_a] == split_of[e.id_b] for e in edges)
+
+
+def test_pq_adc_fused_kernel_edges(spark, sf_dir):
+    """Edge paths of the fused ADC kernel: an empty query set yields an
+    empty (schema-stable) result, and a NULL corpus vector ranks
+    NULLS-FIRST in the ascending candidate order (the expression path's
+    null-codes -> null-score behavior) without crashing the kernel."""
+    from pyspark.sql import Row, functions as F2, types as T2
+
+    from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+    from data_chunk_compaction_in_duckdb_spark.pipeline import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    empty_q = emb.filter(F2.lit(False))
+    out = pq_adc_topk(
+        emb, empty_q, "vec_id", "embedding", dim=64, k=3, m=16, codes=16,
+        rerank=10,
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "match_id", "cosine"}
+
+    null_row = spark.createDataFrame(
+        [Row(vec_id=999999, embedding=None, label=None)],
+        T2.StructType(
+            [
+                T2.StructField("vec_id", T2.LongType()),
+                T2.StructField(
+                    "embedding", T2.ArrayType(T2.FloatType()), True
+                ),
+                T2.StructField("label", T2.IntegerType(), True),
+            ]
+        ),
+    )
+    corpus = emb.limit(40).unionByName(null_row)
+    queries = emb.filter(F2.col("vec_id") % 97 == 0).limit(2)
+    got = pq_adc_topk(
+        corpus, queries, "vec_id", "embedding", dim=64, k=3, m=16,
+        codes=16, rerank=5,
+    ).collect()
+    # the null-vec candidate occupies a rerank slot (NULLs first asc)
+    # but its exact cosine is NULL, so it can never win the final
+    # (cosine DESC) top-k over real candidates
+    assert all(r.match_id != 999999 for r in got)
+    assert len(got) > 0
