@@ -59,15 +59,21 @@ class Engine:
         return AutoCompactFrame(df, target_rows=self.compact_target_rows)
 
     # -- entry point 1: SQL string (Connection::Query)
-    def sql(self, query: str, **params: Any) -> DataFrame:
+    def sql(self, query: str, *args: Any, **params: Any) -> DataFrame:
         """Run SQL against the registered catalog.  Named ``:param``
         placeholders make this the prepared-statement path (reference
-        entry point 2, client_context.cpp:534-560): parameters are bound
-        by Spark's parameterized SQL, not string interpolation.
+        entry point 2, client_context.cpp:534-560); positional ``?``
+        markers with ``*args`` cover the reference's ``$1``/``?``
+        prepared form (test/sql/prepared/) — both bound by Spark's
+        parameterized SQL, never string interpolation.
 
         Inside the SQL text Catalyst+AQE own compaction (shuffle-read
         coalescing); with ``auto_compact`` on, the returned handle also
         auto-compacts anything composed on it at the DataFrame level."""
+        if args and params:
+            raise ValueError("use positional ? args or named :params, not both")
+        if args:
+            return self._wrap(self.spark.sql(query, args=list(args)))
         if params:
             return self._wrap(self.spark.sql(query, args=params))
         return self._wrap(self.spark.sql(query))

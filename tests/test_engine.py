@@ -26,6 +26,20 @@ def test_engine_parameterized_sql(spark, sf_dir):
         "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > :p", p=100000
     ).collect()[0].n
     assert 0 < hi < lo
+    # positional ? markers (reference test/sql/prepared/ $1/? form)
+    qhi = eng.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > ?", 400000
+    ).collect()[0].n
+    assert qhi == hi
+    two = eng.sql(
+        "SELECT COUNT(*) AS n FROM orders "
+        "WHERE o_totalprice > ? AND o_orderstatus = ?",
+        100000, "F",
+    ).collect()[0].n
+    assert 0 < two <= lo
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not both"):
+        eng.sql("SELECT ? AS a WHERE 1 = :b", 1, b=1)
 
 
 def test_engine_compaction_hooks(spark, sf_dir):
