@@ -381,3 +381,69 @@ def fn_excel_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         excel_text_cents("cents", "#,##0.00").alias("grouped2"),
         excel_text_cents("cents", "0").alias("rounded0"),
     )
+
+
+@query(
+    "fn_timezone_convert",
+    oracle="""
+    WITH e AS (SELECT event_id,
+                      CAST(ts AS TIMESTAMP)
+                        + INTERVAL (event_id % 90) DAY AS t
+               FROM events WHERE event_id % 37 = 0)
+    SELECT event_id,
+           strftime(timezone('America/New_York', timezone('UTC', t)),
+                    '%Y-%m-%d %H:%M:%S') AS nyc,
+           strftime(timezone('Asia/Kolkata', timezone('UTC', t)),
+                    '%Y-%m-%d %H:%M:%S') AS kolkata,
+           strftime(timezone('Australia/Lord_Howe', timezone('UTC', t)),
+                    '%Y-%m-%d %H:%M:%S') AS lord_howe,
+           strftime(timezone('UTC', timezone('America/New_York',
+                    timezone('America/New_York', timezone('UTC', t)))),
+                    '%Y-%m-%d %H:%M:%S') AS utc_roundtrip
+    FROM e ORDER BY event_id
+    """,
+)
+def fn_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICU timezone conversion parity (reference test/sql/timezone/
+    test_icu_timezone.test): naive event timestamps treated as UTC
+    instants and rendered in three zones — standard-offset, half-hour
+    (Asia/Kolkata +5:30) and half-hour-DST (Australia/Lord_Howe
+    +10:30/+11) — plus a local->UTC round trip.  The derived span
+    (Jan + id%90 days) crosses the 2024-03-10 US spring-forward gap,
+    so a wrong DST rule or offset table diverges the hash; the span
+    deliberately stops before the November fall-back (ambiguous local
+    times are the one point the engines' disambiguation rules are
+    allowed to differ).  Both sides run their native ICU machinery:
+    Spark convert_timezone over TIMESTAMP_NTZ (JVM zone rules — the
+    NTZ form because from_utc_timestamp + date_format re-encodes
+    through the SESSION zone and would change under a non-UTC driver),
+    DuckDB the ICU timezone() pair."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 37 == 0
+    )
+    t = F.col("ts") + F.make_interval(days=F.col("event_id") % 90)
+
+    def render(c: F.Column) -> F.Column:
+        # NTZ -> string directly: a pure wall-clock rendering.
+        # date_format would cast through the SESSION zone first, and a
+        # wall time that falls in the session zone's own DST gap gets
+        # shifted +1h (found by the TZ=America/Chicago probe: UTC wall
+        # 2024-03-10 02:17 does not exist as a Chicago local time).
+        return F.substring(c.cast("string"), 1, 19)
+
+    def in_zone(zone: str) -> F.Column:
+        return render(F.convert_timezone(F.lit("UTC"), F.lit(zone), t))
+
+    ny_local = F.convert_timezone(
+        F.lit("UTC"), F.lit("America/New_York"), t
+    )
+    roundtrip = render(
+        F.convert_timezone(F.lit("America/New_York"), F.lit("UTC"), ny_local)
+    )
+    return ev.select(
+        "event_id",
+        in_zone("America/New_York").alias("nyc"),
+        in_zone("Asia/Kolkata").alias("kolkata"),
+        in_zone("Australia/Lord_Howe").alias("lord_howe"),
+        roundtrip.alias("utc_roundtrip"),
+    ).orderBy("event_id")
