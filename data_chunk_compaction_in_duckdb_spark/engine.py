@@ -182,6 +182,12 @@ class Engine:
         # PRAGMA enable_optimizer gates DuckDB's logical optimizer; the
         # Spark optimizer that can be toggled at runtime is AQE.
         "enable_optimizer": "spark.sql.adaptive.enabled",
+        # The reference RAISES on integer overflow / bad casts
+        # (test/sql/overflow/); Spark wraps/nulls by default and matches
+        # the reference's error semantics under ANSI mode.  Exposed as a
+        # pragma so a reference user can opt into error-for-error parity
+        # per session (tests/test_overflow_ansi.py pins the behaviors).
+        "ansi_errors": "spark.sql.ansi.enabled",
     }
 
     def pragma(self, name: str, value: Any) -> None:
