@@ -6306,6 +6306,17 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+corpus("ident_case_insensitive", "identifier case-insensitivity (reference test/sql/catalog/case_insensitive_binder.test, case_insensitive_caps.test)")([
+    ("T", "", "SELECT R_NAME FROM REGION ORDER BY R_REGIONKEY"),
+    ("T", "", "SELECT r_NaMe FROM ReGiOn ORDER BY r_regionKEY"),
+    ("I", "", "SELECT CoUnT(*) FROM nation WHERE N_NATIONKEY < 10"),
+    ("TI", "rowsort", "SELECT UPPER(n_name), n_regionkey FROM NATION WHERE n_nationkey < 5"),
+    ("I", "", "SELECT count(*) FROM region r JOIN NATION n ON R.r_regionkey = N.n_regionkey"),
+    ("T", "", "SELECT aliased.UPPER_NAME FROM (SELECT upper(r_name) AS upper_name FROM region) aliased ORDER BY ALIASED.upper_NAME LIMIT 2"),
+    ("I", "", "WITH MyCte AS (SELECT n_nationkey AS K FROM nation) SELECT max(k) FROM mycte"),
+])
+
+
 def main() -> int:
     import duckdb
 
