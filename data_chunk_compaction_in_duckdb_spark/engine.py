@@ -183,10 +183,11 @@ class Engine:
         # Spark optimizer that can be toggled at runtime is AQE.
         "enable_optimizer": "spark.sql.adaptive.enabled",
         # The reference RAISES on integer overflow / bad casts
-        # (test/sql/overflow/); Spark wraps/nulls by default and matches
-        # the reference's error semantics under ANSI mode.  Exposed as a
-        # pragma so a reference user can opt into error-for-error parity
-        # per session (tests/test_overflow_ansi.py pins the behaviors).
+        # (test/sql/overflow/), and Spark 4's ANSI-on default already
+        # matches that error-for-error.  Exposed as a pragma so a user
+        # can opt a session into Spark's legacy wrap/NULL semantics (or
+        # back); tests/test_overflow_ansi.py pins both modes against
+        # DuckDB per expression.
         "ansi_errors": "spark.sql.ansi.enabled",
     }
 

@@ -1,14 +1,18 @@
-"""Arithmetic/cast overflow error parity under ANSI mode (reference
-test/sql/overflow/: bigint_overflow.test, integer_overflow.test,
-test_numeric_overflow.test — the reference RAISES on overflow).
+"""Arithmetic/cast overflow error parity (reference test/sql/overflow/:
+bigint_overflow.test, integer_overflow.test, test_numeric_overflow.test
+— the reference RAISES on overflow).
 
-Spark's default (non-ANSI) mode wraps integer arithmetic and numeric
-down-casts and NULLs unparseable strings; `Engine.pragma("ansi_errors",
-True)` flips the session to the reference's raise-on-overflow
-semantics.  Each case asserts BOTH Spark modes (so a default change or
-an accidental global ANSI flip is caught) and the DuckDB behavior of
-the same expression — the error-for-error parity the pragma provides,
-with the deltas documented where DuckDB itself does NOT raise."""
+Spark 4 runs ANSI mode BY DEFAULT, so the engine is error-for-error
+parity with the reference out of the box; `Engine.pragma("ansi_errors",
+False)` opts a session into Spark's legacy wrap/NULL semantics.  Each
+case asserts BOTH modes and the DuckDB behavior of the same expression,
+with the deltas documented where DuckDB itself does NOT raise.
+
+The fixture restores the session's EFFECTIVE prior value via a
+no-default conf.get — `conf.get(key, "false")` returns the caller's
+fallback even when the conf is unset with a built-in default of true,
+so restoring THAT would silently flip the shared session out of ANSI
+(found when decimal renderings changed corpus-wide mid-suite)."""
 
 from __future__ import annotations
 
@@ -25,8 +29,8 @@ ARITH_CASES = [
     (f"SELECT CAST({I32_MAX} AS INT) * CAST(2 AS INT) AS v", -2),
 ]
 
-# (sql, non-ANSI Spark value): numeric down-casts WRAP in non-ANSI
-# Spark, string casts NULL; both raise under ANSI and in DuckDB.
+# (sql, legacy-mode Spark value): numeric down-casts WRAP in legacy
+# mode, string casts NULL; both raise under ANSI and in DuckDB.
 CAST_CASES = [
     ("SELECT CAST(128 AS TINYINT) AS v", -128),
     ("SELECT CAST('abc' AS INTEGER) AS v", None),
@@ -39,15 +43,22 @@ def ansi(spark):
     from data_chunk_compaction_in_duckdb_spark.engine import Engine
 
     eng = Engine(spark=spark, register=False)
-    old = spark.conf.get("spark.sql.ansi.enabled", "false")
+    old = spark.conf.get("spark.sql.ansi.enabled")  # effective value
     yield eng
     eng.spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+def test_ansi_is_the_session_default(spark):
+    """Spark 4 default = ANSI on = the reference's error semantics;
+    every other suite (including the whole sqllogic corpus) runs under
+    it, so a default flip would be a corpus-wide semantic change."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
 
 
 @pytest.mark.parametrize("sql,wrapped", ARITH_CASES)
 def test_arith_overflow_both_modes(ansi, spark, duck, sql, wrapped):
     ansi.pragma("ansi_errors", False)
-    assert spark.sql(sql).collect()[0].v == wrapped  # documented wrap
+    assert spark.sql(sql).collect()[0].v == wrapped  # legacy wrap
     ansi.pragma("ansi_errors", True)
     with pytest.raises(Exception, match="(?i)overflow|arithmetic"):
         spark.sql(sql).collect()
@@ -56,10 +67,10 @@ def test_arith_overflow_both_modes(ansi, spark, duck, sql, wrapped):
         duck.execute(sql).fetchall()
 
 
-@pytest.mark.parametrize("sql,nonansi", CAST_CASES)
-def test_cast_overflow_both_modes(ansi, spark, duck, sql, nonansi):
+@pytest.mark.parametrize("sql,legacy", CAST_CASES)
+def test_cast_overflow_both_modes(ansi, spark, duck, sql, legacy):
     ansi.pragma("ansi_errors", False)
-    assert spark.sql(sql).collect()[0].v == nonansi
+    assert spark.sql(sql).collect()[0].v == legacy
     ansi.pragma("ansi_errors", True)
     with pytest.raises(Exception, match="(?i)cast"):
         spark.sql(sql).collect()
@@ -69,8 +80,8 @@ def test_cast_overflow_both_modes(ansi, spark, duck, sql, nonansi):
 
 def test_division_by_zero_modes(ansi, spark, duck):
     """Documented delta: DuckDB integer division by zero yields NULL
-    (test/sql/types/numeric), matching Spark's NON-ANSI mode; ANSI
-    Spark raises (stricter than the reference here)."""
+    (test/sql/types/numeric), matching Spark's LEGACY mode; ANSI Spark
+    raises (stricter than the reference here)."""
     ansi.pragma("ansi_errors", False)
     assert spark.sql("SELECT 1 / 0 AS v").collect()[0].v is None
     assert duck.execute("SELECT 1 // 0").fetchall() == [(None,)]
