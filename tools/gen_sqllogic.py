@@ -6317,6 +6317,45 @@ corpus("ident_case_insensitive", "identifier case-insensitivity (reference test/
 ])
 
 
+# GROUPING SETS / ROLLUP / CUBE matrix per table (reference
+# test/sql/aggregate/group/test_grouping_sets.test — grouping() markers
+# included so super-aggregate rows are distinguishable from NULL keys).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"groupingsets2_file_{_t}", f"GROUPING SETS matrix over {_t} (reference test/sql/aggregate/group)")([
+        ("III", "rowsort", f"SELECT ({_k}) % 3, ({_k}) % 2, count(*) FROM {_t} GROUP BY GROUPING SETS ((({_k}) % 3), (({_k}) % 2), ())"),
+        ("IIII", "rowsort", f"SELECT ({_k}) % 3, grouping(({_k}) % 3), grouping(({_k}) % 2), count(*) FROM {_t} GROUP BY ROLLUP(({_k}) % 3, ({_k}) % 2)"),
+        ("III", "rowsort", f"SELECT ({_k}) % 2, ({_k}) % 3, count(*) FROM {_t} GROUP BY CUBE(({_k}) % 2, ({_k}) % 3)"),
+        ("II", "rowsort", f"SELECT ({_k}) % 4, sum(CASE WHEN {_p} THEN 1 ELSE 0 END) FROM {_t} GROUP BY GROUPING SETS ((({_k}) % 4), ())"),
+        ("I", "", f"SELECT count(*) FROM (SELECT ({_k}) % 3 AS a, ({_k}) % 2 AS b, count(*) AS c FROM {_t} GROUP BY CUBE(({_k}) % 3, ({_k}) % 2)) x"),
+    ])
+
+# Window frame-spec grid per table (reference test/sql/window —
+# ROWS/RANGE bounds over a deterministic per-table order).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    corpus(f"winframe2_file_{_t}", f"window frame-spec grid over {_t} (reference test/sql/window)")([
+        ("II", "", f"SELECT ({_k}) % 97 AS k, sum(({_k}) % 97) OVER (ORDER BY {_k} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) FROM {_t} ORDER BY {_k} LIMIT 6"),
+        # RANGE requires a single ordering key in DuckDB; the frame is
+        # value-based so peers share a sum and the result is
+        # tie-deterministic without a second key in the OVER clause
+        ("II", "", f"SELECT ({_k}) % 97 AS k, sum(({_k}) % 97) OVER (ORDER BY ({_k}) % 97 RANGE BETWEEN 3 PRECEDING AND 1 FOLLOWING) FROM {_t} ORDER BY ({_k}) % 97, {_k} LIMIT 6"),
+        ("II", "", f"SELECT ({_k}) % 97 AS k, count(*) OVER (PARTITION BY ({_k}) % 5 ORDER BY {_k} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING) FROM {_t} ORDER BY {_k} LIMIT 6"),
+        ("II", "", f"SELECT ({_k}) % 97 AS k, min(({_k}) % 97) OVER (ORDER BY {_k} ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) FROM {_t} ORDER BY {_k} LIMIT 6"),
+        ("II", "", f"SELECT ({_k}) % 97 AS k, max(({_k}) % 97) OVER (ORDER BY {_k} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) FROM {_t} ORDER BY {_k} LIMIT 6"),
+    ])
+
+# Explicit NULLS FIRST/LAST ordering matrix per table (reference
+# test/sql/order/test_order_nulls.test; NULLs manufactured via nullif).
+for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
+    _n = f"nullif(({_k}) % 5, 2)"
+    corpus(f"nullorder2_file_{_t}", f"NULLS FIRST/LAST ordering over {_t} (reference test/sql/order)")([
+        ("I", "", f"SELECT {_n} FROM {_t} ORDER BY {_n} NULLS FIRST, {_k} LIMIT 6"),
+        ("I", "", f"SELECT {_n} FROM {_t} ORDER BY {_n} NULLS LAST, {_k} LIMIT 6"),
+        ("I", "", f"SELECT {_n} FROM {_t} ORDER BY {_n} DESC NULLS FIRST, {_k} LIMIT 6"),
+        ("I", "", f"SELECT {_n} FROM {_t} ORDER BY {_n} DESC NULLS LAST, {_k} LIMIT 6"),
+        ("II", "", f"SELECT {_n}, count(*) FROM {_t} GROUP BY {_n} ORDER BY count(*) DESC, {_n} ASC NULLS FIRST LIMIT 4"),
+    ])
+
+
 def main() -> int:
     import duckdb
 
