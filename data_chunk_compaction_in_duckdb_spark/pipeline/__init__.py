@@ -38,6 +38,9 @@ from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (  # noqa:
     train_pq_codebooks,
     train_ivf_centroids,
 )
+from data_chunk_compaction_in_duckdb_spark.pipeline.vector_index import (  # noqa: F401
+    PQIndex,
+)
 from data_chunk_compaction_in_duckdb_spark.pipeline.text import (  # noqa: F401
     chunk_documents,
     language_id,

@@ -947,6 +947,59 @@ def train_pq_codebooks(
     return books
 
 
+def _prune_topk_asc(mid, adc, nullm, rerank: int):
+    """Per-query top-``rerank`` selection over per-query arrays,
+    replicating topk_per_query's ascending total order: NULLs FIRST,
+    values ascending with NaN mapped to +inf (greatest), ties by
+    match_id ascending.  Shared by the fused ADC kernel and the
+    materialized-index kernel (pipeline.vector_index) so both paths
+    select the identical candidate set."""
+    import numpy as np
+
+    keep_m, keep_a, keep_n = [], [], []
+    for qi in range(len(mid)):
+        a, nm = adc[qi], nullm[qi]
+        vk = np.where(nm, 0.0, np.where(np.isnan(a), np.inf, a))
+        nk = np.where(nm, 0, 1)
+        order = np.lexsort((mid[qi], vk, nk))[:rerank]
+        keep_m.append(mid[qi][order])
+        keep_a.append(a[order])
+        keep_n.append(nm[order])
+    return keep_m, keep_a, keep_n
+
+
+def build_adc_luts(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int,
+    codes: int,
+    books: list[list[list[float]]],
+):
+    """Collect the (small) query set and build the |Q| x m x codes ADC
+    lookup tables driver-side with the strict-left-fold IEEE arithmetic
+    of the expression/oracle form (query-set bounded — the documented
+    small-query-set contract).  Returns (qids, luts)."""
+    import numpy as np
+
+    subdim = dim // m
+    norms2 = [[float(sum(v * v for v in c)) for c in book] for book in books]
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids = [r[0] for r in qrows]
+    luts = np.empty((len(qrows), m, codes), dtype=np.float64)
+    for qi, r in enumerate(qrows):
+        qv = [float(x) for x in (r[1] or [])]
+        for sub in range(m):
+            sq = qv[sub * subdim : (sub + 1) * subdim]
+            for code in range(codes):
+                acc = 0.0
+                for x, y in zip(sq, books[sub][code]):
+                    acc = acc + x * float(y)
+                luts[qi, sub, code] = acc * -2.0 + norms2[sub][code]
+    return qids, luts
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -990,25 +1043,12 @@ def pq_adc_topk(
         [float(sum(v * v for v in c)) for c in book] for book in books
     ]
 
-    # Driver-side LUT build: for each query row, lut[sub][code] =
-    # -2*dot(q_sub, centroid) + ||c||^2 with the dot as a strict left
-    # fold — the exact arithmetic the previous expression form (and the
-    # DuckDB oracle's list_dot_product replay) produces.
-    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
-    import numpy as np
-
-    n_q = len(qrows)
-    qids = [r[0] for r in qrows]
-    luts = np.empty((n_q, m, codes), dtype=np.float64)
-    for qi, r in enumerate(qrows):
-        qv = [float(x) for x in (r[1] or [])]
-        for sub in range(m):
-            sq = qv[sub * subdim : (sub + 1) * subdim]
-            for code in range(codes):
-                acc = 0.0
-                for x, y in zip(sq, books[sub][code]):
-                    acc = acc + x * float(y)
-                luts[qi, sub, code] = acc * -2.0 + norms2[sub][code]
+    # Driver-side LUT build (strict left fold — the exact arithmetic of
+    # the expression form and the DuckDB oracle's list_dot_product)
+    qids, luts = build_adc_luts(
+        queries, id_col, vec_col, dim, m, codes, books
+    )
+    n_q = len(qids)
 
     id_field = corpus.schema[id_col]
     out_schema = T.StructType(
@@ -1031,19 +1071,7 @@ def pq_adc_topk(
         id_type = None
 
         def prune(mid, adc, nullm):
-            # replicate topk_per_query's ascending total order per
-            # query: NULLs FIRST, values ascending with NaN mapped to
-            # +inf (greatest), ties by match_id ascending
-            keep_m, keep_a, keep_n = [], [], []
-            for qi in range(n_q):
-                a, nm = adc[qi], nullm[qi]
-                vk = np.where(nm, 0.0, np.where(np.isnan(a), np.inf, a))
-                nk = np.where(nm, 0, 1)
-                order = np.lexsort((mid[qi], vk, nk))[:rerank]
-                keep_m.append(mid[qi][order])
-                keep_a.append(a[order])
-                keep_n.append(nm[order])
-            return keep_m, keep_a, keep_n
+            return _prune_topk_asc(mid, adc, nullm, rerank)
 
         for batch in batches:
             if batch.num_rows == 0:

@@ -1138,3 +1138,35 @@ def sim_pq_trained_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out.orderBy("subspace")
+
+
+@query("sim_ann_pq_index_topk", oracle=_pq_adc_oracle_sql())
+def sim_ann_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k through the MATERIALIZED index lifecycle
+    (pipeline/vector_index.py; reference CREATE INDEX + storage layer,
+    test/sql/index/): build the versioned code table once, then answer
+    the query from STORED codes — no re-encoding on the query path.
+    Shares sim_ann_pq_adc_topk's oracle verbatim because the contract
+    is exact equivalence: the index must change WHERE the codes come
+    from, never a single result bit."""
+    import shutil
+    import tempfile
+
+    from data_chunk_compaction_in_duckdb_spark.pipeline import PQIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 97 == 0)
+    root = tempfile.mkdtemp(prefix="pqix_q_")
+    try:
+        idx = PQIndex.build(
+            spark, root + "/ix", emb, "vec_id", "embedding", dim=64,
+            m=16, codes=16,
+        )
+        out = idx.topk(emb, queries_df, k=5, rerank=50)
+        out = out.select(
+            "query_id", "match_id", F.round("cosine", 4).alias("cosine")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
