@@ -39,6 +39,7 @@ from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (  # noqa:
     train_ivf_centroids,
 )
 from data_chunk_compaction_in_duckdb_spark.pipeline.vector_index import (  # noqa: F401
+    IVFIndex,
     PQIndex,
 )
 from data_chunk_compaction_in_duckdb_spark.pipeline.text import (  # noqa: F401

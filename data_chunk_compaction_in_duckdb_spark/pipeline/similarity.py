@@ -528,6 +528,7 @@ def ivf_ann_topk(
     n_probe: int = 4,
     centroids: list[list[float]] | None = None,
     rerank: str = "cell",
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN (the other scale path next to lsh_ann_topk):
     partition the corpus into ``n_clusters`` Voronoi cells of fixed
@@ -568,12 +569,18 @@ def ivf_ann_topk(
     # rows x cells x dim interpreted fold was the sf1 bottleneck); its
     # (-dot asc, idx asc, NaN last) ranking IS the oracle's
     # list_sort(struct(-dot, i)) order.  The id join-back is
-    # co-partitioned narrow traffic; at 100 TB the assignment is
-    # materialized at ingest (the partition-prune layout) and this
-    # branch never recomputes it per query.
-    cells = _assign_cells_arrow(
-        corpus, id_col, vec_col, cents, 1
-    ).withColumnRenamed("_id", "match_id")
+    # co-partitioned narrow traffic; ``corpus_cells`` (an (id, _cell)
+    # relation, e.g. IVFIndex's versioned store) skips the assignment
+    # entirely — at 100 TB it IS materialized at ingest (the
+    # partition-prune layout) and never recomputed per query.
+    if corpus_cells is not None:
+        cells = corpus_cells.select(
+            F.col(id_col).alias("match_id"), "_cell"
+        )
+    else:
+        cells = _assign_cells_arrow(
+            corpus, id_col, vec_col, cents, 1
+        ).withColumnRenamed("_id", "match_id")
     cb = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("_cv"),

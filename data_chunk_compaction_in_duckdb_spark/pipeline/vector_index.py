@@ -255,3 +255,103 @@ class PQIndex:
             )
         )
         return topk_per_query(exact, k)
+
+
+class IVFIndex:
+    """Materialized IVF cell index — the Voronoi-partition sibling of
+    ``PQIndex``: one assignment pass at build time into a versioned
+    (id, _cell) table, queries probe stored cells (``ivf_ann_topk``'s
+    ``corpus_cells`` fast path) with only the query-set-sized probe
+    ranking computed per query.  At 100 TB the cell column IS the
+    partition-prune layout; rebuilds are copy-on-write commits."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.cells_table = VersionedTable(spark, os.path.join(path, "cells"))
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        path: str,
+        corpus: DataFrame,
+        id_col: str,
+        vec_col: str,
+        dim: int,
+        n_clusters: int = 16,
+        centroids: list[list[float]] | None = None,
+    ) -> "IVFIndex":
+        from data_chunk_compaction_in_duckdb_spark.pipeline.dedup import (
+            _assign_cells_arrow,
+        )
+        from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
+            _centroid,
+        )
+
+        cents = centroids or [_centroid(dim, i) for i in range(n_clusters)]
+        cells = _assign_cells_arrow(
+            corpus, id_col, vec_col, cents, 1
+        ).withColumnRenamed("_id", id_col)
+        os.makedirs(path, exist_ok=True)
+        VersionedTable.create(spark, os.path.join(path, "cells"), cells)
+        meta = {
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "dim": dim,
+            "n_clusters": n_clusters,
+            "centroids": [list(map(float, c)) for c in cents],
+        }
+        mp = os.path.join(path, "meta.json")
+        tmp = mp + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, mp)
+        return cls(spark, path)
+
+    def rebuild(self, corpus: DataFrame) -> int:
+        from data_chunk_compaction_in_duckdb_spark.pipeline.dedup import (
+            _assign_cells_arrow,
+        )
+
+        mt = self.meta
+        cells = _assign_cells_arrow(
+            corpus, mt["id_col"], mt["vec_col"], mt["centroids"], 1
+        ).withColumnRenamed("_id", mt["id_col"])
+        vt = self.cells_table
+        base = vt.latest_version()
+        affected = set(vt._manifest(base)["files"])
+        return vt._cow_commit("reindex", affected, cells, base=base)
+
+    def cells(self, version: int | None = None) -> DataFrame:
+        return self.cells_table.read(version)
+
+    def topk(
+        self,
+        corpus: DataFrame,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 4,
+        rerank: str = "cell",
+        version: int | None = None,
+    ) -> DataFrame:
+        from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
+            ivf_ann_topk,
+        )
+
+        mt = self.meta
+        return ivf_ann_topk(
+            corpus,
+            queries,
+            mt["id_col"],
+            mt["vec_col"],
+            mt["dim"],
+            k=k,
+            n_clusters=mt["n_clusters"],
+            n_probe=n_probe,
+            centroids=mt["centroids"],
+            rerank=rerank,
+            corpus_cells=self.cells(version),
+        )

@@ -949,3 +949,34 @@ def dedup_keep_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_chars", "n_copies")
     )
+
+
+@query("sim_ann_ivf_index_topk", oracle=_ivf_ann_oracle_sql())
+def sim_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k through the MATERIALIZED cell index
+    (pipeline/vector_index.py IVFIndex; reference CREATE INDEX +
+    storage layer, test/sql/index/): assignment runs once into the
+    versioned (id, _cell) table, queries probe STORED cells.  Shares
+    sim_ann_ivf_topk's oracle verbatim — the index changes where the
+    cells come from, never a result bit."""
+    import shutil
+    import tempfile
+
+    from data_chunk_compaction_in_duckdb_spark.pipeline import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 97 == 0)
+    root = tempfile.mkdtemp(prefix="ivfix_q_")
+    try:
+        idx = IVFIndex.build(
+            spark, root + "/ix", emb, "vec_id", "embedding", dim=64,
+            n_clusters=16,
+        )
+        out = idx.topk(emb, queries_df, k=5, n_probe=8)
+        out = out.select(
+            "query_id", "match_id", F.round("cosine", 4).alias("cosine")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -89,3 +89,36 @@ def test_indexed_topk_empty_queries(spark, tmp_path, emb):
     out = idx.topk(emb, emb.filter(F.lit(False)), k=3, rerank=10)
     assert out.count() == 0
     assert set(out.columns) == {"query_id", "match_id", "cosine"}
+
+
+def test_ivf_index_topk_equals_direct(spark, tmp_path, emb):
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        IVFIndex,
+        ivf_ann_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    idx = IVFIndex.build(
+        spark, str(tmp_path / "ivf"), emb, "vec_id", "embedding", dim=64,
+        n_clusters=16,
+    )
+    via_index = idx.topk(emb, queries, k=5, n_probe=8)
+    direct = ivf_ann_topk(
+        emb, queries, "vec_id", "embedding", dim=64, k=5, n_clusters=16,
+        n_probe=8,
+    )
+    assert _rows(via_index) == _rows(direct)
+
+
+def test_ivf_index_rebuild_versioned(spark, tmp_path, emb):
+    from data_chunk_compaction_in_duckdb_spark.pipeline import IVFIndex
+
+    idx = IVFIndex.build(
+        spark, str(tmp_path / "ivf"), emb, "vec_id", "embedding", dim=64,
+        n_clusters=8,
+    )
+    n0 = idx.cells().count()
+    v = idx.rebuild(emb.filter(F.col("vec_id") % 3 == 0))
+    assert v == 1
+    assert idx.cells().count() < n0
+    assert idx.cells(version=0).count() == n0
