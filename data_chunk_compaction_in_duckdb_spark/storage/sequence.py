@@ -13,13 +13,23 @@ engine exposes sequence values at two grains:
   per allocation (the same linearizable commit primitive as
   ``VersionedTable._commit``; writer-writer races surface as
   ``CommitConflictError`` and allocation retries, so concurrently claimed
-  ranges never overlap).
+  ranges never overlap).  ``claim`` materializes the value list and is
+  the SMALL-explicit-claim form; ``claim_range`` is the O(1) closed-form
+  allocation (no per-value loop, no list) that scales to any n.
 * ``with_sequence(df, seq, out_col, order)`` — the distributed path: ONE
-  range claim for the whole DataFrame (count rows, claim once), then the
+  closed-form range claim for the whole DataFrame (count rows, commit
+  once — O(1) driver CPU and memory regardless of row count), then the
   broadcast prefix-count numbering from ``operators.joins`` assigns
   ``first + rn*increment`` per row.  100 TB shape: one tiny commit +
-  one range-partitioned numbering pass; the counter never becomes a
-  per-row bottleneck.
+  one range-partitioned numbering pass; neither the counter nor the
+  claimed range ever becomes per-row driver state.
+
+Head lookup is O(1) via the same ``_last`` pointer + forward-probe
+discipline as ``VersionedTable.latest_version`` (sequences allocate far
+more versions than tables — every nextval is a commit), and
+``vacuum(retain_last=...)`` folds old claim manifests away (each
+manifest carries the complete allocator state, so history before the
+horizon is purely archival).
 """
 
 from __future__ import annotations
@@ -92,6 +102,7 @@ class Sequence:
                 "op": "create",
                 "next": start,  # the NEXT value nextval will return
                 "exhausted": False,
+                "last_value": None,  # no value allocated yet
                 "start": start,
                 "increment": increment,
                 "minvalue": minvalue,
@@ -118,51 +129,202 @@ class Sequence:
             ) from None
         finally:
             os.unlink(tmp)
+        self._write_last_pointer(version)
 
-    def _latest(self) -> dict:
+    # ------------------------------------------------------ head lookup
+
+    def _read_last_pointer(self) -> int | None:
+        try:
+            with open(os.path.join(self.log_dir, "_last")) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _write_last_pointer(self, version: int) -> None:
+        """Best-effort monotonic hint, published atomically (torn reads
+        impossible; a lost race just leaves a slightly stale hint that
+        the forward probe corrects)."""
+        p = os.path.join(self.log_dir, "_last")
+        tmp = f"{p}.tmp.{os.getpid()}.{version}"
+        try:
+            with open(tmp, "w") as f:
+                f.write(str(version))
+            os.replace(tmp, p)
+        except OSError:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def latest_version(self) -> int:
+        """O(1) head lookup (mirrors VersionedTable.latest_version,
+        versioned.py): ``_last`` pointer hint + forward existence-probe;
+        a missing/stale pointer falls back to ONE directory glob — the
+        previous O(versions)-per-claim path, now the cold path only."""
+        hint = self._read_last_pointer()
+        if hint is not None and os.path.exists(
+            os.path.join(self.log_dir, f"{hint:08d}.json")
+        ):
+            v = hint
+            while os.path.exists(
+                os.path.join(self.log_dir, f"{v + 1:08d}.json")
+            ):
+                v += 1
+            return v
         versions = [
             int(os.path.basename(p)[:-5])
             for p in glob.glob(os.path.join(self.log_dir, "*.json"))
         ]
         if not versions:
             raise FileNotFoundError(f"no sequence log under {self.log_dir}")
-        with open(
-            os.path.join(self.log_dir, f"{max(versions):08d}.json")
-        ) as f:
+        return max(versions)
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self.log_dir, f"{version:08d}.json")) as f:
             return json.load(f)
+
+    def _latest(self) -> dict:
+        return self._manifest(self.latest_version())
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Fold pre-horizon claim manifests away (every manifest carries
+        the complete allocator state, so old ones are purely archival).
+        Same contract as ``VersionedTable.vacuum``: history before the
+        horizon is gone; the head — the only state ``claim`` reads — is
+        always retained.  Sequences accumulate versions far faster than
+        tables (one per nextval), so periodic folding keeps the log
+        directory O(retain_last)."""
+        latest = self.latest_version()
+        horizon = max(0, latest - retain_last + 1)
+        removed = []
+        for v in range(horizon):
+            mp = os.path.join(self.log_dir, f"{v:08d}.json")
+            if os.path.exists(mp):
+                os.remove(mp)
+                removed.append(os.path.basename(mp))
+        return removed
 
     # ------------------------------------------------------- allocation
 
-    def _advance(self, m: dict, n: int) -> tuple[list[int] | None, dict]:
-        """Values for an n-claim from state ``m`` plus the successor
-        state.  Returns (None, m) only when already exhausted."""
+    def _remaining_before_bound(self, m: dict) -> int:
+        """How many values an allocation can hand out from state ``m``
+        before hitting the bound (closed form): for ascending, values
+        next, next+inc, ... <= maxvalue."""
         inc, lo, hi = m["increment"], m["minvalue"], m["maxvalue"]
-        vals: list[int] = []
-        nxt, exhausted = m["next"], m["exhausted"]
-        for _ in range(n):
-            if exhausted:
-                raise SequenceExhausted(
-                    f"sequence at {self.path} reached its "
-                    f"{'maximum' if inc > 0 else 'minimum'} value"
+        if inc > 0:
+            return (hi - m["next"]) // inc + 1
+        return (m["next"] - lo) // (-inc) + 1
+
+    def _advance_range(
+        self, m: dict, n: int, no_wrap: bool = False
+    ) -> tuple[int, int, dict]:
+        """O(1) closed-form n-claim from state ``m``: returns
+        ``(first, last, successor_state)`` with NO per-value loop or
+        list — pure arithmetic-progression math with explicit bound /
+        wrap handling, state-identical to n successive nextval steps
+        (pinned against the reference wrap/exhaustion semantics by
+        tests/test_sequences.py property replay).
+
+        ``no_wrap=True`` raises ValueError if a CYCLE sequence would
+        wrap inside this claim — checked against the SAME state the
+        commit is attempted on, so the with_sequence path cannot be
+        raced into a silent wrap by a concurrent claimer (the TOCTOU
+        a pre-claim peek had)."""
+        inc, lo, hi = m["increment"], m["minvalue"], m["maxvalue"]
+        if m["exhausted"]:
+            raise SequenceExhausted(
+                f"sequence at {self.path} reached its "
+                f"{'maximum' if inc > 0 else 'minimum'} value"
+            )
+        first = m["next"]
+        span = self._remaining_before_bound(m)  # values left before bound
+        out = dict(m)
+        if n <= span:
+            last = first + (n - 1) * inc
+            if n < span:
+                out["next"], out["exhausted"] = first + n * inc, False
+            elif m["cycle"]:
+                # consumed exactly to the bound: next wraps
+                out["next"], out["exhausted"] = (lo if inc > 0 else hi), False
+            else:
+                # DuckDB keeps next at the last handed-out value and
+                # errors on the NEXT call (sequence_overflow.test)
+                out["next"], out["exhausted"] = last, True
+        elif not m["cycle"]:
+            raise SequenceExhausted(
+                f"sequence at {self.path} reached its "
+                f"{'maximum' if inc > 0 else 'minimum'} value"
+            )
+        else:
+            if no_wrap:
+                raise ValueError(
+                    "allocation would wrap inside one claim on a CYCLE "
+                    "sequence; allocate in bounded batches instead"
                 )
+            # wrapped: after the first wrap the progression re-anchors at
+            # the bound, period = full lo..hi span
+            period = ((hi - lo) // inc + 1) if inc > 0 else ((lo - hi) // inc + 1)
+            anchor = lo if inc > 0 else hi
+            idx = (n - span - 1) % period
+            last = anchor + idx * inc
+            stepped = last + inc
+            out["next"] = stepped if lo <= stepped <= hi else anchor
+            out["exhausted"] = False
+        out["last_value"] = last
+        return first, last, out
+
+    def _advance(self, m: dict, n: int) -> tuple[list[int], dict]:
+        """Value LIST for an n-claim (per-value loop — the small
+        explicit-claim form; CYCLE claims need it since a wrapped range
+        is not one arithmetic progression).  Successor state comes from
+        the closed form so both paths commit identical manifests."""
+        inc, lo, hi = m["increment"], m["minvalue"], m["maxvalue"]
+        first, _last, out = self._advance_range(m, n)
+        vals: list[int] = []
+        nxt = first
+        for _ in range(n):
             vals.append(nxt)
             stepped = nxt + inc
             if lo <= stepped <= hi:
                 nxt = stepped
             elif m["cycle"]:
                 nxt = lo if inc > 0 else hi
-            else:
-                exhausted = True  # current claim stands; NEXT one errors
-        out = dict(m)
-        out["next"] = nxt
-        out["exhausted"] = exhausted
         return vals, out
+
+    def claim_range(
+        self, n: int, no_wrap: bool = False, max_retries: int = 64
+    ) -> tuple[int, int]:
+        """Atomically allocate ``n`` sequence values in O(1) driver time
+        and memory: ONE closed-form state step + ONE manifest commit,
+        returning ``(first, last)`` — never a per-value list.  This is
+        the 100 TB allocation form (a 10^11-row claim costs the same as
+        a 1-row claim).  Linearizable across concurrent claimers exactly
+        like ``claim``; with ``no_wrap=True`` a CYCLE wrap fails
+        atomically inside the retry loop (checked on the same head the
+        commit lands on — no peek/claim TOCTOU window)."""
+        if n <= 0:
+            raise ValueError("claim_range needs n >= 1")
+        for _ in range(max_retries):
+            m = self._latest()
+            first, last, out = self._advance_range(m, n, no_wrap=no_wrap)
+            out["version"] = m["version"] + 1
+            out["op"] = f"claim:{n}"
+            try:
+                self._commit_version(out["version"], out)
+            except CommitConflictError:
+                continue
+            self._currval = last
+            return first, last
+        raise CommitConflictError(
+            f"sequence claim lost {max_retries} straight races"
+        )
 
     def claim(self, n: int, max_retries: int = 64) -> list[int]:
         """Atomically allocate ``n`` consecutive sequence values (one
-        commit).  Linearizable across concurrent claimers: a racing
-        commit surfaces as CommitConflictError and the claim retries on
-        the new head, so no two claimers ever receive the same value."""
+        commit) and return them as a list — the SMALL explicit-claim
+        form (the list is O(n) driver memory by construction; bulk/
+        distributed callers use ``claim_range``/``with_sequence``).
+        Linearizable across concurrent claimers: a racing commit
+        surfaces as CommitConflictError and the claim retries on the
+        new head, so no two claimers ever receive the same value."""
         if n <= 0:
             return []
         for _ in range(max_retries):
@@ -198,6 +360,31 @@ class Sequence:
         """The value the next nextval() would return (introspection)."""
         return self._latest()["next"]
 
+    def info(self) -> dict:
+        """duckdb_sequences()-shaped metadata from the head manifest
+        (one O(1) read, no history replay): start/min/max/increment/
+        cycle plus ``last_value`` — the most recently allocated value
+        across ALL sessions, NULL before the first nextval (exactly
+        DuckDB's duckdb_sequences().last_value semantics,
+        src/function/table/system/duckdb_sequences.cpp)."""
+        m = self._latest()
+        # pre-r6 manifests lack last_value: derive it — any claim moved
+        # next off start unless nothing was ever claimed
+        last = m.get("last_value")
+        if last is None and m["version"] > 0:
+            last = (
+                m["next"] if m["exhausted"] else m["next"] - m["increment"]
+            )
+        return {
+            "sequence_name": os.path.basename(self.path.rstrip("/")),
+            "start_value": m["start"],
+            "min_value": m["minvalue"],
+            "max_value": m["maxvalue"],
+            "increment_by": m["increment"],
+            "cycle": m["cycle"],
+            "last_value": last,
+        }
+
 
 def with_sequence(
     df: DataFrame,
@@ -206,27 +393,38 @@ def with_sequence(
     order: list[str],
 ) -> DataFrame:
     """Assign one sequence value per row of ``df`` in ``order``: ONE
-    atomic range claim sized by count(df), then distributed prefix-count
-    numbering maps row i to ``first + i*increment``.
+    atomic O(1) range claim sized by count(df) (``claim_range`` — no
+    per-value list ever exists on the driver), then distributed
+    prefix-count numbering maps row i to ``first + i*increment``.
 
-    CYCLE sequences are rejected here (a wrapped range is not an
-    arithmetic progression, so per-row values would need a driver-side
-    list — exactly the non-distributed shape this operator exists to
-    avoid); claim rows one batch at a time instead."""
+    Wrapping CYCLE claims are rejected ATOMICALLY inside the claim's
+    retry loop (a wrapped range is not an arithmetic progression, so
+    per-row values would need driver-side state — exactly the
+    non-distributed shape this operator exists to avoid); the check
+    rides the same head the commit lands on, so a concurrent claimer
+    advancing the sequence between count and claim cannot force a
+    silent wrap."""
     n = df.count()
+    if n == 0:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
     m = seq._latest()
     if m["cycle"]:
-        lo, hi, inc = m["minvalue"], m["maxvalue"], m["increment"]
-        span = (hi - m["next"]) // inc if inc > 0 else (m["next"] - lo) // -inc
-        if n > span + 1:
+        # fast-fail with the operator-level message; claim_range's
+        # no_wrap re-checks atomically on the commit head
+        span = seq._remaining_before_bound(m)
+        if n > span:
             raise ValueError(
                 "with_sequence on a CYCLE sequence would wrap inside one "
                 "claim; allocate in bounded batches instead"
             )
-    if n == 0:
-        return df.withColumn(out_col, F.lit(None).cast("long"))
-    vals = seq.claim(n)
-    first, inc = vals[0], m["increment"]
+    try:
+        first, _last = seq.claim_range(n, no_wrap=True)
+    except ValueError as e:
+        raise ValueError(
+            "with_sequence on a CYCLE sequence would wrap inside one "
+            "claim; allocate in bounded batches instead"
+        ) from e
+    inc = m["increment"]
     from data_chunk_compaction_in_duckdb_spark.operators.joins import (
         _global_row_number,
     )

@@ -153,3 +153,251 @@ def test_concurrent_claims_never_overlap(spark, tmp_path_str):
         for i in range(0, len(r), batch):
             chunk = r[i : i + batch]
             assert chunk == list(range(chunk[0], chunk[0] + batch))
+
+
+# ------------------------------------------------- O(1) claim_range
+
+
+def test_claim_range_ten_million_is_o1(spark, tmp_path_str, monkeypatch):
+    """The 100 TB allocation pin: a 10^7-value claim must run the
+    closed-form path ONLY — no per-value loop, no value list (the
+    round-5 scale-killer: claim(n) built an n-element Python list and
+    with_sequence called it with count(df))."""
+    s = Sequence.create(spark, tmp_path_str + "/s", start=5, increment=3)
+
+    def boom(self, m, n):
+        raise AssertionError("per-value _advance loop ran on a bulk claim")
+
+    monkeypatch.setattr(Sequence, "_advance", boom)
+    first, last = s.claim_range(10_000_000)
+    assert first == 5
+    assert last == 5 + 3 * (10_000_000 - 1)
+    assert s.peek() == last + 3
+    assert s.currval() == last
+    # a follow-up single claim continues exactly after the bulk range
+    monkeypatch.undo()
+    assert s.nextval() == last + 3
+
+
+def test_claim_range_matches_loop_replay(spark, tmp_path_str):
+    """Closed-form ≡ loop equivalence sweep: for a grid of
+    (start, increment, bounds, cycle, n) the O(1) _advance_range must
+    produce the same (first, last, successor-state) as n successive
+    nextval steps — including wrap re-anchoring and the
+    exhausted-keeps-last 'next' of the reference
+    (test/sql/catalog/sequence/sequence_overflow.test)."""
+    cases = [
+        dict(start=1, increment=1, minvalue=1, maxvalue=50, cycle=False),
+        dict(start=7, increment=3, minvalue=1, maxvalue=40, cycle=False),
+        dict(start=2, increment=1, minvalue=1, maxvalue=5, cycle=True),
+        dict(start=9, increment=-2, minvalue=-6, maxvalue=9, cycle=True),
+        dict(start=-1, increment=-1, minvalue=-9, maxvalue=-1, cycle=False),
+        dict(start=3, increment=4, minvalue=2, maxvalue=18, cycle=True),
+    ]
+    for i, kw in enumerate(cases):
+        for n in (1, 2, 3, 7, 12):
+            a = Sequence.create(
+                spark, f"{tmp_path_str}/a{i}_{n}", **kw
+            )
+            b = Sequence.create(
+                spark, f"{tmp_path_str}/b{i}_{n}", **kw
+            )
+            try:
+                first, last = a.claim_range(n)
+                ok = True
+            except SequenceExhausted:
+                ok = False
+            if ok:
+                vals = [b.nextval() for _ in range(n)]
+                assert (first, last) == (vals[0], vals[-1]), (kw, n)
+                ma, mb = a._latest(), b._latest()
+                for k in ("next", "exhausted", "last_value"):
+                    assert ma[k] == mb[k], (kw, n, k)
+            else:
+                with pytest.raises(SequenceExhausted):
+                    for _ in range(n):
+                        b.nextval()
+
+
+def test_with_sequence_never_builds_value_list(spark, sf_dir, monkeypatch):
+    """with_sequence must ride claim_range, never the list-form claim."""
+    root = tempfile.mkdtemp(prefix="seqtest_")
+    nat = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    s = Sequence.create(spark, root + "/s", start=100, increment=2)
+
+    def boom(self, n, max_retries=64):
+        raise AssertionError("with_sequence used the list-form claim")
+
+    monkeypatch.setattr(Sequence, "claim", boom)
+    out = with_sequence(nat, s, "sid", order=["n_nationkey"]).collect()
+    got = {r["n_nationkey"]: r["sid"] for r in out}
+    keys = sorted(got)
+    assert [got[k] for k in keys] == [100 + 2 * i for i in range(len(keys))]
+
+
+def test_cycle_wrap_toctou_fails_atomically(spark, tmp_path_str):
+    """ADVICE r5 TOCTOU: with_sequence's wrap pre-check reads one head,
+    but a concurrent claimer can advance it before the claim commits.
+    The no_wrap flag re-checks on the SAME state the commit lands on,
+    so the race surfaces as the CYCLE ValueError — never a silent wrap
+    assigning duplicate values."""
+    path = tmp_path_str + "/s"
+    seq = Sequence.create(
+        spark, path, minvalue=1, maxvalue=10, cycle=True
+    )
+    df = spark.range(4).select(F.col("id").cast("long").alias("k"))
+    stale = seq._latest()  # span 10: pre-check would pass for n=4
+    Sequence(spark, path).claim(8)  # concurrent claimer: 3 values left
+    real_latest = seq._latest
+    calls = {"n": 0}
+
+    def first_stale():
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real_latest()
+
+    seq._latest = first_stale
+    with pytest.raises(ValueError, match="CYCLE"):
+        with_sequence(df, seq, "sid", order=["k"])
+    # nothing was committed by the failed attempt
+    assert real_latest()["version"] == 1
+
+
+def test_claim_range_no_wrap_ok_when_it_fits(spark, tmp_path_str):
+    s = Sequence.create(
+        spark, tmp_path_str + "/s", minvalue=1, maxvalue=10, cycle=True
+    )
+    assert s.claim_range(10, no_wrap=True) == (1, 10)
+    # next claim starts on the wrapped anchor — still no wrap inside it
+    assert s.claim_range(3, no_wrap=True) == (1, 3)
+    with pytest.raises(ValueError, match="wrap"):
+        s.claim_range(9, no_wrap=True)
+
+
+def test_claim_range_overflow_bounds(spark, tmp_path_str):
+    """I64-edge arithmetic: closed-form bounds math near maxvalue must
+    match the reference's overflow error semantics
+    (sequence_overflow.test) without any iteration."""
+    hi = (1 << 63) - 1
+    s = Sequence.create(spark, tmp_path_str + "/s", start=hi - 1)
+    assert s.claim_range(2) == (hi - 1, hi)
+    with pytest.raises(SequenceExhausted):
+        s.nextval()
+    d = Sequence.create(
+        spark, tmp_path_str + "/d", start=hi - 6, increment=3
+    )
+    # only 3 values fit: hi-6, hi-3, hi — a 4-claim must refuse whole
+    with pytest.raises(SequenceExhausted):
+        d.claim_range(4)
+    assert d.claim_range(3) == (hi - 6, hi)
+
+
+# -------------------------------------------- head lookup + retention
+
+
+def test_thousand_claims_read_one_manifest(spark, tmp_path_str):
+    """O(1) head pin (mirror of the versioned store's
+    test_thousand_version_read_opens_one_manifest): after 1,000 claims
+    a cold handle's peek() must parse exactly ONE manifest — the _last
+    pointer + forward probe, no directory glob replay."""
+    path = tmp_path_str + "/s"
+    s = Sequence.create(spark, path, start=0, minvalue=0)
+    for _ in range(1000):
+        s.nextval()
+    assert s.latest_version() == 1000
+    assert s._read_last_pointer() == 1000
+
+    opens = []
+    real = Sequence._manifest
+
+    def counting(self, version):
+        opens.append(version)
+        return real(self, version)
+
+    Sequence._manifest = counting
+    try:
+        fresh = Sequence(spark, path)
+        assert fresh.peek() == 1000
+    finally:
+        Sequence._manifest = real
+    assert opens == [1000], opens
+
+
+def test_seq_stale_pointer_self_heals(spark, tmp_path_str):
+    path = tmp_path_str + "/s"
+    s = Sequence.create(spark, path)
+    s.nextval()
+    s.nextval()
+    assert s.latest_version() == 2
+    with open(os.path.join(s.log_dir, "_last"), "w") as f:
+        f.write("0")
+    assert s.latest_version() == 2
+    os.unlink(os.path.join(s.log_dir, "_last"))
+    assert s.latest_version() == 2
+    with open(os.path.join(s.log_dir, "_last"), "w") as f:
+        f.write("junk")
+    assert s.latest_version() == 2
+
+
+def test_vacuum_folds_old_claims(spark, tmp_path_str):
+    """Retention: every manifest is a complete allocator state, so
+    folding history keeps allocation exact while the log dir stays
+    O(retain_last) — sequences commit once per nextval, far hotter
+    than table manifests."""
+    path = tmp_path_str + "/s"
+    s = Sequence.create(spark, path, start=10, increment=5)
+    for _ in range(50):
+        s.nextval()
+    removed = s.vacuum(retain_last=2)
+    assert len(removed) == 49  # versions 0..48 folded; 49+50 retained
+    kept = sorted(p for p in os.listdir(s.log_dir) if p.endswith(".json"))
+    assert kept == ["00000049.json", "00000050.json"]
+    assert s.nextval() == 10 + 5 * 50
+    # cold handle with NO pointer file still resolves via glob fallback
+    os.unlink(os.path.join(s.log_dir, "_last"))
+    fresh = Sequence(spark, path)
+    assert fresh.nextval() == 10 + 5 * 51
+
+
+def test_info_matches_duckdb_sequences(spark, tmp_path_str):
+    """duckdb_sequences() parity at the single-sequence grain: replay
+    the same DDL + allocations in real DuckDB and compare the metadata
+    columns the engine reports (introspect.duckdb_sequences rides
+    this .info())."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE SEQUENCE s1 START 5 INCREMENT 3 MAXVALUE 100;"
+        "CREATE SEQUENCE s2 INCREMENT -2 MINVALUE -50 MAXVALUE 10 CYCLE;"
+        "CREATE SEQUENCE fresh START 42;"
+    )
+    con.execute("SELECT nextval('s1') FROM range(4)")
+    con.execute("SELECT nextval('s2')")
+    s1 = Sequence.create(
+        spark, tmp_path_str + "/s1", start=5, increment=3, maxvalue=100
+    )
+    s1.claim(4)
+    s2 = Sequence.create(
+        spark, tmp_path_str + "/s2", increment=-2, minvalue=-50,
+        maxvalue=10, cycle=True,
+    )
+    s2.nextval()
+    Sequence.create(spark, tmp_path_str + "/fresh", start=42)
+    rows = con.execute(
+        "SELECT sequence_name, start_value, min_value, max_value,"
+        "       increment_by, cycle, last_value "
+        "FROM duckdb_sequences() ORDER BY sequence_name"
+    ).fetchall()
+    got = sorted(
+        (
+            tuple(
+                Sequence(spark, tmp_path_str + "/" + n).info()[k]
+                for k in (
+                    "sequence_name", "start_value", "min_value",
+                    "max_value", "increment_by", "cycle", "last_value",
+                )
+            )
+            for n in ("s1", "s2", "fresh")
+        )
+    )
+    assert got == sorted(tuple(r) for r in rows)
