@@ -305,21 +305,46 @@ class Engine:
         return introspect.show_tables(self.spark)
 
     def describe(self, name_or_table) -> DataFrame:
-        """DESCRIBE: accepts a view name or a VersionedTable (the latter
-        is read manifest-only — no data scan)."""
+        """DESCRIBE: accepts a view name, a VersionedTable (read
+        manifest-only — no data scan), a Sequence, or the name of a
+        sequence registered on this engine — every catalog object kind
+        the engine creates is DESCRIBE-able."""
         from data_chunk_compaction_in_duckdb_spark import introspect
         from data_chunk_compaction_in_duckdb_spark.storage import (
+            Sequence,
             VersionedTable,
         )
 
         if isinstance(name_or_table, VersionedTable):
             return introspect.describe_versioned(name_or_table)
+        if isinstance(name_or_table, Sequence):
+            return introspect.describe_sequence(name_or_table)
+        seqs = getattr(self, "_sequences", {})
+        if name_or_table in seqs:
+            return introspect.describe_sequence(seqs[name_or_table])
         return introspect.describe_table(self.spark, name_or_table)
 
     def duckdb_columns(self, tables: list[str] | None = None) -> DataFrame:
         from data_chunk_compaction_in_duckdb_spark import introspect
 
         return introspect.duckdb_columns(self.spark, tables)
+
+    def duckdb_sequences(self) -> DataFrame:
+        """duckdb_sequences() over every sequence registered on this
+        engine (reference src/function/table/system/
+        duckdb_sequences.cpp) — one O(1) head read per sequence."""
+        from data_chunk_compaction_in_duckdb_spark import introspect
+
+        return introspect.duckdb_sequences(
+            self.spark, getattr(self, "_sequences", {})
+        )
+
+    def show_sequences(self) -> DataFrame:
+        from data_chunk_compaction_in_duckdb_spark import introspect
+
+        return introspect.show_sequences(
+            self.spark, getattr(self, "_sequences", {})
+        )
 
     def close(self) -> None:
         self.spark.stop()

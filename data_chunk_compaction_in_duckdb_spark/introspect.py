@@ -146,6 +146,84 @@ def duckdb_columns(
     )
 
 
+# ------------------------------------------------------------ sequences
+
+_SEQUENCES_SCHEMA = T.StructType(
+    [
+        T.StructField("sequence_name", T.StringType()),
+        T.StructField("start_value", T.LongType()),
+        T.StructField("min_value", T.LongType()),
+        T.StructField("max_value", T.LongType()),
+        T.StructField("increment_by", T.LongType()),
+        T.StructField("cycle", T.BooleanType()),
+        T.StructField("last_value", T.LongType(), True),
+    ]
+)
+
+
+def _seq_items(sequences) -> list[tuple[str, object]]:
+    """Accept a list of Sequences (named by path basename) or a
+    {catalog_name: Sequence} mapping (the Engine registry form)."""
+    if isinstance(sequences, dict):
+        return list(sequences.items())
+    return [(s.info()["sequence_name"], s) for s in sequences]
+
+
+def duckdb_sequences(spark: SparkSession, sequences) -> DataFrame:
+    """duckdb_sequences() analog (reference src/function/table/system/
+    duckdb_sequences.cpp; the r5 gap was that sequences created by
+    storage/sequence.py were invisible to the catalog surface): one row
+    per ``storage.Sequence``, DuckDB's column names and semantics —
+    ``last_value`` is the most recently allocated value across ALL
+    sessions, NULL before the first nextval.  Metadata-scale like the
+    rest of this module: each row is ONE O(1) head-manifest read (the
+    ``_last`` pointer), never a log replay, so listing 10^4 sequences
+    costs 10^4 tiny reads regardless of how many values each has ever
+    allocated."""
+    rows = []
+    for name, s in _seq_items(sequences):
+        info = dict(s.info(), sequence_name=name)
+        rows.append(tuple(info[f.name] for f in _SEQUENCES_SCHEMA.fields))
+    rows.sort(key=lambda r: r[0])
+    return spark.createDataFrame(rows, _SEQUENCES_SCHEMA)
+
+
+def show_sequences(spark: SparkSession, sequences) -> DataFrame:
+    """SHOW SEQUENCES-style one-column listing (name order), the
+    sequence sibling of ``show_tables``."""
+    names = sorted(n for n, _ in _seq_items(sequences))
+    return spark.createDataFrame(
+        [(n,) for n in names],
+        T.StructType([T.StructField("name", T.StringType())]),
+    )
+
+
+def describe_sequence(seq) -> DataFrame:
+    """DESCRIBE over a sequence: its metadata in the same six-column
+    DESCRIBE shape the table surface uses (the reference reports
+    sequences through duckdb_sequences(); the engine additionally
+    accepts them on the DESCRIBE path so SHOW/DESCRIBE covers every
+    catalog object kind).  One O(1) head read."""
+    i = seq.info()
+    rows = [
+        ("sequence_name", "VARCHAR", "NO", None, str(i["sequence_name"]), None),
+        ("start_value", "BIGINT", "NO", None, str(i["start_value"]), None),
+        ("min_value", "BIGINT", "NO", None, str(i["min_value"]), None),
+        ("max_value", "BIGINT", "NO", None, str(i["max_value"]), None),
+        ("increment_by", "BIGINT", "NO", None, str(i["increment_by"]), None),
+        ("cycle", "BOOLEAN", "NO", None, str(i["cycle"]).lower(), None),
+        (
+            "last_value",
+            "BIGINT",
+            "YES",
+            None,
+            None if i["last_value"] is None else str(i["last_value"]),
+            None,
+        ),
+    ]
+    return seq.spark.createDataFrame(rows, _DESCRIBE_SCHEMA)
+
+
 # ------------------------------------------------- versioned manifests
 
 

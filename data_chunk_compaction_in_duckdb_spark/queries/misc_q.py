@@ -557,3 +557,76 @@ def introspect_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "introspect_sequences",
+    oracle="""
+    CREATE OR REPLACE SEQUENCE iq_fwd START 500 INCREMENT 7;
+    CREATE OR REPLACE SEQUENCE iq_rev INCREMENT -3 MINVALUE -100000 MAXVALUE 90;
+    CREATE OR REPLACE SEQUENCE iq_cyc START 2 MINVALUE 1 MAXVALUE 5 CYCLE;
+    CREATE OR REPLACE SEQUENCE iq_fresh START 42;
+    SELECT nextval('iq_fwd') AS a, nextval('iq_rev') AS b
+    FROM customer WHERE c_custkey % 100 = 0;
+    SELECT nextval('iq_cyc') FROM range(7);
+    SELECT sequence_name, start_value, min_value, max_value,
+           increment_by, cycle, last_value
+    FROM duckdb_sequences()
+    WHERE sequence_name LIKE 'iq!_%' ESCAPE '!'
+    ORDER BY sequence_name
+    """,
+)
+def introspect_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duckdb_sequences() readback vs DuckDB's OWN duckdb_sequences()
+    (introspect.py duckdb_sequences; reference src/function/table/
+    system/duckdb_sequences.cpp, test/sql/catalog/sequence/) — the
+    oracle literally CREATEs the same four sequences in DuckDB, replays
+    the same allocations (one per filtered customer row for the
+    ascending/descending pair — data-dependent, so last_value moves
+    with SF — plus a 7-step wrapping CYCLE claim and one untouched
+    sequence whose last_value must be NULL), then reads DuckDB's real
+    catalog function.  Divergent wrap anchoring, exhaustion handling,
+    bound defaults, or a stale last_value all hash-mismatch."""
+    import shutil
+    import tempfile
+
+    from data_chunk_compaction_in_duckdb_spark.introspect import (
+        duckdb_sequences,
+    )
+    from data_chunk_compaction_in_duckdb_spark.storage import (
+        Sequence,
+        with_sequence,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 100 == 0
+    )
+    root = tempfile.mkdtemp(prefix="iq_seq_")
+    try:
+        fwd = Sequence.create(
+            spark, root + "/iq_fwd", start=500, increment=7
+        )
+        rev = Sequence.create(
+            spark, root + "/iq_rev", increment=-3, minvalue=-100000,
+            maxvalue=90,
+        )
+        cyc = Sequence.create(
+            spark, root + "/iq_cyc", start=2, minvalue=1, maxvalue=5,
+            cycle=True,
+        )
+        fresh = Sequence.create(spark, root + "/iq_fresh", start=42)
+        # the claims ARE the side effect under test (with_sequence
+        # commits eagerly; the numbered DataFrame itself is unused)
+        with_sequence(
+            with_sequence(cust, fwd, "a", order=["c_custkey"]),
+            rev,
+            "b",
+            order=["c_custkey"],
+        )
+        cyc.claim(7)
+        # duckdb_sequences reads each head manifest eagerly into driver
+        # rows, so the result has no dependency on the tmpdir
+        out = duckdb_sequences(spark, [fwd, rev, cyc, fresh])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

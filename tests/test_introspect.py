@@ -149,3 +149,102 @@ def test_engine_sequence_facade(spark, tmp_path):
     assert eng.nextval("ids") == 10
     assert eng.currval("ids") == 10
     assert eng.sequence("ids").peek() == 15
+
+
+# ------------------------------------------------------------ sequences
+
+
+def test_duckdb_sequences_vs_real_duckdb(spark, tmp_path):
+    """Metadata readback vs DuckDB's own duckdb_sequences() after an
+    equivalent allocation replay (reference src/function/table/system/
+    duckdb_sequences.cpp): same DDL, same claims, same columns."""
+    import duckdb
+
+    from data_chunk_compaction_in_duckdb_spark.storage import Sequence
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE SEQUENCE a START 3 INCREMENT 2 MAXVALUE 11;"
+        "CREATE SEQUENCE b INCREMENT -5;"
+        "CREATE SEQUENCE c START 1 MINVALUE 1 MAXVALUE 4 CYCLE;"
+        "CREATE SEQUENCE untouched;"
+    )
+    con.execute("SELECT nextval('a') FROM range(5)")  # exhausts a at 11
+    con.execute("SELECT nextval('b') FROM range(2)")
+    con.execute("SELECT nextval('c') FROM range(6)")  # wraps: ...4,1,2
+    a = Sequence.create(
+        spark, str(tmp_path / "a"), start=3, increment=2, maxvalue=11
+    )
+    a.claim(5)
+    b = Sequence.create(spark, str(tmp_path / "b"), increment=-5)
+    b.claim(2)
+    c = Sequence.create(
+        spark, str(tmp_path / "c"), start=1, minvalue=1, maxvalue=4,
+        cycle=True,
+    )
+    c.claim(6)
+    u = Sequence.create(spark, str(tmp_path / "untouched"))
+
+    from data_chunk_compaction_in_duckdb_spark.introspect import (
+        duckdb_sequences,
+    )
+
+    got = [tuple(r) for r in duckdb_sequences(spark, [a, b, c, u]).collect()]
+    want = con.execute(
+        "SELECT sequence_name, start_value, min_value, max_value,"
+        "       increment_by, cycle, last_value "
+        "FROM duckdb_sequences() ORDER BY sequence_name"
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+def test_describe_sequence_shape(spark, tmp_path):
+    from data_chunk_compaction_in_duckdb_spark.introspect import (
+        describe_sequence,
+    )
+    from data_chunk_compaction_in_duckdb_spark.storage import Sequence
+
+    s = Sequence.create(spark, str(tmp_path / "s"), start=9, increment=4)
+    d = describe_sequence(s)
+    assert d.columns == [
+        "column_name", "column_type", "null", "key", "default", "extra",
+    ]
+    rows = {r["column_name"]: r for r in d.collect()}
+    assert rows["start_value"]["default"] == "9"
+    assert rows["increment_by"]["default"] == "4"
+    assert rows["last_value"]["default"] is None  # nothing allocated yet
+    s.nextval()
+    rows = {
+        r["column_name"]: r for r in describe_sequence(s).collect()
+    }
+    assert rows["last_value"]["default"] == "9"
+
+
+def test_engine_sequence_introspection(spark, tmp_path):
+    """SHOW/DESCRIBE/duckdb_sequences() through the Engine facade —
+    the r5 gap: sequences created via create_sequence were invisible
+    to the catalog surface; the registered name (not the path
+    basename) is the catalog name."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, register=False)
+    eng.create_sequence("order_ids", str(tmp_path / "p1"), start=100)
+    eng.create_sequence(
+        "rowids", str(tmp_path / "p2"), increment=3, maxvalue=30
+    )
+    eng.nextval("order_ids")
+    assert [r["name"] for r in eng.show_sequences().collect()] == [
+        "order_ids", "rowids",
+    ]
+    meta = {
+        r["sequence_name"]: r for r in eng.duckdb_sequences().collect()
+    }
+    assert meta["order_ids"]["last_value"] == 100
+    assert meta["rowids"]["last_value"] is None
+    assert meta["rowids"]["max_value"] == 30
+    desc = {
+        r["column_name"]: r["default"]
+        for r in eng.describe("order_ids").collect()
+    }
+    assert desc["sequence_name"] == "p1"  # path basename at the storage grain
+    assert desc["last_value"] == "100"
