@@ -1086,6 +1086,18 @@ def pq_adc_topk(
             if id_type is None:
                 id_type = batch.schema.field(id_col).type
             ids_col = batch.column(id_col)
+            if ids_col.null_count:
+                # NULL-id corpus rows can never reach the result (the
+                # exact rerank inner-joins on match_id and the oracle's
+                # q.id <> c.id is NULL-false), but an int id column with
+                # NULLs converts to float64+NaN and poisons the typed
+                # output array — mask them out of the batch up front
+                import pyarrow.compute as pc
+
+                batch = batch.filter(pc.is_valid(ids_col))
+                if batch.num_rows == 0:
+                    continue
+                ids_col = batch.column(id_col)
             mids = np.asarray(ids_col.to_numpy(zero_copy_only=False))
             vec_col_arr = batch.column(vec_col)
             vnull = np.asarray(

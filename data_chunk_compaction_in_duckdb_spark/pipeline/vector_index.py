@@ -86,17 +86,14 @@ class PQIndex:
         os.replace(tmp, mp)
         return cls(spark, path)
 
-    def rebuild(self, corpus: DataFrame) -> int:
-        """Re-encode after corpus changes: ONE new code-table version
-        (copy-on-write — the previous index stays time-travel
-        readable), same codebooks."""
+    def _encode(self, rows: DataFrame) -> DataFrame:
         from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
             pq_codes,
         )
 
         mt = self.meta
-        cc = pq_codes(
-            corpus,
+        return pq_codes(
+            rows,
             mt["id_col"],
             mt["vec_col"],
             mt["dim"],
@@ -104,13 +101,47 @@ class PQIndex:
             k=mt["codes"],
             codebooks=mt["codebooks"],
         ).select(mt["id_col"], *[f"c{s}" for s in range(mt["m"])])
+
+    def rebuild(self, corpus: DataFrame) -> int:
+        """FULL re-encode after arbitrary corpus changes (deletes,
+        updates, vector edits): ONE new code-table version
+        (copy-on-write — the previous index stays time-travel
+        readable), same codebooks.  For the append-only common case use
+        ``append`` — it touches none of the existing files."""
+        cc = self._encode(corpus)
         vt = self.codes_table
         base = vt.latest_version()
         affected = set(vt._manifest(base)["files"])
         return vt._cow_commit("reindex", affected, cc, base=base)
 
+    def append(self, new_rows: DataFrame) -> int:
+        """Incremental index maintenance (reference analog: the ART
+        index maintains itself per-INSERT, src/execution/index/art/
+        art.cpp:370 ``ART::Insert``; r5's only refresh path re-encoded
+        the WHOLE corpus): encode ONLY the delta with the stored
+        codebooks and land it as an append-only commit — every existing
+        code file moves by manifest reference, zero rewrites.  At
+        100 TB an ingest batch costs O(batch), not O(corpus).  Since PQ
+        encoding is per-row (codebooks are frozen at build), append ∘
+        build ≡ build-on-union exactly — pinned by test and by the
+        shared DuckDB oracle of ``sim_ann_pq_index_append_topk``."""
+        return self.codes_table.insert(self._encode(new_rows))
+
     def codes(self, version: int | None = None) -> DataFrame:
         return self.codes_table.read(version)
+
+    def missing(self, corpus: DataFrame) -> DataFrame:
+        """Corpus rows NOT covered by the stored codes (NULL-id rows
+        excluded — they can never match): non-empty means the index is
+        stale for this corpus and ``topk`` silently skips those rows as
+        ANN candidates; ``append`` the delta (or ``rebuild``) to
+        refresh.  One anti-join, no collect."""
+        mt = self.meta
+        ids = self.codes().select(mt["id_col"])
+        return (
+            corpus.filter(F.col(mt["id_col"]).isNotNull())
+            .join(ids, mt["id_col"], "left_anti")
+        )
 
     # ------------------------------------------------------------ query
 
@@ -121,13 +152,25 @@ class PQIndex:
         k: int = 5,
         rerank: int = 20,
         version: int | None = None,
+        check_coverage: bool = False,
     ) -> DataFrame:
         """ADC top-k over the STORED codes: one mapInArrow gather pass
         per partition of the code table (no re-encoding, no pair-stream
         materialization), exact merge window, then the k-bounded exact
         cosine re-rank against the corpus raw vectors — identical
-        results to the direct ``pq_adc_topk``."""
+        results to the direct ``pq_adc_topk``.
+
+        Results reflect the INDEXED snapshot: corpus rows ingested after
+        build are not candidates until ``append``ed (or ``rebuild``);
+        ``check_coverage=True`` pays one anti-join probe to raise on
+        such staleness instead of silently excluding rows."""
         import numpy as np
+
+        if check_coverage and self.missing(corpus).limit(1).count():
+            raise ValueError(
+                "index is stale: corpus rows missing from the stored "
+                "codes — append() the delta or rebuild()"
+            )
 
         from data_chunk_compaction_in_duckdb_spark.compaction import fan_out
         from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
@@ -170,6 +213,17 @@ class PQIndex:
                     continue
                 if id_type is None:
                     id_type = batch.schema.field(id_col).type
+                if batch.column(id_col).null_count:
+                    # same contract as the direct fused kernel
+                    # (similarity.adc_partial): NULL-id rows can never
+                    # survive the rerank join, and unmasked they turn an
+                    # int id batch into float64+NaN that the typed
+                    # output array rejects
+                    import pyarrow.compute as pc
+
+                    batch = batch.filter(pc.is_valid(batch.column(id_col)))
+                    if batch.num_rows == 0:
+                        continue
                 mids = np.asarray(
                     batch.column(id_col).to_numpy(zero_copy_only=False)
                 )
@@ -311,22 +365,49 @@ class IVFIndex:
         os.replace(tmp, mp)
         return cls(spark, path)
 
-    def rebuild(self, corpus: DataFrame) -> int:
+    def _assign(self, rows: DataFrame) -> DataFrame:
         from data_chunk_compaction_in_duckdb_spark.pipeline.dedup import (
             _assign_cells_arrow,
         )
 
         mt = self.meta
-        cells = _assign_cells_arrow(
-            corpus, mt["id_col"], mt["vec_col"], mt["centroids"], 1
+        return _assign_cells_arrow(
+            rows, mt["id_col"], mt["vec_col"], mt["centroids"], 1
         ).withColumnRenamed("_id", mt["id_col"])
+
+    def rebuild(self, corpus: DataFrame) -> int:
+        """FULL re-assignment after arbitrary corpus changes; for
+        append-only ingest use ``append``."""
+        cells = self._assign(corpus)
         vt = self.cells_table
         base = vt.latest_version()
         affected = set(vt._manifest(base)["files"])
         return vt._cow_commit("reindex", affected, cells, base=base)
 
+    def append(self, new_rows: DataFrame) -> int:
+        """Incremental cell maintenance (reference ART::Insert analog,
+        src/execution/index/art/art.cpp:370): assign cells for ONLY the
+        delta and commit append-only — centroids are frozen at build
+        and assignment is per-row, so append ∘ build ≡ build-on-union
+        exactly (shared oracle of ``sim_ann_ivf_index_append_topk``);
+        existing cell files move by manifest reference."""
+        return self.cells_table.insert(self._assign(new_rows))
+
     def cells(self, version: int | None = None) -> DataFrame:
         return self.cells_table.read(version)
+
+    def missing(self, corpus: DataFrame) -> DataFrame:
+        """Corpus rows with no stored cell assignment (NULL ids
+        excluded): the ``corpus_cells`` fast path inner-joins on id, so
+        uncovered rows are silently absent from every query until
+        ``append``ed (r5 ADVICE: surface staleness instead of hiding
+        it).  One anti-join, no collect."""
+        mt = self.meta
+        ids = self.cells().select(mt["id_col"])
+        return (
+            corpus.filter(F.col(mt["id_col"]).isNotNull())
+            .join(ids, mt["id_col"], "left_anti")
+        )
 
     def topk(
         self,
@@ -336,11 +417,21 @@ class IVFIndex:
         n_probe: int = 4,
         rerank: str = "cell",
         version: int | None = None,
+        check_coverage: bool = False,
     ) -> DataFrame:
+        """Results reflect the INDEXED snapshot (the stored-cell join is
+        an inner join on id): rows ingested after build are silently
+        absent until ``append``ed; ``check_coverage=True`` raises on
+        staleness instead."""
         from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
             ivf_ann_topk,
         )
 
+        if check_coverage and self.missing(corpus).limit(1).count():
+            raise ValueError(
+                "index is stale: corpus rows missing from the stored "
+                "cells — append() the delta or rebuild()"
+            )
         mt = self.meta
         return ivf_ann_topk(
             corpus,

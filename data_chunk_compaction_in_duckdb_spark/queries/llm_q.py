@@ -951,6 +951,39 @@ def dedup_keep_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ann_ivf_index_append_topk", oracle=_ivf_ann_oracle_sql())
+def sim_ann_ivf_index_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cell-index maintenance parity (IVFIndex.append;
+    reference ART::Insert, src/execution/index/art/art.cpp:370): build
+    the (id, _cell) table over two-thirds of the corpus, append the
+    remaining third delta-only, then query — centroids are frozen at
+    build and assignment is per-row, so the result must equal the
+    full-build index bit-for-bit (shares sim_ann_ivf_topk's oracle
+    verbatim)."""
+    import shutil
+    import tempfile
+
+    from data_chunk_compaction_in_duckdb_spark.pipeline import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 97 == 0)
+    root = tempfile.mkdtemp(prefix="ivfixa_q_")
+    try:
+        idx = IVFIndex.build(
+            spark, root + "/ix", emb.filter(F.col("vec_id") % 3 != 0),
+            "vec_id", "embedding", dim=64, n_clusters=16,
+        )
+        idx.append(emb.filter(F.col("vec_id") % 3 == 0))
+        out = idx.topk(emb, queries_df, k=5, n_probe=8, check_coverage=True)
+        out = out.select(
+            "query_id", "match_id", F.round("cosine", 4).alias("cosine")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 @query("sim_ann_ivf_index_topk", oracle=_ivf_ann_oracle_sql())
 def sim_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k through the MATERIALIZED cell index

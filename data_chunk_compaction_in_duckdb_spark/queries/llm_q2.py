@@ -1140,6 +1140,40 @@ def sim_pq_trained_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("subspace")
 
 
+@query("sim_ann_pq_index_append_topk", oracle=_pq_adc_oracle_sql())
+def sim_ann_pq_index_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance parity (PQIndex.append; reference
+    ART::Insert, src/execution/index/art/art.cpp:370): build the code
+    table over TWO-THIRDS of the corpus, append the remaining third as
+    a delta-only commit (existing files move by manifest reference),
+    then query — the result must be BIT-IDENTICAL to querying an index
+    built over the whole corpus, so it shares sim_ann_pq_adc_topk's
+    full-corpus oracle verbatim.  A delta encode that re-anchored,
+    dropped, or double-encoded one row diverges the hash."""
+    import shutil
+    import tempfile
+
+    from data_chunk_compaction_in_duckdb_spark.pipeline import PQIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 97 == 0)
+    root = tempfile.mkdtemp(prefix="pqixa_q_")
+    try:
+        idx = PQIndex.build(
+            spark, root + "/ix", emb.filter(F.col("vec_id") % 3 != 0),
+            "vec_id", "embedding", dim=64, m=16, codes=16,
+        )
+        idx.append(emb.filter(F.col("vec_id") % 3 == 0))
+        out = idx.topk(emb, queries_df, k=5, rerank=50)
+        out = out.select(
+            "query_id", "match_id", F.round("cosine", 4).alias("cosine")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 @query("sim_ann_pq_index_topk", oracle=_pq_adc_oracle_sql())
 def sim_ann_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-k through the MATERIALIZED index lifecycle

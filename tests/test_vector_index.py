@@ -122,3 +122,129 @@ def test_ivf_index_rebuild_versioned(spark, tmp_path, emb):
     assert v == 1
     assert idx.cells().count() < n0
     assert idx.cells(version=0).count() == n0
+
+
+# --------------------------------------------------- incremental append
+
+
+def test_pq_append_equals_full_build_and_keeps_files(spark, tmp_path, emb):
+    """append() must encode ONLY the delta (every base code file moves
+    by manifest reference — the reference maintains its ART index
+    per-INSERT instead of rebuilding, art.cpp ART::Insert) and the
+    resulting index must be content-identical to one built over the
+    whole corpus."""
+    path = str(tmp_path / "ix")
+    base_part = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = PQIndex.build(
+        spark, path, base_part, "vec_id", "embedding", dim=64, m=16,
+        codes=16,
+    )
+    files_v0 = set(idx.codes_table._manifest(0)["files"])
+    v = idx.append(delta)
+    assert v == 1
+    m1 = idx.codes_table._manifest(1)
+    assert m1["op"] == "insert"
+    # manifest assertion: ONLY new files were written — the whole base
+    # file set survives by reference
+    assert files_v0 <= set(m1["files"])
+    assert len(m1["files"]) > len(files_v0)
+
+    full = PQIndex.build(
+        spark, str(tmp_path / "full"), emb, "vec_id", "embedding",
+        dim=64, m=16, codes=16,
+    )
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(idx.codes()) == key(full.codes())
+    # ... and queries over the appended index equal the full build's
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    assert _rows(idx.topk(emb, queries, k=5, rerank=50)) == _rows(
+        full.topk(emb, queries, k=5, rerank=50)
+    )
+
+
+def test_ivf_append_equals_full_build_and_keeps_files(spark, tmp_path, emb):
+    from data_chunk_compaction_in_duckdb_spark.pipeline import IVFIndex
+
+    path = str(tmp_path / "ivf")
+    idx = IVFIndex.build(
+        spark, path, emb.filter(F.col("vec_id") % 3 != 0), "vec_id",
+        "embedding", dim=64, n_clusters=16,
+    )
+    files_v0 = set(idx.cells_table._manifest(0)["files"])
+    assert idx.append(emb.filter(F.col("vec_id") % 3 == 0)) == 1
+    m1 = idx.cells_table._manifest(1)
+    assert m1["op"] == "insert" and files_v0 <= set(m1["files"])
+    full = IVFIndex.build(
+        spark, str(tmp_path / "full"), emb, "vec_id", "embedding",
+        dim=64, n_clusters=16,
+    )
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(idx.cells()) == key(full.cells())
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    assert _rows(idx.topk(emb, queries, k=5, n_probe=8)) == _rows(
+        full.topk(emb, queries, k=5, n_probe=8)
+    )
+
+
+def test_missing_and_check_coverage(spark, tmp_path, emb):
+    """Staleness is surfaced, not hidden (r5 ADVICE): missing() names
+    the uncovered rows, check_coverage raises until the delta is
+    appended."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import IVFIndex
+
+    covered = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    idx = IVFIndex.build(
+        spark, str(tmp_path / "ivf"), covered, "vec_id", "embedding",
+        dim=64, n_clusters=8,
+    )
+    assert idx.missing(emb).count() == delta.count()
+    with pytest.raises(ValueError, match="stale"):
+        idx.topk(emb, queries, k=3, check_coverage=True)
+    idx.append(delta)
+    assert idx.missing(emb).count() == 0
+    assert idx.topk(emb, queries, k=3, check_coverage=True).count() > 0
+
+    pq = PQIndex.build(
+        spark, str(tmp_path / "pq"), covered, "vec_id", "embedding",
+        dim=64, m=16, codes=16,
+    )
+    assert pq.missing(emb).count() == delta.count()
+    with pytest.raises(ValueError, match="stale"):
+        pq.topk(emb, queries, k=3, rerank=10, check_coverage=True)
+    pq.append(delta)
+    assert pq.missing(emb).count() == 0
+
+
+def test_null_id_corpus_rows_are_masked(spark, tmp_path, emb):
+    """r5 ADVICE: a NULL corpus id turned the int id batch into
+    float64+NaN inside the fused kernels and the typed output array
+    raised.  NULL-id rows can never survive the rerank join (the
+    Catalyst path dropped them too), so masking them pre-scoring is
+    semantics-preserving — results must equal the NULL-free corpus."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import pq_adc_topk
+
+    with_null = emb.unionByName(
+        emb.limit(3).select(
+            F.lit(None).cast("long").alias("vec_id"), "embedding", "label"
+        )
+    )
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    direct_clean = pq_adc_topk(
+        emb, queries, "vec_id", "embedding", dim=64, k=5, m=16, codes=16,
+        rerank=50,
+    )
+    direct_null = pq_adc_topk(
+        with_null, queries, "vec_id", "embedding", dim=64, k=5, m=16,
+        codes=16, rerank=50,
+    )
+    assert _rows(direct_null) == _rows(direct_clean)
+
+    idx = PQIndex.build(
+        spark, str(tmp_path / "ix"), with_null, "vec_id", "embedding",
+        dim=64, m=16, codes=16,
+    )
+    via_index = idx.topk(with_null, queries, k=5, rerank=50)
+    assert _rows(via_index) == _rows(direct_clean)
