@@ -109,6 +109,23 @@ def describe_table(spark: SparkSession, name: str) -> DataFrame:
     return spark.createDataFrame(_describe_rows(schema), _DESCRIBE_SCHEMA)
 
 
+def describe_query(spark: SparkSession, sql: str) -> DataFrame:
+    """DESCRIBE SELECT ... (the reference describes arbitrary queries,
+    test/sql/show_select/describe_qualified_columns.test): analyze the
+    query (no execution — Catalyst resolves the schema) and report the
+    result columns in the DESCRIBE shape with DuckDB-named types.
+    ``null`` is always YES — query results carry no NOT NULL contract
+    (the reference prints YES for every described-query column even
+    when Catalyst can prove a literal non-null)."""
+    rows = [
+        (name, tname, "YES", key, default, extra)
+        for name, tname, _null, key, default, extra in _describe_rows(
+            spark.sql(sql).schema
+        )
+    ]
+    return spark.createDataFrame(rows, _DESCRIBE_SCHEMA)
+
+
 def duckdb_columns(
     spark: SparkSession, tables: list[str] | None = None
 ) -> DataFrame:

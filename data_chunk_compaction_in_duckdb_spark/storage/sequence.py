@@ -89,6 +89,13 @@ class Sequence:
             maxvalue = -1 if maxvalue is None else maxvalue
             minvalue = _I64_MIN if minvalue is None else minvalue
             start = maxvalue if start is None else start
+        if minvalue >= maxvalue:
+            # reference parity: DuckDB's 'MINVALUE (x) must be less than
+            # MAXVALUE (y)' parser error
+            raise ValueError(
+                f"MINVALUE ({minvalue}) must be less than "
+                f"MAXVALUE ({maxvalue})"
+            )
         if not (minvalue <= start <= maxvalue):
             raise ValueError(
                 f"start {start} outside [{minvalue}, {maxvalue}]"
@@ -204,13 +211,33 @@ class Sequence:
 
     # ------------------------------------------------------- allocation
 
-    def _remaining_before_bound(self, m: dict) -> int:
-        """How many values an allocation can hand out from state ``m``
-        before hitting the bound (closed form): for ascending, values
-        next, next+inc, ... <= maxvalue."""
+    @staticmethod
+    def _eff_bounds(m: dict) -> tuple[int, int]:
+        """Effective bounds with the reference's int64 overflow guard:
+        a value is returnable only if its SUCCESSOR is representable —
+        DuckDB's nextval errors computing the successor past int64, so
+        e.g. with the default MAXVALUE (2^63-1) and INCREMENT 1 the
+        last returnable value is 2^63-2 (verified against DuckDB,
+        reference test/sql/catalog/sequence/sequence_overflow.test).
+        For any bound not within one increment of the type edge these
+        equal the declared bounds."""
         inc, lo, hi = m["increment"], m["minvalue"], m["maxvalue"]
         if inc > 0:
+            return lo, min(hi, _I64_MAX - inc)
+        return max(lo, _I64_MIN - inc), hi
+
+    def _remaining_before_bound(self, m: dict) -> int:
+        """How many values an allocation can hand out from state ``m``
+        before hitting the (effective) bound — closed form: for
+        ascending, values next, next+inc, ... <= maxvalue."""
+        inc = m["increment"]
+        lo, hi = self._eff_bounds(m)
+        if inc > 0:
+            if m["next"] > hi:
+                return 0
             return (hi - m["next"]) // inc + 1
+        if m["next"] < lo:
+            return 0
         return (m["next"] - lo) // (-inc) + 1
 
     def _advance_range(
@@ -228,7 +255,8 @@ class Sequence:
         commit is attempted on, so the with_sequence path cannot be
         raced into a silent wrap by a concurrent claimer (the TOCTOU
         a pre-claim peek had)."""
-        inc, lo, hi = m["increment"], m["minvalue"], m["maxvalue"]
+        inc = m["increment"]
+        lo, hi = self._eff_bounds(m)
         if m["exhausted"]:
             raise SequenceExhausted(
                 f"sequence at {self.path} reached its "
@@ -276,7 +304,8 @@ class Sequence:
         explicit-claim form; CYCLE claims need it since a wrapped range
         is not one arithmetic progression).  Successor state comes from
         the closed form so both paths commit identical manifests."""
-        inc, lo, hi = m["increment"], m["minvalue"], m["maxvalue"]
+        inc = m["increment"]
+        lo, hi = self._eff_bounds(m)
         first, _last, out = self._advance_range(m, n)
         vals: list[int] = []
         nxt = first

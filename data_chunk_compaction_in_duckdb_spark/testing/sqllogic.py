@@ -129,47 +129,182 @@ def render_row(row, types: str) -> str:
     return "\t".join(render_value(v, t) for v, t in zip(row, types))
 
 
-def run_file(spark, path: str) -> int:
-    """Execute every directive in `path` against spark.sql; returns the
-    number of directives run.  Raises SqlLogicError on first failure."""
-    count = 0
-    for rec in parse_file(path):
-        where = f"{path}:{rec.line}"
-        if rec.kind == "statement_ok":
-            try:
-                df = spark.sql(rec.sql)
-                # DDL/DML execute eagerly; SELECTs need an action.
-                if df is not None and df.columns:
-                    df.collect()
-            except Exception as e:  # noqa: BLE001
-                raise SqlLogicError(f"{where}: statement ok failed: {e}") from e
-        elif rec.kind == "statement_error":
-            try:
-                df = spark.sql(rec.sql)
-                if df is not None and df.columns:
-                    df.collect()
-            except Exception:  # noqa: BLE001
-                pass
-            else:
-                raise SqlLogicError(f"{where}: statement error did not raise")
-        else:
-            try:
-                rows = spark.sql(rec.sql).collect()
-            except Exception as e:  # noqa: BLE001
-                raise SqlLogicError(f"{where}: query failed: {e}") from e
-            got = [render_row(tuple(r), rec.types) for r in rows]
-            exp = list(rec.expected)
-            if rec.sortmode == "rowsort":
-                got.sort()
-                exp.sort()
-            if got != exp:
-                diff = "\n".join(
-                    f"  got: {g!r}\n  exp: {e!r}"
-                    for g, e in list(zip(got + ["<none>"] * len(exp),
-                                         exp + ["<none>"] * len(got)))[:5]
-                )
+# --------------------------------------------------- engine statements
+#
+# The reference's sequence/catalog sqllogic families (test/sql/catalog/
+# sequence/, test/sql/show_select/) mix DDL statements with queries over
+# nextval()/currval()/DESCRIBE.  Spark SQL has none of those, so the
+# runner routes them through the engine surface (storage.Sequence,
+# introspect) and everything else through spark.sql — the SAME .test
+# text DuckDB executes natively in the generator's validation pass.
+
+_CREATE_SEQ_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?SEQUENCE\s+(\w+)\s*(.*?);?\s*$",
+    re.I | re.S,
+)
+_DROP_SEQ_RE = re.compile(
+    r"^\s*DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I
+)
+_DESCRIBE_RE = re.compile(r"^\s*DESCRIBE\s+(\w+)\s*;?\s*$", re.I)
+_DESCRIBE_SELECT_RE = re.compile(
+    r"^\s*DESCRIBE\s+(SELECT\b.*)$", re.I | re.S
+)
+_SEQFN_RE = re.compile(r"\b(nextval|currval)\s*\(", re.I)
+_SEQ_OPT_RES = {
+    "start": re.compile(r"\bSTART\s+(?:WITH\s+)?(-?\d+)", re.I),
+    "increment": re.compile(r"\bINCREMENT\s+(?:BY\s+)?(-?\d+)", re.I),
+    "minvalue": re.compile(r"\bMINVALUE\s+(-?\d+)", re.I),
+    "maxvalue": re.compile(r"\bMAXVALUE\s+(-?\d+)", re.I),
+}
+
+
+class EngineSqlContext:
+    """Per-file execution context: owns a throwaway sequence root and
+    dispatches engine-surface SQL; plain SQL falls through to
+    spark.sql.  ``close()`` removes every sequence log it created."""
+
+    def __init__(self, spark):
+        import tempfile
+
+        self.spark = spark
+        self.root = tempfile.mkdtemp(prefix="sqllogic_seq_")
+        self.sequences: dict[str, object] = {}
+        self._generation = 0  # bumped per DDL so replaced paths are fresh
+
+    def close(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.root, ignore_errors=True)
+
+    # -- sequence DDL
+
+    def _create_sequence(self, m: re.Match) -> None:
+        import os
+
+        from data_chunk_compaction_in_duckdb_spark.storage import Sequence
+
+        or_replace, name, opts = bool(m.group(1)), m.group(2), m.group(3)
+        if name in self.sequences and not or_replace:
+            raise SqlLogicError(
+                f"Catalog Error: sequence {name} already exists"
+            )
+        kwargs = {}
+        for key, rx in _SEQ_OPT_RES.items():
+            om = rx.search(opts)
+            if om:
+                kwargs[key] = int(om.group(1))
+        if re.search(r"\bNO\s+CYCLE\b", opts, re.I):
+            kwargs["cycle"] = False
+        elif re.search(r"\bCYCLE\b", opts, re.I):
+            kwargs["cycle"] = True
+        self._generation += 1
+        path = os.path.join(self.root, f"{name}_{self._generation}")
+        self.sequences[name] = Sequence.create(self.spark, path, **kwargs)
+
+    def _register_seq_udfs(self) -> None:
+        """(Re)bind nextval/currval to the CURRENT name->path snapshot.
+        Arrow-batched pandas_udfs: one linearizable range claim per
+        (batch, name) — the claim itself is multi-process safe (O_EXCL
+        manifest commit), so values stay globally unique no matter how
+        Spark batches the rows; per-row ORDER is engine-specific in
+        both systems, so specs compare value SETS (rowsort) or
+        aggregates."""
+        from data_chunk_compaction_in_duckdb_spark.testing._sequdf import (
+            make_seq_udfs,
+        )
+
+        paths = {n: s.path for n, s in self.sequences.items()}
+        nextval_udf, currval_udf = make_seq_udfs(paths)
+        self.spark.udf.register("nextval", nextval_udf)
+        self.spark.udf.register("currval", currval_udf)
+
+    # -- dispatch
+
+    def execute(self, sql: str):
+        """Returns a DataFrame (queries) or None (statements)."""
+        m = _CREATE_SEQ_RE.match(sql)
+        if m:
+            self._create_sequence(m)
+            return None
+        m = _DROP_SEQ_RE.match(sql)
+        if m:
+            if_exists, name = bool(m.group(1)), m.group(2)
+            if name not in self.sequences:
+                if if_exists:
+                    return None
                 raise SqlLogicError(
-                    f"{where}: {len(got)} rows vs {len(exp)} expected\n{diff}"
+                    f"Catalog Error: sequence {name} does not exist"
                 )
-        count += 1
+            del self.sequences[name]
+            return None
+        m = _DESCRIBE_SELECT_RE.match(sql)
+        if m:
+            from data_chunk_compaction_in_duckdb_spark import introspect
+
+            return introspect.describe_query(self.spark, m.group(1))
+        m = _DESCRIBE_RE.match(sql)
+        if m:
+            from data_chunk_compaction_in_duckdb_spark import introspect
+
+            name = m.group(1)
+            if name in self.sequences:
+                return introspect.describe_sequence(self.sequences[name])
+            return introspect.describe_table(self.spark, name)
+        if _SEQFN_RE.search(sql):
+            self._register_seq_udfs()
+        return self.spark.sql(sql)
+
+
+def run_file(spark, path: str) -> int:
+    """Execute every directive in `path` (engine-surface statements via
+    EngineSqlContext, the rest via spark.sql); returns the number of
+    directives run.  Raises SqlLogicError on first failure."""
+    count = 0
+    ctx = EngineSqlContext(spark)
+    try:
+        for rec in parse_file(path):
+            where = f"{path}:{rec.line}"
+            if rec.kind == "statement_ok":
+                try:
+                    df = ctx.execute(rec.sql)
+                    # DDL/DML execute eagerly; SELECTs need an action.
+                    if df is not None and df.columns:
+                        df.collect()
+                except Exception as e:  # noqa: BLE001
+                    raise SqlLogicError(
+                        f"{where}: statement ok failed: {e}"
+                    ) from e
+            elif rec.kind == "statement_error":
+                try:
+                    df = ctx.execute(rec.sql)
+                    if df is not None and df.columns:
+                        df.collect()
+                except Exception:  # noqa: BLE001
+                    pass
+                else:
+                    raise SqlLogicError(
+                        f"{where}: statement error did not raise"
+                    )
+            else:
+                try:
+                    rows = ctx.execute(rec.sql).collect()
+                except Exception as e:  # noqa: BLE001
+                    raise SqlLogicError(f"{where}: query failed: {e}") from e
+                got = [render_row(tuple(r), rec.types) for r in rows]
+                exp = list(rec.expected)
+                if rec.sortmode == "rowsort":
+                    got.sort()
+                    exp.sort()
+                if got != exp:
+                    diff = "\n".join(
+                        f"  got: {g!r}\n  exp: {e!r}"
+                        for g, e in list(zip(got + ["<none>"] * len(exp),
+                                             exp + ["<none>"] * len(got)))[:5]
+                    )
+                    raise SqlLogicError(
+                        f"{where}: {len(got)} rows vs {len(exp)} expected\n{diff}"
+                    )
+            count += 1
+    finally:
+        ctx.close()
     return count

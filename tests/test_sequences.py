@@ -275,20 +275,32 @@ def test_claim_range_no_wrap_ok_when_it_fits(spark, tmp_path_str):
 
 def test_claim_range_overflow_bounds(spark, tmp_path_str):
     """I64-edge arithmetic: closed-form bounds math near maxvalue must
-    match the reference's overflow error semantics
-    (sequence_overflow.test) without any iteration."""
+    match the reference's overflow error semantics — DuckDB never hands
+    out a value whose SUCCESSOR overflows int64 (probed: START 2^63-2
+    yields ONE value then 'reached maximum value'), so with the default
+    MAXVALUE the last returnable value is 2^63-1-increment
+    (sequence_overflow.test; pinned dual-engine by
+    tests/sqllogic/sequence_overflow.test)."""
     hi = (1 << 63) - 1
     s = Sequence.create(spark, tmp_path_str + "/s", start=hi - 1)
-    assert s.claim_range(2) == (hi - 1, hi)
+    with pytest.raises(SequenceExhausted):
+        s.claim_range(2)  # hi itself is not returnable: successor overflows
+    assert s.claim_range(1) == (hi - 1, hi - 1)
     with pytest.raises(SequenceExhausted):
         s.nextval()
     d = Sequence.create(
         spark, tmp_path_str + "/d", start=hi - 6, increment=3
     )
-    # only 3 values fit: hi-6, hi-3, hi — a 4-claim must refuse whole
+    # values hi-6 and hi-3 fit (successors hi-3, hi representable);
+    # hi itself would need successor hi+3 — excluded, like DuckDB
     with pytest.raises(SequenceExhausted):
-        d.claim_range(4)
-    assert d.claim_range(3) == (hi - 6, hi)
+        d.claim_range(3)
+    assert d.claim_range(2) == (hi - 6, hi - 3)
+    # an EXPLICIT maxvalue away from the type edge is itself returnable
+    e = Sequence.create(spark, tmp_path_str + "/e", start=1, maxvalue=3)
+    assert e.claim_range(3) == (1, 3)
+    with pytest.raises(SequenceExhausted):
+        e.nextval()
 
 
 # -------------------------------------------- head lookup + retention

@@ -6356,6 +6356,228 @@ for _t, (_k, _s, _v, _g, _p) in _TCOLS.items():
     ])
 
 
+# ---------------------------------------------------------------------
+# Engine-surface families (round 6): sequences and DESCRIBE, mirroring
+# the reference's test/sql/catalog/sequence/ (test_sequence, cycle,
+# sequence_offset_increment, sequence_overflow) and test/sql/show_select/.
+# DuckDB executes each spec natively; Spark runs it through
+# testing.sqllogic.EngineSqlContext — state advances in lockstep on both
+# engines.  Statement specs use types "ok"/"error".  nextval VALUE->ROW
+# binding is engine-batching-specific, so specs compare value SETS
+# (rowsort) or aggregates, never positional pairings with other columns.
+# Sequence names are unique per corpus (the DuckDB connection is shared
+# across corpora within a generator run).
+
+corpus("sequence_basic", "CREATE SEQUENCE / nextval basics (reference test/sql/catalog/sequence/test_sequence.test)")([
+    ("ok", "", "CREATE SEQUENCE sq_a"),
+    ("I", "", "SELECT nextval('sq_a')"),
+    ("I", "", "SELECT nextval('sq_a')"),
+    ("I", "", "SELECT nextval('sq_a')"),
+    ("ok", "", "CREATE SEQUENCE sq_b"),
+    # independent sequences do not share a counter
+    ("I", "", "SELECT nextval('sq_b')"),
+    ("I", "", "SELECT nextval('sq_a')"),
+    ("I", "rowsort", "SELECT nextval('sq_a') FROM range(4)"),
+    ("I", "", "SELECT currval('sq_a')"),
+    ("I", "", "SELECT currval('sq_b')"),
+])
+
+corpus("sequence_start_with", "START WITH anchoring (reference sequence_offset_increment.test)")([
+    ("ok", "", "CREATE SEQUENCE st_a START 100"),
+    ("I", "", "SELECT nextval('st_a')"),
+    ("I", "", "SELECT nextval('st_a')"),
+    ("ok", "", "CREATE SEQUENCE st_b START WITH 7"),
+    ("I", "", "SELECT nextval('st_b')"),
+    ("ok", "", "CREATE SEQUENCE st_c START 1"),
+    ("I", "", "SELECT nextval('st_c')"),
+    # START at a bound is allowed
+    ("ok", "", "CREATE SEQUENCE st_d START 5 MINVALUE 5 MAXVALUE 10"),
+    ("I", "", "SELECT nextval('st_d')"),
+])
+
+corpus("sequence_increment_by", "INCREMENT BY stepping (reference sequence_offset_increment.test)")([
+    ("ok", "", "CREATE SEQUENCE inc_a INCREMENT 5"),
+    ("I", "rowsort", "SELECT nextval('inc_a') FROM range(3)"),
+    ("ok", "", "CREATE SEQUENCE inc_b START 10 INCREMENT BY 3"),
+    ("I", "", "SELECT nextval('inc_b')"),
+    ("I", "", "SELECT nextval('inc_b')"),
+    ("I", "", "SELECT nextval('inc_b')"),
+    ("ok", "", "CREATE SEQUENCE inc_c START 1000 INCREMENT 250"),
+    ("I", "", "SELECT nextval('inc_c') + nextval('inc_c')"),
+])
+
+corpus("sequence_descending", "Negative increments: descending defaults and stepping (reference test_sequence.test)")([
+    # descending sequences start at MAXVALUE (default -1)
+    ("ok", "", "CREATE SEQUENCE de_a INCREMENT -1"),
+    ("I", "", "SELECT nextval('de_a')"),
+    ("I", "", "SELECT nextval('de_a')"),
+    # descending default MAXVALUE is -1: START above it is a create error
+    ("error", "", "CREATE SEQUENCE de_x START 50 INCREMENT -10"),
+    ("ok", "", "CREATE SEQUENCE de_b START 50 INCREMENT -10 MAXVALUE 50"),
+    ("I", "rowsort", "SELECT nextval('de_b') FROM range(4)"),
+    ("ok", "", "CREATE SEQUENCE de_c INCREMENT -3 MAXVALUE 9"),
+    ("I", "", "SELECT nextval('de_c')"),
+    ("I", "", "SELECT nextval('de_c')"),
+    ("I", "", "SELECT currval('de_c')"),
+])
+
+corpus("sequence_minmax_bounds", "MINVALUE/MAXVALUE windows (reference sequence_offset_increment.test)")([
+    ("ok", "", "CREATE SEQUENCE mm_a MINVALUE 40 MAXVALUE 45"),
+    # ascending default start is MINVALUE
+    ("I", "", "SELECT nextval('mm_a')"),
+    ("I", "rowsort", "SELECT nextval('mm_a') FROM range(5)"),
+    ("ok", "", "CREATE SEQUENCE mm_b START -5 MINVALUE -10 MAXVALUE -1"),
+    ("I", "", "SELECT nextval('mm_b')"),
+    ("ok", "", "CREATE SEQUENCE mm_c INCREMENT -2 MINVALUE -7 MAXVALUE 3"),
+    ("I", "", "SELECT nextval('mm_c')"),
+    ("I", "", "SELECT nextval('mm_c')"),
+])
+
+corpus("sequence_cycle_asc", "CYCLE wraps to MINVALUE ascending (reference test/sql/catalog/sequence/cycle)")([
+    ("ok", "", "CREATE SEQUENCE cya_a START 2 MINVALUE 1 MAXVALUE 3 CYCLE"),
+    ("I", "", "SELECT nextval('cya_a')"),
+    ("I", "", "SELECT nextval('cya_a')"),
+    ("I", "", "SELECT nextval('cya_a')"),
+    ("I", "", "SELECT nextval('cya_a')"),
+    ("I", "", "SELECT nextval('cya_a')"),
+    # multi-row wrap in one query: the 3-value window repeats
+    ("ok", "", "CREATE SEQUENCE cya_b MINVALUE 1 MAXVALUE 3 CYCLE"),
+    ("I", "rowsort", "SELECT nextval('cya_b') FROM range(7)"),
+    ("I", "", "SELECT count(DISTINCT v) FROM (SELECT nextval('cya_b') AS v FROM range(9)) t"),
+])
+
+corpus("sequence_cycle_desc", "CYCLE wraps to MAXVALUE descending (reference cycle tests)")([
+    ("ok", "", "CREATE SEQUENCE cyd_a INCREMENT -1 MINVALUE 1 MAXVALUE 3 CYCLE"),
+    ("I", "", "SELECT nextval('cyd_a')"),
+    ("I", "", "SELECT nextval('cyd_a')"),
+    ("I", "", "SELECT nextval('cyd_a')"),
+    ("I", "", "SELECT nextval('cyd_a')"),
+    ("ok", "", "CREATE SEQUENCE cyd_b INCREMENT -2 MINVALUE 0 MAXVALUE 5 CYCLE"),
+    ("I", "rowsort", "SELECT nextval('cyd_b') FROM range(5)"),
+])
+
+corpus("sequence_no_cycle_exhaustion", "Non-CYCLE sequences error past the bound (reference sequence_overflow.test)")([
+    ("ok", "", "CREATE SEQUENCE ex_a START 2 MAXVALUE 3"),
+    ("I", "", "SELECT nextval('ex_a')"),
+    ("I", "", "SELECT nextval('ex_a')"),
+    ("error", "", "SELECT nextval('ex_a')"),
+    # the error is sticky: still exhausted on the next call
+    ("error", "", "SELECT nextval('ex_a')"),
+    ("ok", "", "CREATE SEQUENCE ex_b INCREMENT -5 MINVALUE -4 MAXVALUE 4 NO CYCLE"),
+    ("I", "", "SELECT nextval('ex_b')"),
+    ("I", "", "SELECT nextval('ex_b')"),
+    ("error", "", "SELECT nextval('ex_b')"),
+    # a multi-row claim that would cross the bound errors whole
+    ("ok", "", "CREATE SEQUENCE ex_c MAXVALUE 2"),
+    ("error", "", "SELECT nextval('ex_c') FROM range(5)"),
+])
+
+corpus("sequence_overflow", "I64-edge bounds: a value whose successor overflows int64 is never handed out (reference sequence_overflow.test)")([
+    ("ok", "", "CREATE SEQUENCE ov_a START 9223372036854775806"),
+    ("I", "", "SELECT nextval('ov_a')"),
+    ("error", "", "SELECT nextval('ov_a')"),
+    ("error", "", "SELECT nextval('ov_a')"),
+    ("ok", "", "CREATE SEQUENCE ov_b INCREMENT -1 MINVALUE -9223372036854775807"),
+    ("I", "", "SELECT nextval('ov_b')"),
+    ("I", "", "SELECT nextval('ov_b')"),
+    ("ok", "", "CREATE SEQUENCE ov_c START 9223372036854775800 INCREMENT 7"),
+    ("I", "", "SELECT nextval('ov_c')"),
+    ("error", "", "SELECT nextval('ov_c')"),
+])
+
+corpus("sequence_create_errors", "Invalid CREATE SEQUENCE parameters (reference test_sequence.test error grid)")([
+    ("error", "", "CREATE SEQUENCE ce_a INCREMENT 0"),
+    ("error", "", "CREATE SEQUENCE ce_b MINVALUE 5 MAXVALUE 5"),
+    ("error", "", "CREATE SEQUENCE ce_c MINVALUE 9 MAXVALUE 2"),
+    ("error", "", "CREATE SEQUENCE ce_d START 0 MINVALUE 1 MAXVALUE 10"),
+    ("error", "", "CREATE SEQUENCE ce_e START 11 MINVALUE 1 MAXVALUE 10"),
+    ("ok", "", "CREATE SEQUENCE ce_dup"),
+    ("error", "", "CREATE SEQUENCE ce_dup"),
+    ("ok", "", "CREATE OR REPLACE SEQUENCE ce_dup START 9"),
+    ("I", "", "SELECT nextval('ce_dup')"),
+    ("error", "", "SELECT nextval('ce_missing')"),
+])
+
+corpus("sequence_currval", "currval session semantics (reference test_sequence.test)")([
+    ("ok", "", "CREATE SEQUENCE cv_a"),
+    ("error", "", "SELECT currval('cv_a')"),
+    ("I", "", "SELECT nextval('cv_a')"),
+    ("I", "", "SELECT currval('cv_a')"),
+    # currval is stable: repeated reads do not advance the sequence
+    ("I", "", "SELECT currval('cv_a')"),
+    ("I", "", "SELECT nextval('cv_a')"),
+    ("I", "", "SELECT currval('cv_a')"),
+    ("II", "", "SELECT currval('cv_a'), currval('cv_a')"),
+])
+
+corpus("sequence_drop", "DROP SEQUENCE lifecycle (reference test_sequence.test)")([
+    ("ok", "", "CREATE SEQUENCE dr_a START 30"),
+    ("I", "", "SELECT nextval('dr_a')"),
+    ("ok", "", "DROP SEQUENCE dr_a"),
+    ("error", "", "SELECT nextval('dr_a')"),
+    ("error", "", "DROP SEQUENCE dr_a"),
+    ("ok", "", "DROP SEQUENCE IF EXISTS dr_a"),
+    ("ok", "", "DROP SEQUENCE IF EXISTS dr_never_existed"),
+    # recreate after drop restarts from START
+    ("ok", "", "CREATE SEQUENCE dr_a START 30"),
+    ("I", "", "SELECT nextval('dr_a')"),
+])
+
+corpus("sequence_multirow", "Distributed nextval over relations — set/aggregate determinism (reference test_sequence.test nextval-over-table forms)")([
+    ("ok", "", "CREATE SEQUENCE mr_a"),
+    ("I", "rowsort", "SELECT nextval('mr_a') FROM range(6)"),
+    ("ok", "", "CREATE SEQUENCE mr_b START 10 INCREMENT 10"),
+    ("III", "", "SELECT count(*) AS n, min(v) AS lo, max(v) AS hi FROM (SELECT nextval('mr_b') AS v FROM region) t"),
+    ("I", "", "SELECT sum(v) FROM (SELECT nextval('mr_b') AS v FROM region) t"),
+    ("ok", "", "CREATE SEQUENCE mr_c"),
+    # one value per nation row: the claimed range is exactly 1..25
+    ("II", "", "SELECT count(*) AS n, sum(v) AS total FROM (SELECT nextval('mr_c') AS v FROM nation) t"),
+    ("I", "", "SELECT count(DISTINCT v) FROM (SELECT nextval('mr_c') AS v FROM customer) t"),
+])
+
+corpus("sequence_interleaved", "Interleaved multi-sequence allocation stays independent (reference test_sequence.test)")([
+    ("ok", "", "CREATE SEQUENCE il_x START 1"),
+    ("ok", "", "CREATE SEQUENCE il_y START 100 INCREMENT -1 MINVALUE 1 MAXVALUE 100"),
+    ("I", "", "SELECT nextval('il_x')"),
+    ("I", "", "SELECT nextval('il_y')"),
+    ("I", "", "SELECT nextval('il_x')"),
+    ("I", "", "SELECT nextval('il_y')"),
+    ("II", "", "SELECT currval('il_x'), currval('il_y')"),
+    ("I", "", "SELECT nextval('il_x') + nextval('il_y')"),
+])
+
+
+def _describe_specs(table: str) -> list[tuple[str, str, str]]:
+    return [("TTTTTT", "", f"DESCRIBE {table}")]
+
+
+for _t in TABLES:
+    corpus(
+        f"describe_{_t}",
+        f"DESCRIBE {_t}: six-column shape with DuckDB-named types "
+        "(reference test/sql/show_select/)",
+    )(_describe_specs(_t))
+
+corpus("describe_select_types", "DESCRIBE SELECT — expression result types agree across engines (reference test/sql/show_select/describe_qualified_columns.test)")([
+    ("TTTTTT", "", "DESCRIBE SELECT 1 AS a"),
+    ("TTTTTT", "", "DESCRIBE SELECT CAST(1 AS BIGINT) AS a, 'x' AS b, TRUE AS c"),
+    ("TTTTTT", "", "DESCRIBE SELECT DATE '1995-01-01' AS d"),
+    ("TTTTTT", "", "DESCRIBE SELECT 1.5 AS a"),
+    ("TTTTTT", "", "DESCRIBE SELECT r_regionkey + 1 AS k, upper(r_name) AS n FROM region"),
+    ("TTTTTT", "", "DESCRIBE SELECT count(*) AS n, avg(c_acctbal) AS avg_bal FROM customer"),
+    ("TTTTTT", "", "DESCRIBE SELECT sum(l_extendedprice) AS s FROM lineitem"),
+    ("TTTTTT", "", "DESCRIBE SELECT o_orderdate AS ts FROM orders"),
+])
+
+corpus("describe_select_casts", "DESCRIBE SELECT over casts (reference show_select + cast grids)")([
+    ("TTTTTT", "", "DESCRIBE SELECT CAST('1' AS SMALLINT) AS a, CAST(2 AS TINYINT) AS b"),
+    ("TTTTTT", "", "DESCRIBE SELECT CAST(3 AS DOUBLE) AS a, CAST(4 AS FLOAT) AS b"),
+    ("TTTTTT", "", "DESCRIBE SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders"),
+    ("TTTTTT", "", "DESCRIBE SELECT CAST(NULL AS STRING) AS s"),
+    ("TTTTTT", "", "DESCRIBE SELECT CAST('2020-01-01 00:00:00' AS TIMESTAMP) AS t"),
+])
+
+
 def main() -> int:
     import duckdb
 
@@ -6383,13 +6605,47 @@ def main() -> int:
         print(f"unknown corpus names: {sorted(unknown)}")
         return 1
 
+    from data_chunk_compaction_in_duckdb_spark.testing.sqllogic import (
+        EngineSqlContext,
+    )
+
     n_bad = 0
     for fname, (header, specs) in SPECS.items():
         if only and fname not in only:
             continue
         out = [HEADER_NOTE, f"# {header}\n"]
         file_ok = True
+        # per-corpus engine context: sequence state advances in lockstep
+        # on BOTH engines since every spec executes in order on each
+        ctx = EngineSqlContext(spark)
         for types, sortmode, sql in specs:
+            if types in ("ok", "error"):
+                # statement spec: both engines must agree it runs/raises
+                d_err = s_err = None
+                try:
+                    con.execute(sql)
+                except Exception as e:  # noqa: BLE001
+                    d_err = e
+                try:
+                    df = ctx.execute(sql)
+                    if df is not None and df.columns:
+                        df.collect()
+                except Exception as e:  # noqa: BLE001
+                    s_err = e
+                want_err = types == "error"
+                if (d_err is not None) != want_err or (
+                    s_err is not None
+                ) != want_err:
+                    print(
+                        f"[{fname}] STATEMENT {types} DISAGREES: {sql}\n"
+                        f"    duckdb: {d_err}\n    spark : "
+                        f"{str(s_err)[:200]}"
+                    )
+                    file_ok = False
+                    n_bad += 1
+                    continue
+                out.append(f"statement {types}\n{sql}\n")
+                continue
             try:
                 d_rows = [render_row(r, types) for r in con.execute(sql).fetchall()]
             except Exception as e:  # noqa: BLE001
@@ -6399,7 +6655,8 @@ def main() -> int:
                 continue
             try:
                 s_rows = [
-                    render_row(tuple(r), types) for r in spark.sql(sql).collect()
+                    render_row(tuple(r), types)
+                    for r in ctx.execute(sql).collect()
                 ]
             except Exception as e:  # noqa: BLE001
                 print(f"[{fname}] SPARK ERROR: {sql}\n    {str(e)[:300]}")
@@ -6422,6 +6679,7 @@ def main() -> int:
             out.append(
                 f"query {types}{mode}\n{sql}\n----\n" + "\n".join(rendered) + "\n"
             )
+        ctx.close()
         if file_ok:
             path = os.path.join(OUT_DIR, f"{fname}.test")
             with open(path, "w") as f:
