@@ -67,9 +67,51 @@ class Engine:
         prepared form (test/sql/prepared/) — both bound by Spark's
         parameterized SQL, never string interpolation.
 
+        Sequence SQL rides the same entry point (reference
+        test/sql/catalog/sequence/): ``CREATE [OR REPLACE] SEQUENCE`` /
+        ``DROP SEQUENCE [IF EXISTS]`` statements manage engine-registered
+        sequences (backed by commit logs under a per-engine root), and
+        queries calling ``nextval('name')``/``currval('name')`` bind
+        those names through Arrow-batched UDFs — one linearizable range
+        claim per batch.  Pipelines should prefer
+        ``storage.with_sequence`` (one O(1) claim per DataFrame); the
+        SQL form exists for reference-parity per-row semantics.
+
         Inside the SQL text Catalyst+AQE own compaction (shuffle-read
         coalescing); with ``auto_compact`` on, the returned handle also
         auto-compacts anything composed on it at the DataFrame level."""
+        from data_chunk_compaction_in_duckdb_spark.storage import seqsql
+
+        created = seqsql.parse_create_sequence(query)
+        if created is not None:
+            name, or_replace, kwargs = created
+            seqs = getattr(self, "_sequences", {})
+            if name in seqs and not or_replace:
+                raise ValueError(
+                    f"Catalog Error: sequence {name} already exists"
+                )
+            self.create_sequence(name, self._next_seq_path(name), **kwargs)
+            return None
+        dropped = seqsql.parse_drop_sequence(query)
+        if dropped is not None:
+            name, if_exists = dropped
+            seqs = getattr(self, "_sequences", {})
+            if name not in seqs:
+                if if_exists:
+                    return None
+                raise ValueError(
+                    f"Catalog Error: sequence {name} does not exist"
+                )
+            del seqs[name]
+            return None
+        if seqsql.SEQFN_RE.search(query):
+            paths = {
+                n: s.path
+                for n, s in getattr(self, "_sequences", {}).items()
+            }
+            nextval_udf, currval_udf = seqsql.make_seq_udfs(paths)
+            self.spark.udf.register("nextval", nextval_udf)
+            self.spark.udf.register("currval", currval_udf)
         if args and params:
             raise ValueError("use positional ? args or named :params, not both")
         if args:
@@ -77,6 +119,17 @@ class Engine:
         if params:
             return self._wrap(self.spark.sql(query, args=params))
         return self._wrap(self.spark.sql(query))
+
+    def _next_seq_path(self, name: str) -> str:
+        """Per-engine sequence root (created lazily, removed on
+        close()); a generation counter keeps OR REPLACE paths fresh."""
+        import os
+        import tempfile
+
+        if getattr(self, "_seq_root", None) is None:
+            self._seq_root = tempfile.mkdtemp(prefix="engine_seq_")
+        self._seq_gen = getattr(self, "_seq_gen", 0) + 1
+        return os.path.join(self._seq_root, f"{name}_{self._seq_gen}")
 
     # -- entry point 3: programmatic DataFrame (embedded C++ driver)
     def table(self, name: str) -> DataFrame:
@@ -347,4 +400,8 @@ class Engine:
         )
 
     def close(self) -> None:
+        if getattr(self, "_seq_root", None):
+            import shutil
+
+            shutil.rmtree(self._seq_root, ignore_errors=True)
         self.spark.stop()

@@ -138,24 +138,10 @@ def render_row(row, types: str) -> str:
 # introspect) and everything else through spark.sql — the SAME .test
 # text DuckDB executes natively in the generator's validation pass.
 
-_CREATE_SEQ_RE = re.compile(
-    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?SEQUENCE\s+(\w+)\s*(.*?);?\s*$",
-    re.I | re.S,
-)
-_DROP_SEQ_RE = re.compile(
-    r"^\s*DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I
-)
 _DESCRIBE_RE = re.compile(r"^\s*DESCRIBE\s+(\w+)\s*;?\s*$", re.I)
 _DESCRIBE_SELECT_RE = re.compile(
     r"^\s*DESCRIBE\s+(SELECT\b.*)$", re.I | re.S
 )
-_SEQFN_RE = re.compile(r"\b(nextval|currval)\s*\(", re.I)
-_SEQ_OPT_RES = {
-    "start": re.compile(r"\bSTART\s+(?:WITH\s+)?(-?\d+)", re.I),
-    "increment": re.compile(r"\bINCREMENT\s+(?:BY\s+)?(-?\d+)", re.I),
-    "minvalue": re.compile(r"\bMINVALUE\s+(-?\d+)", re.I),
-    "maxvalue": re.compile(r"\bMAXVALUE\s+(-?\d+)", re.I),
-}
 
 
 class EngineSqlContext:
@@ -176,27 +162,17 @@ class EngineSqlContext:
 
         shutil.rmtree(self.root, ignore_errors=True)
 
-    # -- sequence DDL
+    # -- sequence DDL (shared grammar/UDFs: storage/seqsql.py)
 
-    def _create_sequence(self, m: re.Match) -> None:
+    def _create_sequence(self, name: str, or_replace: bool, kwargs: dict) -> None:
         import os
 
         from data_chunk_compaction_in_duckdb_spark.storage import Sequence
 
-        or_replace, name, opts = bool(m.group(1)), m.group(2), m.group(3)
         if name in self.sequences and not or_replace:
             raise SqlLogicError(
                 f"Catalog Error: sequence {name} already exists"
             )
-        kwargs = {}
-        for key, rx in _SEQ_OPT_RES.items():
-            om = rx.search(opts)
-            if om:
-                kwargs[key] = int(om.group(1))
-        if re.search(r"\bNO\s+CYCLE\b", opts, re.I):
-            kwargs["cycle"] = False
-        elif re.search(r"\bCYCLE\b", opts, re.I):
-            kwargs["cycle"] = True
         self._generation += 1
         path = os.path.join(self.root, f"{name}_{self._generation}")
         self.sequences[name] = Sequence.create(self.spark, path, **kwargs)
@@ -209,7 +185,7 @@ class EngineSqlContext:
         Spark batches the rows; per-row ORDER is engine-specific in
         both systems, so specs compare value SETS (rowsort) or
         aggregates."""
-        from data_chunk_compaction_in_duckdb_spark.testing._sequdf import (
+        from data_chunk_compaction_in_duckdb_spark.storage.seqsql import (
             make_seq_udfs,
         )
 
@@ -222,13 +198,15 @@ class EngineSqlContext:
 
     def execute(self, sql: str):
         """Returns a DataFrame (queries) or None (statements)."""
-        m = _CREATE_SEQ_RE.match(sql)
-        if m:
-            self._create_sequence(m)
+        from data_chunk_compaction_in_duckdb_spark.storage import seqsql
+
+        created = seqsql.parse_create_sequence(sql)
+        if created:
+            self._create_sequence(*created)
             return None
-        m = _DROP_SEQ_RE.match(sql)
-        if m:
-            if_exists, name = bool(m.group(1)), m.group(2)
+        dropped = seqsql.parse_drop_sequence(sql)
+        if dropped:
+            name, if_exists = dropped
             if name not in self.sequences:
                 if if_exists:
                     return None
@@ -250,7 +228,7 @@ class EngineSqlContext:
             if name in self.sequences:
                 return introspect.describe_sequence(self.sequences[name])
             return introspect.describe_table(self.spark, name)
-        if _SEQFN_RE.search(sql):
+        if seqsql.SEQFN_RE.search(sql):
             self._register_seq_udfs()
         return self.spark.sql(sql)
 

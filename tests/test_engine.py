@@ -221,3 +221,40 @@ def test_view_override_invalidates_register_memo(spark, sf_dir, tmp_path):
     finally:
         _c.invalidate_views(spark)
         _c.register_views(spark, sf_dir)
+
+
+def test_engine_sql_sequence_surface(spark):
+    """Reference-parity SQL entry point for sequences
+    (test/sql/catalog/sequence/): CREATE/DROP SEQUENCE statements and
+    nextval/currval calls run through Engine.sql like any other SQL."""
+    import pytest
+
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, register=False)
+    eng.sql("CREATE SEQUENCE sql_ids START 5 INCREMENT 3")
+    assert eng.sql("SELECT nextval('sql_ids') AS v").collect()[0]["v"] == 5
+    assert eng.sql("SELECT nextval('sql_ids') AS v").collect()[0]["v"] == 8
+    assert eng.sql("SELECT currval('sql_ids') AS v").collect()[0]["v"] == 8
+    # multi-row claim over a relation: the value SET is deterministic
+    vals = sorted(
+        r["v"]
+        for r in eng.sql(
+            "SELECT nextval('sql_ids') AS v FROM range(4)"
+        ).collect()
+    )
+    assert vals == [11, 14, 17, 20]
+    # SQL-created sequences are catalog-visible
+    meta = {r["sequence_name"]: r for r in eng.duckdb_sequences().collect()}
+    assert meta["sql_ids"]["last_value"] == 20
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE SEQUENCE sql_ids")
+    eng.sql("CREATE OR REPLACE SEQUENCE sql_ids START 100")
+    assert eng.sql("SELECT nextval('sql_ids') AS v").collect()[0]["v"] == 100
+    eng.sql("DROP SEQUENCE sql_ids")
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("DROP SEQUENCE sql_ids")
+    eng.sql("DROP SEQUENCE IF EXISTS sql_ids")
+    # a dropped name no longer resolves in queries
+    with pytest.raises(Exception, match="does not exist"):
+        eng.sql("SELECT nextval('sql_ids') AS v").collect()
