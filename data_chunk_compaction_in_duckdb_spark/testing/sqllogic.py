@@ -228,6 +228,22 @@ class EngineSqlContext:
             if name in self.sequences:
                 return introspect.describe_sequence(self.sequences[name])
             return introspect.describe_table(self.spark, name)
+        if re.search(r"\bduckdb_sequences\s*\(\s*\)", sql, re.I):
+            # table-function readback: materialize the catalog function
+            # into a temp view and rewrite the call site — the SAME
+            # .test text runs natively in DuckDB (which requires the
+            # parenthesized table-function form)
+            from data_chunk_compaction_in_duckdb_spark import introspect
+
+            introspect.duckdb_sequences(
+                self.spark, self.sequences
+            ).createOrReplaceTempView("__duckdb_sequences")
+            sql = re.sub(
+                r"\bduckdb_sequences\s*\(\s*\)",
+                "__duckdb_sequences",
+                sql,
+                flags=re.I,
+            )
         if seqsql.SEQFN_RE.search(sql):
             self._register_seq_udfs()
         return self.spark.sql(sql)

@@ -6547,6 +6547,22 @@ corpus("sequence_interleaved", "Interleaved multi-sequence allocation stays inde
 ])
 
 
+corpus("sequence_catalog_readback", "duckdb_sequences() catalog readback (reference src/function/table/system/duckdb_sequences.cpp)")([
+    ("ok", "", "CREATE SEQUENCE cat_a START 5 INCREMENT 3 MAXVALUE 100"),
+    ("ok", "", "CREATE SEQUENCE cat_b INCREMENT -2 MINVALUE -50 MAXVALUE 10 CYCLE"),
+    ("ok", "", "CREATE SEQUENCE cat_fresh START 42"),
+    ("I", "rowsort", "SELECT nextval('cat_a') FROM range(4)"),
+    ("I", "", "SELECT nextval('cat_b')"),
+    ("TIIIITI", "", "SELECT sequence_name, start_value, min_value, max_value, increment_by, cycle, last_value FROM duckdb_sequences() WHERE sequence_name LIKE 'cat!_%' ESCAPE '!' ORDER BY sequence_name"),
+    ("I", "", "SELECT count(*) FROM duckdb_sequences() WHERE sequence_name LIKE 'cat!_%' ESCAPE '!' AND last_value IS NULL"),
+    ("ok", "", "DROP SEQUENCE cat_fresh"),
+    ("I", "", "SELECT count(*) FROM duckdb_sequences() WHERE sequence_name LIKE 'cat!_%' ESCAPE '!'"),
+    # allocation moves last_value, catalog reflects the head
+    ("I", "", "SELECT nextval('cat_a')"),
+    ("I", "", "SELECT last_value FROM duckdb_sequences() WHERE sequence_name = 'cat_a'"),
+])
+
+
 def _describe_specs(table: str) -> list[tuple[str, str, str]]:
     return [("TTTTTT", "", f"DESCRIBE {table}")]
 
