@@ -960,28 +960,24 @@ def sim_ann_ivf_index_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     build and assignment is per-row, so the result must equal the
     full-build index bit-for-bit (shares sim_ann_ivf_topk's oracle
     verbatim)."""
-    import shutil
-    import tempfile
-
     from data_chunk_compaction_in_duckdb_spark.pipeline import IVFIndex
+    from data_chunk_compaction_in_duckdb_spark.queries.registry import (
+        retained_tmpdir,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 97 == 0)
-    root = tempfile.mkdtemp(prefix="ivfixa_q_")
-    try:
-        idx = IVFIndex.build(
-            spark, root + "/ix", emb.filter(F.col("vec_id") % 3 != 0),
-            "vec_id", "embedding", dim=64, n_clusters=16,
-        )
-        idx.append(emb.filter(F.col("vec_id") % 3 == 0))
-        out = idx.topk(emb, queries_df, k=5, n_probe=8, check_coverage=True)
-        out = out.select(
-            "query_id", "match_id", F.round("cosine", 4).alias("cosine")
-        )
-        out = spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out
+    # session-retained dir: the lazy result reads the STORED cells
+    root = retained_tmpdir("ivfixa_q_")
+    idx = IVFIndex.build(
+        spark, root + "/ix", emb.filter(F.col("vec_id") % 3 != 0),
+        "vec_id", "embedding", dim=64, n_clusters=16,
+    )
+    idx.append(emb.filter(F.col("vec_id") % 3 == 0))
+    out = idx.topk(emb, queries_df, k=5, n_probe=8, check_coverage=True)
+    return out.select(
+        "query_id", "match_id", F.round("cosine", 4).alias("cosine")
+    )
 
 
 @query("sim_ann_ivf_index_topk", oracle=_ivf_ann_oracle_sql())
@@ -992,24 +988,20 @@ def sim_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     versioned (id, _cell) table, queries probe STORED cells.  Shares
     sim_ann_ivf_topk's oracle verbatim — the index changes where the
     cells come from, never a result bit."""
-    import shutil
-    import tempfile
-
     from data_chunk_compaction_in_duckdb_spark.pipeline import IVFIndex
+    from data_chunk_compaction_in_duckdb_spark.queries.registry import (
+        retained_tmpdir,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 97 == 0)
-    root = tempfile.mkdtemp(prefix="ivfix_q_")
-    try:
-        idx = IVFIndex.build(
-            spark, root + "/ix", emb, "vec_id", "embedding", dim=64,
-            n_clusters=16,
-        )
-        out = idx.topk(emb, queries_df, k=5, n_probe=8)
-        out = out.select(
-            "query_id", "match_id", F.round("cosine", 4).alias("cosine")
-        )
-        out = spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out
+    # session-retained dir: the lazy result reads the STORED cells
+    root = retained_tmpdir("ivfix_q_")
+    idx = IVFIndex.build(
+        spark, root + "/ix", emb, "vec_id", "embedding", dim=64,
+        n_clusters=16,
+    )
+    out = idx.topk(emb, queries_df, k=5, n_probe=8)
+    return out.select(
+        "query_id", "match_id", F.round("cosine", 4).alias("cosine")
+    )

@@ -1150,28 +1150,24 @@ def sim_ann_pq_index_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     built over the whole corpus, so it shares sim_ann_pq_adc_topk's
     full-corpus oracle verbatim.  A delta encode that re-anchored,
     dropped, or double-encoded one row diverges the hash."""
-    import shutil
-    import tempfile
-
     from data_chunk_compaction_in_duckdb_spark.pipeline import PQIndex
+    from data_chunk_compaction_in_duckdb_spark.queries.registry import (
+        retained_tmpdir,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 97 == 0)
-    root = tempfile.mkdtemp(prefix="pqixa_q_")
-    try:
-        idx = PQIndex.build(
-            spark, root + "/ix", emb.filter(F.col("vec_id") % 3 != 0),
-            "vec_id", "embedding", dim=64, m=16, codes=16,
-        )
-        idx.append(emb.filter(F.col("vec_id") % 3 == 0))
-        out = idx.topk(emb, queries_df, k=5, rerank=50)
-        out = out.select(
-            "query_id", "match_id", F.round("cosine", 4).alias("cosine")
-        )
-        out = spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out
+    # session-retained dir: the lazy result reads the STORED codes
+    root = retained_tmpdir("pqixa_q_")
+    idx = PQIndex.build(
+        spark, root + "/ix", emb.filter(F.col("vec_id") % 3 != 0),
+        "vec_id", "embedding", dim=64, m=16, codes=16,
+    )
+    idx.append(emb.filter(F.col("vec_id") % 3 == 0))
+    out = idx.topk(emb, queries_df, k=5, rerank=50)
+    return out.select(
+        "query_id", "match_id", F.round("cosine", 4).alias("cosine")
+    )
 
 
 @query("sim_ann_pq_index_topk", oracle=_pq_adc_oracle_sql())
@@ -1183,24 +1179,20 @@ def sim_ann_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shares sim_ann_pq_adc_topk's oracle verbatim because the contract
     is exact equivalence: the index must change WHERE the codes come
     from, never a single result bit."""
-    import shutil
-    import tempfile
-
     from data_chunk_compaction_in_duckdb_spark.pipeline import PQIndex
+    from data_chunk_compaction_in_duckdb_spark.queries.registry import (
+        retained_tmpdir,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 97 == 0)
-    root = tempfile.mkdtemp(prefix="pqix_q_")
-    try:
-        idx = PQIndex.build(
-            spark, root + "/ix", emb, "vec_id", "embedding", dim=64,
-            m=16, codes=16,
-        )
-        out = idx.topk(emb, queries_df, k=5, rerank=50)
-        out = out.select(
-            "query_id", "match_id", F.round("cosine", 4).alias("cosine")
-        )
-        out = spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out
+    # session-retained dir: the lazy result reads the STORED codes
+    root = retained_tmpdir("pqix_q_")
+    idx = PQIndex.build(
+        spark, root + "/ix", emb, "vec_id", "embedding", dim=64,
+        m=16, codes=16,
+    )
+    out = idx.topk(emb, queries_df, k=5, rerank=50)
+    return out.select(
+        "query_id", "match_id", F.round("cosine", 4).alias("cosine")
+    )

@@ -667,7 +667,9 @@ def storage_sequence_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = both.select("c_custkey", "seq_id", "rev_id").orderBy(
             "c_custkey"
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
     finally:
+        # the claims committed eagerly and with_sequence embeds
+        # (first, increment) as literals, so the lazy result reads only
+        # the fixture — the sequence logs can go immediately
         shutil.rmtree(root, ignore_errors=True)
     return out
