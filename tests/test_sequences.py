@@ -413,3 +413,40 @@ def test_info_matches_duckdb_sequences(spark, tmp_path_str):
         )
     )
     assert got == sorted(tuple(r) for r in rows)
+
+
+def _range_worker(args):
+    """claim_range batches from a separate process (closed-form path)."""
+    path, n_claims, batch = args
+    seq = Sequence(None, path)
+    got = []
+    for _ in range(n_claims):
+        first, last = seq.claim_range(batch)
+        got.extend(range(first, last + 1))
+    return got
+
+
+def test_concurrent_mixed_claim_forms_never_overlap(spark, tmp_path_str):
+    """The closed-form claim_range and the list-form claim commit the
+    SAME manifest shape, so racing processes mixing both forms must
+    still partition the value space exactly — every value exactly once,
+    no gaps (the round-6 allocator rewrite cannot have weakened the
+    round-5 linearizability contract)."""
+    path = tmp_path_str + "/s"
+    Sequence.create(spark, path, start=0, minvalue=0)
+    n_claims, batch = 8, 3
+    with multiprocessing.Pool(4) as pool:
+        r1 = pool.map_async(
+            _claim_worker, [(path, n_claims, batch)] * 2
+        )
+        r2 = pool.map_async(
+            _range_worker, [(path, n_claims, batch)] * 2
+        )
+        results = r1.get() + r2.get()
+    allvals = [v for r in results for v in r]
+    total = 4 * n_claims * batch
+    assert sorted(allvals) == list(range(total))
+    for r in results:
+        for i in range(0, len(r), batch):
+            chunk = r[i : i + batch]
+            assert chunk == list(range(chunk[0], chunk[0] + batch))
