@@ -67,6 +67,7 @@ from data_chunk_compaction_in_duckdb_spark.pipeline.mixing import (  # noqa: F40
     split_leakage,
 )
 from data_chunk_compaction_in_duckdb_spark.pipeline.fts import (  # noqa: F401
+    FTSIndex,
     bm25_scores,
     build_fts_index,
 )

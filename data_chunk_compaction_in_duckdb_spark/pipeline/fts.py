@@ -54,23 +54,19 @@ def build_fts_index(
     return postings, doclen
 
 
-def bm25_scores(
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
+def _bm25_over(
+    postings: DataFrame,
+    doclen: DataFrame,
     query_terms: list[str],
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """BM25 score per document matching ANY query term (the reference's
-    match_bm25).  Plan: postings filtered to the (bounded) query-term
-    list BEFORE any aggregation — df per term and tf per (doc, term)
-    are computed over that sliver only; corpus stats (N, avgdl) are a
-    1-row broadcast; the final score is one groupBy(doc).
-
-    Returns (doc, score) with the raw double score — callers round for
-    hashing/display."""
-    postings, doclen = build_fts_index(docs, id_col, text_col)
+    """BM25 over an (already-built) postings/doclen pair — the shared
+    scoring kernel of the one-shot and index-backed paths, so both
+    produce bit-identical doubles.  Plan: postings filtered to the
+    (bounded) query-term list BEFORE any aggregation — df per term is
+    computed over that sliver only; corpus stats (N, avgdl) are a
+    1-row broadcast; the final score is one groupBy(doc)."""
     stats = doclen.agg(
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
@@ -95,3 +91,133 @@ def bm25_scores(
         )
     )
     return scored.groupBy("doc").agg(F.sum(idf * tf_part).alias("score"))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 score per document matching ANY query term (the reference's
+    match_bm25), tokenizing ``docs`` inline — the one-shot form; for
+    repeated querying materialize an ``FTSIndex`` once instead.
+
+    Returns (doc, score) with the raw double score — callers round for
+    hashing/display."""
+    postings, doclen = build_fts_index(docs, id_col, text_col)
+    return _bm25_over(postings, doclen, query_terms, k1, b)
+
+
+class FTSIndex:
+    """Materialized inverted index — the FTS sibling of
+    ``pipeline.vector_index.PQIndex`` (reference PRAGMA
+    create_fts_index builds a persistent index table set,
+    extension/fts/fts_indexing.cpp): postings (term, doc, tf) and
+    doclen (doc, dl) live in VersionedTables, so the index inherits
+    time travel, O_EXCL commit linearizability and vacuum retention,
+    and queries tokenize NOTHING at search time — they scan the stored
+    term sliver only.  At 100 TB postings are the term-partitioned
+    layout; a search is a partition-pruned scan of |query terms| terms.
+
+    Exactness: ``search`` rides the same ``_bm25_over`` kernel as the
+    one-shot ``bm25_scores``, so results are bit-identical (the index
+    queries share the direct query's DuckDB oracle verbatim)."""
+
+    def __init__(self, spark, path: str):
+        import json
+        import os
+
+        from data_chunk_compaction_in_duckdb_spark.storage import (
+            VersionedTable,
+        )
+
+        self.spark = spark
+        self.path = path
+        self.postings_table = VersionedTable(
+            spark, os.path.join(path, "postings")
+        )
+        self.doclen_table = VersionedTable(
+            spark, os.path.join(path, "doclen")
+        )
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+
+    @classmethod
+    def build(
+        cls, spark, path: str, docs: DataFrame, id_col: str, text_col: str
+    ) -> "FTSIndex":
+        """One tokenize pass -> both versioned relations (the postings
+        shuffle and the doclen aggregation share the exploded-token
+        subtree) + the tiny meta sidecar, published write-then-rename."""
+        import json
+        import os
+
+        from data_chunk_compaction_in_duckdb_spark.storage import (
+            VersionedTable,
+        )
+
+        postings, doclen = build_fts_index(docs, id_col, text_col)
+        os.makedirs(path, exist_ok=True)
+        VersionedTable.create(spark, os.path.join(path, "postings"), postings)
+        VersionedTable.create(spark, os.path.join(path, "doclen"), doclen)
+        mp = os.path.join(path, "meta.json")
+        tmp = mp + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"id_col": id_col, "text_col": text_col}, f)
+        os.replace(tmp, mp)
+        return cls(spark, path)
+
+    def append(self, new_docs: DataFrame) -> int:
+        """Incremental maintenance (reference ART::Insert analog —
+        r6's same treatment as PQIndex.append): tokenize ONLY the
+        delta and commit append-only to BOTH relations; every existing
+        postings/doclen file moves by manifest reference.  Postings and
+        doclen are per-document local (tf and dl never cross documents)
+        while the corpus-level BM25 stats (N, avgdl, df) are computed
+        at QUERY time from the stored relations, so append ∘ build ≡
+        build-on-union bit-exactly."""
+        postings, doclen = build_fts_index(
+            new_docs, self.meta["id_col"], self.meta["text_col"]
+        )
+        v = self.postings_table.insert(postings)
+        self.doclen_table.insert(doclen)
+        return v
+
+    def postings(self, version: int | None = None) -> DataFrame:
+        return self.postings_table.read(version)
+
+    def doclen(self, version: int | None = None) -> DataFrame:
+        return self.doclen_table.read(version)
+
+    def missing(self, docs: DataFrame) -> DataFrame:
+        """Documents with no doclen row: stale coverage surfaced like
+        the vector indexes — ``append`` the delta.  NULL-id documents
+        and documents whose text tokenizes to NOTHING are excluded:
+        explode() gives them no index footprint at all (no postings, no
+        doclen), and they can never match a term query — so they are
+        not "missing", they are unindexable by construction."""
+        id_col = self.meta["id_col"]
+        ids = self.doclen().select(F.col("doc").alias(id_col))
+        return (
+            docs.filter(F.col(id_col).isNotNull())
+            .filter(F.size(tokenize(self.meta["text_col"])) > 0)
+            .join(ids, id_col, "left_anti")
+        )
+
+    def search(
+        self,
+        query_terms: list[str],
+        k1: float = 1.2,
+        b: float = 0.75,
+        version: int | None = None,
+    ) -> DataFrame:
+        """match_bm25 over the STORED index: no tokenization on the
+        query path — the postings scan is filtered to the query terms
+        (partition-pruned under a by-term layout)."""
+        return _bm25_over(
+            self.postings(version), self.doclen(version), query_terms,
+            k1, b,
+        )

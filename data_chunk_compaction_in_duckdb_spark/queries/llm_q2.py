@@ -484,6 +484,82 @@ def fts_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc", F.round("score", 4).alias("score"))
 
 
+_FTS_BM25_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\\s+'))
+               AS term
+      FROM documents
+    ),
+    tok2 AS (SELECT doc, term FROM tok WHERE term <> ''),
+    doclen AS (SELECT doc, COUNT(*) AS dl FROM tok2 GROUP BY doc),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM doclen),
+    tf AS (SELECT doc, term, COUNT(*) AS tf FROM tok2
+           WHERE term IN ('data', 'query', 'stream')
+           GROUP BY doc, term),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT doc,
+           ROUND(SUM(
+             ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * (1.2 + 1)
+             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 4) AS score
+    FROM tf
+    JOIN dft USING (term)
+    JOIN doclen USING (doc)
+    CROSS JOIN stats
+    GROUP BY doc
+    """
+
+
+@query("fts_bm25_index_search", oracle=_FTS_BM25_ORACLE)
+def fts_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_bm25 through the MATERIALIZED inverted index
+    (pipeline/fts.py FTSIndex; reference PRAGMA create_fts_index
+    persists the index table set, extension/fts/fts_indexing.cpp):
+    tokenize ONCE into versioned postings/doclen tables, then answer
+    from STORED relations — zero tokenization on the query path.
+    Shares fts_bm25_search's oracle verbatim: the index changes where
+    the postings come from, never a score bit."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import FTSIndex
+    from data_chunk_compaction_in_duckdb_spark.queries.registry import (
+        retained_tmpdir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = retained_tmpdir("ftsix_q_")
+    idx = FTSIndex.build(spark, root + "/ix", docs, "doc_id", "text")
+    out = idx.search(["data", "query", "stream"])
+    return out.select("doc", F.round("score", 4).alias("score"))
+
+
+@query("fts_bm25_index_append_search", oracle=_FTS_BM25_ORACLE)
+def fts_bm25_index_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance parity (FTSIndex.append;
+    reference analog ART::Insert, art.cpp:370): build postings/doclen
+    over two-thirds of the corpus, append the remaining third
+    delta-only (existing files move by manifest reference), then
+    search.  tf and dl are per-document local and the BM25 corpus
+    stats (N, avgdl, df) are computed at query time from the stored
+    relations, so append ∘ build ≡ build-on-union bit-exactly — the
+    full-corpus oracle is shared verbatim."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import FTSIndex
+    from data_chunk_compaction_in_duckdb_spark.queries.registry import (
+        retained_tmpdir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = retained_tmpdir("ftsixa_q_")
+    idx = FTSIndex.build(
+        spark, root + "/ix", docs.filter(F.col("doc_id") % 3 != 0),
+        "doc_id", "text",
+    )
+    idx.append(docs.filter(F.col("doc_id") % 3 == 0))
+    out = idx.search(["data", "query", "stream"])
+    return out.select("doc", F.round("score", 4).alias("score"))
+
+
 @query(
     "pipeline_pack_windows",
     oracle="""

@@ -664,3 +664,47 @@ def test_pq_adc_fused_kernel_edges(spark, sf_dir):
     # (cosine DESC) top-k over real candidates
     assert all(r.match_id != 999999 for r in got)
     assert len(got) > 0
+
+
+def test_fts_index_matches_oneshot_and_appends(spark, sf_dir, tmp_path):
+    """FTSIndex (materialized inverted index): stored-relation search
+    must be bit-identical to the one-shot bm25_scores; append() must
+    touch only new files and equal the full build."""
+    from pyspark.sql import functions as F
+
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        FTSIndex,
+        bm25_scores,
+    )
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    terms = ["data", "query", "stream"]
+    direct = {
+        r["doc"]: round(r["score"], 9)
+        for r in bm25_scores(docs, "doc_id", "text", terms).collect()
+    }
+
+    idx = FTSIndex.build(spark, str(tmp_path / "full"), docs, "doc_id", "text")
+    via_index = {
+        r["doc"]: round(r["score"], 9) for r in idx.search(terms).collect()
+    }
+    assert via_index == direct
+
+    part = FTSIndex.build(
+        spark, str(tmp_path / "part"),
+        docs.filter(F.col("doc_id") % 3 != 0), "doc_id", "text",
+    )
+    files_v0 = set(part.postings_table._manifest(0)["files"])
+    assert part.missing(docs).count() > 0
+    v = part.append(docs.filter(F.col("doc_id") % 3 == 0))
+    assert v == 1
+    m1 = part.postings_table._manifest(1)
+    assert m1["op"] == "insert" and files_v0 <= set(m1["files"])
+    assert part.missing(docs).count() == 0
+    appended = {
+        r["doc"]: round(r["score"], 9) for r in part.search(terms).collect()
+    }
+    assert appended == direct
+    # time travel: the pre-append index still answers from the old corpus
+    old = part.search(terms, version=0).collect()
+    assert 0 < len(old) < len(direct) + 1
