@@ -399,9 +399,75 @@ class Engine:
             self.spark, getattr(self, "_sequences", {})
         )
 
-    def close(self) -> None:
-        if getattr(self, "_seq_root", None):
-            import shutil
+    # -- materialized indexes (reference PRAGMA create_fts_index,
+    # extension/fts; CREATE INDEX + storage, test/sql/index/)
+    def create_fts_index(
+        self, name: str, docs: DataFrame, id_col: str, text_col: str
+    ):
+        """PRAGMA create_fts_index analog: tokenize ``docs`` ONCE into
+        versioned postings/doclen tables under the engine's index root;
+        query with ``match_bm25``.  ``FTSIndex.append`` keeps it fresh
+        delta-only."""
+        from data_chunk_compaction_in_duckdb_spark.pipeline import FTSIndex
 
-            shutil.rmtree(self._seq_root, ignore_errors=True)
+        idx = FTSIndex.build(
+            self.spark, self._next_index_path("fts", name), docs,
+            id_col, text_col,
+        )
+        self._indexes = getattr(self, "_indexes", {})
+        self._indexes[name] = idx
+        return idx
+
+    def create_vector_index(
+        self,
+        name: str,
+        corpus: DataFrame,
+        id_col: str,
+        vec_col: str,
+        dim: int,
+        kind: str = "pq",
+        **kwargs: Any,
+    ):
+        """CREATE INDEX analog for the ANN surface: ``kind='pq'``
+        (product-quantization codes) or ``'ivf'`` (Voronoi cells), both
+        materialized into the versioned store with delta ``append``."""
+        from data_chunk_compaction_in_duckdb_spark.pipeline import (
+            IVFIndex,
+            PQIndex,
+        )
+
+        cls_ = {"pq": PQIndex, "ivf": IVFIndex}[kind]
+        idx = cls_.build(
+            self.spark, self._next_index_path(kind, name), corpus,
+            id_col, vec_col, dim, **kwargs,
+        )
+        self._indexes = getattr(self, "_indexes", {})
+        self._indexes[name] = idx
+        return idx
+
+    def index(self, name: str):
+        return getattr(self, "_indexes", {})[name]
+
+    def match_bm25(self, name: str, query_terms: list[str], **kwargs: Any):
+        """match_bm25 over a registered FTS index (reference
+        extension/fts match_bm25 macro): (doc, score) from the STORED
+        postings."""
+        return self.index(name).search(query_terms, **kwargs)
+
+    def _next_index_path(self, kind: str, name: str) -> str:
+        import os
+        import tempfile
+
+        if getattr(self, "_index_root", None) is None:
+            self._index_root = tempfile.mkdtemp(prefix="engine_idx_")
+        self._idx_gen = getattr(self, "_idx_gen", 0) + 1
+        return os.path.join(self._index_root, f"{kind}_{name}_{self._idx_gen}")
+
+    def close(self) -> None:
+        import shutil
+
+        for attr in ("_seq_root", "_index_root"):
+            root = getattr(self, attr, None)
+            if root:
+                shutil.rmtree(root, ignore_errors=True)
         self.spark.stop()

@@ -258,3 +258,52 @@ def test_engine_sql_sequence_surface(spark):
     # a dropped name no longer resolves in queries
     with pytest.raises(Exception, match="does not exist"):
         eng.sql("SELECT nextval('sql_ids') AS v").collect()
+
+
+def test_engine_index_facade(spark, sf_dir):
+    """PRAGMA create_fts_index / CREATE INDEX analogs on the Engine:
+    build-once indexes registered by name, queried through the facade,
+    results identical to the direct pipeline paths."""
+    from pyspark.sql import functions as F
+
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        bm25_scores,
+        pq_adc_topk,
+    )
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    docs = eng.table("documents")
+    eng.create_fts_index("docs_fts", docs, "doc_id", "text")
+    got = {
+        r["doc"]: round(r["score"], 9)
+        for r in eng.match_bm25("docs_fts", ["data", "query"]).collect()
+    }
+    want = {
+        r["doc"]: round(r["score"], 9)
+        for r in bm25_scores(docs, "doc_id", "text", ["data", "query"]).collect()
+    }
+    assert got == want
+
+    emb = eng.table("embeddings")
+    eng.create_vector_index(
+        "emb_pq", emb, "vec_id", "embedding", dim=64, m=16, codes=16
+    )
+    queries = emb.filter(F.col("vec_id") % 97 == 0).limit(2)
+    via = sorted(
+        (r.query_id, r.match_id)
+        for r in eng.index("emb_pq").topk(emb, queries, k=3, rerank=20).collect()
+    )
+    direct = sorted(
+        (r.query_id, r.match_id)
+        for r in pq_adc_topk(
+            emb, queries, "vec_id", "embedding", dim=64, k=3, m=16,
+            codes=16, rerank=20,
+        ).collect()
+    )
+    assert via == direct
+    eng.create_vector_index(
+        "emb_ivf", emb, "vec_id", "embedding", dim=64, kind="ivf",
+        n_clusters=8,
+    )
+    assert eng.index("emb_ivf").topk(emb, queries, k=3).count() > 0
