@@ -335,7 +335,13 @@ def text_tokens_quality_fingerprint(spark: SparkSession, sf_dir: str) -> DataFra
         token_counts,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from data_chunk_compaction_in_duckdb_spark.compaction import fan_out
+
+    # regex-heavy narrow projection over a single-file scan: without a
+    # fan-out a one-row-group parquet file plans as ONE task and the
+    # per-row regex work serializes (the 6.0x sf0.1->sf1 scaling seen in
+    # BENCH_sf1_full.json); no-op when the scan already parallelizes
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = token_counts("text")
     qual = quality_features("text")
     return docs.select(
