@@ -45,7 +45,11 @@ def build_fts_index(
 
     Persist/bucket postings by term for repeated querying; this function
     stays lazy so one-shot searches plan as a single DAG."""
-    toks = docs.select(
+    from data_chunk_compaction_in_duckdb_spark.compaction import fan_out
+
+    # tokenize+explode is the CPU-bound pass: widen a single-file
+    # one-task scan to session parallelism (no-op on parallel scans)
+    toks = fan_out(docs).select(
         F.col(id_col).alias("doc"),
         F.explode(tokenize(text_col)).alias("term"),
     )
