@@ -174,6 +174,23 @@ class FTSIndex:
         os.replace(tmp, mp)
         return cls(spark, path)
 
+    def rebuild(self, docs: DataFrame) -> int:
+        """FULL re-tokenize after arbitrary corpus changes (deletes,
+        edits) — one copy-on-write commit per relation; the previous
+        index stays time-travel readable.  For append-only ingest use
+        ``append``."""
+        postings, doclen = build_fts_index(
+            docs, self.meta["id_col"], self.meta["text_col"]
+        )
+        for vt, df in (
+            (self.postings_table, postings),
+            (self.doclen_table, doclen),
+        ):
+            base = vt.latest_version()
+            affected = set(vt._manifest(base)["files"])
+            v = vt._cow_commit("reindex", affected, df, base=base)
+        return v
+
     def append(self, new_docs: DataFrame) -> int:
         """Incremental maintenance (reference ART::Insert analog —
         r6's same treatment as PQIndex.append): tokenize ONLY the

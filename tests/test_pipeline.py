@@ -708,3 +708,19 @@ def test_fts_index_matches_oneshot_and_appends(spark, sf_dir, tmp_path):
     # time travel: the pre-append index still answers from the old corpus
     old = part.search(terms, version=0).collect()
     assert 0 < len(old) < len(direct) + 1
+
+
+def test_fts_index_rebuild_versioned(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_chunk_compaction_in_duckdb_spark.pipeline import FTSIndex
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    idx = FTSIndex.build(spark, str(tmp_path / "ix"), docs, "doc_id", "text")
+    n0 = idx.doclen().count()
+    v = idx.rebuild(docs.filter(F.col("doc_id") % 2 == 0))
+    assert v == 1
+    assert idx.doclen().count() < n0
+    assert idx.doclen(version=0).count() == n0  # time travel
+    out = idx.search(["data"]).collect()
+    assert all(r["doc"] % 2 == 0 for r in out)
