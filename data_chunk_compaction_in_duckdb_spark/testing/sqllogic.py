@@ -21,6 +21,12 @@ Type string: one char per column — I (integer), R (real, rendered %.3f),
 T (text).  NULL renders as the literal string `NULL`, booleans as
 `true`/`false` (the sqllogictest conventions).  `rowsort` sorts rendered
 rows before comparing; the default is `nosort` (query must ORDER BY).
+
+Engine-surface statements the reference's catalog families use but
+Spark SQL lacks are dispatched by ``EngineSqlContext`` (round 6):
+CREATE/DROP SEQUENCE, nextval()/currval(), DESCRIBE <table>,
+DESCRIBE SELECT, and duckdb_sequences() readback — the SAME .test text
+DuckDB executes natively during generation (tools/gen_sqllogic.py).
 """
 
 from __future__ import annotations
