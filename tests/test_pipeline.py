@@ -724,3 +724,22 @@ def test_fts_index_rebuild_versioned(spark, sf_dir, tmp_path):
     assert idx.doclen(version=0).count() == n0  # time travel
     out = idx.search(["data"]).collect()
     assert all(r["doc"] % 2 == 0 for r in out)
+
+
+def test_fts_search_pushes_term_filter_to_scan(spark, sf_dir, tmp_path):
+    """100 TB shape pin: the stored-postings search must push the
+    query-term filter INTO the parquet scan (PushedFilters: In(term)) —
+    a search that scans all postings and filters in memory defeats the
+    by-term layout."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import FTSIndex
+    from data_chunk_compaction_in_duckdb_spark.plans import explain_str
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    idx = FTSIndex.build(spark, str(tmp_path / "ix"), docs, "doc_id", "text")
+    plan = explain_str(idx.search(["data", "query"]), "formatted")
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln and "term" in ln
+    ]
+    assert any("In(term" in ln or "EqualTo(term" in ln for ln in pushed), (
+        plan[:2000]
+    )
