@@ -29,7 +29,10 @@ BUDGETS = {
     "compaction_filter_join_agg": 1,  # compact() may repartition post-filter
     "sim_topk_bruteforce": 2,  # +1: fan_out widens the 1-task local scan
     # (no-op exchange on a many-partition cluster scan)
-    "text_tokens_quality_fingerprint": 0,
+    # +1 (round 6): fan_out widens the 1-task single-file scan before
+    # the regex-heavy projection (6.0x sf1 scaler fixed; no-op exchange
+    # on a many-partition cluster scan — same note as sim_topk)
+    "text_tokens_quality_fingerprint": 1,
     "job_like_min_agg_star": 1,
     "tpcds_q1_returns_above_avg": 2,  # agg shuffle + window on nation
     "tpcds_q11_yoy_growth": 1,  # the 4-self-join rewrite's whole point
