@@ -59,8 +59,10 @@ class Engine:
         return AutoCompactFrame(df, target_rows=self.compact_target_rows)
 
     # -- entry point 1: SQL string (Connection::Query)
-    def sql(self, query: str, *args: Any, **params: Any) -> DataFrame:
-        """Run SQL against the registered catalog.  Named ``:param``
+    def sql(self, query: str, *args: Any, **params: Any) -> DataFrame | None:
+        """Run SQL against the registered catalog (returns None for the
+        dispatched sequence DDL statements, a DataFrame for everything
+        else).  Named ``:param``
         placeholders make this the prepared-statement path (reference
         entry point 2, client_context.cpp:534-560); positional ``?``
         markers with ``*args`` cover the reference's ``$1``/``?``
