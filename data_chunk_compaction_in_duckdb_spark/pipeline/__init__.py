@@ -43,12 +43,16 @@ from data_chunk_compaction_in_duckdb_spark.pipeline.vector_index import (  # noq
     PQIndex,
 )
 from data_chunk_compaction_in_duckdb_spark.pipeline.text import (  # noqa: F401
+    PII_PATTERNS,
     chunk_documents,
     language_id,
+    pii_counts,
     quality_features,
     redact_patterns,
+    redact_pii,
     text_fingerprint,
     token_counts,
+    top_gram_fraction,
 )
 from data_chunk_compaction_in_duckdb_spark.pipeline.multimodal import (  # noqa: F401
     audio_chunk,

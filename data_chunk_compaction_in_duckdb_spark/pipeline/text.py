@@ -299,3 +299,89 @@ def unigram_logprob(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.count("*").alias("n_words"),
         F.round(-F.sum("lp") / F.count("*"), 6).alias("mean_neg_logprob"),
     )
+
+
+# Typed PII categories for the scrub stage.  Category patterns are kept
+# RE2-compatible (no backreferences/lookaround) so the DuckDB oracle can
+# replay redaction and counting verbatim; \b and bounded repetition behave
+# identically in Java regex and RE2 over ASCII.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Typed PII redaction: emails, IPv4, SSN-shaped, phone-shaped spans
+    replaced with category tags, in PII_PATTERNS order (IP before the
+    dash-digit shapes so dotted quads are never half-eaten by a later
+    pattern).  Chained JVM regexp_replace — whole-stage codegen, no UDF."""
+    return redact_patterns(
+        col, [(pat, repl) for _, pat, repl in PII_PATTERNS]
+    )
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-category PII hit counts (non-overlapping matches, computed on
+    the ORIGINAL text so counts are independent of redaction order) —
+    the audit/reporting side of the scrub stage."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        f"n_{name}": F.regexp_count(c, F.lit(pat))
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def top_gram_fraction(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style top-n-gram filter signal: the most frequent word
+    n-gram per document and the fraction of the document's characters
+    its occurrences cover (heavily templated text scores high).
+
+    Scale shape: per-document single pass — array_sort the gram list,
+    then one F.aggregate fold tracks the current run length and the best
+    (count, gram); O(t log t) per doc, map-only, no shuffle and no UDF,
+    so a 100 TB corpus scores in one narrow projection.  Ties on count
+    resolve to the lexicographically smallest gram (the fold only
+    replaces on a strictly longer run over the sorted list), which the
+    SQL oracle mirrors with ORDER BY cnt DESC, gram ASC."""
+    grams = word_ngrams(text_col, n, distinct=False)
+    base = docs.select(
+        F.col(id_col),
+        F.length(F.trim(F.col(text_col))).alias("_len"),
+        F.array_sort(grams).alias("_g"),
+    )
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best_cnt"),
+        F.lit(None).cast("string").alias("best_gram"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1)
+        )
+        better = run > acc["best_cnt"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best_cnt"]).alias("best_cnt"),
+            F.when(better, x).otherwise(acc["best_gram"]).alias("best_gram"),
+        )
+
+    best = F.aggregate(F.col("_g"), init, step)
+    return base.select(
+        F.col(id_col),
+        best["best_gram"].alias("top_gram"),
+        best["best_cnt"].alias("top_cnt"),
+        F.size("_g").alias("n_grams"),
+        F.round(
+            (F.length(best["best_gram"]) * best["best_cnt"]).cast("double")
+            / F.greatest(F.col("_len"), F.lit(1)),
+            6,
+        ).alias("top_gram_char_frac"),
+    )

@@ -50,3 +50,4 @@ from data_chunk_compaction_in_duckdb_spark.queries import trainbenchmark_like  #
 from data_chunk_compaction_in_duckdb_spark.queries import ldbc_like  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import collation_q  # noqa: E402,F401
 from data_chunk_compaction_in_duckdb_spark.queries import storage_q  # noqa: E402,F401
+from data_chunk_compaction_in_duckdb_spark.queries import llm_q3  # noqa: E402,F401

@@ -743,3 +743,70 @@ def test_fts_search_pushes_term_filter_to_scan(spark, sf_dir, tmp_path):
     assert any("In(term" in ln or "EqualTo(term" in ln for ln in pushed), (
         plan[:2000]
     )
+
+
+def test_redact_pii_typed_categories(spark):
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail ops@test.org and bob_1%x@ex.io now"),
+            (2, "host 192.168.0.7 up"),
+            (3, "ssn 123-45-6789 tel 555-867-5309"),
+            (4, "order 123-4567 is not pii-shaped"),
+            (5, "clean"),
+        ],
+        "id INT, text STRING",
+    )
+    counts = pii_counts("text")
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            redact_pii("text").alias("red"),
+            *[v.alias(k) for k, v in counts.items()],
+        ).collect()
+    }
+    assert rows[1].red == "mail [EMAIL] and [EMAIL] now"
+    assert (rows[1].n_email, rows[1].n_ip) == (2, 0)
+    # the dotted quad must be consumed by [IP], not half-eaten by the
+    # dash-digit shapes that run after it
+    assert rows[2].red == "host [IP] up"
+    assert rows[2].n_ip == 1
+    assert rows[3].red == "ssn [SSN] tel [PHONE]"
+    assert (rows[3].n_ssn, rows[3].n_phone) == (1, 1)
+    assert rows[4].red == "order 123-4567 is not pii-shaped"
+    assert rows[5].red == "clean"
+
+
+def test_top_gram_fraction_semantics(spark):
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        top_gram_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # "a b" occurs 3x among 5 bigrams
+            (1, "a b a b a b"),
+            # every bigram unique -> count 1, smallest gram wins the tie
+            (2, "z y x w"),
+            # single word -> one whole-text gram
+            (3, "solo"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r.doc_id: r
+        for r in top_gram_fraction(df, "doc_id", "text", n=2).collect()
+    }
+    assert (out[1].top_gram, out[1].top_cnt, out[1].n_grams) == ("a b", 3, 5)
+    # 3 occurrences x 3 chars over 11 chars
+    assert abs(out[1].top_gram_char_frac - round(9 / 11, 6)) < 1e-9
+    assert (out[2].top_gram, out[2].top_cnt) == ("w x", 1) or (
+        out[2].top_gram,
+        out[2].top_cnt,
+    ) == ("x w", 1)
+    assert (out[3].top_gram, out[3].top_cnt, out[3].n_grams) == ("solo", 1, 1)
