@@ -207,6 +207,33 @@ class FTSIndex:
         self.doclen_table.insert(doclen)
         return v
 
+    def delete(self, keys: DataFrame) -> int:
+        """Incremental DELETE maintenance — the erase twin of ``append``
+        (reference: the FTS index is rebuilt or dropped on document
+        deletes, extension/fts; the ART analog is ``ART::Delete``):
+        CoW anti-join delete of the ids from BOTH stored relations.
+        tf/dl are per-document local and the corpus stats (N, avgdl,
+        df) are query-time derived from the stored relations, so
+        delete ∘ build ≡ build-on-survivors bit-exactly (shared subset
+        oracle of ``fts_bm25_index_delete_search``)."""
+        id_col = self.meta["id_col"]
+        k = keys.select(F.col(id_col).alias("doc"))
+        v = self.postings_table.delete_keys(k, "doc")
+        self.doclen_table.delete_keys(k, "doc")
+        return v
+
+    def stale(self, docs: DataFrame) -> DataFrame:
+        """Indexed documents NO LONGER in the corpus — the DELETE-side
+        twin of ``missing``: their postings keep scoring (and keep
+        inflating N/df) after the document is gone.  ``delete`` these
+        ids or ``rebuild``."""
+        id_col = self.meta["id_col"]
+        live = (
+            docs.filter(F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("doc"))
+        )
+        return self.doclen().join(live, "doc", "left_anti")
+
     def postings(self, version: int | None = None) -> DataFrame:
         return self.postings_table.read(version)
 

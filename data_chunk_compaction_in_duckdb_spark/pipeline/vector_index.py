@@ -127,6 +127,34 @@ class PQIndex:
         shared DuckDB oracle of ``sim_ann_pq_index_append_topk``."""
         return self.codes_table.insert(self._encode(new_rows))
 
+    def delete(self, keys: DataFrame) -> int:
+        """Incremental DELETE maintenance — the erase twin of ``append``
+        (reference analog: ART erases entries per-DELETE,
+        src/execution/index/art/art.cpp ``ART::Delete``): copy-on-write
+        anti-join delete of the key set from the stored codes; only
+        files containing deleted ids are rewritten, the key set never
+        reaches the driver.  PQ codes are per-row, so delete ∘ build ≡
+        build-on-survivors exactly — pinned by the shared subset oracle
+        of ``sim_ann_pq_index_delete_topk``."""
+        mt = self.meta
+        return self.codes_table.delete_keys(
+            keys.select(mt["id_col"]), mt["id_col"]
+        )
+
+    def stale(self, corpus: DataFrame) -> DataFrame:
+        """Stored code rows whose id is NO LONGER in the corpus — the
+        DELETE-side staleness twin of ``missing``: a phantom entry keeps
+        winning ADC candidacy for a vector that cannot be returned.
+        Non-empty means corpus rows were deleted since the last
+        refresh; ``delete`` these keys (or ``rebuild``).  One
+        anti-join, no collect."""
+        mt = self.meta
+        live = (
+            corpus.filter(F.col(mt["id_col"]).isNotNull())
+            .select(mt["id_col"])
+        )
+        return self.codes().join(live, mt["id_col"], "left_anti")
+
     def codes(self, version: int | None = None) -> DataFrame:
         return self.codes_table.read(version)
 
@@ -392,6 +420,30 @@ class IVFIndex:
         exactly (shared oracle of ``sim_ann_ivf_index_append_topk``);
         existing cell files move by manifest reference."""
         return self.cells_table.insert(self._assign(new_rows))
+
+    def delete(self, keys: DataFrame) -> int:
+        """Incremental DELETE maintenance (reference ``ART::Delete``
+        analog — see PQIndex.delete): CoW anti-join delete of the key
+        set from the stored cells.  Cell assignment is per-row with
+        frozen centroids, so delete ∘ build ≡ build-on-survivors
+        exactly (shared subset oracle of
+        ``sim_ann_ivf_index_delete_topk``)."""
+        mt = self.meta
+        return self.cells_table.delete_keys(
+            keys.select(mt["id_col"]), mt["id_col"]
+        )
+
+    def stale(self, corpus: DataFrame) -> DataFrame:
+        """Stored cell rows whose id is no longer in the corpus — the
+        DELETE-side twin of ``missing`` (phantom cell entries become
+        candidates that the exact re-rank then joins to nothing,
+        silently shrinking k).  ``delete`` these keys or ``rebuild``."""
+        mt = self.meta
+        live = (
+            corpus.filter(F.col(mt["id_col"]).isNotNull())
+            .select(mt["id_col"])
+        )
+        return self.cells().join(live, mt["id_col"], "left_anti")
 
     def cells(self, version: int | None = None) -> DataFrame:
         return self.cells_table.read(version)

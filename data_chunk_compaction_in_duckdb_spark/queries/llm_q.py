@@ -634,7 +634,11 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_ann_oracle_sql(
-    dim: int = 64, n_clusters: int = 16, n_probe: int = 8, k: int = 5
+    dim: int = 64,
+    n_clusters: int = 16,
+    n_probe: int = 8,
+    k: int = 5,
+    corpus_pred: str = "TRUE",
 ) -> str:
     """DuckDB replay of ivf_ann_topk: the same md5 centroid literals and
     the proven struct(-dot, idx) ascending sort rank the cells (identical
@@ -658,7 +662,8 @@ def _ivf_ann_oracle_sql(
                       list_transform(list_sort([{structs}]), x -> x.i)
                         AS cells
                FROM e),
-    corpus AS (SELECT vec_id AS match_id, cells[1] AS cell FROM ranked),
+    corpus AS (SELECT vec_id AS match_id, cells[1] AS cell FROM ranked
+               WHERE {corpus_pred}),
     probes AS (SELECT vec_id AS query_id,
                       unnest(cells[1:{n_probe}]) AS cell
                FROM ranked WHERE vec_id % 97 = 0),

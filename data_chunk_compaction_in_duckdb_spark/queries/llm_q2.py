@@ -798,7 +798,12 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_adc_oracle_sql(
-    dim: int = 64, m: int = 16, codes: int = 16, rerank: int = 50, k: int = 5
+    dim: int = 64,
+    m: int = 16,
+    codes: int = 16,
+    rerank: int = 50,
+    k: int = 5,
+    corpus_pred: str = "TRUE",
 ) -> str:
     """DuckDB replay of pq_adc_topk with the md5 codebooks: corpus codes
     via the proven min-L2 struct sort (same as the embed_pq_codes
@@ -848,7 +853,8 @@ def _pq_adc_oracle_sql(
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
-    coded AS (SELECT vec_id, {', '.join(code_cols)} FROM e),
+    coded AS (SELECT vec_id, {', '.join(code_cols)} FROM e
+              WHERE {corpus_pred}),
     q AS (SELECT vec_id, v FROM e WHERE vec_id % 97 = 0),
     adc AS (
       SELECT q.vec_id AS query_id, cc.vec_id AS match_id,

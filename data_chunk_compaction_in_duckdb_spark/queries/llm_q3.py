@@ -147,3 +147,120 @@ def text_top_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return top_gram_fraction(docs, "doc_id", "text", n=2)
+
+
+# ---------------------------------------------------------------------------
+# Index DELETE maintenance (the erase twin of the round-6 append queries;
+# reference analog: ART::Delete, src/execution/index/art/art.cpp — the
+# reference erases index entries per-DELETE rather than rebuilding).
+# Each query builds the index over the FULL corpus, deletes one third of
+# the keys, then queries — the result must be BIT-IDENTICAL to an index
+# built over the surviving two-thirds, so each shares the direct path's
+# oracle restricted to the survivor predicate.
+# ---------------------------------------------------------------------------
+
+
+def _pq_delete_oracle() -> str:
+    from data_chunk_compaction_in_duckdb_spark.queries.llm_q2 import (
+        _pq_adc_oracle_sql,
+    )
+
+    return _pq_adc_oracle_sql(corpus_pred="vec_id % 3 <> 0")
+
+
+@query("sim_ann_pq_index_delete_topk", oracle=_pq_delete_oracle())
+def sim_ann_pq_index_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DELETE maintenance parity (PQIndex.delete; reference
+    ART::Delete): build the code table over the WHOLE corpus, delete a
+    third of the keys copy-on-write, then query — deleted vectors must
+    vanish from ADC candidacy entirely, so the result equals an index
+    built over the survivors and the oracle is the direct path's SQL
+    with the survivor predicate on the corpus side.  A delete that
+    left a phantom code (or dropped a survivor) diverges the hash."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import PQIndex
+    from data_chunk_compaction_in_duckdb_spark.queries.registry import (
+        retained_tmpdir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 97 == 0)
+    survivors = emb.filter(F.col("vec_id") % 3 != 0)
+    root = retained_tmpdir("pqixd_q_")
+    idx = PQIndex.build(
+        spark, root + "/ix", emb, "vec_id", "embedding", dim=64, m=16,
+        codes=16,
+    )
+    idx.delete(emb.filter(F.col("vec_id") % 3 == 0).select("vec_id"))
+    out = idx.topk(survivors, queries_df, k=5, rerank=50)
+    return out.select(
+        "query_id", "match_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def _ivf_delete_oracle() -> str:
+    from data_chunk_compaction_in_duckdb_spark.queries.llm_q import (
+        _ivf_ann_oracle_sql,
+    )
+
+    return _ivf_ann_oracle_sql(corpus_pred="vec_id % 3 <> 0")
+
+
+@query("sim_ann_ivf_index_delete_topk", oracle=_ivf_delete_oracle())
+def sim_ann_ivf_index_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF sibling of sim_ann_pq_index_delete_topk (IVFIndex.delete):
+    deleted ids lose their stored cell rows, so they stop being
+    candidates in every probed cell; the exact re-rank runs over the
+    surviving corpus only.  check_coverage stays on: after the delete,
+    stored cells and the survivor corpus must agree exactly."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import IVFIndex
+    from data_chunk_compaction_in_duckdb_spark.queries.registry import (
+        retained_tmpdir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 97 == 0)
+    survivors = emb.filter(F.col("vec_id") % 3 != 0)
+    root = retained_tmpdir("ivfixd_q_")
+    idx = IVFIndex.build(
+        spark, root + "/ix", emb, "vec_id", "embedding", dim=64,
+        n_clusters=16,
+    )
+    idx.delete(emb.filter(F.col("vec_id") % 3 == 0).select("vec_id"))
+    out = idx.topk(survivors, queries_df, k=5, n_probe=8, check_coverage=True)
+    return out.select(
+        "query_id", "match_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def _fts_delete_oracle() -> str:
+    from data_chunk_compaction_in_duckdb_spark.queries.llm_q2 import (
+        _FTS_BM25_ORACLE,
+    )
+
+    # restrict the tokenize CTE to the survivors: BM25's corpus stats
+    # (N, avgdl, df) must shrink with the delete, exactly like the
+    # stored relations do
+    return _FTS_BM25_ORACLE.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 3 <> 0"
+    )
+
+
+@query("fts_bm25_index_delete_search", oracle=_fts_delete_oracle())
+def fts_bm25_index_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index DELETE maintenance parity (FTSIndex.delete):
+    build postings/doclen over the whole corpus, delete a third of the
+    doc ids from BOTH relations copy-on-write, then search.  Because
+    the BM25 corpus stats are computed at query time from the stored
+    relations, the deleted documents stop contributing to N, avgdl and
+    df — the scores equal an index built over the survivors alone."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import FTSIndex
+    from data_chunk_compaction_in_duckdb_spark.queries.registry import (
+        retained_tmpdir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = retained_tmpdir("ftsixd_q_")
+    idx = FTSIndex.build(spark, root + "/ix", docs, "doc_id", "text")
+    idx.delete(docs.filter(F.col("doc_id") % 3 == 0).select("doc_id"))
+    out = idx.search(["data", "query", "stream"])
+    return out.select("doc", F.round("score", 4).alias("score"))

@@ -810,3 +810,31 @@ def test_top_gram_fraction_semantics(spark):
         out[2].top_cnt,
     ) == ("x w", 1)
     assert (out[3].top_gram, out[3].top_cnt, out[3].n_grams) == ("solo", 1, 1)
+
+
+def test_fts_index_delete_equals_subset_build(spark, sf_dir, tmp_path):
+    """FTSIndex.delete must remove the ids from BOTH stored relations
+    so query-time BM25 stats (N, avgdl, df) shrink with the delete —
+    scores equal an index built over the survivors alone; stale()
+    names the phantom docs before the delete and nothing after."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import FTSIndex
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    survivors = docs.filter(F.col("doc_id") % 3 != 0)
+    idx = FTSIndex.build(
+        spark, str(tmp_path / "ix"), docs, "doc_id", "text"
+    )
+    n_doomed = docs.count() - survivors.count()
+    assert idx.stale(survivors).count() == n_doomed
+    idx.delete(docs.filter(F.col("doc_id") % 3 == 0).select("doc_id"))
+    assert idx.stale(survivors).count() == 0
+    assert idx.postings().filter(F.col("doc") % 3 == 0).count() == 0
+
+    sub = FTSIndex.build(
+        spark, str(tmp_path / "sub"), survivors, "doc_id", "text"
+    )
+    key = lambda df: sorted(
+        (r.doc, round(r.score, 9)) for r in df.collect()
+    )
+    terms = ["data", "query", "stream"]
+    assert key(idx.search(terms)) == key(sub.search(terms))

@@ -248,3 +248,59 @@ def test_null_id_corpus_rows_are_masked(spark, tmp_path, emb):
     )
     via_index = idx.topk(with_null, queries, k=5, rerank=50)
     assert _rows(via_index) == _rows(direct_clean)
+
+
+def test_pq_delete_equals_subset_build_and_stale(spark, tmp_path, emb):
+    """delete() is the erase twin of append() (reference ART::Delete):
+    the surviving code table must be content-identical to one built
+    over the survivors alone, and stale() must name exactly the
+    deleted entries beforehand and nothing afterwards."""
+    path = str(tmp_path / "ix")
+    survivors = emb.filter(F.col("vec_id") % 3 != 0)
+    doomed = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = PQIndex.build(
+        spark, path, emb, "vec_id", "embedding", dim=64, m=16, codes=16,
+    )
+    assert idx.stale(survivors).count() == doomed.count()
+    v = idx.delete(doomed.select("vec_id"))
+    assert v == 1
+    assert idx.codes_table._manifest(1)["op"] == "delete"
+    assert idx.stale(survivors).count() == 0
+
+    sub = PQIndex.build(
+        spark, str(tmp_path / "sub"), survivors, "vec_id", "embedding",
+        dim=64, m=16, codes=16,
+    )
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(idx.codes()) == key(sub.codes())
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    assert _rows(idx.topk(survivors, queries, k=5, rerank=50)) == _rows(
+        sub.topk(survivors, queries, k=5, rerank=50)
+    )
+    # time travel still reads the pre-delete index
+    assert idx.codes(0).count() == emb.count()
+
+
+def test_ivf_delete_equals_subset_build_and_stale(spark, tmp_path, emb):
+    from data_chunk_compaction_in_duckdb_spark.pipeline import IVFIndex
+
+    survivors = emb.filter(F.col("vec_id") % 3 != 0)
+    doomed = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = IVFIndex.build(
+        spark, str(tmp_path / "ivf"), emb, "vec_id", "embedding",
+        dim=64, n_clusters=16,
+    )
+    assert idx.stale(survivors).count() == doomed.count()
+    idx.delete(doomed.select("vec_id"))
+    assert idx.stale(survivors).count() == 0
+    sub = IVFIndex.build(
+        spark, str(tmp_path / "sub"), survivors, "vec_id", "embedding",
+        dim=64, n_clusters=16,
+    )
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(idx.cells()) == key(sub.cells())
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    # coverage check passes against the survivor corpus after delete
+    assert _rows(
+        idx.topk(survivors, queries, k=5, n_probe=8, check_coverage=True)
+    ) == _rows(sub.topk(survivors, queries, k=5, n_probe=8))
