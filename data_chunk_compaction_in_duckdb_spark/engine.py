@@ -275,6 +275,8 @@ class Engine:
         columns: list[str] | str,
         path: str,
         n_buckets: int = 32,
+        name: str | None = None,
+        unique: bool = False,
     ) -> None:
         """CREATE INDEX analog (reference `CREATE INDEX ... ON t(cols)`,
         ART index, src/execution/index/art/).  Spark has no row-level
@@ -291,18 +293,59 @@ class Engine:
         The registered view for ``table`` is replaced by the indexed
         copy, so subsequent `sql()`/`table()` calls use it transparently
         (the reference's planner picks the ART plan the same way).
+
+        ``unique=True`` enforces key uniqueness on creation (reference:
+        a UNIQUE ART index rejects duplicate keys, ART::Insert's
+        constraint path) — rows with a NULL in any key column are
+        exempt, per SQL semantics.  The index is recorded in the
+        catalog and visible through ``duckdb_indexes()``.
         """
         from data_chunk_compaction_in_duckdb_spark.sources import (
             write_bucketed,
         )
 
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        idx_name = name or f"idx_{table}_{'_'.join(cols)}"
         df = self.table(table)
-        write_bucketed(df, f"{table}_idx", path, columns, n_buckets=n_buckets)
-        indexed = self.spark.table(f"{table}_idx")
+        if unique:
+            keyed = df.na.drop(subset=cols).select(*cols)
+            if keyed.distinct().count() != keyed.count():
+                raise ValueError(
+                    f"UNIQUE index {idx_name}: duplicate keys in "
+                    f"{table}({', '.join(cols)})"
+                )
+        # unique physical name per index: a table can carry several
+        # indexes (reference: many ARTs per table); each lands in its
+        # own bucketed copy and the view follows the LATEST layout
+        self._art_gen = getattr(self, "_art_gen", 0) + 1
+        phys = f"{table}_idx{self._art_gen}"
+        write_bucketed(df, phys, path, cols, n_buckets=n_buckets)
+        indexed = self.spark.table(phys)
         indexed.createOrReplaceTempView(table)
         self.tables[table] = indexed
         if table in _catalog.TABLES:
             _catalog.invalidate_views(self.spark)
+        self._art_indexes = getattr(self, "_art_indexes", {})
+        self._art_indexes[idx_name] = {
+            "table": table,
+            "columns": cols,
+            "unique": unique,
+        }
+
+    def drop_index(self, name: str) -> None:
+        """DROP INDEX: removes the catalog entry (the bucketed copy
+        stays as plain storage — scanning it without the index is
+        always correct, like the reference's heap after DROP INDEX)."""
+        del getattr(self, "_art_indexes", {})[name]
+
+    def duckdb_indexes(self) -> DataFrame:
+        """duckdb_indexes() over every index registered on this engine
+        (reference src/function/table/system/duckdb_indexes.cpp)."""
+        from data_chunk_compaction_in_duckdb_spark import introspect
+
+        return introspect.duckdb_indexes(
+            self.spark, getattr(self, "_art_indexes", {})
+        )
 
     # -- durable tables (reference CREATE TABLE + storage layer)
     def create_versioned_table(

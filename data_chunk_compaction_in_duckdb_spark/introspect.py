@@ -215,6 +215,45 @@ def show_sequences(spark: SparkSession, sequences) -> DataFrame:
     )
 
 
+_INDEXES_SCHEMA = T.StructType(
+    [
+        T.StructField("schema_name", T.StringType()),
+        T.StructField("index_name", T.StringType()),
+        T.StructField("table_name", T.StringType()),
+        T.StructField("is_unique", T.BooleanType()),
+        T.StructField("is_primary", T.BooleanType()),
+        T.StructField("sql", T.StringType()),
+    ]
+)
+
+
+def duckdb_indexes(spark: SparkSession, indexes: dict) -> DataFrame:
+    """duckdb_indexes() analog (reference src/function/table/system/
+    duckdb_indexes.cpp): one row per index registered by
+    ``Engine.create_index``, with DuckDB's column names and its
+    canonical ``sql`` rendering (``CREATE [UNIQUE ]INDEX i ON t(a, b);``
+    — probed against DuckDB's own catalog output).  ``is_primary`` is
+    always false here: like the reference, only CREATE INDEX entries
+    appear under their given name (PK constraints live on the table).
+    Pure metadata — no data is scanned."""
+    rows = []
+    for name, info in indexes.items():
+        cols = ", ".join(info["columns"])
+        uq = "UNIQUE " if info["unique"] else ""
+        rows.append(
+            (
+                "main",
+                name,
+                info["table"],
+                bool(info["unique"]),
+                False,
+                f"CREATE {uq}INDEX {name} ON {info['table']}({cols});",
+            )
+        )
+    rows.sort(key=lambda r: r[1])
+    return spark.createDataFrame(rows, _INDEXES_SCHEMA)
+
+
 def describe_sequence(seq) -> DataFrame:
     """DESCRIBE over a sequence: its metadata in the same six-column
     DESCRIBE shape the table surface uses (the reference reports

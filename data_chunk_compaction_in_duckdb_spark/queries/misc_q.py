@@ -630,3 +630,60 @@ def introspect_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "introspect_indexes",
+    oracle="""
+    CREATE OR REPLACE TABLE nt_nation AS SELECT * FROM nation;
+    CREATE OR REPLACE TABLE nt_supplier AS SELECT * FROM supplier;
+    CREATE OR REPLACE TABLE nt_customer AS SELECT * FROM customer;
+    CREATE INDEX ntidx_nation_region ON nt_nation(n_regionkey);
+    CREATE INDEX ntidx_supplier_nat ON nt_supplier(s_nationkey, s_suppkey);
+    CREATE UNIQUE INDEX ntidx_customer_key ON nt_customer(c_custkey);
+    SELECT schema_name, index_name, table_name, is_unique, is_primary, sql
+    FROM duckdb_indexes()
+    WHERE index_name LIKE \'ntidx!_%\' ESCAPE \'!\'
+    ORDER BY index_name
+    """,
+)
+def introspect_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duckdb_indexes() readback vs DuckDB\'s OWN duckdb_indexes()
+    (introspect.py duckdb_indexes; reference src/function/table/system/
+    duckdb_indexes.cpp) — the oracle literally CREATEs the same three
+    indexes (plain single-column, composite, UNIQUE) on copies of the
+    same tables in DuckDB and reads its real catalog function; the
+    engine side runs Engine.create_index (the bucketed ART analog,
+    which also validates the UNIQUE constraint on creation) and reads
+    the engine catalog.  Name, table, uniqueness flags and DuckDB\'s
+    canonical sql rendering must all agree."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+    from data_chunk_compaction_in_duckdb_spark.queries.registry import (
+        retained_tmpdir,
+    )
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    try:
+        eng.tables["nt_nation"] = load_table(spark, sf_dir, "nation")
+        eng.tables["nt_supplier"] = load_table(spark, sf_dir, "supplier")
+        eng.tables["nt_customer"] = load_table(spark, sf_dir, "customer")
+        root = retained_tmpdir("ntidx_q_")
+        eng.create_index(
+            "nt_nation", ["n_regionkey"], root + "/n", n_buckets=4,
+            name="ntidx_nation_region",
+        )
+        eng.create_index(
+            "nt_supplier", ["s_nationkey", "s_suppkey"], root + "/s",
+            n_buckets=4, name="ntidx_supplier_nat",
+        )
+        eng.create_index(
+            "nt_customer", ["c_custkey"], root + "/c", n_buckets=4,
+            name="ntidx_customer_key", unique=True,
+        )
+        # duckdb_indexes reads engine metadata eagerly into driver rows
+        return eng.duckdb_indexes()
+    finally:
+        # restore the plain fixture views for session neighbors
+        from data_chunk_compaction_in_duckdb_spark import catalog as _c
+
+        _c.register_views(spark, sf_dir)

@@ -307,3 +307,56 @@ def test_engine_index_facade(spark, sf_dir):
         n_clusters=8,
     )
     assert eng.index("emb_ivf").topk(emb, queries, k=3).count() > 0
+
+
+def test_duckdb_indexes_catalog_and_unique(spark, sf_dir, tmp_path):
+    """duckdb_indexes() readback (reference src/function/table/system/
+    duckdb_indexes.cpp): names, tables, uniqueness flags and the
+    canonical sql rendering; UNIQUE creation validates the key set and
+    refuses duplicates; several indexes can coexist on one table; DROP
+    INDEX removes the catalog entry."""
+    import pytest as _pytest
+
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    try:
+        eng.create_index(
+            "nation", ["n_regionkey"], str(tmp_path / "a"), n_buckets=2,
+            name="i_nat_reg",
+        )
+        # second index on the SAME table: own physical copy, both listed
+        eng.create_index(
+            "nation", ["n_nationkey"], str(tmp_path / "b"), n_buckets=2,
+            name="i_nat_key", unique=True,
+        )
+        rows = {r.index_name: r for r in eng.duckdb_indexes().collect()}
+        assert set(rows) == {"i_nat_reg", "i_nat_key"}
+        assert rows["i_nat_reg"].sql == (
+            "CREATE INDEX i_nat_reg ON nation(n_regionkey);"
+        )
+        assert rows["i_nat_key"].is_unique and not rows["i_nat_key"].is_primary
+        assert rows["i_nat_key"].sql == (
+            "CREATE UNIQUE INDEX i_nat_key ON nation(n_nationkey);"
+        )
+        # the indexed view still answers correctly after two rebinds
+        assert eng.sql("SELECT count(*) AS n FROM nation").first()["n"] == 25
+
+        # UNIQUE over a duplicated key must refuse creation
+        with _pytest.raises(ValueError, match="duplicate keys"):
+            eng.create_index(
+                "nation", ["n_regionkey"], str(tmp_path / "c"),
+                n_buckets=2, name="i_dup", unique=True,
+            )
+        assert "i_dup" not in {
+            r.index_name for r in eng.duckdb_indexes().collect()
+        }
+
+        eng.drop_index("i_nat_reg")
+        assert [r.index_name for r in eng.duckdb_indexes().collect()] == [
+            "i_nat_key"
+        ]
+    finally:
+        import data_chunk_compaction_in_duckdb_spark.catalog as _c
+
+        _c.register_views(spark, sf_dir)
