@@ -25,8 +25,11 @@ rows before comparing; the default is `nosort` (query must ORDER BY).
 Engine-surface statements the reference's catalog families use but
 Spark SQL lacks are dispatched by ``EngineSqlContext`` (round 6):
 CREATE/DROP SEQUENCE, nextval()/currval(), DESCRIBE <table>,
-DESCRIBE SELECT, and duckdb_sequences() readback — the SAME .test text
-DuckDB executes natively during generation (tools/gen_sqllogic.py).
+DESCRIBE SELECT, duckdb_sequences() readback, and the index-DDL family
+(CREATE TABLE AS to a file-local temp view, CREATE [UNIQUE] INDEX /
+DROP INDEX through Engine.create_index's bucketed ART analog,
+duckdb_indexes() readback) — the SAME .test text DuckDB executes
+natively during generation (tools/gen_sqllogic.py).
 """
 
 from __future__ import annotations
@@ -148,6 +151,21 @@ _DESCRIBE_RE = re.compile(r"^\s*DESCRIBE\s+(\w+)\s*;?\s*$", re.I)
 _DESCRIBE_SELECT_RE = re.compile(
     r"^\s*DESCRIBE\s+(SELECT\b.*)$", re.I | re.S
 )
+# index-DDL family (reference test/sql/index/ + duckdb_indexes();
+# CREATE TABLE AS is routed here too so the indexed tables are
+# file-local temp views on the Spark side and real tables in DuckDB)
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(\w+)\s+AS\s+(.*)$",
+    re.I | re.S,
+)
+_CREATE_INDEX_RE = re.compile(
+    r"^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(\w+)\s+ON\s+(\w+)\s*"
+    r"\(([^)]*)\)\s*;?\s*$",
+    re.I,
+)
+_DROP_INDEX_RE = re.compile(
+    r"^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I
+)
 
 
 class EngineSqlContext:
@@ -162,6 +180,15 @@ class EngineSqlContext:
         self.root = tempfile.mkdtemp(prefix="sqllogic_seq_")
         self.sequences: dict[str, object] = {}
         self._generation = 0  # bumped per DDL so replaced paths are fresh
+        self.ctas: dict[str, object] = {}  # file-local CREATE TABLE AS
+        self._engine = None  # lazy: only index-DDL files pay for it
+
+    def _eng(self):
+        if self._engine is None:
+            from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+            self._engine = Engine(spark=self.spark, register=False)
+        return self._engine
 
     def close(self) -> None:
         import shutil
@@ -221,6 +248,82 @@ class EngineSqlContext:
                 )
             del self.sequences[name]
             return None
+        m = _CREATE_INDEX_RE.match(sql)
+        if m:
+            import os
+
+            unique, name, table = bool(m.group(1)), m.group(2), m.group(3)
+            cols = [c.strip() for c in m.group(4).split(",") if c.strip()]
+            eng = self._eng()
+            if name in getattr(eng, "_art_indexes", {}):
+                raise SqlLogicError(
+                    f'Catalog Error: Index with name "{name}" already exists'
+                )
+            if table not in self.ctas:
+                raise SqlLogicError(
+                    f"Catalog Error: Table with name {table} does not exist"
+                )
+            missing = set(cols) - set(self.ctas[table].columns)
+            if missing:
+                raise SqlLogicError(
+                    f'Binder Error: Table "{table}" does not have columns '
+                    f"{sorted(missing)}"
+                )
+            self._generation += 1
+            eng.create_index(
+                table,
+                cols,
+                os.path.join(self.root, f"ix_{name}_{self._generation}"),
+                n_buckets=2,
+                name=name,
+                unique=unique,
+            )
+            return None
+        m = _DROP_INDEX_RE.match(sql)
+        if m:
+            if_exists, name = bool(m.group(1)), m.group(2)
+            eng = self._eng()
+            if name not in getattr(eng, "_art_indexes", {}):
+                if if_exists:
+                    return None
+                raise SqlLogicError(
+                    f"Catalog Error: Index with name {name} does not exist"
+                )
+            eng.drop_index(name)
+            return None
+        m = _CTAS_RE.match(sql)
+        if m:
+            or_replace, name, select = bool(m.group(1)), m.group(2), m.group(3)
+            if name in self.ctas and not or_replace:
+                raise SqlLogicError(
+                    f'Catalog Error: Table with name "{name}" already exists'
+                )
+            df = self.spark.sql(select.rstrip().rstrip(";"))
+            df.createOrReplaceTempView(name)
+            self.ctas[name] = df
+            eng = self._eng()
+            eng.tables[name] = df
+            # DuckDB's CREATE OR REPLACE TABLE silently drops dependent
+            # indexes (probed) — mirror it
+            arts = getattr(eng, "_art_indexes", {})
+            for iname in [
+                i for i, info in arts.items() if info["table"] == name
+            ]:
+                del arts[iname]
+            return None
+        if re.search(r"\bduckdb_indexes\s*\(\s*\)", sql, re.I):
+            from data_chunk_compaction_in_duckdb_spark import introspect
+
+            introspect.duckdb_indexes(
+                self.spark, getattr(self._eng(), "_art_indexes", {})
+            ).createOrReplaceTempView("__duckdb_indexes")
+            sql = re.sub(
+                r"\bduckdb_indexes\s*\(\s*\)",
+                "__duckdb_indexes",
+                sql,
+                flags=re.I,
+            )
+            return self.spark.sql(sql)
         m = _DESCRIBE_SELECT_RE.match(sql)
         if m:
             from data_chunk_compaction_in_duckdb_spark import introspect

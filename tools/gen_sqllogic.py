@@ -6593,6 +6593,64 @@ corpus("describe_select_casts", "DESCRIBE SELECT over casts (reference show_sele
     ("TTTTTT", "", "DESCRIBE SELECT CAST('2020-01-01 00:00:00' AS TIMESTAMP) AS t"),
 ])
 
+# Index-DDL family (reference test/sql/index/ + src/function/table/
+# system/duckdb_indexes.cpp).  The dispatcher routes CREATE TABLE AS to a
+# file-local temp view (DuckDB: a real table), CREATE [UNIQUE] INDEX to
+# Engine.create_index (the bucketed ART analog, incl. the creation-time
+# UNIQUE validation), DROP INDEX to the engine catalog, and
+# duckdb_indexes() to the introspect readback.  Table/index names are
+# per-file-prefixed: the generator's DuckDB connection is shared across
+# corpora.  NOT covered on purpose: INSERT-time unique enforcement (the
+# engine's CREATE INDEX is a snapshot layout over immutable views —
+# divergence exclusion, see versioned-store constraints for the durable
+# path).
+
+corpus("index_catalog_readback", "duckdb_indexes() catalog readback (reference duckdb_indexes.cpp; test/sql/index/)")([
+    ("ok", "", "CREATE TABLE ixa_t AS SELECT r_regionkey AS a, r_name AS b FROM region"),
+    ("ok", "", "CREATE TABLE ixa_u AS SELECT n_nationkey AS k, n_regionkey AS r FROM nation"),
+    ("ok", "", "CREATE INDEX ixa_plain ON ixa_t(a)"),
+    ("ok", "", "CREATE INDEX ixa_comp ON ixa_u(r, k)"),
+    ("ok", "", "CREATE UNIQUE INDEX ixa_uq ON ixa_u(k)"),
+    ("TTTTTT", "", "SELECT schema_name, index_name, table_name, is_unique, is_primary, sql FROM duckdb_indexes() WHERE index_name LIKE 'ixa!_%' ESCAPE '!' ORDER BY index_name"),
+    ("I", "", "SELECT count(*) FROM duckdb_indexes() WHERE index_name LIKE 'ixa!_%' ESCAPE '!' AND is_unique"),
+    # the indexed table still answers queries (Spark: through the
+    # rebound bucketed copy)
+    ("IT", "", "SELECT a, b FROM ixa_t WHERE a = 2"),
+    ("I", "", "SELECT count(*) FROM ixa_u WHERE r = 0"),
+])
+
+corpus("index_create_errors", "Invalid index DDL (reference test/sql/index error grids)")([
+    ("ok", "", "CREATE TABLE ixb_t AS SELECT n_nationkey AS k, n_regionkey AS r FROM nation"),
+    ("ok", "", "CREATE INDEX ixb_i ON ixb_t(k)"),
+    # duplicate index name
+    ("error", "", "CREATE INDEX ixb_i ON ixb_t(r)"),
+    # missing table / missing column
+    ("error", "", "CREATE INDEX ixb_j ON ixb_nosuch(k)"),
+    ("error", "", "CREATE INDEX ixb_k ON ixb_t(nosuch)"),
+    # UNIQUE over duplicated keys refuses creation
+    ("error", "", "CREATE UNIQUE INDEX ixb_uq ON ixb_t(r)"),
+    # duplicate table name without OR REPLACE
+    ("error", "", "CREATE TABLE ixb_t AS SELECT 1 AS z"),
+    ("error", "", "DROP INDEX ixb_nosuch"),
+    ("ok", "", "DROP INDEX IF EXISTS ixb_nosuch"),
+    ("I", "", "SELECT count(*) FROM duckdb_indexes() WHERE index_name LIKE 'ixb!_%' ESCAPE '!'"),
+])
+
+corpus("index_lifecycle", "CREATE / DROP INDEX lifecycle and OR REPLACE TABLE dependents (reference test/sql/index; CREATE OR REPLACE drops dependent indexes — probed)")([
+    ("ok", "", "CREATE TABLE ixc_t AS SELECT s_suppkey AS k, s_nationkey AS n FROM supplier"),
+    ("ok", "", "CREATE UNIQUE INDEX ixc_i ON ixc_t(k)"),
+    ("I", "", "SELECT count(*) FROM duckdb_indexes() WHERE index_name LIKE 'ixc!_%' ESCAPE '!'"),
+    ("ok", "", "DROP INDEX ixc_i"),
+    ("I", "", "SELECT count(*) FROM duckdb_indexes() WHERE index_name LIKE 'ixc!_%' ESCAPE '!'"),
+    # the name is reusable after DROP
+    ("ok", "", "CREATE INDEX ixc_i ON ixc_t(n)"),
+    ("TTTTTT", "", "SELECT schema_name, index_name, table_name, is_unique, is_primary, sql FROM duckdb_indexes() WHERE index_name LIKE 'ixc!_%' ESCAPE '!' ORDER BY index_name"),
+    # CREATE OR REPLACE TABLE silently drops dependent indexes
+    ("ok", "", "CREATE OR REPLACE TABLE ixc_t AS SELECT 1 AS z"),
+    ("I", "", "SELECT count(*) FROM duckdb_indexes() WHERE index_name LIKE 'ixc!_%' ESCAPE '!'"),
+    ("I", "", "SELECT z FROM ixc_t"),
+])
+
 
 def main() -> int:
     import duckdb
