@@ -362,7 +362,19 @@ class Engine:
 
         vt = VersionedTable.create(self.spark, path, df, **kwargs)
         vt.read().createOrReplaceTempView(name)
+        self._versioned = getattr(self, "_versioned", {})
+        self._versioned[name] = vt
         return vt
+
+    def duckdb_constraints(self) -> DataFrame:
+        """duckdb_constraints() over every versioned table registered on
+        this engine (reference src/function/table/system/
+        duckdb_constraints.cpp)."""
+        from data_chunk_compaction_in_duckdb_spark import introspect
+
+        return introspect.duckdb_constraints(
+            self.spark, getattr(self, "_versioned", {})
+        )
 
     def refresh_versioned_view(
         self, name: str, vt, version: int | None = None

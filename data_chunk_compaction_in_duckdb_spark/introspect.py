@@ -254,6 +254,64 @@ def duckdb_indexes(spark: SparkSession, indexes: dict) -> DataFrame:
     return spark.createDataFrame(rows, _INDEXES_SCHEMA)
 
 
+_CONSTRAINTS_SCHEMA = T.StructType(
+    [
+        T.StructField("table_name", T.StringType()),
+        T.StructField("constraint_type", T.StringType()),
+        T.StructField("constraint_text", T.StringType()),
+        T.StructField(
+            "constraint_column_names", T.ArrayType(T.StringType())
+        ),
+    ]
+)
+
+
+def duckdb_constraints(spark: SparkSession, tables: dict) -> DataFrame:
+    """duckdb_constraints() analog (reference src/function/table/system/
+    duckdb_constraints.cpp) over ``{name: VersionedTable}``: one row per
+    declared constraint with DuckDB's canonical text rendering
+    (``PRIMARY KEY(a, b)``, ``NOT NULL``, ``CHECK((expr))`` — probed),
+    plus the implied per-column NOT NULL row DuckDB emits for every
+    PRIMARY KEY column.  CHECK column attribution matches the schema
+    tokens appearing in the expression (exact for the single-column
+    checks the store's validation grid uses).  One head-manifest read
+    per table — no data scanned."""
+    import re as _re
+
+    rows = []
+    for tname, vt in tables.items():
+        fields = [f.name for f in vt.read().schema.fields]
+        pk_cols: list[str] = []
+        for c in vt.constraints():
+            kind = c["type"]
+            if kind == "primary_key":
+                cols = list(c["columns"])
+                pk_cols.extend(cols)
+                rows.append(
+                    (
+                        tname,
+                        "PRIMARY KEY",
+                        f"PRIMARY KEY({', '.join(cols)})",
+                        cols,
+                    )
+                )
+            elif kind == "not_null":
+                rows.append((tname, "NOT NULL", "NOT NULL", [c["column"]]))
+            elif kind == "check":
+                expr = c["expr"]
+                cols = [
+                    f
+                    for f in fields
+                    if _re.search(rf"\b{_re.escape(f)}\b", expr)
+                ]
+                cols.sort(key=expr.find)
+                rows.append((tname, "CHECK", f"CHECK(({expr}))", cols))
+        for col in pk_cols:
+            rows.append((tname, "NOT NULL", "NOT NULL", [col]))
+    rows.sort(key=lambda r: (r[0], r[1], r[2]))
+    return spark.createDataFrame(rows, _CONSTRAINTS_SCHEMA)
+
+
 def describe_sequence(seq) -> DataFrame:
     """DESCRIBE over a sequence: its metadata in the same six-column
     DESCRIBE shape the table surface uses (the reference reports

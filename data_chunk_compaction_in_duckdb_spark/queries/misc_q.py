@@ -687,3 +687,70 @@ def introspect_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
         from data_chunk_compaction_in_duckdb_spark import catalog as _c
 
         _c.register_views(spark, sf_dir)
+
+
+@query(
+    "introspect_constraints",
+    oracle="""
+    CREATE OR REPLACE TABLE ctq_t (k BIGINT PRIMARY KEY,
+                                   name VARCHAR NOT NULL,
+                                   nk INTEGER CHECK (nk > 0));
+    INSERT INTO ctq_t
+      SELECT c_custkey, c_name, CAST(c_nationkey + 1 AS INTEGER)
+      FROM customer;
+    CREATE OR REPLACE TABLE ctq_u (r BIGINT, k BIGINT, PRIMARY KEY (r, k));
+    INSERT INTO ctq_u SELECT n_regionkey, n_nationkey FROM nation;
+    SELECT table_name, constraint_type, constraint_text,
+           constraint_column_names
+    FROM duckdb_constraints()
+    WHERE table_name IN (\'ctq_t\', \'ctq_u\')
+    ORDER BY table_name, constraint_type, constraint_text
+    """,
+)
+def introspect_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duckdb_constraints() readback vs DuckDB\'s OWN catalog function
+    (introspect.duckdb_constraints; reference src/function/table/system/
+    duckdb_constraints.cpp): the oracle declares the same constraints
+    (single- and multi-column PRIMARY KEY, NOT NULL, single-column
+    CHECK) on real DuckDB tables and INSERTs the same fixture rows —
+    both engines therefore also VALIDATE the data against the
+    constraints before the readback (a violating row errors the query
+    on either side).  Canonical text (\'PRIMARY KEY(a, b)\',
+    \'CHECK((expr))\') and the implied per-PK-column NOT NULL rows
+    must agree."""
+    import shutil
+    import tempfile
+
+    from data_chunk_compaction_in_duckdb_spark.introspect import (
+        duckdb_constraints,
+    )
+    from data_chunk_compaction_in_duckdb_spark.storage import (
+        VersionedTable,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        (F.col("c_nationkey") + 1).cast("int").alias("nk"),
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_regionkey").alias("r"), F.col("n_nationkey").alias("k")
+    )
+    root = tempfile.mkdtemp(prefix="ctq_")
+    try:
+        t = VersionedTable.create(
+            spark, root + "/t", cust,
+            constraints=[
+                {"type": "primary_key", "columns": ["k"]},
+                {"type": "not_null", "column": "name"},
+                {"type": "check", "expr": "nk > 0"},
+            ],
+        )
+        u = VersionedTable.create(
+            spark, root + "/u", nat,
+            constraints=[{"type": "primary_key", "columns": ["r", "k"]}],
+        )
+        # the readback is metadata-only driver rows; the tmpdir can go
+        return duckdb_constraints(spark, {"ctq_t": t, "ctq_u": u})
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -360,3 +360,33 @@ def test_duckdb_indexes_catalog_and_unique(spark, sf_dir, tmp_path):
         import data_chunk_compaction_in_duckdb_spark.catalog as _c
 
         _c.register_views(spark, sf_dir)
+
+
+def test_duckdb_constraints_readback(spark, sf_dir, tmp_path):
+    """duckdb_constraints() over engine-registered versioned tables:
+    canonical text, implied per-PK-column NOT NULL rows, CHECK column
+    attribution."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 6)], "k LONG, name STRING, nk INT"
+    )
+    eng.create_versioned_table(
+        "ct_demo", df, str(tmp_path / "vt"),
+        constraints=[
+            {"type": "primary_key", "columns": ["k"]},
+            {"type": "not_null", "column": "name"},
+            {"type": "check", "expr": "nk > 0"},
+        ],
+    )
+    rows = sorted(
+        (r.constraint_type, r.constraint_text, tuple(r.constraint_column_names))
+        for r in eng.duckdb_constraints().collect()
+    )
+    assert rows == [
+        ("CHECK", "CHECK((nk > 0))", ("nk",)),
+        ("NOT NULL", "NOT NULL", ("k",)),      # implied by the PK
+        ("NOT NULL", "NOT NULL", ("name",)),
+        ("PRIMARY KEY", "PRIMARY KEY(k)", ("k",)),
+    ]
