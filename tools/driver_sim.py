@@ -67,6 +67,27 @@ def main() -> None:
 
     qs, oracles = E.queries(), E.oracle_sql()
     con = duckdb.connect()
+    # sf1 sweeps: DuckDB's default memory_limit is 80% of RAM, which on a
+    # box also hosting the Spark JVM invites the OOM killer (observed: a
+    # pair-explosion oracle at 120 GB RSS).  Cap it and give it a spill
+    # directory so big oracles go out-of-core instead of down in flames.
+    mem_d = os.environ.get("SPARK_GRAFT_SIM_DUCKDB_MEM")
+    if mem_d:
+        import tempfile
+
+        spill = tempfile.mkdtemp(prefix="ducksim_spill_")
+        con.execute(f"SET memory_limit='{mem_d}'")
+        con.execute(f"SET temp_directory='{spill}'")
+        # bound the spill too: a pair-explosion oracle plan should fail
+        # fast with a clean error, not fill the device under everything
+        con.execute(
+            "SET max_temp_directory_size='"
+            + os.environ.get("SPARK_GRAFT_SIM_DUCKDB_SPILL", "40GB")
+            + "'"
+        )
+    thr = os.environ.get("SPARK_GRAFT_SIM_DUCKDB_THREADS")
+    if thr:
+        con.execute(f"SET threads={int(thr)}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
