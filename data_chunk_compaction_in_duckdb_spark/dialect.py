@@ -1,0 +1,278 @@
+"""DuckDB-dialect SQL forms Spark's parser lacks, rewritten textually.
+
+QUALIFY (reference: DuckDB binds QUALIFY as a filter evaluated over the
+windowed, pre-filter result set — src/planner/binder/query_node/
+plan_select_node.cpp, test/sql/qualify/): Spark SQL has no QUALIFY, so
+``rewrite_qualify`` performs the same binder step as a source rewrite::
+
+    SELECT <sel> FROM ... [WHERE/GROUP BY/HAVING] QUALIFY <pred> [tail]
+    -->
+    SELECT * FROM (
+      SELECT __q.*, (<pred>) AS __qualify FROM ( <head> ) __q
+    ) WHERE __qualify <tail>
+
+The predicate is evaluated in a SELECT over the un-filtered inner
+result, so window functions inside it (``QUALIFY row_number() OVER
+(...) = 1``) and references to the head's select aliases both resolve
+with DuckDB's semantics — windows see every pre-QUALIFY row.  The
+helper boolean column is dropped by the caller (the rewriter returns
+its name).  Only a TOP-LEVEL QUALIFY is rewritten; the scanner tracks
+parenthesis depth and string literals so subqueries, quoted strings and
+identifiers never false-positive.  Not covered (documented): QUALIFY
+combined with SELECT DISTINCT (DuckDB de-duplicates after the filter;
+the rewrite de-duplicates before — reference this module when that
+corner matters).
+"""
+
+from __future__ import annotations
+
+import re
+
+_QUALIFY_WORD = re.compile(r"\bQUALIFY\b", re.I)
+_TAIL_WORD = re.compile(r"\b(ORDER|LIMIT|OFFSET|WINDOW)\b", re.I)
+_SELECT_HEAD = re.compile(r"^\s*SELECT\s+", re.I)
+_DISTINCT_HEAD = re.compile(r"^\s*SELECT\s+DISTINCT\b", re.I)
+_FROM_WORD = re.compile(r"\bFROM\b", re.I)
+_AS_ALIAS = re.compile(r"\bAS\s+(\w+)\s*$", re.I)
+_BARE_ALIAS = re.compile(r"\)\s+(\w+)\s*$")
+
+
+def _toplevel_spans(sql: str):
+    """Yield (start, end) spans of SQL text at parenthesis depth 0,
+    skipping single-quoted strings, double-quoted identifiers and
+    line/block comments."""
+    depth = 0
+    i, n = 0, len(sql)
+    span_start = 0
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            if depth == 0 and span_start < i:
+                yield (span_start, i)
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+            if depth == 0:
+                span_start = i + 1
+        elif ch == '"':
+            if depth == 0 and span_start < i:
+                yield (span_start, i)
+            i += 1
+            while i < n and sql[i] != '"':
+                i += 1
+            if depth == 0:
+                span_start = i + 1
+        elif ch == "-" and sql[i : i + 2] == "--":
+            if depth == 0 and span_start < i:
+                yield (span_start, i)
+            while i < n and sql[i] != "\n":
+                i += 1
+            if depth == 0:
+                span_start = i + 1
+        elif ch == "/" and sql[i : i + 2] == "/*":
+            if depth == 0 and span_start < i:
+                yield (span_start, i)
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 1
+            if depth == 0:
+                span_start = i + 1
+        elif ch == "(":
+            if depth == 0 and span_start < i:
+                yield (span_start, i)
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                span_start = i + 1
+        i += 1
+    if depth == 0 and span_start < n:
+        yield (span_start, n)
+
+
+def _find_toplevel(sql: str, pattern: re.Pattern, from_pos: int = 0):
+    for s, e in _toplevel_spans(sql):
+        if e <= from_pos:
+            continue
+        m = pattern.search(sql, max(s, from_pos), e)
+        if m:
+            return m
+    return None
+
+
+def _count_markers(sql: str) -> int:
+    """Count positional ``?`` parameter markers outside string literals,
+    quoted identifiers and comments (any parenthesis depth)."""
+    count = 0
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == '"':
+            i += 1
+            while i < n and sql[i] != '"':
+                i += 1
+        elif ch == "-" and sql[i : i + 2] == "--":
+            while i < n and sql[i] != "\n":
+                i += 1
+        elif ch == "/" and sql[i : i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 1
+        elif ch == "?":
+            count += 1
+        i += 1
+    return count
+
+
+def _split_toplevel_commas(s: str) -> list[str]:
+    """Split ``s`` on commas at parenthesis depth 0 (string/comment
+    aware)."""
+    commas = []
+    for a, b in _toplevel_spans(s):
+        for i in range(a, b):
+            if s[i] == ",":
+                commas.append(i)
+    parts, prev = [], 0
+    for c in commas:
+        parts.append(s[prev:c])
+        prev = c + 1
+    parts.append(s[prev:])
+    return parts
+
+
+def _alias_map(select_list: str) -> dict[str, str]:
+    """Map select-list aliases to their expressions.  Recognized forms:
+    ``expr AS alias`` and the bare ``expr) alias`` (alias directly after
+    a closing parenthesis — ``rank() OVER (...) rnk``, ``count(*) n``).
+    Bare identifiers after arbitrary expressions are NOT treated as
+    aliases (``a + b`` has no alias named b)."""
+    out: dict[str, str] = {}
+    for item in _split_toplevel_commas(select_list):
+        it = item.strip()
+        m = _AS_ALIAS.search(it)
+        if m:
+            out[m.group(1)] = it[: m.start()].strip()
+            continue
+        m = _BARE_ALIAS.search(it)
+        if m:
+            out[m.group(1)] = it[: m.start() + 1].strip()
+    return out
+
+
+def rewrite_qualify(sql: str):
+    """If ``sql`` has a top-level QUALIFY clause, return
+    ``(rewritten_sql, helper_column, reorder)`` — the caller executes
+    the rewrite, reorders any positional-``?`` argument list with
+    ``reorder(args)`` (the rewrite can move the predicate relative to
+    other clauses, changing marker order), and drops the helper column;
+    otherwise None.
+
+    Preferred form (matches DuckDB's binder scope, where the predicate
+    may reference source columns that are NOT selected): inject the
+    predicate as a boolean column INTO the head's own select list,
+    substituting select-alias references with their expressions, then
+    filter one level up.  Falls back to evaluating the predicate over
+    the projected head (alias scope only) when the head uses DISTINCT
+    (injection would change distinctness) or has no parsable top-level
+    SELECT ... FROM shape."""
+    m = _find_toplevel(sql, _QUALIFY_WORD)
+    if m is None:
+        return None
+    head = sql[: m.start()].rstrip()
+    rest = sql[m.end() :]
+    t = _find_toplevel(rest, _TAIL_WORD)
+    if t is not None:
+        pred, tail = rest[: t.start()], rest[t.start() :]
+    else:
+        pred, tail = rest, ""
+    pred = pred.strip().rstrip(";").strip()
+    tail = tail.strip().rstrip(";").strip()
+    if not pred:
+        raise ValueError("QUALIFY requires a predicate")
+
+    m_sel = _SELECT_HEAD.match(head)
+    m_from = _find_toplevel(head, _FROM_WORD)
+    inject_ok = (
+        m_sel is not None
+        and m_from is not None
+        and m_from.start() > m_sel.end()
+        and not _DISTINCT_HEAD.match(head)
+    )
+    if inject_ok:
+        select_list = head[m_sel.end() : m_from.start()]
+        pred_sub = pred
+        for alias, expr in _alias_map(select_list).items():
+            new_pred = re.sub(
+                rf"\b{re.escape(alias)}\b", f"({expr})", pred_sub
+            )
+            if new_pred != pred_sub and _count_markers(expr):
+                # substituting would duplicate ? markers — fall back
+                inject_ok = False
+                break
+            pred_sub = new_pred
+    if inject_ok:
+        inner = (
+            head[: m_from.start()]
+            + f", ({pred_sub}) AS __qualify "
+            + head[m_from.start() :]
+        )
+        rewritten = (
+            f"SELECT * FROM (\n{inner}\n) __q WHERE __qualify"
+            + (f"\n{tail}" if tail else "")
+        )
+        n_sel = _count_markers(select_list)
+        n_rest = _count_markers(head[m_from.start() :])
+        n_pred = _count_markers(pred_sub)
+
+        def reorder(args: list) -> list:
+            # original: sel, rest, pred, tail -> new: sel, pred, rest, tail
+            need = n_sel + n_rest + n_pred
+            if len(args) < need:
+                raise ValueError(
+                    f"QUALIFY rewrite: {need}+ positional args expected, "
+                    f"got {len(args)}"
+                )
+            return (
+                list(args[:n_sel])
+                + list(args[n_sel + n_rest : n_sel + n_rest + n_pred])
+                + list(args[n_sel : n_sel + n_rest])
+                + list(args[n_sel + n_rest + n_pred :])
+            )
+
+        return rewritten, "__qualify", reorder
+
+    rewritten = (
+        "SELECT * FROM (\n"
+        f"  SELECT __q.*, ({pred}) AS __qualify FROM (\n{head}\n  ) __q\n"
+        ") __qq WHERE __qualify"
+        + (f"\n{tail}" if tail else "")
+    )
+    n_head, n_pred = _count_markers(head), _count_markers(pred)
+
+    def reorder(args: list) -> list:
+        # original marker order: head, pred, tail ->
+        # rewritten order: pred, head, tail
+        if len(args) < n_head + n_pred:
+            raise ValueError(
+                f"QUALIFY rewrite: {n_head + n_pred}+ positional args "
+                f"expected, got {len(args)}"
+            )
+        return (
+            list(args[n_head : n_head + n_pred])
+            + list(args[:n_head])
+            + list(args[n_head + n_pred :])
+        )
+
+    return rewritten, "__qualify", reorder

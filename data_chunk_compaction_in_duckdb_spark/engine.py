@@ -116,11 +116,25 @@ class Engine:
             self.spark.udf.register("currval", currval_udf)
         if args and params:
             raise ValueError("use positional ? args or named :params, not both")
+        # QUALIFY (DuckDB window-filter clause; Spark's parser has none):
+        # textual binder rewrite + helper-column drop (dialect.py)
+        from data_chunk_compaction_in_duckdb_spark import dialect
+
+        q = dialect.rewrite_qualify(query)
+        drop_col = None
+        if q is not None:
+            query, drop_col, reorder = q
+            if args:
+                args = tuple(reorder(list(args)))
         if args:
-            return self._wrap(self.spark.sql(query, args=list(args)))
-        if params:
-            return self._wrap(self.spark.sql(query, args=params))
-        return self._wrap(self.spark.sql(query))
+            df = self.spark.sql(query, args=list(args))
+        elif params:
+            df = self.spark.sql(query, args=params)
+        else:
+            df = self.spark.sql(query)
+        if drop_col:
+            df = df.drop(drop_col)
+        return self._wrap(df)
 
     def _next_seq_path(self, name: str) -> str:
         """Per-engine sequence root (created lazily, removed on

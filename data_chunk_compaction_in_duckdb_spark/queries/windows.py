@@ -351,3 +351,29 @@ def win_qualify_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 2)
     )
+
+
+_QUALIFY_SQL = """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 2
+    ORDER BY o_custkey, o_orderkey
+    LIMIT 500
+    """
+
+
+@query("win_qualify_sql", oracle=_QUALIFY_SQL)
+def win_qualify_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY through the SQL entry point (dialect.rewrite_qualify;
+    reference test/sql/qualify/): the engine accepts DuckDB's QUALIFY
+    text VERBATIM — the oracle string IS the engine input — covering an
+    inline window function in the predicate, a WHERE ahead of it and an
+    ORDER BY/LIMIT tail behind it.  Spark has no QUALIFY clause, so the
+    rewrite (filter column over the windowed pre-filter result, then
+    drop) is the binder step DuckDB performs natively."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    return eng.sql(_QUALIFY_SQL)

@@ -355,6 +355,12 @@ class EngineSqlContext:
             )
         if seqsql.SEQFN_RE.search(sql):
             self._register_seq_udfs()
+        from data_chunk_compaction_in_duckdb_spark import dialect
+
+        q = dialect.rewrite_qualify(sql)
+        if q is not None:
+            rewritten, drop_col, _reorder = q
+            return self.spark.sql(rewritten).drop(drop_col)
         return self.spark.sql(sql)
 
 

@@ -390,3 +390,61 @@ def test_duckdb_constraints_readback(spark, sf_dir, tmp_path):
         ("NOT NULL", "NOT NULL", ("name",)),
         ("PRIMARY KEY", "PRIMARY KEY(k)", ("k",)),
     ]
+
+
+def test_sql_qualify_rewrite_grid(spark, sf_dir):
+    """QUALIFY accepted verbatim by Engine.sql (dialect.rewrite_qualify)
+    across the forms DuckDB's test/sql/qualify exercises: select-alias
+    predicate, inline window predicate, SELECT *, GROUP BY + HAVING
+    ahead, ORDER BY/LIMIT tail behind, parameter markers, and no
+    false-positive on the word inside a string literal."""
+    from data_chunk_compaction_in_duckdb_spark import dialect
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+
+    # alias reference
+    df = eng.sql(
+        "SELECT n_regionkey, n_nationkey, "
+        "rank() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) rnk "
+        "FROM nation QUALIFY rnk <= 2"
+    )
+    assert df.columns == ["n_regionkey", "n_nationkey", "rnk"]
+    assert df.count() == 10 and df.filter("rnk > 2").count() == 0
+
+    # inline window + SELECT * + tail
+    df = eng.sql(
+        "SELECT * FROM nation QUALIFY row_number() OVER "
+        "(PARTITION BY n_regionkey ORDER BY n_nationkey DESC) = 1 "
+        "ORDER BY n_regionkey LIMIT 3"
+    )
+    rows = df.collect()
+    assert len(rows) == 3 and [r.n_regionkey for r in rows] == [0, 1, 2]
+    assert "__qualify" not in df.columns
+
+    # GROUP BY + HAVING ahead of QUALIFY (post-aggregation windows)
+    df = eng.sql(
+        "SELECT n_regionkey, count(*) AS n FROM nation "
+        "GROUP BY n_regionkey HAVING count(*) > 0 "
+        "QUALIFY rank() OVER (ORDER BY n DESC, n_regionkey) = 1"
+    )
+    assert df.count() == 1
+
+    # parameter markers still bind through the rewrite
+    df = eng.sql(
+        "SELECT n_nationkey, row_number() OVER (ORDER BY n_nationkey) rn "
+        "FROM nation WHERE n_regionkey = ? QUALIFY rn <= ?",
+        1,
+        2,
+    )
+    assert df.count() == 2
+
+    # the word inside a string literal is data, not a clause
+    df = eng.sql("SELECT 'does not QUALIFY here' AS s FROM region")
+    assert df.count() == 5 and df.first().s == "does not QUALIFY here"
+    assert dialect.rewrite_qualify("SELECT 'QUALIFY' AS s") is None
+    # subquery QUALIFY is not top-level: untouched text would fail in
+    # Spark, so the rewriter must not half-rewrite it either
+    assert dialect.rewrite_qualify(
+        "SELECT * FROM (SELECT 1 AS a) t WHERE a IN (SELECT 1)"
+    ) is None

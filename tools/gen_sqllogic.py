@@ -6652,6 +6652,22 @@ corpus("index_lifecycle", "CREATE / DROP INDEX lifecycle and OR REPLACE TABLE de
 ])
 
 
+corpus("qualify_filters", "QUALIFY window-filter clause (reference test/sql/qualify; Spark side rides dialect.rewrite_qualify)")([
+    # select-alias predicate
+    ("III", "rowsort", "SELECT n_regionkey, n_nationkey, CAST(rank() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS INT) AS rnk FROM nation QUALIFY rnk <= 2"),
+    # inline window in the predicate, no alias
+    ("II", "rowsort", "SELECT n_regionkey, n_nationkey FROM nation QUALIFY row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey DESC) = 1"),
+    # WHERE ahead, ORDER BY/LIMIT tail behind
+    ("II", "", "SELECT o_custkey, o_orderkey FROM orders WHERE o_orderkey % 10 = 0 QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1 ORDER BY o_custkey, o_orderkey LIMIT 20"),
+    # GROUP BY + HAVING ahead (windows over the aggregated rows)
+    ("II", "", "SELECT n_regionkey, CAST(count(*) AS INT) AS n FROM nation GROUP BY n_regionkey HAVING count(*) > 0 QUALIFY rank() OVER (ORDER BY n DESC, n_regionkey) = 1"),
+    # compound predicate mixing a window and a plain column condition
+    ("II", "rowsort", "SELECT n_nationkey, n_regionkey FROM nation QUALIFY row_number() OVER (ORDER BY n_nationkey) <= 7 AND n_regionkey <> 2"),
+    # the keyword inside a string literal is data
+    ("T", "", "SELECT 'QUALIFY stays text' AS s FROM region LIMIT 1"),
+])
+
+
 def main() -> int:
     import duckdb
 
