@@ -276,3 +276,148 @@ def rewrite_qualify(sql: str):
         )
 
     return rewritten, "__qualify", reorder
+
+
+# --------------------------------------------------------- star modifiers
+#
+# SELECT * EXCLUDE (...) REPLACE (...) — DuckDB's star modifiers
+# (reference test/sql/parser/test_exclude.test, test_replace.test).
+# Spark knows `* EXCEPT (cols)` natively; EXCLUDE maps onto it
+# textually, and REPLACE (e AS c, ...) becomes `* EXCEPT (c, ...),
+# e AS c, ...` — evaluated in the same select scope, so ORDER BY on a
+# replaced output column resolves to the NEW value exactly as DuckDB
+# binds it.  One visible divergence, documented: replaced columns move
+# to the END of the projection (DuckDB keeps their position); the
+# driver's column-name-sorted compare and any explicit projection are
+# order-insensitive.
+
+_STARMOD_WORD = re.compile(r"^(EXCLUDE|REPLACE)\b", re.I)
+_IDENT = re.compile(r"\w+")
+
+
+def _match_paren_group(sql: str, i: int) -> int:
+    """Given sql[i] == '(', return the index AFTER the matching ')'
+    (string-literal aware)."""
+    depth = 0
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses in star modifier")
+
+
+def _literal_spans(sql: str) -> list[tuple[int, int]]:
+    """Spans of string literals, quoted identifiers and comments —
+    regions where SQL keywords are data, at ANY parenthesis depth."""
+    spans = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            a = i
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+            spans.append((a, i + 1))
+        elif ch == '"':
+            a = i
+            i += 1
+            while i < n and sql[i] != '"':
+                i += 1
+            spans.append((a, i + 1))
+        elif ch == "-" and sql[i : i + 2] == "--":
+            a = i
+            while i < n and sql[i] != "\n":
+                i += 1
+            spans.append((a, i))
+        elif ch == "/" and sql[i : i + 2] == "/*":
+            a = i
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 1
+            spans.append((a, i + 1))
+        i += 1
+    return spans
+
+
+def rewrite_star_modifiers(sql: str) -> str | None:
+    """Rewrite ``* EXCLUDE (...) [REPLACE (...)]`` star modifiers (at
+    any parenthesis depth — subqueries included; a star only counts
+    when the next keyword IS a modifier, so ``count(*)`` and
+    multiplication never match) to Spark's ``* EXCEPT`` + appended
+    replacement expressions.  Returns the rewritten SQL, or None when
+    no star modifier is present."""
+    out = sql
+    changed = True
+    any_change = False
+    while changed:
+        changed = False
+        lits = _literal_spans(out)
+        for star in re.finditer(r"\*", out):
+            i = star.start()
+            if any(a <= i < b for a, b in lits):
+                continue
+            j = i + 1
+            while j < len(out) and out[j].isspace():
+                j += 1
+            m = _STARMOD_WORD.match(out[j:])
+            if not m:
+                continue
+            excluded: list[str] = []
+            replacements: list[tuple[str, str]] = []
+            k = j
+            while True:
+                m = _STARMOD_WORD.match(out[k:])
+                if not m:
+                    break
+                kind = m.group(1).upper()
+                p = k + m.end()
+                while p < len(out) and out[p].isspace():
+                    p += 1
+                if p < len(out) and out[p] == "(":
+                    end = _match_paren_group(out, p)
+                    body = out[p + 1 : end - 1]
+                else:
+                    mi = _IDENT.match(out, p)
+                    if not mi:
+                        raise ValueError(f"malformed {kind} modifier")
+                    end, body = mi.end(), mi.group(0)
+                if kind == "EXCLUDE":
+                    excluded.extend(
+                        c.strip() for c in _split_toplevel_commas(body)
+                    )
+                else:
+                    for item in _split_toplevel_commas(body):
+                        ma = _AS_ALIAS.search(item.strip())
+                        if not ma:
+                            raise ValueError(
+                                "REPLACE items need the `expr AS col` form"
+                            )
+                        replacements.append(
+                            (item.strip()[: ma.start()].strip(), ma.group(1))
+                        )
+                k = end
+                while k < len(out) and out[k].isspace():
+                    k += 1
+            drop = excluded + [c for _, c in replacements]
+            star_txt = out[: i + 1] + f" EXCEPT ({', '.join(drop)})"
+            extra = "".join(f", {e} AS {c}" for e, c in replacements)
+            out = star_txt + extra + " " + out[k:]
+            changed = True
+            any_change = True
+            break
+    return out if any_change else None

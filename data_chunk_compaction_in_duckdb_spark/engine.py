@@ -116,10 +116,14 @@ class Engine:
             self.spark.udf.register("currval", currval_udf)
         if args and params:
             raise ValueError("use positional ? args or named :params, not both")
-        # QUALIFY (DuckDB window-filter clause; Spark's parser has none):
-        # textual binder rewrite + helper-column drop (dialect.py)
+        # DuckDB dialect forms Spark's parser lacks (dialect.py):
+        # star modifiers first (local rewrite), then QUALIFY (binder
+        # rewrite + helper-column drop)
         from data_chunk_compaction_in_duckdb_spark import dialect
 
+        star = dialect.rewrite_star_modifiers(query)
+        if star is not None:
+            query = star
         q = dialect.rewrite_qualify(query)
         drop_col = None
         if q is not None:

@@ -396,6 +396,30 @@ def select_exclude_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STARMOD_SQL = """
+    SELECT * EXCLUDE (o_orderpriority)
+           REPLACE (CAST(ROUND(o_totalprice) AS BIGINT) AS o_totalprice,
+                    upper(o_orderstatus) AS o_orderstatus)
+    FROM orders WHERE o_orderkey < 200
+    """
+
+
+@query("select_exclude_replace_sql", oracle=_STARMOD_SQL)
+def select_exclude_replace_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star modifiers through the SQL entry point
+    (dialect.rewrite_star_modifiers; reference test/sql/parser/
+    test_exclude.test, test_replace.test): the engine accepts DuckDB\'s
+    EXCLUDE/REPLACE text VERBATIM — the oracle string IS the engine
+    input.  EXCLUDE maps to Spark\'s native `* EXCEPT`; REPLACE becomes
+    `* EXCEPT (col), expr AS col` in the same select scope (replaced
+    columns land at the end of the projection — the one documented
+    divergence, invisible to the name-sorted driver compare)."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    return eng.sql(_STARMOD_SQL)
+
+
 @query(
     "agg_salted_skew_groupby",
     oracle="""

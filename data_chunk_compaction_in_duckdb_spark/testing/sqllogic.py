@@ -357,6 +357,9 @@ class EngineSqlContext:
             self._register_seq_udfs()
         from data_chunk_compaction_in_duckdb_spark import dialect
 
+        star = dialect.rewrite_star_modifiers(sql)
+        if star is not None:
+            sql = star
         q = dialect.rewrite_qualify(sql)
         if q is not None:
             rewritten, drop_col, _reorder = q

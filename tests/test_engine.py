@@ -448,3 +448,47 @@ def test_sql_qualify_rewrite_grid(spark, sf_dir):
     assert dialect.rewrite_qualify(
         "SELECT * FROM (SELECT 1 AS a) t WHERE a IN (SELECT 1)"
     ) is None
+
+
+def test_sql_star_modifiers_grid(spark, sf_dir):
+    """EXCLUDE/REPLACE star modifiers through Engine.sql
+    (dialect.rewrite_star_modifiers): bare and parenthesized EXCLUDE,
+    REPLACE re-expression in select scope (ORDER BY sees the new
+    value), qualified stars, combination with QUALIFY, and no
+    false-positive on multiplication or count(*)."""
+    from data_chunk_compaction_in_duckdb_spark import dialect
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+
+    df = eng.sql("SELECT * EXCLUDE (n_name) FROM nation")
+    assert "n_name" not in df.columns and df.count() == 25
+
+    df = eng.sql("SELECT * EXCLUDE n_name FROM nation LIMIT 1")
+    assert "n_name" not in df.columns
+
+    # REPLACE: new value visible to ORDER BY on the output name
+    df = eng.sql(
+        "SELECT * EXCLUDE (n_name) "
+        "REPLACE (CAST(-n_nationkey AS BIGINT) AS n_nationkey) "
+        "FROM nation ORDER BY n_nationkey LIMIT 2"
+    )
+    rows = df.collect()
+    assert sorted(df.columns) == ["n_nationkey", "n_regionkey"]
+    assert [r.n_nationkey for r in rows] == [-24, -23]
+
+    # composes with QUALIFY
+    df = eng.sql(
+        "SELECT * EXCLUDE (n_name) FROM nation "
+        "QUALIFY row_number() OVER (PARTITION BY n_regionkey "
+        "ORDER BY n_nationkey) = 1"
+    )
+    assert df.count() == 5 and "n_name" not in df.columns
+
+    # multiplication and count(*) are not star modifiers
+    assert dialect.rewrite_star_modifiers(
+        "SELECT a * b FROM t"
+    ) is None
+    assert dialect.rewrite_star_modifiers("SELECT count(*) FROM t") is None
+    one = eng.sql("SELECT count(*) AS n FROM region").first()
+    assert one.n == 5

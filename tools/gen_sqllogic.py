@@ -6667,6 +6667,18 @@ corpus("qualify_filters", "QUALIFY window-filter clause (reference test/sql/qual
     ("T", "", "SELECT 'QUALIFY stays text' AS s FROM region LIMIT 1"),
 ])
 
+corpus("star_exclude_replace", "SELECT * EXCLUDE / REPLACE star modifiers (reference test/sql/parser/test_exclude.test, test_replace.test; Spark rides dialect.rewrite_star_modifiers — replaced columns move to the projection end, so specs project explicitly)")([
+    ("IT", "rowsort", "SELECT n_nationkey, n_name FROM (SELECT * EXCLUDE (n_regionkey) FROM nation) WHERE n_nationkey < 5"),
+    ("II", "rowsort", "SELECT n_nationkey, n_regionkey FROM (SELECT * EXCLUDE n_name FROM nation) WHERE n_regionkey = 2"),
+    ("II", "rowsort", "SELECT n_nationkey, n_regionkey FROM (SELECT * REPLACE (CAST(n_regionkey * 10 AS INT) AS n_regionkey) FROM nation) WHERE n_nationkey < 5"),
+    ("IT", "rowsort", "SELECT n_nationkey, n_name FROM (SELECT * EXCLUDE (n_regionkey) REPLACE (upper(n_name) AS n_name) FROM nation) WHERE n_nationkey < 5"),
+    # star modifiers compose with QUALIFY through the same dispatcher
+    ("II", "rowsort", "SELECT * EXCLUDE (n_name) FROM nation QUALIFY row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) = 1"),
+    # multiplication stars and count(*) are untouched
+    ("I", "", "SELECT CAST(count(*) AS INT) FROM region"),
+    ("I", "rowsort", "SELECT CAST(n_nationkey * n_regionkey AS INT) FROM nation WHERE n_nationkey < 4"),
+])
+
 
 def main() -> int:
     import duckdb
