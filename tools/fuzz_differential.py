@@ -386,6 +386,62 @@ def float_special_select(rng: random.Random) -> str:
             f"GROUP BY 1 ORDER BY c0")
 
 
+def qualify_select(rng: random.Random) -> str:
+    """QUALIFY + star-modifier forms (round-6 dialect layer,
+    data_chunk_compaction_in_duckdb_spark/dialect.py): the fuzz text uses DuckDB's
+    clauses verbatim; the Spark side rides the same rewrites Engine.sql
+    applies.  Determinism: rank/row_number always order by a unique
+    key, and results are compared as sorted multisets (no LIMIT)."""
+    r = rng
+    table = r.choice([t for t, c in TABLES.items() if c["str"]])
+    g = Gen(r, table)
+    part = r.choice(TABLES[table]["str"])
+    key = (
+        "(l_orderkey * 10 + l_linenumber)"
+        if table == "lineitem"
+        else TABLES[table]["int"][0]
+    )
+    fn = r.choice(["row_number()", "rank()", "dense_rank()"])
+    win = f"{fn} OVER (PARTITION BY {part} ORDER BY {key})"
+    k = r.randint(1, 4)
+    where = f" WHERE {g.pred()}" if r.random() < 0.5 else ""
+    form = r.random()
+    if form < 0.3:
+        # select-alias predicate
+        return (
+            f"SELECT {part} AS c0, {key} AS c1, CAST({win} AS INT) AS rn "
+            f"FROM {table}{where} QUALIFY rn <= {k}"
+        )
+    if form < 0.55:
+        # inline window predicate over selected columns
+        return (
+            f"SELECT {part} AS c0, {key} AS c1 FROM {table}{where} "
+            f"QUALIFY {win} <= {k}"
+        )
+    if form < 0.75:
+        # predicate references a source column NOT in the projection
+        return (
+            f"SELECT {key} AS c1 FROM {table}{where} "
+            f"QUALIFY {win} = 1 AND length({part}) >= 0"
+        )
+    # star modifiers, emitted directly: the multiset compare sorts
+    # columns by name, so REPLACE's position divergence (documented in
+    # dialect.py) is invisible here
+    drop_col = r.choice(TABLES[table]["str"])
+    keep_int = TABLES[table]["int"][0]
+    if r.random() < 0.5:
+        # QUALIFY binds in the FROM scope, so the predicate may window
+        # over the excluded column on both engines
+        return (
+            f"SELECT * EXCLUDE ({drop_col}) FROM {table}{where} "
+            f"QUALIFY {win} <= {k}"
+        )
+    return (
+        f"SELECT * REPLACE (CAST({keep_int} * {r.randint(2, 5)} AS BIGINT)"
+        f" AS {keep_int}) FROM {table}{where}"
+    )
+
+
 def gen_query(rng: random.Random) -> str:
     table = rng.choice(list(TABLES))
     g = Gen(rng, table)
@@ -394,8 +450,10 @@ def gen_query(rng: random.Random) -> str:
         return float_special_select(rng)
     if roll < 0.15:
         return join_select(rng)
-    if roll < 0.25:
+    if roll < 0.22:
         return window_select(rng)
+    if roll < 0.25:
+        return qualify_select(rng)
     if roll < 0.32:
         return subquery_select(rng)
     if roll < 0.37:
@@ -456,7 +514,19 @@ def run_fuzz(
             bad.append((sql, f"duckdb error: {e}"))
             continue
         try:
-            sdf = spark.sql(sql)
+            # the same dialect rewrites Engine.sql applies (QUALIFY and
+            # star modifiers are DuckDB-only clauses)
+            from data_chunk_compaction_in_duckdb_spark import dialect
+
+            s_sql = sql
+            star = dialect.rewrite_star_modifiers(s_sql)
+            if star is not None:
+                s_sql = star
+            qf = dialect.rewrite_qualify(s_sql)
+            if qf is not None:
+                sdf = spark.sql(qf[0]).drop(qf[1])
+            else:
+                sdf = spark.sql(s_sql)
             s_cols = sdf.columns
             s_rows = [tuple(x) for x in sdf.collect()]
         except Exception as e:  # noqa: BLE001
