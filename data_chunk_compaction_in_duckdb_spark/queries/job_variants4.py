@@ -306,17 +306,32 @@ def _register_co_supplied_variant(suffix: str, brand: str, ptype: str,
     """Family: same dimension in two roles linked through two fact
     instances sharing a middle entity (part–lineitem–supplier–lineitem–
     part)."""
+    # Semantically identical to the row-grain five-way join (each side
+    # pre-aggregated to (supplier, part) grain with its lineitem
+    # multiplicity; n = SUM(c1*c2) == COUNT(*) of row pairs, and the
+    # MIN names are multiplicity-invariant).  The row-grain form is
+    # what the Spark side executes; DuckDB's optimizer materialized a
+    # >51 GiB intermediate for it at sf1 (r6 sweep finding), so the
+    # oracle states the same semantics in the plan-robust form.
     oracle = f"""
-    SELECT MIN(p1.p_name) AS first_part, MIN(p2.p_name) AS second_part,
-           MIN(s_name) AS via_supplier, COUNT(*) AS n
-    FROM part p1
-    JOIN lineitem l1 ON l1.l_partkey = p1.p_partkey
-    JOIN supplier   ON l1.l_suppkey = s_suppkey
-    JOIN lineitem l2 ON l2.l_suppkey = s_suppkey
-    JOIN part p2    ON l2.l_partkey = p2.p_partkey
-    WHERE p1.p_brand = '{brand}' AND p2.p_type = '{ptype}'
-      AND p1.p_partkey < p2.p_partkey
-      AND l1.l_quantity > {qty_min} AND l2.l_quantity > {qty_min}
+    WITH a AS (
+      SELECT l_suppkey AS s, p_partkey AS pk, MIN(p_name) AS pn,
+             COUNT(*) AS c
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = '{brand}' AND l_quantity > {qty_min}
+      GROUP BY l_suppkey, p_partkey),
+    b AS (
+      SELECT l_suppkey AS s, p_partkey AS pk, MIN(p_name) AS pn,
+             COUNT(*) AS c
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type = '{ptype}' AND l_quantity > {qty_min}
+      GROUP BY l_suppkey, p_partkey),
+    pairs AS (
+      SELECT a.s, a.pn AS pn1, b.pn AS pn2, a.c * b.c AS cnt
+      FROM a JOIN b ON a.s = b.s AND a.pk < b.pk)
+    SELECT MIN(pn1) AS first_part, MIN(pn2) AS second_part,
+           MIN(s_name) AS via_supplier, CAST(SUM(cnt) AS BIGINT) AS n
+    FROM pairs JOIN supplier ON pairs.s = s_suppkey
     """
 
     name = "job_like_co_supplied_parts"
