@@ -94,8 +94,46 @@ def main() -> None:
         )
 
     names = sys.argv[1:] or list(qs)
+    # optional per-query watchdog: one runaway oracle plan must not eat
+    # the whole batch (a Spark collect blocks in py4j and a DuckDB call
+    # blocks Python signals, so cancellation comes from a timer thread —
+    # sc.cancelAllJobs + con.interrupt both leave their sessions usable)
+    per_q = float(os.environ.get("SPARK_GRAFT_SIM_QUERY_TIMEOUT", "0"))
+
+    def _watchdog():
+        import threading
+
+        stop = threading.Event()
+
+        def run():
+            if stop.wait(per_q):
+                return
+            # repeat until the query window closes: a driver-side
+            # iterative query (recursive CTE loop) launches MANY short
+            # jobs, so a one-shot cancel between jobs would miss
+            while not stop.is_set():
+                try:
+                    spark.sparkContext.cancelAllJobs()
+                except Exception:  # noqa: BLE001
+                    pass
+                try:
+                    con.interrupt()
+                except Exception:  # noqa: BLE001
+                    pass
+                stop.wait(1.0)
+
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+
+        class _Handle:
+            def cancel(self):
+                stop.set()
+
+        return _Handle()
+
     fails: list[str] = []
     for name in names:
+        timer = _watchdog() if per_q else None
         try:
             sdf = qs[name](spark, SF_DIR)
             srows = [tuple(r) for r in sdf.collect()]
@@ -113,6 +151,9 @@ def main() -> None:
             print(f"ERR  {name}: {type(exc).__name__}: {exc}", flush=True)
             fails.append(name)
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         if not ok:
             fails.append(name)
         print(
