@@ -887,7 +887,7 @@ def text_redact_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_filter_source_quantile",
     oracle=r"""
     SELECT doc_id, source, ws_tokens,
-           ROUND(pr, 6) AS pr
+           CAST(FLOOR(pr * 1000000 + 0.5) AS BIGINT) AS pr_e6
     FROM (
       SELECT doc_id, source, ws_tokens,
              PERCENT_RANK() OVER (PARTITION BY source
@@ -906,7 +906,10 @@ def quality_filter_source_quantile(spark: SparkSession, sf_dir: str) -> DataFram
     quartile by token count) — the stratified quality-filter stage of a
     corpus build.  percent_rank windows run per source partition;
     (rank−1)/(n−1) of exact integers is the same double in both
-    engines."""
+    engines — but ROUND of it is NOT (exactly-representable decimal
+    halves round differently; win_ranking_family's sf1 find), so the
+    quantile column compares via the FLOOR(x*1e6 + 0.5) integer
+    scheme."""
     docs = load_table(spark, sf_dir, "documents")
     from data_chunk_compaction_in_duckdb_spark.pipeline.text import token_counts
 
@@ -917,7 +920,14 @@ def quality_filter_source_quantile(spark: SparkSession, sf_dir: str) -> DataFram
     return (
         toks.withColumn("pr", F.percent_rank().over(w))
         .filter(F.col("pr") >= 0.25)
-        .select("doc_id", "source", "ws_tokens", F.round("pr", 6).alias("pr"))
+        .select(
+            "doc_id",
+            "source",
+            "ws_tokens",
+            F.floor(F.col("pr") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("pr_e6"),
+        )
     )
 
 

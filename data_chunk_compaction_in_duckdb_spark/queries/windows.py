@@ -23,8 +23,8 @@ from data_chunk_compaction_in_duckdb_spark.queries.registry import query
            ROW_NUMBER()   OVER w AS rn,
            RANK()         OVER w AS rnk,
            DENSE_RANK()   OVER w AS drnk,
-           ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
-           ROUND(CUME_DIST()    OVER w, 6) AS cdist,
+           CAST(FLOOR(PERCENT_RANK() OVER w * 1000000 + 0.5) AS BIGINT) AS prnk_e6,
+           CAST(FLOOR(CUME_DIST()    OVER w * 1000000 + 0.5) AS BIGINT) AS cdist_e6,
            NTILE(4)       OVER w AS tile
     FROM orders
     WHERE o_totalprice > 400000
@@ -33,7 +33,12 @@ from data_chunk_compaction_in_duckdb_spark.queries.registry import query
 )
 def win_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """row_number/rank/dense_rank/percent_rank/cume_dist/ntile
-    (expression_type.hpp:89-102)."""
+    (expression_type.hpp:89-102).  percent_rank/cume_dist compare via
+    FLOOR(x*1e6 + 0.5) — the integer scheme, NOT ROUND: (rank-1)/(n-1)
+    generates exactly-representable decimal halves (k/640-class values)
+    where Spark's HALF_UP and DuckDB's half-down double ROUND disagree;
+    floor(x+0.5) is the same IEEE op on both engines (sf1 sweep find —
+    3 of 300,604 rows at sf1, invisible at sf0.1 and below)."""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     w = Window.partitionBy("o_orderstatus").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
@@ -43,8 +48,12 @@ def win_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prnk"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.floor(F.percent_rank().over(w) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("prnk_e6"),
+        F.floor(F.cume_dist().over(w) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("cdist_e6"),
         F.ntile(4).over(w).alias("tile"),
     )
 
