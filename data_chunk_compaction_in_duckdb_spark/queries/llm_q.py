@@ -785,12 +785,12 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT media_id, n_chunks, chunk_idx,
            chunk_idx * 32 AS start_byte,
-           md5(substring(hex(content), chunk_idx * 64 + 1, 128)) AS chunk_md5
+           md5(substring(content_hex, chunk_idx * 64 + 1, 128)) AS chunk_md5
     FROM (
-      SELECT media_id, content, n_chunks,
+      SELECT media_id, content_hex, n_chunks,
              UNNEST(generate_series(0, GREATEST(n_chunks - 1, 0))) AS chunk_idx
       FROM (
-        SELECT doc_id AS media_id, encode(text) AS content,
+        SELECT doc_id AS media_id, hex(encode(text)) AS content_hex,
                CAST(FLOOR((octet_length(encode(text)) - 64) / 32.0) AS INT) + 1
                  AS n_chunks
         FROM documents
@@ -803,7 +803,11 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-style overlapped chunking (64-byte windows, 32-byte hop)
     over the binary payload; the md5 of each window's hex rendering
     proves the byte slicing is identical to the oracle's (DuckDB cannot
-    slice BLOBs, so both sides hash the hex string)."""
+    slice BLOBs, so both sides hash the hex string — rendered BEFORE
+    the UNNEST: DuckDB 1.0 mis-casts non-ASCII BLOBs carried THROUGH
+    an UNNEST once the input exceeds a volume threshold, an
+    oracle-engine bug the sf1 sweep surfaced; the hex VARCHAR carries
+    identical information)."""
     from data_chunk_compaction_in_duckdb_spark.pipeline import (
         audio_chunk,
         with_binary_payload,
