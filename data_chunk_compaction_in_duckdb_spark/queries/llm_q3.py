@@ -264,3 +264,81 @@ def fts_bm25_index_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx.delete(docs.filter(F.col("doc_id") % 3 == 0).select("doc_id"))
     out = idx.search(["data", "query", "stream"])
     return out.select("doc", F.round("score", 4).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# Index UPDATE maintenance: the reference updates its ART by erasing and
+# re-inserting the row (delete + insert composition); the round-trip
+# (delete a third of the keys, re-append the same rows) must land the
+# index back at full-corpus content BIT-EXACTLY — so these share the
+# full-corpus oracles verbatim.  A delete that under-erased would leave
+# duplicate codes after the append (candidates double, hash diverges); an
+# append that under-inserted would leave holes.
+# ---------------------------------------------------------------------------
+
+
+def _pq_full_oracle() -> str:
+    from data_chunk_compaction_in_duckdb_spark.queries.llm_q2 import (
+        _pq_adc_oracle_sql,
+    )
+
+    return _pq_adc_oracle_sql()
+
+
+@query("sim_ann_pq_index_upsert_topk", oracle=_pq_full_oracle())
+def sim_ann_pq_index_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-path parity (PQIndex delete + append composition;
+    reference: ART updates erase and re-insert the key): build over the
+    whole corpus, delete a third of the keys copy-on-write, re-append
+    the same rows delta-only, then query — the result must be
+    bit-identical to the never-touched index, so the full-corpus oracle
+    is shared verbatim."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import PQIndex
+    from data_chunk_compaction_in_duckdb_spark.queries.registry import (
+        retained_tmpdir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 97 == 0)
+    third = emb.filter(F.col("vec_id") % 3 == 0)
+    root = retained_tmpdir("pqixu_q_")
+    idx = PQIndex.build(
+        spark, root + "/ix", emb, "vec_id", "embedding", dim=64, m=16,
+        codes=16,
+    )
+    idx.delete(third.select("vec_id"))
+    idx.append(third)
+    out = idx.topk(emb, queries_df, k=5, rerank=50)
+    return out.select(
+        "query_id", "match_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def _fts_full_oracle() -> str:
+    from data_chunk_compaction_in_duckdb_spark.queries.llm_q2 import (
+        _FTS_BM25_ORACLE,
+    )
+
+    return _FTS_BM25_ORACLE
+
+
+@query("fts_bm25_index_upsert_search", oracle=_fts_full_oracle())
+def fts_bm25_index_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-path parity for the inverted index (FTSIndex delete +
+    append composition): delete a third of the doc ids from BOTH stored
+    relations, re-append the same documents, then search — N, avgdl,
+    df and every tf/dl must land back exactly, so the one-shot BM25
+    oracle is shared verbatim."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import FTSIndex
+    from data_chunk_compaction_in_duckdb_spark.queries.registry import (
+        retained_tmpdir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    third = docs.filter(F.col("doc_id") % 3 == 0)
+    root = retained_tmpdir("ftsixu_q_")
+    idx = FTSIndex.build(spark, root + "/ix", docs, "doc_id", "text")
+    idx.delete(third.select("doc_id"))
+    idx.append(third)
+    out = idx.search(["data", "query", "stream"])
+    return out.select("doc", F.round("score", 4).alias("score"))

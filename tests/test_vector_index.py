@@ -304,3 +304,24 @@ def test_ivf_delete_equals_subset_build_and_stale(spark, tmp_path, emb):
     assert _rows(
         idx.topk(survivors, queries, k=5, n_probe=8, check_coverage=True)
     ) == _rows(sub.topk(survivors, queries, k=5, n_probe=8))
+
+
+def test_pq_upsert_roundtrip_restores_content(spark, tmp_path, emb):
+    """delete + append of the same keys (the reference's ART UPDATE
+    composition) must land the code table back at full-corpus content
+    exactly, through two more CoW versions (time travel sees all
+    three states)."""
+    idx = PQIndex.build(
+        spark, str(tmp_path / "ix"), emb, "vec_id", "embedding", dim=64,
+        m=16, codes=16,
+    )
+    third = emb.filter(F.col("vec_id") % 3 == 0)
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    before = key(idx.codes())
+    idx.delete(third.select("vec_id"))
+    assert idx.codes_table.latest_version() == 1
+    n_third = third.count()
+    assert len(key(idx.codes(1))) == len(before) - n_third
+    idx.append(third)
+    assert idx.codes_table.latest_version() == 2
+    assert key(idx.codes()) == before
