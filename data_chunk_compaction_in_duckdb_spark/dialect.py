@@ -201,6 +201,26 @@ def rewrite_qualify(sql: str):
     tail = tail.strip().rstrip(";").strip()
     if not pred:
         raise ValueError("QUALIFY requires a predicate")
+    # DuckDB's binder rule (probed): QUALIFY demands at least one window
+    # function in the SELECT clause or the QUALIFY clause — a plain
+    # boolean predicate must ERROR, not silently become a filter.
+    # Detection is any-depth outside literals (windows nest inside
+    # CAST/function parens); the one unenforced corner is a window that
+    # exists ONLY inside a subquery, which DuckDB would still reject.
+    over = re.compile(r"\bOVER\b", re.I)
+
+    def _has_over(s: str) -> bool:
+        lits = _literal_spans(s)
+        return any(
+            not any(a <= m.start() < b for a, b in lits)
+            for m in over.finditer(s)
+        )
+
+    if not (_has_over(pred) or _has_over(head)):
+        raise ValueError(
+            "Binder Error: at least one window function must appear in "
+            "the SELECT clause or the QUALIFY clause"
+        )
 
     m_sel = _SELECT_HEAD.match(head)
     m_from = _find_toplevel(head, _FROM_WORD)

@@ -104,3 +104,26 @@ def test_star_modifiers_rewrites_and_non_matches():
 def test_star_modifier_malformed_replace_raises():
     with pytest.raises(ValueError, match="expr AS col"):
         rewrite_star_modifiers("SELECT * REPLACE (x + 1) FROM t")
+
+
+def test_qualify_requires_a_window_function():
+    # DuckDB binder rule (probed): plain boolean QUALIFY must error,
+    # never silently become a filter
+    with pytest.raises(ValueError, match="window function"):
+        rewrite_qualify("SELECT a FROM t QUALIFY a > 5")
+    # a window in the head select list satisfies the rule
+    assert rewrite_qualify(
+        "SELECT a, rank() OVER (ORDER BY a) rnk FROM t QUALIFY rnk = 1"
+    ) is not None
+    # ... as does one in the predicate
+    assert rewrite_qualify(
+        "SELECT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1"
+    ) is not None
+    # windows nested inside CAST/function parens still count
+    assert rewrite_qualify(
+        "SELECT CAST(rank() OVER (ORDER BY a) AS INT) AS rnk FROM t "
+        "QUALIFY rnk <= 2"
+    ) is not None
+    # the keyword inside a string literal does not satisfy the rule
+    with pytest.raises(ValueError, match="window function"):
+        rewrite_qualify("SELECT a, 'OVER' AS s FROM t QUALIFY a > 5")

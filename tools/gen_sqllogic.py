@@ -6667,6 +6667,17 @@ corpus("qualify_filters", "QUALIFY window-filter clause (reference test/sql/qual
     ("T", "", "SELECT 'QUALIFY stays text' AS s FROM region LIMIT 1"),
 ])
 
+corpus("qualify_errors", "QUALIFY binder error grid (reference test/sql/qualify error cases; both engines must refuse the same shapes)")([
+    ("ok", "", "CREATE TABLE qe_t AS SELECT n_nationkey AS a, n_regionkey AS b FROM nation"),
+    # no window function anywhere -> binder error on both engines
+    ("error", "", "SELECT a FROM qe_t QUALIFY a > 5"),
+    ("error", "", "SELECT a, b FROM qe_t QUALIFY a + b"),
+    # missing column in the predicate
+    ("error", "", "SELECT a FROM qe_t QUALIFY row_number() OVER (ORDER BY nosuch) <= 2"),
+    # the happy path still works after the errors
+    ("I", "rowsort", "SELECT a FROM qe_t QUALIFY row_number() OVER (PARTITION BY b ORDER BY a) = 1"),
+])
+
 corpus("star_exclude_replace", "SELECT * EXCLUDE / REPLACE star modifiers (reference test/sql/parser/test_exclude.test, test_replace.test; Spark rides dialect.rewrite_star_modifiers — replaced columns move to the projection end, so specs project explicitly)")([
     ("IT", "rowsort", "SELECT n_nationkey, n_name FROM (SELECT * EXCLUDE (n_regionkey) FROM nation) WHERE n_nationkey < 5"),
     ("II", "rowsort", "SELECT n_nationkey, n_regionkey FROM (SELECT * EXCLUDE n_name FROM nation) WHERE n_regionkey = 2"),
