@@ -18,10 +18,12 @@ with DuckDB's semantics — windows see every pre-QUALIFY row.  The
 helper boolean column is dropped by the caller (the rewriter returns
 its name).  Only a TOP-LEVEL QUALIFY is rewritten; the scanner tracks
 parenthesis depth and string literals so subqueries, quoted strings and
-identifiers never false-positive.  Not covered (documented): QUALIFY
-combined with SELECT DISTINCT (DuckDB de-duplicates after the filter;
-the rewrite de-duplicates before — reference this module when that
-corner matters).
+identifiers never false-positive.  SELECT DISTINCT + QUALIFY follows
+DuckDB's clause order (WINDOW -> QUALIFY -> DISTINCT: filter first,
+THEN de-duplicate — test/sql/qualify/test_qualify.test): the rewriter
+strips DISTINCT from the head and re-applies it on the OUTER select,
+after the filter.  DISTINCT ON + QUALIFY is rejected loudly (the
+hoist would change which row survives per group).
 """
 
 from __future__ import annotations
@@ -171,7 +173,10 @@ def _alias_map(select_list: str) -> dict[str, str]:
     return out
 
 
-def rewrite_qualify(sql: str):
+_FROM_JOIN_IDENT = re.compile(r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)", re.I)
+
+
+def rewrite_qualify(sql: str, column_resolver=None):
     """If ``sql`` has a top-level QUALIFY clause, return
     ``(rewritten_sql, helper_column, reorder)`` — the caller executes
     the rewrite, reorders any positional-``?`` argument list with
@@ -184,9 +189,17 @@ def rewrite_qualify(sql: str):
     predicate as a boolean column INTO the head's own select list,
     substituting select-alias references with their expressions, then
     filter one level up.  Falls back to evaluating the predicate over
-    the projected head (alias scope only) when the head uses DISTINCT
-    (injection would change distinctness) or has no parsable top-level
-    SELECT ... FROM shape."""
+    the projected head (alias scope only) when the head has no parsable
+    top-level SELECT ... FROM shape.  A DISTINCT head is hoisted to the
+    outer select (filter first, then de-dup — DuckDB's clause order).
+
+    ``column_resolver`` (optional): ``name -> list[str] | None`` giving
+    the columns of a FROM/JOIN table identifier.  DuckDB resolves a
+    QUALIFY name that is BOTH a source column and a select alias to the
+    SOURCE column (probed — even when the alias wraps a window
+    function), so aliases shadowed by a resolvable source column are
+    NOT substituted; the injected predicate then binds to the source
+    column inside the head's own scope, matching DuckDB's precedence."""
     m = _find_toplevel(sql, _QUALIFY_WORD)
     if m is None:
         return None
@@ -222,26 +235,76 @@ def rewrite_qualify(sql: str):
             "the SELECT clause or the QUALIFY clause"
         )
 
+    # DuckDB's clause order is WINDOW -> QUALIFY -> DISTINCT (probed:
+    # the filter runs BEFORE de-duplication).  Hoist DISTINCT out of
+    # the head and re-apply it on the outer select, after the filter —
+    # post-filter the helper column is constant-true, so the outer
+    # DISTINCT * de-duplicates exactly the original select list.
+    distinct = ""
+    if _DISTINCT_HEAD.match(head):
+        if re.match(r"^\s*SELECT\s+DISTINCT\s+ON\b", head, re.I):
+            raise NotImplementedError(
+                "QUALIFY combined with SELECT DISTINCT ON is not "
+                "supported (the DISTINCT hoist would change which row "
+                "survives per group)"
+            )
+        distinct = "DISTINCT "
+        head = re.sub(
+            r"^(\s*SELECT\s+)DISTINCT\b\s*", r"\1", head, count=1,
+            flags=re.I,
+        )
+
     m_sel = _SELECT_HEAD.match(head)
     m_from = _find_toplevel(head, _FROM_WORD)
     inject_ok = (
         m_sel is not None
         and m_from is not None
         and m_from.start() > m_sel.end()
-        and not _DISTINCT_HEAD.match(head)
     )
     if inject_ok:
         select_list = head[m_sel.end() : m_from.start()]
         pred_sub = pred
-        for alias, expr in _alias_map(select_list).items():
-            new_pred = re.sub(
-                rf"\b{re.escape(alias)}\b", f"({expr})", pred_sub
+        amap = _alias_map(select_list)
+        if amap and column_resolver is not None:
+            # source-column precedence: drop aliases shadowed by a
+            # column of any top-level FROM/JOIN table in the head
+            src: set[str] = set()
+            for s, e in _toplevel_spans(head):
+                for mt in _FROM_JOIN_IDENT.finditer(head, s, e):
+                    cols = column_resolver(mt.group(1))
+                    if cols:
+                        src.update(c.lower() for c in cols)
+            amap = {a: x for a, x in amap.items() if a.lower() not in src}
+        if amap:
+            # Substitute ALL aliases in ONE pass over the ORIGINAL
+            # predicate, skipping string-literal spans: sequential
+            # re.sub cascades (SELECT b AS a, a AS b ... QUALIFY a
+            # would resolve through BOTH aliases) and rewrites
+            # alias-shaped text inside literals ('%rn%').
+            alias_re = re.compile(
+                r"\b("
+                + "|".join(
+                    re.escape(a)
+                    for a in sorted(amap, key=len, reverse=True)
+                )
+                + r")\b"
             )
-            if new_pred != pred_sub and _count_markers(expr):
-                # substituting would duplicate ? markers — fall back
-                inject_ok = False
-                break
-            pred_sub = new_pred
+            lits = _literal_spans(pred)
+            parts: list[str] = []
+            last = 0
+            for m in alias_re.finditer(pred):
+                if any(a <= m.start() < b for a, b in lits):
+                    continue
+                expr = amap[m.group(1)]
+                if _count_markers(expr):
+                    # substituting would duplicate ? markers — fall back
+                    inject_ok = False
+                    break
+                parts.append(pred[last : m.start()])
+                parts.append(f"({expr})")
+                last = m.end()
+            else:
+                pred_sub = "".join(parts) + pred[last:]
     if inject_ok:
         inner = (
             head[: m_from.start()]
@@ -249,7 +312,7 @@ def rewrite_qualify(sql: str):
             + head[m_from.start() :]
         )
         rewritten = (
-            f"SELECT * FROM (\n{inner}\n) __q WHERE __qualify"
+            f"SELECT {distinct}* FROM (\n{inner}\n) __q WHERE __qualify"
             + (f"\n{tail}" if tail else "")
         )
         n_sel = _count_markers(select_list)
@@ -274,7 +337,7 @@ def rewrite_qualify(sql: str):
         return rewritten, "__qualify", reorder
 
     rewritten = (
-        "SELECT * FROM (\n"
+        f"SELECT {distinct}* FROM (\n"
         f"  SELECT __q.*, ({pred}) AS __qualify FROM (\n{head}\n  ) __q\n"
         ") __qq WHERE __qualify"
         + (f"\n{tail}" if tail else "")
@@ -374,13 +437,34 @@ def _literal_spans(sql: str) -> list[tuple[int, int]]:
     return spans
 
 
+def _star_is_expression(out: str, i: int) -> bool:
+    """True when the ``*`` at index ``i`` is a star EXPRESSION (select
+    list or ``t.*``), not the multiplication operator.  DuckDB parses
+    ``SELECT a * exclude FROM t`` as a binary op over a column named
+    ``exclude``; only a star preceded by SELECT/DISTINCT/ALL, a comma,
+    an opening paren or a qualifying dot can carry modifiers."""
+    j = i - 1
+    while j >= 0 and out[j].isspace():
+        j -= 1
+    if j < 0:
+        return True
+    ch = out[j]
+    if ch in ",(.":
+        return True
+    if ch in ")\"'":
+        return False
+    m = re.search(r"(\w+)$", out[: j + 1])
+    return bool(m) and m.group(1).upper() in ("SELECT", "DISTINCT", "ALL")
+
+
 def rewrite_star_modifiers(sql: str) -> str | None:
     """Rewrite ``* EXCLUDE (...) [REPLACE (...)]`` star modifiers (at
     any parenthesis depth — subqueries included; a star only counts
-    when the next keyword IS a modifier, so ``count(*)`` and
-    multiplication never match) to Spark's ``* EXCEPT`` + appended
-    replacement expressions.  Returns the rewritten SQL, or None when
-    no star modifier is present."""
+    when it is in star-expression position AND the next keyword IS a
+    modifier, so ``count(*)`` and multiplication — even by a column
+    literally named ``exclude`` — never match) to Spark's ``* EXCEPT``
+    + appended replacement expressions.  Returns the rewritten SQL, or
+    None when no star modifier is present."""
     out = sql
     changed = True
     any_change = False
@@ -390,6 +474,8 @@ def rewrite_star_modifiers(sql: str) -> str | None:
         for star in re.finditer(r"\*", out):
             i = star.start()
             if any(a <= i < b for a, b in lits):
+                continue
+            if not _star_is_expression(out, i):
                 continue
             j = i + 1
             while j < len(out) and out[j].isspace():

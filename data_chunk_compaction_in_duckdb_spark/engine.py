@@ -124,7 +124,17 @@ class Engine:
         star = dialect.rewrite_star_modifiers(query)
         if star is not None:
             query = star
-        q = dialect.rewrite_qualify(query)
+
+        def _resolve_cols(name: str):
+            # analysis-only lookup of a session view/table's columns —
+            # lets the QUALIFY rewriter apply DuckDB's source-column-
+            # over-select-alias precedence for shadowed names
+            try:
+                return self.spark.table(name).columns
+            except Exception:  # noqa: BLE001 — not a resolvable table
+                return None
+
+        q = dialect.rewrite_qualify(query, column_resolver=_resolve_cols)
         drop_col = None
         if q is not None:
             query, drop_col, reorder = q

@@ -105,12 +105,15 @@ def fn_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_list_extended",
     oracle="""
     SELECT o_custkey,
-           prices[2:3] AS sliced,
+           array_to_string(list_transform(prices[2:3],
+               x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS sliced,
            len(flatten([prices, prices])) AS flat_len,
            list_contains(prices, prices[1]) AS has_first,
            list_position(prices, prices[1]) AS pos_first,
-           list_reverse(list_sort(prices)) AS sorted_desc,
-           list_transform(generate_series(1, 3), x -> x * 10) AS seq_x10
+           array_to_string(list_transform(list_reverse(list_sort(prices)),
+               x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS sorted_desc,
+           array_to_string(list_transform(generate_series(1, 3),
+               x -> CAST(x * 10 AS VARCHAR)), ',') AS seq_x10
     FROM (
       SELECT o_custkey,
              list_sort(list(ROUND(o_totalprice, 2)), 'DESC') AS prices
@@ -121,7 +124,13 @@ def fn_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_list_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extended list surface: slice, flatten, contains, position,
-    reverse-sort, sequence (core_functions/scalar/list)."""
+    reverse-sort, sequence (core_functions/scalar/list).
+
+    Array-valued outputs are serialized to delimited strings with a
+    fixed DECIMAL(18,2) rendering on BOTH sides: the driver's pandas
+    canon cannot sort/hash raw list cells (round-6 ERR class), and a
+    fixed-scale decimal print avoids float-repr divergence between
+    the engines. The list ops themselves stay fully exercised."""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 60)
     prices = F.reverse(F.array_sort(F.collect_list(F.round("o_totalprice", 2))))
     g = (
@@ -129,15 +138,25 @@ def fn_list_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(prices.alias("prices"), F.count("*").alias("_n"))
         .filter(F.col("_n") >= 3)
     )
+
+    def _csv2(col):  # fixed-scale decimal rendering, comma-joined
+        return F.array_join(
+            F.transform(col, lambda x: x.cast("decimal(18,2)").cast("string")), ","
+        )
+
     return g.select(
         "o_custkey",
-        F.slice("prices", 2, 2).alias("sliced"),
+        _csv2(F.slice("prices", 2, 2)).alias("sliced"),
         F.size(F.flatten(F.array("prices", "prices"))).alias("flat_len"),
         F.array_contains("prices", F.element_at("prices", 1)).alias("has_first"),
         F.array_position("prices", F.element_at("prices", 1)).alias("pos_first"),
-        F.reverse(F.array_sort("prices")).alias("sorted_desc"),
-        F.transform(
-            F.sequence(F.lit(1), F.lit(3)), lambda x: x * 10
+        _csv2(F.reverse(F.array_sort("prices"))).alias("sorted_desc"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(3)),
+                lambda x: (x * 10).cast("string"),
+            ),
+            ",",
         ).alias("seq_x10"),
     )
 

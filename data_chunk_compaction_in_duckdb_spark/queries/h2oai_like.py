@@ -60,9 +60,12 @@ _GROUP: dict[int, tuple[str, str]] = {
         "CAST(SUM(v3c) AS DOUBLE) / (100.0 * COUNT(*)) AS v3 "
         "FROM x_group GROUP BY id4"),
     5: ("three sums by high-card int key",
+        # CAST AS DOUBLE before /100.0: Spark types BIGINT/DECIMAL(4,1)
+        # as decimal(27,6) while DuckDB yields DOUBLE for the same text
+        # -- the q03/q04 idiom keeps both engines on DOUBLE.
         "SELECT id6, CAST(SUM(v1) AS BIGINT) AS v1, "
         "CAST(SUM(v2) AS BIGINT) AS v2, "
-        "CAST(SUM(v3c) AS BIGINT) / 100.0 AS v3 FROM x_group GROUP BY id6"),
+        "CAST(SUM(v3c) AS DOUBLE) / 100.0 AS v3 FROM x_group GROUP BY id6"),
     6: ("median + stddev by two keys (exact-sum dispersion)",
         "SELECT id4, id5, median(v3c / 100.0) AS median_v3, "
         "CASE WHEN COUNT(*) > 1 THEN "
@@ -74,7 +77,7 @@ _GROUP: dict[int, tuple[str, str]] = {
         "SELECT id3, CAST(MAX(v1) - MIN(v2) AS BIGINT) AS range_v1_v2 "
         "FROM x_group GROUP BY id3"),
     8: ("top-2 values per group via row_number",
-        "SELECT id6, v3c / 100.0 AS largest2_v3 FROM ("
+        "SELECT id6, CAST(v3c AS DOUBLE) / 100.0 AS largest2_v3 FROM ("
         "SELECT id6, v3c, row_number() OVER (PARTITION BY id6 "
         "ORDER BY v3c DESC) AS order_v3 FROM x_group "
         "WHERE v3c IS NOT NULL) sub_query WHERE order_v3 <= 2"),
@@ -92,7 +95,7 @@ _GROUP: dict[int, tuple[str, str]] = {
         "FROM x_group GROUP BY id2, id4"),
     10: ("six-key sum + count",
          "SELECT id1, id2, id3, id4, id5, id6, "
-         "CAST(SUM(v3c) AS BIGINT) / 100.0 AS v3, COUNT(*) AS count "
+         "CAST(SUM(v3c) AS DOUBLE) / 100.0 AS v3, COUNT(*) AS count "
          "FROM x_group GROUP BY id1, id2, id3, id4, id5, id6"),
 }
 

@@ -330,7 +330,8 @@ def _register_co_supplied_variant(suffix: str, brand: str, ptype: str,
       SELECT a.s, a.pn AS pn1, b.pn AS pn2, a.c * b.c AS cnt
       FROM a JOIN b ON a.s = b.s AND a.pk < b.pk)
     SELECT MIN(pn1) AS first_part, MIN(pn2) AS second_part,
-           MIN(s_name) AS via_supplier, CAST(SUM(cnt) AS BIGINT) AS n
+           MIN(s_name) AS via_supplier,
+           CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n
     FROM pairs JOIN supplier ON pairs.s = s_suppkey
     """
 

@@ -132,7 +132,7 @@ def text_pii_seeded_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(g.grams) AS n_grams,
            ROUND(CAST(length(top.gram) * top.cnt AS DOUBLE)
                  / GREATEST(length(g.t), 1), 6) AS top_gram_char_frac
-    FROM g JOIN top ON g.doc_id = top.doc_id AND top.rn = 1
+    FROM g LEFT JOIN top ON g.doc_id = top.doc_id AND top.rn = 1
     """,
 )
 def text_top_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:

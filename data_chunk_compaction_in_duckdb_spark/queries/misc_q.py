@@ -725,7 +725,8 @@ def introspect_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
     CREATE OR REPLACE TABLE ctq_u (r BIGINT, k BIGINT, PRIMARY KEY (r, k));
     INSERT INTO ctq_u SELECT n_regionkey, n_nationkey FROM nation;
     SELECT table_name, constraint_type, constraint_text,
-           constraint_column_names
+           array_to_string(constraint_column_names, ',')
+               AS constraint_column_names
     FROM duckdb_constraints()
     WHERE table_name IN (\'ctq_t\', \'ctq_u\')
     ORDER BY table_name, constraint_type, constraint_text
@@ -774,7 +775,17 @@ def introspect_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, root + "/u", nat,
             constraints=[{"type": "primary_key", "columns": ["r", "k"]}],
         )
-        # the readback is metadata-only driver rows; the tmpdir can go
-        return duckdb_constraints(spark, {"ctq_t": t, "ctq_u": u})
+        # the readback is metadata-only driver rows; the tmpdir can go.
+        # Serialize the LIST column for the driver canon (which cannot
+        # hash raw list cells) — the catalog function itself keeps the
+        # ArrayType to mirror DuckDB's duckdb_constraints() schema.
+        return duckdb_constraints(spark, {"ctq_t": t, "ctq_u": u}).select(
+            "table_name",
+            "constraint_type",
+            "constraint_text",
+            F.array_join("constraint_column_names", ",").alias(
+                "constraint_column_names"
+            ),
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)

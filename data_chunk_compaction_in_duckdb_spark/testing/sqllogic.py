@@ -360,7 +360,17 @@ class EngineSqlContext:
         star = dialect.rewrite_star_modifiers(sql)
         if star is not None:
             sql = star
-        q = dialect.rewrite_qualify(sql)
+
+        def _resolve_cols(name: str):
+            # DuckDB's QUALIFY source-column-over-alias precedence
+            # (see dialect.rewrite_qualify) — session views cover both
+            # the fixture tables and this context's CTAS views
+            try:
+                return self.spark.table(name).columns
+            except Exception:  # noqa: BLE001 — not a resolvable table
+                return None
+
+        q = dialect.rewrite_qualify(sql, column_resolver=_resolve_cols)
         if q is not None:
             rewritten, drop_col, _reorder = q
             return self.spark.sql(rewritten).drop(drop_col)

@@ -67,20 +67,62 @@ def test_qualify_marker_reorder_inject_form():
         reorder([1])
 
 
-def test_qualify_distinct_uses_wrap_form():
+def test_qualify_distinct_hoists_dedup_after_filter():
     sql = (
         "SELECT DISTINCT a, rank() OVER (ORDER BY a) rnk FROM t "
         "QUALIFY rnk = 1"
     )
     rewritten, _, _ = rewrite_qualify(sql)
-    # wrap form keeps the DISTINCT head intact inside a subquery
-    assert "SELECT DISTINCT a" in rewritten and "__q.*" in rewritten
+    # DuckDB clause order is WINDOW -> QUALIFY -> DISTINCT: the filter
+    # runs FIRST, so DISTINCT is hoisted OUT of the head and re-applied
+    # on the outer select (test/sql/qualify/test_qualify.test)
+    assert rewritten.lstrip().upper().startswith("SELECT DISTINCT *")
+    assert "SELECT DISTINCT a" not in rewritten
+    assert "WHERE __qualify" in rewritten
+
+
+def test_qualify_distinct_on_rejected_loudly():
+    with pytest.raises(NotImplementedError, match="DISTINCT ON"):
+        rewrite_qualify(
+            "SELECT DISTINCT ON (a) a, b FROM t "
+            "QUALIFY row_number() OVER (ORDER BY b) = 1"
+        )
+
+
+def test_qualify_alias_substitution_skips_string_literals():
+    sql = (
+        "SELECT c, row_number() OVER (ORDER BY c) AS rn FROM t "
+        "QUALIFY rn = 1 AND c NOT LIKE '%rn%'"
+    )
+    rewritten, _, _ = rewrite_qualify(sql)
+    # the alias-shaped text INSIDE the literal must survive untouched
+    assert "'%rn%'" in rewritten
+    assert "'%(row_number() OVER (ORDER BY c))%'" not in rewritten
+
+
+def test_qualify_alias_substitution_is_simultaneous():
+    # swapped aliases: sequential re.sub would cascade (QUALIFY a ->
+    # substitute a's expr b -> then b's expr rewrites it AGAIN)
+    sql = (
+        "SELECT b AS a, a AS b, row_number() OVER (ORDER BY a) AS rn "
+        "FROM t QUALIFY a > 0 AND rn = 1"
+    )
+    rewritten, _, _ = rewrite_qualify(sql)
+    # `a` in the predicate resolves to (b) exactly once, never to (a)
+    assert "(b) > 0" in rewritten
+    assert "((a)) > 0" not in rewritten and "(a) > 0" not in rewritten
 
 
 def test_star_modifiers_rewrites_and_non_matches():
     assert rewrite_star_modifiers("SELECT a * b FROM t") is None
     assert rewrite_star_modifiers("SELECT count(*) FROM t") is None
     assert rewrite_star_modifiers("SELECT '* EXCLUDE (x)' AS s") is None
+    # multiplication by a column literally named exclude/replace is a
+    # binary op in DuckDB, never a star modifier (position rule: the
+    # token before the star is an identifier / closing paren)
+    assert rewrite_star_modifiers("SELECT a * exclude FROM t") is None
+    assert rewrite_star_modifiers("SELECT f(a) * replace FROM t") is None
+    assert rewrite_star_modifiers("SELECT 2 * exclude FROM t") is None
     out = rewrite_star_modifiers("SELECT * EXCLUDE (a) FROM t")
     assert out == "SELECT * EXCEPT (a) FROM t"
     out = rewrite_star_modifiers("SELECT t.* EXCLUDE a FROM t")

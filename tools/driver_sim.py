@@ -5,6 +5,12 @@ CORRECTNESS check (sorted-column row-count + schema + value-hash).
 
 Usage: python tools/driver_sim.py [names...]   (default: all)
 Prints one line per query and a failure summary; exit 1 on any failure.
+
+Every query also passes a hard output-schema gate (no Decimal/Array/
+Map/Struct output columns — the round driver's canon breaks on those
+even when values are right).  SPARK_GRAFT_SIM_SCHEMA_ONLY=1 runs JUST
+the gate (lazy build, no execution, no oracle — whole registry in
+minutes).
 """
 
 from __future__ import annotations
@@ -42,6 +48,27 @@ def _hash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(",".join(_cell(r[i]) for i in order) for r in rows)
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def risky_fields(schema) -> list[str]:
+    """Output-type contract gate: the ROUND driver's pandas canon is
+    stricter than this sim's `_cell` (which coerces Decimal->float and
+    stringifies lists) — it crashes on Array/Map/Struct cells
+    (`sort_values` on unhashable lists) and hash-mismatches DecimalType
+    against DuckDB DOUBLE.  Any registry query emitting these types is
+    therefore a driver-gate failure even when its VALUES are right
+    (round-6: fn_list_extended ERR, h2o_group_q05 hash-fail).  Returns
+    the offending `name:type` list; empty == driver-canon-safe."""
+    from pyspark.sql import types as T
+
+    bad = []
+    for f in schema.fields:
+        dt = f.dataType
+        if isinstance(
+            dt, (T.DecimalType, T.ArrayType, T.MapType, T.StructType)
+        ):
+            bad.append(f"{f.name}:{dt.simpleString()}")
+    return bad
 
 
 def main() -> None:
@@ -128,14 +155,30 @@ def main() -> None:
         class _Handle:
             def cancel(self):
                 stop.set()
+                # join before the next query starts: a fired canceller
+                # loops on 1-second waits, and an unjoined loop iteration
+                # could cancelAllJobs/interrupt the NEXT query's work for
+                # up to ~1s, producing a spurious ERR on an unrelated name
+                th.join(timeout=2.0)
 
         return _Handle()
 
+    schema_only = os.environ.get("SPARK_GRAFT_SIM_SCHEMA_ONLY") == "1"
     fails: list[str] = []
     for name in names:
         timer = _watchdog() if per_q else None
         try:
             sdf = qs[name](spark, SF_DIR)
+            bad = risky_fields(sdf.schema)
+            if bad:
+                # hard gate: driver-canon-unsafe output types fail even
+                # if the values would hash green under this sim's canon
+                print(f"FAIL {name}: schema-gate {bad}", flush=True)
+                fails.append(name)
+                continue
+            if schema_only:
+                print(f"ok   {name}: schema-clean", flush=True)
+                continue
             srows = [tuple(r) for r in sdf.collect()]
             if name not in oracles:
                 print(f"ok   {name}: rows-only ({len(srows)})", flush=True)

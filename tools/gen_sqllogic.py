@@ -6665,6 +6665,18 @@ corpus("qualify_filters", "QUALIFY window-filter clause (reference test/sql/qual
     ("II", "rowsort", "SELECT n_nationkey, n_regionkey FROM nation QUALIFY row_number() OVER (ORDER BY n_nationkey) <= 7 AND n_regionkey <> 2"),
     # the keyword inside a string literal is data
     ("T", "", "SELECT 'QUALIFY stays text' AS s FROM region LIMIT 1"),
+    # DISTINCT de-duplicates AFTER the QUALIFY filter (DuckDB clause
+    # order WINDOW -> QUALIFY -> DISTINCT): the window sees all 25
+    # pre-distinct rows, so count(*)=5 per region and 5 rows survive;
+    # dedup-before-filter would see count(*)=1 and return nothing
+    ("I", "rowsort", "SELECT DISTINCT CAST(n_regionkey AS INT) AS r FROM nation QUALIFY count(*) OVER (PARTITION BY n_regionkey) = 5"),
+    ("I", "rowsort", "SELECT DISTINCT CAST(n_regionkey AS INT) AS r FROM nation QUALIFY row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) <= 2"),
+    # alias-shaped text inside a string literal must not be substituted
+    ("TI", "", "SELECT n_name, CAST(row_number() OVER (ORDER BY n_name) AS INT) AS rn FROM nation QUALIFY rn <= 3 AND n_name NOT LIKE '%rn%'"),
+    # source-column precedence: a select alias that shadows a source
+    # column loses — QUALIFY a binds to qd_t.a, not to the alias of b
+    ("ok", "", "CREATE TABLE qd_t AS SELECT n_nationkey AS a, n_regionkey AS b FROM nation"),
+    ("III", "rowsort", "SELECT CAST(b AS INT) AS a, CAST(a AS INT) AS b, CAST(row_number() OVER (ORDER BY a, b) AS INT) AS rn FROM qd_t QUALIFY a = 0 AND rn <= 99"),
 ])
 
 corpus("qualify_errors", "QUALIFY binder error grid (reference test/sql/qualify error cases; both engines must refuse the same shapes)")([
@@ -6688,6 +6700,11 @@ corpus("star_exclude_replace", "SELECT * EXCLUDE / REPLACE star modifiers (refer
     # multiplication stars and count(*) are untouched
     ("I", "", "SELECT CAST(count(*) AS INT) FROM region"),
     ("I", "rowsort", "SELECT CAST(n_nationkey * n_regionkey AS INT) FROM nation WHERE n_nationkey < 4"),
+    # multiplication by a column literally NAMED exclude/replace is a
+    # binary op in both engines, never a star modifier
+    ("ok", "", "CREATE TABLE st_t AS SELECT n_nationkey AS a, n_regionkey AS exclude, n_regionkey + 1 AS replace FROM nation"),
+    ("I", "rowsort", "SELECT CAST(a * exclude AS INT) AS m FROM st_t WHERE a < 3"),
+    ("I", "rowsort", "SELECT CAST(a * replace AS INT) AS m FROM st_t WHERE a < 3"),
 ])
 
 
