@@ -82,7 +82,40 @@ class Engine:
         Inside the SQL text Catalyst+AQE own compaction (shuffle-read
         coalescing); with ``auto_compact`` on, the returned handle also
         auto-compacts anything composed on it at the DataFrame level."""
+        from data_chunk_compaction_in_duckdb_spark import settings as _settings
         from data_chunk_compaction_in_duckdb_spark.storage import seqsql
+
+        # settings statements first (reference src/main/settings/,
+        # test/sql/settings/): SET/PRAGMA <known setting>, RESET <name>.
+        # Dotted Spark conf keys never match the name grammar, so
+        # `SET spark.sql.x = v` still falls through to spark.sql below.
+        st = _settings.parse_set(query)
+        if st is not None:
+            name, value = st
+            if self._is_setting(name):
+                self._settings_store().set(name, value)
+            elif name in self._PRAGMAS:
+                # engine pragmas keep working through the SQL form too
+                self.pragma(name, value)
+            else:
+                raise ValueError(
+                    "Catalog Error: unrecognized configuration "
+                    f'parameter "{name}"'
+                )
+            return None
+        rst = _settings.parse_reset(query)
+        if rst is not None:
+            self._settings_store().reset(rst)  # raises on unknown names
+            return None
+        if _settings.SETTINGS_TF_RE.search(query):
+            self.duckdb_settings().createOrReplaceTempView(
+                "__duckdb_settings"
+            )
+            query = _settings.SETTINGS_TF_RE.sub(
+                "__duckdb_settings", query
+            )
+        if _settings.CURRENT_SETTING_RE.search(query):
+            self._register_current_setting_udf()
 
         created = seqsql.parse_create_sequence(query)
         if created is not None:
@@ -277,13 +310,87 @@ class Engine:
     def pragma(self, name: str, value: Any) -> None:
         """SET pragma (PragmaStatement surface): translate the reference's
         engine pragmas to their dynamic Spark confs; reject unknown or
-        non-runtime-settable pragmas loudly rather than ignoring them."""
+        non-runtime-settable pragmas loudly rather than ignoring them.
+        DuckDB-catalog settings (threads, memory_limit, TimeZone,
+        default_collation, enable_progress_bar) route to the settings
+        store so ``pragma``/``SET``/``RESET``/readback stay coherent."""
+        if self._is_setting(name):
+            self._settings_store().set(name, value)
+            return
         key = self._PRAGMAS.get(name)
         if key is None:
             raise ValueError(
                 f"pragma {name!r} has no runtime-settable Spark mapping"
             )
         self.spark.conf.set(key, str(value))
+
+    # -- DuckDB settings surface (reference src/main/settings/,
+    #    src/main/config.cpp, test/sql/settings/)
+
+    def _settings_store(self):
+        if getattr(self, "_settings", None) is None:
+            from data_chunk_compaction_in_duckdb_spark.settings import (
+                SettingsStore,
+            )
+
+            self._settings = SettingsStore(self.spark)
+        return self._settings
+
+    @staticmethod
+    def _is_setting(name: str) -> bool:
+        from data_chunk_compaction_in_duckdb_spark import settings as S
+
+        try:
+            S.canonical_name(name)
+            return True
+        except ValueError:
+            return False
+
+    def set_setting(self, name: str, value: Any) -> None:
+        self._settings_store().set(name, value)
+
+    def reset_setting(self, name: str) -> None:
+        self._settings_store().reset(name)
+
+    def current_setting(self, name: str) -> Any:
+        """Typed readback (DuckDB's ``current_setting()`` scalar)."""
+        return self._settings_store().current(name)
+
+    def duckdb_settings(self) -> DataFrame:
+        """duckdb_settings() catalog readback (introspect module)."""
+        from data_chunk_compaction_in_duckdb_spark import introspect
+
+        return introspect.duckdb_settings(
+            self.spark, self._settings_store()
+        )
+
+    def _register_current_setting_udf(self) -> None:
+        """SQL-callable ``current_setting(name)`` returning VARCHAR (the
+        SQL surface can't be per-name typed through a Python UDF; specs
+        CAST on both engines).  Snapshots the store's current rendering
+        at registration — re-registered before every query that
+        references it, so reads always see the latest SET."""
+        store = self._settings_store()
+        from data_chunk_compaction_in_duckdb_spark.settings import (
+            SETTING_SPECS,
+        )
+
+        snap = {n: store.rendered(n) for n in SETTING_SPECS}
+        aliases = {"max_memory": "memory_limit", "timezone": "TimeZone"}
+
+        def _cs(name: str) -> str:
+            low = (name or "").lower()
+            for k in snap:
+                if k.lower() == low:
+                    return snap[k]
+            if low in aliases:
+                return snap[aliases[low]]
+            raise ValueError(
+                "Catalog Error: unrecognized configuration "
+                f'parameter "{name}"'
+            )
+
+        self.spark.udf.register("current_setting", _cs, "string")
 
     def create_udtf(self, name: str, cls: type, return_type: str) -> None:
         """Register a Python UDTF (Spark's table-function analog of the

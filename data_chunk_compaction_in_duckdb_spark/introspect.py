@@ -403,3 +403,26 @@ def versioned_table_info(vt) -> DataFrame:
             ]
         ),
     )
+
+
+# ------------------------------------------------------------- settings
+
+_SETTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("input_type", T.StringType()),
+        T.StructField("scope", T.StringType()),
+    ]
+)
+
+
+def duckdb_settings(spark: SparkSession, store) -> DataFrame:
+    """duckdb_settings() analog (reference src/function/table/system/
+    duckdb_settings.cpp) over an engine ``SettingsStore``: one row per
+    supported setting with DuckDB 1.0's exact value rendering,
+    description text, input_type and scope — so the readback is
+    oracle-comparable row-for-row against the real catalog function.
+    Pure metadata, driver-built."""
+    return spark.createDataFrame(store.rows(), _SETTINGS_SCHEMA)

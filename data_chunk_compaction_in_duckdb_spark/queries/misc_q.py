@@ -789,3 +789,56 @@ def introspect_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "introspect_settings",
+    oracle="""
+    SET threads=7;
+    SET TimeZone='Asia/Tokyo';
+    SET memory_limit='2GB';
+    SET default_collation='nocase';
+    SET enable_progress_bar=true;
+    CREATE OR REPLACE TEMP TABLE __settings_snap AS
+      SELECT name, value, description, input_type FROM duckdb_settings()
+      WHERE name IN ('threads', 'memory_limit', 'TimeZone',
+                     'default_collation', 'enable_progress_bar');
+    RESET threads;
+    RESET TimeZone;
+    RESET memory_limit;
+    RESET default_collation;
+    RESET enable_progress_bar;
+    SELECT * FROM __settings_snap
+    """,
+)
+def introspect_settings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duckdb_settings() readback vs DuckDB's OWN catalog function
+    (engine settings surface; reference src/main/settings/settings.cpp,
+    src/function/table/system/duckdb_settings.cpp, test/sql/settings/).
+    Both engines SET the same five knobs, snapshot the catalog rows
+    (value text must match byte-for-byte, incl. DuckDB's binary-unit
+    memory rendering '2GB' -> '1.8 GiB'), then RESET so neither session
+    leaks the values into its batch neighbors.  ``scope`` is projected
+    away: DuckDB flips it GLOBAL->LOCAL depending on where the current
+    value came from, which is connection-history, not catalog, state."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    old_threads = spark.conf.get("spark.sql.shuffle.partitions")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for stmt in (
+            "SET threads=7",
+            "SET TimeZone='Asia/Tokyo'",
+            "SET memory_limit='2GB'",
+            "SET default_collation='nocase'",
+            "SET enable_progress_bar=true",
+        ):
+            eng.sql(stmt)
+        # rows are driver-built literals — materialized before restore
+        return eng.duckdb_settings().select(
+            "name", "value", "description", "input_type"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_threads)
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

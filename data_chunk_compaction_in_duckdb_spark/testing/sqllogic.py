@@ -231,7 +231,19 @@ class EngineSqlContext:
 
     def execute(self, sql: str):
         """Returns a DataFrame (queries) or None (statements)."""
+        from data_chunk_compaction_in_duckdb_spark import settings as _st
         from data_chunk_compaction_in_duckdb_spark.storage import seqsql
+
+        # settings surface (SET/RESET/PRAGMA <setting>, current_setting,
+        # duckdb_settings) routes through the engine facade so the SAME
+        # .test text runs natively in DuckDB
+        if (
+            _st.parse_set(sql) is not None
+            or _st.parse_reset(sql) is not None
+            or _st.CURRENT_SETTING_RE.search(sql)
+            or _st.SETTINGS_TF_RE.search(sql)
+        ):
+            return self._eng().sql(sql)
 
         created = seqsql.parse_create_sequence(sql)
         if created:

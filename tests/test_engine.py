@@ -129,8 +129,13 @@ def test_engine_pragma_mapping(spark, sf_dir):
     try:
         eng.pragma("threads", 4)
         assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+        # memory_limit routes to the settings store: no-op at runtime
+        # (executor memory is submit-time) but full SET/readback parity
+        # with DuckDB's rendering
+        eng.pragma("memory_limit", "1GB")
+        assert eng.current_setting("memory_limit") == "953.6 MiB"
         with _pytest.raises(ValueError, match="no runtime-settable"):
-            eng.pragma("memory_limit", "1GB")
+            eng.pragma("nosuch_pragma", 1)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 

@@ -98,23 +98,26 @@ def main() -> None:
     # box also hosting the Spark JVM invites the OOM killer (observed: a
     # pair-explosion oracle at 120 GB RSS).  Cap it and give it a spill
     # directory so big oracles go out-of-core instead of down in flames.
+    cap_stmts: list[str] = []
     mem_d = os.environ.get("SPARK_GRAFT_SIM_DUCKDB_MEM")
     if mem_d:
         import tempfile
 
         spill = tempfile.mkdtemp(prefix="ducksim_spill_")
-        con.execute(f"SET memory_limit='{mem_d}'")
-        con.execute(f"SET temp_directory='{spill}'")
+        cap_stmts.append(f"SET memory_limit='{mem_d}'")
+        cap_stmts.append(f"SET temp_directory='{spill}'")
         # bound the spill too: a pair-explosion oracle plan should fail
         # fast with a clean error, not fill the device under everything
-        con.execute(
+        cap_stmts.append(
             "SET max_temp_directory_size='"
             + os.environ.get("SPARK_GRAFT_SIM_DUCKDB_SPILL", "40GB")
             + "'"
         )
     thr = os.environ.get("SPARK_GRAFT_SIM_DUCKDB_THREADS")
     if thr:
-        con.execute(f"SET threads={int(thr)}")
+        cap_stmts.append(f"SET threads={int(thr)}")
+    for s in cap_stmts:
+        con.execute(s)
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
@@ -197,6 +200,13 @@ def main() -> None:
         finally:
             if timer is not None:
                 timer.cancel()
+            # a settings-surface oracle may SET/RESET DuckDB knobs;
+            # re-apply the sweep caps so one query can't uncap the batch
+            for s in cap_stmts:
+                try:
+                    con.execute(s)
+                except Exception:  # noqa: BLE001
+                    pass
         if not ok:
             fails.append(name)
         print(

@@ -6708,6 +6708,43 @@ corpus("star_exclude_replace", "SELECT * EXCLUDE / REPLACE star modifiers (refer
 ])
 
 
+corpus("settings_set_readback", "SET/RESET/PRAGMA settings + current_setting()/duckdb_settings() readback (reference src/main/settings, test/sql/settings; Spark side rides the Engine settings store)")([
+    ("ok", "", "SET threads=7"),
+    ("I", "", "SELECT CAST(current_setting('threads') AS INT) AS t"),
+    ("ok", "", "SET threads TO 5"),
+    ("I", "", "SELECT CAST(current_setting('threads') AS INT) AS t"),
+    ("ok", "", "PRAGMA threads=9"),
+    ("I", "", "SELECT CAST(current_setting('threads') AS INT) AS t"),
+    # memory values render with DuckDB's binary-unit formatter
+    ("ok", "", "SET memory_limit='2GB'"),
+    ("T", "", "SELECT current_setting('memory_limit') AS v"),
+    ("ok", "", "SET max_memory='1GiB'"),  # catalog alias of memory_limit
+    ("T", "", "SELECT current_setting('memory_limit') AS v"),
+    ("ok", "", "SET TimeZone='America/New_York'"),
+    ("T", "", "SELECT current_setting('TimeZone') AS v"),
+    ("ok", "", "SET default_collation='nocase'"),
+    ("T", "", "SELECT current_setting('default_collation') AS v"),
+    ("ok", "", "SET enable_progress_bar=true"),
+    ("T", "", "SELECT CAST(current_setting('enable_progress_bar') AS STRING) AS v"),
+    ("TTT", "rowsort", "SELECT name, value, input_type FROM duckdb_settings() WHERE name IN ('memory_limit', 'TimeZone', 'default_collation', 'enable_progress_bar')"),
+    # error grid: both engines refuse the same shapes
+    ("error", "", "SET nosuch_setting=1"),
+    ("error", "", "RESET nosuch_setting"),
+    ("error", "", "SET memory_limit='12elephants'"),
+    ("error", "", "SET threads=0"),
+    ("error", "", "SELECT current_setting('nosuch_setting')"),
+    # RESET: value-check only the machine-independent defaults
+    # (threads/memory_limit/TimeZone reset to box-shaped values)
+    ("ok", "", "RESET enable_progress_bar"),
+    ("T", "", "SELECT CAST(current_setting('enable_progress_bar') AS STRING) AS v"),
+    ("ok", "", "RESET default_collation"),
+    ("T", "", "SELECT current_setting('default_collation') AS v"),
+    ("ok", "", "RESET threads"),
+    ("ok", "", "RESET memory_limit"),
+    ("ok", "", "RESET TimeZone"),
+])
+
+
 def main() -> int:
     import duckdb
 
