@@ -477,10 +477,52 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "n_frames", "frame_idx")
 
 
+def _components_doubling_sql(neigh: str = "d", rounds: int = 24) -> str:
+    """Unrolled min-label propagation WITH pointer doubling — the
+    connected-components oracle stage.  Expects a symmetric-edge CTE
+    ``sym(s, <neigh>)`` in scope; emits CTEs ``l0..lN`` plus the final
+    ``comp(id, component)``.
+
+    Replaces the recursive reach-set formulation (``reach(s, r)`` = all
+    reachable pairs), which is O(sum |cluster|^2) rows and was
+    oracle-resource-bounded at sf1 (round-6 sweep).  Each doubling
+    round costs one O(V+E) pass: the new label is the min of the old
+    label, the neighbors' labels, and the label OF the current label
+    (the jump).  On a worst-case path graph the jump doubles the
+    horizon per round (validated), so ``rounds=24`` covers components
+    with >10^7-hop diameters — far beyond any fixture scale; a
+    non-converged run would hash-mismatch loudly, never silently.
+    DuckDB's LEAST ignores NULLs (probed), so edge-less label targets
+    fold away.  Every stage is AS MATERIALIZED: DuckDB inlines plain
+    CTEs, and each round references its predecessor three times, so an
+    inlined chain re-expands the whole upstream plan 3^rounds times
+    (observed as a too-many-open-files parquet re-scan storm)."""
+    parts = [
+        "symm AS MATERIALIZED (SELECT * FROM sym)",
+        f"l0 AS MATERIALIZED (SELECT s AS id, LEAST(s, MIN({neigh})) "
+        "AS comp FROM symm GROUP BY s)",
+    ]
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        cur = f"l{r}"
+        parts.append(
+            f"{cur} AS MATERIALIZED (SELECT v.id, "
+            "LEAST(MIN(v.comp), MIN(nl.comp), MIN(jl.comp)) AS comp "
+            f"FROM {prev} v "
+            f"LEFT JOIN symm e ON e.s = v.id "
+            f"LEFT JOIN {prev} nl ON nl.id = e.{neigh} "
+            f"LEFT JOIN {prev} jl ON jl.id = v.comp "
+            "GROUP BY v.id)"
+        )
+        prev = cur
+    parts.append(f"comp AS (SELECT id, comp AS component FROM {prev})")
+    return ",\n    ".join(parts)
+
+
 @query(
     "dedup_components_transitive",
-    oracle="""
-    WITH RECURSIVE d AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0),
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0),
     sh AS (SELECT doc_id, source,
                   list_distinct(list_transform(
                     generate_series(1, GREATEST(length(text) - 2, 1)),
@@ -493,25 +535,20 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
     ),
     sym AS (
-      SELECT id_a AS s, id_b AS d FROM edges
+      SELECT id_a AS s, id_b AS nb FROM edges
       UNION SELECT id_b, id_a FROM edges
     ),
-    reach AS (
-      SELECT s, s AS r FROM sym
-      UNION
-      SELECT sym.s, reach.r
-      FROM sym JOIN reach ON sym.d = reach.s
-    )
-    SELECT s AS id, MIN(r) AS component
-    FROM reach GROUP BY s
+    {_components_doubling_sql(neigh="nb")}
+    SELECT id, component FROM comp
     """,
 )
 def dedup_components_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clusters: exact 3-gram Jaccard >= 0.5 edges
     (same-source blocking), then connected components by min-label
-    propagation.  The oracle recomputes the closure with a recursive-CTE
-    reach set — fine at test scale, quadratic in cluster size; the
-    Spark path is rounds-of-joins bounded by graph diameter."""
+    propagation.  The oracle recomputes the same closure with unrolled
+    min-label doubling rounds (O((V+E) log n), sf1-tractable — see
+    _components_doubling_sql); the Spark path is rounds-of-joins
+    bounded by graph diameter."""
     from data_chunk_compaction_in_duckdb_spark.pipeline import (
         connected_components,
         ngram_jaccard_pairs,
@@ -531,8 +568,8 @@ def dedup_components_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_curate_corpus",
-    oracle="""
-    WITH RECURSIVE filt AS (
+    oracle=f"""
+    WITH filt AS (
       SELECT doc_id, source, text,
              substr(md5(regexp_replace(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
                         '[^\\w ]', '', 'g')), 1, 16) AS fp
@@ -557,15 +594,10 @@ def dedup_components_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
     ),
     sym AS (
-      SELECT id_a AS s, id_b AS d FROM edges
+      SELECT id_a AS s, id_b AS nb FROM edges
       UNION SELECT id_b, id_a FROM edges
     ),
-    reach AS (
-      SELECT s, s AS r FROM sym
-      UNION
-      SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.s
-    ),
-    comp AS (SELECT s AS id, MIN(r) AS component FROM reach GROUP BY s),
+    {_components_doubling_sql(neigh="nb")},
     final AS (
       SELECT e.* FROM exact e
       LEFT JOIN (SELECT id FROM comp WHERE id <> component) l ON e.doc_id = l.id

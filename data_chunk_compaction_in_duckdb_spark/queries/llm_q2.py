@@ -16,6 +16,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_chunk_compaction_in_duckdb_spark.catalog import load_table
+from data_chunk_compaction_in_duckdb_spark.queries.llm_q import (
+    _components_doubling_sql,
+)
 from data_chunk_compaction_in_duckdb_spark.queries.registry import query
 
 # Shared DuckDB fragment: distinct word 5-grams per document (matches
@@ -375,26 +378,42 @@ def curriculum_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle_sql(dim: int = 64, n_clusters: int = 8, n_assign: int = 2) -> str:
-    """Render the DuckDB replay of semantic_ivf_neardup_pairs: the same
-    md5-derived centroid literals, the same struct(-dot, idx) ascending
-    sort (DuckDB list_sort orders structs lexicographically), the same
-    top-n_assign multi-assignment, then exact cosine over candidates."""
-    from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import _centroid
-
-    structs = ", ".join(
-        "struct_pack(d := -list_dot_product(v, ["
-        + ",".join(repr(x) for x in _centroid(dim, i))
-        + f"]), i := {i})"
-        for i in range(n_clusters)
-    )
+def _ivf_oracle_sql(dim: int = 64, n_assign: int = 2) -> str:
+    """Render the DuckDB replay of semantic_ivf_neardup_pairs with the
+    SAME adaptive cell count as the Spark side (GREATEST(8, n // 250),
+    SCALE.md's one-cell-per-~250-vectors rule): the centroids are
+    re-derived IN SQL from the md5 scheme (hex fold validated
+    bit-identical to pipeline.similarity._centroid), the assignment is
+    the same (-dot, idx) ascending rank, then exact cosine over
+    cell-bucketed candidates.  Because the cell count now tracks n on
+    both engines, the oracle stays (n * n_assign)^2 / cells = O(n)
+    candidate pairs at EVERY scale factor — the round-6 static-8-cell
+    version had no sf1 oracle at all (cell counts diverged) and a
+    quadratic pair blowup if forced."""
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    params AS (SELECT GREATEST(8, COUNT(*) // 250) AS nc FROM e),
+    cent AS (
+      SELECT idx,
+             list_transform(generate_series(0, {dim - 1}), i ->
+               list_reduce(list_transform(generate_series(1, 8),
+                   k -> strpos('0123456789abcdef',
+                               substr(md5('ivf:' || idx || ':' || i), k, 1)) - 1),
+                 (a, b) -> a * 16 + b) / 2147483648.0 - 1.0) AS c
+      FROM (SELECT unnest(generate_series(0, nc - 1)) AS idx FROM params)
+    ),
+    scored AS (
+      SELECT e.vec_id, cent.idx, -list_dot_product(e.v, cent.c) AS negdot
+      FROM e CROSS JOIN cent
+    ),
     cells AS (
-      SELECT vec_id,
-             unnest(list_transform(list_sort([{structs}]),
-                    x -> x.i)[1:{n_assign}]) AS cell
-      FROM e),
+      SELECT vec_id, idx AS cell FROM (
+        SELECT vec_id, idx,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY negdot, idx) AS rn
+        FROM scored) t
+      WHERE rn <= {n_assign}
+    ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id)
@@ -421,11 +440,11 @@ def dedup_semantic_ivf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors (hold n/cells constant, floor 8), since per-cell candidate
     volume grows as (n*n_assign)^2/cells: at sf1 the fixed 8-cell
     setting degraded to 35x the sf0.1 time (round-4 bench) while the
-    rule keeps scaling linear.  The static DuckDB oracle inlines 8
-    centroid literals, which the rule reproduces at every driver SF
-    (<= 2000 vectors); beyond that there is no oracle run, only the
-    bench.  The count() is one scalar job — model-sized driver state,
-    same budget class as the ANN trainers' collects."""
+    rule keeps scaling linear.  The oracle applies the SAME rule in SQL
+    (GREATEST(8, COUNT(*) // 250)) and re-derives the md5 centroids
+    in-query, so the value check holds at every SF, sf1 included.  The
+    count() is one scalar job — model-sized driver state, same budget
+    class as the ANN trainers' collects."""
     from data_chunk_compaction_in_duckdb_spark.pipeline import (
         semantic_ivf_neardup_pairs,
     )
@@ -920,8 +939,8 @@ def _cluster_split_case_sql() -> str:
 @query(
     "pipeline_split_by_cluster",
     oracle=f"""
-    WITH RECURSIVE d AS (SELECT doc_id, source, text FROM documents
-                         WHERE doc_id % 5 = 0),
+    WITH d AS (SELECT doc_id, source, text FROM documents
+               WHERE doc_id % 5 = 0),
     sh AS (SELECT doc_id, source,
                   list_distinct(list_transform(
                     generate_series(1, GREATEST(length(text) - 2, 1)),
@@ -934,15 +953,10 @@ def _cluster_split_case_sql() -> str:
             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
     ),
     sym AS (
-      SELECT id_a AS s, id_b AS dd FROM edges
+      SELECT id_a AS s, id_b AS nb FROM edges
       UNION SELECT id_b, id_a FROM edges
     ),
-    reach AS (
-      SELECT s, s AS r FROM sym
-      UNION
-      SELECT sym.s, reach.r FROM sym JOIN reach ON sym.dd = reach.s
-    ),
-    comp AS (SELECT s AS id, MIN(r) AS component FROM reach GROUP BY s),
+    {_components_doubling_sql(neigh="nb")},
     withrep AS (
       SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS rep
       FROM d LEFT JOIN comp ON comp.id = d.doc_id)

@@ -166,6 +166,9 @@ _CREATE_INDEX_RE = re.compile(
 _DROP_INDEX_RE = re.compile(
     r"^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I
 )
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+)\s+(VALUES\b.*|SELECT\b.*)$", re.I | re.S
+)
 
 
 class EngineSqlContext:
@@ -302,6 +305,51 @@ class EngineSqlContext:
                     f"Catalog Error: Index with name {name} does not exist"
                 )
             eng.drop_index(name)
+            return None
+        m = _INSERT_RE.match(sql)
+        if m:
+            name, body = m.group(1), m.group(2).rstrip().rstrip(";")
+            if name not in self.ctas:
+                raise SqlLogicError(
+                    f"Catalog Error: Table with name {name} does not exist"
+                )
+            cur = self.ctas[name]
+            if seqsql.SEQFN_RE.search(body):
+                self._register_seq_udfs()
+            if body.upper().startswith("VALUES"):
+                new = self.spark.sql(f"SELECT * FROM ({body})")
+            else:
+                new = self.spark.sql(body)
+            # positional insert: align names/types to the target schema
+            new = new.toDF(*cur.columns)
+            for f in cur.schema.fields:
+                new = new.withColumn(
+                    f.name, new[f.name].cast(f.dataType)
+                )
+            merged = cur.unionByName(new)
+            # ART UNIQUE enforcement on append (reference test/sql/index
+            # unique-violation grid; duckdb updates the index per insert)
+            eng = self._eng()
+            for iname, info in getattr(eng, "_art_indexes", {}).items():
+                if info["table"] != name or not info["unique"]:
+                    continue
+                cols = list(info["columns"])
+                dup = (
+                    merged.groupBy(*cols)
+                    .count()
+                    .filter("count > 1")
+                    .limit(1)
+                    .count()
+                )
+                if dup:
+                    raise SqlLogicError(
+                        "Constraint Error: Duplicate key violates unique "
+                        f'index "{iname}" on {name}({", ".join(cols)})'
+                    )
+            merged = merged.localCheckpoint(eager=True)
+            merged.createOrReplaceTempView(name)
+            self.ctas[name] = merged
+            eng.tables[name] = merged
             return None
         m = _CTAS_RE.match(sql)
         if m:

@@ -260,6 +260,32 @@ def test_engine_sql_sequence_surface(spark):
     with pytest.raises(ValueError, match="does not exist"):
         eng.sql("DROP SEQUENCE sql_ids")
     eng.sql("DROP SEQUENCE IF EXISTS sql_ids")
+
+
+def test_engine_sql_sequence_error_grid(spark):
+    """Invalid sequence SQL through Engine.sql raises the same shapes
+    DuckDB's binder does (reference test/sql/catalog/sequence error
+    grids, dual-engine-validated in tests/sqllogic/sequence_create_
+    errors.test via the shared seqsql parser + Sequence validation)."""
+    import pytest
+
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, register=False)
+    for bad in (
+        "CREATE SEQUENCE eq_a INCREMENT 0",
+        "CREATE SEQUENCE eq_b MINVALUE 5 MAXVALUE 5",
+        "CREATE SEQUENCE eq_c MINVALUE 9 MAXVALUE 2",
+        "CREATE SEQUENCE eq_d START 0 MINVALUE 1 MAXVALUE 10",
+        "CREATE SEQUENCE eq_e START 11 MINVALUE 1 MAXVALUE 10",
+    ):
+        with pytest.raises(ValueError):
+            eng.sql(bad)
+    # none of the failed CREATEs leaked into the engine catalog
+    assert eng.duckdb_sequences().count() == 0
+    # nextval on a never-created name errors at evaluation
+    with pytest.raises(Exception, match="eq_missing"):
+        eng.sql("SELECT nextval('eq_missing') AS v").collect()
     # a dropped name no longer resolves in queries
     with pytest.raises(Exception, match="does not exist"):
         eng.sql("SELECT nextval('sql_ids') AS v").collect()

@@ -181,6 +181,42 @@ def test_connected_components_chain_and_survivors(spark):
     assert kept == [1, 5, 7]
 
 
+def test_connected_components_long_chain_doubles(spark):
+    """A 120-hop path converges within the default 20 rounds via the
+    pointer-doubling jump — plain neighbor-min propagation moves one
+    hop per round, so pre-doubling this chain silently returned SPLIT
+    components (the min label had only reached 20 hops at max_iter).
+    At corpus scale, template-heavy near-dup chains make this shape
+    real, not adversarial."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        connected_components,
+    )
+
+    n = 120
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a BIGINT, id_b BIGINT"
+    )
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comp == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """max_iter too small for the structure must raise (split
+    components are silent corruption downstream — survivors would keep
+    duplicate documents)."""
+    import pytest
+
+    from data_chunk_compaction_in_duckdb_spark.pipeline import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a BIGINT, id_b BIGINT"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
 def test_connected_components_converges_on_cycle(spark):
     """A cycle (diameter > 1 with no tree structure) still converges to
     the single min label."""

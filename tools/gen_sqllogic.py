@@ -6708,6 +6708,29 @@ corpus("star_exclude_replace", "SELECT * EXCLUDE / REPLACE star modifiers (refer
 ])
 
 
+corpus("index_unique_append", "UNIQUE index enforcement on INSERT (reference test/sql/index unique-violation grids; the Spark side validates appends against registered ART-analog indexes)")([
+    ("ok", "", "CREATE TABLE ixu_t AS SELECT n_nationkey AS k, n_regionkey AS r FROM nation"),
+    ("ok", "", "CREATE UNIQUE INDEX ixu_i ON ixu_t(k)"),
+    # fresh keys append fine
+    ("ok", "", "INSERT INTO ixu_t VALUES (100, 0), (101, 1)"),
+    ("I", "", "SELECT count(*) FROM ixu_t"),
+    # duplicate key refused (value already present)
+    ("error", "", "INSERT INTO ixu_t VALUES (100, 2)"),
+    # duplicate inside the inserted batch itself refused
+    ("error", "", "INSERT INTO ixu_t VALUES (200, 0), (200, 1)"),
+    # self-insert duplicates every key -> refused
+    ("error", "", "INSERT INTO ixu_t SELECT * FROM ixu_t"),
+    # failed inserts must not have appended anything
+    ("I", "", "SELECT count(*) FROM ixu_t"),
+    ("I", "", "SELECT CAST(SUM(k) AS BIGINT) FROM ixu_t"),
+    # non-unique column stays appendable after DROP of the unique index
+    ("ok", "", "DROP INDEX ixu_i"),
+    ("ok", "", "INSERT INTO ixu_t VALUES (100, 3)"),
+    ("I", "", "SELECT count(*) FROM ixu_t WHERE k = 100"),
+    # INSERT into a missing table errors on both engines
+    ("error", "", "INSERT INTO ixu_nosuch VALUES (1)"),
+])
+
 corpus("settings_set_readback", "SET/RESET/PRAGMA settings + current_setting()/duckdb_settings() readback (reference src/main/settings, test/sql/settings; Spark side rides the Engine settings store)")([
     ("ok", "", "SET threads=7"),
     ("I", "", "SELECT CAST(current_setting('threads') AS INT) AS t"),
