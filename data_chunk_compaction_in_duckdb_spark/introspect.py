@@ -426,3 +426,60 @@ def duckdb_settings(spark: SparkSession, store) -> DataFrame:
     oracle-comparable row-for-row against the real catalog function.
     Pure metadata, driver-built."""
     return spark.createDataFrame(store.rows(), _SETTINGS_SCHEMA)
+
+
+_TABLE_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("cid", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("notnull", T.BooleanType()),
+        T.StructField("dflt_value", T.StringType()),
+        T.StructField("pk", T.BooleanType()),
+    ]
+)
+
+
+def pragma_table_info(spark: SparkSession, vt) -> DataFrame:
+    """See the VersionedTable docstring below; ``vt`` may also be a
+    session view/table NAME, which has no declared constraints — every
+    column reads notnull=false, pk=false, exactly like DuckDB's
+    pragma_table_info over a constraint-free CTAS table."""
+    if isinstance(vt, str):
+        rows = [
+            (i, f.name, duckdb_type_name(f.dataType), False, None, False)
+            for i, f in enumerate(spark.table(vt).schema.fields)
+        ]
+        return spark.createDataFrame(rows, _TABLE_INFO_SCHEMA)
+    return _pragma_table_info_versioned(spark, vt)
+
+
+def _pragma_table_info_versioned(spark: SparkSession, vt) -> DataFrame:
+    """``pragma_table_info('t')`` analog (reference
+    src/function/table/sqlite/pragma_table_info.cpp — DuckDB keeps the
+    SQLite-compatible shape: cid/name/type/notnull/dflt_value/pk) over
+    a VersionedTable: ordinal + DuckDB-named type from the schema,
+    ``notnull``/``pk`` from the declared constraints (a PRIMARY KEY
+    column is notnull, matching DuckDB's implied-NOT-NULL rendering in
+    duckdb_constraints()).  ``dflt_value`` is always NULL — the store
+    has no column defaults, and DuckDB prints NULL for defaultless
+    columns.  One head-manifest read, no data scanned."""
+    pk_cols: set[str] = set()
+    nn_cols: set[str] = set()
+    for c in vt.constraints():
+        if c["type"] == "primary_key":
+            pk_cols.update(c["columns"])
+        elif c["type"] == "not_null":
+            nn_cols.add(c["column"])
+    rows = [
+        (
+            i,
+            f.name,
+            duckdb_type_name(f.dataType),
+            f.name in pk_cols or f.name in nn_cols,
+            None,
+            f.name in pk_cols,
+        )
+        for i, f in enumerate(vt.read().schema.fields)
+    ]
+    return spark.createDataFrame(rows, _TABLE_INFO_SCHEMA)

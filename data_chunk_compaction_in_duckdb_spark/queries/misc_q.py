@@ -842,3 +842,53 @@ def introspect_settings(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_threads)
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+@query(
+    "introspect_table_info",
+    oracle="""
+    CREATE OR REPLACE TABLE pti_t (k BIGINT PRIMARY KEY,
+                                   name VARCHAR NOT NULL,
+                                   nk INTEGER, bal DOUBLE);
+    INSERT INTO pti_t
+      SELECT c_custkey, c_name, CAST(c_nationkey AS INTEGER), c_acctbal
+      FROM customer;
+    SELECT cid, name, type, "notnull", dflt_value, pk
+    FROM pragma_table_info('pti_t')
+    """,
+)
+def introspect_table_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pragma_table_info readback vs DuckDB's OWN table function
+    (introspect.pragma_table_info; reference keeps SQLite's
+    cid/name/type/notnull/dflt_value/pk shape): same columns, same
+    declared constraints, fixture rows INSERTed on the oracle side so
+    DuckDB also validates them — ordinal order, DuckDB-named types and
+    the PK-implies-notnull rendering must agree."""
+    import shutil
+    import tempfile
+
+    from data_chunk_compaction_in_duckdb_spark.introspect import (
+        pragma_table_info,
+    )
+    from data_chunk_compaction_in_duckdb_spark.storage import (
+        VersionedTable,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("int").alias("nk"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    root = tempfile.mkdtemp(prefix="pti_")
+    try:
+        t = VersionedTable.create(
+            spark, root + "/t", cust,
+            constraints=[
+                {"type": "primary_key", "columns": ["k"]},
+                {"type": "not_null", "column": "name"},
+            ],
+        )
+        return pragma_table_info(spark, t)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -371,6 +371,20 @@ class EngineSqlContext:
             ]:
                 del arts[iname]
             return None
+        m = re.search(r"\bpragma_table_info\s*\(\s*'(\w+)'\s*\)", sql, re.I)
+        if m:
+            from data_chunk_compaction_in_duckdb_spark import introspect
+
+            introspect.pragma_table_info(
+                self.spark, m.group(1)
+            ).createOrReplaceTempView("__pragma_table_info")
+            sql = re.sub(
+                r"\bpragma_table_info\s*\(\s*'\w+'\s*\)",
+                "__pragma_table_info",
+                sql,
+                flags=re.I,
+            )
+            return self.spark.sql(sql)
         if re.search(r"\bduckdb_indexes\s*\(\s*\)", sql, re.I):
             from data_chunk_compaction_in_duckdb_spark import introspect
 

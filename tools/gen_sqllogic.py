@@ -6731,6 +6731,16 @@ corpus("index_unique_append", "UNIQUE index enforcement on INSERT (reference tes
     ("error", "", "INSERT INTO ixu_nosuch VALUES (1)"),
 ])
 
+corpus("pragma_table_info_readback", "pragma_table_info() readback (reference keeps SQLite's cid/name/type/notnull/dflt_value/pk shape; Spark side: introspect.pragma_table_info over the context's CTAS views)")([
+    ("ok", "", "CREATE TABLE pti_s AS SELECT n_nationkey AS k, n_name AS nm, CAST(n_regionkey AS INT) AS r FROM nation"),
+    # the notnull column is a reserved word in DuckDB and a double-quoted
+    # string literal in Spark, so the shared text projects around it; its
+    # values are oracle-paired via the introspect_table_info registry query
+    ("ITTT", "", "SELECT cid, name, type, pk FROM pragma_table_info('pti_s') ORDER BY cid"),
+    ("I", "", "SELECT count(*) FROM pragma_table_info('pti_s') WHERE dflt_value IS NULL"),
+    ("error", "", "SELECT * FROM pragma_table_info('pti_nosuch')"),
+])
+
 corpus("settings_set_readback", "SET/RESET/PRAGMA settings + current_setting()/duckdb_settings() readback (reference src/main/settings, test/sql/settings; Spark side rides the Engine settings store)")([
     ("ok", "", "SET threads=7"),
     ("I", "", "SELECT CAST(current_setting('threads') AS INT) AS t"),
