@@ -173,7 +173,14 @@ def _alias_map(select_list: str) -> dict[str, str]:
     return out
 
 
-_FROM_JOIN_IDENT = re.compile(r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)", re.I)
+_FROM_JOIN_IDENT = re.compile(
+    r"\b(?:FROM|JOIN)\s+[A-Za-z_]\w*"          # first relation
+    r"(?:\s+(?!WHERE|GROUP|HAVING|QUALIFY|WINDOW|ORDER|LIMIT|OFFSET|"
+    r"JOIN|ON|USING|INNER|LEFT|RIGHT|FULL|CROSS|UNION|INTERSECT|"
+    r"EXCEPT)[A-Za-z_]\w*)?"                   # optional relation alias
+    r"(?:\s*,\s*[A-Za-z_]\w*(?:\s+[A-Za-z_]\w*)?)*",  # , t2 [alias] ...
+    re.I,
+)
 
 
 def rewrite_qualify(sql: str, column_resolver=None):
@@ -267,13 +274,19 @@ def rewrite_qualify(sql: str, column_resolver=None):
         amap = _alias_map(select_list)
         if amap and column_resolver is not None:
             # source-column precedence: drop aliases shadowed by a
-            # column of any top-level FROM/JOIN table in the head
+            # column of any top-level FROM/JOIN relation in the head —
+            # including comma-separated FROM lists (FROM t1, t2) with
+            # optional relation aliases (an unresolvable alias token
+            # simply contributes nothing)
             src: set[str] = set()
             for s, e in _toplevel_spans(head):
                 for mt in _FROM_JOIN_IDENT.finditer(head, s, e):
-                    cols = column_resolver(mt.group(1))
-                    if cols:
-                        src.update(c.lower() for c in cols)
+                    for ident in re.findall(r"[A-Za-z_]\w*", mt.group(0)):
+                        if ident.upper() in ("FROM", "JOIN"):
+                            continue
+                        cols = column_resolver(ident)
+                        if cols:
+                            src.update(c.lower() for c in cols)
             amap = {a: x for a, x in amap.items() if a.lower() not in src}
         if amap:
             # Substitute ALL aliases in ONE pass over the ORIGINAL
@@ -294,6 +307,13 @@ def rewrite_qualify(sql: str, column_resolver=None):
             last = 0
             for m in alias_re.finditer(pred):
                 if any(a <= m.start() < b for a, b in lits):
+                    continue
+                # dot-qualified references are relation-scoped (v.rn) —
+                # substituting either side of the dot produces invalid
+                # SQL (v.(expr)) or rewrites the qualifier itself
+                if (m.start() > 0 and pred[m.start() - 1] == ".") or (
+                    m.end() < len(pred) and pred[m.end()] == "."
+                ):
                     continue
                 expr = amap[m.group(1)]
                 if _count_markers(expr):

@@ -91,8 +91,9 @@ class Engine:
         # `SET spark.sql.x = v` still falls through to spark.sql below.
         st = _settings.parse_set(query)
         if st is not None:
-            name, value = st
+            name, value, scope = st
             if self._is_setting(name):
+                _settings.check_scope(name, scope, "set")
                 self._settings_store().set(name, value)
             elif name in self._PRAGMAS:
                 # engine pragmas keep working through the SQL form too
@@ -105,14 +106,26 @@ class Engine:
             return None
         rst = _settings.parse_reset(query)
         if rst is not None:
-            self._settings_store().reset(rst)  # raises on unknown names
+            name, scope = rst
+            if self._is_setting(name):
+                _settings.check_scope(name, scope, "reset")
+                self._settings_store().reset(name)
+            elif name in self._PRAGMAS:
+                # symmetric with the SET path: unset restores the
+                # Spark conf default for pragma-mapped names
+                self.spark.conf.unset(self._PRAGMAS[name])
+            else:
+                raise ValueError(
+                    "Catalog Error: unrecognized configuration "
+                    f'parameter "{name}"'
+                )
             return None
         if _settings.SETTINGS_TF_RE.search(query):
             self.duckdb_settings().createOrReplaceTempView(
                 "__duckdb_settings"
             )
-            query = _settings.SETTINGS_TF_RE.sub(
-                "__duckdb_settings", query
+            query = _settings.sub_outside_literals(
+                _settings.SETTINGS_TF_RE, "__duckdb_settings", query
             )
         if _settings.CURRENT_SETTING_RE.search(query):
             self._register_current_setting_udf()

@@ -252,34 +252,76 @@ class SettingsStore:
 # ------------------------------------------------------------ SQL grammar
 
 SET_RE = re.compile(
-    r"^\s*(?:SET|PRAGMA)\s+(?:SESSION\s+|GLOBAL\s+)?([A-Za-z_]\w*)\s*"
+    r"^\s*(?:SET|PRAGMA)\s+(?:(SESSION|GLOBAL)\s+)?([A-Za-z_]\w*)\s*"
     r"(?:=|\bTO\b)\s*(.+?)\s*;?\s*$",
     re.I | re.S,
 )
-RESET_RE = re.compile(r"^\s*RESET\s+([A-Za-z_]\w*)\s*;?\s*$", re.I)
+RESET_RE = re.compile(
+    r"^\s*RESET\s+(?:(SESSION|GLOBAL)\s+)?([A-Za-z_]\w*)\s*;?\s*$", re.I
+)
 CURRENT_SETTING_RE = re.compile(r"\bcurrent_setting\s*\(", re.I)
 SETTINGS_TF_RE = re.compile(r"\bduckdb_settings\s*\(\s*\)", re.I)
 
 
 def parse_set(sql: str):
-    """``SET name = value`` / ``SET name TO value`` / ``PRAGMA name=v``
-    -> (name, python_value) or None.  Values: quoted string, number, or
-    bare boolean/identifier token."""
+    """``SET [SESSION|GLOBAL] name = value`` / ``SET name TO value`` /
+    ``PRAGMA name=v`` -> (name, python_value, scope) or None.  Values:
+    quoted string, number, or bare boolean/identifier token; ``scope``
+    is 'session', 'global' or None (unqualified)."""
     m = SET_RE.match(sql)
     if m is None:
         return None
-    name, raw = m.group(1), m.group(2).strip()
+    scope = m.group(1).lower() if m.group(1) else None
+    name, raw = m.group(2), m.group(3).strip()
     if name.lower() in ("variable",):  # not a settings statement
         return None
     if raw.startswith("'") and raw.endswith("'") and len(raw) >= 2:
-        return name, raw[1:-1].replace("''", "'")
+        return name, raw[1:-1].replace("''", "'"), scope
     if re.fullmatch(r"-?\d+", raw):
-        return name, int(raw)
+        return name, int(raw), scope
     if re.fullmatch(r"-?\d*\.\d+", raw):
-        return name, float(raw)
-    return name, raw  # bare token: true/false/identifier
+        return name, float(raw), scope
+    return name, raw, scope  # bare token: true/false/identifier
 
 
 def parse_reset(sql: str):
+    """``RESET [SESSION|GLOBAL] name`` -> (name, scope) or None."""
     m = RESET_RE.match(sql)
-    return m.group(1) if m else None
+    if m is None:
+        return None
+    return m.group(2), (m.group(1).lower() if m.group(1) else None)
+
+
+def check_scope(name: str, scope, verb: str) -> None:
+    """DuckDB's scope rule (probed): a SESSION-qualified SET/RESET of a
+    GLOBAL-scope setting raises 'option "x" cannot be set/reset
+    locally'; GLOBAL qualification and LOCAL-scope settings are fine."""
+    if scope != "session":
+        return
+    key = canonical_name(name)
+    if SETTING_SPECS[key][1] == "GLOBAL":
+        raise ValueError(
+            f'Catalog Error: option "{key}" cannot be {verb} locally'
+        )
+
+
+def sub_outside_literals(pattern: re.Pattern, repl, sql: str) -> str:
+    """``pattern.sub(repl, sql)`` that skips matches inside string
+    literals, quoted identifiers and comments — table-function call
+    sites must never be rewritten when the name appears as DATA
+    (``SELECT 'duckdb_settings()' AS s``).  ``repl`` is a plain string
+    or a ``match -> str`` callable."""
+    from data_chunk_compaction_in_duckdb_spark.dialect import (
+        _literal_spans,
+    )
+
+    lits = _literal_spans(sql)
+    parts: list[str] = []
+    last = 0
+    for m in pattern.finditer(sql):
+        if any(a <= m.start() < b for a, b in lits):
+            continue
+        parts.append(sql[last : m.start()])
+        parts.append(repl(m) if callable(repl) else repl)
+        last = m.end()
+    return "".join(parts) + sql[last:]

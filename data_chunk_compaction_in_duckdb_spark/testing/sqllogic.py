@@ -334,8 +334,13 @@ class EngineSqlContext:
                 if info["table"] != name or not info["unique"]:
                     continue
                 cols = list(info["columns"])
+                # DuckDB's ART UNIQUE index admits any number of NULL
+                # keys (probed: two NULL-key inserts under a unique
+                # index succeed) — NULLs compare unequal, so only
+                # fully-non-NULL keys participate in the dup check
                 dup = (
-                    merged.groupBy(*cols)
+                    merged.na.drop(subset=cols)
+                    .groupBy(*cols)
                     .count()
                     .filter("count > 1")
                     .limit(1)
@@ -371,18 +376,22 @@ class EngineSqlContext:
             ]:
                 del arts[iname]
             return None
-        m = re.search(r"\bpragma_table_info\s*\(\s*'(\w+)'\s*\)", sql, re.I)
-        if m:
+        pti = re.compile(r"\bpragma_table_info\s*\(\s*'(\w+)'\s*\)", re.I)
+        if pti.search(sql):
             from data_chunk_compaction_in_duckdb_spark import introspect
 
-            introspect.pragma_table_info(
-                self.spark, m.group(1)
-            ).createOrReplaceTempView("__pragma_table_info")
-            sql = re.sub(
-                r"\bpragma_table_info\s*\(\s*'\w+'\s*\)",
-                "__pragma_table_info",
-                sql,
-                flags=re.I,
+            # one view PER referenced table: a spec may join
+            # pragma_table_info('t1') with pragma_table_info('t2')
+            for tname in dict.fromkeys(m.group(1) for m in pti.finditer(sql)):
+                introspect.pragma_table_info(
+                    self.spark, tname
+                ).createOrReplaceTempView(f"__pti_{tname}")
+            from data_chunk_compaction_in_duckdb_spark.settings import (
+                sub_outside_literals,
+            )
+
+            sql = sub_outside_literals(
+                pti, lambda m: f"__pti_{m.group(1)}", sql
             )
             return self.spark.sql(sql)
         if re.search(r"\bduckdb_indexes\s*\(\s*\)", sql, re.I):
@@ -391,11 +400,14 @@ class EngineSqlContext:
             introspect.duckdb_indexes(
                 self.spark, getattr(self._eng(), "_art_indexes", {})
             ).createOrReplaceTempView("__duckdb_indexes")
-            sql = re.sub(
-                r"\bduckdb_indexes\s*\(\s*\)",
+            from data_chunk_compaction_in_duckdb_spark.settings import (
+                sub_outside_literals,
+            )
+
+            sql = sub_outside_literals(
+                re.compile(r"\bduckdb_indexes\s*\(\s*\)", re.I),
                 "__duckdb_indexes",
                 sql,
-                flags=re.I,
             )
             return self.spark.sql(sql)
         m = _DESCRIBE_SELECT_RE.match(sql)
@@ -421,11 +433,14 @@ class EngineSqlContext:
             introspect.duckdb_sequences(
                 self.spark, self.sequences
             ).createOrReplaceTempView("__duckdb_sequences")
-            sql = re.sub(
-                r"\bduckdb_sequences\s*\(\s*\)",
+            from data_chunk_compaction_in_duckdb_spark.settings import (
+                sub_outside_literals,
+            )
+
+            sql = sub_outside_literals(
+                re.compile(r"\bduckdb_sequences\s*\(\s*\)", re.I),
                 "__duckdb_sequences",
                 sql,
-                flags=re.I,
             )
         if seqsql.SEQFN_RE.search(sql):
             self._register_seq_udfs()

@@ -100,6 +100,21 @@ def test_qualify_alias_substitution_skips_string_literals():
     assert "'%(row_number() OVER (ORDER BY c))%'" not in rewritten
 
 
+def test_qualify_alias_substitution_skips_dot_qualified():
+    # relation-scoped references (v.rn) must stay intact: substituting
+    # either side of the dot yields invalid SQL (v.(expr)) or rewrites
+    # the qualifier itself
+    sql = (
+        "SELECT n, row_number() OVER (ORDER BY n) AS rn FROM v "
+        "QUALIFY v.rn < 3 AND rn >= 1"
+    )
+    rewritten, _, _ = rewrite_qualify(sql)
+    assert "v.rn < 3" in rewritten
+    assert "v.(" not in rewritten
+    # the bare reference IS still substituted
+    assert "(row_number() OVER (ORDER BY n)) >= 1" in rewritten
+
+
 def test_qualify_alias_substitution_is_simultaneous():
     # swapped aliases: sequential re.sub would cascade (QUALIFY a ->
     # substitute a's expr b -> then b's expr rewrites it AGAIN)

@@ -262,6 +262,21 @@ def test_engine_sql_sequence_surface(spark):
     eng.sql("DROP SEQUENCE IF EXISTS sql_ids")
 
 
+def test_engine_settings_literal_and_pragma_reset(spark, sf_dir):
+    """The duckdb_settings() rewrite must not touch the name inside a
+    string literal, and SET-then-RESET of a pragma-only name (mapped to
+    a Spark conf, not the settings store) stays symmetric."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    row = eng.sql("SELECT 'duckdb_settings()' AS s FROM region LIMIT 1")
+    assert row.first().s == "duckdb_settings()"
+    eng.sql("SET enable_optimizer=false")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    eng.sql("RESET enable_optimizer")  # pre-fix: raised Catalog Error
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
 def test_engine_sql_sequence_error_grid(spark):
     """Invalid sequence SQL through Engine.sql raises the same shapes
     DuckDB's binder does (reference test/sql/catalog/sequence error

@@ -49,24 +49,46 @@ def test_memory_parse_rejects_like_duckdb():
 
 
 def test_set_reset_grammar():
-    assert parse_set("SET threads=7") == ("threads", 7)
-    assert parse_set("SET threads TO 5") == ("threads", 5)
-    assert parse_set("PRAGMA threads=9") == ("threads", 9)
-    assert parse_set("SET memory_limit='2GB'") == ("memory_limit", "2GB")
+    assert parse_set("SET threads=7") == ("threads", 7, None)
+    assert parse_set("SET threads TO 5") == ("threads", 5, None)
+    assert parse_set("PRAGMA threads=9") == ("threads", 9, None)
+    assert parse_set("SET memory_limit='2GB'") == (
+        "memory_limit", "2GB", None,
+    )
     assert parse_set("SET enable_progress_bar=true") == (
-        "enable_progress_bar",
-        "true",
+        "enable_progress_bar", "true", None,
     )
     assert parse_set("SET TimeZone='Asia/Tokyo';") == (
-        "TimeZone",
-        "Asia/Tokyo",
+        "TimeZone", "Asia/Tokyo", None,
     )
+    assert parse_set("SET SESSION enable_progress_bar=true") == (
+        "enable_progress_bar", "true", "session",
+    )
+    assert parse_set("SET GLOBAL threads=4") == ("threads", 4, "global")
     # dotted Spark conf keys and SQL variables never match
     assert parse_set("SET spark.sql.adaptive.enabled=true") is None
     assert parse_set("SET VARIABLE x = 3") is None
     assert parse_set("SELECT 1") is None
-    assert parse_reset("RESET threads") == "threads"
+    assert parse_reset("RESET threads") == ("threads", None)
+    assert parse_reset("RESET SESSION enable_progress_bar") == (
+        "enable_progress_bar", "session",
+    )
+    assert parse_reset("RESET GLOBAL threads") == ("threads", "global")
     assert parse_reset("RESET spark.sql.x") is None
+
+
+def test_scope_rules_match_duckdb():
+    # probed: SESSION-qualified SET/RESET of a GLOBAL-scope setting
+    # raises; GLOBAL qualification and LOCAL-scope settings are fine
+    from data_chunk_compaction_in_duckdb_spark.settings import check_scope
+
+    check_scope("threads", None, "set")
+    check_scope("threads", "global", "reset")
+    check_scope("enable_progress_bar", "session", "reset")
+    with pytest.raises(ValueError, match="cannot be set locally"):
+        check_scope("threads", "session", "set")
+    with pytest.raises(ValueError, match="cannot be reset locally"):
+        check_scope("memory_limit", "session", "reset")
 
 
 def test_canonical_name_aliases_and_errors():

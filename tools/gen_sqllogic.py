@@ -6677,6 +6677,11 @@ corpus("qualify_filters", "QUALIFY window-filter clause (reference test/sql/qual
     # column loses — QUALIFY a binds to qd_t.a, not to the alias of b
     ("ok", "", "CREATE TABLE qd_t AS SELECT n_nationkey AS a, n_regionkey AS b FROM nation"),
     ("III", "rowsort", "SELECT CAST(b AS INT) AS a, CAST(a AS INT) AS b, CAST(row_number() OVER (ORDER BY a, b) AS INT) AS rn FROM qd_t QUALIFY a = 0 AND rn <= 99"),
+    # ... including columns of the SECOND table in a comma-separated
+    # FROM list (probed: DuckDB binds QUALIFY c to t2.c, not alias c)
+    ("ok", "", "CREATE TABLE qf_t1 AS SELECT n_nationkey AS a FROM nation WHERE n_nationkey < 5"),
+    ("ok", "", "CREATE TABLE qf_t2 AS SELECT n_regionkey AS c FROM nation WHERE n_nationkey < 3"),
+    ("III", "rowsort", "SELECT CAST(a AS INT) AS c, CAST(qf_t2.c AS INT) AS c2, CAST(row_number() OVER (ORDER BY a, qf_t2.c) AS INT) AS rn FROM qf_t1, qf_t2 QUALIFY c = 1 AND rn >= 1"),
 ])
 
 corpus("qualify_errors", "QUALIFY binder error grid (reference test/sql/qualify error cases; both engines must refuse the same shapes)")([
@@ -6729,6 +6734,13 @@ corpus("index_unique_append", "UNIQUE index enforcement on INSERT (reference tes
     ("I", "", "SELECT count(*) FROM ixu_t WHERE k = 100"),
     # INSERT into a missing table errors on both engines
     ("error", "", "INSERT INTO ixu_nosuch VALUES (1)"),
+    # NULL keys compare unequal: a UNIQUE index admits any number of
+    # NULL-key rows (probed on DuckDB's ART)
+    ("ok", "", "CREATE TABLE ixu_n AS SELECT n_nationkey AS k, n_regionkey AS r FROM nation WHERE n_nationkey < 3"),
+    ("ok", "", "CREATE UNIQUE INDEX ixu_ni ON ixu_n(k)"),
+    ("ok", "", "INSERT INTO ixu_n VALUES (NULL, 0), (NULL, 1)"),
+    ("I", "", "SELECT count(*) FROM ixu_n WHERE k IS NULL"),
+    ("error", "", "INSERT INTO ixu_n VALUES (1, 9)"),
 ])
 
 corpus("pragma_table_info_readback", "pragma_table_info() readback (reference keeps SQLite's cid/name/type/notnull/dflt_value/pk shape; Spark side: introspect.pragma_table_info over the context's CTAS views)")([
@@ -6738,6 +6750,9 @@ corpus("pragma_table_info_readback", "pragma_table_info() readback (reference ke
     # values are oracle-paired via the introspect_table_info registry query
     ("ITTT", "", "SELECT cid, name, type, pk FROM pragma_table_info('pti_s') ORDER BY cid"),
     ("I", "", "SELECT count(*) FROM pragma_table_info('pti_s') WHERE dflt_value IS NULL"),
+    # two different tables in ONE query resolve independently
+    ("ok", "", "CREATE TABLE pti_u AS SELECT n_name AS nm FROM nation"),
+    ("II", "", "SELECT (SELECT count(*) FROM pragma_table_info('pti_s')) AS a, (SELECT count(*) FROM pragma_table_info('pti_u')) AS b"),
     ("error", "", "SELECT * FROM pragma_table_info('pti_nosuch')"),
 ])
 
@@ -6775,6 +6790,15 @@ corpus("settings_set_readback", "SET/RESET/PRAGMA settings + current_setting()/d
     ("ok", "", "RESET threads"),
     ("ok", "", "RESET memory_limit"),
     ("ok", "", "RESET TimeZone"),
+    # scope grammar (probed): SESSION-qualified SET/RESET of a
+    # GLOBAL-scope setting refuses; LOCAL-scope settings accept it
+    ("error", "", "SET SESSION threads=5"),
+    ("error", "", "RESET SESSION threads"),
+    ("ok", "", "SET SESSION enable_progress_bar=true"),
+    ("ok", "", "RESET SESSION enable_progress_bar"),
+    ("ok", "", "RESET GLOBAL threads"),
+    # the table-function name as DATA is never rewritten
+    ("T", "", "SELECT 'duckdb_settings()' AS s FROM region LIMIT 1"),
 ])
 
 
