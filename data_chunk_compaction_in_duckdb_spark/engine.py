@@ -24,6 +24,9 @@ from data_chunk_compaction_in_duckdb_spark import catalog as _catalog
 from data_chunk_compaction_in_duckdb_spark.session import get_spark
 
 
+_UNHANDLED = object()  # sentinel: statement not a txn/DML form
+
+
 class Engine:
     """One engine instance ≈ one reference Connection: a SparkSession with
     the fixture catalog registered as temp views."""
@@ -85,7 +88,15 @@ class Engine:
         from data_chunk_compaction_in_duckdb_spark import settings as _settings
         from data_chunk_compaction_in_duckdb_spark.storage import seqsql
 
-        # settings statements first (reference src/main/settings/,
+        # transaction statements + versioned-table DML first (reference
+        # src/transaction/transaction_context.cpp, test/sql/transactions/
+        # and the INSERT/DELETE/UPDATE statement surface): Spark SQL
+        # can't parse DML against temp views, so both are engine-level
+        handled = self._dispatch_txn_dml(query)
+        if handled is not _UNHANDLED:
+            return handled
+
+        # settings statements (reference src/main/settings/,
         # test/sql/settings/): SET/PRAGMA <known setting>, RESET <name>.
         # Dotted Spark conf keys never match the name grammar, so
         # `SET spark.sql.x = v` still falls through to spark.sql below.
@@ -195,6 +206,171 @@ class Engine:
         if drop_col:
             df = df.drop(drop_col)
         return self._wrap(df)
+
+    # -- transactions (reference src/transaction/transaction_context.cpp,
+    #    test/sql/transactions/) — staged multi-statement atomicity onto
+    #    the versioned store (storage/transaction.py)
+
+    def _dispatch_txn_dml(self, query: str):
+        """BEGIN/COMMIT/ROLLBACK/ABORT + INSERT/DELETE/UPDATE dispatch.
+        Returns the sentinel ``_UNHANDLED`` for every other statement
+        (after enforcing DuckDB's aborted-transaction guard, probed:
+        an aborted transaction refuses ALL statements except
+        COMMIT/ROLLBACK with the same error text)."""
+        from data_chunk_compaction_in_duckdb_spark.storage import dmlsql
+        from data_chunk_compaction_in_duckdb_spark.storage.transaction import (
+            TransactionAborted,
+        )
+
+        verb = dmlsql.parse_txn_verb(query)
+        if verb == "begin":
+            self.begin()
+            return None
+        if verb == "commit":
+            self.commit_txn()
+            return None
+        if verb == "rollback":
+            self.rollback()
+            return None
+        txn = getattr(self, "_txn", None)
+        ins = dmlsql.parse_insert(query)
+        if ins is not None:
+            if txn is not None:
+                txn.check_active()
+            name, body = ins
+            vt = self._require_versioned(name)
+            if body.upper().startswith("VALUES"):
+                rows = self.spark.sql(f"SELECT * FROM ({body})")
+            else:
+                rows = self.spark.sql(body)
+            # positional insert: align names and types to the target's
+            # STORED columns (the staged manifest inside a transaction,
+            # the latest manifest outside — generated columns are
+            # computed at read and never inserted)
+            from data_chunk_compaction_in_duckdb_spark.storage import (
+                VersionedTable as _VT,
+            )
+
+            m = (
+                txn.table(name, vt).m
+                if txn is not None
+                else vt._manifest(vt.latest_version())
+            )
+            stored = _VT._logical_schema(m).fields
+            rows = rows.toDF(*[f.name for f in stored])
+            for f in stored:
+                rows = rows.withColumn(f.name, rows[f.name].cast(f.dataType))
+            if txn is not None:
+                txn.insert(name, vt, rows)
+                self._rebind_staged(name, vt)
+            else:
+                vt.insert(rows)
+                vt.read().createOrReplaceTempView(name)
+            return None
+        dele = dmlsql.parse_delete(query)
+        if dele is not None:
+            if txn is not None:
+                txn.check_active()
+            name, where = dele
+            vt = self._require_versioned(name)
+            from pyspark.sql import functions as F
+
+            cond = F.expr(where) if where else F.lit(True)
+            if txn is not None:
+                txn.delete_where(name, vt, cond)
+                self._rebind_staged(name, vt)
+            else:
+                vt.delete_where(cond)
+                vt.read().createOrReplaceTempView(name)
+            return None
+        upd = dmlsql.parse_update(query)
+        if upd is not None:
+            if txn is not None:
+                txn.check_active()
+            name, assigns, where = upd
+            vt = self._require_versioned(name)
+            from pyspark.sql import functions as F
+
+            cond = F.expr(where) if where else F.lit(True)
+            exprs = {c: F.expr(e) for c, e in assigns.items()}
+            if txn is not None:
+                txn.update_where(name, vt, cond, exprs)
+                self._rebind_staged(name, vt)
+            else:
+                vt.update_where(cond, exprs)
+                vt.read().createOrReplaceTempView(name)
+            return None
+        if txn is not None and txn.aborted:
+            raise TransactionAborted()
+        return _UNHANDLED
+
+    def _require_versioned(self, name: str):
+        vt = getattr(self, "_versioned", {}).get(name)
+        if vt is None:
+            raise ValueError(
+                f"Catalog Error: Table with name {name} does not exist "
+                "(DML targets versioned tables; see "
+                "create_versioned_table)"
+            )
+        return vt
+
+    def _rebind_staged(self, name: str, vt) -> None:
+        """Read-your-own-writes: inside a transaction the session view
+        shows the staged state; other engines reading the store still
+        resolve the last COMMITTED manifest (MVCC snapshot)."""
+        self._txn.table(name, vt).read().createOrReplaceTempView(name)
+
+    def begin(self) -> None:
+        """BEGIN [TRANSACTION] / START TRANSACTION."""
+        from data_chunk_compaction_in_duckdb_spark.storage.transaction import (
+            Transaction,
+        )
+
+        if getattr(self, "_txn", None) is not None:
+            # probed: a nested BEGIN also ABORTS the open transaction
+            self._txn.aborted = True
+            raise ValueError(
+                "TransactionContext Error: cannot start a transaction "
+                "within a transaction"
+            )
+        self._txn = Transaction()
+
+    def commit_txn(self) -> dict[str, int]:
+        """COMMIT: each staged table publishes ONE manifest commit.
+        COMMIT of an aborted transaction silently rolls back (probed
+        DuckDB behavior).  On CommitConflictError the transaction is
+        closed (the reference also invalidates it) and the error
+        re-raises for the caller to retry on fresh state."""
+        txn = getattr(self, "_txn", None)
+        if txn is None:
+            raise ValueError(
+                "TransactionContext Error: cannot commit - no "
+                "transaction is active"
+            )
+        self._txn = None
+        try:
+            if txn.aborted:
+                return {}
+            return txn.commit()
+        finally:
+            self._restore_views(txn)
+
+    def rollback(self) -> None:
+        """ROLLBACK / ABORT: discard staging, restore committed views."""
+        txn = getattr(self, "_txn", None)
+        if txn is None:
+            raise ValueError(
+                "TransactionContext Error: cannot rollback - no "
+                "transaction is active"
+            )
+        self._txn = None
+        self._restore_views(txn)
+
+    def _restore_views(self, txn) -> None:
+        for name in txn._staged:
+            vt = getattr(self, "_versioned", {}).get(name)
+            if vt is not None:
+                vt.read().createOrReplaceTempView(name)
 
     def _next_seq_path(self, name: str) -> str:
         """Per-engine sequence root (created lazily, removed on

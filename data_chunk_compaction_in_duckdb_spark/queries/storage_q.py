@@ -673,3 +673,153 @@ def storage_sequence_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the fixture — the sequence logs can go immediately
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "storage_transaction_rollback",
+    oracle="""
+    CREATE OR REPLACE TABLE txr_t AS
+      SELECT o_orderkey AS k, o_custkey AS c,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus AS st
+      FROM orders WHERE o_orderkey % 10 < 4;
+    BEGIN;
+    INSERT INTO txr_t
+      SELECT o_orderkey + 10000000, o_custkey,
+             CAST(floor(o_totalprice * 50) AS BIGINT), 'Z'
+      FROM orders WHERE o_orderkey % 10 = 6;
+    DELETE FROM txr_t WHERE st = 'F' AND k % 100 < 30;
+    UPDATE txr_t SET cents = cents + 777 WHERE k % 7 = 0;
+    ROLLBACK;
+    BEGIN;
+    DELETE FROM txr_t WHERE k % 10 = 3;
+    UPDATE txr_t SET cents = cents - 11 WHERE st = 'O';
+    COMMIT;
+    SELECT st, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(k) AS BIGINT) AS key_sum
+    FROM txr_t GROUP BY st ORDER BY st
+    """,
+)
+def storage_transaction_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEGIN/ROLLBACK/COMMIT multi-statement atomicity through
+    Engine.sql (storage/transaction.py; reference
+    src/transaction/transaction_context.cpp, test/sql/transactions/):
+    BOTH engines run the literal transaction statements — a first
+    transaction staging an INSERT+DELETE+UPDATE is rolled back (its
+    whole net effect must vanish), a second one commits (its net effect
+    must publish as one version).  A staged statement leaking through
+    ROLLBACK, a lost statement inside COMMIT, or wrong statement
+    ordering diverges the per-status counts and exact-cents sums.  The
+    Spark side is ONE manifest commit for the committed transaction
+    (file-granular copy-on-write staging, untouched files by
+    reference)."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+    from data_chunk_compaction_in_duckdb_spark.queries.registry import (
+        retained_tmpdir,
+    )
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    base = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 < 4
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    root = retained_tmpdir("txr_q_")
+    eng.create_versioned_table("txr_t", base, root + "/t")
+    eng.sql("BEGIN")
+    eng.sql(
+        "INSERT INTO txr_t SELECT o_orderkey + 10000000, o_custkey, "
+        "CAST(floor(o_totalprice * 50) AS BIGINT), 'Z' "
+        "FROM orders WHERE o_orderkey % 10 = 6"
+    )
+    eng.sql("DELETE FROM txr_t WHERE st = 'F' AND k % 100 < 30")
+    eng.sql("UPDATE txr_t SET cents = cents + 777 WHERE k % 7 = 0")
+    eng.sql("ROLLBACK")
+    eng.sql("BEGIN")
+    eng.sql("DELETE FROM txr_t WHERE k % 10 = 3")
+    eng.sql("UPDATE txr_t SET cents = cents - 11 WHERE st = 'O'")
+    eng.sql("COMMIT")
+    return eng.sql(
+        "SELECT st, count(*) AS n, "
+        "CAST(sum(cents) AS BIGINT) AS total_cents, "
+        "CAST(sum(k) AS BIGINT) AS key_sum "
+        "FROM txr_t GROUP BY st ORDER BY st"
+    )
+
+
+@query(
+    "storage_transaction_commit_visibility",
+    oracle="""
+    CREATE OR REPLACE TABLE txv_t AS
+      SELECT n_nationkey AS k, n_regionkey AS r FROM nation;
+    CREATE OR REPLACE TABLE txv_log(stage VARCHAR, n BIGINT, rsum BIGINT);
+    BEGIN;
+    INSERT INTO txv_t
+      SELECT n_nationkey + 100, n_regionkey + 10 FROM nation
+      WHERE n_nationkey < 7;
+    UPDATE txv_t SET r = r * 2 WHERE k % 3 = 0;
+    INSERT INTO txv_log
+      SELECT 'staged', count(*), CAST(sum(r) AS BIGINT) FROM txv_t;
+    COMMIT;
+    INSERT INTO txv_log
+      SELECT 'committed', count(*), CAST(sum(r) AS BIGINT) FROM txv_t;
+    BEGIN;
+    DELETE FROM txv_t WHERE k >= 100;
+    ROLLBACK;
+    INSERT INTO txv_log
+      SELECT 'after_rollback', count(*), CAST(sum(r) AS BIGINT) FROM txv_t;
+    SELECT stage, n, rsum FROM txv_log ORDER BY stage
+    """,
+)
+def storage_transaction_commit_visibility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Transaction visibility semantics (storage/transaction.py;
+    reference test/sql/transactions/ visibility grids): a SELECT inside
+    the transaction must see the staged state (read-your-own-writes —
+    the 'staged' log row is written FROM the uncommitted table on both
+    engines), the committed state must persist, and a rolled-back
+    DELETE must restore it.  The oracle drives DuckDB's real
+    transaction machinery with a log table whose in-transaction insert
+    commits atomically with the staged mutations."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+    from data_chunk_compaction_in_duckdb_spark.queries.registry import (
+        retained_tmpdir,
+    )
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    base = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_regionkey").alias("r")
+    )
+    root = retained_tmpdir("txv_q_")
+    eng.create_versioned_table("txv_t", base, root + "/t")
+    agg = "SELECT count(*) AS n, CAST(sum(r) AS BIGINT) AS rsum FROM txv_t"
+    log: list[tuple[str, int, int]] = []
+
+    eng.sql("BEGIN")
+    eng.sql(
+        "INSERT INTO txv_t SELECT n_nationkey + 100, n_regionkey + 10 "
+        "FROM nation WHERE n_nationkey < 7"
+    )
+    eng.sql("UPDATE txv_t SET r = r * 2 WHERE k % 3 = 0")
+    row = eng.sql(agg).collect()[0]  # read-your-own-writes, pre-COMMIT
+    log.append(("staged", row["n"], row["rsum"]))
+    eng.sql("COMMIT")
+    row = eng.sql(agg).collect()[0]
+    log.append(("committed", row["n"], row["rsum"]))
+    eng.sql("BEGIN")
+    eng.sql("DELETE FROM txv_t WHERE k >= 100")
+    eng.sql("ROLLBACK")
+    row = eng.sql(agg).collect()[0]
+    log.append(("after_rollback", row["n"], row["rsum"]))
+    schema = StructType(
+        [
+            StructField("stage", StringType()),
+            StructField("n", LongType()),
+            StructField("rsum", LongType()),
+        ]
+    )
+    return spark.createDataFrame(sorted(log), schema)

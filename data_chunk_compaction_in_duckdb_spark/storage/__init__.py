@@ -18,6 +18,10 @@ from data_chunk_compaction_in_duckdb_spark.storage.sequence import (
     SequenceExhausted,
     with_sequence,
 )
+from data_chunk_compaction_in_duckdb_spark.storage.transaction import (
+    Transaction,
+    TransactionAborted,
+)
 from data_chunk_compaction_in_duckdb_spark.storage.versioned import (
     CommitConflictError,
     ConstraintViolation,
@@ -29,6 +33,8 @@ __all__ = [
     "ConstraintViolation",
     "Sequence",
     "SequenceExhausted",
+    "Transaction",
+    "TransactionAborted",
     "VersionedTable",
     "with_sequence",
 ]

@@ -1,0 +1,143 @@
+"""DML + transaction-statement grammar shared by ``Engine.sql`` and the
+sqllogic runner.
+
+Reference surface: DuckDB's transaction statements (BEGIN [TRANSACTION]
+/ START TRANSACTION / COMMIT / ROLLBACK / ABORT — reference
+src/transaction/transaction_context.cpp, test/sql/transactions/) and
+the table DML statements they wrap (INSERT INTO / DELETE FROM / UPDATE
+... SET — physical_insert.cpp, physical_delete.cpp,
+physical_update.cpp).  Spark SQL parses DML only for v2 catalogs, so
+both SQL entry points intercept these statements BEFORE spark.sql and
+route them to the versioned store / view-rebind machinery — the same
+.test text DuckDB executes natively in the dual-engine grids.
+
+Parsers only; execution lives in storage/transaction.py (staged,
+multi-statement atomic) and engine.py (auto-commit).
+"""
+
+from __future__ import annotations
+
+import re
+
+_BEGIN_RE = re.compile(
+    r"^\s*(?:BEGIN(?:\s+TRANSACTION)?|START\s+TRANSACTION)\s*;?\s*$", re.I
+)
+_COMMIT_RE = re.compile(r"^\s*COMMIT\s*;?\s*$", re.I)
+_ROLLBACK_RE = re.compile(r"^\s*(?:ROLLBACK|ABORT)\s*;?\s*$", re.I)
+
+INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+)\s+(VALUES\b.*|SELECT\b.*)$", re.I | re.S
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?;?\s*$", re.I | re.S
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?);?\s*$", re.I | re.S
+)
+
+
+def parse_txn_verb(sql: str) -> str | None:
+    """'begin' | 'commit' | 'rollback' for a transaction statement
+    (ABORT is DuckDB's rollback alias — probed: same error text), else
+    None."""
+    if _BEGIN_RE.match(sql):
+        return "begin"
+    if _COMMIT_RE.match(sql):
+        return "commit"
+    if _ROLLBACK_RE.match(sql):
+        return "rollback"
+    return None
+
+
+def parse_insert(sql: str) -> tuple[str, str] | None:
+    """``(table, body)`` where body is the VALUES/SELECT tail, or None."""
+    m = INSERT_RE.match(sql)
+    if not m:
+        return None
+    return m.group(1), m.group(2).rstrip().rstrip(";")
+
+
+def parse_delete(sql: str) -> tuple[str, str | None] | None:
+    """``(table, where_sql | None)`` or None."""
+    m = _DELETE_RE.match(sql)
+    if not m:
+        return None
+    where = m.group(2)
+    return m.group(1), (where.strip() or None) if where else None
+
+
+def _split_top_level(text: str, sep: str) -> list[str]:
+    """Split on ``sep`` (a single char or keyword handled by caller) at
+    paren depth 0 and outside single-quoted literals."""
+    parts, depth, start, i, n = [], 0, 0, 0, len(text)
+    in_str = False
+    while i < n:
+        c = text[i]
+        if in_str:
+            if c == "'":
+                # '' escapes a quote inside a literal
+                if i + 1 < n and text[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and c == sep:
+            parts.append(text[start:i])
+            start = i + 1
+        i += 1
+    parts.append(text[start:])
+    return parts
+
+
+def _find_top_level_where(text: str) -> int:
+    """Index of a depth-0 ``WHERE`` keyword outside literals, or -1."""
+    depth, i, n = 0, 0, len(text)
+    in_str = False
+    while i < n:
+        c = text[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < n and text[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and text[i : i + 5].upper() == "WHERE":
+            before = text[i - 1] if i else " "
+            after = text[i + 5] if i + 5 < n else " "
+            if not before.isalnum() and before != "_" and not after.isalnum():
+                return i
+        i += 1
+    return -1
+
+
+def parse_update(sql: str) -> tuple[str, dict[str, str], str | None] | None:
+    """``(table, {column: expr_sql}, where_sql | None)`` or None.  The
+    SET list splits on depth-0 commas outside literals, so expressions
+    may contain function calls and quoted strings."""
+    m = _UPDATE_RE.match(sql)
+    if not m:
+        return None
+    table, tail = m.group(1), m.group(2)
+    wi = _find_top_level_where(tail)
+    where = None
+    if wi >= 0:
+        where = tail[wi + 5 :].strip() or None
+        tail = tail[:wi]
+    assignments: dict[str, str] = {}
+    for part in _split_top_level(tail, ","):
+        if "=" not in part:
+            raise ValueError(f"Parser Error: malformed SET clause: {part!r}")
+        col, expr = part.split("=", 1)
+        assignments[col.strip().strip('"')] = expr.strip()
+    return table, assignments, where

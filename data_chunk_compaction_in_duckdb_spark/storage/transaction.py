@@ -1,0 +1,281 @@
+"""Multi-statement transactions over the versioned store.
+
+Reference parity (src/transaction/transaction_context.cpp,
+transaction_manager.cpp, test/sql/transactions/):
+
+  - BEGIN pins a snapshot: the first touch of each table records its
+    latest version; every staged read/mutation runs against that base —
+    a racing writer never leaks into the transaction (MVCC snapshot).
+  - Statements stage; COMMIT publishes each table's net effect as ONE
+    manifest commit at base+1.  A writer that slipped in between makes
+    base+1 collide and the O_EXCL manifest link raises
+    CommitConflictError — DuckDB's optimistic write-write conflict.
+  - ROLLBACK discards the staging; nothing was ever visible to other
+    readers (no data files are referenced by any manifest until
+    COMMIT; orphans are vacuum-cleaned like any crashed write).
+  - A failed statement (constraint violation) ABORTS the transaction:
+    every later statement raises DuckDB's exact error
+    ("TransactionContext Error: Current transaction is aborted (please
+    ROLLBACK)"), COMMIT of an aborted transaction silently rolls back
+    — both probed on DuckDB 1.0.  Binder-stage errors (bad column,
+    missing table) do NOT abort, also probed.
+
+Scale shape (100 TB): staging is file-granular copy-on-write, same as
+the non-transactional mutations — DELETE/UPDATE locate affected files
+among the not-yet-rewritten base files (a distributed distinct-file
+scan, never a row collect), carry untouched files by reference, and
+compose rewrites LAZILY on the staged frames.  COMMIT writes each
+table's pending rows once (one union, one write job) and publishes one
+manifest; a 50-statement transaction costs one data-write pass, not 50.
+
+Cross-table atomicity: tables commit in name order; if a conflict
+aborts the sequence midway, already-committed tables are compensated
+with ``restore()`` commits back to their pre-transaction version
+(best-effort — a reader can observe the intermediate state, which the
+single-file reference never exposes; the docstring is the contract).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_chunk_compaction_in_duckdb_spark.storage.versioned import (
+    CommitConflictError,
+    ConstraintViolation,
+    VersionedTable,
+)
+
+
+class TransactionAborted(RuntimeError):
+    """DuckDB's exact aborted-transaction error (probed)."""
+
+    def __init__(self) -> None:
+        super().__init__(
+            "TransactionContext Error: Current transaction is aborted "
+            "(please ROLLBACK)"
+        )
+
+
+class _StagedTable:
+    """Per-table staging: ``carry`` (base files not yet rewritten, moved
+    by reference at commit) + ``pending`` (lazy DataFrames of rewritten/
+    inserted rows, written once at commit)."""
+
+    def __init__(self, vt: VersionedTable):
+        self.vt = vt
+        self.base = vt.latest_version()
+        self.m = vt._manifest(self.base)
+        self.carry: set[str] = set(self.m["files"])
+        self.pending: list[DataFrame] = []
+
+    # -- reads -----------------------------------------------------------
+
+    def _stored_cols(self) -> list[str]:
+        return list(self.m["mapping"])
+
+    def _with_generated(self, df: DataFrame) -> DataFrame:
+        return VersionedTable._apply_generated(
+            df.select(*self._stored_cols()), self.m
+        )
+
+    def read(self) -> DataFrame:
+        """The transaction's view of the table: carried base files plus
+        every staged frame (read-your-own-writes)."""
+        frames: list[DataFrame] = []
+        if self.carry:
+            frames.append(self.vt._read_files_logical(self.m, self.carry))
+        frames += [self._with_generated(p) for p in self.pending]
+        if not frames:
+            schema = VersionedTable._logical_schema(self.m)
+            empty = self.vt.spark.createDataFrame([], schema)
+            return VersionedTable._apply_generated(empty, self.m)
+        return reduce(DataFrame.unionByName, frames)
+
+    # -- mutations (all validate at statement time, like the reference:
+    #    a ConstraintViolation here aborts the enclosing transaction) ----
+
+    def insert(self, rows: DataFrame) -> None:
+        aligned = rows.select(*self._stored_cols())
+        self.vt._validate(
+            aligned, self.m.get("constraints", []), current=self.read()
+        )
+        self.pending.append(aligned)
+
+    def _affected_carry(self, cond: Column) -> set[str]:
+        """Files among ``carry`` containing rows matching cond — the
+        same metadata-sized distinct-file collect the non-transactional
+        mutations use (versioned.py _affected_files), restricted to the
+        not-yet-rewritten base files."""
+        if not self.carry:
+            return set()
+        from data_chunk_compaction_in_duckdb_spark.storage.versioned import (
+            _strip_uri,
+        )
+        import os
+
+        cur = self.vt._read_files_logical(self.m, self.carry).withColumn(
+            "_vt_file", F.input_file_name()
+        )
+        hits = cur.filter(cond).select("_vt_file").distinct().collect()
+        return {
+            os.path.relpath(_strip_uri(r["_vt_file"]), self.vt.path)
+            for r in hits
+        }
+
+    def delete_where(self, cond: Column) -> None:
+        keep = ~cond | cond.isNull()
+        affected = self._affected_carry(cond)
+        new_pending = [
+            self._with_generated(p).filter(keep) for p in self.pending
+        ]
+        if affected:
+            new_pending.append(
+                self.vt._read_files_logical(self.m, affected).filter(keep)
+            )
+            self.carry -= affected
+        self.pending = new_pending
+
+    def update_where(
+        self, cond: Column, assignments: Mapping[str, Column]
+    ) -> None:
+        stored = set(self._stored_cols())
+        bad = [c for c in assignments if c not in stored]
+        if bad:
+            raise ValueError(
+                f"Binder Error: cannot UPDATE column(s) {bad} — not a "
+                "stored column (generated columns are computed at read)"
+            )
+
+        def proj(df: DataFrame) -> DataFrame:
+            out = df
+            for col, expr in assignments.items():
+                out = out.withColumn(
+                    col, F.when(cond, expr).otherwise(F.col(col))
+                )
+            # generated columns are recomputed from the post-update
+            # stored values by _with_generated at the next read
+            return out.select(*self._stored_cols())
+
+        affected = self._affected_carry(cond)
+        new_pending = [proj(self._with_generated(p)) for p in self.pending]
+        if affected:
+            new_pending.append(
+                proj(self.vt._read_files_logical(self.m, affected))
+            )
+            self.carry -= affected
+        self.pending = new_pending
+        cons = self.m.get("constraints", [])
+        row_checks = [
+            c for c in cons if c["type"] in ("not_null", "check")
+        ]
+        if row_checks and new_pending:
+            self.vt._validate(
+                reduce(DataFrame.unionByName, new_pending),
+                row_checks,
+                current=None,
+            )
+        pk_touched = [
+            c
+            for c in cons
+            if c["type"] == "primary_key"
+            and set(c["columns"]) & set(assignments)
+        ]
+        if pk_touched:
+            # key-touching UPDATE: the staged POST-state must stay unique
+            self.vt._validate(self.read(), pk_touched, current=None)
+
+    def commit(self) -> int:
+        """One manifest commit at base+1: carried files by reference,
+        all pending frames folded into a single write pass."""
+        new_files: list[str] = []
+        if self.pending:
+            rows = reduce(
+                DataFrame.unionByName,
+                [p.select(*self._stored_cols()) for p in self.pending],
+            )
+            new_files = self.vt._write_data(rows, self.m["mapping"])
+        self.vt._commit(
+            self.base + 1,
+            "txn",
+            sorted(self.carry) + new_files,
+            schema=VersionedTable._logical_schema(self.m),
+            mapping=self.m["mapping"],
+            used_physical=self.m["used_physical"],
+            constraints=self.m.get("constraints", []),
+            generated=self.m.get("generated", {}),
+        )
+        return self.base + 1
+
+
+class Transaction:
+    """One BEGIN..COMMIT/ROLLBACK scope over any number of versioned
+    tables.  Mutations raise through, marking the transaction aborted
+    on constraint violations (the reference's abort-on-failed-statement
+    semantics, probed on DuckDB 1.0)."""
+
+    def __init__(self) -> None:
+        self._staged: dict[str, _StagedTable] = {}
+        self.aborted = False
+
+    def check_active(self) -> None:
+        if self.aborted:
+            raise TransactionAborted()
+
+    def table(self, name: str, vt: VersionedTable) -> _StagedTable:
+        if name not in self._staged:
+            self._staged[name] = _StagedTable(vt)
+        return self._staged[name]
+
+    def read(self, name: str, vt: VersionedTable) -> DataFrame:
+        self.check_active()
+        return self.table(name, vt).read()
+
+    def _guard(self, fn, *args, **kwargs):
+        self.check_active()
+        try:
+            return fn(*args, **kwargs)
+        except ConstraintViolation:
+            self.aborted = True
+            raise
+
+    def insert(self, name: str, vt: VersionedTable, rows: DataFrame) -> None:
+        self._guard(self.table(name, vt).insert, rows)
+
+    def delete_where(
+        self, name: str, vt: VersionedTable, cond: Column
+    ) -> None:
+        self._guard(self.table(name, vt).delete_where, cond)
+
+    def update_where(
+        self,
+        name: str,
+        vt: VersionedTable,
+        cond: Column,
+        assignments: Mapping[str, Column],
+    ) -> None:
+        self._guard(self.table(name, vt).update_where, cond, assignments)
+
+    def commit(self) -> dict[str, int]:
+        """Publish every staged table (name order).  On a mid-sequence
+        CommitConflictError, already-committed tables are compensated
+        with restore() commits back to their pre-transaction versions,
+        then the conflict re-raises for the caller to retry."""
+        if self.aborted:
+            return {}
+        committed: dict[str, int] = {}
+        try:
+            for name in sorted(self._staged):
+                committed[name] = self._staged[name].commit()
+        except CommitConflictError:
+            for name in committed:
+                st = self._staged[name]
+                try:
+                    st.vt.restore(st.base)
+                except Exception:  # noqa: BLE001 — compensation is best-effort
+                    pass
+            raise
+        return committed

@@ -185,6 +185,13 @@ class EngineSqlContext:
         self._generation = 0  # bumped per DDL so replaced paths are fresh
         self.ctas: dict[str, object] = {}  # file-local CREATE TABLE AS
         self._engine = None  # lazy: only index-DDL files pay for it
+        # transaction state (reference test/sql/transactions/): BEGIN
+        # snapshots the catalog dicts — DataFrames are immutable, so a
+        # dict copy IS the MVCC snapshot; ROLLBACK re-registers it
+        self._txn_snap: dict | None = None
+        self._txn_seq_snap: dict | None = None
+        self._txn_art_snap: dict | None = None
+        self._txn_aborted = False
 
     def _eng(self):
         if self._engine is None:
@@ -232,10 +239,82 @@ class EngineSqlContext:
 
     # -- dispatch
 
+    # -- transactions (reference transaction_context.cpp semantics,
+    #    probed on DuckDB 1.0: aborted txn refuses everything but
+    #    COMMIT/ROLLBACK; COMMIT of an aborted txn silently rolls back;
+    #    binder errors do NOT abort, constraint violations do)
+
+    def _txn_restore(self) -> None:
+        eng = self._eng()
+        for name in set(self.ctas) - set(self._txn_snap):
+            self.spark.catalog.dropTempView(name)
+            eng.tables.pop(name, None)
+        for name, df in self._txn_snap.items():
+            if self.ctas.get(name) is not df:
+                df.createOrReplaceTempView(name)
+                eng.tables[name] = df
+        self.ctas = dict(self._txn_snap)
+        # catalog DDL (sequences, indexes) rolls back; sequence VALUE
+        # state does not (probed: nextval survives ROLLBACK)
+        self.sequences = dict(self._txn_seq_snap)
+        if self._engine is not None:
+            self._engine._art_indexes = dict(self._txn_art_snap)
+
+    def _dispatch_txn(self, sql: str):
+        from data_chunk_compaction_in_duckdb_spark.storage import dmlsql
+
+        verb = dmlsql.parse_txn_verb(sql)
+        if verb == "begin":
+            if self._txn_snap is not None:
+                # probed: a nested BEGIN also ABORTS the open transaction
+                self._txn_aborted = True
+                raise SqlLogicError(
+                    "TransactionContext Error: cannot start a "
+                    "transaction within a transaction"
+                )
+            self._txn_snap = dict(self.ctas)
+            self._txn_seq_snap = dict(self.sequences)
+            self._txn_art_snap = dict(
+                getattr(self._engine, "_art_indexes", {}) or {}
+            )
+            self._txn_aborted = False
+            return True
+        if verb == "commit":
+            if self._txn_snap is None:
+                raise SqlLogicError(
+                    "TransactionContext Error: cannot commit - no "
+                    "transaction is active"
+                )
+            if self._txn_aborted:
+                self._txn_restore()
+            self._txn_snap = None
+            return True
+        if verb == "rollback":
+            if self._txn_snap is None:
+                raise SqlLogicError(
+                    "TransactionContext Error: cannot rollback - no "
+                    "transaction is active"
+                )
+            self._txn_restore()
+            self._txn_snap = None
+            return True
+        if self._txn_snap is not None and self._txn_aborted:
+            raise SqlLogicError(
+                "TransactionContext Error: Current transaction is "
+                "aborted (please ROLLBACK)"
+            )
+        return False
+
     def execute(self, sql: str):
         """Returns a DataFrame (queries) or None (statements)."""
         from data_chunk_compaction_in_duckdb_spark import settings as _st
-        from data_chunk_compaction_in_duckdb_spark.storage import seqsql
+        from data_chunk_compaction_in_duckdb_spark.storage import (
+            dmlsql,
+            seqsql,
+        )
+
+        if self._dispatch_txn(sql):
+            return None
 
         # settings surface (SET/RESET/PRAGMA <setting>, current_setting,
         # duckdb_settings) routes through the engine facade so the SAME
@@ -347,6 +426,10 @@ class EngineSqlContext:
                     .count()
                 )
                 if dup:
+                    # a constraint violation ABORTS an open transaction
+                    # (probed DuckDB behavior)
+                    if self._txn_snap is not None:
+                        self._txn_aborted = True
                     raise SqlLogicError(
                         "Constraint Error: Duplicate key violates unique "
                         f'index "{iname}" on {name}({", ".join(cols)})'
@@ -355,6 +438,69 @@ class EngineSqlContext:
             merged.createOrReplaceTempView(name)
             self.ctas[name] = merged
             eng.tables[name] = merged
+            return None
+        d = dmlsql.parse_delete(sql)
+        if d is not None:
+            from pyspark.sql import functions as F
+
+            name, where = d
+            if name not in self.ctas:
+                raise SqlLogicError(
+                    f"Catalog Error: Table with name {name} does not exist"
+                )
+            cond = F.expr(where) if where else F.lit(True)
+            new = self.ctas[name].filter(~cond | cond.isNull())
+            new = new.localCheckpoint(eager=True)
+            new.createOrReplaceTempView(name)
+            self.ctas[name] = new
+            self._eng().tables[name] = new
+            return None
+        u = dmlsql.parse_update(sql)
+        if u is not None:
+            from pyspark.sql import functions as F
+
+            name, assigns, where = u
+            if name not in self.ctas:
+                raise SqlLogicError(
+                    f"Catalog Error: Table with name {name} does not exist"
+                )
+            cond = F.expr(where) if where else F.lit(True)
+            new = self.ctas[name]
+            for col, expr in assigns.items():
+                if col not in new.columns:
+                    raise SqlLogicError(
+                        f'Binder Error: Referenced column "{col}" not found'
+                    )
+                new = new.withColumn(
+                    col, F.when(cond, F.expr(expr)).otherwise(F.col(col))
+                )
+            # an UPDATE re-inserts into unique ART indexes (reference:
+            # delete+insert per updated row) — enforce like INSERT does
+            for iname, info in getattr(
+                self._eng(), "_art_indexes", {}
+            ).items():
+                if info["table"] != name or not info["unique"]:
+                    continue
+                cols = list(info["columns"])
+                dup = (
+                    new.na.drop(subset=cols)
+                    .groupBy(*cols)
+                    .count()
+                    .filter("count > 1")
+                    .limit(1)
+                    .count()
+                )
+                if dup:
+                    if self._txn_snap is not None:
+                        self._txn_aborted = True
+                    raise SqlLogicError(
+                        "Constraint Error: Duplicate key violates unique "
+                        f'index "{iname}" on {name}({", ".join(cols)})'
+                    )
+            new = new.localCheckpoint(eager=True)
+            new.createOrReplaceTempView(name)
+            self.ctas[name] = new
+            self._eng().tables[name] = new
             return None
         m = _CTAS_RE.match(sql)
         if m:

@@ -1,0 +1,181 @@
+"""SQL transaction statements over the versioned store (reference
+src/transaction/transaction_context.cpp, test/sql/transactions/):
+BEGIN/COMMIT/ROLLBACK/ABORT through Engine.sql, staged multi-statement
+atomicity, DuckDB's probed error shapes and abort semantics, and the
+optimistic write-write conflict."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_chunk_compaction_in_duckdb_spark.engine import Engine
+from data_chunk_compaction_in_duckdb_spark.storage import (
+    CommitConflictError,
+    ConstraintViolation,
+)
+from data_chunk_compaction_in_duckdb_spark.storage.transaction import (
+    TransactionAborted,
+)
+
+
+@pytest.fixture()
+def eng(spark, sf_dir, tmp_path):
+    e = Engine(spark=spark, sf_dir=sf_dir, register=False)
+    df = spark.range(10).selectExpr(
+        "id AS k", "CAST(id * 10 AS BIGINT) AS v"
+    )
+    e.create_versioned_table("txt", df, str(tmp_path / "txt"))
+    return e
+
+
+def _count(eng):
+    return eng.sql("SELECT count(*) AS c FROM txt").collect()[0]["c"]
+
+
+def _sum_v(eng):
+    return eng.sql("SELECT sum(v) AS s FROM txt").collect()[0]["s"]
+
+
+def test_rollback_discards_all_statements(eng):
+    assert _count(eng) == 10
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO txt VALUES (100, 1000), (101, 1010)")
+    eng.sql("DELETE FROM txt WHERE k < 3")
+    eng.sql("UPDATE txt SET v = v + 1 WHERE k = 5")
+    assert _count(eng) == 9  # read-your-own-writes inside the txn
+    eng.sql("ROLLBACK")
+    assert _count(eng) == 10
+    assert _sum_v(eng) == sum(i * 10 for i in range(10))
+    # no new version was ever committed
+    assert eng._versioned["txt"].latest_version() == 0
+
+
+def test_commit_is_one_manifest_version(eng):
+    vt = eng._versioned["txt"]
+    eng.sql("BEGIN TRANSACTION")
+    eng.sql("INSERT INTO txt VALUES (100, 1000)")
+    eng.sql("UPDATE txt SET v = 0 WHERE k = 1")
+    eng.sql("DELETE FROM txt WHERE k = 2")
+    eng.sql("COMMIT")
+    assert vt.latest_version() == 1  # three statements, ONE commit
+    assert vt._manifest(1)["op"] == "txn"
+    assert _count(eng) == 10  # 10 + 1 - 1
+    assert _sum_v(eng) == sum(i * 10 for i in range(10)) - 10 - 20 + 1000
+
+
+def test_start_transaction_and_abort_aliases(eng):
+    eng.sql("START TRANSACTION")
+    eng.sql("INSERT INTO txt VALUES (7, 70)")
+    eng.sql("ABORT")
+    assert _count(eng) == 10
+
+
+def test_untouched_files_carried_by_reference(spark, tmp_path):
+    eng = Engine(spark=spark, register=False)
+    df = spark.range(1000).selectExpr("id AS k", "id * 2 AS v").repartition(8)
+    vt = eng.create_versioned_table("cart", df, str(tmp_path / "cart"))
+    base_files = set(vt._manifest(0)["files"])
+    eng.sql("BEGIN")
+    eng.sql("DELETE FROM cart WHERE k = 5")
+    eng.sql("COMMIT")
+    committed = set(vt._manifest(1)["files"])
+    # most base files move by reference; only the file holding k=5 is
+    # rewritten
+    assert len(base_files & committed) >= len(base_files) - 1
+    assert committed != base_files
+
+
+def test_error_shapes_match_duckdb(eng):
+    with pytest.raises(ValueError, match="cannot commit - no transaction"):
+        eng.sql("COMMIT")
+    with pytest.raises(ValueError, match="cannot rollback - no transaction"):
+        eng.sql("ROLLBACK")
+    with pytest.raises(ValueError, match="cannot rollback - no transaction"):
+        eng.sql("ABORT")
+    eng.sql("BEGIN")
+    with pytest.raises(
+        ValueError, match="cannot start a transaction within a transaction"
+    ):
+        eng.sql("BEGIN")
+    eng.sql("ROLLBACK")
+
+
+def test_constraint_violation_aborts_transaction(spark, tmp_path):
+    eng = Engine(spark=spark, register=False)
+    df = spark.range(5).selectExpr("id AS k", "CAST(id AS BIGINT) AS v")
+    eng.create_versioned_table(
+        "pkt",
+        df,
+        str(tmp_path / "pkt"),
+        constraints=[{"type": "primary_key", "columns": ["k"]}],
+    )
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO pkt VALUES (100, 1)")
+    with pytest.raises(ConstraintViolation):
+        eng.sql("INSERT INTO pkt VALUES (3, 9)")  # dup key, staged 100 ok
+    # probed DuckDB: every later statement fails with the aborted error
+    with pytest.raises(TransactionAborted, match="please ROLLBACK"):
+        eng.sql("INSERT INTO pkt VALUES (200, 2)")
+    with pytest.raises(TransactionAborted):
+        eng.sql("SELECT count(*) FROM pkt")
+    # probed DuckDB: COMMIT of an aborted transaction silently rolls back
+    eng.sql("COMMIT")
+    assert (
+        eng.sql("SELECT count(*) AS c FROM pkt").collect()[0]["c"] == 5
+    )
+    assert eng._versioned["pkt"].latest_version() == 0
+
+
+def test_write_write_conflict(spark, tmp_path):
+    e1 = Engine(spark=spark, register=False)
+    df = spark.range(10).selectExpr("id AS k", "id AS v")
+    vt = e1.create_versioned_table("cft", df, str(tmp_path / "cft"))
+    e2 = Engine(spark=spark, register=False)
+    e2._versioned = {"cft": type(vt)(spark, vt.path)}
+    e1.sql("BEGIN")
+    e1.sql("INSERT INTO cft VALUES (100, 100)")
+    e2.sql("BEGIN")
+    e2.sql("INSERT INTO cft VALUES (200, 200)")
+    e1.sql("COMMIT")  # first committer wins
+    with pytest.raises(CommitConflictError):
+        e2.sql("COMMIT")
+    # loser retries on fresh state and succeeds
+    e2.sql("BEGIN")
+    e2.sql("INSERT INTO cft VALUES (200, 200)")
+    e2.sql("COMMIT")
+    assert vt.read().count() == 12
+
+
+def test_snapshot_isolation_other_reader(eng, spark):
+    vt = eng._versioned["txt"]
+    eng.sql("BEGIN")
+    eng.sql("DELETE FROM txt WHERE k >= 5")
+    # an independent reader resolving the committed store sees base state
+    assert vt.read(0).count() == 10
+    eng.sql("COMMIT")
+    assert vt.read().count() == 5
+
+
+def test_update_set_list_parsing(eng):
+    eng.sql("BEGIN")
+    eng.sql(
+        "UPDATE txt SET v = v * 2 + length('a,b'), k = k WHERE k IN (1, 2)"
+    )
+    eng.sql("COMMIT")
+    rows = {
+        r["k"]: r["v"]
+        for r in eng.sql("SELECT k, v FROM txt").collect()
+    }
+    assert rows[1] == 23 and rows[2] == 43 and rows[3] == 30
+
+
+def test_dml_on_unknown_table_errors(eng):
+    with pytest.raises(ValueError, match="Catalog Error"):
+        eng.sql("INSERT INTO nosuch VALUES (1)")
+    # and it does NOT abort an open transaction (binder-stage error)
+    eng.sql("BEGIN")
+    with pytest.raises(ValueError, match="Catalog Error"):
+        eng.sql("DELETE FROM nosuch")
+    eng.sql("INSERT INTO txt VALUES (500, 1)")
+    eng.sql("ROLLBACK")
+    assert _count(eng) == 10

@@ -6802,6 +6802,67 @@ corpus("settings_set_readback", "SET/RESET/PRAGMA settings + current_setting()/d
 ])
 
 
+corpus("transactions_basic", "BEGIN/COMMIT/ROLLBACK/ABORT statement semantics (reference src/transaction/transaction_context.cpp, test/sql/transactions/; Spark side: Engine/EngineSqlContext staged snapshots — error shapes and abort behavior probed on DuckDB 1.0)")([
+    ("ok", "", "CREATE TABLE txb_t AS SELECT n_nationkey AS k, n_regionkey AS r FROM nation"),
+    ("I", "", "SELECT count(*) FROM txb_t"),
+    # error grid: no transaction active
+    ("error", "", "COMMIT"),
+    ("error", "", "ROLLBACK"),
+    ("error", "", "ABORT"),
+    # nested BEGIN errors AND aborts the open transaction (probed)
+    ("ok", "", "BEGIN"),
+    ("error", "", "BEGIN"),
+    ("error", "", "SELECT count(*) FROM txb_t"),
+    ("ok", "", "ROLLBACK"),
+    ("ok", "", "BEGIN"),
+    ("ok", "", "INSERT INTO txb_t VALUES (100, 0), (101, 1)"),
+    ("ok", "", "DELETE FROM txb_t WHERE k % 5 = 0"),
+    ("ok", "", "UPDATE txb_t SET r = r + 100 WHERE k = 101"),
+    # read-your-own-writes inside the transaction
+    ("I", "", "SELECT count(*) FROM txb_t"),
+    ("I", "", "SELECT CAST(sum(r) AS BIGINT) FROM txb_t WHERE k >= 100"),
+    ("ok", "", "ROLLBACK"),
+    # every staged statement is discarded
+    ("I", "", "SELECT count(*) FROM txb_t"),
+    ("I", "", "SELECT count(*) FROM txb_t WHERE k >= 100"),
+    # commit path: the net effect of all statements publishes at once
+    ("ok", "", "START TRANSACTION"),
+    ("ok", "", "INSERT INTO txb_t VALUES (200, 7)"),
+    ("ok", "", "UPDATE txb_t SET r = 99 WHERE k = 3"),
+    ("ok", "", "COMMIT"),
+    ("I", "", "SELECT count(*) FROM txb_t"),
+    ("I", "", "SELECT r FROM txb_t WHERE k = 3"),
+    # catalog DDL is transactional: a rolled-back CTAS vanishes (probed)
+    ("ok", "", "BEGIN"),
+    ("ok", "", "CREATE TABLE txb_u AS SELECT 42 AS z"),
+    ("I", "", "SELECT z FROM txb_u"),
+    ("ok", "", "ROLLBACK"),
+    ("error", "", "SELECT z FROM txb_u"),
+    # a constraint violation ABORTS the transaction: later statements
+    # refuse, COMMIT silently rolls back (probed)
+    ("ok", "", "CREATE TABLE txb_v AS SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 5"),
+    ("ok", "", "CREATE UNIQUE INDEX txb_vi ON txb_v(k)"),
+    ("ok", "", "BEGIN"),
+    ("ok", "", "INSERT INTO txb_v VALUES (50)"),
+    ("error", "", "INSERT INTO txb_v VALUES (2)"),
+    ("error", "", "SELECT count(*) FROM txb_v"),
+    ("error", "", "INSERT INTO txb_v VALUES (60)"),
+    ("ok", "", "COMMIT"),
+    ("I", "", "SELECT count(*) FROM txb_v"),
+    # the connection is usable again after the aborted transaction
+    ("ok", "", "BEGIN"),
+    ("ok", "", "INSERT INTO txb_v VALUES (70)"),
+    ("ok", "", "COMMIT"),
+    ("I", "", "SELECT count(*) FROM txb_v"),
+    # binder-stage errors do NOT abort (probed: bad column then a
+    # working query in the same transaction)
+    ("ok", "", "BEGIN"),
+    ("error", "", "SELECT nosuch_col FROM txb_t"),
+    ("I", "", "SELECT count(*) FROM txb_t"),
+    ("ok", "", "ROLLBACK"),
+])
+
+
 def main() -> int:
     import duckdb
 
