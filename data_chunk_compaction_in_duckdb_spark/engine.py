@@ -96,6 +96,15 @@ class Engine:
         if handled is not _UNHANDLED:
             return handled
 
+        # PREPARE/EXECUTE/DEALLOCATE (reference test/sql/prepared/,
+        # src/main/prepared_statement.cpp): EXECUTE of a SELECT-ish
+        # body binds the arguments as literal Columns through Spark's
+        # parameterized SQL (never interpolation); prepared DML
+        # re-enters this dispatch with the markers substituted
+        handled = self._dispatch_prepared(query)
+        if handled is not _UNHANDLED:
+            return handled
+
         # settings statements (reference src/main/settings/,
         # test/sql/settings/): SET/PRAGMA <known setting>, RESET <name>.
         # Dotted Spark conf keys never match the name grammar, so
@@ -303,6 +312,30 @@ class Engine:
         if txn is not None and txn.aborted:
             raise TransactionAborted()
         return _UNHANDLED
+
+    # -- prepared statements (reference test/sql/prepared/)
+
+    def _prepared_store(self):
+        if getattr(self, "_prepared", None) is None:
+            from data_chunk_compaction_in_duckdb_spark.prepared import (
+                PreparedStore,
+            )
+
+            self._prepared = PreparedStore()
+        return self._prepared
+
+    def _dispatch_prepared(self, query: str):
+        from pyspark.sql import functions as F
+
+        from data_chunk_compaction_in_duckdb_spark import prepared as P
+
+        def run_sql(bound: str, binds: dict[str, str]):
+            return self.sql(bound, **P.fold_args(self.spark, binds))
+
+        handled, result = P.dispatch(
+            self._prepared_store(), query, run_sql, self.sql
+        )
+        return result if handled else _UNHANDLED
 
     def _require_versioned(self, name: str):
         vt = getattr(self, "_versioned", {}).get(name)

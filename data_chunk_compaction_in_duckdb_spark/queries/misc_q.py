@@ -892,3 +892,38 @@ def introspect_table_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pragma_table_info(spark, t)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "prepared_execute_params",
+    oracle="""
+    PREPARE r8_pq AS
+      SELECT o_orderstatus AS st, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS keysum
+      FROM orders
+      WHERE o_orderkey % $1 = $2 AND o_totalprice > $3
+      GROUP BY o_orderstatus ORDER BY st;
+    EXECUTE r8_pq(7, 3, 1000.0)
+    """,
+)
+def prepared_execute_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREPARE/EXECUTE parity (prepared.py; reference
+    src/main/prepared_statement.cpp, test/sql/prepared/): BOTH engines
+    run the literal PREPARE then EXECUTE with three numbered
+    parameters — the oracle through DuckDB's real prepared-statement
+    machinery, the engine through prepared.py's marker rewrite +
+    literal-Column binding (never string interpolation).  A
+    mis-numbered marker, wrong binding order, or type-lossy fold
+    diverges the per-status counts and key sums."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.sql(
+        "PREPARE r8_pq AS "
+        "SELECT o_orderstatus AS st, count(*) AS n, "
+        "CAST(sum(o_orderkey) AS BIGINT) AS keysum "
+        "FROM orders "
+        "WHERE o_orderkey % $1 = $2 AND o_totalprice > $3 "
+        "GROUP BY o_orderstatus ORDER BY st"
+    )
+    return eng.sql("EXECUTE r8_pq(7, 3, 1000.0)")

@@ -316,6 +316,27 @@ class EngineSqlContext:
         if self._dispatch_txn(sql):
             return None
 
+        # PREPARE/EXECUTE/DEALLOCATE (reference test/sql/prepared/):
+        # same shared dispatch as Engine.sql; prepared DML re-enters
+        # this context's own statement dispatch
+        from data_chunk_compaction_in_duckdb_spark import prepared as _prep
+
+        if getattr(self, "_prepared", None) is None:
+            self._prepared = _prep.PreparedStore()
+
+        def _run_prepared_sql(bound: str, binds: dict):
+            if binds:
+                return self.spark.sql(
+                    bound, args=_prep.fold_args(self.spark, binds)
+                )
+            return self.spark.sql(bound)
+
+        handled, result = _prep.dispatch(
+            self._prepared, sql, _run_prepared_sql, self.execute
+        )
+        if handled:
+            return result
+
         # settings surface (SET/RESET/PRAGMA <setting>, current_setting,
         # duckdb_settings) routes through the engine facade so the SAME
         # .test text runs natively in DuckDB

@@ -6863,6 +6863,55 @@ corpus("transactions_basic", "BEGIN/COMMIT/ROLLBACK/ABORT statement semantics (r
 ])
 
 
+corpus("prepared_statements", "PREPARE/EXECUTE/DEALLOCATE grammar (reference src/main/prepared_statement.cpp, test/sql/prepared/; Spark side: prepared.py binding arguments as literal Columns through parameterized SQL — arity/unknown-name/parser error shapes probed on DuckDB 1.0)")([
+    # numbered parameters, reuse of $1 in two expressions
+    ("ok", "", "PREPARE psq_a AS SELECT $1 + $2 AS s, $1 * 2 AS d"),
+    ("II", "", "EXECUTE psq_a(3, 4)"),
+    ("error", "", "EXECUTE psq_a(3)"),
+    ("error", "", "EXECUTE psq_a(1, 2, 3)"),
+    ("error", "", "EXECUTE psq_a()"),
+    # re-PREPARE silently replaces
+    ("ok", "", "PREPARE psq_a AS SELECT $1 * 10 AS s"),
+    ("I", "", "EXECUTE psq_a(5)"),
+    # auto-numbered ? markers
+    ("ok", "", "PREPARE psq_q AS SELECT ? + ? AS s"),
+    ("I", "", "EXECUTE psq_q(1, 2)"),
+    ("error", "", "EXECUTE psq_q(1)"),
+    # named parameters: any order, := form, positional args refuse
+    ("ok", "", "PREPARE psq_n AS SELECT $a * $b AS p"),
+    ("I", "", "EXECUTE psq_n(a := 6, b := 7)"),
+    ("I", "", "EXECUTE psq_n(b := 7, a := 6)"),
+    ("error", "", "EXECUTE psq_n(6, 7)"),
+    ("error", "", "EXECUTE psq_n(a := 6)"),
+    # table-referencing prepared statement over the fixture views
+    ("ok", "", "PREPARE psq_t AS SELECT count(*) AS c FROM orders WHERE o_orderkey % 10 < $1"),
+    ("I", "", "EXECUTE psq_t(3)"),
+    ("I", "", "EXECUTE psq_t(0)"),
+    ("error", "", "EXECUTE psq_t"),
+    # constant-expression arguments evaluate (probed)
+    ("ok", "", "PREPARE psq_s AS SELECT upper($1) AS u, length($1) AS l"),
+    ("TI", "", "EXECUTE psq_s('abc')"),
+    ("TI", "", "EXECUTE psq_s('x' || 'y')"),
+    ("TI", "", "EXECUTE psq_s(upper('ab'))"),
+    # a marker inside a string literal is DATA, never a parameter
+    ("ok", "", "PREPARE psq_lit AS SELECT '$1' AS t, $1 AS v"),
+    ("TI", "", "EXECUTE psq_lit(9)"),
+    # unknown-name / lifecycle grid
+    ("error", "", "EXECUTE nosuch_ps(1)"),
+    ("ok", "", "DEALLOCATE psq_a"),
+    ("error", "", "EXECUTE psq_a(5)"),
+    ("ok", "", "DEALLOCATE psq_a"),
+    ("ok", "", "DEALLOCATE PREPARE psq_q"),
+    ("error", "", "EXECUTE psq_q(1, 2)"),
+    # catalog errors surface at PREPARE time (probed)
+    ("error", "", "PREPARE psq_bad AS SELECT count(*) AS c FROM nosuch_table WHERE x = $1"),
+    # a zero-parameter prepared statement executes bare
+    ("ok", "", "PREPARE psq_z AS SELECT 41 + 1 AS z"),
+    ("I", "", "EXECUTE psq_z"),
+    ("error", "", "EXECUTE psq_z(5)"),
+])
+
+
 def main() -> int:
     import duckdb
 
