@@ -26,6 +26,22 @@ from data_chunk_compaction_in_duckdb_spark.session import get_spark
 
 _UNHANDLED = object()  # sentinel: statement not a txn/DML form
 
+import re as _re  # noqa: E402 — view/schema DDL grammar below
+
+_CREATE_VIEW_RE = _re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*?);?\s*$",
+    _re.I | _re.S,
+)
+_DROP_VIEW_RE = _re.compile(
+    r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", _re.I
+)
+_CREATE_SCHEMA_RE = _re.compile(
+    r"^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*;?\s*$", _re.I
+)
+_DROP_SCHEMA_RE = _re.compile(
+    r"^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", _re.I
+)
+
 
 class Engine:
     """One engine instance ≈ one reference Connection: a SparkSession with
@@ -104,6 +120,14 @@ class Engine:
         handled = self._dispatch_prepared(query)
         if handled is not _UNHANDLED:
             return handled
+
+        # CREATE/DROP VIEW + CREATE/DROP SCHEMA DDL and the catalog
+        # table-function readbacks (duckdb_tables/views/schemas/types/
+        # keywords/functions — reference src/function/table/system/)
+        handled = self._dispatch_view_schema(query)
+        if handled is not _UNHANDLED:
+            return handled
+        query = self._rewrite_catalog_tfs(query)
 
         # settings statements (reference src/main/settings/,
         # test/sql/settings/): SET/PRAGMA <known setting>, RESET <name>.
@@ -312,6 +336,123 @@ class Engine:
         if txn is not None and txn.aborted:
             raise TransactionAborted()
         return _UNHANDLED
+
+    # -- view / schema DDL + catalog readback (reference
+    #    src/function/table/system/duckdb_tables.cpp, duckdb_views.cpp,
+    #    duckdb_schemas.cpp, duckdb_types.cpp, duckdb_keywords.cpp,
+    #    duckdb_functions.cpp; test/sql/pg_catalog/)
+
+    def _dispatch_view_schema(self, query: str):
+        """CREATE/DROP VIEW and CREATE/DROP SCHEMA — Spark temp views
+        plus an engine-side DDL registry so duckdb_views()/
+        duckdb_schemas() can read back DuckDB's catalog shape."""
+        m = _CREATE_VIEW_RE.match(query)
+        if m:
+            or_replace, name, body = bool(m.group(1)), m.group(2), m.group(3)
+            views = getattr(self, "_views", {})
+            if name in views and not or_replace:
+                raise ValueError(
+                    f'Catalog Error: View with name "{name}" already exists'
+                )
+            body = body.strip()
+            self.spark.sql(body).createOrReplaceTempView(name)
+            self._views = {**views, name: body}
+            return None
+        m = _DROP_VIEW_RE.match(query)
+        if m:
+            if_exists, name = bool(m.group(1)), m.group(2)
+            views = getattr(self, "_views", {})
+            if name not in views:
+                if if_exists:
+                    return None
+                raise ValueError(
+                    f"Catalog Error: View with name {name} does not exist"
+                )
+            del views[name]
+            self.spark.catalog.dropTempView(name)
+            return None
+        m = _CREATE_SCHEMA_RE.match(query)
+        if m:
+            if_not_exists, name = bool(m.group(1)), m.group(2)
+            schemas = getattr(self, "_schemas", set())
+            if name in schemas and not if_not_exists:
+                raise ValueError(
+                    f'Catalog Error: Schema with name "{name}" already exists'
+                )
+            self._schemas = schemas | {name}
+            return None
+        m = _DROP_SCHEMA_RE.match(query)
+        if m:
+            if_exists, name = bool(m.group(1)), m.group(2)
+            schemas = getattr(self, "_schemas", set())
+            if name not in schemas:
+                if if_exists:
+                    return None
+                raise ValueError(
+                    f"Catalog Error: Schema with name {name} does not exist"
+                )
+            self._schemas = schemas - {name}
+            return None
+        return _UNHANDLED
+
+    def _rewrite_catalog_tfs(self, query: str) -> str:
+        """Materialize any catalog-TF call site (``duckdb_tables()``
+        etc.) into a temp view and rewrite the call (outside literals)
+        — the same round-trippable pattern duckdb_settings() uses, so
+        the SAME SQL text runs natively in DuckDB."""
+        from data_chunk_compaction_in_duckdb_spark.settings import (
+            sub_outside_literals,
+        )
+
+        for fname, builder in (
+            ("duckdb_tables", self.duckdb_tables),
+            ("duckdb_views", self.duckdb_views),
+            ("duckdb_schemas", self.duckdb_schemas),
+            ("duckdb_types", self.duckdb_types),
+            ("duckdb_keywords", self.duckdb_keywords),
+            ("duckdb_functions", self.duckdb_functions),
+        ):
+            pat = _re.compile(rf"\b{fname}\s*\(\s*\)", _re.I)
+            if pat.search(query):
+                builder().createOrReplaceTempView(f"__{fname}")
+                query = sub_outside_literals(pat, f"__{fname}", query)
+        return query
+
+    def duckdb_tables(self) -> DataFrame:
+        from data_chunk_compaction_in_duckdb_spark import introspect
+
+        return introspect.duckdb_tables(
+            self.spark,
+            getattr(self, "_versioned", {}),
+            getattr(self, "_art_indexes", {}),
+        )
+
+    def duckdb_views(self) -> DataFrame:
+        from data_chunk_compaction_in_duckdb_spark import introspect
+
+        return introspect.duckdb_views(self.spark, getattr(self, "_views", {}))
+
+    def duckdb_schemas(self) -> DataFrame:
+        from data_chunk_compaction_in_duckdb_spark import introspect
+
+        return introspect.duckdb_schemas(
+            self.spark, sorted(getattr(self, "_schemas", set()))
+        )
+
+    def duckdb_types(self) -> DataFrame:
+        from data_chunk_compaction_in_duckdb_spark import introspect
+
+        return introspect.duckdb_types(self.spark)
+
+    def duckdb_keywords(self) -> DataFrame:
+        from data_chunk_compaction_in_duckdb_spark import introspect
+
+        return introspect.duckdb_keywords(self.spark)
+
+    def duckdb_functions(self) -> DataFrame:
+        from data_chunk_compaction_in_duckdb_spark import introspect
+
+        return introspect.duckdb_functions(self.spark)
 
     # -- prepared statements (reference test/sql/prepared/)
 

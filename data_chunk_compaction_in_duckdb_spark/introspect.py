@@ -483,3 +483,302 @@ def _pragma_table_info_versioned(spark: SparkSession, vt) -> DataFrame:
         for i, f in enumerate(vt.read().schema.fields)
     ]
     return spark.createDataFrame(rows, _TABLE_INFO_SCHEMA)
+
+
+# ------------------------------------------ catalog table functions
+# (reference src/function/table/system/duckdb_tables.cpp,
+#  duckdb_views.cpp, duckdb_schemas.cpp, duckdb_types.cpp,
+#  duckdb_keywords.cpp, duckdb_functions.cpp; test/sql/pg_catalog/)
+#
+# All metadata-scale, driver-built — the one exception is
+# duckdb_tables()'s estimated_size, which reads parquet FOOTERS only
+# (O(files) local reads, never data pages).
+
+
+def duckdb_keywords(spark: SparkSession) -> DataFrame:
+    """duckdb_keywords(): the full keyword/category table (golden data
+    from the oracle engine's catalog, catalog_data.py — DuckDB's
+    parser keyword classes are the engine's SQL-surface contract)."""
+    from data_chunk_compaction_in_duckdb_spark.catalog_data import KEYWORDS
+
+    return spark.createDataFrame(
+        list(KEYWORDS),
+        T.StructType(
+            [
+                T.StructField("keyword_name", T.StringType()),
+                T.StructField("keyword_category", T.StringType()),
+            ]
+        ),
+    )
+
+
+def duckdb_types(spark: SparkSession) -> DataFrame:
+    """duckdb_types(): one row per built-in type of the main catalog
+    (DISTINCT over the per-database copies; deterministic columns —
+    oids vary per connection and are omitted)."""
+    from data_chunk_compaction_in_duckdb_spark.catalog_data import TYPES
+
+    return spark.createDataFrame(
+        list(TYPES),
+        T.StructType(
+            [
+                T.StructField("type_name", T.StringType()),
+                T.StructField("type_size", T.LongType(), True),
+                T.StructField("logical_type", T.StringType()),
+                T.StructField("type_category", T.StringType(), True),
+            ]
+        ),
+    )
+
+
+_SCHEMAS_SCHEMA = T.StructType(
+    [
+        T.StructField("database_name", T.StringType()),
+        T.StructField("schema_name", T.StringType()),
+        T.StructField("internal", T.BooleanType()),
+        T.StructField("sql", T.StringType(), True),
+    ]
+)
+
+
+def duckdb_schemas(
+    spark: SparkSession, custom: list[str] | None = None
+) -> DataFrame:
+    """duckdb_schemas(): the fresh-connection schema layout (three
+    databases × information_schema/main/pg_catalog, all internal) plus
+    any user-created schemas in the session catalog (internal=false,
+    sql NULL — probed: DuckDB stores no sql for CREATE SCHEMA)."""
+    from data_chunk_compaction_in_duckdb_spark.catalog_data import SCHEMAS
+
+    rows = [(d, s, i, None) for d, s, i in SCHEMAS]
+    for name in sorted(custom or []):
+        rows.append(("memory", name, False, None))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return spark.createDataFrame(rows, _SCHEMAS_SCHEMA)
+
+
+def quote_ident(name: str) -> str:
+    """DuckDB's optionally-quoted identifier rendering (probed: ANY
+    keyword — reserved, unreserved, column_name, type_function — is
+    quoted; so is anything with characters outside [A-Za-z0-9_] or a
+    leading digit; bare CamelCase stays unquoted)."""
+    import re as _re
+
+    from data_chunk_compaction_in_duckdb_spark.catalog_data import (
+        KEYWORD_SET,
+    )
+
+    if name.lower() in KEYWORD_SET or not _re.match(
+        r"^[A-Za-z_][A-Za-z0-9_]*$", name
+    ):
+        return '"' + name.replace('"', '""') + '"'
+    return name
+
+
+def render_create_table(
+    name: str, schema: T.StructType, constraints: list[dict]
+) -> str:
+    """DuckDB's canonical ``sql`` rendering of a table (probed):
+    single-column PRIMARY KEY and NOT NULL inline on the column,
+    multi-column PRIMARY KEY and every CHECK as table-level clauses in
+    declaration order, types in DuckDB names, identifiers optionally
+    quoted."""
+    pk_inline: set[str] = set()
+    notnull: set[str] = set()
+    tail: list[str] = []
+    for c in constraints:
+        kind = c["type"]
+        if kind == "primary_key":
+            cols = list(c["columns"])
+            if len(cols) == 1:
+                pk_inline.add(cols[0])
+            else:
+                tail.append(f"PRIMARY KEY({', '.join(quote_ident(k) for k in cols)})")
+        elif kind == "not_null":
+            notnull.add(c["column"])
+        elif kind == "check":
+            tail.append(f"CHECK(({c['expr']}))")
+    cols = []
+    for f in schema.fields:
+        part = f"{quote_ident(f.name)} {duckdb_type_name(f.dataType)}"
+        if f.name in pk_inline:
+            part += " PRIMARY KEY"
+        elif f.name in notnull:
+            part += " NOT NULL"
+        cols.append(part)
+    return f"CREATE TABLE {quote_ident(name)}({', '.join(cols + tail)});"
+
+
+_TABLES_SCHEMA = T.StructType(
+    [
+        T.StructField("database_name", T.StringType()),
+        T.StructField("schema_name", T.StringType()),
+        T.StructField("table_name", T.StringType()),
+        T.StructField("internal", T.BooleanType()),
+        T.StructField("temporary", T.BooleanType()),
+        T.StructField("has_primary_key", T.BooleanType()),
+        T.StructField("estimated_size", T.LongType()),
+        T.StructField("column_count", T.LongType()),
+        T.StructField("index_count", T.LongType()),
+        T.StructField("check_constraint_count", T.LongType()),
+        T.StructField("sql", T.StringType()),
+    ]
+)
+
+
+def _manifest_row_count(vt) -> int:
+    """Exact row count from parquet footers — O(files) local metadata
+    reads, no data pages (DuckDB's estimated_size is the exact count
+    after loads, probed)."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    m = vt._manifest(vt.latest_version())
+    return sum(
+        pq.ParquetFile(_os.path.join(vt.path, f)).metadata.num_rows
+        for f in m["files"]
+    )
+
+
+def duckdb_tables(
+    spark: SparkSession, tables: dict, indexes: dict | None = None
+) -> DataFrame:
+    """duckdb_tables() over ``{name: VersionedTable}`` (+ the engine's
+    ART-analog index registry for index_count): DuckDB's deterministic
+    columns and its canonical CREATE TABLE rendering — oids omitted
+    (connection-specific).  A PRIMARY KEY counts as one index, like
+    the reference's implicit PK ART."""
+    rows = []
+    for tname, vt in tables.items():
+        m = vt._manifest(vt.latest_version())
+        schema = vt._logical_schema(m)
+        cons = m.get("constraints", [])
+        pk = [c for c in cons if c["type"] == "primary_key"]
+        checks = [c for c in cons if c["type"] == "check"]
+        n_art = sum(
+            1
+            for info in (indexes or {}).values()
+            if info["table"] == tname
+        )
+        rows.append(
+            (
+                "memory",
+                "main",
+                tname,
+                False,
+                False,
+                bool(pk),
+                _manifest_row_count(vt),
+                len(schema.fields),
+                len(pk) + n_art,
+                len(checks),
+                render_create_table(tname, schema, cons),
+            )
+        )
+    rows.sort(key=lambda r: r[2])
+    return spark.createDataFrame(rows, _TABLES_SCHEMA)
+
+
+_VIEWS_SCHEMA = T.StructType(
+    [
+        T.StructField("database_name", T.StringType()),
+        T.StructField("schema_name", T.StringType()),
+        T.StructField("view_name", T.StringType()),
+        T.StructField("internal", T.BooleanType()),
+        T.StructField("temporary", T.BooleanType()),
+        T.StructField("column_count", T.LongType()),
+        T.StructField("sql", T.StringType()),
+    ]
+)
+
+
+def duckdb_views(spark: SparkSession, views: dict[str, str]) -> DataFrame:
+    """duckdb_views() over the engine's CREATE VIEW registry
+    ``{name: body_sql}``: column_count resolved from the session view's
+    schema, sql rendered as DuckDB stores it (``CREATE VIEW n AS
+    body;`` — the body is DuckDB's deparse of the parsed query, so
+    callers keep bodies in round-trip form: explicit parens on
+    arithmetic/comparisons, no count(*) shorthand)."""
+    rows = []
+    for vname, body in views.items():
+        rows.append(
+            (
+                "memory",
+                "main",
+                vname,
+                False,
+                False,
+                len(spark.table(vname).columns),
+                f"CREATE VIEW {quote_ident(vname)} AS {body};",
+            )
+        )
+    rows.sort(key=lambda r: r[2])
+    return spark.createDataFrame(rows, _VIEWS_SCHEMA)
+
+
+# The engine's SQL-function surface, classified with DuckDB's
+# function_type taxonomy (duckdb_functions.cpp; classifications probed
+# against DuckDB 1.0's catalog — 'range'/'generate_series'/'repeat'
+# are both scalar and table there, nullif is a macro).  One row per
+# (name, type) pair, like SELECT DISTINCT function_name, function_type
+# FROM duckdb_functions().
+FUNCTION_CATALOG: list[tuple[str, str]] = sorted(
+    [(n, t) for n, types in {
+        "abs": ["scalar"], "upper": ["scalar"], "lower": ["scalar"],
+        "trim": ["scalar"], "replace": ["scalar"], "reverse": ["scalar"],
+        "concat": ["scalar"], "substr": ["scalar"], "length": ["scalar"],
+        "round": ["scalar"], "floor": ["scalar"], "ceil": ["scalar"],
+        "sqrt": ["scalar"], "ln": ["scalar"], "exp": ["scalar"],
+        "sign": ["scalar"], "mod": ["scalar"], "pow": ["scalar"],
+        "greatest": ["scalar"], "least": ["scalar"], "nullif": ["macro"],
+        "date_trunc": ["scalar"], "date_part": ["scalar"],
+        "year": ["scalar"], "month": ["scalar"], "day": ["scalar"],
+        "last_day": ["scalar"], "strftime": ["scalar"],
+        "regexp_matches": ["scalar"], "regexp_replace": ["scalar"],
+        "regexp_extract": ["scalar"], "list_extract": ["scalar"],
+        "list_contains": ["scalar"], "unnest": ["table"],
+        "contains": ["scalar"], "starts_with": ["scalar"],
+        "string_split": ["scalar"], "md5": ["scalar"], "hash": ["scalar"],
+        "levenshtein": ["scalar"], "jaccard": ["scalar"],
+        "hamming": ["scalar"], "jaro_winkler_similarity": ["scalar"],
+        "damerau_levenshtein": ["scalar"],
+        "sum": ["aggregate"], "avg": ["aggregate"], "count": ["aggregate"],
+        "min": ["aggregate"], "max": ["aggregate"],
+        "median": ["aggregate"], "mode": ["aggregate"],
+        "entropy": ["aggregate"], "histogram": ["aggregate"],
+        "corr": ["aggregate"], "covar_pop": ["aggregate"],
+        "stddev": ["aggregate"], "variance": ["aggregate"],
+        "arg_min": ["aggregate"], "arg_max": ["aggregate"],
+        "string_agg": ["aggregate"], "bool_and": ["aggregate"],
+        "bool_or": ["aggregate"], "bit_and": ["aggregate"],
+        "bit_or": ["aggregate"], "product": ["aggregate"],
+        "quantile_cont": ["aggregate"], "quantile_disc": ["aggregate"],
+        "mad": ["aggregate"], "approx_count_distinct": ["aggregate"],
+        "approx_quantile": ["aggregate"],
+        "reservoir_quantile": ["aggregate"],
+        "nextval": ["scalar"], "currval": ["scalar"],
+        "range": ["scalar", "table"],
+        "generate_series": ["scalar", "table"],
+        "repeat": ["scalar", "table"],
+        "read_parquet": ["table"], "read_csv": ["table"],
+        "glob": ["table"],
+    }.items() for t in types]
+)
+
+
+def duckdb_functions(spark: SparkSession) -> DataFrame:
+    """duckdb_functions() readback, reduced to the deterministic
+    (function_name, function_type) grain: the functions the engine
+    implements (queries/functions_*.py, functions/, sources/) with the
+    classification DuckDB's own catalog gives them — the oracle
+    DISTINCT-filters the real catalog to the same names."""
+    return spark.createDataFrame(
+        FUNCTION_CATALOG,
+        T.StructType(
+            [
+                T.StructField("function_name", T.StringType()),
+                T.StructField("function_type", T.StringType()),
+            ]
+        ),
+    )

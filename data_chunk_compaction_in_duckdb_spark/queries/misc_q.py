@@ -927,3 +927,242 @@ def prepared_execute_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY o_orderstatus ORDER BY st"
     )
     return eng.sql("EXECUTE r8_pq(7, 3, 1000.0)")
+
+
+@query(
+    "introspect_keywords",
+    oracle="""
+    SELECT keyword_name, keyword_category FROM duckdb_keywords()
+    ORDER BY keyword_name
+    """,
+)
+def introspect_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duckdb_keywords() readback vs DuckDB's OWN catalog function
+    (introspect.duckdb_keywords; reference src/function/table/system/
+    duckdb_keywords.cpp): the engine's full keyword/category table —
+    the classification its identifier-quoting renderer uses — must
+    equal the real parser catalog row-for-row (479 rows, 4 classes)."""
+    from data_chunk_compaction_in_duckdb_spark.introspect import (
+        duckdb_keywords,
+    )
+
+    return duckdb_keywords(spark).orderBy("keyword_name")
+
+
+@query(
+    "introspect_types",
+    oracle="""
+    SELECT DISTINCT type_name, type_size, logical_type, type_category
+    FROM duckdb_types()
+    WHERE database_name = 'memory' AND schema_name = 'main' AND internal
+    ORDER BY type_name
+    """,
+)
+def introspect_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duckdb_types() readback vs DuckDB's OWN catalog function
+    (introspect.duckdb_types; reference src/function/table/system/
+    duckdb_types.cpp): the built-in type table — name, physical size,
+    logical type id, category — for the main catalog; oids are
+    connection-specific and excluded on both sides."""
+    from data_chunk_compaction_in_duckdb_spark.introspect import (
+        duckdb_types,
+    )
+
+    return duckdb_types(spark).orderBy("type_name")
+
+
+@query(
+    "introspect_schemas",
+    oracle="""
+    CREATE SCHEMA IF NOT EXISTS r8sch;
+    SELECT database_name, schema_name, internal
+    FROM duckdb_schemas()
+    ORDER BY database_name, schema_name
+    """,
+)
+def introspect_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duckdb_schemas() readback vs DuckDB's OWN catalog function
+    (introspect.duckdb_schemas; reference src/function/table/system/
+    duckdb_schemas.cpp): the fresh-connection layout (three databases x
+    three internal schemas) plus one user-created schema through the
+    engine's CREATE SCHEMA dispatch — internal flags and sort order
+    must agree."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.sql("CREATE SCHEMA IF NOT EXISTS r8sch")
+    return eng.duckdb_schemas().select(
+        "database_name", "schema_name", "internal"
+    )
+
+
+@query(
+    "introspect_functions",
+    oracle="""
+    SELECT DISTINCT function_name, function_type
+    FROM duckdb_functions()
+    WHERE function_name IN (
+      'abs','upper','lower','trim','replace','reverse','concat','substr',
+      'length','round','floor','ceil','sqrt','ln','exp','sign','mod','pow',
+      'greatest','least','nullif','date_trunc','date_part','year','month',
+      'day','last_day','strftime','regexp_matches','regexp_replace',
+      'regexp_extract','list_extract','list_contains','unnest','contains',
+      'starts_with','string_split','md5','hash','levenshtein','jaccard',
+      'hamming','jaro_winkler_similarity','damerau_levenshtein','sum','avg',
+      'count','min','max','median','mode','entropy','histogram','corr',
+      'covar_pop','stddev','variance','arg_min','arg_max','string_agg',
+      'bool_and','bool_or','bit_and','bit_or','product','quantile_cont',
+      'quantile_disc','mad','approx_count_distinct','approx_quantile',
+      'reservoir_quantile','nextval','currval','range','generate_series',
+      'repeat','read_parquet','read_csv','glob')
+    ORDER BY function_name, function_type
+    """,
+)
+def introspect_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duckdb_functions() readback at the deterministic
+    (function_name, function_type) grain (introspect.FUNCTION_CATALOG;
+    reference src/function/table/system/duckdb_functions.cpp): every
+    function the engine claims — scalar/aggregate/table/macro — must
+    carry the SAME classification in DuckDB's real catalog, including
+    the dual-typed scalar+table generators (range/generate_series/
+    repeat) and nullif's macro kind."""
+    from data_chunk_compaction_in_duckdb_spark.introspect import (
+        duckdb_functions,
+    )
+
+    return duckdb_functions(spark).orderBy(
+        "function_name", "function_type"
+    )
+
+
+@query(
+    "introspect_tables",
+    oracle="""
+    CREATE OR REPLACE TABLE r8t_a (k BIGINT PRIMARY KEY,
+                                   name VARCHAR NOT NULL,
+                                   nk INTEGER CHECK (nk > 0));
+    INSERT INTO r8t_a
+      SELECT c_custkey, c_name, CAST(c_nationkey + 1 AS INTEGER)
+      FROM customer;
+    CREATE OR REPLACE TABLE r8t_b (r BIGINT, k BIGINT, PRIMARY KEY (r, k));
+    INSERT INTO r8t_b SELECT n_regionkey, n_nationkey FROM nation;
+    CREATE OR REPLACE TABLE r8t_c AS
+      SELECT r_regionkey, r_name FROM region;
+    CREATE INDEX r8t_ci ON r8t_c(r_regionkey);
+    SELECT database_name, schema_name, table_name, internal, temporary,
+           has_primary_key, CAST(estimated_size AS BIGINT) AS estimated_size,
+           CAST(column_count AS BIGINT) AS column_count,
+           CAST(index_count AS BIGINT) AS index_count,
+           CAST(check_constraint_count AS BIGINT) AS check_constraint_count,
+           sql
+    FROM duckdb_tables()
+    WHERE table_name LIKE 'r8t!_%' ESCAPE '!'
+    ORDER BY table_name
+    """,
+)
+def introspect_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duckdb_tables() readback vs DuckDB's OWN catalog function
+    (introspect.duckdb_tables; reference src/function/table/system/
+    duckdb_tables.cpp): three tables covering inline single-column
+    PRIMARY KEY (+ its implicit index), NOT NULL on a quoted-keyword
+    column name, a CHECK, a table-level multi-column PRIMARY KEY, and
+    a plain table carrying a CREATE INDEX.  estimated_size (exact row
+    count — the engine reads parquet FOOTERS only), counts, flags and
+    DuckDB's canonical CREATE TABLE rendering must all agree."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+    from data_chunk_compaction_in_duckdb_spark.introspect import (
+        duckdb_tables,
+    )
+    from data_chunk_compaction_in_duckdb_spark.queries.registry import (
+        retained_tmpdir,
+    )
+    from data_chunk_compaction_in_duckdb_spark.storage import (
+        VersionedTable,
+    )
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    root = retained_tmpdir("r8t_q_")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        (F.col("c_nationkey") + 1).cast("int").alias("nk"),
+    )
+    a = VersionedTable.create(
+        spark, root + "/a", cust,
+        constraints=[
+            {"type": "primary_key", "columns": ["k"]},
+            {"type": "not_null", "column": "name"},
+            {"type": "check", "expr": "nk > 0"},
+        ],
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_regionkey").cast("bigint").alias("r"),
+        F.col("n_nationkey").cast("bigint").alias("k"),
+    )
+    b = VersionedTable.create(
+        spark, root + "/b", nat,
+        constraints=[{"type": "primary_key", "columns": ["r", "k"]}],
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    c = VersionedTable.create(spark, root + "/c", reg)
+    eng.tables["r8t_c"] = c.read()
+    c.read().createOrReplaceTempView("r8t_c")
+    eng.create_index(
+        "r8t_c", ["r_regionkey"], root + "/ci", n_buckets=2, name="r8t_ci"
+    )
+    try:
+        return duckdb_tables(
+            spark,
+            {"r8t_a": a, "r8t_b": b, "r8t_c": c},
+            getattr(eng, "_art_indexes", {}),
+        )
+    finally:
+        # create_index rebound r8t_c; restore plain fixture views for
+        # session neighbors
+        from data_chunk_compaction_in_duckdb_spark import catalog as _c
+
+        _c.register_views(spark, sf_dir)
+
+
+@query(
+    "introspect_views",
+    oracle="""
+    CREATE OR REPLACE VIEW r8v_a AS
+      SELECT o_orderkey, o_custkey FROM orders WHERE (o_orderkey > 100);
+    CREATE OR REPLACE VIEW r8v_b AS SELECT upper(r_name) AS rn FROM region;
+    CREATE OR REPLACE VIEW r8v_c AS
+      SELECT n_nationkey AS k, n_name FROM nation
+      ORDER BY n_nationkey LIMIT 5;
+    SELECT database_name, schema_name, view_name, internal, temporary,
+           CAST(column_count AS BIGINT) AS column_count, sql
+    FROM duckdb_views()
+    WHERE view_name LIKE 'r8v!_%' ESCAPE '!'
+    ORDER BY view_name
+    """,
+)
+def introspect_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duckdb_views() readback vs DuckDB's OWN catalog function
+    (introspect.duckdb_views; reference src/function/table/system/
+    duckdb_views.cpp): three views created through the engine's CREATE
+    VIEW dispatch — DuckDB stores the DEPARSE of the parsed body, so
+    the bodies are written in round-trip form (explicit parens on the
+    comparison, no count(*) shorthand) and the stored sql, resolved
+    column counts and flags must agree byte-for-byte."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.sql(
+        "CREATE OR REPLACE VIEW r8v_a AS SELECT o_orderkey, o_custkey "
+        "FROM orders WHERE (o_orderkey > 100)"
+    )
+    eng.sql(
+        "CREATE OR REPLACE VIEW r8v_b AS SELECT upper(r_name) AS rn "
+        "FROM region"
+    )
+    eng.sql(
+        "CREATE OR REPLACE VIEW r8v_c AS SELECT n_nationkey AS k, n_name "
+        "FROM nation ORDER BY n_nationkey LIMIT 5"
+    )
+    return eng.duckdb_views()

@@ -40,6 +40,11 @@ from decimal import Decimal
 
 _QUERY_RE = re.compile(r"^query\s+([IRT]+)\s*(rowsort|nosort)?\s*$")
 
+_CATALOG_TF_RE = re.compile(
+    r"\bduckdb_(tables|views|schemas|types|keywords|functions)\s*\(\s*\)",
+    re.I,
+)
+
 
 class SqlLogicError(AssertionError):
     """A .test directive failed (wrong rows, unexpected error, ...)."""
@@ -345,6 +350,20 @@ class EngineSqlContext:
             or _st.parse_reset(sql) is not None
             or _st.CURRENT_SETTING_RE.search(sql)
             or _st.SETTINGS_TF_RE.search(sql)
+        ):
+            return self._eng().sql(sql)
+
+        # view/schema DDL + catalog table functions (duckdb_tables/
+        # views/schemas/types/keywords/functions) route through the
+        # engine facade — same round-trippable text DuckDB runs natively
+        from data_chunk_compaction_in_duckdb_spark import engine as _eng_mod
+
+        if (
+            _eng_mod._CREATE_VIEW_RE.match(sql)
+            or _eng_mod._DROP_VIEW_RE.match(sql)
+            or _eng_mod._CREATE_SCHEMA_RE.match(sql)
+            or _eng_mod._DROP_SCHEMA_RE.match(sql)
+            or _CATALOG_TF_RE.search(sql)
         ):
             return self._eng().sql(sql)
 

@@ -6912,6 +6912,44 @@ corpus("prepared_statements", "PREPARE/EXECUTE/DEALLOCATE grammar (reference src
 ])
 
 
+corpus("catalog_readback", "Catalog table functions — duckdb_keywords/types/schemas/functions/views + CREATE/DROP VIEW/SCHEMA lifecycle (reference src/function/table/system/*.cpp, test/sql/pg_catalog/; Spark side: introspect.py catalog readbacks through the Engine facade)")([
+    # keywords: full table, pinned classes, category histogram
+    ("I", "", "SELECT count(*) FROM duckdb_keywords()"),
+    ("TT", "", "SELECT keyword_name, keyword_category FROM duckdb_keywords() WHERE keyword_name IN ('select', 'abort', 'between', 'int') ORDER BY keyword_name"),
+    ("TI", "rowsort", "SELECT keyword_category, count(*) FROM duckdb_keywords() GROUP BY keyword_category"),
+    # types: shared deterministic columns (DISTINCT folds DuckDB's
+    # per-database copies)
+    ("TT", "", "SELECT DISTINCT type_name, logical_type FROM duckdb_types() WHERE type_name IN ('bigint', 'varchar', 'blob', 'timestamp') ORDER BY type_name"),
+    ("TTT", "", "SELECT DISTINCT type_name, logical_type, type_category FROM duckdb_types() WHERE type_category = 'NUMERIC' AND type_name IN ('bigint', 'double', 'decimal', 'hugeint') ORDER BY type_name"),
+    # schemas: fresh-connection layout listed BEFORE creating any
+    ("TTT", "", "SELECT database_name, schema_name, internal FROM duckdb_schemas() WHERE schema_name NOT LIKE 'cgs%' ORDER BY database_name, schema_name"),
+    ("ok", "", "CREATE SCHEMA cgs_one"),
+    ("error", "", "CREATE SCHEMA cgs_one"),
+    ("ok", "", "CREATE SCHEMA IF NOT EXISTS cgs_one"),
+    ("TT", "", "SELECT schema_name, internal FROM duckdb_schemas() WHERE schema_name LIKE 'cgs%'"),
+    ("ok", "", "DROP SCHEMA cgs_one"),
+    ("I", "", "SELECT count(*) FROM duckdb_schemas() WHERE schema_name LIKE 'cgs%'"),
+    ("error", "", "DROP SCHEMA cgs_one"),
+    ("ok", "", "DROP SCHEMA IF EXISTS cgs_one"),
+    # functions: name/type classification agrees, incl. dual-typed range
+    ("TT", "", "SELECT DISTINCT function_name, function_type FROM duckdb_functions() WHERE function_name IN ('sum', 'upper', 'range', 'nullif', 'read_parquet') ORDER BY function_name, function_type"),
+    # views: lifecycle + stored deparse + the view is queryable
+    ("ok", "", "CREATE VIEW cgv_a AS SELECT r_regionkey, r_name FROM region WHERE (r_regionkey > 1)"),
+    ("TT", "", "SELECT view_name, sql FROM duckdb_views() WHERE view_name LIKE 'cgv%' ORDER BY view_name"),
+    ("I", "", "SELECT count(*) FROM cgv_a"),
+    ("error", "", "CREATE VIEW cgv_a AS SELECT r_name FROM region"),
+    ("ok", "", "CREATE OR REPLACE VIEW cgv_a AS SELECT upper(r_name) AS rn FROM region"),
+    ("T", "", "SELECT sql FROM duckdb_views() WHERE view_name = 'cgv_a'"),
+    ("ok", "", "DROP VIEW cgv_a"),
+    ("error", "", "SELECT count(*) FROM cgv_a"),
+    ("error", "", "DROP VIEW cgv_a"),
+    ("ok", "", "DROP VIEW IF EXISTS cgv_a"),
+    ("I", "", "SELECT count(*) FROM duckdb_views() WHERE view_name LIKE 'cgv%'"),
+    # the table-function name as DATA is never rewritten
+    ("T", "", "SELECT 'duckdb_keywords()' AS s FROM region LIMIT 1"),
+])
+
+
 def main() -> int:
     import duckdb
 
