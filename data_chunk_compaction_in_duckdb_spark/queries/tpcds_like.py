@@ -1748,7 +1748,9 @@ def tpcds_q28_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     out = parts[0]
     for p in parts[1:]:
-        out = out.crossJoin(p)
+        # every part is a 1-row aggregate — hint it like the sibling
+        # chain at :64 so the broadcast-policy audit reads uniformly
+        out = out.crossJoin(F.broadcast(p))
     return out
 
 
