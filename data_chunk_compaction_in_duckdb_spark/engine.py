@@ -270,7 +270,7 @@ class Engine:
         if ins is not None:
             if txn is not None:
                 txn.check_active()
-            name, body = ins
+            name, collist, body = ins
             vt = self._require_versioned(name)
             if body.upper().startswith("VALUES"):
                 rows = self.spark.sql(f"SELECT * FROM ({body})")
@@ -279,7 +279,12 @@ class Engine:
             # positional insert: align names and types to the target's
             # STORED columns (the staged manifest inside a transaction,
             # the latest manifest outside — generated columns are
-            # computed at read and never inserted)
+            # computed at read and never inserted).  With a column
+            # list, listed columns bind positionally and unlisted ones
+            # take NULL (the store has no column defaults, matching
+            # DuckDB's defaultless-column NULL).
+            from pyspark.sql import functions as F
+
             from data_chunk_compaction_in_duckdb_spark.storage import (
                 VersionedTable as _VT,
             )
@@ -290,7 +295,31 @@ class Engine:
                 else vt._manifest(vt.latest_version())
             )
             stored = _VT._logical_schema(m).fields
-            rows = rows.toDF(*[f.name for f in stored])
+            if collist is not None:
+                known = {f.name for f in stored}
+                bad = [c for c in collist if c not in known]
+                if bad:
+                    raise ValueError(
+                        f'Binder Error: Column "{bad[0]}" does not exist '
+                        f"in table {name}"
+                    )
+                if len(rows.columns) != len(collist):
+                    raise ValueError(
+                        "Binder Error: Column list has "
+                        f"{len(collist)} entries but {len(rows.columns)} "
+                        "values were supplied"
+                    )
+                rows = rows.toDF(*collist)
+                rows = rows.select(
+                    *[
+                        rows[f.name]
+                        if f.name in collist
+                        else F.lit(None).alias(f.name)
+                        for f in stored
+                    ]
+                )
+            else:
+                rows = rows.toDF(*[f.name for f in stored])
             for f in stored:
                 rows = rows.withColumn(f.name, rows[f.name].cast(f.dataType))
             if txn is not None:
@@ -355,22 +384,30 @@ class Engine:
                     f'Catalog Error: View with name "{name}" already exists'
                 )
             body = body.strip()
-            self.spark.sql(body).createOrReplaceTempView(name)
+            # a view body may call a catalog TF (DuckDB accepts it);
+            # the registry keeps the ORIGINAL body for duckdb_views()
+            self.spark.sql(self._rewrite_catalog_tfs(body)).createOrReplaceTempView(
+                name
+            )
             self._views = {**views, name: body}
             return None
         m = _DROP_VIEW_RE.match(query)
         if m:
             if_exists, name = bool(m.group(1)), m.group(2)
             views = getattr(self, "_views", {})
-            if name not in views:
-                if if_exists:
-                    return None
-                raise ValueError(
-                    f"Catalog Error: View with name {name} does not exist"
-                )
-            del views[name]
-            self.spark.catalog.dropTempView(name)
-            return None
+            if name in views:
+                del views[name]
+                self.spark.catalog.dropTempView(name)
+                return None
+            # not in the engine registry: a Spark-native temp view
+            # (CREATE TEMP VIEW passes through to Catalyst) still drops
+            if self.spark.catalog.dropTempView(name):
+                return None
+            if if_exists:
+                return None
+            raise ValueError(
+                f"Catalog Error: View with name {name} does not exist"
+            )
         m = _CREATE_SCHEMA_RE.match(query)
         if m:
             if_not_exists, name = bool(m.group(1)), m.group(2)
@@ -404,6 +441,11 @@ class Engine:
             sub_outside_literals,
         )
 
+        from data_chunk_compaction_in_duckdb_spark.dialect import (
+            _literal_spans,
+        )
+
+        lits = _literal_spans(query)
         for fname, builder in (
             ("duckdb_tables", self.duckdb_tables),
             ("duckdb_views", self.duckdb_views),
@@ -413,7 +455,12 @@ class Engine:
             ("duckdb_functions", self.duckdb_functions),
         ):
             pat = _re.compile(rf"\b{fname}\s*\(\s*\)", _re.I)
-            if pat.search(query):
+            # literal-aware probe: a TF name appearing only as DATA
+            # must not materialize the catalog view
+            if any(
+                not any(a <= m.start() < b for a, b in lits)
+                for m in pat.finditer(query)
+            ):
                 builder().createOrReplaceTempView(f"__{fname}")
                 query = sub_outside_literals(pat, f"__{fname}", query)
         return query
@@ -508,6 +555,28 @@ class Engine:
                 "within a transaction"
             )
         self._txn = Transaction()
+        # catalog DDL (CREATE/DROP VIEW/SCHEMA) is transactional in the
+        # reference (probed: a rolled-back CTAS/VIEW vanishes) — pin the
+        # registries so ROLLBACK can restore them
+        self._txn._catalog_snap = (
+            dict(getattr(self, "_views", {})),
+            set(getattr(self, "_schemas", set())),
+        )
+
+    def _restore_catalog(self, txn) -> None:
+        views_snap, schemas_snap = getattr(
+            txn, "_catalog_snap", ({}, set())
+        )
+        cur_views = getattr(self, "_views", {})
+        for name in set(cur_views) - set(views_snap):
+            self.spark.catalog.dropTempView(name)
+        for name, body in views_snap.items():
+            if cur_views.get(name) != body:
+                self.spark.sql(
+                    self._rewrite_catalog_tfs(body)
+                ).createOrReplaceTempView(name)
+        self._views = dict(views_snap)
+        self._schemas = set(schemas_snap)
 
     def commit_txn(self) -> dict[str, int]:
         """COMMIT: each staged table publishes ONE manifest commit.
@@ -524,6 +593,8 @@ class Engine:
         self._txn = None
         try:
             if txn.aborted:
+                # probed: COMMIT of an aborted txn silently rolls back
+                self._restore_catalog(txn)
                 return {}
             return txn.commit()
         finally:
@@ -538,6 +609,7 @@ class Engine:
                 "transaction is active"
             )
         self._txn = None
+        self._restore_catalog(txn)
         self._restore_views(txn)
 
     def _restore_views(self, txn) -> None:

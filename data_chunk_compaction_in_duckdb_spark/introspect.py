@@ -576,13 +576,19 @@ def quote_ident(name: str) -> str:
 
 
 def render_create_table(
-    name: str, schema: T.StructType, constraints: list[dict]
+    name: str,
+    schema: T.StructType,
+    constraints: list[dict],
+    generated: dict[str, str] | None = None,
+    generated_types: dict[str, T.DataType] | None = None,
 ) -> str:
     """DuckDB's canonical ``sql`` rendering of a table (probed):
     single-column PRIMARY KEY and NOT NULL inline on the column,
     multi-column PRIMARY KEY and every CHECK as table-level clauses in
     declaration order, types in DuckDB names, identifiers optionally
-    quoted."""
+    quoted.  Generated columns render with their RESOLVED type —
+    DuckDB prints ``g BIGINT GENERATED ALWAYS AS((k + 1))`` (probed,
+    VIRTUAL kind implied)."""
     pk_inline: set[str] = set()
     notnull: set[str] = set()
     tail: list[str] = []
@@ -606,6 +612,12 @@ def render_create_table(
         elif f.name in notnull:
             part += " NOT NULL"
         cols.append(part)
+    for gname, expr in (generated or {}).items():
+        gtype = (generated_types or {}).get(gname)
+        tname = duckdb_type_name(gtype) if gtype is not None else "BIGINT"
+        cols.append(
+            f"{quote_ident(gname)} {tname} GENERATED ALWAYS AS(({expr}))"
+        )
     return f"CREATE TABLE {quote_ident(name)}({', '.join(cols + tail)});"
 
 
@@ -654,6 +666,20 @@ def duckdb_tables(
         m = vt._manifest(vt.latest_version())
         schema = vt._logical_schema(m)
         cons = m.get("constraints", [])
+        gen = m.get("generated", {})
+        # generated columns COUNT and RENDER (probed: DuckDB includes
+        # them in column_count and prints GENERATED ALWAYS AS((expr)));
+        # their resolved types come from the read schema — analysis
+        # only, no scan
+        gen_types = (
+            {
+                f.name: f.dataType
+                for f in vt.read().schema.fields
+                if f.name in gen
+            }
+            if gen
+            else {}
+        )
         pk = [c for c in cons if c["type"] == "primary_key"]
         checks = [c for c in cons if c["type"] == "check"]
         n_art = sum(
@@ -670,10 +696,10 @@ def duckdb_tables(
                 False,
                 bool(pk),
                 _manifest_row_count(vt),
-                len(schema.fields),
+                len(schema.fields) + len(gen),
                 len(pk) + n_art,
                 len(checks),
-                render_create_table(tname, schema, cons),
+                render_create_table(tname, schema, cons, gen, gen_types),
             )
         )
     rows.sort(key=lambda r: r[2])

@@ -67,24 +67,19 @@ class PreparedStatement:
 
 
 def _mask_literals(sql: str) -> str:
-    """Replace single-quoted literal CONTENTS with spaces so marker
-    scans never see quoted text (positions are preserved)."""
-    out, i, n = list(sql), 0, len(sql)
-    in_str = False
-    while i < n:
-        c = sql[i]
-        if in_str:
-            if c == "'" and i + 1 < n and sql[i + 1] == "'":
-                out[i] = " "
-                out[i + 1] = " "
-                i += 1
-            elif c == "'":
-                in_str = False
-            else:
-                out[i] = " "
-        elif c == "'":
-            in_str = True
-        i += 1
+    """Replace literal/comment/quoted-identifier CONTENTS with spaces so
+    marker scans never see quoted text (positions preserved).  Uses the
+    SAME span machinery as ``sub_outside_literals`` — counting and
+    rewriting must agree on what is a marker, or a ``?`` in a comment
+    would inflate the arity of a parameter it never rewrites."""
+    from data_chunk_compaction_in_duckdb_spark.dialect import (
+        _literal_spans,
+    )
+
+    out = list(sql)
+    for a, b in _literal_spans(sql):
+        for i in range(a, min(b, len(out))):
+            out[i] = " "
     return "".join(out)
 
 
@@ -117,11 +112,7 @@ def analyze(name: str, body: str) -> PreparedStatement:
     markers to Spark named-parameter form (:p1.. / :name)."""
     masked = _mask_literals(body)
     numbered = [int(x) for x in _NUMBERED_RE.findall(masked)]
-    named = [
-        x
-        for x in _NAMED_RE.findall(masked)
-        if not x.isdigit()
-    ]
+    named = _NAMED_RE.findall(masked)  # cannot match $1: leading [A-Za-z_]
     qmarks = len(_QMARK_RE.findall(masked))
     if named:
         order = list(dict.fromkeys(named))
@@ -167,20 +158,36 @@ def split_args(raw: str) -> tuple[list[str], dict[str, str]]:
 def check_arity(
     st: PreparedStatement, pos: list[str], named: dict[str, str]
 ) -> None:
-    """DuckDB's probed missing/excess error shapes."""
+    """DuckDB's probed missing/excess/mixing error shapes."""
+    if pos and named:
+        # probed: DuckDB refuses mixing outright, both statement kinds
+        raise ValueError(
+            "Not implemented Error: Mixing named parameters and "
+            "positional parameters is not supported yet"
+        )
     if st.kind == "named":
-        missing = [n for n in st.names if n not in named]
-        if pos or missing:
-            # positional args never satisfy named params (probed:
-            # EXECUTE qn(1, 2) reports ALL names missing)
-            missing = [n for n in st.names if n not in named] or st.names
+        extra = [k for k in named if k not in st.names]
+        if extra:
+            # probed: excess NAMED args report their names
+            raise ValueError(
+                "Invalid Input Error: Parameter argument/count mismatch, "
+                "identifiers of the excess parameters: " + ", ".join(extra)
+            )
+        # positional args never satisfy named params (probed:
+        # EXECUTE qn(1, 2) reports ALL names missing)
+        missing = st.names if pos else [
+            n for n in st.names if n not in named
+        ]
+        if missing:
             raise ValueError(
                 "Invalid Input Error: Values were not provided for the "
                 "following prepared statement parameters: "
                 + ", ".join(missing)
             )
         return
-    n_given = len(pos) + len(named)
+    # numbered/qmark: named args are ignored by DuckDB's binder (probed:
+    # EXECUTE qp(p1 := 1, p2 := 2) reports params 1, 2 missing)
+    n_given = len(pos)
     if n_given > st.n_params:
         excess = ", ".join(
             str(i) for i in range(st.n_params + 1, n_given + 1)
@@ -205,10 +212,11 @@ class PreparedStore:
     def __init__(self) -> None:
         self._statements: dict[str, PreparedStatement] = {}
 
-    def prepare(self, name: str, body: str) -> PreparedStatement:
-        st = analyze(name, body)
-        self._statements[name] = st  # re-PREPARE silently replaces
-        return st
+    def put(self, st: PreparedStatement) -> None:
+        """Register AFTER validation succeeded — a failed re-PREPARE
+        must leave the previously working statement intact (probed:
+        DuckDB only swaps on a successful bind)."""
+        self._statements[st.name] = st  # re-PREPARE silently replaces
 
     def deallocate(self, name: str) -> None:
         self._statements.pop(name, None)  # missing name: silent (probed)
@@ -229,9 +237,7 @@ class PreparedStore:
         check_arity(st, pos, named)
         if st.kind == "named":
             return dict(named)
-        return {f"p{i + 1}": text for i, text in enumerate(pos)} | {
-            k: v for k, v in named.items()
-        }
+        return {f"p{i + 1}": text for i, text in enumerate(pos)}
 
 
 _DML_RE = re.compile(r"^\s*(INSERT|DELETE|UPDATE)\b", re.I)
@@ -281,14 +287,16 @@ def dispatch(store: PreparedStore, query: str, run_sql, run_statement):
     pr = parse_prepare(query)
     if pr is not None:
         name, body = pr
-        st = store.prepare(name, body)
+        st = analyze(name, body)
         if not _DML_RE.match(body):
             try:
                 run_sql(st.bound, {p: "NULL" for p in param_names(st)})
             except Exception as e:  # noqa: BLE001 — filter below
                 if _is_catalog_error(e):
-                    store.deallocate(name)
+                    # validate-then-register: the previously prepared
+                    # statement under this name stays usable (probed)
                     raise
+        store.put(st)
         return True, None
     name = parse_deallocate(query)
     if name is not None:
@@ -319,13 +327,17 @@ def fold_args(spark, binds: dict[str, str]) -> dict:
     'Only scalar parameters, named parameters or NULL supported')."""
     from pyspark.sql import functions as F
 
-    out = {}
-    for k, text in binds.items():
+    if not binds:
+        return {}
+    for text in binds.values():
         if re.search(r"\bSELECT\b", _mask_literals(text), re.I):
             raise ValueError(
                 "Invalid Input Error: Only scalar parameters, named "
                 "parameters or NULL supported for EXECUTE"
             )
-        row = spark.sql(f"SELECT {text} AS v").collect()
-        out[k] = F.lit(row[0][0])
-    return out
+    # ONE folding SELECT for all arguments (param names are \w+, safe
+    # as aliases), not one driver round-trip per argument
+    keys = list(binds)
+    projection = ", ".join(f"({binds[k]}) AS {k}" for k in keys)
+    row = spark.sql(f"SELECT {projection}").collect()[0]
+    return {k: F.lit(row[k]) for k in keys}

@@ -26,7 +26,8 @@ _COMMIT_RE = re.compile(r"^\s*COMMIT\s*;?\s*$", re.I)
 _ROLLBACK_RE = re.compile(r"^\s*(?:ROLLBACK|ABORT)\s*;?\s*$", re.I)
 
 INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(\w+)\s+(VALUES\b.*|SELECT\b.*)$", re.I | re.S
+    r"^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(VALUES\b.*|SELECT\b.*)$",
+    re.I | re.S,
 )
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?;?\s*$", re.I | re.S
@@ -49,12 +50,18 @@ def parse_txn_verb(sql: str) -> str | None:
     return None
 
 
-def parse_insert(sql: str) -> tuple[str, str] | None:
-    """``(table, body)`` where body is the VALUES/SELECT tail, or None."""
+def parse_insert(sql: str) -> tuple[str, list[str] | None, str] | None:
+    """``(table, column_list | None, body)`` where body is the
+    VALUES/SELECT tail; the optional column list is the
+    ``INSERT INTO t (a, b) ...`` form (unlisted columns take NULL,
+    like DuckDB's defaultless columns)."""
     m = INSERT_RE.match(sql)
     if not m:
         return None
-    return m.group(1), m.group(2).rstrip().rstrip(";")
+    cols = None
+    if m.group(2) is not None:
+        cols = [c.strip().strip('"') for c in m.group(2).split(",") if c.strip()]
+    return m.group(1), cols, m.group(3).rstrip().rstrip(";")
 
 
 def parse_delete(sql: str) -> tuple[str, str | None] | None:

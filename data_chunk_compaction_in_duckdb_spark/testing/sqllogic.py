@@ -171,11 +171,6 @@ _CREATE_INDEX_RE = re.compile(
 _DROP_INDEX_RE = re.compile(
     r"^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I
 )
-_INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(\w+)\s+(VALUES\b.*|SELECT\b.*)$", re.I | re.S
-)
-
-
 class EngineSqlContext:
     """Per-file execution context: owns a throwaway sequence root and
     dispatches engine-surface SQL; plain SQL falls through to
@@ -264,6 +259,14 @@ class EngineSqlContext:
         self.sequences = dict(self._txn_seq_snap)
         if self._engine is not None:
             self._engine._art_indexes = dict(self._txn_art_snap)
+            cur_views = getattr(self._engine, "_views", {})
+            for name in set(cur_views) - set(self._txn_view_snap):
+                self.spark.catalog.dropTempView(name)
+            for name, body in self._txn_view_snap.items():
+                if cur_views.get(name) != body:
+                    self.spark.sql(body).createOrReplaceTempView(name)
+            self._engine._views = dict(self._txn_view_snap)
+            self._engine._schemas = set(self._txn_schema_snap)
 
     def _dispatch_txn(self, sql: str):
         from data_chunk_compaction_in_duckdb_spark.storage import dmlsql
@@ -281,6 +284,14 @@ class EngineSqlContext:
             self._txn_seq_snap = dict(self.sequences)
             self._txn_art_snap = dict(
                 getattr(self._engine, "_art_indexes", {}) or {}
+            )
+            # engine-side catalog DDL (CREATE VIEW/SCHEMA) is
+            # transactional too — same snapshot discipline
+            self._txn_view_snap = dict(
+                getattr(self._engine, "_views", {}) or {}
+            )
+            self._txn_schema_snap = set(
+                getattr(self._engine, "_schemas", set()) or set()
             )
             self._txn_aborted = False
             return True
@@ -425,9 +436,9 @@ class EngineSqlContext:
                 )
             eng.drop_index(name)
             return None
-        m = _INSERT_RE.match(sql)
-        if m:
-            name, body = m.group(1), m.group(2).rstrip().rstrip(";")
+        ins = dmlsql.parse_insert(sql)
+        if ins is not None:
+            name, collist, body = ins
             if name not in self.ctas:
                 raise SqlLogicError(
                     f"Catalog Error: Table with name {name} does not exist"
@@ -439,8 +450,26 @@ class EngineSqlContext:
                 new = self.spark.sql(f"SELECT * FROM ({body})")
             else:
                 new = self.spark.sql(body)
-            # positional insert: align names/types to the target schema
-            new = new.toDF(*cur.columns)
+            # positional insert: align names/types to the target schema;
+            # a column list binds listed columns and NULLs the rest
+            if collist is not None:
+                from pyspark.sql import functions as F
+
+                missing = set(collist) - set(cur.columns)
+                if missing:
+                    raise SqlLogicError(
+                        f'Binder Error: Column "{sorted(missing)[0]}" '
+                        f"does not exist in table {name}"
+                    )
+                new = new.toDF(*collist)
+                new = new.select(
+                    *[
+                        new[c] if c in collist else F.lit(None).alias(c)
+                        for c in cur.columns
+                    ]
+                )
+            else:
+                new = new.toDF(*cur.columns)
             for f in cur.schema.fields:
                 new = new.withColumn(
                     f.name, new[f.name].cast(f.dataType)

@@ -119,3 +119,29 @@ def test_re_prepare_replaces(eng):
     assert eng.sql("EXECUTE tp_r(1)").collect()[0]["a"] == 2
     eng.sql("PREPARE tp_r AS SELECT $1 * 100 AS a")
     assert eng.sql("EXECUTE tp_r(1)").collect()[0]["a"] == 100
+
+
+def test_marker_in_comment_not_counted(eng):
+    eng.sql("PREPARE tp_cm AS SELECT $1 + 1 AS a -- not $2 here")
+    assert eng.sql("EXECUTE tp_cm(41)").collect()[0]["a"] == 42
+
+
+def test_excess_named_and_mixing_errors(eng):
+    eng.sql("PREPARE tp_xn AS SELECT $a * 2 AS p")
+    with pytest.raises(
+        ValueError, match="identifiers of the excess parameters: zz"
+    ):
+        eng.sql("EXECUTE tp_xn(a := 1, zz := 3)")
+    eng.sql("PREPARE tp_mx AS SELECT $1 + $2 AS s")
+    with pytest.raises(ValueError, match="Mixing named parameters"):
+        eng.sql("EXECUTE tp_mx(1, x := 2)")
+    # named args against a numbered statement are ignored by the binder
+    with pytest.raises(ValueError, match="parameters: 1, 2"):
+        eng.sql("EXECUTE tp_mx(p1 := 1, p2 := 2)")
+
+
+def test_failed_re_prepare_keeps_old(eng):
+    eng.sql("PREPARE tp_keep AS SELECT 7 AS k")
+    with pytest.raises(Exception, match="nosuch"):
+        eng.sql("PREPARE tp_keep AS SELECT z FROM nosuch_t WHERE z = $1")
+    assert eng.sql("EXECUTE tp_keep").collect()[0]["k"] == 7

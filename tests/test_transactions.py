@@ -179,3 +179,30 @@ def test_dml_on_unknown_table_errors(eng):
     eng.sql("INSERT INTO txt VALUES (500, 1)")
     eng.sql("ROLLBACK")
     assert _count(eng) == 10
+
+
+def test_insert_column_list_fills_null(eng):
+    eng.sql("INSERT INTO txt (k) VALUES (900)")
+    row = eng.sql("SELECT v FROM txt WHERE k = 900").collect()
+    assert len(row) == 1 and row[0]["v"] is None
+    with pytest.raises(ValueError, match="Binder Error"):
+        eng.sql("INSERT INTO txt (nosuch) VALUES (1)")
+
+
+def test_view_and_schema_ddl_roll_back(eng):
+    eng.sql("BEGIN")
+    eng.sql("CREATE VIEW txn_vw AS SELECT k FROM txt WHERE (k > 5)")
+    eng.sql("CREATE SCHEMA txn_sch")
+    assert eng.duckdb_views().filter("view_name = 'txn_vw'").count() == 1
+    eng.sql("ROLLBACK")
+    assert eng.duckdb_views().filter("view_name = 'txn_vw'").count() == 0
+    assert (
+        eng.duckdb_schemas().filter("schema_name = 'txn_sch'").count() == 0
+    )
+    with pytest.raises(Exception):
+        eng.sql("SELECT count(*) FROM txn_vw").collect()
+    # committed DDL persists
+    eng.sql("BEGIN")
+    eng.sql("CREATE VIEW txn_vw2 AS SELECT k FROM txt")
+    eng.sql("COMMIT")
+    assert eng.duckdb_views().filter("view_name = 'txn_vw2'").count() == 1

@@ -6860,6 +6860,16 @@ corpus("transactions_basic", "BEGIN/COMMIT/ROLLBACK/ABORT statement semantics (r
     ("error", "", "SELECT nosuch_col FROM txb_t"),
     ("I", "", "SELECT count(*) FROM txb_t"),
     ("ok", "", "ROLLBACK"),
+    # INSERT with an explicit column list: unlisted columns take NULL
+    ("ok", "", "INSERT INTO txb_t (k) VALUES (900)"),
+    ("I", "", "SELECT count(*) FROM txb_t WHERE k = 900 AND r IS NULL"),
+    # a rolled-back CREATE VIEW vanishes (catalog DDL is transactional)
+    ("ok", "", "BEGIN"),
+    ("ok", "", "CREATE VIEW txb_vw AS SELECT k FROM txb_t WHERE (k > 5)"),
+    ("I", "", "SELECT count(*) FROM duckdb_views() WHERE view_name = 'txb_vw'"),
+    ("ok", "", "ROLLBACK"),
+    ("I", "", "SELECT count(*) FROM duckdb_views() WHERE view_name = 'txb_vw'"),
+    ("error", "", "SELECT count(*) FROM txb_vw"),
 ])
 
 
@@ -6909,6 +6919,19 @@ corpus("prepared_statements", "PREPARE/EXECUTE/DEALLOCATE grammar (reference src
     ("ok", "", "PREPARE psq_z AS SELECT 41 + 1 AS z"),
     ("I", "", "EXECUTE psq_z"),
     ("error", "", "EXECUTE psq_z(5)"),
+    # a marker in a COMMENT is not a parameter (span-aware counting)
+    ("ok", "", "PREPARE psq_cm AS SELECT $1 + 1 AS a -- not $2 here"),
+    ("I", "", "EXECUTE psq_cm(41)"),
+    # excess NAMED arguments refuse with their names
+    ("ok", "", "PREPARE psq_n2 AS SELECT $a * 2 AS p"),
+    ("error", "", "EXECUTE psq_n2(a := 1, zz := 3)"),
+    # mixing positional and named arguments refuses
+    ("ok", "", "PREPARE psq_m AS SELECT $1 + $2 AS s"),
+    ("error", "", "EXECUTE psq_m(1, x := 2)"),
+    # a failed re-PREPARE keeps the old statement usable (probed)
+    ("ok", "", "PREPARE psq_keep AS SELECT 7 AS k"),
+    ("error", "", "PREPARE psq_keep AS SELECT z FROM nosuch_table_kp WHERE z = $1"),
+    ("I", "", "EXECUTE psq_keep"),
 ])
 
 
