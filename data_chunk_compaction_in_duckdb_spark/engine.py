@@ -266,11 +266,25 @@ class Engine:
             self.rollback()
             return None
         txn = getattr(self, "_txn", None)
+        trunc = dmlsql.parse_truncate(query)
+        if trunc is not None:
+            if txn is not None:
+                txn.check_active()
+            vt = self._require_versioned(trunc)
+            from pyspark.sql import functions as F
+
+            if txn is not None:
+                txn.delete_where(trunc, vt, F.lit(True))
+                self._rebind_staged(trunc, vt)
+            else:
+                vt.delete_where(F.lit(True))
+                vt.read().createOrReplaceTempView(trunc)
+            return None
         ins = dmlsql.parse_insert(query)
         if ins is not None:
             if txn is not None:
                 txn.check_active()
-            name, collist, body = ins
+            name, collist, body, mode = ins
             vt = self._require_versioned(name)
             if body.upper().startswith("VALUES"):
                 rows = self.spark.sql(f"SELECT * FROM ({body})")
@@ -322,6 +336,44 @@ class Engine:
                 rows = rows.toDF(*[f.name for f in stored])
             for f in stored:
                 rows = rows.withColumn(f.name, rows[f.name].cast(f.dataType))
+            if mode is not None:
+                # INSERT OR REPLACE / OR IGNORE / ON CONFLICT DO NOTHING
+                # (reference physical_insert.cpp on-conflict path;
+                # error text probed on a PK-less target)
+                pk = [
+                    c
+                    for c in m.get("constraints", [])
+                    if c["type"] == "primary_key"
+                ]
+                if not pk:
+                    raise ValueError(
+                        "Binder Error: There are no UNIQUE/PRIMARY KEY "
+                        "Indexes that refer to this table, ON CONFLICT "
+                        "is a no-op"
+                    )
+                key_cols = list(pk[0]["columns"])
+                if mode == "ignore":
+                    current = (
+                        txn.read(name, vt) if txn is not None else vt.read()
+                    )
+                    rows = rows.join(
+                        current.select(*key_cols), key_cols, "left_anti"
+                    )
+                    # falls through to the plain insert below
+                else:  # replace: upsert through the staged merge
+                    if txn is not None:
+                        txn.merge(name, vt, rows, key_cols)
+                        self._rebind_staged(name, vt)
+                    else:
+                        from data_chunk_compaction_in_duckdb_spark.storage.transaction import (  # noqa: E501
+                            _StagedTable,
+                        )
+
+                        st = _StagedTable(vt)
+                        st.merge(rows, key_cols)
+                        st.commit(op="merge")
+                        vt.read().createOrReplaceTempView(name)
+                    return None
             if txn is not None:
                 txn.insert(name, vt, rows)
                 self._rebind_staged(name, vt)

@@ -823,3 +823,66 @@ def storage_transaction_commit_visibility(
         ]
     )
     return spark.createDataFrame(sorted(log), schema)
+
+
+@query(
+    "storage_insert_or_replace",
+    oracle="""
+    CREATE OR REPLACE TABLE ior_t (k BIGINT PRIMARY KEY, v VARCHAR,
+                                   cents BIGINT);
+    INSERT INTO ior_t
+      SELECT o_orderkey, o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT)
+      FROM orders WHERE o_orderkey % 10 = 1;
+    INSERT OR REPLACE INTO ior_t
+      SELECT o_orderkey, 'R', CAST(floor(o_totalprice * 50) AS BIGINT)
+      FROM orders WHERE o_orderkey % 20 = 1;
+    INSERT OR IGNORE INTO ior_t
+      SELECT o_orderkey, 'I', 0 FROM orders WHERE o_orderkey % 5 = 1;
+    SELECT v, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(k) AS BIGINT) AS key_sum
+    FROM ior_t GROUP BY v ORDER BY v
+    """,
+)
+def storage_insert_or_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OR REPLACE / OR IGNORE through Engine.sql (reference
+    physical_insert.cpp ON CONFLICT path, test/sql/insert/): BOTH
+    engines run the literal statements against a PRIMARY KEY table —
+    the REPLACE batch overwrites the %20 keys (cents halve, status
+    'R'), the IGNORE batch appends only the %5 keys not already
+    present.  The Spark side is the staged multi-key merge (anti-join
+    survivors + batch, untouched files by reference, ONE manifest
+    commit per statement)."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+    from data_chunk_compaction_in_duckdb_spark.queries.registry import (
+        retained_tmpdir,
+    )
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    base = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 1
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("v"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    root = retained_tmpdir("ior_q_")
+    eng.create_versioned_table(
+        "ior_t", base, root + "/t",
+        constraints=[{"type": "primary_key", "columns": ["k"]}],
+    )
+    eng.sql(
+        "INSERT OR REPLACE INTO ior_t "
+        "SELECT o_orderkey, 'R', CAST(floor(o_totalprice * 50) AS BIGINT) "
+        "FROM orders WHERE o_orderkey % 20 = 1"
+    )
+    eng.sql(
+        "INSERT OR IGNORE INTO ior_t "
+        "SELECT o_orderkey, 'I', 0 FROM orders WHERE o_orderkey % 5 = 1"
+    )
+    return eng.sql(
+        "SELECT v, count(*) AS n, "
+        "CAST(sum(cents) AS BIGINT) AS total_cents, "
+        "CAST(sum(k) AS BIGINT) AS key_sum "
+        "FROM ior_t GROUP BY v ORDER BY v"
+    )

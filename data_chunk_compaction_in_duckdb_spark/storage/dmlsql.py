@@ -26,8 +26,15 @@ _COMMIT_RE = re.compile(r"^\s*COMMIT\s*;?\s*$", re.I)
 _ROLLBACK_RE = re.compile(r"^\s*(?:ROLLBACK|ABORT)\s*;?\s*$", re.I)
 
 INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(VALUES\b.*|SELECT\b.*)$",
+    r"^\s*INSERT\s+(?:OR\s+(REPLACE|IGNORE)\s+)?INTO\s+(\w+)\s*"
+    r"(?:\(([^)]*)\)\s*)?(VALUES\b.*|SELECT\b.*)$",
     re.I | re.S,
+)
+_ON_CONFLICT_NOTHING_RE = re.compile(
+    r"\s+ON\s+CONFLICT\s+DO\s+NOTHING\s*;?\s*$", re.I
+)
+TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", re.I
 )
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?;?\s*$", re.I | re.S
@@ -50,18 +57,35 @@ def parse_txn_verb(sql: str) -> str | None:
     return None
 
 
-def parse_insert(sql: str) -> tuple[str, list[str] | None, str] | None:
-    """``(table, column_list | None, body)`` where body is the
+def parse_insert(
+    sql: str,
+) -> tuple[str, list[str] | None, str, str | None] | None:
+    """``(table, column_list | None, body, mode)`` where body is the
     VALUES/SELECT tail; the optional column list is the
     ``INSERT INTO t (a, b) ...`` form (unlisted columns take NULL,
-    like DuckDB's defaultless columns)."""
+    like DuckDB's defaultless columns).  ``mode`` is ``'replace'`` /
+    ``'ignore'`` for the OR REPLACE / OR IGNORE prefixes; a trailing
+    ``ON CONFLICT DO NOTHING`` clause (DuckDB's equivalent spelling,
+    probed) also maps to ``'ignore'``."""
     m = INSERT_RE.match(sql)
     if not m:
         return None
+    mode = m.group(1).lower() if m.group(1) else None
     cols = None
-    if m.group(2) is not None:
-        cols = [c.strip().strip('"') for c in m.group(2).split(",") if c.strip()]
-    return m.group(1), cols, m.group(3).rstrip().rstrip(";")
+    if m.group(3) is not None:
+        cols = [c.strip().strip('"') for c in m.group(3).split(",") if c.strip()]
+    body = m.group(4).rstrip().rstrip(";")
+    oc = _ON_CONFLICT_NOTHING_RE.search(body)
+    if oc:
+        body = body[: oc.start()]
+        mode = mode or "ignore"
+    return m.group(2), cols, body, mode
+
+
+def parse_truncate(sql: str) -> str | None:
+    """Table name of a ``TRUNCATE [TABLE] t`` statement, or None."""
+    m = TRUNCATE_RE.match(sql)
+    return m.group(1) if m else None
 
 
 def parse_delete(sql: str) -> tuple[str, str | None] | None:

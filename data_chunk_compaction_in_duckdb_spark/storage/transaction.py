@@ -188,7 +188,64 @@ class _StagedTable:
             # key-touching UPDATE: the staged POST-state must stay unique
             self.vt._validate(self.read(), pk_touched, current=None)
 
-    def commit(self) -> int:
+    def merge(self, rows: DataFrame, key_cols: list[str]) -> None:
+        """INSERT OR REPLACE (upsert): same-key rows across carry and
+        pending are replaced by the incoming batch — multi-column keys
+        supported (the non-transactional vt.merge is single-key).
+        Affected carry files come from a distributed semi-join on the
+        keys, collecting file NAMES only."""
+        import os
+
+        from data_chunk_compaction_in_duckdb_spark.storage.versioned import (
+            _strip_uri,
+        )
+
+        aligned = rows.select(*self._stored_cols())
+        cons = self.m.get("constraints", [])
+        self.vt._validate(
+            aligned,
+            [c for c in cons if c["type"] in ("not_null", "check")],
+            current=None,
+        )
+        # replacing table keys is the point of MERGE; uniqueness must
+        # still hold WITHIN the incoming batch
+        self.vt._validate(
+            aligned,
+            [c for c in cons if c["type"] == "primary_key"],
+            current=None,
+        )
+        keys = aligned.select(*key_cols).distinct()
+        new_pending = [
+            self._with_generated(p)
+            .join(keys, key_cols, "left_anti")
+            .select(*self._stored_cols())
+            for p in self.pending
+        ]
+        if self.carry:
+            cur = self.vt._read_files_logical(self.m, self.carry).withColumn(
+                "_vt_file", F.input_file_name()
+            )
+            hits = (
+                cur.join(keys, key_cols, "semi")
+                .select("_vt_file")
+                .distinct()
+                .collect()
+            )
+            affected = {
+                os.path.relpath(_strip_uri(r["_vt_file"]), self.vt.path)
+                for r in hits
+            }
+            if affected:
+                new_pending.append(
+                    self.vt._read_files_logical(self.m, affected)
+                    .join(keys, key_cols, "left_anti")
+                    .select(*self._stored_cols())
+                )
+                self.carry -= affected
+        new_pending.append(aligned)
+        self.pending = new_pending
+
+    def commit(self, op: str = "txn") -> int:
         """One manifest commit at base+1: carried files by reference,
         all pending frames folded into a single write pass."""
         new_files: list[str] = []
@@ -200,7 +257,7 @@ class _StagedTable:
             new_files = self.vt._write_data(rows, self.m["mapping"])
         self.vt._commit(
             self.base + 1,
-            "txn",
+            op,
             sorted(self.carry) + new_files,
             schema=VersionedTable._logical_schema(self.m),
             mapping=self.m["mapping"],
@@ -258,6 +315,15 @@ class Transaction:
         assignments: Mapping[str, Column],
     ) -> None:
         self._guard(self.table(name, vt).update_where, cond, assignments)
+
+    def merge(
+        self,
+        name: str,
+        vt: VersionedTable,
+        rows: DataFrame,
+        key_cols: list[str],
+    ) -> None:
+        self._guard(self.table(name, vt).merge, rows, key_cols)
 
     def commit(self) -> dict[str, int]:
         """Publish every staged table (name order).  On a mid-sequence

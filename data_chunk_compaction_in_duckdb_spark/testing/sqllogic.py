@@ -436,9 +436,20 @@ class EngineSqlContext:
                 )
             eng.drop_index(name)
             return None
+        tr = dmlsql.parse_truncate(sql)
+        if tr is not None:
+            if tr not in self.ctas:
+                raise SqlLogicError(
+                    f"Catalog Error: Table with name {tr} does not exist"
+                )
+            new = self.ctas[tr].limit(0).localCheckpoint(eager=True)
+            new.createOrReplaceTempView(tr)
+            self.ctas[tr] = new
+            self._eng().tables[tr] = new
+            return None
         ins = dmlsql.parse_insert(sql)
         if ins is not None:
-            name, collist, body = ins
+            name, collist, body, mode = ins
             if name not in self.ctas:
                 raise SqlLogicError(
                     f"Catalog Error: Table with name {name} does not exist"
@@ -474,10 +485,33 @@ class EngineSqlContext:
                 new = new.withColumn(
                     f.name, new[f.name].cast(f.dataType)
                 )
+            eng = self._eng()
+            if mode is not None:
+                # OR REPLACE / OR IGNORE need a UNIQUE index on the
+                # target (probed DuckDB error text on an unindexed one)
+                ukeys = [
+                    list(info["columns"])
+                    for info in getattr(eng, "_art_indexes", {}).values()
+                    if info["table"] == name and info["unique"]
+                ]
+                if not ukeys:
+                    raise SqlLogicError(
+                        "Binder Error: There are no UNIQUE/PRIMARY KEY "
+                        "Indexes that refer to this table, ON CONFLICT "
+                        "is a no-op"
+                    )
+                keys = ukeys[0]
+                if mode == "ignore":
+                    new = new.join(
+                        cur.select(*keys), keys, "left_anti"
+                    )
+                else:  # replace
+                    cur = cur.join(
+                        new.select(*keys).distinct(), keys, "left_anti"
+                    )
             merged = cur.unionByName(new)
             # ART UNIQUE enforcement on append (reference test/sql/index
             # unique-violation grid; duckdb updates the index per insert)
-            eng = self._eng()
             for iname, info in getattr(eng, "_art_indexes", {}).items():
                 if info["table"] != name or not info["unique"]:
                     continue

@@ -206,3 +206,53 @@ def test_view_and_schema_ddl_roll_back(eng):
     eng.sql("CREATE VIEW txn_vw2 AS SELECT k FROM txt")
     eng.sql("COMMIT")
     assert eng.duckdb_views().filter("view_name = 'txn_vw2'").count() == 1
+
+
+def test_insert_or_replace_and_ignore(eng):
+    # no PK on txt -> probed DuckDB binder error
+    with pytest.raises(ValueError, match="no UNIQUE/PRIMARY KEY"):
+        eng.sql("INSERT OR REPLACE INTO txt VALUES (1, 2)")
+
+
+def test_insert_or_replace_on_pk_table(spark, tmp_path):
+    eng = Engine(spark=spark, register=False)
+    df = spark.range(5).selectExpr("id AS k", "id * 10 AS v")
+    vt = eng.create_versioned_table(
+        "iot", df, str(tmp_path / "iot"),
+        constraints=[{"type": "primary_key", "columns": ["k"]}],
+    )
+    eng.sql("INSERT OR REPLACE INTO iot VALUES (2, 222), (9, 999)")
+    rows = {r["k"]: r["v"] for r in eng.sql("SELECT * FROM iot").collect()}
+    assert rows[2] == 222 and rows[9] == 999 and rows[3] == 30
+    assert vt._manifest(vt.latest_version())["op"] == "merge"
+    eng.sql("INSERT OR IGNORE INTO iot VALUES (3, 0), (10, 100)")
+    rows = {r["k"]: r["v"] for r in eng.sql("SELECT * FROM iot").collect()}
+    assert rows[3] == 30 and rows[10] == 100
+    eng.sql("INSERT INTO iot VALUES (3, 7) ON CONFLICT DO NOTHING")
+    rows = {r["k"]: r["v"] for r in eng.sql("SELECT * FROM iot").collect()}
+    assert rows[3] == 30 and len(rows) == 7
+    # transactional upsert rolls back
+    eng.sql("BEGIN")
+    eng.sql("INSERT OR REPLACE INTO iot VALUES (2, -1)")
+    assert (
+        eng.sql("SELECT v FROM iot WHERE k = 2").collect()[0]["v"] == -1
+    )
+    eng.sql("ROLLBACK")
+    assert (
+        eng.sql("SELECT v FROM iot WHERE k = 2").collect()[0]["v"] == 222
+    )
+
+
+def test_truncate(eng):
+    eng.sql("TRUNCATE txt")
+    assert _count(eng) == 0
+    eng.sql("INSERT INTO txt VALUES (1, 10)")
+    assert _count(eng) == 1
+    with pytest.raises(ValueError, match="Catalog Error"):
+        eng.sql("TRUNCATE nosuch_t")
+    # transactional truncate rolls back
+    eng.sql("BEGIN")
+    eng.sql("TRUNCATE TABLE txt")
+    assert _count(eng) == 0
+    eng.sql("ROLLBACK")
+    assert _count(eng) == 1

@@ -6973,6 +6973,40 @@ corpus("catalog_readback", "Catalog table functions — duckdb_keywords/types/sc
 ])
 
 
+corpus("insert_conflict", "INSERT OR REPLACE / OR IGNORE / ON CONFLICT DO NOTHING + TRUNCATE (reference physical_insert.cpp on-conflict path, test/sql/insert/; Spark side: staged merge/anti-join over the context's unique-indexed CTAS tables — no-unique-index error text probed)")([
+    ("ok", "", "CREATE TABLE ic_t AS SELECT n_nationkey AS k, n_name AS v FROM nation WHERE n_nationkey < 5"),
+    ("ok", "", "CREATE UNIQUE INDEX ic_i ON ic_t(k)"),
+    # OR REPLACE: same-key rows replaced, fresh keys appended
+    ("ok", "", "INSERT OR REPLACE INTO ic_t VALUES (2, 'TWO'), (9, 'NINE')"),
+    ("I", "", "SELECT count(*) FROM ic_t"),
+    ("T", "", "SELECT v FROM ic_t WHERE k = 2"),
+    ("T", "", "SELECT v FROM ic_t WHERE k = 9"),
+    # OR IGNORE: existing keys skipped, fresh keys appended
+    ("ok", "", "INSERT OR IGNORE INTO ic_t VALUES (3, 'X'), (10, 'TEN')"),
+    ("T", "", "SELECT v FROM ic_t WHERE k = 3"),
+    ("I", "", "SELECT count(*) FROM ic_t WHERE k = 10"),
+    # ON CONFLICT DO NOTHING is the same semantics (probed)
+    ("ok", "", "INSERT INTO ic_t VALUES (3, 'Y') ON CONFLICT DO NOTHING"),
+    ("T", "", "SELECT v FROM ic_t WHERE k = 3"),
+    # no UNIQUE index -> both engines refuse with the same shape
+    ("ok", "", "CREATE TABLE ic_u AS SELECT r_regionkey AS x FROM region"),
+    ("error", "", "INSERT OR REPLACE INTO ic_u VALUES (1)"),
+    ("error", "", "INSERT OR IGNORE INTO ic_u VALUES (1)"),
+    # TRUNCATE empties, table stays usable
+    ("ok", "", "TRUNCATE ic_t"),
+    ("I", "", "SELECT count(*) FROM ic_t"),
+    ("ok", "", "INSERT INTO ic_t VALUES (1, 'one')"),
+    ("I", "", "SELECT count(*) FROM ic_t"),
+    ("error", "", "TRUNCATE ic_nosuch"),
+    # NOTE: OR REPLACE inside BEGIN..ROLLBACK is pinned by pytest only
+    # (tests/test_transactions.py): DuckDB 1.0 hits an INTERNAL error
+    # ('No rows in LocalTableStorage row group for scan') on
+    # upsert-into-indexed-table inside an explicit transaction and
+    # invalidates the database — a probed upstream bug, so the grid
+    # cannot carry a dual-engine golden for it.
+])
+
+
 def main() -> int:
     import duckdb
 
