@@ -808,3 +808,27 @@ def duckdb_functions(spark: SparkSession) -> DataFrame:
             ]
         ),
     )
+
+
+def information_schema_tables(
+    spark: SparkSession, tables: dict, views: dict[str, str]
+) -> DataFrame:
+    """information_schema.tables readback (reference test/sql/
+    pg_catalog/, src/function/table/system/ information_schema views):
+    one row per engine table ('BASE TABLE') and registered view
+    ('VIEW') with DuckDB's catalog/schema naming."""
+    rows = [
+        ("memory", "main", n, "BASE TABLE") for n in tables
+    ] + [("memory", "main", n, "VIEW") for n in views]
+    rows.sort(key=lambda r: r[2])
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("table_catalog", T.StringType()),
+                T.StructField("table_schema", T.StringType()),
+                T.StructField("table_name", T.StringType()),
+                T.StructField("table_type", T.StringType()),
+            ]
+        ),
+    )

@@ -1166,3 +1166,43 @@ def introspect_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM nation ORDER BY n_nationkey LIMIT 5"
     )
     return eng.duckdb_views()
+
+
+@query(
+    "introspect_info_schema_tables",
+    oracle="""
+    CREATE OR REPLACE TABLE ist_t AS
+      SELECT n_nationkey AS k, n_name AS v FROM nation;
+    CREATE OR REPLACE VIEW ist_v AS SELECT k, upper(v) AS uv FROM ist_t;
+    SELECT table_catalog, table_schema, table_name, table_type
+    FROM information_schema.tables
+    WHERE table_name LIKE 'ist!_%' ESCAPE '!'
+    ORDER BY table_name
+    """,
+)
+def introspect_info_schema_tables(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """information_schema.tables readback vs DuckDB's OWN view
+    (introspect.information_schema_tables; reference test/sql/
+    pg_catalog/sqlalchemy.test): one engine table and one view created
+    through the same DDL on both engines — catalog/schema names and
+    the BASE TABLE / VIEW kind classification must agree."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+    from data_chunk_compaction_in_duckdb_spark.introspect import (
+        information_schema_tables,
+    )
+    from data_chunk_compaction_in_duckdb_spark.queries.registry import (
+        retained_tmpdir,
+    )
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    base = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_name").alias("v")
+    )
+    root = retained_tmpdir("ist_q_")
+    eng.create_versioned_table("ist_t", base, root + "/t")
+    eng.sql("CREATE OR REPLACE VIEW ist_v AS SELECT k, upper(v) AS uv FROM ist_t")
+    return information_schema_tables(
+        spark, getattr(eng, "_versioned", {}), getattr(eng, "_views", {})
+    )
