@@ -127,6 +127,12 @@ class Engine:
         handled = self._dispatch_view_schema(query)
         if handled is not _UNHANDLED:
             return handled
+        # DESCRIBE / SHOW TABLES / SUMMARIZE statements (reference
+        # test/sql/show_select/, summarize TF) — DuckDB's output shapes,
+        # not Spark's native DESCRIBE
+        handled = self._dispatch_show_describe(query)
+        if handled is not _UNHANDLED:
+            return handled
         query = self._rewrite_catalog_tfs(query)
 
         # settings statements (reference src/main/settings/,
@@ -516,6 +522,54 @@ class Engine:
                 builder().createOrReplaceTempView(f"__{fname}")
                 query = sub_outside_literals(pat, f"__{fname}", query)
         return query
+
+    _DESCRIBE_SEL_RE = _re.compile(r"^\s*DESCRIBE\s+(SELECT\b.*)$", _re.I | _re.S)
+    _DESCRIBE_TBL_RE = _re.compile(r"^\s*DESCRIBE\s+(\w+)\s*;?\s*$", _re.I)
+    _SHOW_TABLES_RE = _re.compile(r"^\s*SHOW\s+(?:ALL\s+)?TABLES\s*;?\s*$", _re.I)
+    _SUMMARIZE_RE = _re.compile(r"^\s*SUMMARIZE\s+(\w+)\s*;?\s*$", _re.I)
+    _CHECKPOINT_RE = _re.compile(r"^\s*CHECKPOINT(\s+\w+)?\s*;?\s*$", _re.I)
+
+    def _dispatch_show_describe(self, query: str):
+        """DESCRIBE <table|SELECT ...> / SHOW [ALL] TABLES / SUMMARIZE
+        <table> in DuckDB's output shapes (the sqllogic runner has had
+        this dispatch since round 6; Engine.sql mirrors it so the same
+        statement text works on the user-facing entry point).  Spark's
+        native DESCRIBE has a different shape, so these must intercept
+        before spark.sql."""
+        from data_chunk_compaction_in_duckdb_spark import introspect
+
+        m = self._DESCRIBE_SEL_RE.match(query)
+        if m:
+            return introspect.describe_query(self.spark, m.group(1))
+        m = self._DESCRIBE_TBL_RE.match(query)
+        if m:
+            name = m.group(1)
+            if name in getattr(self, "_sequences", {}):
+                return introspect.describe_sequence(self._sequences[name])
+            if name in getattr(self, "_versioned", {}):
+                return introspect.describe_versioned(self._versioned[name])
+            return introspect.describe_table(self.spark, name)
+        if self._SHOW_TABLES_RE.match(query):
+            return introspect.show_tables(self.spark)
+        if self._CHECKPOINT_RE.match(query):
+            # reference CHECKPOINT: fold the live set into few files
+            # (checkpoint_manager.cpp).  Probed: DuckDB accepts it
+            # inside an open transaction without touching the staged
+            # state — here that is a no-op (checkpointing under a
+            # pinned base would only manufacture a commit conflict).
+            if getattr(self, "_txn", None) is None:
+                for name, vt in getattr(self, "_versioned", {}).items():
+                    vt.checkpoint()
+                    vt.read().createOrReplaceTempView(name)
+            return None
+        m = self._SUMMARIZE_RE.match(query)
+        if m:
+            from data_chunk_compaction_in_duckdb_spark.sources.summary import (
+                summarize,
+            )
+
+            return summarize(self.spark.table(m.group(1)))
+        return _UNHANDLED
 
     def duckdb_tables(self) -> DataFrame:
         from data_chunk_compaction_in_duckdb_spark import introspect
