@@ -95,6 +95,13 @@ def main() -> int:
             o_rows = [tuple(x) for x in ores.fetchall()]
             duck.execute("DEALLOCATE fz")
         except Exception as e:  # noqa: BLE001
+            if "Parameter not supported" in str(e):
+                # DuckDB's binder refuses parameters in GROUP BY/ORDER
+                # BY positions (a DuckDB limitation — the engine's
+                # binding through Spark accepts them, a documented
+                # laxness); nothing to compare
+                lifted -= 1
+                continue
             bad.append((p_sql, f"duckdb error: {str(e)[:200]}"))
             continue
         try:
