@@ -391,10 +391,35 @@ class Engine:
         if dele is not None:
             if txn is not None:
                 txn.check_active()
-            name, where = dele
+            name, where, using = dele
             vt = self._require_versioned(name)
             from pyspark.sql import functions as F
 
+            if using is not None:
+                # DELETE ... USING (join-delete, reference
+                # physical_delete over a join plan)
+                from data_chunk_compaction_in_duckdb_spark.operators.mutations import (  # noqa: E501
+                    prefix_source,
+                )
+
+                srcname, alias = using
+                src_pref = prefix_source(self.spark.table(srcname))
+                cond = F.expr(
+                    dmlsql.rewrite_qualified(where or "TRUE", name, alias)
+                )
+                if txn is not None:
+                    txn.delete_using(name, vt, src_pref, cond)
+                    self._rebind_staged(name, vt)
+                else:
+                    from data_chunk_compaction_in_duckdb_spark.storage.transaction import (  # noqa: E501
+                        _StagedTable,
+                    )
+
+                    st = _StagedTable(vt)
+                    st.delete_using(src_pref, cond)
+                    st.commit(op="delete")
+                    vt.read().createOrReplaceTempView(name)
+                return None
             cond = F.expr(where) if where else F.lit(True)
             if txn is not None:
                 txn.delete_where(name, vt, cond)
@@ -407,10 +432,38 @@ class Engine:
         if upd is not None:
             if txn is not None:
                 txn.check_active()
-            name, assigns, where = upd
+            name, assigns, where, from_ = upd
             vt = self._require_versioned(name)
             from pyspark.sql import functions as F
 
+            if from_ is not None:
+                # UPDATE ... FROM (join-update)
+                from data_chunk_compaction_in_duckdb_spark.operators.mutations import (  # noqa: E501
+                    prefix_source,
+                )
+
+                srcname, alias = from_
+                src_pref = prefix_source(self.spark.table(srcname))
+                cond = F.expr(
+                    dmlsql.rewrite_qualified(where or "TRUE", name, alias)
+                )
+                exprs = {
+                    c: F.expr(dmlsql.rewrite_qualified(e, name, alias))
+                    for c, e in assigns.items()
+                }
+                if txn is not None:
+                    txn.update_from(name, vt, src_pref, cond, exprs)
+                    self._rebind_staged(name, vt)
+                else:
+                    from data_chunk_compaction_in_duckdb_spark.storage.transaction import (  # noqa: E501
+                        _StagedTable,
+                    )
+
+                    st = _StagedTable(vt)
+                    st.update_from(src_pref, cond, exprs)
+                    st.commit(op="update")
+                    vt.read().createOrReplaceTempView(name)
+                return None
             cond = F.expr(where) if where else F.lit(True)
             exprs = {c: F.expr(e) for c, e in assigns.items()}
             if txn is not None:

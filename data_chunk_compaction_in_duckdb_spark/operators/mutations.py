@@ -100,3 +100,57 @@ def upsert_returning(
     the update's post-image values)."""
     aligned = updates.selectExpr(*df.columns)
     return upsert(df, aligned, key_col), aligned
+
+
+# --- join-DML forms (reference DELETE ... USING / UPDATE ... FROM,
+# physical_delete.cpp / physical_update.cpp over a join plan;
+# test/sql/update/, test/sql/delete/).  The SQL layer prefix-renames
+# the source columns to __src_* (storage/dmlsql.rewrite_qualified), so
+# these frame ops need no alias scoping.
+
+
+def prefix_source(src: DataFrame) -> DataFrame:
+    """Rename source columns to ``__src_<name>`` and add the non-null
+    match marker the left-join form keys on (a NULL source VALUE must
+    not read as 'unmatched')."""
+    out = src.select(
+        *[F.col(c).alias(f"__src_{c}") for c in src.columns]
+    )
+    return out.withColumn("__src__match", F.lit(True))
+
+
+def delete_using(df: DataFrame, src_pref: DataFrame, cond) -> DataFrame:
+    """DELETE FROM df USING src WHERE cond: drop every df row with ANY
+    matching source row (anti-join on the join predicate — one shuffle,
+    never a row-multiplying join)."""
+    return df.join(src_pref, cond, "left_anti")
+
+
+def update_from(
+    df: DataFrame,
+    src_pref: DataFrame,
+    cond,
+    assignments,
+) -> DataFrame:
+    """UPDATE df SET ... FROM src WHERE cond: rows with a match take
+    the assignment expressions (which may reference ``__src_*``
+    columns); unmatched rows pass through.  When several source rows
+    match one target row, ONE is taken arbitrarily — DuckDB's probed
+    multi-match behavior (also nondeterministic there); the row
+    identity + row_number pick is bounded by the affected rows, not
+    the table."""
+    from pyspark.sql import Window
+
+    out_cols = df.columns
+    rid = df.withColumn("_t_rid", F.monotonically_increasing_id())
+    joined = rid.join(src_pref, cond, "left")
+    w = Window.partitionBy("_t_rid").orderBy(F.lit(1))
+    picked = joined.withColumn("_t_rn", F.row_number().over(w)).filter(
+        F.col("_t_rn") == 1
+    )
+    matched = F.col("__src__match").isNotNull()
+    for col, expr in assignments.items():
+        picked = picked.withColumn(
+            col, F.when(matched, expr).otherwise(F.col(col))
+        )
+    return picked.select(*out_cols)

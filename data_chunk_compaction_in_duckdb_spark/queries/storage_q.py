@@ -886,3 +886,73 @@ def storage_insert_or_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(sum(k) AS BIGINT) AS key_sum "
         "FROM ior_t GROUP BY v ORDER BY v"
     )
+
+
+@query(
+    "storage_update_from_delete_using",
+    oracle="""
+    CREATE OR REPLACE TABLE jfu_t AS
+      SELECT o_orderkey AS k, o_custkey AS c,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus AS st
+      FROM orders WHERE o_orderkey % 10 < 3;
+    CREATE OR REPLACE TABLE jfu_s AS
+      SELECT c_custkey AS ck,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer WHERE c_custkey % 7 = 0;
+    UPDATE jfu_t SET cents = cents + jfu_s.bal_cents
+      FROM jfu_s WHERE jfu_t.c = jfu_s.ck;
+    DELETE FROM jfu_t USING jfu_s
+      WHERE jfu_t.c = jfu_s.ck AND jfu_s.bal_cents < 0;
+    SELECT st, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM jfu_t GROUP BY st ORDER BY st
+    """,
+)
+def storage_update_from_delete_using(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UPDATE ... FROM / DELETE ... USING through Engine.sql (reference
+    physical_update.cpp / physical_delete.cpp over a join plan,
+    test/sql/update/, test/sql/delete/): BOTH engines run the literal
+    join-DML statements — a join-update adds each matching customer's
+    balance (unique key, so the match is deterministic), then a
+    join-delete drops orders of negative-balance customers.  The Spark
+    side stages file-granular (affected files from a distributed
+    semi-join on the predicate; untouched files by reference; one
+    manifest commit per statement)."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+    from data_chunk_compaction_in_duckdb_spark.queries.registry import (
+        retained_tmpdir,
+    )
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    base = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 < 3
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    src = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 7 == 0
+    ).select(
+        F.col("c_custkey").alias("ck"),
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    root = retained_tmpdir("jfu_q_")
+    eng.create_versioned_table("jfu_t", base, root + "/t")
+    src.createOrReplaceTempView("jfu_s")
+    eng.sql(
+        "UPDATE jfu_t SET cents = cents + jfu_s.bal_cents "
+        "FROM jfu_s WHERE jfu_t.c = jfu_s.ck"
+    )
+    eng.sql(
+        "DELETE FROM jfu_t USING jfu_s "
+        "WHERE jfu_t.c = jfu_s.ck AND jfu_s.bal_cents < 0"
+    )
+    return eng.sql(
+        "SELECT st, count(*) AS n, "
+        "CAST(sum(cents) AS BIGINT) AS total_cents "
+        "FROM jfu_t GROUP BY st ORDER BY st"
+    )

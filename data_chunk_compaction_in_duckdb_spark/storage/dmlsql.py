@@ -37,10 +37,16 @@ TRUNCATE_RE = re.compile(
     r"^\s*TRUNCATE\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", re.I
 )
 _DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?;?\s*$", re.I | re.S
+    r"^\s*DELETE\s+FROM\s+(\w+)"
+    r"(?:\s+USING\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?)?"
+    r"(?:\s+WHERE\s+(.*?))?;?\s*$",
+    re.I | re.S,
 )
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?);?\s*$", re.I | re.S
+)
+_FROM_CLAUSE_RE = re.compile(
+    r"^\s*(\w+)(?:\s+(?:AS\s+)?(\w+))?\s*$", re.I
 )
 
 
@@ -88,13 +94,21 @@ def parse_truncate(sql: str) -> str | None:
     return m.group(1) if m else None
 
 
-def parse_delete(sql: str) -> tuple[str, str | None] | None:
-    """``(table, where_sql | None)`` or None."""
+def parse_delete(
+    sql: str,
+) -> tuple[str, str | None, tuple[str, str] | None] | None:
+    """``(table, where_sql | None, using | None)`` where ``using`` is
+    ``(source_table, alias)`` for DuckDB's ``DELETE FROM t USING s
+    [AS a] WHERE ...`` join-delete form (alias defaults to the source
+    name)."""
     m = _DELETE_RE.match(sql)
     if not m:
         return None
-    where = m.group(2)
-    return m.group(1), (where.strip() or None) if where else None
+    where = m.group(4)
+    using = None
+    if m.group(2):
+        using = (m.group(2), m.group(3) or m.group(2))
+    return m.group(1), (where.strip() or None) if where else None, using
 
 
 def _split_top_level(text: str, sep: str) -> list[str]:
@@ -125,9 +139,9 @@ def _split_top_level(text: str, sep: str) -> list[str]:
     return parts
 
 
-def _find_top_level_where(text: str) -> int:
-    """Index of a depth-0 ``WHERE`` keyword outside literals, or -1."""
-    depth, i, n = 0, 0, len(text)
+def _find_top_level_kw(text: str, kw: str) -> int:
+    """Index of a depth-0 keyword outside literals, or -1."""
+    depth, i, n, k = 0, 0, len(text), len(kw)
     in_str = False
     while i < n:
         c = text[i]
@@ -143,32 +157,70 @@ def _find_top_level_where(text: str) -> int:
             depth += 1
         elif c == ")":
             depth -= 1
-        elif depth == 0 and text[i : i + 5].upper() == "WHERE":
+        elif depth == 0 and text[i : i + k].upper() == kw:
             before = text[i - 1] if i else " "
-            after = text[i + 5] if i + 5 < n else " "
+            after = text[i + k] if i + k < n else " "
             if not before.isalnum() and before != "_" and not after.isalnum():
                 return i
         i += 1
     return -1
 
 
-def parse_update(sql: str) -> tuple[str, dict[str, str], str | None] | None:
-    """``(table, {column: expr_sql}, where_sql | None)`` or None.  The
+def parse_update(
+    sql: str,
+) -> tuple[str, dict[str, str], str | None, tuple[str, str] | None] | None:
+    """``(table, {column: expr_sql}, where_sql | None, from_ | None)``
+    or None; ``from_`` is ``(source_table, alias)`` for DuckDB's
+    ``UPDATE t SET ... FROM s [AS a] WHERE ...`` join-update form.  The
     SET list splits on depth-0 commas outside literals, so expressions
     may contain function calls and quoted strings."""
     m = _UPDATE_RE.match(sql)
     if not m:
         return None
     table, tail = m.group(1), m.group(2)
-    wi = _find_top_level_where(tail)
+    wi = _find_top_level_kw(tail, "WHERE")
     where = None
     if wi >= 0:
         where = tail[wi + 5 :].strip() or None
         tail = tail[:wi]
+    from_ = None
+    fi = _find_top_level_kw(tail, "FROM")
+    if fi >= 0:
+        fm = _FROM_CLAUSE_RE.match(tail[fi + 4 :])
+        if not fm:
+            raise ValueError(
+                "Parser Error: UPDATE ... FROM supports a single "
+                f"[aliased] table source, got: {tail[fi + 4:].strip()!r}"
+            )
+        from_ = (fm.group(1), fm.group(2) or fm.group(1))
+        tail = tail[:fi]
     assignments: dict[str, str] = {}
     for part in _split_top_level(tail, ","):
         if "=" not in part:
             raise ValueError(f"Parser Error: malformed SET clause: {part!r}")
         col, expr = part.split("=", 1)
         assignments[col.strip().strip('"')] = expr.strip()
-    return table, assignments, where
+    return table, assignments, where, from_
+
+
+def rewrite_qualified(text: str, table: str, alias: str) -> str:
+    """Rewrite qualified column refs for the join-DML frames: the
+    SOURCE alias's columns become their ``__src_``-prefixed names (the
+    source frame is prefix-renamed before the join so no alias scoping
+    is needed), and the TARGET table qualifier drops (target columns
+    are unqualified in the joined frame).  Rewrites skip string
+    literals/comments."""
+    from data_chunk_compaction_in_duckdb_spark.settings import (
+        sub_outside_literals,
+    )
+
+    text = sub_outside_literals(
+        re.compile(rf"\b{re.escape(alias)}\.(\w+)"),
+        lambda m: f"__src_{m.group(1)}",
+        text,
+    )
+    return sub_outside_literals(
+        re.compile(rf"\b{re.escape(table)}\.(\w+)"),
+        lambda m: m.group(1),
+        text,
+    )

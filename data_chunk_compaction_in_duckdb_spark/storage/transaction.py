@@ -188,6 +188,102 @@ class _StagedTable:
             # key-touching UPDATE: the staged POST-state must stay unique
             self.vt._validate(self.read(), pk_touched, current=None)
 
+    def _affected_carry_join(self, src_pref: DataFrame, cond: Column) -> set[str]:
+        """Files among ``carry`` whose rows have ANY source match under
+        the join predicate — the join-DML sibling of _affected_carry."""
+        if not self.carry:
+            return set()
+        import os
+
+        from data_chunk_compaction_in_duckdb_spark.storage.versioned import (
+            _strip_uri,
+        )
+
+        cur = self.vt._read_files_logical(self.m, self.carry).withColumn(
+            "_vt_file", F.input_file_name()
+        )
+        hits = (
+            cur.join(src_pref, cond, "semi")
+            .select("_vt_file")
+            .distinct()
+            .collect()
+        )
+        return {
+            os.path.relpath(_strip_uri(r["_vt_file"]), self.vt.path)
+            for r in hits
+        }
+
+    def delete_using(self, src_pref: DataFrame, cond: Column) -> None:
+        """DELETE ... USING (join-delete): anti-join survivors, file-
+        granular like delete_where."""
+        from data_chunk_compaction_in_duckdb_spark.operators.mutations import (
+            delete_using,
+        )
+
+        affected = self._affected_carry_join(src_pref, cond)
+        new_pending = [
+            delete_using(self._with_generated(p), src_pref, cond).select(
+                *self._stored_cols()
+            )
+            for p in self.pending
+        ]
+        if affected:
+            new_pending.append(
+                delete_using(
+                    self.vt._read_files_logical(self.m, affected),
+                    src_pref,
+                    cond,
+                ).select(*self._stored_cols())
+            )
+            self.carry -= affected
+        self.pending = new_pending
+
+    def update_from(
+        self,
+        src_pref: DataFrame,
+        cond: Column,
+        assignments: Mapping[str, Column],
+    ) -> None:
+        """UPDATE ... FROM (join-update): matched rows take the source
+        expressions; DuckDB's arbitrary pick under multi-match."""
+        from data_chunk_compaction_in_duckdb_spark.operators.mutations import (
+            update_from,
+        )
+
+        stored = set(self._stored_cols())
+        bad = [c for c in assignments if c not in stored]
+        if bad:
+            raise ValueError(
+                f"Binder Error: cannot UPDATE column(s) {bad} — not a "
+                "stored column"
+            )
+        affected = self._affected_carry_join(src_pref, cond)
+        new_pending = [
+            update_from(
+                self._with_generated(p), src_pref, cond, assignments
+            ).select(*self._stored_cols())
+            for p in self.pending
+        ]
+        if affected:
+            new_pending.append(
+                update_from(
+                    self.vt._read_files_logical(self.m, affected),
+                    src_pref,
+                    cond,
+                    assignments,
+                ).select(*self._stored_cols())
+            )
+            self.carry -= affected
+        self.pending = new_pending
+        cons = self.m.get("constraints", [])
+        row_checks = [c for c in cons if c["type"] in ("not_null", "check")]
+        if row_checks and new_pending:
+            self.vt._validate(
+                reduce(DataFrame.unionByName, new_pending),
+                row_checks,
+                current=None,
+            )
+
     def merge(self, rows: DataFrame, key_cols: list[str]) -> None:
         """INSERT OR REPLACE (upsert): same-key rows across carry and
         pending are replaced by the incoming batch — multi-column keys
@@ -324,6 +420,23 @@ class Transaction:
         key_cols: list[str],
     ) -> None:
         self._guard(self.table(name, vt).merge, rows, key_cols)
+
+    def delete_using(
+        self, name: str, vt: VersionedTable, src_pref: DataFrame, cond: Column
+    ) -> None:
+        self._guard(self.table(name, vt).delete_using, src_pref, cond)
+
+    def update_from(
+        self,
+        name: str,
+        vt: VersionedTable,
+        src_pref: DataFrame,
+        cond: Column,
+        assignments: Mapping[str, Column],
+    ) -> None:
+        self._guard(
+            self.table(name, vt).update_from, src_pref, cond, assignments
+        )
 
     def commit(self) -> dict[str, int]:
         """Publish every staged table (name order).  On a mid-sequence

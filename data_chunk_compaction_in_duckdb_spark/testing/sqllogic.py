@@ -546,13 +546,26 @@ class EngineSqlContext:
         if d is not None:
             from pyspark.sql import functions as F
 
-            name, where = d
+            name, where, using = d
             if name not in self.ctas:
                 raise SqlLogicError(
                     f"Catalog Error: Table with name {name} does not exist"
                 )
-            cond = F.expr(where) if where else F.lit(True)
-            new = self.ctas[name].filter(~cond | cond.isNull())
+            if using is not None:
+                from data_chunk_compaction_in_duckdb_spark.operators.mutations import (  # noqa: E501
+                    delete_using,
+                    prefix_source,
+                )
+
+                srcname, alias = using
+                src_pref = prefix_source(self.spark.table(srcname))
+                cond = F.expr(
+                    dmlsql.rewrite_qualified(where or "TRUE", name, alias)
+                )
+                new = delete_using(self.ctas[name], src_pref, cond)
+            else:
+                cond = F.expr(where) if where else F.lit(True)
+                new = self.ctas[name].filter(~cond | cond.isNull())
             new = new.localCheckpoint(eager=True)
             new.createOrReplaceTempView(name)
             self.ctas[name] = new
@@ -562,11 +575,38 @@ class EngineSqlContext:
         if u is not None:
             from pyspark.sql import functions as F
 
-            name, assigns, where = u
+            name, assigns, where, from_ = u
             if name not in self.ctas:
                 raise SqlLogicError(
                     f"Catalog Error: Table with name {name} does not exist"
                 )
+            if from_ is not None:
+                from data_chunk_compaction_in_duckdb_spark.operators.mutations import (  # noqa: E501
+                    prefix_source,
+                    update_from,
+                )
+
+                srcname, alias = from_
+                src_pref = prefix_source(self.spark.table(srcname))
+                cond = F.expr(
+                    dmlsql.rewrite_qualified(where or "TRUE", name, alias)
+                )
+                exprs = {
+                    c: F.expr(dmlsql.rewrite_qualified(e, name, alias))
+                    for c, e in assigns.items()
+                }
+                missing = set(exprs) - set(self.ctas[name].columns)
+                if missing:
+                    raise SqlLogicError(
+                        f'Binder Error: Referenced column '
+                        f'"{sorted(missing)[0]}" not found'
+                    )
+                new = update_from(self.ctas[name], src_pref, cond, exprs)
+                new = new.localCheckpoint(eager=True)
+                new.createOrReplaceTempView(name)
+                self.ctas[name] = new
+                self._eng().tables[name] = new
+                return None
             cond = F.expr(where) if where else F.lit(True)
             new = self.ctas[name]
             for col, expr in assigns.items():

@@ -7007,6 +7007,29 @@ corpus("insert_conflict", "INSERT OR REPLACE / OR IGNORE / ON CONFLICT DO NOTHIN
 ])
 
 
+corpus("update_from_delete_using", "UPDATE ... FROM / DELETE ... USING join-DML forms (reference physical_update/physical_delete over a join plan, test/sql/update/, test/sql/delete/; Spark side: operators/mutations prefix-renamed source + anti-join / left-join-pick)")([
+    ("ok", "", "CREATE TABLE jd_t AS SELECT n_nationkey AS k, n_regionkey AS r, n_name AS v FROM nation"),
+    ("ok", "", "CREATE TABLE jd_s AS SELECT r_regionkey AS k, r_name AS w FROM region"),
+    # join-delete with a source-side filter: only non-ASIA region keys go
+    ("ok", "", "DELETE FROM jd_t USING jd_s WHERE jd_t.k = jd_s.k AND jd_s.w <> 'ASIA'"),
+    ("I", "", "SELECT count(*) FROM jd_t"),
+    ("I", "", "SELECT count(*) FROM jd_t WHERE k < 5"),
+    # join-update: nations take their region's name (unique matches)
+    ("ok", "", "UPDATE jd_t SET v = jd_s.w FROM jd_s WHERE jd_t.r = jd_s.k AND jd_s.k < 3"),
+    ("TI", "rowsort", "SELECT v, CAST(count(*) AS BIGINT) FROM jd_t WHERE r < 3 GROUP BY v"),
+    # aliased source + expression over source columns
+    ("ok", "", "UPDATE jd_t SET v = lower(src.w) FROM jd_s AS src WHERE jd_t.k = src.k"),
+    ("T", "", "SELECT v FROM jd_t WHERE k = 2"),
+    ("error", "", "DELETE FROM jd_nosuch USING jd_s WHERE jd_nosuch.k = jd_s.k"),
+    # join-DML participates in transactions
+    ("ok", "", "BEGIN"),
+    ("ok", "", "DELETE FROM jd_t USING jd_s WHERE jd_t.r = jd_s.k"),
+    ("I", "", "SELECT count(*) FROM jd_t"),
+    ("ok", "", "ROLLBACK"),
+    ("I", "", "SELECT count(*) FROM jd_t"),
+])
+
+
 def main() -> int:
     import duckdb
 
