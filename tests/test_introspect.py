@@ -122,22 +122,22 @@ def test_engine_facade(spark, sf_dir):
 
 def test_sql_statement_surface(spark, sf_dir):
     """The reference's SHOW/DESCRIBE STATEMENTS also work as SQL text
-    through the engine (Catalyst parses them natively) — the statement
-    form and the introspect.py function form must agree."""
+    through the engine — since round 8 Engine.sql dispatches them to
+    the introspect surface, so the statement form and the function
+    form return the SAME DuckDB-shaped rows (pre-r8 the statement form
+    fell through to Catalyst's native shapes)."""
     from data_chunk_compaction_in_duckdb_spark.engine import Engine
 
     eng = Engine(spark=spark, sf_dir=sf_dir)
-    shown = {
-        r["tableName"] for r in eng.sql("SHOW TABLES").collect()
-    }
+    shown = {r["name"] for r in eng.sql("SHOW TABLES").collect()}
     listed = {r["name"] for r in eng.show_tables().collect()}
-    assert listed <= shown
+    assert listed == shown
     desc_sql = {
-        r["col_name"]: r["data_type"]
+        r["column_name"]: r["column_type"]
         for r in eng.sql("DESCRIBE nation").collect()
     }
     for r in eng.describe("nation").collect():
-        assert r["column_name"] in desc_sql
+        assert desc_sql[r["column_name"]] == r["column_type"]
 
 
 def test_engine_sequence_facade(spark, tmp_path):
