@@ -547,3 +547,459 @@ def rewrite_star_modifiers(sql: str) -> str | None:
             any_change = True
             break
     return out if any_change else None
+
+
+# --- DuckDB expression-grammar rewrites (round 9) ----------------------
+# Forms DuckDB's PG-derived expression grammar accepts that Spark's
+# parser rejects or mis-binds (reference src/parser/transform/expression/,
+# test/sql/json/, test/sql/types/string/, test/sql/types/list/):
+#
+#   [e1, e2] / ARRAY[e1, e2]   -> array(e1, e2)        (list literal)
+#   e[i]   (integer-literal i) -> element_at(e, i)     (1-based index)
+#   e[a:b] (string slice)      -> substring(...)        (1-based, incl.)
+#   j -> 'k' / j -> n          -> to_json(variant_get(parse_json(j), p))
+#   j ->> 'k' / j ->> n        -> get_json_object(j, p) (unquoted text)
+#   x [NOT] SIMILAR TO p       -> x [NOT] RLIKE '^(?:p)$'  (full-match
+#                                  regex — DuckDB probed: % is NOT a
+#                                  wildcard, pattern is plain RE2)
+#   a // b                     -> a div b               (integer division;
+#                                  DuckDB falls back to / on non-integer
+#                                  operands — documented divergence)
+#
+# All rewrites are literal-span aware (a bracket or arrow inside a
+# string, quoted identifier or comment is data).  `->` with a
+# non-literal right side is left untouched so Spark lambda arrows
+# (`transform(a, x -> x + 1)`) keep working; a literal-RHS arrow whose
+# left side is a bare lambda parameter of a known higher-order function
+# is also skipped.
+
+_SQL_KEYWORDS_LEFT = frozenset(
+    """AND OR NOT IN IS LIKE ILIKE GLOB BETWEEN WHEN THEN ELSE CASE END
+    SELECT WHERE FROM ON JOIN HAVING GROUP ORDER BY AS DISTINCT ALL
+    UNION EXCEPT INTERSECT VALUES LIMIT OFFSET OVER PARTITION SET
+    RETURNING USING TO ESCAPE SIMILAR ROW EXISTS ANY SOME
+    INTERVAL""".split()
+)
+
+_HOF_NAMES = frozenset(
+    """transform filter exists forall aggregate reduce zip_with
+    map_filter map_zip_with transform_keys transform_values array_sort
+    list_transform list_filter list_reduce list_aggregate""".split()
+)
+
+_INT_LIT = re.compile(r"-?\d+\s*$")
+_PLAIN_KEY = re.compile(r"[A-Za-z_]\w*$")
+
+
+def _match_fwd(sql: str, i: int, open_ch: str, close_ch: str) -> int:
+    """Index AFTER the bracket matching sql[i] == open_ch (string- and
+    quoted-identifier-aware)."""
+    depth, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == '"':
+            i += 1
+            while i < n and sql[i] != '"':
+                i += 1
+        elif ch == open_ch:
+            depth += 1
+        elif ch == close_ch:
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError(f"unbalanced {open_ch}{close_ch} in expression")
+
+
+def _match_bwd(sql: str, i: int, open_ch: str, close_ch: str) -> int:
+    """Index of the bracket matching sql[i] == close_ch, scanning left
+    (string-aware via a forward pre-pass)."""
+    stack = []
+    j, n = 0, len(sql)
+    while j <= i:
+        ch = sql[j]
+        if ch == "'":
+            j += 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+        elif ch == '"':
+            j += 1
+            while j < n and sql[j] != '"':
+                j += 1
+        elif ch == open_ch:
+            stack.append(j)
+        elif ch == close_ch:
+            if j == i:
+                return stack[-1]
+            if stack:
+                stack.pop()
+        j += 1
+    raise ValueError(f"unbalanced {open_ch}{close_ch} in expression")
+
+
+def _operand_left(sql: str, end: int) -> int:
+    """Start index of the postfix-operand chain ending just before
+    ``end`` — identifiers (dotted / ``::``-cast chains), string
+    literals, function calls, paren groups and subscript groups."""
+    i = end - 1
+    while i >= 0 and sql[i].isspace():
+        i -= 1
+    if i < 0:
+        raise ValueError("operator at start of expression")
+    while i >= 0:
+        ch = sql[i]
+        if ch == ")":
+            i = _match_bwd(sql, i, "(", ")") - 1
+            # adjacent identifier = function name (unless a keyword)
+            j = i
+            while j >= 0 and sql[j].isspace():
+                j -= 1
+            m = re.search(r"(\w+)\s*$", sql[: j + 1])
+            if m and m.group(1).upper() not in _SQL_KEYWORDS_LEFT:
+                i = m.start(1) - 1
+        elif ch == "]":
+            i = _match_bwd(sql, i, "[", "]") - 1
+            continue  # the base of the subscript is further left
+        elif ch == "'":
+            i -= 1
+            while i >= 0:
+                if sql[i] == "'":
+                    if i - 1 >= 0 and sql[i - 1] == "'":
+                        i -= 2
+                        continue
+                    break
+                i -= 1
+            i -= 1
+        elif ch == '"':
+            i -= 1
+            while i >= 0 and sql[i] != '"':
+                i -= 1
+            i -= 1
+        elif ch.isalnum() or ch == "_":
+            while i >= 0 and (sql[i].isalnum() or sql[i] == "_"):
+                i -= 1
+        else:
+            break
+        # connectors keep the chain going left: `.` and `::`
+        j = i
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        if j >= 0 and sql[j] == ".":
+            i = j - 1
+            continue
+        if j >= 1 and sql[j - 1 : j + 1] == "::":
+            i = j - 2
+            continue
+        break
+    start = i + 1
+    while start < end and sql[start].isspace():
+        start += 1
+    return start
+
+
+def _operand_right(sql: str, start: int) -> int:
+    """End index (exclusive) of the prefix operand starting at
+    ``start`` — a string/number literal, identifier chain, function
+    call or paren group (enough for a SIMILAR TO pattern)."""
+    n = len(sql)
+    i = start
+    while i < n and sql[i].isspace():
+        i += 1
+    if i >= n:
+        raise ValueError("operator at end of expression")
+    if sql[i] == "'":
+        i += 1
+        while i < n:
+            if sql[i] == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    i += 2
+                    continue
+                break
+            i += 1
+        return i + 1
+    if sql[i] == "(":
+        return _match_fwd(sql, i, "(", ")")
+    m = re.match(r"[\w.\"]+", sql[i:])
+    if not m:
+        raise ValueError(f"cannot parse operand at: {sql[i:i+30]!r}")
+    j = i + m.end()
+    k = j
+    while k < n and sql[k].isspace():
+        k += 1
+    if k < n and sql[k] == "(":
+        return _match_fwd(sql, k, "(", ")")
+    return j
+
+
+def _enclosing_call_name(sql: str, pos: int) -> str | None:
+    """Name of the function whose argument list contains ``pos``
+    (None at top level) — used to skip lambda arrows inside HOFs."""
+    depth = 0
+    i = pos - 1
+    while i >= 0:
+        ch = sql[i]
+        if ch == "'":
+            i -= 1
+            while i >= 0 and sql[i] != "'":
+                i -= 1
+        elif ch == ")":
+            depth += 1
+        elif ch == "(":
+            if depth == 0:
+                m = re.search(r"(\w+)\s*$", sql[:i])
+                return m.group(1).lower() if m else None
+            depth -= 1
+        i -= 1
+    return None
+
+
+def _toplevel_colon(body: str) -> int:
+    """Index of the slice colon at bracket/paren depth 0, skipping
+    ``::`` casts and string literals; -1 when absent."""
+    depth, i, n = 0, 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if body[i] == "'":
+                    if i + 1 < n and body[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == ":" and depth == 0:
+            if i + 1 < n and body[i + 1] == ":":
+                i += 2
+                continue
+            return i
+        i += 1
+    return -1
+
+
+def _slice_rewrite(operand: str, lo: str, hi: str, is_list: bool = False) -> str:
+    """DuckDB slice -> substring (strings) / slice (lists): 1-based
+    inclusive bounds, missing bound = edge, negative bound counts from
+    the end — probed identical for both types ('abcdef'[-3:] = 'def',
+    [:-2] = 'abcde', [0:3] = 'abc', [2:100] clamps, [4:2] = '';
+    [10,20,30][:-1] = all three).  A slice over a plain column ref is
+    rewritten as a STRING slice (the textual rewriter has no types);
+    array columns should use list_/array functions or slice directly."""
+    lo, hi = lo.strip(), hi.strip()
+    e = f"({operand})" if not re.fullmatch(r"[\w.\"]+", operand) else operand
+    lenfn = "size" if is_list else "length"
+
+    def bound(txt: str, default: str) -> str:
+        # the START bound clamps to 1 (probed: 'ab'[-5:] = 'ab'; an
+        # unclamped negative start would make Spark's substring count
+        # from the END); the end bound may go below 1 -> empty result
+        is_start = default == "1"
+        if not txt:
+            return default
+        if re.fullmatch(r"\d+", txt):
+            return str(max(int(txt), 1)) if is_start else txt
+        if re.fullmatch(r"-\d+", txt):
+            conv = f"{lenfn}({e}) + ({txt}) + 1"
+            return f"greatest({conv}, 1)" if is_start else conv
+        conv = f"{lenfn}({e}) + ({txt}) + 1"
+        if is_start:
+            conv = f"greatest({conv}, 1)"
+        return (
+            f"(CASE WHEN ({txt}) < 0 THEN {conv} "
+            f"ELSE greatest({txt}, 1) END)"
+        )
+
+    start = bound(lo, "1")
+    end = bound(hi, f"{lenfn}({e})")
+    if is_list:
+        return f"slice({e}, {start}, greatest(({end}) - ({start}) + 1, 0))"
+    return f"substring({e}, {start}, ({end}) - ({start}) + 1)"
+
+
+def _rw_brackets(sql: str) -> str | None:
+    """One bracket rewrite (leftmost applicable): list literal,
+    integer-literal subscript, or slice.  Returns None when no bracket
+    needs rewriting."""
+    lits = _literal_spans(sql)
+    for m in re.finditer(r"\[", sql):
+        i = m.start()
+        if any(a <= i < b for a, b in lits):
+            continue
+        close = _match_fwd(sql, i, "[", "]")
+        body = sql[i + 1 : close - 1]
+        j = i - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        prev_word = re.search(r"(\w+)\s*$", sql[: j + 1])
+        if prev_word and prev_word.group(1).upper() == "ARRAY":
+            # ARRAY[...] constructor
+            return (
+                sql[: prev_word.start(1)]
+                + f"array({body})"
+                + sql[close:]
+            )
+        postfix = j >= 0 and (
+            sql[j].isalnum() or sql[j] in "_)]'\""
+        ) and not (
+            prev_word
+            and prev_word.group(1).upper() in _SQL_KEYWORDS_LEFT
+        )
+        if not postfix:
+            return sql[:i] + f"array({body})" + sql[close:]
+        # DuckDB array TYPE suffixes (`x::INT[3]`, `CAST(x AS INT[])`)
+        # are not subscripts — the word before the bracket is a type
+        # name introduced by `::` or `AS`
+        type_pos = re.search(r"(::\s*|\bAS\s+)\w+(\[\d*\])*\s*$", sql[:i], re.I)
+        if type_pos:
+            continue
+        colon = _toplevel_colon(body)
+        if colon >= 0:
+            start = _operand_left(sql, i)
+            operand = sql[start:i].strip()
+            # a syntactically-visible array operand slices as a list
+            is_list = bool(
+                re.match(r"(array\s*\(|\[)", operand, re.I)
+            ) or operand.rstrip().endswith("]")
+            repl = _slice_rewrite(
+                operand, body[:colon], body[colon + 1 :], is_list=is_list
+            )
+            return sql[:start] + repl + sql[close:]
+        if _INT_LIT.fullmatch(body.strip()):
+            # 1-based list index (DuckDB) vs 0-based Spark subscript;
+            # element_at is 1-based and supports negatives from the end
+            start = _operand_left(sql, i)
+            operand = sql[start:i].strip()
+            return (
+                sql[:start]
+                + f"element_at({operand}, {body.strip()})"
+                + sql[close:]
+            )
+        # string-keyed subscript (map/struct): Spark's native form
+        # already matches DuckDB — leave untouched
+    return None
+
+
+def _json_path(rhs: str) -> str | None:
+    """Literal JSON-arrow RHS -> Spark JSON path ('$'-rooted)."""
+    rhs = rhs.strip()
+    if re.fullmatch(r"-?\d+", rhs):
+        return f"$[{rhs}]"
+    if len(rhs) >= 2 and rhs[0] == "'" and rhs[-1] == "'":
+        key = rhs[1:-1].replace("''", "'")
+        if key.startswith("$"):
+            return key
+        if _PLAIN_KEY.fullmatch(key):
+            return f"$.{key}"
+        return f"$['{key}']"
+    return None
+
+
+def _rw_arrows(sql: str) -> str | None:
+    """One JSON-arrow rewrite (leftmost).  ``->`` keeps JSON rendering
+    (strings stay quoted — probed '{"s":"x"}' -> 's' = '"x"'), ``->>``
+    extracts text.  Only literal right sides rewrite; Spark lambda
+    arrows (non-literal RHS, or bare-identifier LHS inside a known
+    higher-order function) are preserved."""
+    lits = _literal_spans(sql)
+    for m in re.finditer(r"->>?", sql):
+        i = m.start()
+        if any(a <= i < b for a, b in lits):
+            continue
+        is_text = m.group(0) == "->>"
+        rend = _operand_right(sql, m.end())
+        path = _json_path(sql[m.end() : rend])
+        if path is None:
+            continue  # lambda body or computed path — leave alone
+        start = _operand_left(sql, i)
+        operand = sql[start:i].strip()
+        if _PLAIN_KEY.fullmatch(operand) or re.fullmatch(
+            r"\(\s*\w+(\s*,\s*\w+)*\s*\)", operand
+        ):
+            fn = _enclosing_call_name(sql, start)
+            if fn in _HOF_NAMES:
+                continue  # `transform(a, x -> 1)`-style lambda
+        qpath = path.replace("'", "''")
+        if is_text:
+            repl = f"get_json_object({operand}, '{qpath}')"
+        else:
+            repl = (
+                f"to_json(variant_get(parse_json({operand}), '{qpath}'))"
+            )
+        return sql[:start] + repl + sql[rend:]
+    return None
+
+
+_SIMILAR_RE = re.compile(r"\b(NOT\s+)?SIMILAR\s+TO\b", re.I)
+
+
+def _rw_similar_to(sql: str) -> str | None:
+    """One [NOT] SIMILAR TO rewrite (leftmost) -> [NOT] RLIKE with the
+    pattern anchored for a FULL match (DuckDB probed: the pattern is a
+    plain regex — '%' is NOT a wildcard — and must match the whole
+    string)."""
+    lits = _literal_spans(sql)
+    for m in _SIMILAR_RE.finditer(sql):
+        if any(a <= m.start() < b for a, b in lits):
+            continue
+        neg = "NOT " if m.group(1) else ""
+        rend = _operand_right(sql, m.end())
+        rhs = sql[m.end() : rend].strip()
+        if rhs.startswith("'") and rhs.endswith("'") and len(rhs) >= 2:
+            patt = rhs[1:-1]
+            anchored = f"'^(?:{patt})$'"
+        else:
+            anchored = f"concat('^(?:', {rhs}, ')$')"
+        return f"{sql[: m.start()]}{neg}RLIKE {anchored}{sql[rend:]}"
+    return None
+
+
+def _rw_intdiv(sql: str) -> str | None:
+    """`a // b` -> `a div b` (DuckDB's integer division truncates
+    toward zero, exactly Spark's div; non-integer operands fall back
+    to `/` in DuckDB — the one documented divergence)."""
+    lits = _literal_spans(sql)
+    for m in re.finditer(r"//", sql):
+        if any(a <= m.start() < b for a, b in lits):
+            continue
+        return sql[: m.start()] + " div " + sql[m.end() :]
+    return None
+
+
+def rewrite_expressions(sql: str) -> str | None:
+    """Apply every DuckDB expression-grammar rewrite to a fixpoint.
+    Returns the rewritten SQL, or None when the text is already
+    Spark-clean (the overwhelmingly common case — one regex probe per
+    family, no scan)."""
+    if not re.search(r"\[|->|//|\bSIMILAR\s+TO\b", sql, re.I):
+        return None
+    out = sql
+    changed = False
+    for _ in range(500):
+        step = (
+            _rw_arrows(out)
+            or _rw_brackets(out)
+            or _rw_similar_to(out)
+            or _rw_intdiv(out)
+        )
+        if step is None:
+            break
+        out, changed = step, True
+    return out if changed else None

@@ -213,9 +213,15 @@ class Engine:
         if args and params:
             raise ValueError("use positional ? args or named :params, not both")
         # DuckDB dialect forms Spark's parser lacks (dialect.py):
-        # star modifiers first (local rewrite), then QUALIFY (binder
-        # rewrite + helper-column drop)
+        # expression grammar first (list literals, JSON arrows, string
+        # slicing, SIMILAR TO, // — token-level), then star modifiers
+        # (local rewrite), then QUALIFY (binder rewrite + helper-column
+        # drop)
         from data_chunk_compaction_in_duckdb_spark import dialect
+
+        expr = dialect.rewrite_expressions(query)
+        if expr is not None:
+            query = expr
 
         star = dialect.rewrite_star_modifiers(query)
         if star is not None:
@@ -556,7 +562,6 @@ class Engine:
             _literal_spans,
         )
 
-        lits = _literal_spans(query)
         for fname, builder in (
             ("duckdb_tables", self.duckdb_tables),
             ("duckdb_views", self.duckdb_views),
@@ -567,7 +572,9 @@ class Engine:
         ):
             pat = _re.compile(rf"\b{fname}\s*\(\s*\)", _re.I)
             # literal-aware probe: a TF name appearing only as DATA
-            # must not materialize the catalog view
+            # must not materialize the catalog view.  Spans recompute
+            # per TF — earlier substitutions shift the offsets.
+            lits = _literal_spans(query)
             if any(
                 not any(a <= m.start() < b for a, b in lits)
                 for m in pat.finditer(query)
@@ -755,7 +762,14 @@ class Engine:
                 # probed: COMMIT of an aborted txn silently rolls back
                 self._restore_catalog(txn)
                 return {}
-            return txn.commit()
+            try:
+                return txn.commit()
+            except Exception:
+                # a conflict-invalidated transaction must not leak its
+                # CREATE VIEW / CREATE SCHEMA effects (the reference
+                # invalidates the whole transaction, catalog included)
+                self._restore_catalog(txn)
+                raise
         finally:
             self._restore_views(txn)
 

@@ -29,14 +29,30 @@ def delete_where_in(df: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
     return df.join(keys, key_col, "left_anti")
 
 
+def apply_assignments(
+    df: DataFrame, cond: Column, assignments: Mapping[str, Column]
+) -> DataFrame:
+    """Apply every SET clause in ONE projection so each RHS sees the
+    PRE-update row (SQL simultaneous-assignment semantics; the
+    reference binds all UPDATE expressions against the scanned row,
+    physical_update.cpp:187 — `UPDATE t SET a=b, b=a` swaps)."""
+    return df.select(
+        *[
+            (
+                F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+            )
+            for c in df.columns
+        ]
+    )
+
+
 def update_where(
     df: DataFrame, cond: Column, assignments: Mapping[str, Column]
 ) -> DataFrame:
     """UPDATE df SET col = expr, ... WHERE cond."""
-    out = df
-    for col, expr in assignments.items():
-        out = out.withColumn(col, F.when(cond, expr).otherwise(F.col(col)))
-    return out
+    return apply_assignments(df, cond, assignments)
 
 
 def insert_into(df: DataFrame, rows: DataFrame) -> DataFrame:
@@ -76,9 +92,7 @@ def update_returning(
     updated rows with the assignments APPLIED (DuckDB returns the
     post-update image)."""
     post = update_where(df, cond, assignments)
-    updated = df.filter(cond)
-    for col, expr in assignments.items():
-        updated = updated.withColumn(col, expr)
+    updated = apply_assignments(df.filter(cond), F.lit(True), assignments)
     return post, updated
 
 
@@ -149,8 +163,5 @@ def update_from(
         F.col("_t_rn") == 1
     )
     matched = F.col("__src__match").isNotNull()
-    for col, expr in assignments.items():
-        picked = picked.withColumn(
-            col, F.when(matched, expr).otherwise(F.col(col))
-        )
+    picked = apply_assignments(picked, matched, assignments)
     return picked.select(*out_cols)

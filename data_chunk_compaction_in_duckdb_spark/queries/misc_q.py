@@ -1206,3 +1206,36 @@ def introspect_info_schema_tables(
     return information_schema_tables(
         spark, getattr(eng, "_versioned", {}), getattr(eng, "_views", {})
     )
+
+
+_DIALECT_EXPR_SQL = """
+    SELECT event_id,
+           CAST(props ->> 'k' AS BIGINT) AS k_num,
+           props -> 'k' AS k_json,
+           event_type[1:4] AS et_head,
+           event_type[-2:] AS et_tail,
+           event_id // 100 AS bucket,
+           [event_id % 3, event_id % 5][2] AS pick
+    FROM events
+    WHERE event_type SIMILAR TO '(view|click|purchase)'
+      AND CAST(props ->> 'k' AS BIGINT) // 10 >= 2
+    ORDER BY event_id
+    LIMIT 500
+    """
+
+
+@query("dialect_expr_rewrites", oracle=_DIALECT_EXPR_SQL)
+def dialect_expr_rewrites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB expression grammar through the SQL entry point
+    (dialect.rewrite_expressions; reference src/parser/transform/
+    expression/, test/sql/json/, test/sql/types/string/): the engine
+    accepts DuckDB's ``->``/``->>`` JSON arrows, 1-based string slicing
+    ``s[a:b]``, list literals + 1-based indexing ``[..][n]``, full-match
+    ``SIMILAR TO`` and ``//`` integer division VERBATIM — the oracle
+    string IS the engine input.  Arrows map to get_json_object /
+    variant_get (JVM-side, codegen'd), slices to substring, so the
+    rewritten plan is pure Catalyst — no UDF, scale-invariant."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    return eng.sql(_DIALECT_EXPR_SQL)

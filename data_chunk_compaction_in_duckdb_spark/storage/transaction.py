@@ -150,12 +150,12 @@ class _StagedTable:
                 "stored column (generated columns are computed at read)"
             )
 
+        from data_chunk_compaction_in_duckdb_spark.operators.mutations import (
+            apply_assignments,
+        )
+
         def proj(df: DataFrame) -> DataFrame:
-            out = df
-            for col, expr in assignments.items():
-                out = out.withColumn(
-                    col, F.when(cond, expr).otherwise(F.col(col))
-                )
+            out = apply_assignments(df, cond, assignments)
             # generated columns are recomputed from the post-update
             # stored values by _with_generated at the next read
             return out.select(*self._stored_cols())
@@ -341,9 +341,22 @@ class _StagedTable:
         new_pending.append(aligned)
         self.pending = new_pending
 
+    def is_noop(self) -> bool:
+        """True when the staged state is byte-identical to the base
+        manifest — the table was only read (or touched by DML that
+        matched no rows).  MVCC read-only participants must NOT publish
+        a version or conflict with concurrent writers (reference:
+        read-only transactions never enter the commit lock,
+        transaction_manager.cpp)."""
+        return not self.pending and self.carry == set(self.m["files"])
+
     def commit(self, op: str = "txn") -> int:
         """One manifest commit at base+1: carried files by reference,
-        all pending frames folded into a single write pass."""
+        all pending frames folded into a single write pass.  A no-op
+        staged table (read-only within the transaction) commits to its
+        base version without publishing anything."""
+        if self.is_noop():
+            return self.base
         new_files: list[str] = []
         if self.pending:
             rows = reduce(
@@ -450,8 +463,10 @@ class Transaction:
             for name in sorted(self._staged):
                 committed[name] = self._staged[name].commit()
         except CommitConflictError:
-            for name in committed:
+            for name, ver in committed.items():
                 st = self._staged[name]
+                if ver == st.base:  # read-only participant: nothing published
+                    continue
                 try:
                     st.vt.restore(st.base)
                 except Exception:  # noqa: BLE001 — compensation is best-effort

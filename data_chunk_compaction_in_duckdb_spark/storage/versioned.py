@@ -509,11 +509,13 @@ class VersionedTable:
         if not affected:
             return self._cow_commit("update", set(), None, base=base)
         m = self._manifest(base)
-        updated = self._read_files_logical(m, affected)
-        for col, expr in assignments.items():
-            updated = updated.withColumn(
-                col, F.when(cond, expr).otherwise(F.col(col))
-            )
+        from data_chunk_compaction_in_duckdb_spark.operators.mutations import (
+            apply_assignments,
+        )
+
+        updated = apply_assignments(
+            self._read_files_logical(m, affected), cond, assignments
+        )
         cons = m.get("constraints", [])
         self._validate(
             updated,

@@ -264,7 +264,12 @@ class EngineSqlContext:
                 self.spark.catalog.dropTempView(name)
             for name, body in self._txn_view_snap.items():
                 if cur_views.get(name) != body:
-                    self.spark.sql(body).createOrReplaceTempView(name)
+                    # route through the engine's catalog-TF rewrite so a
+                    # rolled-back view whose body calls duckdb_tables()
+                    # etc. restores instead of failing to parse
+                    self.spark.sql(
+                        self._engine._rewrite_catalog_tfs(body)
+                    ).createOrReplaceTempView(name)
             self._engine._views = dict(self._txn_view_snap)
             self._engine._schemas = set(self._txn_schema_snap)
 
@@ -607,16 +612,20 @@ class EngineSqlContext:
                 self.ctas[name] = new
                 self._eng().tables[name] = new
                 return None
+            from data_chunk_compaction_in_duckdb_spark.operators.mutations import (  # noqa: E501
+                apply_assignments,
+            )
+
             cond = F.expr(where) if where else F.lit(True)
             new = self.ctas[name]
-            for col, expr in assigns.items():
+            for col in assigns:
                 if col not in new.columns:
                     raise SqlLogicError(
                         f'Binder Error: Referenced column "{col}" not found'
                     )
-                new = new.withColumn(
-                    col, F.when(cond, F.expr(expr)).otherwise(F.col(col))
-                )
+            new = apply_assignments(
+                new, cond, {c: F.expr(e) for c, e in assigns.items()}
+            )
             # an UPDATE re-inserts into unique ART indexes (reference:
             # delete+insert per updated row) — enforce like INSERT does
             for iname, info in getattr(
@@ -734,6 +743,10 @@ class EngineSqlContext:
         if seqsql.SEQFN_RE.search(sql):
             self._register_seq_udfs()
         from data_chunk_compaction_in_duckdb_spark import dialect
+
+        expr = dialect.rewrite_expressions(sql)
+        if expr is not None:
+            sql = expr
 
         star = dialect.rewrite_star_modifiers(sql)
         if star is not None:

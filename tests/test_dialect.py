@@ -184,3 +184,89 @@ def test_qualify_requires_a_window_function():
     # the keyword inside a string literal does not satisfy the rule
     with pytest.raises(ValueError, match="window function"):
         rewrite_qualify("SELECT a, 'OVER' AS s FROM t QUALIFY a > 5")
+
+
+# --- round-9: expression-grammar rewrites (rewrite_expressions) -------
+
+
+def _rw(sql):
+    from data_chunk_compaction_in_duckdb_spark.dialect import (
+        rewrite_expressions,
+    )
+
+    return rewrite_expressions(sql)
+
+
+def test_expr_list_literals():
+    assert _rw("SELECT [1, 2] AS l") == "SELECT array(1, 2) AS l"
+    assert _rw("SELECT ARRAY[1,2] AS l") == "SELECT array(1,2) AS l"
+    assert (
+        _rw("SELECT [[1],[2,3]] AS l")
+        == "SELECT array(array(1),array(2,3)) AS l"
+    )
+    assert _rw("SELECT [] AS l") == "SELECT array() AS l"
+
+
+def test_expr_index_is_one_based_element_at():
+    assert _rw("SELECT arr[2] FROM t") == "SELECT element_at(arr, 2) FROM t"
+    assert _rw("SELECT f(x)[1] FROM t") == "SELECT element_at(f(x), 1) FROM t"
+    # string-keyed subscripts (map/struct) are native in both engines
+    assert _rw("SELECT m['k'] FROM t") is None
+    # type brackets are not subscripts
+    assert _rw("SELECT CAST(x AS INT[]) FROM t") is None
+    assert _rw("SELECT x::INT[3] FROM t") is None
+
+
+def test_expr_slice_string_vs_list():
+    out = _rw("SELECT name[2:4] FROM t")
+    assert out == "SELECT substring(name, 2, (4) - (2) + 1) FROM t"
+    out = _rw("SELECT [10,20,30][1:2] AS x")
+    assert "slice(" in out and "substring" not in out
+
+
+def test_expr_json_arrows():
+    assert (
+        _rw("SELECT j ->> 'a' FROM t")
+        == "SELECT get_json_object(j, '$.a') FROM t"
+    )
+    assert (
+        _rw("SELECT j -> 'a' FROM t")
+        == "SELECT to_json(variant_get(parse_json(j), '$.a')) FROM t"
+    )
+    # chained arrows compose left-to-right
+    assert _rw("SELECT j -> 'a' ->> 'b' FROM t") == (
+        "SELECT get_json_object(to_json(variant_get(parse_json(j), "
+        "'$.a')), '$.b') FROM t"
+    )
+    # path and index right sides
+    assert "'$.a.b'" in _rw("SELECT j ->> '$.a.b' FROM t")
+    assert "'$[1]'" in _rw("SELECT j -> 1 FROM t")
+
+
+def test_expr_lambda_arrows_untouched():
+    assert _rw("SELECT transform(a, x -> x + 1) FROM t") is None
+    assert _rw("SELECT transform(a, x -> 1) FROM t") is None
+    assert _rw("SELECT reduce(a, 0, (acc, x) -> 1) FROM t") is None
+
+
+def test_expr_similar_to():
+    assert (
+        _rw("SELECT s SIMILAR TO 'a.*' FROM t")
+        == "SELECT s RLIKE '^(?:a.*)$' FROM t"
+    )
+    assert (
+        _rw("SELECT s NOT SIMILAR TO 'a.c' FROM t")
+        == "SELECT s NOT RLIKE '^(?:a.c)$' FROM t"
+    )
+    assert "concat('^(?:', other, ')$')" in _rw(
+        "SELECT s SIMILAR TO other FROM t"
+    )
+
+
+def test_expr_intdiv():
+    assert _rw("SELECT 7 // 2 AS d") == "SELECT 7  div  2 AS d"
+
+
+def test_expr_literals_are_data():
+    assert _rw("SELECT '-> [1:2] // SIMILAR TO' AS lit") is None
+    assert _rw('SELECT "a//b" FROM t') is None

@@ -256,3 +256,78 @@ def test_truncate(eng):
     assert _count(eng) == 0
     eng.sql("ROLLBACK")
     assert _count(eng) == 1
+
+
+# --- round-9: simultaneous SET semantics + read-only MVCC participants
+
+
+def test_update_swap_simultaneous(eng):
+    """UPDATE t SET a=b, b=a swaps — every RHS binds to the PRE-update
+    row (DuckDB probed: (1,10) -> (10,1); reference
+    physical_update.cpp:187 evaluates all expressions on the scan)."""
+    eng.sql("UPDATE txt SET k = v, v = k WHERE k = 1")
+    row = eng.sql("SELECT k, v FROM txt WHERE v = 1").collect()
+    assert [(r["k"], r["v"]) for r in row] == [(10, 1)]
+
+
+def test_update_swap_in_transaction(eng):
+    eng.sql("BEGIN")
+    eng.sql("UPDATE txt SET k = v, v = k WHERE k = 2")
+    rows = {
+        (r["k"], r["v"])
+        for r in eng.sql("SELECT k, v FROM txt").collect()
+    }
+    assert (20, 2) in rows and (2, 20) not in rows
+    eng.sql("COMMIT")
+    rows = {
+        (r["k"], r["v"])
+        for r in eng.sql("SELECT k, v FROM txt").collect()
+    }
+    assert (20, 2) in rows
+
+
+def test_update_from_swap(spark, tmp_path):
+    eng = Engine(spark=spark, register=False)
+    df = spark.range(5).selectExpr("id AS k", "CAST(id * 10 AS BIGINT) AS v")
+    eng.create_versioned_table("ufs", df, str(tmp_path / "ufs"))
+    src = spark.range(5).selectExpr("id AS sk")
+    src.createOrReplaceTempView("ufs_src")
+    eng.sql(
+        "UPDATE ufs SET k = v, v = k FROM ufs_src WHERE ufs.k = ufs_src.sk"
+    )
+    rows = {(r["k"], r["v"]) for r in eng.sql("SELECT * FROM ufs").collect()}
+    assert rows == {(i * 10, i) for i in range(5)}
+
+
+def test_read_only_table_commits_no_version(spark, tmp_path):
+    """A table only read inside a transaction publishes no version and
+    never conflicts with a concurrent writer (reference: MVCC read-only
+    participants skip the commit lock, transaction_manager.cpp)."""
+    e1 = Engine(spark=spark, register=False)
+    ro = e1.create_versioned_table(
+        "rot", spark.range(3).selectExpr("id AS k", "id AS v"),
+        str(tmp_path / "rot"),
+    )
+    wr = e1.create_versioned_table(
+        "wrt", spark.range(3).selectExpr("id AS k", "id AS v"),
+        str(tmp_path / "wrt"),
+    )
+    e2 = Engine(spark=spark, register=False)
+    e2._versioned = {"rot": type(ro)(spark, ro.path)}
+    e1.sql("BEGIN")
+    assert e1.sql("SELECT count(*) AS c FROM rot").collect()[0]["c"] == 3
+    e1.sql("INSERT INTO wrt VALUES (9, 9)")
+    # a concurrent writer bumps rot mid-transaction
+    e2.sql("INSERT INTO rot VALUES (100, 100)")
+    e1.sql("COMMIT")  # must NOT conflict: rot was only read
+    assert ro.latest_version() == 1  # only e2's write, no spurious bump
+    assert wr.latest_version() == 1
+    assert type(ro)(spark, ro.path).read().count() == 4
+
+
+def test_noop_dml_commits_no_version(eng):
+    vt = eng._versioned["txt"]
+    eng.sql("BEGIN")
+    eng.sql("DELETE FROM txt WHERE k = 99999")  # matches nothing
+    eng.sql("COMMIT")
+    assert vt.latest_version() == 0

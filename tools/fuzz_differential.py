@@ -442,12 +442,57 @@ def qualify_select(rng: random.Random) -> str:
     )
 
 
+def dialect_expr_select(rng: random.Random) -> str:
+    """Round-9 expression-grammar forms (dialect.rewrite_expressions):
+    string slices with positive/negative/open bounds, list literals +
+    1-based index/slice, // integer division, full-match SIMILAR TO,
+    and JSON arrows over a constructed JSON literal."""
+    table = rng.choice(list(TABLES))
+    g = Gen(rng, table)
+    col = rng.choice(g.t["str"])
+    icol = rng.choice(g.t["int"])
+    items = []
+    lo = rng.choice(["", "1", "2", "3", "-3", "-5", "0"])
+    hi = rng.choice(["", "2", "4", "6", "100", "-1", "-2"])
+    items.append(f"{col}[{lo}:{hi}] AS c_slice")
+    items.append(
+        f"({icol} + {rng.randint(0, 9)}) // {rng.randint(1, 9)} AS c_div"
+    )
+    n = rng.randint(2, 4)
+    lits = ", ".join(str(rng.randint(-9, 9)) for _ in range(n))
+    if rng.random() < 0.5:
+        items.append(f"[{lits}][{rng.randint(1, n)}] AS c_lidx")
+    else:
+        items.append(
+            f"[{lits}][{rng.randint(1, 2)}:{rng.randint(2, n)}][1] AS c_lsl"
+        )
+    k = rng.randint(0, 99)
+    arrow = rng.choice(["->>", "->"])
+    key = rng.choice(["k", "s"])
+    items.append(
+        f"'{{\"k\": {k}, \"s\": \"ab\"}}' {arrow} '{key}' AS c_json"
+    )
+    pred = rng.choice(
+        [
+            f"{col} SIMILAR TO '[A-Z].*'",
+            f"{col} NOT SIMILAR TO '.*[0-9]'",
+            f"{col} SIMILAR TO '{rng.choice(['A.*', '.*E.*', '[A-M].*'])}'",
+        ]
+    )
+    return (
+        f"SELECT {', '.join(items)} FROM {table} "
+        f"WHERE {pred} ORDER BY {icol}, {col} LIMIT 40"
+    )
+
+
 def gen_query(rng: random.Random) -> str:
     table = rng.choice(list(TABLES))
     g = Gen(rng, table)
     roll = rng.random()
     if roll < 0.05:
         return float_special_select(rng)
+    if roll < 0.13:
+        return dialect_expr_select(rng)
     if roll < 0.15:
         return join_select(rng)
     if roll < 0.22:
@@ -519,6 +564,9 @@ def run_fuzz(
             from data_chunk_compaction_in_duckdb_spark import dialect
 
             s_sql = sql
+            expr = dialect.rewrite_expressions(s_sql)
+            if expr is not None:
+                s_sql = expr
             star = dialect.rewrite_star_modifiers(s_sql)
             if star is not None:
                 s_sql = star

@@ -7029,6 +7029,50 @@ corpus("update_from_delete_using", "UPDATE ... FROM / DELETE ... USING join-DML 
     ("I", "", "SELECT count(*) FROM jd_t"),
 ])
 
+corpus("dialect_expressions", "DuckDB expression grammar Spark's parser lacks (reference src/parser/transform/expression/, test/sql/json/, test/sql/types/string/, test/sql/types/list/; Spark side: dialect.rewrite_expressions — list literals, 1-based indexing/slicing, -> / ->> JSON arrows, SIMILAR TO full-match regex, // integer division; all semantics probed on DuckDB 1.0)")([
+    # list literals + 1-based indexing
+    ("I", "", "SELECT [10, 20, 30][2]"),
+    ("I", "", "SELECT [10, 20, 30][-1]"),
+    ("I", "", "SELECT ARRAY[7, 8][1]"),
+    ("I", "", "SELECT [[1],[2,3]][2][1]"),
+    # list slicing (1-based inclusive, negative = from the end)
+    ("I", "", "SELECT [10,20,30][1:2][2]"),
+    ("I", "", "SELECT [10,20,30][-2:][1]"),
+    ("I", "", "SELECT [10,20,30][:2][2]"),
+    # string slicing
+    ("T", "", "SELECT 'abcdef'[2:4]"),
+    ("T", "", "SELECT 'abcdef'[2:]"),
+    ("T", "", "SELECT 'abcdef'[:3]"),
+    ("T", "", "SELECT 'abcdef'[-3:]"),
+    ("T", "", "SELECT 'abcdef'[:-2]"),
+    ("T", "", "SELECT concat('<', 'abcdef'[4:2], '>')"),
+    ("T", "", "SELECT r_name[2:4] FROM region ORDER BY r_regionkey"),
+    # JSON arrows: -> keeps JSON rendering, ->> extracts text
+    ("T", "", "SELECT '{\"a\": {\"b\": 7}}' -> 'a'"),
+    ("T", "", "SELECT '{\"s\": \"x\"}' -> 's'"),
+    ("T", "", "SELECT '{\"s\": \"x\"}' ->> 's'"),
+    ("T", "", "SELECT '{\"a\": {\"b\": 7}}' -> 'a' ->> 'b'"),
+    ("T", "", "SELECT '[10,20]' ->> 1"),
+    ("T", "", "SELECT '{\"a\":{\"b\":7}}' ->> '$.a.b'"),
+    ("I", "", "SELECT CAST(props ->> 'k' AS BIGINT) FROM events ORDER BY event_id LIMIT 5"),
+    ("I", "", "SELECT count(*) FROM events WHERE CAST(props ->> 'k' AS BIGINT) > 50"),
+    # SIMILAR TO is a FULL-match plain regex (probed: % is not a wildcard)
+    ("I", "", "SELECT count(*) FROM region WHERE r_name SIMILAR TO 'A.*'"),
+    ("I", "", "SELECT count(*) FROM region WHERE r_name SIMILAR TO 'A%'"),
+    ("T", "", "SELECT r_name FROM region WHERE r_name NOT SIMILAR TO '.*[AE].*' ORDER BY r_regionkey"),
+    ("I", "", "SELECT count(*) FROM nation WHERE n_name SIMILAR TO '.*(IA|CO)'"),
+    # // integer division truncates toward zero (= Spark div)
+    ("I", "", "SELECT 7 // 2"),
+    ("I", "", "SELECT -7 // 2"),
+    ("I", "", "SELECT n_nationkey // 3 FROM nation ORDER BY n_nationkey LIMIT 5"),
+    ("I", "", "SELECT CAST(sum(o_orderkey // 100) AS BIGINT) FROM orders"),
+    # interactions: rewrites must not fire inside string data
+    ("T", "", "SELECT '-> [1:2] // SIMILAR TO'"),
+    # lambda arrows keep working through the engine surface (filter is
+    # a lambda HOF in BOTH engines — DuckDB aliases list_filter)
+    ("I", "", "SELECT filter([1,2,3], x -> x > 1)[1]"),
+])
+
 
 def main() -> int:
     import duckdb
