@@ -707,6 +707,25 @@ class Engine:
         resolve the last COMMITTED manifest (MVCC snapshot)."""
         self._txn.table(name, vt).read().createOrReplaceTempView(name)
 
+    def enable_atomic_commit(self, path: str) -> None:
+        """Route multi-table COMMITs through a root transaction log at
+        ``path`` (storage.txnlog.RootLog): one O_EXCL link commits every
+        staged table atomically — a reader resolving versions through
+        ``snapshot_versions()`` can never observe a partial commit.
+        Engines sharing the same root path share the commit lock
+        (reference transaction_manager.cpp's single commit point)."""
+        from data_chunk_compaction_in_duckdb_spark.storage.txnlog import (
+            RootLog,
+        )
+
+        self._root_log = RootLog(path)
+
+    def snapshot_versions(self) -> dict[str, int]:
+        """Atomic {table: version} mapping from the root log (empty
+        when atomic commit is not enabled)."""
+        log = getattr(self, "_root_log", None)
+        return log.snapshot() if log is not None else {}
+
     def begin(self) -> None:
         """BEGIN [TRANSACTION] / START TRANSACTION."""
         from data_chunk_compaction_in_duckdb_spark.storage.transaction import (
@@ -763,7 +782,9 @@ class Engine:
                 self._restore_catalog(txn)
                 return {}
             try:
-                return txn.commit()
+                return txn.commit(
+                    root_log=getattr(self, "_root_log", None)
+                )
             except Exception:
                 # a conflict-invalidated transaction must not leak its
                 # CREATE VIEW / CREATE SCHEMA effects (the reference

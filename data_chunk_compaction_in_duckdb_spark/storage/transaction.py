@@ -28,11 +28,14 @@ compose rewrites LAZILY on the staged frames.  COMMIT writes each
 table's pending rows once (one union, one write job) and publishes one
 manifest; a 50-statement transaction costs one data-write pass, not 50.
 
-Cross-table atomicity: tables commit in name order; if a conflict
-aborts the sequence midway, already-committed tables are compensated
-with ``restore()`` commits back to their pre-transaction version
-(best-effort — a reader can observe the intermediate state, which the
-single-file reference never exposes; the docstring is the contract).
+Cross-table atomicity: with a root transaction log (storage/txnlog.py,
+``Engine.enable_atomic_commit``) COMMIT prepares every table's data
+files and manifest first, then publishes ONE O_EXCL root record — the
+single commit point of the reference's transaction_manager.cpp — so a
+conflict publishes nothing and a root-log reader can never observe a
+partial commit.  Without one (single-table transactions, legacy
+callers), tables commit in name order with best-effort ``restore()``
+compensation on a mid-sequence conflict.
 """
 
 from __future__ import annotations
@@ -350,13 +353,12 @@ class _StagedTable:
         transaction_manager.cpp)."""
         return not self.pending and self.carry == set(self.m["files"])
 
-    def commit(self, op: str = "txn") -> int:
-        """One manifest commit at base+1: carried files by reference,
-        all pending frames folded into a single write pass.  A no-op
-        staged table (read-only within the transaction) commits to its
-        base version without publishing anything."""
-        if self.is_noop():
-            return self.base
+    def prepare(self, op: str = "txn") -> dict:
+        """Write this table's data files and build (but NOT publish)
+        the base+1 manifest: carried files by reference, all pending
+        frames folded into a single write pass.  A crash after prepare
+        leaves only orphan data files (vacuum-cleaned); nothing is
+        visible until the manifest links."""
         new_files: list[str] = []
         if self.pending:
             rows = reduce(
@@ -364,7 +366,7 @@ class _StagedTable:
                 [p.select(*self._stored_cols()) for p in self.pending],
             )
             new_files = self.vt._write_data(rows, self.m["mapping"])
-        self.vt._commit(
+        return self.vt._build_manifest(
             self.base + 1,
             op,
             sorted(self.carry) + new_files,
@@ -374,6 +376,14 @@ class _StagedTable:
             constraints=self.m.get("constraints", []),
             generated=self.m.get("generated", {}),
         )
+
+    def commit(self, op: str = "txn") -> int:
+        """One manifest commit at base+1 (prepare + atomic link).  A
+        no-op staged table (read-only within the transaction) commits
+        to its base version without publishing anything."""
+        if self.is_noop():
+            return self.base
+        self.vt._link_manifest(self.prepare(op))
         return self.base + 1
 
 
@@ -451,14 +461,44 @@ class Transaction:
             self.table(name, vt).update_from, src_pref, cond, assignments
         )
 
-    def commit(self) -> dict[str, int]:
-        """Publish every staged table (name order).  On a mid-sequence
+    def commit(self, root_log=None) -> dict[str, int]:
+        """Publish every staged table.
+
+        With ``root_log`` (a storage.txnlog.RootLog): EVERY table's
+        data files and manifest are prepared first, then ONE O_EXCL
+        root-record link commits the whole transaction atomically —
+        no reader resolving through the root log ever observes a
+        partial commit, and a conflict publishes NOTHING (reference
+        transaction_manager.cpp's single commit point).
+
+        Without one (single-table transactions, legacy callers):
+        per-table commits in name order; on a mid-sequence
         CommitConflictError, already-committed tables are compensated
         with restore() commits back to their pre-transaction versions,
         then the conflict re-raises for the caller to retry."""
         if self.aborted:
             return {}
         committed: dict[str, int] = {}
+        if root_log is not None:
+            updates: dict[str, tuple] = {}
+            for name in sorted(self._staged):
+                st = self._staged[name]
+                if st.is_noop():
+                    committed[name] = st.base
+                    continue
+                updates[name] = (st.vt, st.base, st.prepare())
+            if updates:
+                root_log.append(updates)  # THE commit point
+                for name, (vt, _b, m) in updates.items():
+                    try:
+                        vt._link_manifest(m)
+                    except CommitConflictError:
+                        # a concurrent recover() already replayed this
+                        # root record's manifest — identical content,
+                        # the commit stands
+                        pass
+                    committed[name] = m["version"]
+            return committed
         try:
             for name in sorted(self._staged):
                 committed[name] = self._staged[name].commit()

@@ -174,7 +174,7 @@ class VersionedTable:
         with open(p) as f:
             return json.load(f)
 
-    def _commit(
+    def _build_manifest(
         self,
         version: int,
         op: str,
@@ -184,7 +184,10 @@ class VersionedTable:
         used_physical: list[str],
         constraints: list[dict] | None = None,
         generated: dict[str, str] | None = None,
-    ) -> None:
+    ) -> dict:
+        """Assemble (but do not publish) a manifest — the prepare half
+        of the commit, so a multi-table transaction can stage every
+        table's manifest before the single root-log commit point."""
         # Per-file zone maps ride in the manifest (reference row-group
         # statistics, src/storage/statistics/, lifted to file grain):
         # carried-forward files reuse the previous manifest's entry, new
@@ -201,7 +204,7 @@ class VersionedTable:
             if entry is None:
                 entry = _file_stats(os.path.join(self.path, f))
             stats[f] = entry
-        manifest = {
+        return {
             "version": version,
             "op": op,
             "files": sorted(files),
@@ -212,11 +215,16 @@ class VersionedTable:
             "generated": generated or {},
             "stats": stats,
         }
-        # write-then-link publish: the manifest appears under its final
-        # name fully written AND exclusively (os.link fails atomically on
-        # a racing commit of the same version) — a bare O_EXCL+write
-        # would let a concurrent latest_version()/read() glob a created-
-        # but-not-yet-written file and fail parsing it
+
+    def _link_manifest(self, manifest: dict) -> None:
+        """Publish a built manifest — the atomic half of the commit.
+
+        Write-then-link publish: the manifest appears under its final
+        name fully written AND exclusively (os.link fails atomically on
+        a racing commit of the same version) — a bare O_EXCL+write
+        would let a concurrent latest_version()/read() glob a created-
+        but-not-yet-written file and fail parsing it."""
+        version = manifest["version"]
         p = os.path.join(self.log_dir, f"{version:08d}.json")
         tmp = f"{p}.tmp.{os.getpid()}.{id(manifest)}"
         with open(tmp, "w") as f:
@@ -230,6 +238,30 @@ class VersionedTable:
         finally:
             os.unlink(tmp)
         self._write_last_pointer(version)
+
+    def _commit(
+        self,
+        version: int,
+        op: str,
+        files: list[str],
+        schema: StructType,
+        mapping: dict[str, str],
+        used_physical: list[str],
+        constraints: list[dict] | None = None,
+        generated: dict[str, str] | None = None,
+    ) -> None:
+        self._link_manifest(
+            self._build_manifest(
+                version,
+                op,
+                files,
+                schema,
+                mapping,
+                used_physical,
+                constraints=constraints,
+                generated=generated,
+            )
+        )
 
     def _write_data(self, df: DataFrame, mapping: dict[str, str]) -> list[str]:
         """Write df (logical column names) as fresh immutable parquet
