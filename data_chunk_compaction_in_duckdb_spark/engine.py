@@ -127,6 +127,19 @@ class Engine:
         handled = self._dispatch_view_schema(query)
         if handled is not _UNHANDLED:
             return handled
+        # EXPLAIN [ANALYZE] <select> (reference test/sql/explain/, the
+        # EXPLAIN ANALYZE harvest in vector_compaction.cpp:83-92) —
+        # DuckDB's (explain_key, explain_value) output shape
+        handled = self._dispatch_explain(query)
+        if handled is not _UNHANDLED:
+            return handled
+
+        # VACUUM / EXPORT DATABASE / IMPORT DATABASE maintenance
+        # statements (reference test/sql/vacuum/, physical_export.cpp)
+        handled = self._dispatch_maintenance(query)
+        if handled is not _UNHANDLED:
+            return handled
+
         # DESCRIBE / SHOW TABLES / SUMMARIZE statements (reference
         # test/sql/show_select/, summarize TF) — DuckDB's output shapes,
         # not Spark's native DESCRIBE
@@ -582,6 +595,120 @@ class Engine:
                 builder().createOrReplaceTempView(f"__{fname}")
                 query = sub_outside_literals(pat, f"__{fname}", query)
         return query
+
+    _VACUUM_RE = _re.compile(r"^\s*VACUUM(\s+ANALYZE)?\s*;?\s*$", _re.I)
+    _EXPORT_DB_RE = _re.compile(
+        r"^\s*EXPORT\s+DATABASE\s+'([^']+)'"
+        r"(?:\s*\(\s*FORMAT\s+'?(\w+)'?\s*\))?\s*;?\s*$",
+        _re.I,
+    )
+    _IMPORT_DB_RE = _re.compile(
+        r"^\s*IMPORT\s+DATABASE\s+'([^']+)'\s*;?\s*$", _re.I
+    )
+
+    def _dispatch_maintenance(self, query: str):
+        """VACUUM [ANALYZE] / EXPORT DATABASE / IMPORT DATABASE
+        statements (reference test/sql/vacuum/, physical_export.cpp:215,
+        test/sql/copy/ export roundtrips) onto the existing APIs:
+
+        - VACUUM sweeps every versioned table's unreferenced data files
+          (versioned.vacuum — the reference's checkpoint truncation);
+          VACUUM ANALYZE additionally recomputes nothing here because
+          zone maps refresh at every commit (stats ride the manifest).
+        - EXPORT DATABASE '<dir>' [(FORMAT csv|parquet)] writes every
+          engine-created table (versioned + CTAS) plus a schema.sql DDL
+          record (sources/summary.export_database).
+        - IMPORT DATABASE '<dir>' re-registers every exported table.
+        """
+        if self._VACUUM_RE.match(query):
+            # probed: DuckDB accepts VACUUM inside an open transaction
+            # (no-op there — sweeping under a pinned base would race
+            # the staged snapshot, same rule as CHECKPOINT)
+            if getattr(self, "_txn", None) is None:
+                for name, vt in getattr(self, "_versioned", {}).items():
+                    vt.vacuum()
+            return None
+        m = self._EXPORT_DB_RE.match(query)
+        if m:
+            from data_chunk_compaction_in_duckdb_spark.sources.summary import (
+                export_database,
+            )
+
+            out_dir, fmt = m.group(1), (m.group(2) or "parquet").lower()
+            tables: dict[str, DataFrame] = {}
+            for name, vt in getattr(self, "_versioned", {}).items():
+                tables[name] = vt.read()
+            for name, df in self.tables.items():
+                if name not in tables and name not in _catalog.TABLES:
+                    tables[name] = df
+            export_database(self.spark, tables, out_dir, fmt=fmt)
+            return None
+        m = self._IMPORT_DB_RE.match(query)
+        if m:
+            from data_chunk_compaction_in_duckdb_spark.sources.summary import (
+                import_database,
+            )
+
+            fmt = "parquet"
+            for name, df in import_database(
+                self.spark, m.group(1), fmt=fmt
+            ).items():
+                df.createOrReplaceTempView(name)
+                self.tables[name] = df
+            return None
+        return _UNHANDLED
+
+    _EXPLAIN_RE = _re.compile(
+        r"^\s*EXPLAIN\s+(ANALYZE\s+)?(.*)$", _re.I | _re.S
+    )
+
+    def _dispatch_explain(self, query: str):
+        """EXPLAIN [ANALYZE] <query> in DuckDB's two-column shape
+        (probed: one row, explain_key = 'physical_plan' /
+        'analyzed_plan', explain_value = the rendered tree).  EXPLAIN
+        renders Spark's formatted physical plan; EXPLAIN ANALYZE
+        executes the query and renders the final AQE plan with each
+        operator's numOutputRows (plans/metrics.explain_analyze — the
+        same instrumentation the reference harvests from its
+        profilers, vector_compaction.cpp:83-92)."""
+        m = self._EXPLAIN_RE.match(query)
+        if m is None:
+            return _UNHANDLED
+        analyze, inner = bool(m.group(1)), m.group(2).strip().rstrip(";")
+        if not _re.match(r"^\s*(SELECT|WITH|VALUES|TABLE)\b", inner, _re.I):
+            raise ValueError(
+                "Not implemented Error: EXPLAIN of a non-SELECT "
+                "statement is not supported"
+            )
+        df = self.sql(inner)
+        if analyze:
+            import time
+
+            from data_chunk_compaction_in_duckdb_spark.plans.metrics import (
+                explain_analyze,
+            )
+
+            t0 = time.perf_counter()
+            ops = explain_analyze(df, execute=True)
+            wall = time.perf_counter() - t0
+            lines = [
+                "Query Profiling Information",
+                f"total wall time: {wall:.3f}s",
+                "",
+            ]
+            for op in ops:
+                rows = "" if op.rows is None else f"  rows={op.rows}"
+                lines.append(f"{'  ' * op.depth}{op.name}{rows}")
+            key, value = "analyzed_plan", "\n".join(lines)
+        else:
+            from data_chunk_compaction_in_duckdb_spark.plans.inspect import (
+                explain_str,
+            )
+
+            key, value = "physical_plan", explain_str(df, "formatted")
+        return self.spark.createDataFrame(
+            [(key, value)], "explain_key string, explain_value string"
+        )
 
     _DESCRIBE_SEL_RE = _re.compile(r"^\s*DESCRIBE\s+(SELECT\b.*)$", _re.I | _re.S)
     _DESCRIBE_TBL_RE = _re.compile(r"^\s*DESCRIBE\s+(\w+)\s*;?\s*$", _re.I)

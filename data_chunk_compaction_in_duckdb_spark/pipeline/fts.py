@@ -10,10 +10,12 @@ bucketed by term so a query's term lookups are partition-pruned scans,
 and document-length stats ride along as a narrow (doc, dl) relation.
 
 Scoring is Okapi BM25 with the Lucene-style non-negative IDF
-``ln(1 + (N - df + 0.5)/(df + 0.5))``.  No stemming (the reference's
-porter stemmer is a tokenizer option there; tokens here are plain
-lowercased word splits — documented divergence, the fixture corpus is
-already lowercase words).
+``ln(1 + (N - df + 0.5)/(df + 0.5))``.  Tokens are lowercased word
+splits; ``stemmer='porter'`` (reference
+extension/fts/fts_indexing.cpp's stemmer option) additionally maps
+every token — and every query term — through the Porter algorithm
+(pipeline/stem.py, an Arrow-batched per-partition pass), so
+morphological variants share postings.
 
 Everything is exact-integer until the final score expression, so the
 only doubles are the idf/avgdl terms — DuckDB replays the identical
@@ -36,8 +38,19 @@ def tokenize(text_col) -> F.Column:
     )
 
 
+def _stem_terms(terms: list[str], stemmer: str | None) -> list[str]:
+    """Stem QUERY terms with the same function the index applied —
+    driver-side, bounded by the query length."""
+    if stemmer is None:
+        return terms
+    from data_chunk_compaction_in_duckdb_spark.pipeline.stem import STEMMERS
+
+    fn = STEMMERS[stemmer]
+    return sorted({fn(t) for t in terms})
+
+
 def build_fts_index(
-    docs: DataFrame, id_col: str, text_col: str
+    docs: DataFrame, id_col: str, text_col: str, stemmer: str | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """(postings, doclen): postings = (term, doc, tf) — one shuffle,
     grouped on (doc, term) with map-side partial counts; doclen =
@@ -53,6 +66,14 @@ def build_fts_index(
         F.col(id_col).alias("doc"),
         F.explode(tokenize(text_col)).alias("term"),
     )
+    if stemmer is not None:
+        from data_chunk_compaction_in_duckdb_spark.pipeline.stem import (
+            stem_pandas_udf,
+        )
+
+        toks = toks.select(
+            "doc", stem_pandas_udf(stemmer)(F.col("term")).alias("term")
+        )
     postings = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
     doclen = toks.groupBy("doc").agg(F.count("*").alias("dl"))
     return postings, doclen
@@ -104,15 +125,20 @@ def bm25_scores(
     query_terms: list[str],
     k1: float = 1.2,
     b: float = 0.75,
+    stemmer: str | None = None,
 ) -> DataFrame:
     """BM25 score per document matching ANY query term (the reference's
     match_bm25), tokenizing ``docs`` inline — the one-shot form; for
     repeated querying materialize an ``FTSIndex`` once instead.
+    ``stemmer='porter'`` stems corpus tokens AND query terms with the
+    same function (reference fts_indexing.cpp stemmer option).
 
     Returns (doc, score) with the raw double score — callers round for
     hashing/display."""
-    postings, doclen = build_fts_index(docs, id_col, text_col)
-    return _bm25_over(postings, doclen, query_terms, k1, b)
+    postings, doclen = build_fts_index(docs, id_col, text_col, stemmer)
+    return _bm25_over(
+        postings, doclen, _stem_terms(query_terms, stemmer), k1, b
+    )
 
 
 class FTSIndex:
@@ -151,7 +177,13 @@ class FTSIndex:
 
     @classmethod
     def build(
-        cls, spark, path: str, docs: DataFrame, id_col: str, text_col: str
+        cls,
+        spark,
+        path: str,
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        stemmer: str | None = None,
     ) -> "FTSIndex":
         """One tokenize pass -> both versioned relations (the postings
         shuffle and the doclen aggregation share the exploded-token
@@ -163,14 +195,17 @@ class FTSIndex:
             VersionedTable,
         )
 
-        postings, doclen = build_fts_index(docs, id_col, text_col)
+        postings, doclen = build_fts_index(docs, id_col, text_col, stemmer)
         os.makedirs(path, exist_ok=True)
         VersionedTable.create(spark, os.path.join(path, "postings"), postings)
         VersionedTable.create(spark, os.path.join(path, "doclen"), doclen)
         mp = os.path.join(path, "meta.json")
         tmp = mp + f".tmp.{os.getpid()}"
         with open(tmp, "w") as f:
-            json.dump({"id_col": id_col, "text_col": text_col}, f)
+            json.dump(
+                {"id_col": id_col, "text_col": text_col, "stemmer": stemmer},
+                f,
+            )
         os.replace(tmp, mp)
         return cls(spark, path)
 
@@ -180,7 +215,10 @@ class FTSIndex:
         index stays time-travel readable.  For append-only ingest use
         ``append``."""
         postings, doclen = build_fts_index(
-            docs, self.meta["id_col"], self.meta["text_col"]
+            docs,
+            self.meta["id_col"],
+            self.meta["text_col"],
+            self.meta.get("stemmer"),
         )
         for vt, df in (
             (self.postings_table, postings),
@@ -201,7 +239,10 @@ class FTSIndex:
         at QUERY time from the stored relations, so append ∘ build ≡
         build-on-union bit-exactly."""
         postings, doclen = build_fts_index(
-            new_docs, self.meta["id_col"], self.meta["text_col"]
+            new_docs,
+            self.meta["id_col"],
+            self.meta["text_col"],
+            self.meta.get("stemmer"),
         )
         v = self.postings_table.insert(postings)
         self.doclen_table.insert(doclen)
@@ -264,8 +305,12 @@ class FTSIndex:
     ) -> DataFrame:
         """match_bm25 over the STORED index: no tokenization on the
         query path — the postings scan is filtered to the query terms
-        (partition-pruned under a by-term layout)."""
+        (partition-pruned under a by-term layout).  Query terms pass
+        through the stemmer the index was built with."""
         return _bm25_over(
-            self.postings(version), self.doclen(version), query_terms,
-            k1, b,
+            self.postings(version),
+            self.doclen(version),
+            _stem_terms(query_terms, self.meta.get("stemmer")),
+            k1,
+            b,
         )

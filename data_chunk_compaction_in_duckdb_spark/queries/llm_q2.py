@@ -1292,3 +1292,78 @@ def sim_ann_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "match_id", F.round("cosine", 4).alias("cosine")
     )
+
+
+_FTS_STEMMED_ORACLE = """
+    WITH src AS (
+      SELECT doc_id,
+             replace(replace(replace(lower(text),
+               'join', 'joining'), 'merge', 'merges'), 'sort', 'sorted')
+               AS text
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(text, '\\s+')) AS term
+      FROM src
+    ),
+    tok2 AS (SELECT doc, term FROM tok WHERE term <> ''),
+    doclen AS (SELECT doc, COUNT(*) AS dl FROM tok2 GROUP BY doc),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM doclen),
+    tf AS (SELECT doc,
+                  CASE WHEN term IN ('joining', 'joins', 'join') THEN 'join'
+                       WHEN term IN ('merges', 'merging', 'merge') THEN 'merg'
+                       WHEN term IN ('sorted', 'sorts', 'sort') THEN 'sort'
+                  END AS term,
+                  COUNT(*) AS tf
+           FROM tok2
+           WHERE term IN ('joining', 'joins', 'join', 'merges', 'merging',
+                          'merge', 'sorted', 'sorts', 'sort')
+           GROUP BY doc, 2),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT doc,
+           ROUND(SUM(
+             ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * (1.2 + 1)
+             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 4) AS score
+    FROM tf
+    JOIN dft USING (term)
+    JOIN doclen USING (doc)
+    CROSS JOIN stats
+    GROUP BY doc
+    """
+
+
+@query("fts_bm25_stemmed_search", oracle=_FTS_STEMMED_ORACLE)
+def fts_bm25_stemmed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with the PORTER stemmer option (reference
+    extension/fts/fts_indexing.cpp `stemmer := 'porter'`,
+    test/sql/fts/): the corpus is deterministically inflected
+    (join->joining, merge->merges, sort->sorted — both engines apply
+    the same replace chain), the engine stems corpus tokens AND the
+    inflected query terms through pipeline/stem.porter_stem (validated
+    against the published Porter vocabulary in tests/test_fts_stem.py),
+    and scoring must equal the oracle's stem-class BM25 (DuckDB's own
+    fts extension is not loadable offline, so the oracle encodes the
+    stem classes the Porter algorithm produces for this vocabulary —
+    'joining/joins/join'->join, 'merges/merging/merge'->merg,
+    'sorted/sorts/sort'->sort — and replays the exact formula).  The
+    stem pass is an Arrow-batched per-partition map over the exploded
+    tokens: no shuffle added at any scale."""
+    from data_chunk_compaction_in_duckdb_spark.pipeline import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "replace(replace(replace(lower(text), "
+            "'join', 'joining'), 'merge', 'merges'), 'sort', 'sorted')"
+        ).alias("text"),
+    )
+    out = bm25_scores(
+        docs, "doc_id", "text", ["joins", "merging", "sorts"],
+        stemmer="porter",
+    )
+    return out.select("doc", F.round("score", 4).alias("score"))

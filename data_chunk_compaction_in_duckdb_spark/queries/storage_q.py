@@ -956,3 +956,48 @@ def storage_update_from_delete_using(
         "CAST(sum(cents) AS BIGINT) AS total_cents "
         "FROM jfu_t GROUP BY st ORDER BY st"
     )
+
+
+@query(
+    "storage_export_import_roundtrip",
+    oracle="""
+    SELECT o_orderstatus AS st, COUNT(*) AS n,
+           CAST(SUM(FLOOR(o_totalprice * 100)) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 10 < 2
+    GROUP BY o_orderstatus ORDER BY st
+    """,
+)
+def storage_export_import_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXPORT DATABASE -> IMPORT DATABASE statement roundtrip
+    (reference physical_export.cpp:215, test/sql/copy/): a versioned
+    table exports through Engine.sql, a FRESH engine imports the
+    directory, and the aggregate over the imported view must hash-match
+    the oracle computed on the source rows — proving the export wrote
+    every row and the import re-registered it losslessly.  At scale the
+    export is one parquet write per table (no driver materialization)
+    and schema.sql is metadata-sized."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+    from data_chunk_compaction_in_duckdb_spark.queries.registry import (
+        retained_tmpdir,
+    )
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    base = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 < 2
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents_raw"),
+    )
+    root = retained_tmpdir("exp_q_")
+    eng.create_versioned_table("exp_t", base, root + "/t")
+    eng.sql(f"EXPORT DATABASE '{root}/dump'")
+    e2 = Engine(spark=spark, register=False)
+    e2.sql(f"IMPORT DATABASE '{root}/dump'")
+    return e2.sql(
+        "SELECT o_orderstatus AS st, count(*) AS n, "
+        "CAST(sum(cents_raw) AS BIGINT) AS cents "
+        "FROM exp_t GROUP BY o_orderstatus ORDER BY st"
+    )

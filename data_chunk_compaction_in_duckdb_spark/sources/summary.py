@@ -75,7 +75,10 @@ def export_database(
     os.makedirs(out_dir, exist_ok=True)
     ddl = []
     for name, df in tables.items():
-        df.write.mode("overwrite").format(fmt).save(os.path.join(out_dir, name))
+        w = df.write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            w = w.option("header", True)
+        w.save(os.path.join(out_dir, name))
         cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
         ddl.append(f"CREATE TABLE {name} ({cols});")
     with open(os.path.join(out_dir, "schema.sql"), "w") as fh:
@@ -88,10 +91,22 @@ def import_database(
     """Inverse of :func:`export_database`: re-register every exported
     table (schema carried by the data files; schema.sql is a DDL
     record, as in the reference's EXPORT)."""
+    import glob as _glob
+
     out: dict[str, DataFrame] = {}
     for name in sorted(os.listdir(out_dir)):
         path = os.path.join(out_dir, name)
         if name == "schema.sql" or not os.path.isdir(path):
             continue
-        out[name] = spark.read.format(fmt).load(path)
+        # sniff the export format from the data files (an EXPORT may
+        # have used FORMAT csv)
+        actual = fmt
+        if _glob.glob(os.path.join(path, "*.csv")):
+            actual = "csv"
+        elif _glob.glob(os.path.join(path, "*.parquet")):
+            actual = "parquet"
+        r = spark.read.format(actual)
+        if actual == "csv":
+            r = r.option("header", True).option("inferSchema", True)
+        out[name] = r.load(path)
     return out

@@ -379,6 +379,7 @@ class EngineSqlContext:
             or _eng_mod._DROP_VIEW_RE.match(sql)
             or _eng_mod._CREATE_SCHEMA_RE.match(sql)
             or _eng_mod._DROP_SCHEMA_RE.match(sql)
+            or _eng_mod.Engine._EXPLAIN_RE.match(sql)
             or _CATALOG_TF_RE.search(sql)
         ):
             return self._eng().sql(sql)

@@ -7029,6 +7029,16 @@ corpus("update_from_delete_using", "UPDATE ... FROM / DELETE ... USING join-DML 
     ("I", "", "SELECT count(*) FROM jd_t"),
 ])
 
+corpus("explain_statements", "EXPLAIN [ANALYZE] statement grammar (reference test/sql/explain/, the EXPLAIN ANALYZE harvest in vector_compaction.cpp:83-92; Spark side: Engine._dispatch_explain — DuckDB's (explain_key, explain_value) one-row shape, probed; plan TEXT differs per engine so the grid is acceptance-only and tests/test_explain.py pins the shape)")([
+    ("ok", "", "EXPLAIN SELECT r_name, count(*) FROM region GROUP BY r_name"),
+    ("ok", "", "EXPLAIN SELECT n.n_name FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'ASIA'"),
+    ("ok", "", "EXPLAIN ANALYZE SELECT count(*) FROM lineitem WHERE l_quantity > 25"),
+    ("ok", "", "EXPLAIN WITH t AS (SELECT 1 AS x) SELECT x FROM t"),
+    ("ok", "", "EXPLAIN VALUES (1, 'a'), (2, 'b')"),
+    # the statement surface stays live after EXPLAIN
+    ("I", "", "SELECT count(*) FROM region"),
+])
+
 corpus("dialect_expressions", "DuckDB expression grammar Spark's parser lacks (reference src/parser/transform/expression/, test/sql/json/, test/sql/types/string/, test/sql/types/list/; Spark side: dialect.rewrite_expressions — list literals, 1-based indexing/slicing, -> / ->> JSON arrows, SIMILAR TO full-match regex, // integer division; all semantics probed on DuckDB 1.0)")([
     # list literals + 1-based indexing
     ("I", "", "SELECT [10, 20, 30][2]"),
