@@ -692,6 +692,19 @@ def _operand_left(sql: str, end: int) -> int:
         elif ch.isalnum() or ch == "_":
             while i >= 0 and (sql[i].isalnum() or sql[i] == "_"):
                 i -= 1
+            # parameter markers are operands: `$1` / `$name`, and a
+            # SINGLE leading `:` (Spark's named form — a double colon
+            # is a cast, handled by the connector check below)
+            if i >= 0 and sql[i] == "$":
+                i -= 1
+                break
+            if (
+                i >= 0
+                and sql[i] == ":"
+                and not (i >= 1 and sql[i - 1] == ":")
+            ):
+                i -= 1
+                break
         else:
             break
         # connectors keep the chain going left: `.` and `::`
@@ -733,7 +746,8 @@ def _operand_right(sql: str, start: int) -> int:
         return i + 1
     if sql[i] == "(":
         return _match_fwd(sql, i, "(", ")")
-    m = re.match(r"[\w.\"]+", sql[i:])
+    # parameter markers ($1 / $name / :name / ?) are operands
+    m = re.match(r"[$:]?[\w.\"]+|\?", sql[i:])
     if not m:
         raise ValueError(f"cannot parse operand at: {sql[i:i+30]!r}")
     j = i + m.end()

@@ -31,17 +31,87 @@ SF_DIR = os.environ.get("SPARK_GRAFT_FUZZ_SF_DIR", "/root/testdata/sf0.001")
 _INT_RE = re.compile(r"(?<![\w.'])\d+(?![\w.'])")
 
 
+_DATE_RE = re.compile(r"\bDATE\s+'[^']*'", re.I)
+_TYPED_KEYWORD_RE = re.compile(
+    r"\b(DATE|TIMESTAMP|TIME|INTERVAL)\s*$", re.I
+)
+
+
+def _protected_spans(sql: str) -> list[tuple[int, int]]:
+    """Regions where a parameter marker would defeat the TEXTUAL
+    dialect rewrites (documented engine limitation): bracket
+    subscripts/slices/list literals, JSON-arrow right sides, and
+    SIMILAR TO patterns all require literal text at rewrite time."""
+    from data_chunk_compaction_in_duckdb_spark.dialect import (
+        _literal_spans,
+        _match_fwd,
+        _operand_right,
+    )
+
+    lits = _literal_spans(sql)
+    prot: list[tuple[int, int]] = []
+    for m in re.finditer(r"\[", sql):
+        if any(a <= m.start() < b for a, b in lits):
+            continue
+        try:
+            prot.append((m.start(), _match_fwd(sql, m.start(), "[", "]")))
+        except ValueError:
+            prot.append((m.start(), len(sql)))
+    for m in re.finditer(r"->>?|\bSIMILAR\s+TO\b", sql, re.I):
+        if any(a <= m.start() < b for a, b in lits):
+            continue
+        try:
+            prot.append((m.start(), _operand_right(sql, m.end())))
+        except ValueError:
+            prot.append((m.start(), len(sql)))
+    return prot
+
+
 def lift_parameters(
     sql: str, rng: random.Random, max_params: int = 6
 ) -> tuple[str, list[str]] | None:
-    """Replace up to ``max_params`` randomly chosen integer literals
-    with $1..$k markers (each occurrence its own parameter, DuckDB's
-    numbered style).  Returns (parameterized_sql, values) or None when
-    the query has no liftable literal."""
+    """Replace up to ``max_params`` randomly chosen literals — integer,
+    string, or typed ``DATE '...'`` — with $1..$k markers (each
+    occurrence its own parameter, DuckDB's numbered style).  Returns
+    (parameterized_sql, values) or None when the query has no liftable
+    literal."""
+    from data_chunk_compaction_in_duckdb_spark.dialect import _literal_spans
     from data_chunk_compaction_in_duckdb_spark.prepared import _mask_literals
 
     masked = _mask_literals(sql)
-    spans = [(m.start(), m.end()) for m in _INT_RE.finditer(masked)]
+    prot = _protected_spans(sql)
+
+    def clear(a: int, b: int) -> bool:
+        return not any(pa < b and a < pb for pa, pb in prot)
+
+    spans = [
+        (m.start(), m.end())
+        for m in _INT_RE.finditer(masked)
+        if clear(m.start(), m.end())
+    ]
+    # typed DATE literals lift whole (`DATE '...'` is one value)
+    date_spans = set()
+    for m in _DATE_RE.finditer(sql):
+        if clear(m.start(), m.end()):
+            spans.append((m.start(), m.end()))
+            date_spans.add((m.start(), m.end()))
+    # plain string literals (not the payload of a typed literal)
+    for a, b in _literal_spans(sql):
+        if sql[a] != "'" or not clear(a, b):
+            continue
+        if _TYPED_KEYWORD_RE.search(sql[:a].rstrip()):
+            continue
+        spans.append((a, b))
+    spans = sorted(set(spans))
+    # drop overlapping candidates (a DATE span contains its string)
+    dedup: list[tuple[int, int]] = []
+    for a, b in spans:
+        if dedup and a < dedup[-1][1]:
+            if (a, b) in date_spans:
+                dedup[-1] = (a, b)
+            continue
+        dedup.append((a, b))
+    spans = dedup
     if not spans:
         return None
     chosen = sorted(rng.sample(spans, min(len(spans), max_params)))
