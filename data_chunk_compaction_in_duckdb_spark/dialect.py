@@ -1002,7 +1002,9 @@ def rewrite_expressions(sql: str) -> str | None:
     Returns the rewritten SQL, or None when the text is already
     Spark-clean (the overwhelmingly common case — one regex probe per
     family, no scan)."""
-    if not re.search(r"\[|->|//|\bSIMILAR\s+TO\b", sql, re.I):
+    if not re.search(
+        r"\[|->|//|\bSIMILAR\s+TO\b|" + _FN_PROBE, sql, re.I
+    ):
         return None
     out = sql
     changed = False
@@ -1012,8 +1014,236 @@ def rewrite_expressions(sql: str) -> str | None:
             or _rw_brackets(out)
             or _rw_similar_to(out)
             or _rw_intdiv(out)
+            or _rw_fn_aliases(out)
+            or _rw_fn_complex(out)
         )
         if step is None:
             break
         out, changed = step, True
     return out if changed else None
+
+
+# --- DuckDB function-name aliases (round 9) ----------------------------
+# DuckDB scalar/list/date function names Spark's registry lacks, mapped
+# to the Spark built-in with IDENTICAL argument order and semantics
+# (each pair probed on both engines; reference src/function/scalar/,
+# test/sql/function/).  Names Spark already resolves (contains, len on
+# strings, string_agg, date_part, ...) are never touched.
+
+_FN_ALIASES = {
+    "string_split_regex": "split",
+    "regexp_matches": "regexp_like",
+    "list_contains": "array_contains",
+    "list_has": "array_contains",
+    "array_length": "size",
+    "list_length": "size",
+    "list_sort": "sort_array",
+    "list_distinct": "array_distinct",
+    "list_append": "array_append",
+    "starts_with": "startswith",
+    "ends_with": "endswith",
+    "epoch_ms": "unix_millis",
+    "list_max": "array_max",
+    "list_min": "array_min",
+    "array_to_string": "array_join",
+    "list_reverse": "reverse",
+    "list_transform": "transform",
+    "list_filter": "filter",
+    "list_position": "array_position",
+    "list_indexof": "array_position",
+}
+_FN_ALIAS_RE = re.compile(
+    r"\b(" + "|".join(_FN_ALIASES) + r")\s*\(", re.I
+)
+_FN_COMPLEX_RE = re.compile(
+    r"\b(string_split|list_prepend|epoch|date_diff|datediff|strftime"
+    r"|strptime|list_unique)\s*\(",
+    re.I,
+)
+# cheap pre-probe for rewrite_expressions' early exit
+_FN_PROBE = (
+    r"\b(?:"
+    + "|".join(list(_FN_ALIASES) + [
+        "string_split", "list_prepend", "epoch", "date_diff", "datediff",
+        "strftime", "strptime", "list_unique",
+    ])
+    + r")\s*\("
+)
+
+# strftime -> java.time pattern (literal formats only; probed on both
+# engines over the shared subset)
+_STRF_MAP = {
+    "a": "EEE", "A": "EEEE", "b": "MMM", "B": "MMMM", "d": "dd",
+    "f": "SSSSSS", "g": "SSS", "H": "HH", "I": "hh", "j": "DDD",
+    "m": "MM", "M": "mm", "p": "a", "S": "ss", "y": "yy", "Y": "yyyy",
+}
+_STRF_MINIMAL = {"d": "d", "H": "H", "m": "M", "M": "m", "S": "s"}
+
+# DuckDB's date_diff counts UNIT-BOUNDARY crossings (probed:
+# datediff('month', '1995-01-31', '1995-02-01') = 1), not complete
+# units like Spark's timestampdiff — each unit maps to an explicit
+# boundary-count expression.
+_DATEDIFF_UNITS = {
+    "year": "(year({b}) - year({a}))",
+    "quarter": "((year({b}) - year({a})) * 4 + (quarter({b}) - quarter({a})))",
+    "month": "((year({b}) - year({a})) * 12 + (month({b}) - month({a})))",
+    "week": "(datediff(date_trunc('WEEK', {b}), date_trunc('WEEK', {a})) div 7)",
+    "day": "datediff(CAST({b} AS DATE), CAST({a} AS DATE))",
+    "hour": "((unix_timestamp(date_trunc('HOUR', {b})) - unix_timestamp(date_trunc('HOUR', {a}))) div 3600)",
+    "minute": "((unix_timestamp(date_trunc('MINUTE', {b})) - unix_timestamp(date_trunc('MINUTE', {a}))) div 60)",
+    "second": "(unix_timestamp(date_trunc('SECOND', {b})) - unix_timestamp(date_trunc('SECOND', {a})))",
+}
+
+
+def _strf_to_java(fmt: str) -> str | None:
+    """%-directive format -> java.time pattern; None when the format
+    uses a directive outside the verified subset."""
+    if "'" in fmt:
+        return None
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if lit:
+            txt = "".join(lit)
+            if re.search(r"[A-Za-z]", txt):
+                out.append("'" + txt + "'")
+            else:
+                out.append(txt)
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            c = fmt[i + 1]
+            if c == "%":
+                lit.append("%")
+                i += 2
+                continue
+            if c == "-" and i + 2 < len(fmt) and fmt[i + 2] in _STRF_MINIMAL:
+                flush()
+                out.append(_STRF_MINIMAL[fmt[i + 2]])
+                i += 3
+                continue
+            if c in _STRF_MAP:
+                flush()
+                out.append(_STRF_MAP[c])
+                i += 2
+                continue
+            return None
+        lit.append(fmt[i])
+        i += 1
+    flush()
+    return "".join(out)
+
+
+def _split_call_args(body: str) -> list[str]:
+    """Split a call's argument text on top-level commas (paren-,
+    bracket- and string-aware)."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if body[j] == "'":
+                    if j + 1 < n and body[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            cur.append(body[i : j + 1])
+            i = j + 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    if cur or parts:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def _str_lit(text: str) -> str | None:
+    """Contents of a plain string literal, else None."""
+    t = text.strip()
+    if len(t) >= 2 and t[0] == "'" and t[-1] == "'":
+        return t[1:-1].replace("''", "'")
+    return None
+
+
+_JAVA_RE_META = set("\\.[]{}()*+?^$|")
+
+
+def _rw_fn_aliases(sql: str) -> str | None:
+    lits = _literal_spans(sql)
+    for m in _FN_ALIAS_RE.finditer(sql):
+        if any(a <= m.start() < b for a, b in lits):
+            continue
+        return (
+            sql[: m.start(1)]
+            + _FN_ALIASES[m.group(1).lower()]
+            + sql[m.end(1) :]
+        )
+    return None
+
+
+def _rw_fn_complex(sql: str) -> str | None:
+    """Arg-aware function rewrites: string_split (literal-separator
+    regex escape), list_prepend (argument swap), epoch (double cast),
+    date_diff/datediff 3-arg (boundary count), strftime/strptime
+    (format translation), list_unique (distinct non-null count)."""
+    lits = _literal_spans(sql)
+    for m in _FN_COMPLEX_RE.finditer(sql):
+        if any(a <= m.start() < b for a, b in lits):
+            continue
+        name = m.group(1).lower()
+        open_i = sql.index("(", m.end(1))
+        close = _match_fwd(sql, open_i, "(", ")")
+        args = _split_call_args(sql[open_i + 1 : close - 1])
+        repl: str | None = None
+        if name == "string_split" and len(args) == 2:
+            sep = _str_lit(args[1])
+            if sep is None:
+                continue  # non-literal separator: regex vs literal split
+            esc = "".join(
+                ("\\\\" + c if c in _JAVA_RE_META else c) for c in sep
+            )
+            repl = f"split({args[0]}, '{esc}')"
+        elif name == "list_prepend" and len(args) == 2:
+            repl = f"array_prepend({args[1]}, {args[0]})"
+        elif name == "epoch" and len(args) == 1:
+            # documented: DuckDB keeps fractional seconds, unix_timestamp
+            # truncates to the second
+            repl = f"CAST(unix_timestamp({args[0]}) AS DOUBLE)"
+        elif name in ("date_diff", "datediff") and len(args) == 3:
+            unit = _str_lit(args[0])
+            tmpl = _DATEDIFF_UNITS.get((unit or "").lower())
+            if tmpl is None:
+                continue  # 2-arg Spark datediff / unknown unit: leave
+            repl = "CAST(" + tmpl.format(a=args[1], b=args[2]) + " AS BIGINT)"
+        elif name in ("strftime", "strptime") and len(args) == 2:
+            fmt = _str_lit(args[1])
+            java = _strf_to_java(fmt) if fmt is not None else None
+            if java is None:
+                continue
+            fn = "date_format" if name == "strftime" else "to_timestamp"
+            repl = f"{fn}({args[0]}, '{java}')"
+        elif name == "list_unique" and len(args) == 1:
+            repl = (
+                f"size(array_distinct(filter({args[0]}, "
+                "x__lu -> x__lu IS NOT NULL)))"
+            )
+        if repl is not None:
+            return sql[: m.start()] + repl + sql[close:]
+    return None

@@ -1239,3 +1239,34 @@ def dialect_expr_rewrites(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     eng = Engine(spark=spark, sf_dir=sf_dir)
     return eng.sql(_DIALECT_EXPR_SQL)
+
+
+_DIALECT_FN_SQL = """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           date_diff('day', o_orderdate, DATE '1998-12-31') AS days_left,
+           date_diff('month', o_orderdate, DATE '1998-12-31') AS months_left,
+           string_split(o_orderpriority, '-')[1] AS prio_code,
+           list_max([o_orderkey % 7, o_orderkey % 5, 2]) AS pick
+    FROM orders
+    WHERE starts_with(o_orderpriority, '1')
+      AND regexp_matches(o_orderstatus, 'F|O')
+    ORDER BY o_orderkey
+    LIMIT 400
+    """
+
+
+@query("dialect_fn_rewrites", oracle=_DIALECT_FN_SQL)
+def dialect_fn_rewrites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB function-name surface through the SQL entry point
+    (dialect._rw_fn_aliases/_rw_fn_complex; reference
+    src/function/scalar/, test/sql/function/): strftime format
+    translation, boundary-count date_diff, string_split with a literal
+    separator, list literals + list_max, starts_with and
+    regexp_matches — the oracle string IS the engine input.  Every
+    rewrite lands on a Spark built-in (JVM codegen), so the plan is
+    identical to hand-written Spark SQL at any scale."""
+    from data_chunk_compaction_in_duckdb_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    return eng.sql(_DIALECT_FN_SQL)

@@ -270,3 +270,46 @@ def test_expr_intdiv():
 def test_expr_literals_are_data():
     assert _rw("SELECT '-> [1:2] // SIMILAR TO' AS lit") is None
     assert _rw('SELECT "a//b" FROM t') is None
+
+
+def test_fn_aliases():
+    assert (
+        _rw("SELECT list_contains(l, 2) FROM t")
+        == "SELECT array_contains(l, 2) FROM t"
+    )
+    assert (
+        _rw("SELECT starts_with(s, 'A') FROM t")
+        == "SELECT startswith(s, 'A') FROM t"
+    )
+    # names Spark already resolves are never touched
+    assert _rw("SELECT contains(s, 'b'), date_part('year', d) FROM t") is None
+    # function name inside a literal is data
+    assert _rw("SELECT 'list_contains(x)' AS s") is None
+
+
+def test_fn_complex_rewrites():
+    assert _rw("SELECT string_split(s, '.')[2] FROM t") == (
+        "SELECT element_at(split(s, '\\\\.'), 2) FROM t"
+    )
+    assert _rw("SELECT list_prepend(0, l) FROM t") == (
+        "SELECT array_prepend(l, 0) FROM t"
+    )
+    assert "CAST(unix_timestamp(ts) AS DOUBLE)" in _rw(
+        "SELECT epoch(ts) FROM t"
+    )
+    # date_diff = boundary count, not complete units
+    out = _rw("SELECT date_diff('month', d1, d2) FROM t")
+    assert "(year(d2) - year(d1)) * 12" in out
+    # 2-arg Spark datediff stays native
+    assert _rw("SELECT datediff(d2, d1) FROM t") is None
+
+
+def test_fn_strftime_translation():
+    assert _rw("SELECT strftime(d, '%Y-%m-%d %H:%M:%S') FROM t") == (
+        "SELECT date_format(d, 'yyyy-MM-dd HH:mm:ss') FROM t"
+    )
+    assert _rw("SELECT strptime(s, '%Y/%m') FROM t") == (
+        "SELECT to_timestamp(s, 'yyyy/MM') FROM t"
+    )
+    # unknown directive: left alone (loud failure beats silent wrong)
+    assert _rw("SELECT strftime(d, '%V') FROM t") is None

@@ -7029,6 +7029,43 @@ corpus("update_from_delete_using", "UPDATE ... FROM / DELETE ... USING join-DML 
     ("I", "", "SELECT count(*) FROM jd_t"),
 ])
 
+corpus("dialect_functions", "DuckDB function names Spark's registry lacks (reference src/function/scalar/, test/sql/function/; Spark side: dialect._rw_fn_aliases/_rw_fn_complex — name aliases, argument swaps, strftime/strptime format translation, boundary-count date_diff — every pair probed on both engines)")([
+    ("T", "", "SELECT string_split('a.b.c', '.')[2]"),
+    ("T", "", "SELECT string_split(r_name, ' ')[1] FROM region ORDER BY r_regionkey"),
+    ("T", "", "SELECT string_split_regex('a1b22c', '[0-9]+')[2]"),
+    ("I", "", "SELECT count(*) FROM region WHERE regexp_matches(r_name, 'A.')"),
+    ("T", "", "SELECT CAST(list_contains([1, 2, 3], 2) AS STRING)"),
+    ("I", "", "SELECT array_length([1, 2, 3])"),
+    ("I", "", "SELECT array_length(string_split(r_name, 'I')) FROM region ORDER BY r_regionkey"),
+    ("I", "", "SELECT list_sort([3, 1, 2])[1]"),
+    ("I", "", "SELECT list_sort(list_distinct([1, 1, 2, 2]))[2]"),  # list_distinct ORDER is unspecified in DuckDB
+    ("I", "", "SELECT list_append([1, 2], 9)[3]"),
+    ("I", "", "SELECT list_prepend(9, [1, 2])[1]"),
+    ("I", "", "SELECT count(*) FROM nation WHERE starts_with(n_name, 'NATION_1')"),
+    ("I", "", "SELECT count(*) FROM nation WHERE ends_with(n_name, '0')"),
+    ("R", "", "SELECT epoch(TIMESTAMP '1970-01-02 03:00:00')"),
+    ("I", "", "SELECT epoch_ms(TIMESTAMP '1970-01-01 00:00:01')"),
+    ("I", "", "SELECT list_max([4, 9, 1]) + list_min([4, 9, 1])"),
+    ("T", "", "SELECT array_to_string(list_reverse([1, 2, 3]), '-')"),
+    ("I", "", "SELECT list_unique([1, 1, NULL, 2])"),
+    ("I", "", "SELECT list_position([10, 20, 30], 20)"),
+    # date_diff counts BOUNDARY crossings (probed: month of 01-31 ->
+    # 02-01 is 1); every unit maps to an explicit boundary expression
+    ("I", "", "SELECT date_diff('day', DATE '1995-01-01', DATE '1995-03-01')"),
+    ("I", "", "SELECT date_diff('month', DATE '1995-01-31', DATE '1995-02-01')"),
+    ("I", "", "SELECT datediff('year', DATE '1994-12-31', DATE '1995-01-01')"),
+    ("I", "", "SELECT date_diff('week', DATE '1995-01-02', DATE '1995-01-16')"),
+    ("I", "", "SELECT CAST(sum(date_diff('day', o_orderdate, DATE '1998-12-31')) AS BIGINT) FROM orders WHERE o_orderkey < 100"),
+    # strftime / strptime via format translation
+    ("T", "", "SELECT strftime(DATE '1995-03-15', '%Y/%m/%d')"),
+    ("T", "", "SELECT strftime(TIMESTAMP '1995-03-15 10:30:05', '%Y-%m-%d %H:%M:%S')"),
+    ("T", "", "SELECT strftime(o_orderdate, '%Y-%m') FROM orders ORDER BY o_orderkey LIMIT 3"),
+    ("T", "", "SELECT CAST(strptime('1995-03-15 10:30:05', '%Y-%m-%d %H:%M:%S') AS STRING)"),
+    ("T", "", "SELECT strftime(DATE '1995-03-15', '%d.%m.%Y')"),
+    # composition with the expression rewrites
+    ("I", "", "SELECT list_max([o_orderkey % 7, o_orderkey % 5]) FROM orders ORDER BY o_orderkey LIMIT 4"),
+])
+
 corpus("explain_statements", "EXPLAIN [ANALYZE] statement grammar (reference test/sql/explain/, the EXPLAIN ANALYZE harvest in vector_compaction.cpp:83-92; Spark side: Engine._dispatch_explain — DuckDB's (explain_key, explain_value) one-row shape, probed; plan TEXT differs per engine so the grid is acceptance-only and tests/test_explain.py pins the shape)")([
     ("ok", "", "EXPLAIN SELECT r_name, count(*) FROM region GROUP BY r_name"),
     ("ok", "", "EXPLAIN SELECT n.n_name FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'ASIA'"),
