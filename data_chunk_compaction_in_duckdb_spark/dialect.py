@@ -1003,7 +1003,7 @@ def rewrite_expressions(sql: str) -> str | None:
     Spark-clean (the overwhelmingly common case — one regex probe per
     family, no scan)."""
     if not re.search(
-        r"\[|->|//|\bSIMILAR\s+TO\b|" + _FN_PROBE, sql, re.I
+        r"\[|\{|->|//|\bSIMILAR\s+TO\b|" + _FN_PROBE, sql, re.I
     ):
         return None
     out = sql
@@ -1016,6 +1016,7 @@ def rewrite_expressions(sql: str) -> str | None:
             or _rw_intdiv(out)
             or _rw_fn_aliases(out)
             or _rw_fn_complex(out)
+            or _rw_struct_literal(out)
         )
         if step is None:
             break
@@ -1246,4 +1247,44 @@ def _rw_fn_complex(sql: str) -> str | None:
             )
         if repl is not None:
             return sql[: m.start()] + repl + sql[close:]
+    return None
+
+
+def _rw_struct_literal(sql: str) -> str | None:
+    """One struct-literal rewrite (leftmost): DuckDB's ``{'k': expr,
+    ...}`` -> ``named_struct('k', expr, ...)`` (reference
+    src/parser/transform/expression/transform_constant.cpp struct
+    syntax; probed: field access ``.k`` and ``['k']`` then behave
+    identically in both engines).  ``MAP {...}`` literals are left
+    untouched (DuckDB map subscript returns a LIST — no faithful Spark
+    equivalent; Spark fails loudly on the brace)."""
+    lits = _literal_spans(sql)
+    for m in re.finditer(r"\{", sql):
+        i = m.start()
+        if any(a <= i < b for a, b in lits):
+            continue
+        prev = re.search(r"(\w+)\s*$", sql[:i])
+        if prev and prev.group(1).upper() == "MAP":
+            continue
+        close = _match_fwd(sql, i, "{", "}")
+        body = sql[i + 1 : close - 1]
+        pairs: list[str] = []
+        ok = True
+        for part in _split_call_args(body):
+            colon = _toplevel_colon(part)
+            if colon < 0:
+                ok = False
+                break
+            key_txt, val = part[:colon].strip(), part[colon + 1 :].strip()
+            key = _str_lit(key_txt)
+            if key is None:
+                if not re.fullmatch(r"[A-Za-z_]\w*", key_txt):
+                    ok = False
+                    break
+                key = key_txt
+            pairs.append(f"'{key}'")
+            pairs.append(val)
+        if not ok or not pairs:
+            continue
+        return sql[:i] + f"named_struct({', '.join(pairs)})" + sql[close:]
     return None

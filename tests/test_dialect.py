@@ -313,3 +313,16 @@ def test_fn_strftime_translation():
     )
     # unknown directive: left alone (loud failure beats silent wrong)
     assert _rw("SELECT strftime(d, '%V') FROM t") is None
+
+
+def test_struct_literals():
+    assert (
+        _rw("SELECT {'a': 1, 'b': 'x'} AS s")
+        == "SELECT named_struct('a', 1, 'b', 'x') AS s"
+    )
+    assert (
+        _rw("SELECT ({'a': 1, 'b': {'c': 2}}).b.c AS v")
+        == "SELECT (named_struct('a', 1, 'b', named_struct('c', 2))).b.c AS v"
+    )
+    # MAP literals have no faithful Spark twin: left untouched (loud)
+    assert _rw("SELECT MAP {'k': 5} AS m") is None

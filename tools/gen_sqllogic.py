@@ -7118,6 +7118,11 @@ corpus("dialect_expressions", "DuckDB expression grammar Spark's parser lacks (r
     # lambda arrows keep working through the engine surface (filter is
     # a lambda HOF in BOTH engines — DuckDB aliases list_filter)
     ("I", "", "SELECT filter([1,2,3], x -> x > 1)[1]"),
+    # struct literals -> named_struct (field access probed identical)
+    ("I", "", "SELECT {'a': 1, 'b': 2}.b"),
+    ("I", "", "SELECT ({'a': 1, 'b': {'c': 7}}).b.c"),
+    ("I", "", "SELECT [{'a': 1}, {'a': 2}][2].a"),
+    ("T", "", "SELECT {'name': r_name, 'key': r_regionkey}.name FROM region ORDER BY r_regionkey"),
 ])
 
 
