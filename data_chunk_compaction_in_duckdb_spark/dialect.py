@@ -674,6 +674,8 @@ def _operand_left(sql: str, end: int) -> int:
         elif ch == "]":
             i = _match_bwd(sql, i, "[", "]") - 1
             continue  # the base of the subscript is further left
+        elif ch == "}":
+            i = _match_bwd(sql, i, "{", "}") - 1
         elif ch == "'":
             i -= 1
             while i >= 0:
@@ -796,9 +798,9 @@ def _toplevel_colon(body: str) -> int:
                         continue
                     break
                 i += 1
-        elif ch in "([":
+        elif ch in "([{":
             depth += 1
-        elif ch in ")]":
+        elif ch in ")]}":
             depth -= 1
         elif ch == ":" and depth == 0:
             if i + 1 < n and body[i + 1] == ":":
@@ -871,7 +873,7 @@ def _rw_brackets(sql: str) -> str | None:
                 + sql[close:]
             )
         postfix = j >= 0 and (
-            sql[j].isalnum() or sql[j] in "_)]'\""
+            sql[j].isalnum() or sql[j] in "_)]}'\""
         ) and not (
             prev_word
             and prev_word.group(1).upper() in _SQL_KEYWORDS_LEFT
@@ -898,12 +900,19 @@ def _rw_brackets(sql: str) -> str | None:
             return sql[:start] + repl + sql[close:]
         if _INT_LIT.fullmatch(body.strip()):
             # 1-based list index (DuckDB) vs 0-based Spark subscript;
-            # element_at is 1-based and supports negatives from the end
+            # try_element_at is 1-based, supports negatives from the
+            # end, and returns NULL out of range exactly like DuckDB
+            # (probed; plain element_at raises under ANSI).  Index 0 is
+            # NULL in DuckDB but an INVALID_INDEX_OF_ZERO error even in
+            # try_element_at — fold it to a NULL index.
             start = _operand_left(sql, i)
             operand = sql[start:i].strip()
+            idx = body.strip()
+            if int(idx) == 0:
+                idx = "CAST(NULL AS INT)"
             return (
                 sql[:start]
-                + f"element_at({operand}, {body.strip()})"
+                + f"try_element_at({operand}, {idx})"
                 + sql[close:]
             )
         # string-keyed subscript (map/struct): Spark's native form
@@ -1038,7 +1047,7 @@ _FN_ALIASES = {
     "list_has": "array_contains",
     "array_length": "size",
     "list_length": "size",
-    "list_sort": "sort_array",
+    "list_sort": "array_sort",
     "list_distinct": "array_distinct",
     "list_append": "array_append",
     "starts_with": "startswith",
@@ -1159,9 +1168,9 @@ def _split_call_args(body: str) -> list[str]:
             cur.append(body[i : j + 1])
             i = j + 1
             continue
-        if ch in "([":
+        if ch in "([{":
             depth += 1
-        elif ch in ")]":
+        elif ch in ")]}":
             depth -= 1
         elif ch == "," and depth == 0:
             parts.append("".join(cur).strip())
@@ -1239,7 +1248,7 @@ def _rw_fn_complex(sql: str) -> str | None:
             if java is None:
                 continue
             fn = "date_format" if name == "strftime" else "to_timestamp"
-            repl = f"{fn}({args[0]}, '{java}')"
+            repl = f"{fn}({args[0]}, '{java.replace(chr(39), chr(39) * 2)}')"
         elif name == "list_unique" and len(args) == 1:
             repl = (
                 f"size(array_distinct(filter({args[0]}, "

@@ -104,6 +104,16 @@ class Engine:
         from data_chunk_compaction_in_duckdb_spark import settings as _settings
         from data_chunk_compaction_in_duckdb_spark.storage import seqsql
 
+        # DuckDB expression grammar FIRST (dialect.rewrite_expressions:
+        # list/struct literals, JSON arrows, slicing, SIMILAR TO, //,
+        # function aliases) so DML fragments, prepared bodies and view
+        # definitions all accept the same surface as plain SELECTs
+        from data_chunk_compaction_in_duckdb_spark import dialect
+
+        expr = dialect.rewrite_expressions(query)
+        if expr is not None:
+            query = expr
+
         # transaction statements + versioned-table DML first (reference
         # src/transaction/transaction_context.cpp, test/sql/transactions/
         # and the INSERT/DELETE/UPDATE statement surface): Spark SQL
@@ -226,16 +236,9 @@ class Engine:
         if args and params:
             raise ValueError("use positional ? args or named :params, not both")
         # DuckDB dialect forms Spark's parser lacks (dialect.py):
-        # expression grammar first (list literals, JSON arrows, string
-        # slicing, SIMILAR TO, // — token-level), then star modifiers
-        # (local rewrite), then QUALIFY (binder rewrite + helper-column
-        # drop)
-        from data_chunk_compaction_in_duckdb_spark import dialect
-
-        expr = dialect.rewrite_expressions(query)
-        if expr is not None:
-            query = expr
-
+        # expression grammar already ran at the top of sql(); star
+        # modifiers next (local rewrite), then QUALIFY (binder rewrite
+        # + helper-column drop)
         star = dialect.rewrite_star_modifiers(query)
         if star is not None:
             query = star
@@ -397,14 +400,14 @@ class Engine:
                         st = _StagedTable(vt)
                         st.merge(rows, key_cols)
                         st.commit(op="merge")
-                        vt.read().createOrReplaceTempView(name)
+                        self._publish_autocommit(name, vt)
                     return None
             if txn is not None:
                 txn.insert(name, vt, rows)
                 self._rebind_staged(name, vt)
             else:
                 vt.insert(rows)
-                vt.read().createOrReplaceTempView(name)
+                self._publish_autocommit(name, vt)
             return None
         dele = dmlsql.parse_delete(query)
         if dele is not None:
@@ -437,7 +440,7 @@ class Engine:
                     st = _StagedTable(vt)
                     st.delete_using(src_pref, cond)
                     st.commit(op="delete")
-                    vt.read().createOrReplaceTempView(name)
+                    self._publish_autocommit(name, vt)
                 return None
             cond = F.expr(where) if where else F.lit(True)
             if txn is not None:
@@ -445,7 +448,7 @@ class Engine:
                 self._rebind_staged(name, vt)
             else:
                 vt.delete_where(cond)
-                vt.read().createOrReplaceTempView(name)
+                self._publish_autocommit(name, vt)
             return None
         upd = dmlsql.parse_update(query)
         if upd is not None:
@@ -481,7 +484,7 @@ class Engine:
                     st = _StagedTable(vt)
                     st.update_from(src_pref, cond, exprs)
                     st.commit(op="update")
-                    vt.read().createOrReplaceTempView(name)
+                    self._publish_autocommit(name, vt)
                 return None
             cond = F.expr(where) if where else F.lit(True)
             exprs = {c: F.expr(e) for c, e in assigns.items()}
@@ -490,7 +493,7 @@ class Engine:
                 self._rebind_staged(name, vt)
             else:
                 vt.update_where(cond, exprs)
-                vt.read().createOrReplaceTempView(name)
+                self._publish_autocommit(name, vt)
             return None
         if txn is not None and txn.aborted:
             raise TransactionAborted()
@@ -623,10 +626,13 @@ class Engine:
         if self._VACUUM_RE.match(query):
             # probed: DuckDB accepts VACUUM inside an open transaction
             # (no-op there — sweeping under a pinned base would race
-            # the staged snapshot, same rule as CHECKPOINT)
+            # the staged snapshot, same rule as CHECKPOINT).  DuckDB's
+            # VACUUM never destroys history, so the statement sweeps
+            # ORPHAN files only; retention truncation is the explicit
+            # Python vacuum(retain_last=...) API.
             if getattr(self, "_txn", None) is None:
                 for name, vt in getattr(self, "_versioned", {}).items():
-                    vt.vacuum()
+                    vt.vacuum_orphans()
             return None
         m = self._EXPORT_DB_RE.match(query)
         if m:
@@ -747,7 +753,7 @@ class Engine:
             if getattr(self, "_txn", None) is None:
                 for name, vt in getattr(self, "_versioned", {}).items():
                     vt.checkpoint()
-                    vt.read().createOrReplaceTempView(name)
+                    self._publish_autocommit(name, vt)
             return None
         m = self._SUMMARIZE_RE.match(query)
         if m:
@@ -853,6 +859,16 @@ class Engine:
         log = getattr(self, "_root_log", None)
         return log.snapshot() if log is not None else {}
 
+    def _publish_autocommit(self, name: str, vt) -> None:
+        """Rebind the session view after an AUTOCOMMIT mutation and, when
+        the root transaction log is enabled, record the new version so
+        snapshot_versions() stays current (txnlog.RootLog.note — the
+        manifest link already committed, this is visibility only)."""
+        vt.read().createOrReplaceTempView(name)
+        log = getattr(self, "_root_log", None)
+        if log is not None:
+            log.note({name: (vt, vt.latest_version())})
+
     def begin(self) -> None:
         """BEGIN [TRANSACTION] / START TRANSACTION."""
         from data_chunk_compaction_in_duckdb_spark.storage.transaction import (
@@ -934,6 +950,8 @@ class Engine:
         self._restore_views(txn)
 
     def _restore_views(self, txn) -> None:
+        # plain rebind, no root-log note: ending a transaction mutates
+        # nothing (a rolled-back/conflicted txn must not grow the log)
         for name in txn._staged:
             vt = getattr(self, "_versioned", {}).get(name)
             if vt is not None:
@@ -1252,7 +1270,7 @@ class Engine:
         )
 
         vt = VersionedTable.create(self.spark, path, df, **kwargs)
-        vt.read().createOrReplaceTempView(name)
+        self._publish_autocommit(name, vt)
         self._versioned = getattr(self, "_versioned", {})
         self._versioned[name] = vt
         return vt

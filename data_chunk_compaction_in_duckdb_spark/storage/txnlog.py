@@ -116,15 +116,19 @@ class RootLog:
             tables = dict(rec["tables"])
             paths = dict(rec.get("paths", {}))
             for name, (vt, base, _m) in updates.items():
-                root_head = tables.get(name)
-                if root_head is not None and root_head != base:
-                    raise CommitConflictError(
-                        f"table {name}: root log at version {root_head}, "
-                        f"transaction based on {base}"
-                    )
+                # the MANIFEST head is the authoritative conflict check;
+                # the root mapping is a visibility snapshot that may lag
+                # when autocommit writers advanced a table between root
+                # records (they re-sync it through note())
                 if vt.latest_version() != base:
                     raise CommitConflictError(
                         f"table {name}: manifest head moved past base {base}"
+                    )
+                root_head = tables.get(name)
+                if root_head is not None and root_head > base:
+                    raise CommitConflictError(
+                        f"table {name}: root log at version {root_head}, "
+                        f"transaction based on {base}"
                     )
             for name, (vt, _base, m) in updates.items():
                 tables[name] = m["version"]
@@ -146,6 +150,45 @@ class RootLog:
                 return seq + 1
             except FileExistsError:
                 continue  # disjoint seq race — revalidate on fresh state
+            finally:
+                os.unlink(tmp)
+        raise CommitConflictError(
+            "root log livelock: 64 consecutive seq races"
+        )
+
+    def note(self, updates: dict[str, tuple[object, int]]) -> int:
+        """Record already-committed single-table versions
+        ``{name: (vt, version)}`` so the snapshot stays current when
+        AUTOCOMMIT statements write outside a transaction.  No conflict
+        checks (the manifest link already won) and no recovery payload
+        (nothing is pending); versions only move forward."""
+        for _ in range(64):
+            seq, rec = self.latest()
+            tables = dict(rec["tables"])
+            paths = dict(rec.get("paths", {}))
+            changed = False
+            for name, (vt, version) in updates.items():
+                if tables.get(name, -1) < version:
+                    tables[name] = version
+                    paths[name] = vt.path
+                    changed = True
+            if not changed:
+                return seq
+            new = {
+                "seq": seq + 1,
+                "tables": tables,
+                "paths": paths,
+                "manifests": {},
+            }
+            p = os.path.join(self.path, f"root-{seq + 1:08d}.json")
+            tmp = f"{p}.tmp.{os.getpid()}.{id(new)}"
+            with open(tmp, "w") as f:
+                json.dump(new, f)
+            try:
+                os.link(tmp, p)
+                return seq + 1
+            except FileExistsError:
+                continue
             finally:
                 os.unlink(tmp)
         raise CommitConflictError(

@@ -916,6 +916,31 @@ class VersionedTable:
             )
         return latest + 1
 
+    def vacuum_orphans(self) -> list[str]:
+        """Remove data files referenced by NO manifest at any version —
+        debris from crashed/conflicted writes.  History and time travel
+        are untouched (this is what the SQL ``VACUUM`` statement runs:
+        DuckDB's VACUUM never destroys history; explicit retention
+        truncation stays on the Python ``vacuum(retain_last=...)``
+        API)."""
+        latest = self.latest_version()
+        live: set[str] = set()
+        for v in range(latest + 1):
+            try:
+                live.update(self._manifest(v)["files"])
+            except FileNotFoundError:
+                continue  # already truncated by an explicit vacuum()
+        removed = []
+        for p in glob.glob(os.path.join(self.data_dir, "*", "*.parquet")):
+            rel = os.path.relpath(p, self.path)
+            if rel not in live:
+                os.remove(p)
+                removed.append(rel)
+        for d in glob.glob(os.path.join(self.data_dir, "*")):
+            if os.path.isdir(d) and not os.listdir(d):
+                shutil.rmtree(d)
+        return removed
+
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Drop data files referenced by NO retained manifest (and the
         pre-retention manifests themselves).  Time travel before the

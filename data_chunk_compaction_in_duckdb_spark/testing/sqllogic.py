@@ -329,10 +329,17 @@ class EngineSqlContext:
     def execute(self, sql: str):
         """Returns a DataFrame (queries) or None (statements)."""
         from data_chunk_compaction_in_duckdb_spark import settings as _st
+        from data_chunk_compaction_in_duckdb_spark import dialect as _dialect
         from data_chunk_compaction_in_duckdb_spark.storage import (
             dmlsql,
             seqsql,
         )
+
+        # DuckDB expression grammar first, same as Engine.sql — DML
+        # fragments and CTAS bodies accept the same surface as SELECTs
+        expr = _dialect.rewrite_expressions(sql)
+        if expr is not None:
+            sql = expr
 
         if self._dispatch_txn(sql):
             return None
@@ -744,10 +751,6 @@ class EngineSqlContext:
         if seqsql.SEQFN_RE.search(sql):
             self._register_seq_udfs()
         from data_chunk_compaction_in_duckdb_spark import dialect
-
-        expr = dialect.rewrite_expressions(sql)
-        if expr is not None:
-            sql = expr
 
         star = dialect.rewrite_star_modifiers(sql)
         if star is not None:

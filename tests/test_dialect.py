@@ -208,8 +208,18 @@ def test_expr_list_literals():
 
 
 def test_expr_index_is_one_based_element_at():
-    assert _rw("SELECT arr[2] FROM t") == "SELECT element_at(arr, 2) FROM t"
-    assert _rw("SELECT f(x)[1] FROM t") == "SELECT element_at(f(x), 1) FROM t"
+    # try_element_at: 1-based, negatives from the end, NULL out of
+    # range (probed = DuckDB; element_at raises under ANSI), index 0
+    # folded to a NULL index (DuckDB returns NULL, Spark errors on 0)
+    assert (
+        _rw("SELECT arr[2] FROM t")
+        == "SELECT try_element_at(arr, 2) FROM t"
+    )
+    assert (
+        _rw("SELECT f(x)[1] FROM t")
+        == "SELECT try_element_at(f(x), 1) FROM t"
+    )
+    assert "CAST(NULL AS INT)" in _rw("SELECT arr[0] FROM t")
     # string-keyed subscripts (map/struct) are native in both engines
     assert _rw("SELECT m['k'] FROM t") is None
     # type brackets are not subscripts
@@ -289,7 +299,7 @@ def test_fn_aliases():
 
 def test_fn_complex_rewrites():
     assert _rw("SELECT string_split(s, '.')[2] FROM t") == (
-        "SELECT element_at(split(s, '\\\\.'), 2) FROM t"
+        "SELECT try_element_at(split(s, '\\\\.'), 2) FROM t"
     )
     assert _rw("SELECT list_prepend(0, l) FROM t") == (
         "SELECT array_prepend(l, 0) FROM t"
@@ -326,3 +336,22 @@ def test_struct_literals():
     )
     # MAP literals have no faithful Spark twin: left untouched (loud)
     assert _rw("SELECT MAP {'k': 5} AS m") is None
+
+
+def test_review_r9_struct_edges():
+    # subscript/field access ON a struct literal (postfix '}' operand)
+    assert _rw("SELECT {'a': 1}['a']") == "SELECT named_struct('a', 1)['a']"
+    assert _rw("SELECT {'a': [1, 2], 'b': 3}.a[1]") == (
+        "SELECT try_element_at(named_struct('a', array(1, 2), 'b', 3).a, 1)"
+    )
+    # nested struct with a MULTI-field inner struct (brace-aware split)
+    assert _rw("SELECT {'a': 1, 'b': {'c': 1, 'd': 2}}.b.d") == (
+        "SELECT named_struct('a', 1, 'b', named_struct('c', 1, 'd', 2)).b.d"
+    )
+
+
+def test_review_r9_strftime_literal_letters():
+    # literal letters quote for java.time AND double for the SQL string
+    assert _rw("SELECT strftime(ts, '%Y-%m-%dT%H') FROM t") == (
+        "SELECT date_format(ts, 'yyyy-MM-dd''T''HH') FROM t"
+    )

@@ -71,3 +71,28 @@ def test_export_import_roundtrip_csv(eng, spark, tmp_path):
         for r in e2.sql("SELECT k, v FROM mnt").collect()
     }
     assert got == {(i, i * 7) for i in range(6)}
+
+
+def test_vacuum_statement_preserves_history(eng):
+    """Review-r9 regression: SQL VACUUM sweeps ORPHANS only — DuckDB's
+    VACUUM never destroys history, so time travel must survive."""
+    vt = eng._versioned["mnt"]
+    eng.sql("UPDATE mnt SET v = v + 1 WHERE k = 2")
+    assert vt.latest_version() == 1
+    eng.sql("VACUUM")
+    # every historical version still reads
+    assert vt.read(0).count() == 6
+    assert vt.read(1).count() == 6
+    assert vt._manifest(0)["op"] == "create"
+
+
+def test_dml_accepts_dialect_expression_grammar(eng, spark):
+    """Review-r9 regression: DuckDB expression grammar works inside
+    DML statements, not just SELECTs (the rewrite runs before the DML
+    dispatch)."""
+    eng.sql("UPDATE mnt SET v = v // 2 WHERE k = 4")
+    assert eng.sql("SELECT v FROM mnt WHERE k = 4").collect()[0]["v"] == 14
+    eng.sql("INSERT INTO mnt VALUES (50, [7, 8][2])")
+    assert eng.sql("SELECT v FROM mnt WHERE k = 50").collect()[0]["v"] == 8
+    eng.sql("DELETE FROM mnt WHERE CAST(k AS STRING) SIMILAR TO '5.'")
+    assert eng.sql("SELECT count(*) AS c FROM mnt").collect()[0]["c"] == 6

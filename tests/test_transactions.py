@@ -455,3 +455,25 @@ def test_atomic_commit_crash_recovery_replays_manifests(spark, tmp_path):
     assert vt_a.latest_version() == 1
     assert vt_b.latest_version() == 1
     assert vt_a.read().filter("k = 50").count() == 1
+
+
+def test_autocommit_dml_keeps_root_log_current(spark, tmp_path):
+    """Review-r9 regression: an AUTOCOMMIT statement between root-log
+    transactions must neither poison later COMMITs with false conflicts
+    nor leave snapshot_versions() stale."""
+    eng = _mk_two_table_engine(spark, tmp_path, "a6")
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO ta_a6 VALUES (100, 100)")
+    eng.sql("COMMIT")
+    assert eng.snapshot_versions()["ta_a6"] == 1
+    # autocommit writes advance the table outside any transaction
+    eng.sql("INSERT INTO ta_a6 VALUES (200, 200)")
+    eng.sql("DELETE FROM ta_a6 WHERE k = 0")
+    assert eng.snapshot_versions()["ta_a6"] == 3  # note() kept it fresh
+    # a later transaction must commit cleanly (no false conflict)
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO ta_a6 VALUES (300, 300)")
+    eng.sql("INSERT INTO tb_a6 VALUES (300, 300)")
+    eng.sql("COMMIT")
+    snap = eng.snapshot_versions()
+    assert snap["ta_a6"] == 4 and snap["tb_a6"] == 1
