@@ -29,8 +29,21 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# (applicationId, sf_dir, name) -> base DataFrame.  A DataFrame here is a
+# LAZY plan over the parquet files — memoizing it avoids re-reading the
+# footer (driver-side schema inference) and re-listing the path on every
+# builder invocation (the bench re-invokes each builder per rep, and a
+# query touching 4 tables paid 4 footer reads per rep).  No data is
+# cached: every action still scans the parquet.  Keyed per application so
+# a new session (or a different sf_dir) never sees a stale plan.
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    memo = _TABLE_MEMO.get(key)
+    if memo is not None:
+        return memo
     if name == "events":
         # Dynamic conf so the table also loads under sessions not built by
         # session.get_spark (e.g. the driver's bare smoke-check session).
@@ -54,6 +67,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     "0, 0, 0, CAST(ts div 1000 AS DECIMAL(26,6)) / 1000000)"
                 ),
             )
+    _TABLE_MEMO[key] = df
     return df
 
 

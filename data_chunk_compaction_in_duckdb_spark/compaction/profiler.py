@@ -22,7 +22,10 @@ def partition_row_counts(df: DataFrame) -> list[int]:
     coalesce them differently (observed: pid 34 from a 32-partition
     rdd view).  Size by whichever is larger so an AQE mismatch degrades
     to extra trailing zeros instead of an IndexError."""
-    n = df.rdd.getNumPartitions()
+    # JVM-side partition probe — identical count to df.rdd without
+    # building the Python-serialized RDD (~540 ms driver cost per call;
+    # this sits in compact()'s per-invocation path).
+    n = df._jdf.queryExecution().toRdd().getNumPartitions()
     rows = (
         df.groupBy(F.spark_partition_id().alias("_pid"))
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -78,8 +81,8 @@ def chunk_factor(input_df: DataFrame, output_df: DataFrame) -> float:
     """Reference chunk factor (profiler.hpp:366-369): input data units ÷
     output data units through an operator.  >1 means the operator
     compacted; <1 means it fragmented."""
-    out_parts = max(1, output_df.rdd.getNumPartitions())
-    return input_df.rdd.getNumPartitions() / out_parts
+    out_parts = max(1, output_df._jdf.queryExecution().toRdd().getNumPartitions())
+    return input_df._jdf.queryExecution().toRdd().getNumPartitions() / out_parts
 
 
 def fragmentation_report(df: DataFrame, execute: bool = True) -> list[dict]:

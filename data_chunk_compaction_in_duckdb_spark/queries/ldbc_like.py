@@ -811,15 +811,93 @@ def _register(name: str, desc: str, recursive: bool, body: str) -> None:
     else:
         full = f"{kw} {_SNB},\n{body}"
 
-    @query(name, oracle=full)
-    def _run(spark: SparkSession, sf_dir: str, _sql: str = full) -> DataFrame:
-        register_views(spark, sf_dir)
-        return spark.sql(_sql)
+    builder = _SPARK_BUILDERS.get(name)
+    if builder is None:
 
+        def builder(
+            spark: SparkSession, sf_dir: str, _sql: str = full
+        ) -> DataFrame:
+            register_views(spark, sf_dir)
+            return spark.sql(_sql)
+
+    _run = query(name, oracle=full)(builder)
     _run.__doc__ = (
         f"LDBC SNB {name[5:]} (benchmark/ldbc/queries/): {desc}."
     )
 
+
+# bi-10's hop bound is in the QUERY TEXT (hopCount < 4), so the recursion
+# unrolls into a 4-level BFS with no data-dependent depth: the friends
+# CTE enumerates every walk of length <= 4 from person 42 and
+# friends_shortest group-mins the hop — identically, level k of a
+# per-level-DISTINCT BFS contains every endpoint of some length-k walk,
+# so MIN(level) per friend is the same shortest hop.  The Spark-side win
+# (guide §2.4): the native UnionLoop re-derived the snb_knows CTE (six
+# customer self-joins) inside EVERY iteration and materialized each
+# round through the driver (~55 Spark jobs per run); here snb_knows is
+# materialized ONCE (localCheckpoint — per-instance, recomputed every
+# invocation, never cache-shared across runs) and the whole query is one
+# lazily-planned action.  The DuckDB oracle keeps the original recursive
+# text; equivalence is value-checked by the driver gate at every SF.
+_BI10_TAIL = """friend_list AS (
+      SELECT DISTINCT f.friend AS friendid
+      FROM __ldbc_bi10_friends_shortest f, snb_person tf, snb_place ci,
+           snb_place co
+      WHERE f.friend = tf.p_personid AND tf.p_placeid = ci.pl_placeid
+        AND ci.pl_containerplaceid = co.pl_placeid
+        AND f.hopCount BETWEEN 2 AND 4
+        AND co.pl_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3',
+                           'NATION_4', 'NATION_5', 'NATION_6', 'NATION_7',
+                           'NATION_8', 'NATION_9')),
+    messages_of_tagclass_by_friends AS (
+      SELECT DISTINCT f.friendid, m.m_messageid AS messageid
+      FROM friend_list f, snb_message m, snb_message_tag pt, snb_tag t,
+           snb_tagclass tc
+      WHERE f.friendid = m.m_creatorid AND m.m_messageid = pt.mt_messageid
+        AND pt.mt_tagid = t.t_tagid AND t.t_tagclassid = tc.tc_tagclassid
+        AND tc.tc_name = 'Class_3')
+    SELECT m.friendid, t.t_name, COUNT(*) AS messageCount
+    FROM messages_of_tagclass_by_friends m, snb_message_tag pt, snb_tag t
+    WHERE m.messageid = pt.mt_messageid AND pt.mt_tagid = t.t_tagid
+    GROUP BY m.friendid, t.t_name
+    ORDER BY messageCount DESC, t.t_name, m.friendid LIMIT 100"""
+
+
+def _bi10_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    # the edge table, derived ONCE and materialized (the reference's
+    # physical_recursive_cte.cpp materializes its working table the same
+    # way) instead of once per recursion round
+    knows = spark.sql(
+        f"WITH {_SNB} SELECT k_person1id, k_person2id FROM snb_knows"
+    ).localCheckpoint(eager=True)
+    frontier = spark.sql(
+        f"WITH {_SNB} SELECT p_personid AS friend FROM snb_person "
+        "WHERE p_personid = 42"
+    )
+    levels = [frontier.select(F.lit(0).alias("hopCount"), "friend")]
+    for hop in range(1, 5):
+        frontier = (
+            frontier.join(
+                knows, frontier["friend"] == knows["k_person1id"]
+            )
+            .select(F.col("k_person2id").alias("friend"))
+            .distinct()
+        )
+        levels.append(
+            frontier.select(F.lit(hop).alias("hopCount"), "friend")
+        )
+    u = levels[0]
+    for lv in levels[1:]:
+        u = u.unionByName(lv)
+    shortest = u.groupBy("friend").agg(F.min("hopCount").alias("hopCount"))
+    shortest.createOrReplaceTempView("__ldbc_bi10_friends_shortest")
+    return spark.sql(f"WITH {_SNB},\n{_BI10_TAIL}")
+
+
+_SPARK_BUILDERS = {"ldbc_bi10": _bi10_builder}
 
 for _name, (_desc, _rec, _body) in _QUERIES.items():
     _register(_name, _desc, _rec, _body)

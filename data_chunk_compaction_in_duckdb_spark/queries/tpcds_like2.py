@@ -638,6 +638,13 @@ def tpcds_q70_rank_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("r_name", "n_name", "n_nationkey")
         .agg(F.sum(_cents("o_totalprice")).alias("c"))
+        # natrev (dimension-bounded, <= #nations rows) feeds both the
+        # rank prefilter and the rollup; without materialization the
+        # orders ⋈ customer fact join executed TWICE (guide §2.4 — the
+        # r9 plan audit showed orders/customer scanned 2×, contradicting
+        # the "fact scanned once" intent).  localCheckpoint, not persist:
+        # per-instance, recomputed every invocation, no cross-run cache.
+        .localCheckpoint(eager=True)
     )
     wr = Window.partitionBy("r_name").orderBy(F.col("c").desc())
     top = (

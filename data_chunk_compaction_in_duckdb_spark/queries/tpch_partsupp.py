@@ -188,6 +188,13 @@ def tpch_q2_official(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
         )
+        # Materialize ONCE: eur feeds both the per-part MIN and the final
+        # join, and without this the whole partsupp ⋈ supplier ⋈ nation ⋈
+        # region subtree executes twice (guide §2.4 — plan audit showed
+        # supplier scanned 4×, part 3×).  localCheckpoint (not persist):
+        # per-instance, so every bench rep recomputes from parquet — no
+        # cross-run cache — while both consumers share one computation.
+        .localCheckpoint(eager=True)
     )
     min_cost = eur.groupBy("ps_partkey").agg(
         F.min("ps_supplycost_c").alias("_min_c")
@@ -263,7 +270,12 @@ def tpch_q11_official(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("ps_supplycost_c") * F.col("ps_availqty"))
         .cast("long")
         .alias("_value_c")
-    )
+        # Materialize ONCE (guide §2.4): per_part feeds both the HAVING
+        # threshold (grand total) and the output rows; without this the
+        # partsupp ⋈ supplier-slice aggregation ran twice (plan audit:
+        # supplier scanned 4×).  localCheckpoint, not persist — every
+        # bench rep recomputes (no cross-run cache reuse).
+    ).localCheckpoint(eager=True)
     total = per_part.groupBy().agg(
         (F.sum("_value_c").cast("long").cast("double") * F.lit(0.0001)).alias(
             "_thresh"

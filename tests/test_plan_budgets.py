@@ -130,11 +130,14 @@ def test_q5_dimensions_all_broadcast(spark, sf_dir):
 
 
 def test_ldbc_bi10_bnlj_build_side_is_bounded(spark, sf_dir):
-    """The recursive-BFS query legitimately plans BroadcastNestedLoopJoin
-    for its scalar-subquery frontier checks — but ONLY while the build
-    (broadcast) side is the bounded frontier/scalar relation.  A silent
-    flip onto a fact scan becomes O(data^2) at scale; pin both the BNLJ
-    count and that no fixture parquet file feeds any build side."""
+    """bi10 may plan BroadcastNestedLoopJoin for scalar/frontier checks —
+    but ONLY while the build (broadcast) side is the bounded
+    frontier/scalar relation.  A silent flip onto a fact scan becomes
+    O(data^2) at scale; pin that no fixture parquet file feeds any build
+    side.  The round-9 unrolled-BFS builder (ldbc_like._bi10_builder)
+    trades the recursive UnionLoop's ~55 per-iteration driver jobs for
+    one lazy plan whose exchanges all move frontier-sized (person-id)
+    relations — hence the larger but bounded exchange budget."""
     from data_chunk_compaction_in_duckdb_spark.plans.inspect import (
         bnlj_build_scans,
         count_exchanges,
@@ -149,7 +152,7 @@ def test_ldbc_bi10_bnlj_build_side_is_bounded(spark, sf_dir):
     for leaves in builds:
         for leaf in leaves:
             assert not any(t in leaf for t in facts), leaf
-    assert count_exchanges(df) <= 5
+    assert count_exchanges(df) <= 22
 
 
 def test_components_transitive_final_plan_is_bounded(spark, sf_dir):
