@@ -228,10 +228,15 @@ def win_frame_range_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("v_c"),
         "o_orderkey",
     )
+    # Scale-adaptive partition count (NOT a constant tuned to one box):
+    # one range partition per scheduler slot.  The result is partition-
+    # count independent — pids only index the offset table — so any
+    # cluster size computes the same rows.
+    n_parts = spark.sparkContext.defaultParallelism
     u = (
         contrib.unionByName(lo)
         .unionByName(hi)
-        .repartitionByRange(32, "sv", "kind")
+        .repartitionByRange(n_parts, "sv", "kind")
         .withColumn("pid", F.spark_partition_id())
         # REQUIRED for correctness, not a perf cache: lcum (window) and
         # the per-partition totals both consume this subtree, and without
