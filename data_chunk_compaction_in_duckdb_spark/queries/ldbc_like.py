@@ -880,9 +880,15 @@ def _bi10_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels = [frontier.select(F.lit(0).alias("hopCount"), "friend")]
     for hop in range(1, 5):
         frontier = (
-            frontier.join(
-                knows, frontier["friend"] == knows["k_person1id"]
-            )
+            # broadcast the (tiny, bounded: <= persons reachable in k
+            # hops from ONE start) frontier so the edge table is probed
+            # in place and never shuffled at any hop (guide §3.1).
+            # Interleaved A/B (5 reps each, one session): broadcast-only
+            # med 1.57 s vs lazy-SMJ 1.74 s vs per-level localCheckpoint
+            # 1.84 s — eager per-level materialization LOSES (blocking
+            # driver round-trips cost more than the deduped subtrees).
+            F.broadcast(frontier)
+            .join(knows, frontier["friend"] == knows["k_person1id"])
             .select(F.col("k_person2id").alias("friend"))
             .distinct()
         )
