@@ -397,6 +397,7 @@ def semantic_ivf_neardup_pairs(
     from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
         _centroid,
         cosine_similarity,
+        lit_double_matrix,
     )
 
     cents = [_centroid(dim, i) for i in range(n_clusters)]
@@ -405,10 +406,9 @@ def semantic_ivf_neardup_pairs(
     # (cells scale with the corpus) a per-centroid loop would rebuild
     # the plan-size blowup fixed in similarity._codebook_scores.  The
     # struct shape (-dot asc, idx asc) is kept bit-identical to the
-    # DuckDB oracle's list_sort replay.
-    cents_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
-    )
+    # DuckDB oracle's list_sort replay; built by one F.expr parse
+    # (lit_double_matrix) to keep the driver out of the hot path.
+    cents_lit = lit_double_matrix(cents)
 
     def _cell_entry(cen: Column, i: Column) -> Column:
         dot = F.aggregate(

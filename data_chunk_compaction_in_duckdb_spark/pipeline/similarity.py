@@ -20,12 +20,50 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _sql_doubles(vals: list[float]) -> str:
+    """``array(<double literals>)`` SQL text for a Python float list.
+
+    Literal text is the shortest round-trip ``repr`` — Java's
+    ``Double.parseDouble`` maps it back to the identical IEEE double, so
+    the parsed Literal is bit-equal to ``F.lit(float(v))`` (pinned by
+    tests/test_pipeline.py::test_literal_array_bitexact)."""
+    parts = []
+    for v in vals:
+        x = float(v)
+        r = repr(x)
+        if x != x or x in (float("inf"), float("-inf")):
+            parts.append(f"CAST('{r}' AS DOUBLE)")
+        elif "e" in r or "E" in r:
+            parts.append(r)  # exponent literals parse as DOUBLE
+        else:
+            parts.append(r + "D")
+    return "array(" + ",".join(parts) + ")"
+
+
+def lit_double_array(vals: list[float]) -> Column:
+    """Literal ``array<double>`` built by ONE ``F.expr`` parse.
+
+    Driver-cost discipline (guide §1.2 step 2 applied to the *driver*):
+    the ``F.array(*[F.lit(v) ...])`` form issues one py4j round-trip per
+    element — a 16x64 centroid matrix cost ~1.1 s of pure driver time
+    PER BUILDER INVOCATION (measured sf0.1, quiet box), dominating the
+    ANN query wall-clock.  One parsed SQL string is ~50x cheaper and
+    yields bit-identical Literal nodes."""
+    return F.expr(_sql_doubles(vals))
+
+
+def lit_double_matrix(rows: list[list[float]]) -> Column:
+    """Literal ``array<array<double>>`` built by ONE ``F.expr`` parse
+    (see lit_double_array for why)."""
+    return F.expr("array(" + ",".join(_sql_doubles(r) for r in rows) + ")")
+
+
 def _literal_dot(vec: Column, vals: list[float], offset: int = 0) -> Column:
     """Dot of ``vec[offset+1 .. offset+len(vals)]`` with a Python-literal
     vector: zip_with + left-fold aggregate, the bit-replayable reduction
     every DuckDB oracle mirrors (``list_dot_product`` adds in the same
     order for these lengths)."""
-    cen = F.array(*[F.lit(float(v)) for v in vals])
+    cen = lit_double_array(vals)
     # slice unconditionally: at offset 0 a vals shorter than the vector
     # would otherwise zip_with null-padding and collapse the fold to
     # NULL instead of the dot over the first len(vals) elements
@@ -52,12 +90,8 @@ def _codebook_scores(
     keeps the plan tree small; the inner arithmetic (zip_with dot,
     left-fold sum) is unchanged, so the DuckDB oracle replay stays
     bit-identical."""
-    books_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in book]
-    )
-    norms_lit = F.array(
-        *[F.lit(float(sum(v * v for v in c))) for c in book]
-    )
+    books_lit = lit_double_matrix(book)
+    norms_lit = lit_double_array([sum(v * v for v in c) for c in book])
     subv = F.slice(vec, offset + 1, subdim)
 
     def entry(cen: Column, i: Column) -> Column:
@@ -430,10 +464,9 @@ def _nearest_clusters(
     ``train_ivf_centroids`` for data-adapted cells."""
     cents = centroids or [_centroid(dim, i) for i in range(n_clusters)]
     # one transform over the literal centroid matrix, not n_clusters
-    # separate dot expressions — see _codebook_scores for why
-    cents_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
-    )
+    # separate dot expressions — see _codebook_scores for why; built by
+    # one F.expr parse — see lit_double_matrix for why
+    cents_lit = lit_double_matrix(cents)
 
     def entry(cen: Column, i: Column) -> Column:
         dot = F.aggregate(

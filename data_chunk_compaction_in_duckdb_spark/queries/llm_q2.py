@@ -1077,9 +1077,11 @@ def sim_ivf_trained_selfcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
 
     def best_struct(cents: list[list[float]]):
-        cents_lit = F.array(
-            *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
+        from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
+            lit_double_matrix,
         )
+
+        cents_lit = lit_double_matrix(cents)
 
         def entry(cen, i):
             dot = F.aggregate(

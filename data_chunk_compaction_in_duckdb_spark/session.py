@@ -57,6 +57,23 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # -- Arrow for every pandas-UDF / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # -- Arrow serialization for scalar @udf functions too (guide
+        # §4.3): same per-row call, batched Arrow transport instead of
+        # pickled rows.  Config A/B on the sf0.1 headliners: 22.07 s vs
+        # 24.29 s base (0.91x), no per-query regression > 0.07 s; the
+        # full-registry oracle sweep guards the stricter Arrow-side
+        # type coercion.
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
+        # -- scan split sizing: the default 4 MB open-cost floors a
+        # single ~10 MB local parquet file at ~3 tasks, serializing the
+        # scan.  512 KB lets small files split to the slot count
+        # (minPartitionNum floors parallelism at the scheduler slots —
+        # scale-adaptive, not a local[32] constant).  At production
+        # scale files are >= 128 MB so open-cost barely contributes;
+        # maxPartitionBytes (default 128 MB) still bounds split size.
+        # Config A/B: 22.56 s vs 24.29 s base (0.93x).
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -874,3 +874,46 @@ def test_fts_index_delete_equals_subset_build(spark, sf_dir, tmp_path):
     )
     terms = ["data", "query", "stream"]
     assert key(idx.search(terms)) == key(sub.search(terms))
+
+
+def test_literal_array_bitexact(spark):
+    """lit_double_array/_matrix (one F.expr parse, the driver-cheap form)
+    must produce Literals bit-identical to the F.lit element path for
+    every value class the centroid/hyperplane/codebook matrices emit."""
+    import random
+    import struct as _struct
+
+    from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
+        _centroid,
+        _hyperplane,
+        lit_double_array,
+        lit_double_matrix,
+    )
+
+    vals: list[float] = []
+    for i in range(4):
+        vals += _centroid(16, i)
+        vals += _hyperplane(16, 0, i)
+    rng = random.Random(7)
+    vals += [rng.uniform(-1e6, 1e6) for _ in range(64)]
+    vals += [rng.uniform(-1, 1) * 10 ** rng.randint(-300, 300) for _ in range(64)]
+    vals += [0.0, -0.0, 1.0, -1.0, 1e-300, -1e300, float("inf"), float("-inf")]
+
+    row = (
+        spark.range(1)
+        .select(
+            lit_double_array(vals).alias("a"),
+            F.array(*[F.lit(float(v)) for v in vals]).alias("b"),
+            lit_double_matrix([vals[:8], vals[8:16]]).alias("m"),
+            F.array(
+                F.array(*[F.lit(float(v)) for v in vals[:8]]),
+                F.array(*[F.lit(float(v)) for v in vals[8:16]]),
+            ).alias("n"),
+        )
+        .collect()[0]
+    )
+    for x, y in zip(row["a"], row["b"]):
+        assert _struct.pack("<d", x) == _struct.pack("<d", y), (x, y)
+    for rx, ry in zip(row["m"], row["n"]):
+        for x, y in zip(rx, ry):
+            assert _struct.pack("<d", x) == _struct.pack("<d", y), (x, y)
