@@ -252,11 +252,36 @@ def topk_similar(
     vec_col: str,
     query_id_col: str | None = None,
     k: int = 5,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Exact brute-force top-k: for each query vector, the k most cosine-
     similar corpus vectors (excluding itself when ids collide).
-    Deterministic tiebreak (similarity desc, corpus id asc)."""
+    Deterministic tiebreak (similarity desc, corpus id asc).
+
+    ``kernel="arrow"`` (default) collects the query set driver-side
+    (|Q| x dim doubles — the same bounded model-size contract as
+    ``build_adc_luts``; the expression form broadcast the identical
+    rows) and fuses scoring + the per-partition top-k prune into ONE
+    ``mapInArrow`` pass over the corpus: no join, no per-pair
+    interpreted HOF fold — each partition emits at most |Q| * k rows
+    into the exact merge window.  The numpy kernel replays the
+    expression path's FP semantics bit-for-bit (dim-sequential
+    left-fold dots/norms, NULL on a zero denominator exactly like
+    Spark's non-ANSI ``/``, NaN pass-through) — pinned by
+    tests/test_similarity_topk_twophase.py's kernel-vs-expr A/B.
+    ``kernel="expr"`` keeps the broadcast-NL + expression form.
+    Corpus-side cost and shuffle shape are unchanged: one scan, no
+    corpus shuffle (fan_out's widening aside), partial-before-merge."""
     qid = query_id_col or id_col
+    from data_chunk_compaction_in_duckdb_spark.compaction import fan_out
+
+    # The corpus streams through the scoring doing O(dim) flops per
+    # pair — widen a 1-task scan so the probe runs on all cores.
+    corpus = fan_out(corpus)
+    if kernel == "arrow":
+        return _topk_similar_arrow(corpus, queries, id_col, vec_col, qid, k)
+    if kernel != "expr":
+        raise ValueError(f"kernel must be 'arrow' or 'expr', got {kernel!r}")
 
     def _norm(col: Column) -> Column:
         return F.sqrt(
@@ -267,11 +292,6 @@ def topk_similar(
             )
         )
 
-    from data_chunk_compaction_in_duckdb_spark.compaction import fan_out
-
-    # The corpus streams through the broadcast-NL join doing O(dim) flops
-    # per pair — widen a 1-task scan so the probe runs on all cores.
-    corpus = fan_out(corpus)
     # Precompute norms once per side — naive per-pair cosine recomputes
     # both norms for every (query, candidate) pair, tripling the flops.
     q = queries.select(
@@ -300,6 +320,117 @@ def topk_similar(
         )
     )
     return topk_per_query(scored, k)
+
+
+def _topk_similar_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    qid: str,
+    k: int,
+) -> DataFrame:
+    """Fused scoring + per-partition top-k kernel for ``topk_similar``
+    (see its docstring for the contract and FP-semantics guarantees)."""
+    from pyspark.sql import types as T
+
+    qrows = queries.select(F.col(qid), F.col(vec_col)).collect()
+    qids_py = [r[0] for r in qrows]
+    qvecs = [[float(x) for x in r[1]] for r in qrows]
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[qid].dataType, True),
+            T.StructField("match_id", corpus.schema[id_col].dataType, True),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
+    )
+
+    def score_parts(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        if not qids_py:
+            return
+        qv = np.array(qvecs, dtype=np.float64)
+        nq, dim = qv.shape
+        qn_sq = np.zeros(nq)
+        for j in range(dim):  # dim-sequential fold == expression path
+            qn_sq = qn_sq + qv[:, j] * qv[:, j]
+        qn = np.sqrt(qn_sq)
+        qids = np.array(qids_py)
+        state = None  # (qid_idx, mids, vals, null_mask) survivor arrays
+
+        def prune(qidx, mids, vals, nullm):
+            nullk = np.where(nullm, 1, 0)  # NULLs last
+            vk = np.where(
+                nullm, 0.0, np.where(np.isnan(vals), -np.inf, -vals)
+            )  # desc; NaN first
+            order = np.lexsort((mids, vk, nullk))
+            order = order[np.argsort(qidx[order], kind="stable")]
+            sq = qidx[order]
+            n = len(order)
+            change = (
+                np.r_[True, sq[1:] != sq[:-1]] if n else np.array([], bool)
+            )
+            grp_start = np.maximum.accumulate(
+                np.where(change, np.arange(n), 0)
+            )
+            keep = order[(np.arange(n) - grp_start) < k]
+            return qidx[keep], mids[keep], vals[keep], nullm[keep]
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([batch])
+            mids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            arr = tbl.column(vec_col).combine_chunks()
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            cv = flat.astype(np.float64, copy=False).reshape(
+                tbl.num_rows, -1
+            )
+            dots = np.zeros((nq, tbl.num_rows))
+            cn_sq = np.zeros(tbl.num_rows)
+            for j in range(dim):  # same sequential fold
+                dots = dots + qv[:, j][:, None] * cv[:, j][None, :]
+                cn_sq = cn_sq + cv[:, j] * cv[:, j]
+            den = qn[:, None] * np.sqrt(cn_sq)[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / den
+            iq, im = np.where(qids[:, None] != mids[None, :])
+            qidx, bm, bv, bn = prune(
+                iq, mids[im], cos[iq, im], den[iq, im] == 0.0
+            )
+            if state is not None:
+                qidx = np.concatenate([state[0], qidx])
+                bm = np.concatenate([state[1], bm])
+                bv = np.concatenate([state[2], bv])
+                bn = np.concatenate([state[3], bn])
+                qidx, bm, bv, bn = prune(qidx, bm, bv, bn)
+            state = (qidx, bm, bv, bn)
+        if state is not None and len(state[0]):
+            qidx, bm, bv, bn = state
+            yield pa.record_batch(
+                [
+                    pa.array(qids[qidx]),
+                    pa.array(bm),
+                    pa.array(bv, pa.float64(), mask=bn),
+                ],
+                names=["query_id", "match_id", "cosine"],
+            )
+
+    survivors = corpus.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        score_parts, out_schema
+    )
+    # exact merge window over the bounded survivor set (the partial
+    # prune above already enforced topk_per_query's total order)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id")
+    )
+    return (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def _hyperplane(dim: int, table: int, plane: int) -> list[float]:

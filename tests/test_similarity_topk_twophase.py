@@ -76,3 +76,59 @@ def test_partial_phase_precedes_merge_window(spark, scored):
     # physical plans print top-down: the consumer (Window) appears
     # before its child (the Arrow partial)
     assert 0 <= win_pos < arrow_pos, plan[:2000]
+
+
+def test_topk_similar_kernel_matches_expr(spark):
+    """The fused Arrow brute-force kernel must reproduce the expression
+    path bit-for-bit (same dots, same NULL/NaN handling, same top-k
+    total order) on double and float32 vectors."""
+    import random
+    import struct as _struct
+
+    from pyspark.sql import functions as F
+
+    from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
+        topk_similar,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    def key(rs):
+        return sorted(
+            (
+                r.query_id,
+                r.match_id,
+                None if r.cosine is None else _struct.pack("<d", r.cosine),
+            )
+            for r in rs
+        )
+
+    for cast in (None, "array<float>"):
+        c = emb if cast is None else emb.withColumn(
+            "embedding", F.col("embedding").cast(cast)
+        )
+        q = c.filter(F.col("vec_id") % 13 == 0)
+        a = key(topk_similar(c, q, "vec_id", "embedding", k=5, kernel="arrow").collect())
+        b = key(topk_similar(c, q, "vec_id", "embedding", k=5, kernel="expr").collect())
+        assert a == b and len(a) == 80
+
+
+def test_topk_similar_kernel_zero_norm_yields_null(spark):
+    """Zero-norm corpus vectors produce NULL cosine in the Arrow kernel
+    (the try_divide / IVF-kernel convention; the ANSI expression path
+    would raise instead — the fixture domain has no zero vectors)."""
+    from pyspark.sql import functions as F
+
+    from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
+        topk_similar,
+    )
+
+    rows = [(0, [1.0, 2.0]), (1, [2.0, 1.0]), (2, [0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = topk_similar(
+        emb, emb.filter("vec_id = 0"), "vec_id", "embedding", k=5, kernel="arrow"
+    ).collect()
+    got = {r.match_id: r.cosine for r in out}
+    assert got[2] is None and got[1] is not None
