@@ -741,6 +741,21 @@ def ivf_ann_topk(
         cells = corpus_cells.select(
             F.col(id_col).alias("match_id"), "_cell"
         )
+    elif rerank == "cell":
+        # Ad-hoc corpus (cells computed on the fly): ONE fused Arrow
+        # pass — assign cells, filter candidates against the broadcast
+        # probe set, score, per-partition top-k — instead of
+        # assignment + id join-back + cell cogroup, which executed the
+        # widened corpus subtree 4x across AQE stages (guide §2.4).
+        # Bit-identical by construction (same folds/ranking conventions
+        # as _assign_cells_arrow, _nearest_clusters and the cogroup
+        # kernel); pinned by test_ivf_cell_rerank_equals_pair_rerank,
+        # which A/Bs this path against rerank="pair" incl. zero-norm
+        # and NaN vectors.  The stored-index variants keep the cogroup —
+        # at 100 TB the index IS the partition-prune layout.
+        return _ivf_fused_topk(
+            corpus, queries, id_col, vec_col, qid, k, cents, n_probe
+        )
     else:
         cells = _assign_cells_arrow(
             corpus, id_col, vec_col, cents, 1
@@ -807,6 +822,141 @@ def ivf_ann_topk(
     else:
         raise ValueError(f"rerank must be 'cell' or 'pair', got {rerank!r}")
     return topk_per_query(scored, k)
+
+
+def _ivf_fused_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    qid: str,
+    k: int,
+    cents: list[list[float]],
+    n_probe: int,
+) -> DataFrame:
+    """Fused ad-hoc IVF top-k (see ivf_ann_topk): one ``mapInArrow``
+    pass over the corpus assigns each vector's top-1 cell, keeps the
+    (query, match) pairs whose cell is in the query's ``n_probe`` probe
+    set, scores them, and prunes to per-partition top-k.
+
+    Exactness contracts (each replicating the path it replaces):
+
+    - corpus cell = ``np.argsort(-dots, stable)[:, 0]`` over the
+      dim-sequential dot fold — ``_assign_cells_arrow``'s ranking (ties
+      -> low idx, NaN dots -> last);
+    - query probes = dots desc with ties -> HIGH idx and NaN dots
+      first — ``_nearest_clusters``'s ``sort_array(struct(dot, idx),
+      asc=False)`` order (struct comparison descends both fields; NaN
+      is greatest);
+    - cosine/top-k semantics identical to ``_ivf_cogroup_rerank``'s
+      kernel (NULL on zero denominator, NaN pass-through, NaN-first
+      desc order, match-id tiebreak)."""
+    from pyspark.sql import types as T
+
+    qrows = queries.select(F.col(qid), F.col(vec_col)).collect()
+    qids_py = [r[0] for r in qrows]
+    qvecs = [[float(x) for x in r[1]] for r in qrows]
+    cmat = [list(map(float, c)) for c in cents]
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[qid].dataType, True),
+            T.StructField("match_id", corpus.schema[id_col].dataType, True),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
+    )
+
+    def score_parts(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        if not qids_py:
+            return
+        qv = np.array(qvecs, dtype=np.float64)
+        nq, dim = qv.shape
+        cm = np.asarray(cmat, dtype=np.float64)
+        ncells = cm.shape[0]
+        # query probe sets: _nearest_clusters order (see docstring)
+        qdots = np.zeros((nq, ncells))
+        qn_sq = np.zeros(nq)
+        for j in range(dim):
+            qdots = qdots + qv[:, j][:, None] * cm[:, j][None, :]
+            qn_sq = qn_sq + qv[:, j] * qv[:, j]
+        qn = np.sqrt(qn_sq)
+        vk = np.where(np.isnan(qdots), -np.inf, -qdots)
+        idx = np.broadcast_to(np.arange(ncells), (nq, ncells))
+        order = np.lexsort((-idx, vk), axis=1)
+        probe_mask = np.zeros((nq, ncells), dtype=bool)
+        take = min(n_probe, ncells)
+        np.put_along_axis(probe_mask, order[:, :take], True, axis=1)
+        qids = np.array(qids_py)
+        state = None
+
+        def prune(qidx, mids, vals, nullm):
+            nullk = np.where(nullm, 1, 0)
+            vv = np.where(nullm, 0.0, np.where(np.isnan(vals), -np.inf, -vals))
+            o = np.lexsort((mids, vv, nullk))
+            o = o[np.argsort(qidx[o], kind="stable")]
+            sq = qidx[o]
+            n = len(o)
+            change = np.r_[True, sq[1:] != sq[:-1]] if n else np.array([], bool)
+            grp_start = np.maximum.accumulate(np.where(change, np.arange(n), 0))
+            keep = o[(np.arange(n) - grp_start) < k]
+            return qidx[keep], mids[keep], vals[keep], nullm[keep]
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([batch])
+            mids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            arr = tbl.column(vec_col).combine_chunks()
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            cv = flat.astype(np.float64, copy=False).reshape(tbl.num_rows, -1)
+            nb = tbl.num_rows
+            cdots = np.zeros((nb, ncells))
+            dots = np.zeros((nq, nb))
+            cn_sq = np.zeros(nb)
+            for j in range(dim):
+                cdots = cdots + cv[:, j][:, None] * cm[:, j][None, :]
+                dots = dots + qv[:, j][:, None] * cv[:, j][None, :]
+                cn_sq = cn_sq + cv[:, j] * cv[:, j]
+            cell = np.argsort(-cdots, axis=1, kind="stable")[:, 0]
+            den = qn[:, None] * np.sqrt(cn_sq)[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / den
+            cand = probe_mask[:, cell] & (qids[:, None] != mids[None, :])
+            iq, im = np.where(cand)
+            qidx, bm, bv, bn = prune(
+                iq, mids[im], cos[iq, im], den[iq, im] == 0.0
+            )
+            if state is not None:
+                qidx = np.concatenate([state[0], qidx])
+                bm = np.concatenate([state[1], bm])
+                bv = np.concatenate([state[2], bv])
+                bn = np.concatenate([state[3], bn])
+                qidx, bm, bv, bn = prune(qidx, bm, bv, bn)
+            state = (qidx, bm, bv, bn)
+        if state is not None and len(state[0]):
+            qidx, bm, bv, bn = state
+            yield pa.record_batch(
+                [
+                    pa.array(qids[qidx]),
+                    pa.array(bm),
+                    pa.array(bv, pa.float64(), mask=bn),
+                ],
+                names=["query_id", "match_id", "cosine"],
+            )
+
+    survivors = corpus.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        score_parts, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id")
+    )
+    return (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def _ivf_cogroup_rerank(
