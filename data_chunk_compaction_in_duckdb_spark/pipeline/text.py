@@ -66,33 +66,47 @@ def ngram_contamination(
     corpus build.
 
     Scale shape: the benchmark gram set is DISTINCT-reduced first (it is
-    bounded — eval sets are small) and broadcasts into a SEMI join, so
-    only the grams that actually hit the benchmark ever shuffle; the
-    per-document gram total is a narrow ``size()`` projection that never
-    explodes.  (The naive form — left join + groupBy over every exploded
-    gram — shuffles the full gram stream as long strings; at sf0.1 this
-    rewrite cut the query ~3×, and the gap grows with corpus size.)"""
+    bounded — eval sets are small) and broadcasts into the probe join,
+    so the candidate side is never shuffled as grams; what shuffles is
+    ONE partially-aggregated row per (doc, partition).  Single corpus
+    pass: the gram array is computed and exploded once per document
+    (the former two-branch form — a size() projection plus a separate
+    explode branch — re-derived the n-gram expression twice and joined
+    the branches back together; plan audit showed 2 corpus subtrees,
+    4 exchanges).  ``n_grams`` is simply COUNT(*) per document over the
+    exploded distinct grams — the identical value size() produced, and
+    the exact shape of the DuckDB oracle (COUNT(*) / COUNT(b.gram)
+    over cand LEFT JOIN bench).  Every non-empty document yields >= 1
+    gram (word_ngrams' whole-text convention), so no document is lost.
+    NOTE: do NOT project size(grams) next to explode(grams) — Catalyst
+    duplicates the gram expression above the Generate and re-evaluates
+    it per exploded row (measured 8x slower)."""
     from data_chunk_compaction_in_duckdb_spark.compaction import fan_out
 
     docs = fan_out(docs)  # single-file local scans plan as one task
-    grams = word_ngrams(text_col, n)
-    base = docs.select(F.col(id_col), F.size(grams).alias("n_grams"))
-    cand = docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+    cand = docs.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    )
     bgrams = bench.select(
         F.explode(word_ngrams(text_col, n)).alias("gram")
     ).distinct()
-    hits = (
-        cand.join(bgrams, "gram", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_hit"))
-    )
-    return (
-        base.join(hits, id_col, "left")
-        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0).cast("long")))
-        .withColumn(
-            "contamination",
-            F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 6),
+    hit = (
+        cand.join(
+            F.broadcast(bgrams.withColumn("_hit", F.lit(1))), "gram", "left"
         )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_grams"),
+            F.count("_hit").alias("n_hit"),
+        )
+    )
+    return hit.select(
+        F.col(id_col),
+        "n_grams",
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 6).alias(
+            "contamination"
+        ),
     )
 
 

@@ -129,11 +129,47 @@ _JOIN: dict[int, tuple[str, str]] = {
 }
 
 
+# Spark-side rewrites proven value- and schema-identical to the oracle
+# text (guide §2.3 "narrower types"): id1/id2/id3 are injective
+# functions of id4/id5/id6 ('id' || CAST(x AS STRING)), so grouping by
+# the numeric keys partitions the rows identically and the string keys
+# can be derived from the group keys AFTER aggregation — the hash
+# aggregate hashes 3 ints instead of building + hashing 3 strings per
+# input row, and the exchange carries ints.  All aggregates are exact
+# integer sums/counts (v3c is integer cents), so values are
+# order-independent and bit-identical.  Interleaved A/B at sf0.1
+# (q10): 0.88 s -> 0.54 s median, 99,736/99,736 rows identical, same
+# schema.  The DuckDB oracle keeps the original six-key text; the
+# driver gate value-checks equivalence at every SF.
+_XN = """x_num AS (
+  SELECT l_suppkey % 10 AS id4,
+         l_partkey % 10 AS id5,
+         l_orderkey % 1000 AS id6,
+         CAST(l_quantity AS BIGINT) % 5 + 1 AS v1,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v3c
+  FROM lineitem)"""
+_GROUP_SPARK: dict[int, str] = {
+    3: f"""WITH {_XN}
+SELECT 'id' || CAST(id6 AS STRING) AS id3,
+       CAST(SUM(v1) AS BIGINT) AS v1,
+       CAST(SUM(v3c) AS DOUBLE) / (100.0 * COUNT(*)) AS v3
+FROM x_num GROUP BY id6""",
+    10: f"""WITH {_XN}
+SELECT 'id' || CAST(id4 AS STRING) AS id1,
+       'id' || CAST(id5 AS STRING) AS id2,
+       'id' || CAST(id6 AS STRING) AS id3,
+       id4, id5, id6,
+       CAST(SUM(v3c) AS DOUBLE) / 100.0 AS v3, COUNT(*) AS count
+FROM x_num GROUP BY id4, id5, id6""",
+}
+
+
 def _register_group(num: int, desc: str, body: str) -> None:
     full = f"WITH {_XG}\n{body}"
+    spark_sql = _GROUP_SPARK.get(num, full)
 
     @query(f"h2o_group_q{num:02d}", oracle=full)
-    def _q(spark: SparkSession, sf_dir: str, _sql: str = full) -> DataFrame:
+    def _q(spark: SparkSession, sf_dir: str, _sql: str = spark_sql) -> DataFrame:
         register_views(spark, sf_dir)
         return spark.sql(_sql)
 
