@@ -346,6 +346,67 @@ def _assign_cells_arrow(
     return emb.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
 
+def _assign_cells_arrow_carry(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[list[float]],
+    n_assign: int,
+) -> DataFrame:
+    """``_assign_cells_arrow`` with the (double-cast) vector carried
+    through the kernel — same bit-exact ranking (dim-sequential fold,
+    stable argsort) — so within-cell consumers need NO join-back to the
+    embedding table (guide §2.4: one fewer corpus scan + join; the
+    shuffled bytes are identical, since the join-back produced the same
+    (cell, id, vector) rows).  float->double is an exact widening, the
+    same cast the join-back applied."""
+    from pyspark.sql import types as T
+
+    id_field = emb.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", id_field.dataType, True),
+            T.StructField("_cell", T.IntegerType(), True),
+            T.StructField("_v", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+    cmat = [list(map(float, c)) for c in cents]
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cm = np.asarray(cmat, dtype=np.float64)
+        k, dim = cm.shape
+        take = min(n_assign, k)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            tbl = pa.Table.from_batches([batch])
+            ids = tbl.column(id_col).combine_chunks()
+            arr = tbl.column(vec_col).combine_chunks()
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            vecs = flat.astype(np.float64, copy=False).reshape(n, -1)
+            dots = np.zeros((n, k))
+            for j in range(dim):
+                dots = dots + vecs[:, j][:, None] * cm[:, j][None, :]
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :take]
+            idx = pa.array(np.repeat(np.arange(n), take))
+            vq = pc.cast(arr, pa.list_(pa.float64()))
+            yield pa.record_batch(
+                [
+                    ids.take(idx),
+                    pa.array(order.reshape(-1).astype("int32")),
+                    vq.take(idx),
+                ],
+                names=["_id", "_cell", "_v"],
+            )
+
+    return emb.select(id_col, vec_col).mapInArrow(gen, out_schema)
+
+
 def semantic_ivf_neardup_pairs(
     emb: DataFrame,
     id_col: str,
@@ -419,6 +480,14 @@ def semantic_ivf_neardup_pairs(
         return F.struct((-dot).alias("d"), i.cast("int").alias("i"))
 
     if assign == "arrow":
+        if rerank == "cell":
+            # carry the vector through the assignment kernel — the
+            # join-back to emb (one more scan + broadcast join) existed
+            # only to reattach vectors for the per-cell kernel
+            cv = _assign_cells_arrow_carry(
+                emb, id_col, vec_col, cents, n_assign
+            )
+            return _cell_rerank_pairs(emb, cv, id_col, threshold)
         cells = _assign_cells_arrow(emb, id_col, vec_col, cents, n_assign)
     elif assign == "expr":
         cells_expr = F.slice(
@@ -435,7 +504,14 @@ def semantic_ivf_neardup_pairs(
         raise ValueError(f"assign must be 'arrow' or 'expr', got {assign!r}")
 
     if rerank == "cell":
-        return _cell_rerank_pairs(emb, cells, id_col, vec_col, threshold)
+        cv = cells.join(
+            emb.select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).cast("array<double>").alias("_v"),
+            ),
+            "_id",
+        )
+        return _cell_rerank_pairs(emb, cv, id_col, threshold)
     if rerank != "pair":
         raise ValueError(f"rerank must be 'cell' or 'pair', got {rerank!r}")
 
@@ -493,18 +569,19 @@ def semantic_ivf_neardup_pairs(
 
 def _cell_rerank_pairs(
     emb: DataFrame,
-    cells: DataFrame,
+    cv: DataFrame,
     id_col: str,
-    vec_col: str,
     threshold: float,
 ) -> DataFrame:
     """Within-cell pairwise-cosine confirmation as ONE Arrow batch per
-    cell (see semantic_ivf_neardup_pairs).  The numpy kernel sums dots
-    and norms dim-sequentially — ((0 + t0) + t1) + ... — which is the
-    same IEEE evaluation order as the zip_with/aggregate left fold, so
-    every cosine (and therefore the >= threshold decision and the
-    ROUND(c, 4) the queries apply) is bit-identical to the expression
-    path and the DuckDB oracle."""
+    cell (see semantic_ivf_neardup_pairs).  ``cv`` is the
+    (_id, _cell, _v: array<double>) relation — from the carrying
+    assignment kernel or the cells ⋈ emb join-back.  The numpy kernel
+    sums dots and norms dim-sequentially — ((0 + t0) + t1) + ... —
+    which is the same IEEE evaluation order as the zip_with/aggregate
+    left fold, so every cosine (and therefore the >= threshold decision
+    and the ROUND(c, 4) the queries apply) is bit-identical to the
+    expression path and the DuckDB oracle."""
     from pyspark.sql import types as T
 
     id_field = emb.schema[id_col]
@@ -514,13 +591,6 @@ def _cell_rerank_pairs(
             T.StructField("id_b", id_field.dataType, True),
             T.StructField("cosine", T.DoubleType(), True),
         ]
-    )
-    cv = cells.join(
-        emb.select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).cast("array<double>").alias("_v"),
-        ),
-        "_id",
     )
 
     def pairs_in_cell(tbl):
@@ -538,7 +608,11 @@ def _cell_rerank_pairs(
         if n < 2:
             return empty
         ids = tbl.column("_id").to_numpy(zero_copy_only=False)
-        vecs = np.array(tbl.column("_v").to_pylist(), dtype=np.float64)
+        # zero-copy list flatten (uniform-length, non-null vectors) —
+        # boxing every element through to_pylist was measurable at sf1
+        varr = tbl.column("_v").combine_chunks()
+        flat = varr.flatten().to_numpy(zero_copy_only=False)
+        vecs = flat.astype(np.float64, copy=False).reshape(n, -1)
         dim = vecs.shape[1]
         nrm = np.zeros(n)
         for j in range(dim):
