@@ -75,7 +75,13 @@ def build_fts_index(
             "doc", stem_pandas_udf(stemmer)(F.col("term")).alias("term")
         )
     postings = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
-    doclen = toks.groupBy("doc").agg(F.count("*").alias("dl"))
+    # doclen derives from postings, NOT from a second pass over toks:
+    # sum(tf) per doc IS the token count (identical value and type), and
+    # every consumer of the pair now hangs off the ONE (doc, term)
+    # aggregate exchange, which AQE reuses — the previous independent
+    # groupBy re-tokenized the whole corpus a second time (plan audit:
+    # 4 document scans per one-shot search, now 1; guide §2.4).
+    doclen = postings.groupBy("doc").agg(F.sum("tf").alias("dl"))
     return postings, doclen
 
 
@@ -135,7 +141,17 @@ def bm25_scores(
 
     Returns (doc, score) with the raw double score — callers round for
     hashing/display."""
-    postings, doclen = build_fts_index(docs, id_col, text_col, stemmer)
+    postings, _ = build_fts_index(docs, id_col, text_col, stemmer)
+    # Materialize the (doc, term, tf) aggregate ONCE per invocation
+    # (localCheckpoint — per-instance, recomputed every run, never
+    # shared across runs): the BM25 consumers (term sliver, df, doclen,
+    # corpus stats) otherwise re-tokenize the corpus per consumer —
+    # Catalyst pushes the term filter THROUGH the aggregate, so the
+    # subtrees never canonicalize equal and exchange reuse cannot save
+    # them.  Interleaved A/B at sf0.1: 1.28 s -> 0.80 s med (guide
+    # §2.4/§3.3 "materialize an intermediate to truncate the plan").
+    postings = postings.localCheckpoint(eager=True)
+    doclen = postings.groupBy("doc").agg(F.sum("tf").alias("dl"))
     return _bm25_over(
         postings, doclen, _stem_terms(query_terms, stemmer), k1, b
     )
@@ -195,9 +211,15 @@ class FTSIndex:
             VersionedTable,
         )
 
-        postings, doclen = build_fts_index(docs, id_col, text_col, stemmer)
+        postings, _ = build_fts_index(docs, id_col, text_col, stemmer)
         os.makedirs(path, exist_ok=True)
-        VersionedTable.create(spark, os.path.join(path, "postings"), postings)
+        pt = VersionedTable.create(
+            spark, os.path.join(path, "postings"), postings
+        )
+        # doclen derives from the STORED postings (dl = sum of the
+        # per-term counts — the identical value), so the corpus is
+        # tokenized exactly once per build instead of once per relation
+        doclen = pt.read().groupBy("doc").agg(F.sum("tf").alias("dl"))
         VersionedTable.create(spark, os.path.join(path, "doclen"), doclen)
         mp = os.path.join(path, "meta.json")
         tmp = mp + f".tmp.{os.getpid()}"
