@@ -20,13 +20,17 @@ def test_tpcds2_query_matches_oracle(spark, duck, sf_dir, name):
     assert_query_matches_oracle(spark, duck, sf_dir, name)
 
 
-def test_q70_reuses_aggregate_exchange(spark, sf_dir):
-    """natrev feeds both the rank prefilter and the final rollup; the
-    physical plan must reuse the aggregation exchange (ReuseExchange),
-    not scan the fact twice."""
+def test_q70_fact_scanned_once(spark, sf_dir):
+    """natrev feeds both the rank prefilter and the final rollup; since
+    the r9 optimization it is materialized ONCE per invocation via
+    localCheckpoint, so the final plan reads the checkpointed RDD and
+    never rescans the orders/customer fact join (previously this relied
+    on AQE ReusedExchange, which still executed the fact join subtree
+    into the shared exchange)."""
     from data_chunk_compaction_in_duckdb_spark.queries import REGISTRY
 
     df = REGISTRY["tpcds_q70_rank_pruned_rollup"].builder(spark, sf_dir)
-    df.collect()  # AQE finalizes exchange reuse at runtime
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan
+    assert "ExistingRDD" in plan  # both consumers read the checkpoint
+    assert "orders" not in plan  # the fact scan happened once, at checkpoint time
