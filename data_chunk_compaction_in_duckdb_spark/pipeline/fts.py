@@ -150,7 +150,9 @@ def bm25_scores(
     # subtrees never canonicalize equal and exchange reuse cannot save
     # them.  Interleaved A/B at sf0.1: 1.28 s -> 0.80 s med (guide
     # §2.4/§3.3 "materialize an intermediate to truncate the plan").
-    postings = postings.localCheckpoint(eager=True)
+    # eager=False: the checkpoint fills inside the first consuming job
+    # instead of a separate blocking driver job (r10 A/B).
+    postings = postings.localCheckpoint(eager=False)
     doclen = postings.groupBy("doc").agg(F.sum("tf").alias("dl"))
     return _bm25_over(
         postings, doclen, _stem_terms(query_terms, stemmer), k1, b

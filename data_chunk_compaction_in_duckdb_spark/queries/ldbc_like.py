@@ -863,35 +863,51 @@ _BI10_TAIL = """friend_list AS (
     ORDER BY messageCount DESC, t.t_name, m.friendid LIMIT 100"""
 
 
+# Broadcast guard for the BFS frontier (VERDICT r9 item 3a): the frontier
+# at hop k carries at most OUT_DEGREE**k walk endpoints, and the knows
+# graph's out-degree is FIXED by its derivation — every person has the
+# (+1, +7, +8) neighbors in both directions, 6 edges, at every scale
+# factor — so the bound (6**4 = 1296 rows at the hop limit) is structural,
+# not a fixture-scale accident.  If a future graph change lifts the bound
+# past the limit, the broadcast hint is dropped and the hop joins fall
+# back to the planner's choice (shuffle join at scale).
+_KNOWS_OUT_DEGREE = 6
+_BI10_HOPS = 4
+_BI10_BROADCAST_ROW_LIMIT = 1_000_000
+
+
 def _bi10_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     register_views(spark, sf_dir)
     # the edge table, derived ONCE and materialized (the reference's
     # physical_recursive_cte.cpp materializes its working table the same
-    # way) instead of once per recursion round
+    # way) instead of once per recursion round.  eager=False: the
+    # checkpoint fills inside the first job that reads it — no separate
+    # blocking driver job (r10 A/B, tools/ab_materialize.py).
     knows = spark.sql(
         f"WITH {_SNB} SELECT k_person1id, k_person2id FROM snb_knows"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     frontier = spark.sql(
         f"WITH {_SNB} SELECT p_personid AS friend FROM snb_person "
         "WHERE p_personid = 42"
     )
+    guard_ok = _KNOWS_OUT_DEGREE**_BI10_HOPS <= _BI10_BROADCAST_ROW_LIMIT
     levels = [frontier.select(F.lit(0).alias("hopCount"), "friend")]
-    for hop in range(1, 5):
-        frontier = (
-            # broadcast the (tiny, bounded: <= persons reachable in k
-            # hops from ONE start) frontier so the edge table is probed
-            # in place and never shuffled at any hop (guide §3.1).
-            # Interleaved A/B (5 reps each, one session): broadcast-only
-            # med 1.57 s vs lazy-SMJ 1.74 s vs per-level localCheckpoint
-            # 1.84 s — eager per-level materialization LOSES (blocking
-            # driver round-trips cost more than the deduped subtrees).
-            F.broadcast(frontier)
-            .join(knows, frontier["friend"] == knows["k_person1id"])
-            .select(F.col("k_person2id").alias("friend"))
-            .distinct()
-        )
+    for hop in range(1, _BI10_HOPS + 1):
+        # Walk enumeration, exactly the oracle's recursive friends CTE:
+        # level k holds every endpoint of some length-k walk (UNION ALL
+        # semantics — NO per-level DISTINCT; the single group-min below
+        # collapses all walks at once).  r9 ran a DISTINCT per level,
+        # which cost one shuffle + one AQE stage materialization per hop
+        # (29 jobs total); the walk counts are degree-bounded (<= 6**k
+        # rows, see guard above) so deduping early buys nothing (guide
+        # §2.4: remove shuffles outright).  Broadcasting the frontier
+        # keeps the edge table probed in place, never shuffled (§3.1).
+        probe = F.broadcast(frontier) if guard_ok else frontier
+        frontier = probe.join(
+            knows, frontier["friend"] == knows["k_person1id"]
+        ).select(F.col("k_person2id").alias("friend"))
         levels.append(
             frontier.select(F.lit(hop).alias("hopCount"), "friend")
         )

@@ -644,7 +644,10 @@ def tpcds_q70_rank_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r9 plan audit showed orders/customer scanned 2×, contradicting
         # the "fact scanned once" intent).  localCheckpoint, not persist:
         # per-instance, recomputed every invocation, no cross-run cache.
-        .localCheckpoint(eager=True)
+        # eager=False: the checkpoint materializes inside the first
+        # consuming job — no separate blocking driver job (r10 A/B:
+        # lazy <= eager in all 3 interleaved runs).
+        .localCheckpoint(eager=False)
     )
     wr = Window.partitionBy("r_name").orderBy(F.col("c").desc())
     top = (

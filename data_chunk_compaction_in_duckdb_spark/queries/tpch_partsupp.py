@@ -194,7 +194,12 @@ def tpch_q2_official(spark: SparkSession, sf_dir: str) -> DataFrame:
         # supplier scanned 4×, part 3×).  localCheckpoint (not persist):
         # per-instance, so every bench rep recomputes from parquet — no
         # cross-run cache — while both consumers share one computation.
-        .localCheckpoint(eager=True)
+        # eager=False (r10): the materialization happens inside the first
+        # consuming job instead of a separate blocking driver job — the
+        # r9 driver bench showed the eager form regressing at 32 slots
+        # while the 8-core control improved, and the r10 interleaved A/B
+        # (tools/ab_materialize.py, 3 runs) has lazy <= eager throughout.
+        .localCheckpoint(eager=False)
     )
     min_cost = eur.groupBy("ps_partkey").agg(
         F.min("ps_supplycost_c").alias("_min_c")
@@ -274,8 +279,9 @@ def tpch_q11_official(spark: SparkSession, sf_dir: str) -> DataFrame:
         # threshold (grand total) and the output rows; without this the
         # partsupp ⋈ supplier-slice aggregation ran twice (plan audit:
         # supplier scanned 4×).  localCheckpoint, not persist — every
-        # bench rep recomputes (no cross-run cache reuse).
-    ).localCheckpoint(eager=True)
+        # bench rep recomputes (no cross-run cache reuse).  eager=False:
+        # no separate blocking job (see tpch_q2_official's note).
+    ).localCheckpoint(eager=False)
     total = per_part.groupBy().agg(
         (F.sum("_value_c").cast("long").cast("double") * F.lit(0.0001)).alias(
             "_thresh"
