@@ -80,6 +80,21 @@ REPS = 3
 EXTRA_REPS_BELOW_SEC = 4
 
 
+def _spin_calibration() -> float:
+    """Noise sentinel (r10, additive key only): wall seconds for a fixed
+    single-core integer spin.  The sandbox shares a host — the same
+    binary has measured 20-55 s total across runs — so recording how
+    fast ONE core runs pure Python at bench time lets a reader discount
+    interference-contaminated windows from the artifact itself (a quiet
+    box measures ~constant; a contended one inflates this the same way
+    it inflates the query timings)."""
+    t0 = time.monotonic()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i ^ (i >> 3)
+    return time.monotonic() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
@@ -90,6 +105,7 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     try:
+        spin_start = _spin_calibration()
         results: dict[str, float] = {}
         spread: dict[str, dict] = {}
         for name in HEADLINE:
@@ -112,6 +128,10 @@ def main() -> None:
                 "reps": len(times),
             }
         total = round(sum(results.values()), 4)
+        try:
+            loadavg = [round(x, 2) for x in os.getloadavg()]
+        except OSError:  # pragma: no cover - platform without getloadavg
+            loadavg = None
         print(
             json.dumps(
                 {
@@ -121,6 +141,15 @@ def main() -> None:
                     "queries": results,
                     "spread": spread,
                     "sf": sf,
+                    # noise sentinel (additive keys): single-core spin
+                    # calibration at bench start/end + 1/5/15-min load
+                    # averages at the end — lets a reader tell a quiet
+                    # window from a contended one without re-running
+                    "spin_calib_sec": {
+                        "start": round(spin_start, 4),
+                        "end": round(_spin_calibration(), 4),
+                    },
+                    "loadavg": loadavg,
                 }
             )
         )

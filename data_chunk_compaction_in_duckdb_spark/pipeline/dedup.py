@@ -323,27 +323,37 @@ def _assign_cells_arrow(
 
     def gen(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
         cm = np.asarray(cmat, dtype=np.float64)
         k, dim = cm.shape
         take = min(n_assign, k)
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            dots = np.zeros((len(pdf), k))
+            # zero-copy flatten of the vector column (r10: the previous
+            # mapInPandas form boxed every element through .tolist();
+            # this is the carry variant's kernel minus the vector carry)
+            tbl = pa.Table.from_batches([batch])
+            ids = tbl.column(id_col).combine_chunks()
+            arr = tbl.column(vec_col).combine_chunks()
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            vecs = flat.astype(np.float64, copy=False).reshape(n, -1)
+            dots = np.zeros((n, k))
             for j in range(dim):
                 dots = dots + vecs[:, j][:, None] * cm[:, j][None, :]
             order = np.argsort(-dots, axis=1, kind="stable")[:, :take]
-            yield pd.DataFrame(
-                {
-                    "_id": pdf[id_col].to_numpy().repeat(take),
-                    "_cell": order.reshape(-1).astype("int32"),
-                }
+            idx = pa.array(np.repeat(np.arange(n), take))
+            yield pa.record_batch(
+                [
+                    ids.take(idx),
+                    pa.array(order.reshape(-1).astype("int32")),
+                ],
+                names=["_id", "_cell"],
             )
 
-    return emb.select(id_col, vec_col).mapInPandas(gen, out_schema)
+    return emb.select(id_col, vec_col).mapInArrow(gen, out_schema)
 
 
 def _assign_cells_arrow_carry(

@@ -10,7 +10,16 @@ no such line are green), plus the explicitly-listed targeted names
 re-run afterwards with the same driver_sim env.
 
 Usage: python tools/sf1_partial_json.py <batches_done> <sweep_log> \
-           <targeted_log> <out_json>
+           <targeted_log> <out_json> [expected_targeted_names_csv]
+
+Coverage is taken from the batch-membership lines the sweep logs
+("[sf1 sweep] batch N names: a,b,c"), NEVER re-derived from the live
+registry — registry order depends on on-disk CORRECTNESS_r*.json state
+and shifts between rounds, which made the r9 artifact non-reproducible
+(ADVICE r9).  If an expected-targeted-names list is given, any name in
+it with NO ok/FAIL/ERR line in the targeted log is reported as
+"targeted_unverified" (attempted-and-died is distinguishable from
+not-attempted).
 """
 
 from __future__ import annotations
@@ -23,23 +32,48 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# every success format tools/driver_sim.py emits
+OK_RE = re.compile(
+    r"^ok\s+(\S+): (?:rows (\d+)/\2|rows-only \(\d+\)|schema-clean)", re.M
+)
+
 
 def main() -> int:
     batches_done = int(sys.argv[1])
     sweep_log, targeted_log, out_json = sys.argv[2], sys.argv[3], sys.argv[4]
+    expected_targeted = (
+        [n for n in sys.argv[5].split(",") if n] if len(sys.argv) > 5 else None
+    )
 
     import __spark_entry__ as E
 
     names = list(E.queries())
-    covered = names[: batches_done * 40]
 
     sweep_txt = open(sweep_log).read()
+    batch_lines = re.findall(
+        r"^\[sf1 sweep\] batch (\d+) names: (\S+)$", sweep_txt, re.M
+    )
+    if batch_lines:
+        covered = [
+            n
+            for bno, csv in batch_lines
+            if int(bno) <= batches_done
+            for n in csv.split(",")
+        ]
+    else:
+        # legacy logs without membership lines: registry-order fallback,
+        # explicitly flagged as non-reproducible in the artifact
+        covered = names[: batches_done * 40]
     missing = re.findall(r"MISSING \(crashed batch\?\): (\S+)", sweep_txt)
     failed = re.findall(r"^\s*FAIL\s+(\S+):", sweep_txt, re.M)
 
-    ok_re = re.compile(r"^ok\s+(\S+): rows (\d+)/\2", re.M)
-    targeted = {m.group(1): int(m.group(2)) for m in ok_re.finditer(open(targeted_log).read())}
-    t_fail = re.findall(r"^(?:FAIL|ERR)\s+(\S+):", open(targeted_log).read(), re.M)
+    t_txt = open(targeted_log).read()
+    targeted = sorted({m.group(1) for m in OK_RE.finditer(t_txt)})
+    t_fail = re.findall(r"^(?:FAIL|ERR)\s+(\S+):", t_txt, re.M)
+    t_seen = set(targeted) | set(t_fail)
+    unverified = (
+        sorted(set(expected_targeted) - t_seen) if expected_targeted else []
+    )
 
     green = sorted((set(covered) - set(missing) - set(failed)) | set(targeted))
     out = {
@@ -62,10 +96,13 @@ def main() -> int:
         ),
         "green": len(green),
         "covered": len(set(covered) | set(targeted)),
+        "covered_names_from_log": bool(batch_lines),
+        "covered_names": sorted(set(covered)),
         "total": len(names),
         "fails": sorted(set(failed) | set(t_fail)),
         "batch1_missing_artifact": missing,
         "targeted_rerun_green": sorted(targeted),
+        "targeted_unverified": unverified,
     }
     with open(out_json, "w") as f:
         json.dump(out, f, indent=1)

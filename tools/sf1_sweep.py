@@ -43,9 +43,19 @@ def main() -> int:
     names = list(E.queries())
     green: dict[str, int] = {}
     fails: list[str] = []
+    batches_meta: list[dict] = []
     for i in range(0, len(names), batch_size):
         batch = names[i : i + batch_size]
+        # log + record the EXACT batch membership: registry order depends
+        # on on-disk CORRECTNESS_r*.json state and shifts between rounds,
+        # so coverage claims must never be re-derived from a later
+        # registry — they are read back from these lines / this JSON
+        # (tools/sf1_partial_json.py).
         print(f"[sf1 sweep] batch {i // batch_size + 1}: {len(batch)} queries")
+        print(f"[sf1 sweep] batch {i // batch_size + 1} names: " + ",".join(batch))
+        batches_meta.append(
+            {"batch": i // batch_size + 1, "names": list(batch)}
+        )
         proc = subprocess.run(
             [sys.executable, "tools/driver_sim.py", *batch],
             cwd=REPO,
@@ -80,6 +90,7 @@ def main() -> int:
         "total": len(names),
         "fails": sorted(set(fails)),
         "rows_per_query": green,
+        "batches": batches_meta,
     }
     path = os.path.join(REPO, f"SF1_SWEEP_{tag}.json")
     with open(path, "w") as f:
