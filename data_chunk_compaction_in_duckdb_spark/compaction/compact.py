@@ -117,7 +117,11 @@ def pipeline_break(df: DataFrame, eager: bool = True) -> DataFrame:
     return out
 
 
-def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    bytes_per_task: int | None = None,
+) -> DataFrame:
     """The inverse of compact(): widen an under-parallel scan before a
     CPU-bound narrow stage (n-gram generation, UDF feature extraction).
 
@@ -128,8 +132,27 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     round-robin repartition up to it; otherwise return the input
     unchanged, so on a real cluster (where scans already carry thousands
     of partitions) this is a no-op and adds no shuffle.
+
+    ``bytes_per_task`` caps the widening by the optimizer's input-size
+    estimate (r10, guide §2.2 "fewer, larger tasks"): vectorized Arrow
+    kernels do near-constant work per row, so splitting a few-MB input
+    across every scheduler slot pays 32 Python-task fixed costs to save
+    nothing — interleaved A/B on sim_ann_ivf_topk at sf0.1: slot-count
+    fan-out 0.82 s med vs size-capped 0.56 s.  Interpreted per-row
+    expression stages (n-gram HOFs, md5 shingles) keep the slot-count
+    widening — there the per-row cost dominates the task overhead.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if bytes_per_task:
+        est = int(
+            str(
+                df._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+        target = max(1, min(target, -(-est // bytes_per_task)))
     # JVM-side probe: ``df.rdd`` builds the full Python-serialized RDD
     # (measured ~540 ms per call, driver-side) just to read a partition
     # count; ``queryExecution().toRdd()`` is the same physical RDD

@@ -20,6 +20,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# Input-size cap for fan_out ahead of vectorized Arrow kernels (r10):
+# one task per ~8 MB of estimated input, never more than the scheduler
+# slots.  The numpy kernels do near-constant work per row, so finer
+# splits only multiply Python-task fixed costs (guide §2.2); on a real
+# cluster scans already carry many partitions and fan_out is a no-op.
+VEC_KERNEL_BYTES_PER_TASK = 8 * 1024 * 1024
+
+
 def _sql_doubles(vals: list[float]) -> str:
     """``array(<double literals>)`` SQL text for a Python float list.
 
@@ -275,11 +283,17 @@ def topk_similar(
     qid = query_id_col or id_col
     from data_chunk_compaction_in_duckdb_spark.compaction import fan_out
 
-    # The corpus streams through the scoring doing O(dim) flops per
-    # pair — widen a 1-task scan so the probe runs on all cores.
-    corpus = fan_out(corpus)
     if kernel == "arrow":
+        # the numpy kernel's per-row work is tiny — cap the widening by
+        # input size so a few-MB corpus is not split into 32 Python
+        # tasks of pure fixed cost (r10 A/B; see fan_out's docstring).
+        # Partitioning cannot change the result: the per-partition
+        # prune keeps a superset of the global top-k at any split.
+        corpus = fan_out(corpus, bytes_per_task=VEC_KERNEL_BYTES_PER_TASK)
         return _topk_similar_arrow(corpus, queries, id_col, vec_col, qid, k)
+    # The corpus streams through the interpreted per-pair scoring doing
+    # O(dim) flops per pair — widen a 1-task scan so it runs on all cores.
+    corpus = fan_out(corpus)
     if kernel != "expr":
         raise ValueError(f"kernel must be 'arrow' or 'expr', got {kernel!r}")
 
@@ -724,9 +738,11 @@ def ivf_ann_topk(
         _assign_cells_arrow,
     )
 
-    # cell-assignment dots are CPU-bound — widen a 1-task local scan
-    # (no-op on a many-partition cluster scan)
-    corpus = fan_out(corpus)
+    # widen a 1-task local scan for the assignment kernel, capped by
+    # input size (r10): every corpus-side pass here is a vectorized
+    # numpy kernel, so slot-count splits of a few-MB input are pure
+    # task overhead (interleaved A/B: 0.82 -> 0.56 s med at sf0.1)
+    corpus = fan_out(corpus, bytes_per_task=VEC_KERNEL_BYTES_PER_TASK)
     cents = centroids or [_centroid(dim, i) for i in range(n_clusters)]
     # Corpus-side assignment rides the numpy Arrow kernel (same reason
     # as pq_codes/dedup: Catalyst has no HOF codegen, so the
@@ -1147,7 +1163,7 @@ def pq_codes(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     from data_chunk_compaction_in_duckdb_spark.compaction import fan_out
 
-    embeds = fan_out(embeds)
+    embeds = fan_out(embeds, bytes_per_task=VEC_KERNEL_BYTES_PER_TASK)
     subdim = dim // m
     books = codebooks or [
         [_pq_centroid(sub, code, subdim) for code in range(k)]
@@ -1484,9 +1500,10 @@ def pq_adc_topk(
 
     from data_chunk_compaction_in_duckdb_spark.compaction import fan_out
 
-    survivors = fan_out(corpus.select(id_col, vec_col)).mapInArrow(
-        adc_partial, out_schema
-    )
+    survivors = fan_out(
+        corpus.select(id_col, vec_col),
+        bytes_per_task=VEC_KERNEL_BYTES_PER_TASK,
+    ).mapInArrow(adc_partial, out_schema)
     # exact merge over the <= partitions x rerank survivor set
     # (ascending: _adc approximates the L2 distance)
     w = Window.partitionBy("query_id").orderBy(

@@ -311,7 +311,15 @@ class PQIndex:
                     names=["query_id", "match_id", "_adc"],
                 )
 
-        survivors = fan_out(code_df).mapInArrow(idx_partial, out_schema)
+        # size-capped widening (r10): the ADC scan kernel is vectorized
+        # numpy — see similarity.VEC_KERNEL_BYTES_PER_TASK
+        from data_chunk_compaction_in_duckdb_spark.pipeline.similarity import (
+            VEC_KERNEL_BYTES_PER_TASK,
+        )
+
+        survivors = fan_out(
+            code_df, bytes_per_task=VEC_KERNEL_BYTES_PER_TASK
+        ).mapInArrow(idx_partial, out_schema)
         w = Window.partitionBy("query_id").orderBy(
             F.col("_adc").asc(), F.col("match_id")
         )
