@@ -179,6 +179,44 @@ snb_person_company AS (
          2000 + CAST(c_custkey % 20 AS INT) AS pc_workfrom
   FROM customer)"""
 
+# Spark-side SNB text (r10): two dedups in the shared CTEs are provable
+# VALUE no-ops, and dropping them on the Spark side removes one full
+# events-scale shuffle per reference (bi10 derives snb_message_tag
+# twice: DISTINCT 0.36 s vs plain 0.14 s med per derivation at sf0.1).
+# The DuckDB oracle keeps the original text with the dedups, so the
+# driver gate value-checks the equivalence at every SF.
+#
+# Proof the dedups are no-ops (pure modular arithmetic + key
+# uniqueness, independent of SF):
+# - snb_message_tag = DISTINCT over (event_id, event_id % 100)  UNION
+#   ALL  (event_id, (event_id*7 + 3) % 100) [even event_id only].
+#   event_id is unique in events (asserted by
+#   tests/test_ldbc_corpus.py::test_snb_spark_dedup_noop), so
+#   within-branch duplicates are impossible; a cross-branch duplicate
+#   needs id % 100 == (7*id + 3) % 100, i.e. 3*(2*id + 1) ≡ 0 (mod
+#   100); gcd(3, 100) = 1 so 2*id + 1 ≡ 0 (mod 100) — an odd number
+#   cannot be ≡ 0 mod 100.  No collision at any SF.
+# - snb_person_tag = (c_custkey, c_custkey % 100)  UNION (distinct)
+#   (c_custkey, (c_custkey*3 + 7) % 100).  c_custkey is unique, and a
+#   cross-branch duplicate needs 2*c + 7 ≡ 0 (mod 100): even ≡ odd,
+#   impossible.  UNION therefore equals UNION ALL.
+_SNB_SPARK = _SNB.replace(
+    "SELECT DISTINCT mt_messageid, mt_tagid FROM (",
+    "SELECT mt_messageid, mt_tagid FROM (",
+    1,
+)
+_SNB_SPARK = _SNB_SPARK.replace(
+    """ FROM customer
+  UNION
+  SELECT """,
+    """ FROM customer
+  UNION ALL
+  SELECT """,
+    1,
+)
+assert _SNB_SPARK.count("DISTINCT") == _SNB.count("DISTINCT") - 1
+assert "\n  UNION\n" not in _SNB_SPARK
+
 # name -> (description, needs_recursive, SELECT body)
 _QUERIES: dict[str, tuple[str, bool, str]] = {}
 
@@ -808,14 +846,19 @@ def _register(name: str, desc: str, recursive: bool, body: str) -> None:
     stripped = body.lstrip()
     if stripped.upper().startswith("SELECT"):
         full = f"{kw} {_SNB}\n{body}"
+        full_spark = f"{kw} {_SNB_SPARK}\n{body}"
     else:
         full = f"{kw} {_SNB},\n{body}"
+        full_spark = f"{kw} {_SNB_SPARK},\n{body}"
 
     builder = _SPARK_BUILDERS.get(name)
     if builder is None:
 
+        # Spark runs the no-op-dedup-relaxed SNB text (see _SNB_SPARK);
+        # the oracle keeps the original — the driver gate value-checks
+        # the equivalence at every SF.
         def builder(
-            spark: SparkSession, sf_dir: str, _sql: str = full
+            spark: SparkSession, sf_dir: str, _sql: str = full_spark
         ) -> DataFrame:
             register_views(spark, sf_dir)
             return spark.sql(_sql)
@@ -886,10 +929,10 @@ def _bi10_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint fills inside the first job that reads it — no separate
     # blocking driver job (r10 A/B, tools/ab_materialize.py).
     knows = spark.sql(
-        f"WITH {_SNB} SELECT k_person1id, k_person2id FROM snb_knows"
+        f"WITH {_SNB_SPARK} SELECT k_person1id, k_person2id FROM snb_knows"
     ).localCheckpoint(eager=False)
     frontier = spark.sql(
-        f"WITH {_SNB} SELECT p_personid AS friend FROM snb_person "
+        f"WITH {_SNB_SPARK} SELECT p_personid AS friend FROM snb_person "
         "WHERE p_personid = 42"
     )
     guard_ok = _KNOWS_OUT_DEGREE**_BI10_HOPS <= _BI10_BROADCAST_ROW_LIMIT
@@ -916,7 +959,7 @@ def _bi10_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         u = u.unionByName(lv)
     shortest = u.groupBy("friend").agg(F.min("hopCount").alias("hopCount"))
     shortest.createOrReplaceTempView("__ldbc_bi10_friends_shortest")
-    return spark.sql(f"WITH {_SNB},\n{_BI10_TAIL}")
+    return spark.sql(f"WITH {_SNB_SPARK},\n{_BI10_TAIL}")
 
 
 _SPARK_BUILDERS = {"ldbc_bi10": _bi10_builder}
