@@ -53,3 +53,35 @@ def test_knows_graph_contains_triangles(duck, sf_dir):
 @pytest.mark.parametrize("name", _names())
 def test_ldbc_query_matches_oracle(spark, duck, sf_dir, name):
     assert_query_matches_oracle(spark, duck, sf_dir, name)
+
+
+def test_snb_spark_dedup_noop(spark, sf_dir):
+    """The r10 Spark-side SNB text drops snb_message_tag's DISTINCT and
+    snb_person_tag's bare UNION on a number-theoretic proof (branches
+    cannot collide mod 100) whose one data assumption is key uniqueness.
+    Pin the assumption AND the conclusion: event_id / c_custkey are
+    unique, and the relaxed CTEs are row-multiset-identical to the
+    originals."""
+    from data_chunk_compaction_in_duckdb_spark.catalog import register_views
+    from data_chunk_compaction_in_duckdb_spark.queries.ldbc_like import (
+        _SNB,
+        _SNB_SPARK,
+    )
+
+    register_views(spark, sf_dir)
+    for table, key in (("events", "event_id"), ("customer", "c_custkey")):
+        dup = spark.sql(
+            f"SELECT COUNT(*) - COUNT(DISTINCT {key}) FROM {table}"
+        ).collect()[0][0]
+        assert dup == 0, (table, key, dup)
+    for cte in ("snb_message_tag", "snb_person_tag"):
+        a = sorted(
+            map(tuple, spark.sql(f"WITH {_SNB} SELECT * FROM {cte}").collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                spark.sql(f"WITH {_SNB_SPARK} SELECT * FROM {cte}").collect(),
+            )
+        )
+        assert a == b, cte
