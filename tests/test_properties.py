@@ -27,6 +27,12 @@ _slow = settings(
 )
 
 
+# slow profile (hypothesis fuzzers, 58 s) — deep-verification layer, excluded from the
+# default CI selection (pytest.ini); run with -m "" / -m slow
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 @given(left=_events, right=_events)
 @_slow
 def test_asof_join_matches_reference_semantics(spark, left, right):

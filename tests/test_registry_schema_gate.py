@@ -27,6 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.driver_sim import risky_fields  # noqa: E402
 
 
+# slow profile (full-registry lazy schema sweep, 83 s single test) — deep-verification layer, excluded from the
+# default CI selection (pytest.ini); run with -m "" / -m slow
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 def _entry():
     import __spark_entry__ as E
 

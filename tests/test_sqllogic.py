@@ -10,6 +10,12 @@ import pytest
 from data_chunk_compaction_in_duckdb_spark.catalog import register_views
 from data_chunk_compaction_in_duckdb_spark.testing import parse_file, run_file
 
+# slow profile (the generated differential grid: 2,671 tests, 1,116 s) — deep-verification layer, excluded from the
+# default CI selection (pytest.ini); run with -m "" / -m slow
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 HERE = os.path.dirname(__file__)
 TEST_FILES = sorted(glob.glob(os.path.join(HERE, "sqllogic", "*.test")))
 

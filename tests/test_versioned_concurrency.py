@@ -18,6 +18,12 @@ from data_chunk_compaction_in_duckdb_spark.storage import (
     VersionedTable,
 )
 
+# slow profile (multiprocess commit-race stress, 52 s) — deep-verification layer, excluded from the
+# default CI selection (pytest.ini); run with -m "" / -m slow
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 _SCHEMA = T.StructType(
     [
         T.StructField("tag", T.StringType()),
