@@ -883,7 +883,15 @@ def _register(name: str, desc: str, recursive: bool, body: str) -> None:
 # lazily-planned action.  The DuckDB oracle keeps the original recursive
 # text; equivalence is value-checked by the driver gate at every SF.
 _BI10_TAIL = """friend_list AS (
-      SELECT DISTINCT f.friend AS friendid
+      -- Spark-side tail (oracle keeps the original DISTINCT text): this
+      -- DISTINCT is a provable no-op — friends_shortest.friend is unique
+      -- (group-min output) and the person/city/country joins are key
+      -- lookups on unique ids (c_custkey unique; snb_place ids disjoint
+      -- by construction: cities <= 249 < 1000 <= nations), so no row can
+      -- duplicate.  Dropping it removes one aggregate exchange + AQE
+      -- stage (pinned by tests/test_ldbc_corpus.py::test_bi10_tail_
+      -- dedup_noop; value-checked by the driver gate at every SF).
+      SELECT f.friend AS friendid
       FROM __ldbc_bi10_friends_shortest f, snb_person tf, snb_place ci,
            snb_place co
       WHERE f.friend = tf.p_personid AND tf.p_placeid = ci.pl_placeid
@@ -893,7 +901,12 @@ _BI10_TAIL = """friend_list AS (
                            'NATION_4', 'NATION_5', 'NATION_6', 'NATION_7',
                            'NATION_8', 'NATION_9')),
     messages_of_tagclass_by_friends AS (
-      SELECT DISTINCT f.friendid, m.m_messageid AS messageid
+      -- same: a message carries at most ONE Class_3 tag (its two tag ids
+      -- are id%100 and (7*id+3)%100; both ≡ 3 mod 10 needs id ≡ 3 and
+      -- id ≡ 0 mod 10 — impossible), friendid is unique in friend_list,
+      -- and m_messageid is unique, so (friendid, messageid) pairs cannot
+      -- repeat and this DISTINCT removes zero rows.
+      SELECT f.friendid, m.m_messageid AS messageid
       FROM friend_list f, snb_message m, snb_message_tag pt, snb_tag t,
            snb_tagclass tc
       WHERE f.friendid = m.m_creatorid AND m.m_messageid = pt.mt_messageid

@@ -85,3 +85,30 @@ def test_snb_spark_dedup_noop(spark, sf_dir):
             )
         )
         assert a == b, cte
+
+
+def test_bi10_tail_dedup_noop(spark, sf_dir):
+    """The r10 Spark-side bi10 tail drops friend_list's and
+    messages_of_tagclass_by_friends' DISTINCTs on uniqueness proofs
+    (group-min'd friends, key-lookup dims, at most one Class_3 tag per
+    message).  Pin the conclusion: running the tail CTEs with DISTINCT
+    restored yields the identical row multiset."""
+    from data_chunk_compaction_in_duckdb_spark.queries.ldbc_like import (
+        _BI10_TAIL,
+        _SNB_SPARK,
+        _bi10_builder,
+    )
+
+    # builder side effect: registers __ldbc_bi10_friends_shortest
+    relaxed = _bi10_builder(spark, sf_dir)
+    strict_tail = _BI10_TAIL.replace(
+        "SELECT f.friend AS friendid", "SELECT DISTINCT f.friend AS friendid"
+    ).replace(
+        "SELECT f.friendid, m.m_messageid AS messageid",
+        "SELECT DISTINCT f.friendid, m.m_messageid AS messageid",
+    )
+    assert strict_tail.count("DISTINCT") == _BI10_TAIL.count("DISTINCT") + 2
+    strict = spark.sql(f"WITH {_SNB_SPARK},\n{strict_tail}")
+    a = sorted(map(tuple, relaxed.collect()))
+    b = sorted(map(tuple, strict.collect()))
+    assert a == b
