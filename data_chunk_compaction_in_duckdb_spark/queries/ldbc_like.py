@@ -50,6 +50,8 @@ plans converge in a fixed number of rounds at any SF.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from data_chunk_compaction_in_duckdb_spark.catalog import register_views
@@ -214,8 +216,24 @@ _SNB_SPARK = _SNB_SPARK.replace(
   SELECT """,
     1,
 )
+# snb_place's city rows: `nation CROSS JOIN (10-row UNION ALL)` plans as
+# a BroadcastNestedLoopJoin with its own broadcast-build job per
+# reference; `LATERAL VIEW explode(sequence(0, 9))` is a Generate node —
+# no join, no build job — and trivially produces the same ten digits
+# (interleaved A/B tools/ab_place_explode.py: bi10 med 2.10 -> 1.81 s,
+# bi14 2.30 -> 2.03 s; multiset-identical results; the oracle keeps the
+# original CROSS JOIN text).
+_SNB_SPARK = _SNB_SPARK.replace(
+    """FROM nation CROSS JOIN (
+    SELECT 0 AS d UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL
+    SELECT 3 UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL
+    SELECT 6 UNION ALL SELECT 7 UNION ALL SELECT 8 UNION ALL SELECT 9) d)""",
+    "FROM nation LATERAL VIEW explode(sequence(0, 9)) d AS d)",
+    1,
+)
 assert _SNB_SPARK.count("DISTINCT") == _SNB.count("DISTINCT") - 1
 assert "\n  UNION\n" not in _SNB_SPARK
+assert "LATERAL VIEW explode" in _SNB_SPARK and "CROSS JOIN" not in _SNB_SPARK
 
 # name -> (description, needs_recursive, SELECT body)
 _QUERIES: dict[str, tuple[str, bool, str]] = {}
@@ -919,17 +937,37 @@ _BI10_TAIL = """friend_list AS (
     ORDER BY messageCount DESC, t.t_name, m.friendid LIMIT 100"""
 
 
-# Broadcast guard for the BFS frontier (VERDICT r9 item 3a): the frontier
-# at hop k carries at most OUT_DEGREE**k walk endpoints, and the knows
-# graph's out-degree is FIXED by its derivation — every person has the
-# (+1, +7, +8) neighbors in both directions, 6 edges, at every scale
-# factor — so the bound (6**4 = 1296 rows at the hop limit) is structural,
-# not a fixture-scale accident.  If a future graph change lifts the bound
-# past the limit, the broadcast hint is dropped and the hop joins fall
-# back to the planner's choice (shuffle join at scale).
+# Broadcast guards for the BFS (VERDICT r9 item 3a).  Preferred form
+# (r10 second pass): broadcast the EDGE table once when its plan-
+# estimated size is broadcast-sized — the four hop joins then share a
+# single build via ReusedExchange (one driver job instead of four
+# sequential per-hop frontier builds; interleaved A/B
+# tools/ab_bi10_knows.py: med 1.70 -> 1.51 s, every rep faster).  At
+# scale knows is O(|person|) and the estimate blows the cap, so the
+# builder falls back to broadcasting the frontier, whose size IS
+# structurally bounded: the knows graph's out-degree is fixed by its
+# derivation — every person has the (+1, +7, +8) neighbors in both
+# directions, 6 edges, at every scale factor — so the frontier at hop k
+# carries at most 6**k walk endpoints (1296 at the hop limit).  If a
+# future graph change lifts that bound past the limit too, both hints
+# are dropped and the hop joins fall back to the planner's choice
+# (shuffle join at scale).
 _KNOWS_OUT_DEGREE = 6
 _BI10_HOPS = 4
 _BI10_BROADCAST_ROW_LIMIT = 1_000_000
+# Size the knows broadcast off the CUSTOMER SCAN's plan estimate (sum of
+# file sizes — reliable), not the knows join subtree's (Spark multiplies
+# child sizes for joins without column stats: 33 GB estimated for 90k
+# real rows at sf0.1).  knows is exactly 6 x |customer| narrow rows by
+# derivation, so a customer-scan cap bounds the broadcast relation to
+# the same order.  Local default 8 MB of customer parquet (~0.9 MB at
+# sf0.1); production can tune via env without code changes — past the
+# cap the builder falls back to broadcasting the bounded frontier.
+_BI10_KNOWS_BROADCAST_CUSTOMER_BYTES = int(
+    os.environ.get(
+        "SPARK_GRAFT_BI10_KNOWS_BROADCAST_CUSTOMER_BYTES", str(8 << 20)
+    )
+)
 
 
 def _bi10_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,10 +982,26 @@ def _bi10_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     knows = spark.sql(
         f"WITH {_SNB_SPARK} SELECT k_person1id, k_person2id FROM snb_knows"
     ).localCheckpoint(eager=False)
+    try:
+        customer_bytes = int(
+            spark.table("customer")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+        )
+    except Exception:  # pragma: no cover - stats API unavailable
+        customer_bytes = None
     frontier = spark.sql(
         f"WITH {_SNB_SPARK} SELECT p_personid AS friend FROM snb_person "
         "WHERE p_personid = 42"
     )
+    broadcast_knows = (
+        customer_bytes is not None
+        and customer_bytes <= _BI10_KNOWS_BROADCAST_CUSTOMER_BYTES
+    )
+    if broadcast_knows:
+        knows = F.broadcast(knows)
     guard_ok = _KNOWS_OUT_DEGREE**_BI10_HOPS <= _BI10_BROADCAST_ROW_LIMIT
     levels = [frontier.select(F.lit(0).alias("hopCount"), "friend")]
     for hop in range(1, _BI10_HOPS + 1):
@@ -958,9 +1012,14 @@ def _bi10_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         # which cost one shuffle + one AQE stage materialization per hop
         # (29 jobs total); the walk counts are degree-bounded (<= 6**k
         # rows, see guard above) so deduping early buys nothing (guide
-        # §2.4: remove shuffles outright).  Broadcasting the frontier
-        # keeps the edge table probed in place, never shuffled (§3.1).
-        probe = F.broadcast(frontier) if guard_ok else frontier
+        # §2.4: remove shuffles outright).  The hop joins never shuffle:
+        # either the edge table is broadcast once (build reused by every
+        # hop) or, past the size cap, the bounded frontier is (§3.1).
+        probe = (
+            frontier
+            if broadcast_knows
+            else (F.broadcast(frontier) if guard_ok else frontier)
+        )
         frontier = probe.join(
             knows, frontier["friend"] == knows["k_person1id"]
         ).select(F.col("k_person2id").alias("friend"))

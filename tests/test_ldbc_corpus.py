@@ -87,6 +87,56 @@ def test_snb_spark_dedup_noop(spark, sf_dir):
         assert a == b, cte
 
 
+def test_snb_place_explode_equivalent(spark, sf_dir):
+    """The r10 Spark-side snb_place derives its ten city digits with
+    LATERAL VIEW explode(sequence(0, 9)) instead of the oracle text's
+    CROSS JOIN against a 10-row UNION ALL (same values, but a Generate
+    node instead of a BroadcastNestedLoopJoin build per reference).
+    Pin the row-multiset equivalence."""
+    from data_chunk_compaction_in_duckdb_spark.catalog import register_views
+    from data_chunk_compaction_in_duckdb_spark.queries.ldbc_like import (
+        _SNB,
+        _SNB_SPARK,
+    )
+
+    assert "LATERAL VIEW explode" in _SNB_SPARK
+    register_views(spark, sf_dir)
+    a = sorted(
+        map(tuple, spark.sql(f"WITH {_SNB} SELECT * FROM snb_place").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            spark.sql(f"WITH {_SNB_SPARK} SELECT * FROM snb_place").collect(),
+        )
+    )
+    assert a == b
+
+
+def test_bi10_knows_broadcast_guard(spark, sf_dir, monkeypatch):
+    """bi10's hop joins broadcast the knows edge table once (build shared
+    by all four hops) when the customer SCAN estimate is under the cap,
+    else fall back to broadcasting the structurally bounded frontier.
+    Pin that (a) the fixture takes the knows-broadcast path, and (b) the
+    two paths return the identical row multiset."""
+    import data_chunk_compaction_in_duckdb_spark.queries.ldbc_like as L
+
+    L.register_views(spark, sf_dir)
+    n = int(
+        spark.table("customer")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .stats()
+        .sizeInBytes()
+    )
+    assert n <= L._BI10_KNOWS_BROADCAST_CUSTOMER_BYTES  # (a)
+
+    fast = sorted(map(tuple, L._bi10_builder(spark, sf_dir).collect()))
+    monkeypatch.setattr(L, "_BI10_KNOWS_BROADCAST_CUSTOMER_BYTES", 0)
+    slow = sorted(map(tuple, L._bi10_builder(spark, sf_dir).collect()))
+    assert fast == slow  # (b)
+
+
 def test_bi10_tail_dedup_noop(spark, sf_dir):
     """The r10 Spark-side bi10 tail drops friend_list's and
     messages_of_tagclass_by_friends' DISTINCTs on uniqueness proofs
